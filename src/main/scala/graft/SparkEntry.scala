@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ml.{AnomalyScan, SeasonalModel, SeasonalModelParams}
 import graft.operators._
 import graft.sources.Tables
 
@@ -11,19 +13,23 @@ import graft.sources.Tables
   * is SQL-expressible.
   *
   * Determinism rules used throughout (the driver hash-compares values):
-  *  - every floating-point aggregate is `round(x, 4)` in BOTH engines;
+  *  - every floating-point aggregate is `round(x, n)` in BOTH engines;
   *  - computed time columns are BIGINT epoch seconds, never timestamps;
-  *  - every query has a total ORDER BY on output columns.
+  *  - every query has a total ORDER BY on output columns;
+  *  - ties (mode, top-N) are broken by an explicit secondary key.
   */
 object SparkEntry {
 
   // events table covers [2024-01-01, 2024-01-31) at every SF (TESTDATA.md)
-  private val FROM = 1704067200L // 2024-01-01T00:00:00Z
-  private val TO   = 1706659200L // 2024-01-31T00:00:00Z
-  private val HOUR = 3600L
+  private val FROM  = 1704067200L              // 2024-01-01T00:00:00Z
+  private val TO    = 1706659200L              // 2024-01-31T00:00:00Z
+  private val SPLIT = FROM + 20L * 86400L      // train/test split (day 21)
+  private val HOUR  = 3600L
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  private val wAll = Window.orderBy("bucket")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The §7.3
     * minimum slice: bucketed avg+count with tag filter and gap fill. */
@@ -40,8 +46,25 @@ object SparkEntry {
           matchAll = Seq("event_type" -> "click"), fill = ConstFill(0.0))))
       .withColumn("avg_click", round(col("avg_click"), 4))
 
+  /** Hourly avg(value) over all events for a range — the canonical bucketed
+    * series feeding the window/ML operators. */
+  private def hourlyAvg(s: SparkSession, dir: String, from: Long, to: Long,
+      fill: Fill = NoFill): DataFrame =
+    TimesQuery.run(s, t(s, dir, "events"), "ts", HOUR, from, to,
+      Seq(Feature("observed", "avg", "value", fill = fill)))
+
+  private val seasonalParams = SeasonalModelParams(bucketInterval = HOUR)
+
+  /** Train on days 1-20, score days 21-30 (SURVEY §2.11). */
+  private def seasonalScored(s: SparkSession, dir: String): DataFrame = {
+    val profile = SeasonalModel.train(
+      hourlyAvg(s, dir, FROM, SPLIT), "observed", seasonalParams)
+    SeasonalModel.predict(
+      hourlyAvg(s, dir, SPLIT, TO), profile, "observed", seasonalParams)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ── §2.1/§2.2/§2.3/§2.4: the core times-query (scan+filter+bucket+agg+spine+fill)
+    // ── §2.1-2.4: the core times-query (scan+filter+bucket+agg+spine+fill)
     "q_times_avg_count" -> ((s, dir) => timesAvgCount(s, dir)),
 
     // ── §2.4 basic aggregations (TPC-H Q1 shape)
@@ -69,6 +92,30 @@ object SparkEntry {
           round(sum(col("value") * col("value")), 2).as("sum_sq"))
         .orderBy("event_type")),
 
+    // ── §2.4 median + percentiles (exact; approx is the 100 TB setting)
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.05)), 4).as("p05"),
+          round(percentile(col("value"), lit(0.10)), 4).as("p10"),
+          round(percentile(col("value"), lit(0.50)), 4).as("median_v"),
+          round(percentile(col("value"), lit(0.90)), 4).as("p90"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+        .orderBy("event_type")),
+
+    // ── §2.4 mode (deterministic tie-break: highest count, lowest value)
+    "q_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("value").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("value").as("mode_v"))
+        .orderBy("event_type")
+    }),
+
     // ── §2.2 predicates: time range + tag equality (match_all)
     "q_filter_tags" -> ((s, dir) =>
       t(s, dir, "events")
@@ -79,13 +126,198 @@ object SparkEntry {
         .select("event_id", "user_id", "value")
         .orderBy("event_id")),
 
+    // ── §2.2 script-derived field (ES painless analog): JSON prop extract
+    "q_script_field" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"), round(max("k"), 4).as("max_k"))
+        .orderBy("event_type")),
+
     // ── §2.6 top-N
     "q_topn" -> ((s, dir) =>
       t(s, dir, "events")
         .select("event_id", "value")
         .orderBy(col("value").desc, col("event_id").asc)
         .limit(100)),
+
+    // ── §2.4 derivative (influx DERIVATIVE(MEAN(f)), per-second)
+    "q_derivative" -> ((s, dir) =>
+      TimesQuery.run(s, t(s, dir, "events"), "ts", HOUR, FROM, TO,
+        Seq(Feature("deriv_v", "derivative", "value")))
+        .withColumn("deriv_v", round(col("deriv_v"), 6))),
+
+    // ── §2.4 integral (trapezoid between consecutive bucket means)
+    "q_integral" -> ((s, dir) =>
+      TimesQuery.run(s, t(s, dir, "events"), "ts", HOUR, FROM, TO,
+        Seq(Feature("integral_v", "integral", "value")))
+        .withColumn("integral_v", round(col("integral_v"), 4))),
+
+    // ── §2.5 forward fill (default: 'previous')
+    "q_ffill" -> ((s, dir) =>
+      TimesQuery.run(s, t(s, dir, "events"), "ts", 1800L, FROM, TO,
+        Seq(Feature("ff_signup", "avg", "value",
+          matchAll = Seq("event_type" -> "signup"), fill = PreviousFill)))
+        .withColumn("ff_signup", round(col("ff_signup"), 4))),
+
+    // ── §2.5 diff transform (declared at loudml/model.py:96)
+    "q_diff" -> ((s, dir) =>
+      TimesQuery.run(s, t(s, dir, "events"), "ts", HOUR, FROM, TO,
+        Seq(Feature("diff_avg", "avg", "value",
+          fill = ConstFill(0.0), transform = Some("diff"))))
+        .withColumn("diff_avg", round(col("diff_avg"), 4))),
+
+    // ── §2.5 sliding windows over the bucketed series (model input shape)
+    "q_sliding" -> ((s, dir) =>
+      hourlyAvg(s, dir, FROM, TO, fill = ConstFill(0.0))
+        .withColumn("sliding_sum",
+          round(sum("observed").over(wAll.rowsBetween(-9, 0)), 4))
+        .withColumn("observed", round(col("observed"), 4))),
+
+    // ── §2.3 per-feature merge by bucket (client-side zip → full outer join)
+    "q_merge" -> ((s, dir) => {
+      def one(name: String, tag: String) =
+        TimesQuery.run(s, t(s, dir, "events"), "ts", HOUR, FROM, TO,
+          Seq(Feature(name, "avg", "value", matchAll = Seq("event_type" -> tag))))
+      TimesQuery.mergeByBucket(Seq(one("avg_click", "click"), one("avg_view", "view")))
+        .withColumn("avg_click", round(col("avg_click"), 4))
+        .withColumn("avg_view", round(col("avg_view"), 4))
+        .orderBy("bucket")
+    }),
+
+    // ── §2.8 seasonality inputs: daytime + ISO weekday
+    "q_time_features" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("tsx", col("ts").cast("timestamp"))
+        .select(
+          col("event_id"),
+          hour(col("tsx")).cast("long").as("daytime"),
+          (weekday(col("tsx")) + 1).cast("long").as("iso_weekday"))
+        .orderBy("event_id")),
+
+    // ── §2.8/§2.11 standardize (y-μ)/σ per series
+    "q_standardize" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type")
+      t(s, dir, "events")
+        .withColumn("z",
+          round((col("value") - avg("value").over(w)) /
+            when(stddev_pop("value").over(w) === 0.0, 1.0)
+              .otherwise(stddev_pop("value").over(w)), 4))
+        .select("event_id", "z")
+        .orderBy("event_id")
+    }),
+
+    // ── §2.11 seasonal-baseline model: train days 1-20, predict 21-30
+    "q_seasonal_predict" -> ((s, dir) =>
+      seasonalScored(s, dir)
+        .select(
+          col("bucket"),
+          round(col("observed"), 4).as("observed"),
+          round(col("predicted"), 4).as("predicted"),
+          round(col("lower"), 4).as("lower"),
+          round(col("upper"), 4).as("upper"))
+        .orderBy("bucket")),
+
+    // ── §2.8 anomaly score 100·(2Φ(|z|)−1) (loudml/donut.py:899-924)
+    "q_anomaly_score" -> ((s, dir) =>
+      seasonalScored(s, dir)
+        .select(
+          col("bucket"),
+          round(col("observed"), 4).as("observed"),
+          round(col("score"), 4).as("score"))
+        .orderBy("bucket")),
+
+    // ── §2.5/§2.9 anomaly hysteresis state machine (loudml/donut.py:1477-1578)
+    "q_anomaly_scan" -> ((s, dir) => {
+      val scored = seasonalScored(s, dir)
+        .withColumn("score", coalesce(col("score"), lit(0.0)))
+        .select("bucket", "score")
+      AnomalyScan.scan(scored, maxThreshold = 95.0, minThreshold = 60.0)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("bucket")
+    }),
+
+    // ── §2.11 forecast: future bands from the seasonal profile
+    "q_forecast" -> ((s, dir) => {
+      val profile = SeasonalModel.train(
+        hourlyAvg(s, dir, FROM, SPLIT), "observed", seasonalParams)
+      SeasonalModel.forecast(s, profile, TO, TO + 2 * 86400L, seasonalParams)
+        .select(
+          col("bucket"),
+          round(col("predicted"), 4).as("predicted"),
+          round(col("lower"), 4).as("lower"),
+          round(col("upper"), 4).as("upper"))
+        .orderBy("bucket")
+    }),
+
+    // ── §2.11 MSE between observed and predicted (loudml/donut.py:417-424)
+    "q_mse" -> ((s, dir) =>
+      seasonalScored(s, dir)
+        .agg(round(avg((col("observed") - col("predicted")) *
+          (col("observed") - col("predicted"))), 4).as("mse"))),
   )
+
+  // ───────────────────────── oracle SQL ─────────────────────────
+
+  /** Spine CTE over [from,to[ at `step` + hourly avg agg of events. */
+  private def spineAvgSql(from: Long, to: Long, step: Long,
+      filter: String = "TRUE", valueExpr: String = "value"): String =
+    s"""spine AS (
+       |  SELECT unnest(generate_series($from, ${to - step}, $step)) AS bucket
+       |), agg AS (
+       |  SELECT CAST(floor(epoch(ts)/$step) AS BIGINT)*$step AS bucket,
+       |         avg(CASE WHEN $filter THEN $valueExpr END) AS v
+       |  FROM events
+       |  WHERE epoch(ts) >= $from AND epoch(ts) < $to
+       |  GROUP BY 1
+       |), series AS (
+       |  SELECT s.bucket, a.v FROM spine s LEFT JOIN agg a USING (bucket)
+       |)""".stripMargin
+
+  /** Per-slot seasonal profile + scored test series, as SQL CTEs. */
+  private val seasonalSql: String =
+    s"""WITH train_agg AS (
+       |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+       |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT GROUP BY 1
+       |), train_spine AS (
+       |  SELECT unnest(generate_series($FROM, ${SPLIT - HOUR}, $HOUR)) AS bucket
+       |), train_series AS (
+       |  SELECT s.bucket, a.v FROM train_spine s LEFT JOIN train_agg a USING (bucket)
+       |), profile AS (
+       |  SELECT CAST((bucket % 86400) / $HOUR AS BIGINT) AS slot,
+       |         avg(v) AS mu,
+       |         CASE WHEN stddev_pop(v) = 0 OR stddev_pop(v) IS NULL THEN 1.0
+       |              ELSE stddev_pop(v) END AS sigma
+       |  FROM train_series GROUP BY 1
+       |), test_agg AS (
+       |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+       |  FROM events WHERE epoch(ts) >= $SPLIT AND epoch(ts) < $TO GROUP BY 1
+       |), test_spine AS (
+       |  SELECT unnest(generate_series($SPLIT, ${TO - HOUR}, $HOUR)) AS bucket
+       |), test_series AS (
+       |  SELECT s.bucket, a.v FROM test_spine s LEFT JOIN test_agg a USING (bucket)
+       |), banded AS (
+       |  SELECT t.bucket, t.v AS observed, p.mu AS predicted,
+       |         p.mu - 3*p.sigma AS lower, p.mu + 3*p.sigma AS upper
+       |  FROM test_series t
+       |  JOIN profile p ON p.slot = CAST((t.bucket % 86400) / $HOUR AS BIGINT)
+       |), xed AS (
+       |  -- x = |z|/sqrt(2), z = (obs-pred)/sigma_hat, sigma_hat = (upper-pred)/3
+       |  -- (exact op-order mirror of graft.functions.Stats.anomalyScore)
+       |  SELECT *,
+       |    abs((observed - predicted) / greatest((upper - predicted)/3.0, 1e-9)) / sqrt(2) AS x
+       |  FROM banded
+       |), ted AS (
+       |  SELECT *, 1/(1 + 0.3275911*x) AS tp FROM xed
+       |), scored AS (
+       |  -- erf via Abramowitz-Stegun 7.1.26; score = 100*clamp(2*Phi(|z|)-1)
+       |  SELECT bucket, observed, predicted, lower, upper,
+       |    100 * least(greatest(
+       |      2*(0.5*(1 + (1 - ((((1.061405429*tp - 1.453152027)*tp + 1.421413741)*tp
+       |                          - 0.284496736)*tp + 0.254829592)*tp * exp(-x*x)))) - 1,
+       |      0), 1) AS score
+       |  FROM ted
+       |)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
   def oracleSql: Map[String, String] = Map(
@@ -125,14 +357,173 @@ object SparkEntry {
         |       round(sum(value * value), 2) AS sum_sq
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.05), 4) AS p05,
+        |       round(quantile_cont(value, 0.10), 4) AS p10,
+        |       round(quantile_cont(value, 0.50), 4) AS median_v,
+        |       round(quantile_cont(value, 0.90), 4) AS p90,
+        |       round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mode" ->
+      """SELECT event_type, value AS mode_v FROM (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY count(*) DESC, value ASC) AS rn
+        |  FROM events GROUP BY event_type, value
+        |) WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
     "q_filter_tags" ->
       s"""SELECT event_id, user_id, value FROM events
          |WHERE event_type = 'purchase' AND user_id % 2 = 0
          |  AND epoch(ts) >= $FROM AND epoch(ts) < ${FROM + 7 * 86400}
          |ORDER BY event_id""".stripMargin,
 
+    "q_script_field" ->
+      """SELECT event_type,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+        |       round(max(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_topn" ->
       """SELECT event_id, value FROM events
         |ORDER BY value DESC, event_id ASC LIMIT 100""".stripMargin,
+
+    "q_derivative" ->
+      s"""WITH ${spineAvgSql(FROM, TO, HOUR)}
+         |SELECT bucket,
+         |       round((v - lag(v) OVER (ORDER BY bucket)) / $HOUR.0, 6) AS deriv_v
+         |FROM series ORDER BY bucket""".stripMargin,
+
+    "q_integral" ->
+      s"""WITH ${spineAvgSql(FROM, TO, HOUR)}
+         |SELECT bucket,
+         |       round((v + lag(v) OVER (ORDER BY bucket)) / 2.0 * $HOUR.0, 4) AS integral_v
+         |FROM series ORDER BY bucket""".stripMargin,
+
+    "q_ffill" ->
+      s"""WITH ${spineAvgSql(FROM, TO, 1800L, filter = "event_type='signup'")}
+         |SELECT bucket,
+         |       round(last_value(v IGNORE NULLS) OVER (
+         |         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         |         AS ff_signup
+         |FROM series ORDER BY bucket""".stripMargin,
+
+    "q_diff" ->
+      s"""WITH ${spineAvgSql(FROM, TO, HOUR)},
+         |filled AS (SELECT bucket, coalesce(v, 0.0) AS v FROM series)
+         |SELECT bucket,
+         |       round(v - lag(v) OVER (ORDER BY bucket), 4) AS diff_avg
+         |FROM filled ORDER BY bucket""".stripMargin,
+
+    "q_sliding" ->
+      s"""WITH ${spineAvgSql(FROM, TO, HOUR)},
+         |filled AS (SELECT bucket, coalesce(v, 0.0) AS v FROM series)
+         |SELECT bucket, round(v, 4) AS observed,
+         |       round(sum(v) OVER (
+         |         ORDER BY bucket ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4)
+         |         AS sliding_sum
+         |FROM filled ORDER BY bucket""".stripMargin,
+
+    "q_merge" ->
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($FROM, ${TO - HOUR}, $HOUR)) AS bucket
+         |), clicks AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+         |  FROM events WHERE event_type='click'
+         |    AND epoch(ts) >= $FROM AND epoch(ts) < $TO GROUP BY 1
+         |), views AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+         |  FROM events WHERE event_type='view'
+         |    AND epoch(ts) >= $FROM AND epoch(ts) < $TO GROUP BY 1
+         |)
+         |SELECT s.bucket, round(c.v, 4) AS avg_click, round(w.v, 4) AS avg_view
+         |FROM spine s
+         |LEFT JOIN clicks c USING (bucket)
+         |LEFT JOIN views w USING (bucket)
+         |ORDER BY s.bucket""".stripMargin,
+
+    "q_time_features" ->
+      """SELECT event_id,
+        |       CAST(hour(ts) AS BIGINT) AS daytime,
+        |       CAST(isodow(ts) AS BIGINT) AS iso_weekday
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_standardize" ->
+      """SELECT event_id,
+        |       round((value - avg(value) OVER w) /
+        |         (CASE WHEN stddev_pop(value) OVER w = 0 THEN 1.0
+        |               ELSE stddev_pop(value) OVER w END), 4) AS z
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_seasonal_predict" ->
+      s"""$seasonalSql
+         |SELECT bucket, round(observed, 4) AS observed,
+         |       round(predicted, 4) AS predicted,
+         |       round(lower, 4) AS lower, round(upper, 4) AS upper
+         |FROM scored ORDER BY bucket""".stripMargin,
+
+    "q_anomaly_score" ->
+      s"""$seasonalSql
+         |SELECT bucket, round(observed, 4) AS observed, round(score, 4) AS score
+         |FROM scored ORDER BY bucket""".stripMargin,
+
+    // latch recurrence open_t = s_t≥max OR (open_{t-1} AND s_t≥min),
+    // closed-form: open iff the latest ≥max bucket is more recent than the
+    // latest <min bucket (gaps-and-islands over the two thresholds)
+    "q_anomaly_scan" ->
+      s"""$seasonalSql,
+         |latched AS (
+         |  SELECT bucket, coalesce(score, 0.0) AS score,
+         |    coalesce(max(CASE WHEN coalesce(score,0.0) >= 95.0 THEN bucket END)
+         |      OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         |      AS last_start,
+         |    coalesce(max(CASE WHEN coalesce(score,0.0) < 60.0 THEN bucket END)
+         |      OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         |      AS last_stop
+         |  FROM scored
+         |), states AS (
+         |  SELECT bucket, score, last_start > last_stop AS is_anomaly,
+         |         lag(last_start > last_stop, 1, FALSE) OVER (ORDER BY bucket) AS prev
+         |  FROM latched
+         |)
+         |SELECT bucket, round(score, 4) AS score, is_anomaly,
+         |       CASE WHEN is_anomaly AND NOT prev THEN 'start'
+         |            WHEN is_anomaly AND prev THEN 'ongoing'
+         |            WHEN NOT is_anomaly AND prev THEN 'end'
+         |       END AS anomaly
+         |FROM states ORDER BY bucket""".stripMargin,
+
+    "q_forecast" ->
+      s"""WITH train_agg AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT GROUP BY 1
+         |), train_spine AS (
+         |  SELECT unnest(generate_series($FROM, ${SPLIT - HOUR}, $HOUR)) AS bucket
+         |), train_series AS (
+         |  SELECT s.bucket, a.v FROM train_spine s LEFT JOIN train_agg a USING (bucket)
+         |), profile AS (
+         |  SELECT CAST((bucket % 86400) / $HOUR AS BIGINT) AS slot,
+         |         avg(v) AS mu,
+         |         CASE WHEN stddev_pop(v) = 0 OR stddev_pop(v) IS NULL THEN 1.0
+         |              ELSE stddev_pop(v) END AS sigma
+         |  FROM train_series GROUP BY 1
+         |), fspine AS (
+         |  SELECT unnest(generate_series($TO, ${TO + 2 * 86400 - HOUR}, $HOUR)) AS bucket
+         |)
+         |SELECT f.bucket, round(p.mu, 4) AS predicted,
+         |       round(p.mu - 3*p.sigma, 4) AS lower,
+         |       round(p.mu + 3*p.sigma, 4) AS upper
+         |FROM fspine f
+         |JOIN profile p ON p.slot = CAST((f.bucket % 86400) / $HOUR AS BIGINT)
+         |ORDER BY f.bucket""".stripMargin,
+
+    "q_mse" ->
+      s"""$seasonalSql
+         |SELECT round(avg((observed - predicted)*(observed - predicted)), 4) AS mse
+         |FROM scored""".stripMargin,
   )
 }

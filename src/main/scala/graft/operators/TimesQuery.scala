@@ -171,6 +171,18 @@ object TimesQuery {
     out.orderBy(keyCols: _*)
   }
 
+  /** Merge independently-aggregated per-feature series by bucket — the
+    * reference's client-side zip of one-query-per-feature results
+    * (/root/reference/loudml/influx.py:566-585). Needed when features come
+    * from *different* sources/measurements and can't be fused into one
+    * scan (SURVEY §7.5.6). Equi-join on the bucket label, full outer so a
+    * bucket present in any series survives. Each side is already
+    * aggregated (O(buckets) rows), so this join is cheap at any scale;
+    * Spark will broadcast the smaller side or AQE-optimize the exchange.
+    */
+  def mergeByBucket(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce((a, b) => a.join(b, Seq("bucket"), "full_outer"))
+
   /** Convenience: bucket label as UTC timestamp instead of epoch seconds. */
   def withTimestamp(df: DataFrame): DataFrame =
     df.withColumn("bucket_ts", timestamp_seconds(col("bucket")))
