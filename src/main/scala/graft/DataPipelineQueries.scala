@@ -1,0 +1,347 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Queries + DuckDB oracles for the training-data-pipeline operators
+  * (dedup, similarity search, text analysis, multimodal) — the
+  * beyond-the-reference surface from BASELINE.json's north star.
+  *
+  * Oracle-parity notes: every hash is md5-derived (engine-independent);
+  * 60-bit values keep bit ops signed-long-safe; rank/top-k computed on
+  * UNROUNDED values in both engines, rounding applied only on output.
+  */
+object DataPipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private val H = 8 // minhash signature length
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── exact dedup (content-hash, ES sha1-doc-id analog)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    // ── MinHash signatures (8 × 60-bit, word 3-gram shingles)
+    "q_minhash" -> ((s, dir) =>
+      Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", H)
+        .orderBy("doc_id")),
+
+    // ── MinHash-estimated Jaccard: probe docs × corpus, top-20
+    "q_minhash_pairs" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", H)
+      val a = sigs.filter(col("doc_id") < 20)
+        .select(sigs.columns.map(c => col(c).as(s"a_$c")): _*)
+      val b = sigs.select(sigs.columns.map(c => col(c).as(s"b_$c")): _*)
+      val est = (0 until H)
+        .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / lit(H.toDouble)
+      a.crossJoin(b)
+        .filter(col("a_doc_id") =!= col("b_doc_id"))
+        .select(col("a_doc_id").as("id_a"), col("b_doc_id").as("id_b"),
+          est.as("est_jaccard"))
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // ── SimHash 60-bit signatures
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // ── SimHash near-dup: probe docs × corpus, 20 smallest Hamming
+    "q_simhash_pairs" -> ((s, dir) => {
+      val sh = Dedup.simHash(docs(s, dir), "doc_id", "text")
+      val a = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+      a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // ── exact n-gram Jaccard near-dup pairs (shingle-blocked), top-20
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), col("inter"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // ── brute-force cosine top-k (exact ANN baseline)
+    "q_embed_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ── embedding near-dup: top-20 cosine pairs among first 100 vectors
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // ── LSH-bucketed ANN (the 100 TB path; recall<1 → rows-only check)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, planes = 8, dim = 64)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ── language ID heuristic
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    // ── token counting
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // ── quality scoring
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir)
+        // +1e-9 before rounding: quality is a sum of small rationals that
+        // can land exactly on a .00005 decimal boundary, where Spark's
+        // BigDecimal HALF_UP and DuckDB's numeric round disagree by 1e-4;
+        // the epsilon (mirrored in the oracle) moves ties off the boundary
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4).as("quality"))
+        .orderBy("doc_id")),
+
+    // ── document fingerprint (canonical-form md5)
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ── multimodal: blob + typed metadata projection
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.attachBlob(docs(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.kind").as("kind"))
+        .orderBy("media_id")),
+
+    // ── multimodal: stubbed decode → feature vectors (rows-only check)
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeStub(
+        Multimodal.attachBlob(docs(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("features"))
+        .orderBy("media_id")),
+  )
+
+  // ───────────────────────── oracle SQL ─────────────────────────
+
+  /** Distinct word-3-gram shingles per doc (DuckDB), mirroring
+    * Dedup.wordShingles + distinct. */
+  private val shinglesCte: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(range(1, len(toks)-1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  )
+      |)""".stripMargin
+
+  private def sigSelect: String =
+    (0 until H).map(i =>
+      s"min(CAST('0x' || substr(md5('$i:' || sh), 1, 15) AS BIGINT)) AS sig_$i")
+      .mkString(",\n         ")
+
+  private val sigsCte: String =
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |         $sigSelect
+       |  FROM sh GROUP BY doc_id
+       |)""".stripMargin
+
+  private val simhashCte: String = {
+    val votes = (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val assemble = (0 until 60)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok
+       |), votes AS (
+       |  SELECT doc_id, $votes FROM hashed GROUP BY doc_id
+       |), simhashes AS (
+       |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes
+       |)""".stripMargin
+  }
+
+  private val qualityExpr: String =
+    """0.4 * least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) / 50.0, 1.0)
+      | + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |            / greatest(CAST(length(text) AS DOUBLE), 1.0))
+      | + 0.3 * least(((CAST(length(text) AS DOUBLE)
+      |            - CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE))
+      |            / greatest(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE), 1.0)) / 8.0, 1.0)"""
+      .stripMargin.replace("\n", "")
+
+  private val langHits: String = TextAnalysis.langProfiles.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), x -> x IN ($list))) AS h_$lang"
+  }.mkString(",\n         ")
+
+  private val langCase: String = {
+    val langs = TextAnalysis.langProfiles.map(_._1)
+    langs.map { l =>
+      val conds = langs.map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_minhash" ->
+      s"""WITH $shinglesCte, $sigsCte
+         |SELECT * FROM sigs ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_pairs" -> {
+      val eq = (0 until H)
+        .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shinglesCte, $sigsCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST($eq AS DOUBLE) / ${H}.0 AS est_jaccard
+         |FROM (SELECT * FROM sigs WHERE doc_id < 20) a
+         |CROSS JOIN sigs b
+         |WHERE a.doc_id != b.doc_id
+         |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+    },
+
+    "q_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM simhashes ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM (SELECT * FROM simhashes WHERE doc_id < 20) a
+         |CROSS JOIN simhashes b
+         |WHERE a.doc_id != b.doc_id
+         |ORDER BY hamming ASC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |capped AS (
+         |  SELECT doc_id AS id, sh FROM sh
+         |  QUALIFY count(*) OVER (PARTITION BY sh) <= 1000
+         |), sizes AS (
+         |  SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT i.id_a, i.id_b, i.inter,
+         |       round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 4) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.id = i.id_a
+         |JOIN sizes sb ON sb.id = i.id_b
+         |ORDER BY CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) DESC,
+         |         i.id_a, i.id_b
+         |LIMIT 20""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 20
+        |), c AS (
+        |  SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT query_id, match_id,
+        |         list_dot_product(qv, cv) /
+        |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+        |           AS cosine_raw
+        |  FROM q CROSS JOIN c WHERE query_id != match_id
+        |), ranked AS (
+        |  SELECT query_id, match_id, cosine_raw,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine_raw DESC, match_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, match_id, round(cosine_raw, 4) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 100
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_dot_product(a.v, b.v) /
+        |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        |         AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY list_dot_product(a.v, b.v) /
+        |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
+        |         id_a, id_b
+        |LIMIT 20""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH hits AS (
+         |  SELECT doc_id,
+         |         $langHits
+         |  FROM documents
+         |)
+         |SELECT doc_id, $langCase AS lang_guess
+         |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      s"""SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       'image' AS kind
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q_ann_lsh, q_multimodal_features: not SQL-expressible (seeded
+    // hyperplanes / stubbed decode) → rows-only check by design
+  )
+}

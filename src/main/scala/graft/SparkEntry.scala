@@ -63,7 +63,13 @@ object SparkEntry {
       hourlyAvg(s, dir, SPLIT, TO), profile, "observed", seasonalParams)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ DataPipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ DataPipelineQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── §2.1-2.4: the core times-query (scan+filter+bucket+agg+spine+fill)
     "q_times_avg_count" -> ((s, dir) => timesAvgCount(s, dir)),
 
@@ -320,7 +326,7 @@ object SparkEntry {
        |)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracleSql: Map[String, String] = Map(
     "q_times_avg_count" ->
       s"""WITH spine AS (
          |  SELECT unnest(generate_series($FROM, ${TO - HOUR}, $HOUR)) AS bucket

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document corpora — the
+  * training-data-pipeline extension mandated by BASELINE.json's north star
+  * (beyond the reference's surface; the reference's only dedup is ES
+  * doc-id = sha1(json) content hashing, /root/reference/loudml/elastic.py:398-401).
+  *
+  * Scale design:
+  *  - exact dedup = one hash-partitioned window (or groupBy+join), shuffle
+  *    keyed on the content hash → perfectly balanced unless one text
+  *    dominates;
+  *  - MinHash = explode(shingles) → ONE groupBy(doc) computing all H
+  *    signature mins at once (map-side partial min, shuffle O(docs·H));
+  *  - LSH banding turns all-pairs O(n²) into per-bucket candidate joins;
+  *  - SimHash = 60 conditional-sum aggregates in one pass, near-dup =
+  *    Hamming distance on 60-bit longs (bit_count(xor)) — cheap block join.
+  *
+  * All hashes derive from md5 (not Spark's murmur/xxhash) so results are
+  * engine-independent and oracle-checkable in DuckDB.
+  */
+object Dedup {
+
+  /** Content key for exact dedup (md5 of raw text). */
+  def contentKey(c: Column): Column = md5(c)
+
+  /** Exact dedup: keep the row with the smallest `tieBreak` per identical
+    * `textCol`. One shuffle on the content hash. */
+  def exact(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Word n-gram shingles of a whitespace-tokenized text column.
+    * Guarded: texts shorter than n tokens yield an empty array (Spark's
+    * `sequence(1,0)` would count DOWN, so the guard is load-bearing). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+  }
+
+  /** Engine-independent 60-bit hash of a string: first 15 hex chars of md5
+    * as a (positive) long. 60 bits keeps every bit op in signed-long-safe
+    * territory in both Spark and DuckDB. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures: one row per doc, columns sig_0..sig_{h-1}, where
+    * sig_i = min over shingles of hash60(i || ':' || shingle).
+    * Single explode + single groupBy — shuffle is O(docs · h) longs. */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("sh"))
+      .distinct() // set semantics: identical shingle counts once
+    val aggs = (0 until numHashes).map(i =>
+      min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"sig_$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** SimHash (60-bit) per doc over whitespace tokens (with multiplicity):
+    * bit b of the signature is 1 iff Σ_tokens (±1 by bit b of hash60(tok))
+    * is positive. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val votes = (0 until 60).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b"))
+    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 60)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs that share ≥1 shingle.
+    * Blocking join on the shingle (set semantics), then
+    * J = |A∩B| / (|A|+|B|−|A∩B|). `maxPerShingle` caps fan-out on
+    * super-common shingles (the skew guard at 100 TB — a stop-phrase
+    * shared by millions of docs must not produce a quadratic bucket). */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxPerShingle: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleN)).as("sh")).distinct()
+    val capped = sh.withColumn("__c",
+        count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__c") <= maxPerShingle).drop("__c")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = capped.as("a")
+      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+  }
+
+  /** LSH band keys from a signature frame: one row per (doc, band), key =
+    * md5 of the concatenated band slice. GroupBy bandKey gives candidate
+    * buckets; docs sharing any band key are near-dup candidates. */
+  def lshBandKeys(sigs: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPer = numHashes / bands
+    require(rowsPer * bands == numHashes, "bands must divide numHashes")
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPer).map(r => col(s"sig_${b * rowsPer + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("_", slice: _*)).as("key"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+  }
+}

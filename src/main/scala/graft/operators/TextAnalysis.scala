@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (BASELINE.json north star):
+  * language ID (token-list heuristic), quality scoring, token counting,
+  * document fingerprinting. Pure Column expressions — codegen'd end to
+  * end, no UDFs, embarrassingly parallel at any scale, and every formula
+  * is mirrored verbatim in the DuckDB oracles.
+  */
+object TextAnalysis {
+
+  /** ASCII-word token count (whitespace+punct agnostic). */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+"))
+
+  /** Indicator token lists per language for the langId heuristic.
+    * Deliberately tiny — the operator shape (N scored profiles → argmax
+    * with deterministic tie-break) is what matters; real profiles are a
+    * config concern. Ordered: ties resolve to the first (lexicographic). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("join", "merge", "sort", "stream"),
+    "en" -> Seq("the", "fast", "small", "a"),
+    "es" -> Seq("row", "data", "query", "value"),
+    "zh" -> Seq("scan", "table", "hash", "key"))
+
+  /** Hits of `wordList` among whitespace tokens of `text` (with
+    * multiplicity). */
+  def profileHits(text: Column, wordList: Seq[String]): Column =
+    size(filter(split(text, " "), t =>
+      t.isin(wordList.map(_.asInstanceOf[Any]): _*)))
+
+  /** Heuristic language ID: argmax of profile hits, first-profile wins
+    * ties (evaluation order = langProfiles order = lexicographic). */
+  def langId(text: Column): Column = {
+    val hits = langProfiles.map { case (lang, words) =>
+      lang -> profileHits(text, words)
+    }
+    // lang_i wins iff hits_i >= hits_j for all j (first winner kept)
+    val cases = hits.map { case (lang, h) =>
+      val geAll = hits.map(_._2).map(o => h >= o).reduce(_ && _)
+      (geAll, lang)
+    }
+    cases.foldRight(lit("und"): Column) { case ((cond, lang), acc) =>
+      when(cond, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Composite quality score in [0,1]:
+    *   0.4·min(tokens/50, 1)            (length signal)
+    *   + 0.3·(1 − punct/chars)          (noise signal)
+    *   + 0.3·min(avgTokenLen/8, 1)      (vocabulary signal)
+    * The exact weights are illustrative; the operator is the shape. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val chars = length(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val avgTokLen =
+      (chars - (length(text) - length(replace(text, lit(" "), lit(""))))) /
+        greatest(toks, lit(1.0))
+    lit(0.4) * least(toks / lit(50.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punct / greatest(chars, lit(1.0))) +
+      lit(0.3) * least(avgTokLen / lit(8.0), lit(1.0))
+  }
+
+  /** Canonical-form fingerprint: md5 of lowercased text with every
+    * non-alphanumeric run collapsed to one space, trimmed — robust to
+    * whitespace/punct/case edits (rolling-hash-class dedup key). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+}
