@@ -83,6 +83,13 @@ object TimesQuery {
     *
     * @param exact use exact percentile aggregates (oracle parity) vs
     *              approx (the 100 TB setting)
+    * @param anchorAtFrom bucket-alignment semantics: false (default) =
+    *   epoch-aligned buckets with floor/ceil range expansion (InfluxDB /
+    *   Elasticsearch semantics, /root/reference/loudml/influx.py:587-589,
+    *   /root/reference/loudml/misc.py:224-238 — our canonical choice);
+    *   true = buckets anchored at the raw `from` (MemBucket semantics,
+    *   /root/reference/loudml/membucket.py:187-216, which iterates from
+    *   `from_date` without alignment)
     */
   def run(
       spark: SparkSession,
@@ -93,9 +100,10 @@ object TimesQuery {
       to: Long,
       features: Seq[Feature],
       seriesKeys: Seq[String] = Nil,
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true,
+      anchorAtFrom: Boolean = false): DataFrame = {
     require(features.nonEmpty, "at least one feature")
-    val (f, t) = alignRange(from, to, interval)
+    val (f, t) = if (anchorAtFrom) (from, to) else alignRange(from, to, interval)
     val ts = col(tsCol)
 
     // Single scan: time-range predicate on *literals of the column's own
@@ -109,7 +117,11 @@ object TimesQuery {
     }
     val inRange = points.filter(ts >= tsLit(f) && ts < tsLit(t))
 
-    val bucket = bucketCol(ts, interval).as("bucket")
+    // anchored label: floor((ts-f)/i)*i + f; for epoch-aligned f (f % i == 0)
+    // this reduces to floor(ts/i)*i, the epoch-aligned left edge
+    val unixTs = unix_timestamp(ts.cast("timestamp"))
+    val bucket =
+      ((floor((unixTs - f) / interval) * interval).cast("long") + f).as("bucket")
     val keyCols = col("bucket") +: seriesKeys.map(col)
 
     // Fused conditional aggregation: one agg column per non-post-agg feature.
@@ -156,6 +168,12 @@ object TimesQuery {
         // (/root/reference/loudml/influx.py:119-121)
         out = out.withColumn(feat.name,
           (c + lag(c, 1).over(w)) / lit(2.0) * lit(interval.toDouble))
+      // count of an empty bucket is 0, not null (influx semantics —
+      // golden /root/reference/tests/test_influx.py:281-282; only the
+      // OpenTSDB connector shares this, /root/reference/loudml/opentsdb.py:452-454;
+      // avg/min/max/… stay null)
+      if (Metrics.canonical(feat.metric) == "count")
+        out = out.withColumn(feat.name, coalesce(col(feat.name), lit(0.0)))
       val filled = feat.fill match {
         case NoFill        => col(feat.name)
         case ConstFill(v)  => coalesce(col(feat.name), lit(v))

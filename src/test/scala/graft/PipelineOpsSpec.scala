@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.{SeasonalModel, SeasonalModelParams}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── Dedup ──────────────────────────────────────────────────────
+
+  test("exact dedup keeps smallest id per identical text") {
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc")).toDF("id", "text")
+    val out = Dedup.exact(df, "text", "id").select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("wordShingles: n-gram construction + short-text guard") {
+    val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+    val sh = df.select(col("id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1) == Seq("a b c", "b c d"))
+    assert(sh(2).isEmpty) // no descending-sequence surprise
+  }
+
+  test("minhash: identical docs get identical signatures, disjoint don't") {
+    val df = Seq(
+      (1L, "x y z w v u"), (2L, "x y z w v u"), (3L, "p q r s t o"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash: identical docs equal; near docs closer than far docs") {
+    val df = Seq(
+      (1L, "spark query engine fast scan join"),
+      (2L, "spark query engine fast scan join"),
+      (3L, "spark query engine fast scan merge"),
+      (4L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simHash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard: identical docs = 1.0") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0))) // 3 shares nothing → no pair
+  }
+
+  test("lsh band keys: identical sigs share all bands") {
+    val df = Seq((1L, "x y z w v u"), (2L, "x y z w v u")).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", 4)
+    val bands = Dedup.lshBandKeys(sigs, "doc_id", 4, 2)
+    val byBand = bands.groupBy("band", "band_key").count()
+      .select("count").as[Long].collect()
+    assert(byBand.toSeq == Seq(2L, 2L)) // both docs in both band buckets
+  }
+
+  // ── Similarity ─────────────────────────────────────────────────
+
+  test("cosine: identity = 1, orthogonal = 0") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK finds the constructed nearest neighbor") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.1f, 0.0f)),  // near q0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 1)
+      .collect()(0)
+    assert(top.getAs[Long]("match_id") == 1L)
+  }
+
+  // ── SeasonalModel ──────────────────────────────────────────────
+
+  test("seasonal model reproduces a constant daily pattern exactly") {
+    // 4 days, 4 buckets/day (interval 21600), value = slot index * 10
+    val buckets = (0 until 16).map(i => (i * 21600L, (i % 4) * 10.0))
+      .toDF("bucket", "observed")
+    val p = SeasonalModelParams(bucketInterval = 21600L)
+    val profile = SeasonalModel.train(buckets, "observed", p)
+    val pred = SeasonalModel.predict(buckets, profile, "observed", p)
+    val rows = pred.orderBy("bucket").collect()
+    assert(rows.forall(r =>
+      r.getDouble(r.fieldIndex("observed")) == r.getDouble(r.fieldIndex("predicted"))))
+    // σ=0 → guard 1.0 → bands ±3
+    assert(rows.forall(r =>
+      r.getDouble(r.fieldIndex("upper")) - r.getDouble(r.fieldIndex("predicted")) == 3.0))
+    // perfect prediction → score ~0 (approx-erf residue ≪ 0..100 resolution)
+    assert(rows.forall(r => r.getDouble(r.fieldIndex("score")) < 1e-3))
+    val f = SeasonalModel.forecast(spark, profile, 16 * 21600L, 20 * 21600L, p)
+      .collect()
+    assert(f.map(_.getDouble(1)).toSeq == Seq(0.0, 10.0, 20.0, 30.0))
+  }
+
+  // ── TextAnalysis ───────────────────────────────────────────────
+
+  test("token count, fingerprint stability, langId, quality bounds") {
+    val df = Seq(
+      ("the fast small a the", 1L),
+      ("The, fast; SMALL a the!", 2L),
+      ("join merge sort stream join", 3L))
+      .toDF("text", "id")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getString(2), r.getString(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 == 5)
+    assert(out(1L)._2 == out(2L)._2) // punctuation/case-insensitive fingerprint
+    assert(out(1L)._3 == "en" && out(3L)._3 == "de")
+    assert(out.values.forall(v => v._4 >= 0.0 && v._4 <= 1.0))
+  }
+
+  // ── Multimodal ─────────────────────────────────────────────────
+
+  test("blob plumbing: schema, deterministic stub decode, frame sampling") {
+    val df = Seq((1L, "abcdefgh" * 4)).toDF("doc_id", "text")
+    val media = Multimodal.attachBlob(df, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "data", "meta"))
+    val decoded = Multimodal.decodeStub(media).collect()(0)
+    val feats = decoded.getSeq[Float](decoded.fieldIndex("features"))
+    assert(feats.length == 8)
+    // bytes cycle every 8 chars → feature j = byte('a'+j)/255 exactly
+    assert(math.abs(feats(0) - 'a'.toInt / 255.0) < 1e-6)
+    assert(math.abs(feats(7) - 'h'.toInt / 255.0) < 1e-6)
+    val frames = Multimodal.frameSample(media, 4, frameBytes = 8).collect()
+    assert(frames.length == 4)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
+  }
+}

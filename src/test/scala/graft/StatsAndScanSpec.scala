@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Metrics, Stats}
+import graft.ml.AnomalyScan
+
+class StatsAndScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Double =
+    spark.range(1).select(c.as("v")).collect()(0).getDouble(0)
+
+  test("erf matches known values to 1.5e-7 (A&S 7.1.26 bound)") {
+    assert(math.abs(eval1(Stats.erf(lit(1.0))) - 0.8427007929) < 1.5e-7)
+    assert(math.abs(eval1(Stats.erf(lit(-1.0))) + 0.8427007929) < 1.5e-7)
+    assert(math.abs(eval1(Stats.erf(lit(0.0)))) < 1.5e-7) // A&S bound, not exact at 0
+  }
+
+  test("normCdf: Φ(0)=0.5, Φ(3)≈0.99865") {
+    assert(math.abs(eval1(Stats.normCdf(lit(0.0))) - 0.5) < 1e-9)
+    assert(math.abs(eval1(Stats.normCdf(lit(3.0))) - 0.99865) < 1e-4)
+  }
+
+  test("anomaly score: 3σ deviation ≈ 99.7, at-prediction = 0") {
+    // predicted 10, upper 13 → σ̂=1; observed 13 = 3σ high
+    val hi = eval1(Stats.anomalyScore(lit(13.0), lit(10.0), lit(13.0)))
+    assert(math.abs(hi - 99.73) < 0.01)
+    // approx-erf leaves ~1e-7 residue at z=0, well under scoring resolution
+    assert(eval1(Stats.anomalyScore(lit(10.0), lit(10.0), lit(13.0))) < 1e-5)
+  }
+
+  test("anomaly_type low/high clip directionality (test_donut.py:773-1018)") {
+    val lowOnHigh = eval1(Stats.anomalyScore(lit(13.0), lit(10.0), lit(13.0), "low"))
+    val highOnHigh = eval1(Stats.anomalyScore(lit(13.0), lit(10.0), lit(13.0), "high"))
+    val lowOnLow = eval1(Stats.anomalyScore(lit(7.0), lit(10.0), lit(13.0), "low"))
+    assert(lowOnHigh == 0.0 && highOnHigh > 99.0 && lowOnLow > 99.0)
+  }
+
+  test("metric aliases canonicalize (loudml/influx.py:39-59)") {
+    assert(Metrics.canonical("mean") == "avg")
+    assert(Metrics.canonical("std_deviation") == "stddev")
+    assert(Metrics.canonical("med") == "median")
+    assert(Metrics.validate("90percentile") == "90percentile")
+  }
+
+  test("hysteresis scan: start at ≥max, hold ≥min, end <min (donut.py:1477-1578)") {
+    val scores = Seq(
+      (0L, 10.0), (3L, 99.9), (6L, 80.0), (9L, 50.0),
+      (12L, 99.8), (15L, 99.9), (18L, 10.0))
+      .toDF("bucket", "score")
+    val out = AnomalyScan.scan(scores, maxThreshold = 99.7, minThreshold = 68.0)
+      .orderBy("bucket").collect()
+    val markers = out.map(r => Option(r.getString(r.fieldIndex("anomaly"))).orNull)
+    assert(markers.toSeq == Seq(null, "start", "ongoing", "end",
+      "start", "ongoing", "end"))
+    val flags = out.map(_.getBoolean(out(0).fieldIndex("is_anomaly")))
+    assert(flags.toSeq == Seq(false, true, true, false, true, true, false))
+  }
+
+  test("grace period suppresses re-alert (donut.py:1488-1490)") {
+    val scores = Seq(
+      (0L, 99.9), (3L, 10.0), (6L, 99.9), (100L, 99.9))
+      .toDF("bucket", "score")
+    val out = AnomalyScan.scan(scores, maxThreshold = 99.7, minThreshold = 68.0,
+      gracePeriodSec = 50L).orderBy("bucket").collect()
+    val markers = out.map(r => Option(r.getString(r.fieldIndex("anomaly"))).orNull)
+    // t=6 within grace of start t=0 → suppressed ("ongoing", no start event);
+    // t=100 outside grace → fresh start
+    assert(markers.toSeq == Seq("start", "end", "ongoing", "ongoing"))
+  }
+
+  test("scan resets state across series keys") {
+    val scores = Seq(
+      ("a", 0L, 99.9), ("a", 3L, 80.0), ("b", 0L, 10.0), ("b", 3L, 99.9))
+      .toDF("host", "bucket", "score")
+    val out = AnomalyScan.scan(scores, maxThreshold = 99.7, minThreshold = 68.0,
+      seriesKeys = Seq("host"))
+    val m = out.collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.getString(r.fieldIndex("anomaly"))).orNull)).toSet
+    assert(m == Set(("a", 0L, "start"), ("a", 3L, "ongoing"),
+      ("b", 0L, null), ("b", 3L, "start")))
+  }
+}
