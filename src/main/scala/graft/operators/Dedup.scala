@@ -37,14 +37,22 @@ object Dedup {
   }
 
   /** Word n-gram shingles of a whitespace-tokenized text column.
-    * Guarded: texts shorter than n tokens yield an empty array (Spark's
-    * `sequence(1,0)` would count DOWN, so the guard is load-bearing). */
+    *
+    * Built by zipping n shifted slices of the token array rather than a
+    * `transform(sequence, i -> element_at(...))` lambda: inside a lambda
+    * each `element_at(split(text),i)` re-evaluates the split per element
+    * (no CSE across lambda calls), making shingling O(words²) per doc —
+    * measured 3-5× slower at sf0.1. The slice form evaluates `split` a
+    * constant number of times per row.
+    *
+    * Guarded: texts shorter than n tokens yield an empty array. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    val slices = (0 until n).map(i => slice(toks, lit(i + 1), cnt))
+    val zipped = slices.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(zipped)
   }
 
   /** Engine-independent 60-bit hash of a string: first 15 hex chars of md5

@@ -115,7 +115,17 @@ object TimesQuery {
       val c = timestamp_seconds(lit(epoch))
       if (isNtz) c.cast(org.apache.spark.sql.types.TimestampNTZType) else c
     }
-    val inRange = points.filter(ts >= tsLit(f) && ts < tsLit(t))
+    var inRange = points.filter(ts >= tsLit(f) && ts < tsLit(t))
+    // If the source kept a raw epoch-nanos long beside a derived timestamp
+    // (Tables.load does for nanos parquet), add the same range as literal
+    // comparisons on the raw column: those REACH the parquet scan
+    // (PushedFilters → row-group pruning), which a predicate on the
+    // derived expression cannot. Semantically redundant, never wrong.
+    val nanosCol = s"${tsCol}_nanos"
+    if (points.schema.fieldNames.contains(nanosCol) &&
+        points.schema(nanosCol).dataType == org.apache.spark.sql.types.LongType)
+      inRange = inRange.filter(
+        col(nanosCol) >= f * 1000000000L && col(nanosCol) < t * 1000000000L)
 
     // anchored label: floor((ts-f)/i)*i + f; for epoch-aligned f (f % i == 0)
     // this reduces to floor(ts/i)*i, the epoch-aligned left edge
@@ -148,7 +158,13 @@ object TimesQuery {
       val series = points.select(seriesKeys.map(col): _*).distinct()
       spine = spine.crossJoin(series)
     }
-    var out = broadcast(spine).join(agged, keyCols.map(_.toString), "left")
+    // Left join spine→agg must build (broadcast) the RIGHT side; the
+    // aggregated frame is ≤ one row per bucket, tiny by construction, so
+    // broadcast it. With seriesKeys both sides are buckets×series — let
+    // AQE pick the strategy there rather than forcing a broadcast of
+    // something potentially large.
+    val aggSide = if (seriesKeys.isEmpty) broadcast(agged) else agged
+    var out = spine.join(aggSide, keyCols.map(_.toString), "left")
 
     // Per-feature fill + transforms. Ordered windows partition by series so
     // no single-partition global sort appears when series keys exist; for a

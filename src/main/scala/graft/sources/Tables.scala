@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Named-source registry — the Spark restatement of the reference's "bucket"
   * concept (a named, typed connection to a data store; see
@@ -35,7 +35,12 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // keep the raw nanos column: a literal predicate on it pushes to
+        // the parquet scan (row-group pruning), which the derived
+        // timestamp_micros(...) expression cannot — TimesQuery adds the
+        // redundant pushable range filter on `ts_nanos` automatically
+        d.withColumn("ts_nanos", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case (d, _) => d
     }
   }
