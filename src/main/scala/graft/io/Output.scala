@@ -1,0 +1,160 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output formatting — the REST-response shapes of the reference
+  * (/root/reference/loudml/donut.py:331-412, worker `_read` output
+  * /root/reference/loudml/worker.py:130-163). Driver-side by nature (these
+  * serialize a model-sized series for an API response, not a 100 TB scan);
+  * JSON via json4s (ships with Spark).
+  */
+object Format {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def nanSafe(d: Any): JValue = d match {
+    case null                       => JNull
+    case x: Double if x.isNaN       => JNull // NaN→null (loudml/misc.py:345-356)
+    case x: Double                  => JDouble(x)
+    case x: Long                    => JLong(x)
+    case other                      => JString(other.toString)
+  }
+
+  /** Columnar `{timestamps: [...], observed: {f: [...]}}` — `format_series`
+    * (/root/reference/loudml/donut.py:331-358). Optional predicted columns
+    * become `predicted: {f: [...], lower_f: [...], upper_f: [...]}`. */
+  def series(df: DataFrame, features: Seq[String],
+      predicted: Boolean = false): String = {
+    val rows = df.orderBy("bucket").collect()
+    def colVals(c: String): JArray =
+      JArray(rows.map(r => nanSafe(r.get(r.fieldIndex(c)))).toList)
+    val base: List[(String, JValue)] = List(
+      "timestamps" -> JArray(rows.map(r =>
+        JLong(r.getLong(r.fieldIndex("bucket")))).toList),
+      "observed" -> JObject(features.map(f => f -> colVals(f)).toList))
+    val pred: List[(String, JValue)] =
+      if (!predicted) Nil
+      else List("predicted" -> JObject(
+        ("predicted" -> colVals("predicted")) ::
+          ("lower" -> colVals("lower")) :: ("upper" -> colVals("upper")) :: Nil))
+    JsonMethods.compact(JsonMethods.render(JObject(base ++ pred)))
+  }
+
+  /** Row-wise bucket list with per-bucket stats — `format_buckets`
+    * (/root/reference/loudml/donut.py:370-412). */
+  def buckets(df: DataFrame, features: Seq[String]): String = {
+    val rows = df.orderBy("bucket").collect()
+    val arr = JArray(rows.map { r =>
+      val stats =
+        (if (r.schema.fieldNames.contains("score"))
+          List("score" -> nanSafe(r.get(r.fieldIndex("score")))) else Nil) ++
+        (if (r.schema.fieldNames.contains("is_anomaly"))
+          List("anomaly" -> JBool(r.getBoolean(r.fieldIndex("is_anomaly")))) else Nil) ++
+        (if (r.schema.fieldNames.contains("mse"))
+          List("mse" -> nanSafe(r.get(r.fieldIndex("mse")))) else Nil)
+      JObject(
+        "timestamp" -> JLong(r.getLong(r.fieldIndex("bucket"))),
+        "stats" -> JObject(stats),
+        "values" -> JObject(features.map(f =>
+          f -> nanSafe(r.get(r.fieldIndex(f)))).toList))
+    }.toList)
+    JsonMethods.compact(JsonMethods.render(arr))
+  }
+}
+
+/** Prediction write-back — /root/reference/loudml/bucket.py:232-253 and the
+  * generated schema /root/reference/loudml/donut.py:293-319: predicted
+  * value under the feature name, observed under `@<feature>`, `score`
+  * field, `is_anomaly` tag, model tag.
+  */
+object WriteBack {
+
+  def predictionFrame(scored: DataFrame, feature: String, model: String): DataFrame = {
+    var out = scored.select(
+      col("bucket"),
+      col("predicted").as(feature),
+      col("observed").as(s"@$feature"),
+      col("lower").as(s"lower_$feature"),
+      col("upper").as(s"upper_$feature"),
+      col("score"))
+      .withColumn("model", lit(model))
+    if (scored.columns.contains("is_anomaly"))
+      out = out.withColumn("is_anomaly",
+        scored("is_anomaly").cast("string")) // tags are strings (§1.2)
+    out
+  }
+
+  /** Append to a parquet sink partitioned by UTC date — the
+    * `insert_times_data`+commit path; date partitioning is what makes the
+    * time-range scans prune at 100 TB. */
+  def save(df: DataFrame, path: String): Unit =
+    df.withColumn("date", to_date(timestamp_seconds(col("bucket"))))
+      .write.mode("append").partitionBy("date").parquet(path)
+}
+
+/** Versioned model storage — /root/reference/loudml/filestorage.py:57-236:
+  * numbered checkpoints, `state.json`-style active pointer, `_restore`.
+  * Profiles persist as parquet; settings as JSON.
+  */
+object ModelStore {
+  import java.nio.file.{Files, Paths, Path}
+
+  private def modelDir(root: String, model: String): Path =
+    Paths.get(root, model)
+
+  /** Save a new checkpoint; returns its version and makes it active. */
+  def save(profile: DataFrame, settingsJson: String, root: String,
+      model: String): Int = {
+    val dir = modelDir(root, model)
+    Files.createDirectories(dir)
+    val version = listVersions(root, model).lastOption.getOrElse(0) + 1
+    val ckpt = dir.resolve(s"ckpt-$version")
+    profile.write.mode("overwrite").parquet(ckpt.resolve("profile.parquet").toString)
+    Files.writeString(ckpt.resolve("settings.json"), settingsJson)
+    Files.writeString(dir.resolve("ACTIVE"), version.toString)
+    version
+  }
+
+  def listVersions(root: String, model: String): Seq[Int] = {
+    val dir = modelDir(root, model)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asInstanceOf[java.util.Iterator[Path]]
+        .asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("ckpt-") => n.stripPrefix("ckpt-").toInt }
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def activeVersion(root: String, model: String): Option[Int] = {
+    val f = modelDir(root, model).resolve("ACTIVE")
+    if (Files.exists(f)) Some(Files.readString(f).trim.toInt) else None
+  }
+
+  /** `_restore`: point ACTIVE at an existing checkpoint
+    * (/root/reference/loudml/server.py:890-904). */
+  def restore(root: String, model: String, version: Int): Unit = {
+    require(listVersions(root, model).contains(version), s"no ckpt-$version")
+    Files.writeString(modelDir(root, model).resolve("ACTIVE"), version.toString)
+  }
+
+  def load(spark: SparkSession, root: String, model: String,
+      version: Option[Int] = None): (DataFrame, String) = {
+    val v = version.orElse(activeVersion(root, model))
+      .getOrElse(throw new IllegalStateException(s"no active checkpoint for $model"))
+    val ckpt = modelDir(root, model).resolve(s"ckpt-$v")
+    (spark.read.parquet(ckpt.resolve("profile.parquet").toString),
+      Files.readString(ckpt.resolve("settings.json")))
+  }
+
+  private implicit class IterScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

@@ -94,4 +94,60 @@ object SeasonalModel {
     * (/root/reference/loudml/donut.py:417-424). */
   def mse(predicted: DataFrame, valueCol: String): DataFrame =
     predicted.agg(avg(pow(col(valueCol) - col("predicted"), 2)).as("mse"))
+
+  // ── incremental training (the reference's `continue` / warm-start,
+  //    /root/reference/loudml/donut.py:857-897,1068-1080) ──────────────
+
+  /** Sufficient statistics per slot: (slot, n, sum, sumsq). Mergeable, so
+    * training continues on new data without revisiting old data — the
+    * profile-model warm start. */
+  def trainStats(bucketed: DataFrame, valueCol: String, p: SeasonalModelParams): DataFrame =
+    bucketed
+      .groupBy(slotCol(col("bucket"), p))
+      .agg(
+        count(col(valueCol)).as("n"),
+        sum(col(valueCol)).as("sum"),
+        sum(col(valueCol) * col(valueCol)).as("sumsq"))
+
+  /** Merge two sufficient-stats frames (full outer on slot, add counts). */
+  def mergeStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("slot"), col("n").as("n1"), col("sum").as("s1"), col("sumsq").as("q1"))
+      .join(b.select(col("slot"), col("n").as("n2"), col("sum").as("s2"),
+        col("sumsq").as("q2")), Seq("slot"), "full_outer")
+      .select(
+        col("slot"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n"),
+        (coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))).as("sum"),
+        (coalesce(col("q1"), lit(0.0)) + coalesce(col("q2"), lit(0.0))).as("sumsq"))
+
+  /** Sufficient stats → (slot, mu, sigma) profile; σ_pop = sqrt(E[x²]−μ²),
+    * σ=0→1 guard as in train(). */
+  def statsToProfile(stats: DataFrame): DataFrame =
+    stats.filter(col("n") > 0)
+      .withColumn("mu", col("sum") / col("n"))
+      .withColumn("var", greatest(col("sumsq") / col("n") - col("mu") * col("mu"),
+        lit(0.0)))
+      .withColumn("sigma", when(sqrt(col("var")) === 0.0, 1.0).otherwise(sqrt(col("var"))))
+      .select("slot", "mu", "sigma")
+
+  // ── model selection (the reference's hyperparameter search,
+  //    /root/reference/loudml/donut.py:800-855, TrainValidationSplit-style) ──
+
+  /** Fit one profile per candidate period, score each on the validation
+    * series by MSE, return (bestParams, profile). The candidate set is the
+    * profile-model's hyperparameter grid (the VAE greed over
+    * latent/intermediate dims maps to period/interval choices here). */
+  def fitBest(
+      train: DataFrame, valid: DataFrame, valueCol: String,
+      bucketInterval: Long, periods: Seq[Long]): (SeasonalModelParams, DataFrame) = {
+    val scored = periods.map { period =>
+      val p = SeasonalModelParams(bucketInterval, period)
+      val profile = SeasonalModel.train(train, valueCol, p)
+      val err = mse(predict(valid, profile, valueCol, p), valueCol)
+        .collect()(0).getDouble(0)
+      (p, profile, err)
+    }
+    val best = scored.minBy(_._3)
+    (best._1, best._2)
+  }
 }
