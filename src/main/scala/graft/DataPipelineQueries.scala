@@ -143,12 +143,16 @@ object DataPipelineQueries {
           col("meta.kind").as("kind"))
         .orderBy("media_id")),
 
-    // ── multimodal: stubbed decode → feature vectors (rows-only check)
-    "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.decodeStub(
+    // ── multimodal: stubbed decode → feature vectors, unrolled to one
+    //    rounded double column per element (arrays aren't hashable by the
+    //    driver's pandas compare; scalars are)
+    "q_multimodal_features" -> ((s, dir) => {
+      val decoded = Multimodal.decodeStub(
         Multimodal.attachBlob(docs(s, dir), "doc_id", "text"))
-        .select(col("media_id"), col("features"))
-        .orderBy("media_id")),
+      val fs = (0 until 8).map(j =>
+        round(coalesce(element_at(col("features"), j + 1), lit(0.0)), 6).as(s"f$j"))
+      decoded.select((col("media_id") +: fs): _*).orderBy("media_id")
+    }),
   )
 
   // ───────────────────────── oracle SQL ─────────────────────────
@@ -341,7 +345,73 @@ object DataPipelineQueries {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       'image' AS kind
         |FROM documents ORDER BY media_id""".stripMargin,
-    // q_ann_lsh, q_multimodal_features: not SQL-expressible (seeded
-    // hyperplanes / stubbed decode) → rows-only check by design
+
+    // Mirrors Multimodal.decodeStub exactly: blob = UTF-8 bytes of text,
+    // f_j = mean of bytes at positions ≡ j (mod 8), /255, 0.0 when the
+    // residue class is empty. Bytes recovered engine-independently via
+    // hex(blob) two-char slices (no ASCII assumption).
+    "q_multimodal_features" -> {
+      val fcols = (0 until 8).map(j =>
+        s"round(coalesce(f.f$j, 0.0), 6) AS f$j").mkString(", ")
+      val aggs = (0 until 8).map(j =>
+        s"avg(CASE WHEN j = $j THEN byte END) / 255.0 AS f$j").mkString(", ")
+      s"""WITH hexed AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents
+         |), idx AS (
+         |  SELECT doc_id, hx, unnest(range(0, n)) AS i FROM hexed
+         |), bytes AS (
+         |  SELECT doc_id, CAST(i % 8 AS INT) AS j,
+         |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) AS byte
+         |  FROM idx
+         |), feats AS (
+         |  SELECT doc_id,
+         |         $aggs
+         |  FROM bytes GROUP BY doc_id
+         |)
+         |SELECT d.doc_id AS media_id,
+         |       $fcols
+         |FROM documents d LEFT JOIN feats f ON f.doc_id = d.doc_id
+         |ORDER BY media_id""".stripMargin
+    },
+
+    // The SRP hyperplanes are deterministic plan literals (seed 42) — so
+    // the full LSH pipeline IS oracle-checkable: embed the same planes as
+    // DuckDB double[] literals (generated from the same hyperplanes()
+    // call; they cannot drift) and replay bucket → join → rank.
+    "q_ann_lsh" -> {
+      val hp = Similarity.hyperplanes(8, 64)
+      val planeRows = hp.zipWithIndex.map { case (p, i) =>
+        s"($i, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n    ")
+      s"""WITH planes(pid, pv) AS (VALUES
+         |    $planeRows
+         |), e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bk AS (
+         |  SELECT e.vec_id, any_value(e.v) AS v,
+         |         sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+         |                  THEN 1 << p.pid ELSE 0 END) AS bucket_id
+         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, bucket_id
+         |  FROM bk WHERE vec_id < 20
+         |), scored AS (
+         |  SELECT q.query_id, c.vec_id AS match_id,
+         |         list_dot_product(q.qv, c.v) /
+         |           (sqrt(list_dot_product(q.qv, q.qv)) *
+         |            sqrt(list_dot_product(c.v, c.v))) AS cr
+         |  FROM q JOIN bk c
+         |    ON q.bucket_id = c.bucket_id AND q.query_id != c.vec_id
+         |), ranked AS (
+         |  SELECT query_id, match_id, cr,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cr DESC, match_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, match_id, round(cr, 4) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
   )
 }

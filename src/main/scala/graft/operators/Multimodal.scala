@@ -47,22 +47,27 @@ object Multimodal {
 
   /** STUB decode: a real implementation would decode image bytes to
     * pixels here (no codec libs in this container). The stub derives a
-    * deterministic 8-float "feature vector" from the raw bytes so the
+    * deterministic 8-value "feature vector" from the raw bytes so the
     * downstream plumbing (batching, schema, joins with embeddings) is
     * exercised with stable values: f_i = mean of bytes ≡ i (mod 8),
-    * normalized to [0,1].
+    * normalized to [0,1]. Features are Double (exact integer-sum math →
+    * DuckDB-oracle-equal); a real codec would emit float32 — swap the
+    * element type with the codec.
+    *
+    * Dataset-typed `mapPartitions` (Encoders.row), not `df.rdd`: rows stay
+    * in Tungsten binary format end-to-end, no RDD round-trip. The
+    * partition is the batch unit (the mapInPandas analog); a real codec
+    * would init once per partition here.
     */
   def decodeStub(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(df.schema.fields :+
-      StructField("features", ArrayType(FloatType), nullable = true))
+      StructField("features", ArrayType(DoubleType), nullable = true))
     val dataIdx = df.schema.fieldIndex("data")
-    val rdd = df.rdd.mapPartitions { it =>
-      // partition = the batch unit (mapInPandas analog); per-batch init
-      // of a real codec would happen here, once per partition
+    df.mapPartitions { it =>
+      // per-partition (batch) codec init would go here
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
-        val feats: Array[Float] =
+        val feats: Array[Double] =
           if (bytes == null) null
           else {
             val sums = new Array[Long](8)
@@ -74,13 +79,12 @@ object Multimodal {
               i += 1
             }
             Array.tabulate(8)(j =>
-              if (counts(j) == 0) 0f
-              else (sums(j).toDouble / counts(j) / 255.0).toFloat)
+              if (counts(j) == 0) 0.0
+              else sums(j).toDouble / counts(j) / 255.0)
           }
         Row.fromSeq(r.toSeq :+ feats)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Frame sampling: cut `n` evenly-spaced fixed-width byte windows from

@@ -141,7 +141,7 @@ class PipelineOpsSpec extends SparkSpec {
     val media = Multimodal.attachBlob(df, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "data", "meta"))
     val decoded = Multimodal.decodeStub(media).collect()(0)
-    val feats = decoded.getSeq[Float](decoded.fieldIndex("features"))
+    val feats = decoded.getSeq[Double](decoded.fieldIndex("features"))
     assert(feats.length == 8)
     // bytes cycle every 8 chars → feature j = byte('a'+j)/255 exactly
     assert(math.abs(feats(0) - 'a'.toInt / 255.0) < 1e-6)
