@@ -239,7 +239,22 @@ object SparkEntry {
         .withColumn("score", coalesce(col("score"), lit(0.0)))
         .select("bucket", "score")
       AnomalyScan.scan(scored, maxThreshold = 95.0, minThreshold = 60.0)
-        .withColumn("score", round(col("score"), 4))
+        .select(col("bucket"), round(col("score"), 4).as("score"),
+          col("is_anomaly"), col("anomaly"))
+        .orderBy("bucket")
+    }),
+
+    // ── grace-period path (loudml/donut.py:1488-1490,1570): grace anchors
+    //    to the previous episode's END; a suppressed detection stays closed
+    "q_anomaly_scan_grace" -> ((s, dir) => {
+      val scored = seasonalScored(s, dir)
+        .withColumn("score", coalesce(col("score"), lit(0.0)))
+        .select("bucket", "score")
+      AnomalyScan.scan(scored, maxThreshold = 90.0, minThreshold = 60.0,
+          gracePeriodSec = 21600L)
+        .select(col("bucket"), round(col("score"), 4).as("score"),
+          col("is_anomaly"), col("anomaly"),
+          round(col("episode_max"), 4).as("episode_max"))
         .orderBy("bucket")
     }),
 
@@ -477,9 +492,11 @@ object SparkEntry {
          |SELECT bucket, round(observed, 4) AS observed, round(score, 4) AS score
          |FROM scored ORDER BY bucket""".stripMargin,
 
-    // latch recurrence open_t = s_t≥max OR (open_{t-1} AND s_t≥min),
-    // closed-form: open iff the latest ≥max bucket is more recent than the
-    // latest <min bucket (gaps-and-islands over the two thresholds)
+    // latch recurrence open_t = det_t OR (open_{t-1} AND s_t≥min),
+    // closed-form (grace=0): open iff the latest ≥max bucket is more
+    // recent than the latest <min bucket (gaps-and-islands over the two
+    // thresholds). is_anomaly = the per-bucket detection flag
+    // (donut.py:1507-1515), NOT the open-state.
     "q_anomaly_scan" ->
       s"""$seasonalSql,
          |latched AS (
@@ -492,16 +509,60 @@ object SparkEntry {
          |      AS last_stop
          |  FROM scored
          |), states AS (
-         |  SELECT bucket, score, last_start > last_stop AS is_anomaly,
+         |  SELECT bucket, score, score >= 95.0 AS detected,
          |         lag(last_start > last_stop, 1, FALSE) OVER (ORDER BY bucket) AS prev
          |  FROM latched
          |)
-         |SELECT bucket, round(score, 4) AS score, is_anomaly,
-         |       CASE WHEN is_anomaly AND NOT prev THEN 'start'
-         |            WHEN is_anomaly AND prev THEN 'ongoing'
-         |            WHEN NOT is_anomaly AND prev THEN 'end'
+         |SELECT bucket, round(score, 4) AS score, detected AS is_anomaly,
+         |       CASE WHEN NOT prev AND detected THEN 'start'
+         |            WHEN prev AND NOT detected AND score < 60.0 THEN 'end'
+         |            WHEN prev THEN 'ongoing'
          |       END AS anomaly
          |FROM states ORDER BY bucket""".stripMargin,
+
+    // grace > 0 breaks the closed form (ends feed back into detection),
+    // so the oracle replays the exact state machine with a recursive CTE
+    // over row-numbered buckets — state = (open, last_end, episode_max),
+    // transitions mirroring donut.py:1477-1578 / AnomalyScan.scan.
+    "q_anomaly_scan_grace" -> {
+      val det = "(sm.last_end IS NULL OR o.bucket - sm.last_end >= 21600) " +
+        "AND o.score >= 90.0"
+      s"""${seasonalSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |ordered AS (
+         |  SELECT row_number() OVER (ORDER BY bucket) AS rn, bucket,
+         |         coalesce(score, 0.0) AS score
+         |  FROM scored
+         |), sm AS (
+         |  SELECT rn, bucket, score,
+         |         score >= 90.0 AS detected,
+         |         score >= 90.0 AS open_after,
+         |         CAST(NULL AS BIGINT) AS last_end,
+         |         CASE WHEN score >= 90.0 THEN score ELSE 0.0 END AS epi_max,
+         |         CASE WHEN score >= 90.0 THEN 'start' END AS anomaly
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.rn, o.bucket, o.score,
+         |         $det AS detected,
+         |         CASE WHEN NOT sm.open_after THEN $det
+         |              ELSE NOT (NOT ($det) AND o.score < 60.0) END AS open_after,
+         |         CASE WHEN sm.open_after AND NOT ($det) AND o.score < 60.0
+         |              THEN o.bucket ELSE sm.last_end END AS last_end,
+         |         CASE WHEN NOT sm.open_after AND ($det) THEN o.score
+         |              WHEN sm.open_after AND ($det)
+         |              THEN greatest(sm.epi_max, o.score)
+         |              ELSE sm.epi_max END AS epi_max,
+         |         CASE WHEN NOT sm.open_after AND ($det) THEN 'start'
+         |              WHEN sm.open_after AND NOT ($det) AND o.score < 60.0
+         |              THEN 'end'
+         |              WHEN sm.open_after THEN 'ongoing' END AS anomaly
+         |  FROM sm JOIN ordered o ON o.rn = sm.rn + 1
+         |)
+         |SELECT bucket, round(score, 4) AS score, detected AS is_anomaly,
+         |       anomaly,
+         |       round(CASE WHEN anomaly IS NOT NULL THEN epi_max END, 4)
+         |         AS episode_max
+         |FROM sm ORDER BY bucket""".stripMargin
+    },
 
     "q_forecast" ->
       s"""WITH train_agg AS (

@@ -1,33 +1,45 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType, StructField, StructType}
 
 /** The stateful anomaly hysteresis scan — Spark restatement of the
   * reference's `detect_anomalies` state machine
   * (/root/reference/loudml/donut.py:1477-1578):
   *
-  *  - score ≥ max_threshold while idle → anomaly STARTS;
-  *  - the anomaly stays open while score ≥ min_threshold (hysteresis);
-  *  - score < min_threshold → anomaly ENDS;
-  *  - a new start within `gracePeriod` seconds of the previous start is
-  *    suppressed (no re-alert, /root/reference/loudml/donut.py:1488-1490,
-  *    grace measured from the anomaly's start_ts).
+  *  - per-bucket detection flag (the reference's per-bucket `anomaly`
+  *    stat, donut.py:1507-1515): `score ≥ max_threshold` AND not inside
+  *    the grace period;
+  *  - grace period is anchored to the END of the previous anomaly:
+  *    `last_anomaly_ts` is assigned only in the anomaly-close branch
+  *    (donut.py:1570), and `in_grace = ts - last_anomaly_ts <
+  *    grace_period` (donut.py:1488-1490). A detection suppressed by
+  *    grace leaves the state machine CLOSED — no start fires and no
+  *    anomaly is open;
+  *  - detection while idle → anomaly STARTS; the episode then stays open
+  *    until `score < min_threshold` with no detection → ENDS
+  *    (hysteresis, donut.py:1518-1569);
+  *  - the episode's running max score is updated on detected buckets
+  *    only (donut.py:1551) and is what `on_anomaly_end` reports.
   *
   * Implementation: a sequential scan per series. The frame is repartitioned
   * by series key and sorted within partitions by (key, bucket); a single
-  * `mapPartitions` pass keeps O(1) state and resets it on key change — no
-  * per-group materialization, no driver collect, so a million independent
-  * series scan in parallel while each series stays ordered. For the
-  * reference's single-series case this degenerates to one task, same as the
-  * reference's single-process loop. Streaming variant:
-  * `transformWithState` keyed the same way (graft.streaming).
+  * Dataset-typed `mapPartitions` pass (rows never leave Tungsten) keeps
+  * O(1) state and resets it on key change — no per-group materialization,
+  * no driver collect, so a million independent series scan in parallel
+  * while each series stays ordered. For the reference's single-series case
+  * this degenerates to one task, same as the reference's sequential loop.
   */
 object AnomalyScan {
 
-  /** @return input columns + `anomaly: String` ∈ {"start","ongoing","end",null}
-    *         and `is_anomaly: Boolean` (inside an open anomaly). */
+  /** @return input columns +
+    *  - `anomaly: String` ∈ {"start","ongoing","end",null} — episode
+    *    lifecycle markers (hook dispatch feeds on start/end rows);
+    *  - `is_anomaly: Boolean` — the reference's per-bucket detection flag
+    *    (score ≥ max ∧ ¬grace), NOT "inside an open episode";
+    *  - `episode_max: Double` — running max score of the current episode
+    *    (null outside episodes; on "end" rows it is the episode max that
+    *    `on_anomaly_end` reports). */
   def scan(
       scored: DataFrame,
       scoreCol: String = "score",
@@ -36,43 +48,51 @@ object AnomalyScan {
       minThreshold: Double = 68.0,
       gracePeriodSec: Long = 0L,
       seriesKeys: Seq[String] = Nil): DataFrame = {
-    val spark = scored.sparkSession
     val inSchema = scored.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("anomaly", StringType, nullable = true),
-      StructField("is_anomaly", org.apache.spark.sql.types.BooleanType, nullable = false)))
+      StructField("is_anomaly", BooleanType, nullable = false),
+      StructField("episode_max", DoubleType, nullable = true)))
     val scoreIdx = inSchema.fieldIndex(scoreCol)
     val bucketIdx = inSchema.fieldIndex(bucketCol)
     val keyIdx = seriesKeys.map(inSchema.fieldIndex)
 
     val arranged =
       if (seriesKeys.isEmpty) scored.repartition(1).sortWithinPartitions(bucketCol)
-      else scored.repartition(seriesKeys.map(col): _*)
-        .sortWithinPartitions((seriesKeys.map(col) :+ col(bucketCol)): _*)
+      else scored.repartition(seriesKeys.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(
+          (seriesKeys.map(org.apache.spark.sql.functions.col) :+
+            org.apache.spark.sql.functions.col(bucketCol)): _*)
 
-    val rdd = arranged.rdd.mapPartitions { it =>
+    arranged.mapPartitions { it =>
       var curKey: Seq[Any] = null
-      var open = false                 // anomaly in progress
-      var lastStartTs = Long.MinValue  // for grace-period suppression
+      var open = false                // anomaly episode in progress
+      var lastEndTs = Long.MinValue   // last_anomaly_ts: set on episode END
+      var episodeMax = 0.0            // running max score of the episode
       it.map { r =>
         val key = keyIdx.map(r.get)
-        if (key != curKey) { curKey = key; open = false; lastStartTs = Long.MinValue }
+        if (key != curKey) {
+          curKey = key; open = false; lastEndTs = Long.MinValue; episodeMax = 0.0
+        }
         val score = if (r.isNullAt(scoreIdx)) 0.0 else r.getDouble(scoreIdx)
         val ts = r.getLong(bucketIdx)
+        val inGrace =
+          lastEndTs != Long.MinValue && ts - lastEndTs < gracePeriodSec
+        val detected = !inGrace && score >= maxThreshold
         var marker: String = null
-        if (!open && score >= maxThreshold) {
-          if (gracePeriodSec > 0 && lastStartTs != Long.MinValue &&
-              ts - lastStartTs < gracePeriodSec) {
-            // suppressed re-alert inside grace period: still "in anomaly"
-            // semantically but no start event fires
-            open = true; marker = "ongoing"
-          } else { open = true; lastStartTs = ts; marker = "start" }
-        } else if (open && score < minThreshold) {
-          open = false; marker = "end"
-        } else if (open) marker = "ongoing"
-        Row.fromSeq(r.toSeq ++ Seq(marker, open))
+        if (!open) {
+          if (detected) { open = true; episodeMax = score; marker = "start" }
+          // suppressed detection (grace) → state stays CLOSED, no marker
+        } else {
+          if (detected) {
+            episodeMax = math.max(episodeMax, score); marker = "ongoing"
+          } else if (score < minThreshold) {
+            open = false; lastEndTs = ts; marker = "end"
+          } else marker = "ongoing" // hysteresis hold: min ≤ score, no detection
+        }
+        val epi: java.lang.Double = if (marker != null) episodeMax else null
+        Row.fromSeq(r.toSeq ++ Seq(marker, detected, epi))
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 }

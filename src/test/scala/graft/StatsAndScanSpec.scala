@@ -54,20 +54,43 @@ class StatsAndScanSpec extends SparkSpec {
     val markers = out.map(r => Option(r.getString(r.fieldIndex("anomaly"))).orNull)
     assert(markers.toSeq == Seq(null, "start", "ongoing", "end",
       "start", "ongoing", "end"))
+    // is_anomaly is the per-bucket DETECTION flag (donut.py:1507-1515):
+    // the 80.0 hysteresis-hold bucket is open but not detected
     val flags = out.map(_.getBoolean(out(0).fieldIndex("is_anomaly")))
-    assert(flags.toSeq == Seq(false, true, true, false, true, true, false))
+    assert(flags.toSeq == Seq(false, true, false, false, true, true, false))
+    // episode max: tracked over detected buckets, reported on the end row
+    val epi = out.map(r => Option(r.get(r.fieldIndex("episode_max"))).orNull)
+    assert(epi(3) == 99.9) // first episode's end row carries its max
+    assert(epi(6) == 99.9)
+    assert(epi(0) == null) // no episode → null
   }
 
-  test("grace period suppresses re-alert (donut.py:1488-1490)") {
+  test("grace suppresses re-alert, state stays closed (donut.py:1488-1490)") {
     val scores = Seq(
       (0L, 99.9), (3L, 10.0), (6L, 99.9), (100L, 99.9))
       .toDF("bucket", "score")
     val out = AnomalyScan.scan(scores, maxThreshold = 99.7, minThreshold = 68.0,
       gracePeriodSec = 50L).orderBy("bucket").collect()
     val markers = out.map(r => Option(r.getString(r.fieldIndex("anomaly"))).orNull)
-    // t=6 within grace of start t=0 → suppressed ("ongoing", no start event);
-    // t=100 outside grace → fresh start
-    assert(markers.toSeq == Seq("start", "end", "ongoing", "ongoing"))
+    // t=6 within grace of END t=3 → detection suppressed, machine stays
+    // CLOSED (no marker at all — the reference fires nothing and leaves
+    // _state['anomaly'] None); t=100 outside grace → fresh start
+    assert(markers.toSeq == Seq("start", "end", null, "start"))
+    val flags = out.map(_.getBoolean(out(0).fieldIndex("is_anomaly")))
+    assert(flags.toSeq == Seq(true, false, false, true))
+  }
+
+  test("grace anchors to episode END, not start (donut.py:1570)") {
+    // episode: start t=0 .. end t=30; grace 50 counts from t=30
+    val scores = Seq(
+      (0L, 99.9), (10L, 80.0), (20L, 80.0), (30L, 10.0),
+      (60L, 99.9),  // 60-30=30 < 50 → suppressed (start-anchored would fire: 60-0 ≥ 50)
+      (85L, 99.9))  // 85-30=55 ≥ 50 → fresh start
+      .toDF("bucket", "score")
+    val out = AnomalyScan.scan(scores, maxThreshold = 99.7, minThreshold = 68.0,
+      gracePeriodSec = 50L).orderBy("bucket").collect()
+    val markers = out.map(r => Option(r.getString(r.fieldIndex("anomaly"))).orNull)
+    assert(markers.toSeq == Seq("start", "ongoing", "ongoing", "end", null, "start"))
   }
 
   test("scan resets state across series keys") {
