@@ -1,0 +1,260 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stats
+
+/** Windowed-reconstruction model — the Donut-class second model behind the
+  * [[ModelType]] seam, targeting the reference's test-enforced quality
+  * floors (/root/reference/tests/test_donut.py): anomaly F1 ≥ 0.75 on the
+  * randevents-style synthetic (:532-584) and gap imputation ≈ target ±0.22
+  * (:451-530) — floors the pure per-slot seasonal baseline cannot meet
+  * (a bucket whose seasonal slot is missing from ALL training days has no
+  * profile entry; only window context can reconstruct it).
+  *
+  * Where the reference's VAE (/root/reference/loudml/donut.py:102-163)
+  * reconstructs each span-window nonlinearly, this model reconstructs
+  * bucket t linearly from a window-feature basis:
+  *
+  *   x̂_t = w · [1, x_{t-1..t-L},  x_{t-P}, x_{t-2P},  μ_slot(t)]
+  *
+  * with P = period/interval (phase-aligned lags: same time yesterday /
+  * two days ago) and μ_slot the per-slot train mean. Missing context is
+  * imputed deterministically (the MCMC-imputation analog,
+  * /root/reference/loudml/donut.py:1264-1296): a missing lag falls back to
+  * that lag's OWN slot mean, then to the global mean. Weights are fit by
+  * closed-form ridge (normal equations; intercept unregularized) — one
+  * distributed aggregation pass builds XᵀX/Xᵀy (map-side partials, k ≤ 10
+  * so the driver solve is k³ trivial), a second pass measures residual σ.
+  * Deterministic: no iterative solver, no RNG.
+  *
+  * Why this passes the F1 floor where plain AR fails: an AR(L) model
+  * adapts to a level-shift anomaly within L buckets (contaminated lags
+  * drag x̂ up, residuals vanish). Here the phase-aligned lags and slot
+  * mean stay clean for the whole anomaly (anomalies are shorter than a
+  * period), so the reconstruction keeps tracking "normal" and residuals
+  * stay large — the same property Donut gets from projecting onto the
+  * learned normal manifold.
+  *
+  * Scale: slot profile = one tiny groupBy; lag features = one window pass
+  * (single series ⇒ one ordered partition, same as the reference's 1-D
+  * series; per-series keys would partition the window); XᵀX = one agg.
+  * Predict is a broadcast profile join + window lags + a codegen'd dot
+  * product — no UDFs, no collect of data-scale frames.
+  */
+object WindowReconstructor extends ModelType {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  val name = "window_reconstructor"
+
+  final case class Params(
+      bucketInterval: Long,
+      period: Long = 86400L,
+      localLags: Int = 3,
+      ridgeLambda: Double = 0.1,
+      sigmaFloor: Double = 1e-9) {
+    def periodBuckets: Int = (period / bucketInterval).toInt
+    def json: String =
+      s"""{"type":"$name","bucket_interval":$bucketInterval,"period":$period,""" +
+        s""""local_lags":$localLags,"ridge_lambda":$ridgeLambda,""" +
+        s""""sigma_floor":$sigmaFloor}"""
+  }
+
+  private def jNum(j: JValue): Option[Double] = j match {
+    case JInt(x)     => Some(x.toDouble)
+    case JLong(x)    => Some(x.toDouble)
+    case JDouble(x)  => Some(x)
+    case JDecimal(x) => Some(x.toDouble)
+    case _           => None
+  }
+
+  def parseParams(json: String): Params = {
+    val j = JsonMethods.parse(json)
+    Params(
+      bucketInterval = jNum(j \ "bucket_interval")
+        .getOrElse(throw new IllegalArgumentException(
+          "window_reconstructor settings need bucket_interval")).toLong,
+      period = jNum(j \ "period").getOrElse(86400.0).toLong,
+      localLags = jNum(j \ "local_lags").getOrElse(3.0).toInt,
+      ridgeLambda = jNum(j \ "ridge_lambda").getOrElse(0.1),
+      sigmaFloor = jNum(j \ "sigma_floor").getOrElse(1e-9))
+  }
+
+  /** Lag features with deterministic imputation: value at t−i, else slot
+    * mean of t−i (the lagged row's own `sm`), else global mean. Requires a
+    * spine-complete series (every interval present — TimesQuery output). */
+  private def featureCols(valueCol: String, p: Params, globalMean: Double)
+      : Seq[(String, Column)] = {
+    val w = Window.orderBy("bucket")
+    val P = p.periodBuckets
+    def filledLag(i: Int, alias: String): (String, Column) =
+      alias -> coalesce(
+        lag(col(valueCol), i).over(w),
+        lag(col("__sm"), i).over(w),
+        lit(globalMean))
+    Seq("__one" -> lit(1.0)) ++
+      (1 to p.localLags).map(i => filledLag(i, s"__lag_$i")) ++
+      Seq(filledLag(P, "__seas_1"), filledLag(2 * P, "__seas_2")) ++
+      Seq("__sm_t" -> col("__sm"))
+  }
+
+  /** Join the per-slot profile then add the feature basis columns. */
+  private def assemble(bucketed: DataFrame, valueCol: String,
+      profile: DataFrame, globalMean: Double, p: Params): (DataFrame, Seq[String]) = {
+    val withSm = bucketed
+      .withColumn("__slot", SeasonalModel.slotCol(col("bucket"),
+        SeasonalModelParams(p.bucketInterval, p.period)))
+      .join(broadcast(profile.select(col("slot").as("__slot"),
+        col("mu").as("__sm"))), Seq("__slot"), "left")
+      .withColumn("__sm", coalesce(col("__sm"), lit(globalMean)))
+    val feats = featureCols(valueCol, p, globalMean)
+    val out = feats.foldLeft(withSm) { case (df, (n, c)) => df.withColumn(n, c) }
+    (out, feats.map(_._1))
+  }
+
+  /** Solve (A + λI)w = b, intercept (index 0) unregularized; Gaussian
+    * elimination with partial pivoting — k ≤ 10, driver-side. */
+  private[ml] def ridgeSolve(a: Array[Array[Double]], b: Array[Double],
+      lambda: Double): Array[Double] = {
+    val k = b.length
+    val m = Array.tabulate(k, k + 1) { (i, j) =>
+      if (j == k) b(i)
+      else a(i)(j) + (if (i == j && i > 0) lambda else 0.0)
+    }
+    for (piv <- 0 until k) {
+      val best = (piv until k).maxBy(r => math.abs(m(r)(piv)))
+      val t = m(piv); m(piv) = m(best); m(best) = t
+      require(math.abs(m(piv)(piv)) > 1e-12, "singular normal equations")
+      for (r <- piv + 1 until k) {
+        val f = m(r)(piv) / m(piv)(piv)
+        for (c <- piv to k) m(r)(c) -= f * m(piv)(c)
+      }
+    }
+    val w = new Array[Double](k)
+    for (i <- k - 1 to 0 by -1) {
+      var s = m(i)(k)
+      for (j <- i + 1 until k) s -= m(i)(j) * w(j)
+      w(i) = s / m(i)(i)
+    }
+    w
+  }
+
+  def train(bucketed: DataFrame, valueCol: String, settingsJson: String): TrainedModel =
+    train(bucketed, valueCol, parseParams(settingsJson))
+
+  def train(bucketed: DataFrame, valueCol: String, p: Params): TrainedReconstructor = {
+    // slot profile + global mean (σ=0→1 guard not needed: σ comes from
+    // residuals below, floored)
+    val gRow = bucketed.agg(avg(col(valueCol))).collect()(0)
+    val globalMean = if (gRow.isNullAt(0)) 0.0 else gRow.getDouble(0)
+    val profile = bucketed
+      .groupBy(SeasonalModel.slotCol(col("bucket"),
+        SeasonalModelParams(p.bucketInterval, p.period)))
+      .agg(avg(col(valueCol)).as("mu"))
+      .filter(col("mu").isNotNull)
+    val (feat, names) = assemble(bucketed, valueCol, profile, globalMean, p)
+    val rows = feat.filter(col(valueCol).isNotNull)
+
+    // normal equations in ONE distributed agg: sums of fi*fj (i ≤ j), fi*y
+    val k = names.length
+    val prodAggs =
+      (for (i <- 0 until k; j <- i until k)
+        yield sum(col(names(i)) * col(names(j))).as(s"a_${i}_$j")) ++
+      (0 until k).map(i => sum(col(names(i)) * col(valueCol)).as(s"b_$i"))
+    val s = rows.agg(prodAggs.head, prodAggs.tail: _*).collect()(0)
+    val a = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- i until k) {
+      val v = s.getDouble(s.fieldIndex(s"a_${i}_$j")); a(i)(j) = v; a(j)(i) = v
+    }
+    val b = Array.tabulate(k)(i => s.getDouble(s.fieldIndex(s"b_$i")))
+    val weights = ridgeSolve(a, b, p.ridgeLambda)
+
+    // residual σ (population) over training targets
+    val predExpr = names.zip(weights)
+      .map { case (n, wi) => col(n) * lit(wi) }.reduce(_ + _)
+    val sig = rows.agg(stddev_pop(col(valueCol) - predExpr)).collect()(0)
+    val sigma = math.max(if (sig.isNullAt(0)) 0.0 else sig.getDouble(0), p.sigmaFloor)
+
+    new TrainedReconstructor(profile, p, weights, sigma, globalMean)
+  }
+
+  def load(spark: SparkSession, profile: DataFrame, settingsJson: String): TrainedModel = {
+    val j = JsonMethods.parse(settingsJson)
+    val weights = (j \ "weights") match {
+      case JArray(xs) => xs.flatMap(jNum).toArray
+      case _ => throw new IllegalArgumentException("stored model has no weights")
+    }
+    val sigma = jNum(j \ "sigma").getOrElse(
+      throw new IllegalArgumentException("stored model has no sigma"))
+    val globalMean = jNum(j \ "global_mean").getOrElse(0.0)
+    new TrainedReconstructor(profile, parseParams(settingsJson), weights, sigma,
+      globalMean)
+  }
+
+  final class TrainedReconstructor(
+      val profile: DataFrame,
+      val params: Params,
+      val weights: Array[Double],
+      val sigma: Double,
+      val globalMean: Double) extends TrainedModel {
+
+    def modelType: String = name
+
+    def settingsJson: String = {
+      val base = params.json.stripSuffix("}")
+      s"""$base,"weights":[${weights.mkString(",")}],"sigma":$sigma,""" +
+        s""""global_mean":$globalMean}"""
+    }
+
+    /** μ = w·features, bands μ ± 3σ (the reference's 3-sigma bands,
+      * /root/reference/loudml/donut.py:1290-1296), score via
+      * [[graft.functions.Stats.anomalyScore]]. The series should extend
+      * `2·period` back past the scoring range so lags have context (the
+      * reference extends by span−1, donut.py:1210-1217). */
+    def predict(bucketed: DataFrame, valueCol: String,
+        anomalyType: String = "low_high"): DataFrame = {
+      val (feat, names) = assemble(bucketed, valueCol, profile, globalMean, params)
+      val mu = names.zip(weights)
+        .map { case (n, wi) => col(n) * lit(wi) }.reduce(_ + _)
+      feat
+        .withColumn("predicted", mu)
+        .withColumn("lower", col("predicted") - lit(3.0 * sigma))
+        .withColumn("upper", col("predicted") + lit(3.0 * sigma))
+        .withColumn("score",
+          Stats.anomalyScore(col(valueCol), col("predicted"), col("upper"),
+            anomalyType))
+        .drop((Seq("__slot", "__sm") ++ names): _*)
+    }
+
+    /** Future bands: with no observations every lag imputes to its slot
+      * mean, so x̂ depends only on slot — precompute the P slot
+      * predictions driver-side (profile is model-sized) and broadcast-join
+      * the spine. */
+    def forecast(spark: SparkSession, from: Long, to: Long): DataFrame = {
+      import spark.implicits._
+      val P = params.periodBuckets
+      val sm: Map[Long, Double] = profile.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      def smOf(slot: Long): Double = sm.getOrElse(slot, globalMean)
+      val perSlot = (0 until P).map { s0 =>
+        val feats = Array(1.0) ++
+          (1 to params.localLags).map(i => smOf(Math.floorMod(s0 - i, P).toLong)) ++
+          Seq(smOf(s0), smOf(s0), smOf(s0)) // seas_1, seas_2, sm_t: same slot
+        val mu = weights.zip(feats).map { case (w, f) => w * f }.sum
+        (s0.toLong, mu)
+      }.toDF("slot", "predicted")
+      spark.range(from, to, params.bucketInterval)
+        .select(col("id").as("bucket"))
+        .withColumn("slot", SeasonalModel.slotCol(col("bucket"),
+          SeasonalModelParams(params.bucketInterval, params.period)))
+        .join(broadcast(perSlot), "slot")
+        .withColumn("lower", col("predicted") - lit(3.0 * sigma))
+        .withColumn("upper", col("predicted") + lit(3.0 * sigma))
+        .select("bucket", "predicted", "lower", "upper")
+        .orderBy("bucket")
+    }
+  }
+}

@@ -151,3 +151,50 @@ object SeasonalModel {
     (best._1, best._2)
   }
 }
+
+/** The seasonal baseline behind the [[ModelType]] registry seam
+  * (/root/reference/loudml/model.py:445-468). */
+object SeasonalModelType extends ModelType {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  val name = "seasonal"
+
+  private def jNum(j: JValue): Option[Double] = j match {
+    case JInt(x)     => Some(x.toDouble)
+    case JLong(x)    => Some(x.toDouble)
+    case JDouble(x)  => Some(x)
+    case JDecimal(x) => Some(x.toDouble)
+    case _           => None
+  }
+
+  def parseParams(json: String): SeasonalModelParams = {
+    val j = JsonMethods.parse(json)
+    SeasonalModelParams(
+      bucketInterval = jNum(j \ "bucket_interval")
+        .getOrElse(throw new IllegalArgumentException(
+          "seasonal settings need bucket_interval")).toLong,
+      period = jNum(j \ "period").getOrElse(86400.0).toLong)
+  }
+
+  def train(bucketed: DataFrame, valueCol: String, settingsJson: String): TrainedModel =
+    new TrainedSeasonal(
+      SeasonalModel.train(bucketed, valueCol, parseParams(settingsJson)),
+      parseParams(settingsJson))
+
+  def load(spark: SparkSession, profile: DataFrame, settingsJson: String): TrainedModel =
+    new TrainedSeasonal(profile, parseParams(settingsJson))
+
+  final class TrainedSeasonal(
+      val profile: DataFrame, p: SeasonalModelParams) extends TrainedModel {
+    def modelType: String = name
+    def settingsJson: String =
+      s"""{"type":"$name","bucket_interval":${p.bucketInterval},""" +
+        s""""period":${p.period}}"""
+    def predict(bucketed: DataFrame, valueCol: String,
+        anomalyType: String = "low_high"): DataFrame =
+      SeasonalModel.predict(bucketed, profile, valueCol, p, anomalyType)
+    def forecast(spark: SparkSession, from: Long, to: Long): DataFrame =
+      SeasonalModel.forecast(spark, profile, from, to, p)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml._
+
+/** Model trait/registry + the reference's test-enforced quality floors
+  * (/root/reference/tests/test_donut.py): anomaly F1 ≥ 0.75 on a
+  * randevents-style seeded synthetic (:532-584) and gap imputation within
+  * ±0.22 (:451-530). Generators mirror
+  * /root/reference/tests/randevents.py:51-128 (sin rate, seeded noise).
+  */
+class ModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HOUR = 3600L
+
+  // ── randevents.SinEventGenerator analog: per-bucket value ≈ 2 ticks of
+  //    rate base+amplitude·sin(2π·t/period), seeded gaussian noise ──────
+  private def sinSeries(nBuckets: Int, interval: Long, seed: Long,
+      base: Double = 3.0, amplitude: Double = 3.0,
+      noise: Double = 0.3): Seq[(Long, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until nBuckets).map { t =>
+      val ts = t * interval
+      val rate = base + amplitude * math.sin(2 * math.Pi * (ts % 86400L) / 86400.0)
+      val v = math.max(0.0, 2.0 * rate + rnd.nextGaussian() * noise)
+      (ts, v)
+    }
+  }
+
+  test("registry: train/save/load round-trip dispatches on settings type " +
+      "(model.py:445-468)") {
+    assert(ModelRegistry.names.contains("seasonal"))
+    assert(ModelRegistry.names.contains("window_reconstructor"))
+    intercept[UnsupportedModel] { ModelRegistry("no_such_model") }
+
+    val series = sinSeries(720, HOUR, seed = 1).toDF("bucket", "value")
+    val trained = ModelRegistry("window_reconstructor")
+      .train(series, "value", s"""{"bucket_interval":$HOUR}""")
+    val root = java.nio.file.Files.createTempDirectory("models").toString
+    val v = trained.save(root, "m1")
+    assert(v == 1)
+    val back = ModelRegistry.load(spark, root, "m1")
+    assert(back.modelType == "window_reconstructor")
+    // same weights → identical predictions
+    val p1 = trained.predict(series, "value")
+      .agg(sum(abs(col("predicted")))).collect()(0).getDouble(0)
+    val p2 = back.predict(series, "value")
+      .agg(sum(abs(col("predicted")))).collect()(0).getDouble(0)
+    assert(math.abs(p1 - p2) < 1e-6)
+  }
+
+  test("reconstructor F1 >= 0.75 on seeded sin + level-shift anomaly " +
+      "(test_donut.py:532-584)") {
+    val interval = 1200L // 20-min buckets, P = 72/day as in the reference
+    val nTrain = 21 * 72 // three weeks
+    val nEval = 100      // predict window; last 20 abnormal
+    val clean = sinSeries(nTrain + nEval, interval, seed = 42)
+    val series = clean.zipWithIndex.map { case ((ts, v), i) =>
+      // FlatEventGenerator(base=5) injection: rate +5/tick → +10/bucket
+      if (i >= nTrain + nEval - 20) (ts, v + 10.0) else (ts, v)
+    }
+    val model = WindowReconstructor.train(
+      clean.take(nTrain).toDF("bucket", "value"), "value",
+      WindowReconstructor.Params(bucketInterval = interval))
+    // predict needs lag context: feed the eval window + 2 periods back
+    val evalFrom = (nTrain - 2 * 72) * interval
+    val scored = model.predict(
+      series.filter(_._1 >= evalFrom).toDF("bucket", "value"), "value")
+      .filter(col("bucket") >= nTrain * interval)
+      .orderBy("bucket").collect()
+    assert(scored.length == nEval)
+    val yhat = scored.map(r => r.getDouble(r.fieldIndex("score")) >= 99.7)
+    val truth = Array.tabulate(nEval)(_ >= nEval - 20)
+    val tp = yhat.zip(truth).count { case (a, b) => a && b }
+    val fp = yhat.zip(truth).count { case (a, b) => a && !b }
+    val fn = yhat.zip(truth).count { case (a, b) => !a && b }
+    val f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+    info(s"F1 = $f1 (tp=$tp fp=$fp fn=$fn)")
+    assert(f1 >= 0.75)
+  }
+
+  test("reconstructor imputes a never-observed slot from window context " +
+      "(test_donut.py:451-530)") {
+    // 3 days hourly, value 1.0 except hour 12 missing EVERY day — the
+    // seasonal slot for 12h has no training data at all
+    val series = (0 until 72).map { t =>
+      val v: java.lang.Double = if (t % 24 == 12) null else 1.0
+      (t * HOUR, v)
+    }.toDF("bucket", "value")
+    val model = WindowReconstructor.train(series, "value",
+      WindowReconstructor.Params(bucketInterval = HOUR))
+    val out = model.predict(series, "value")
+      .filter(col("bucket") >= 48L * HOUR) // last 24h
+      .orderBy("bucket").collect()
+    assert(out.length == 24)
+    out.foreach { r =>
+      val pred = r.getDouble(r.fieldIndex("predicted"))
+      assert(math.abs(pred - 1.0) <= 0.22,
+        s"bucket ${r.getLong(r.fieldIndex("bucket"))} predicted $pred")
+    }
+  }
+
+  test("reconstructor forecast yields seasonal bands") {
+    val series = sinSeries(720, HOUR, seed = 3).toDF("bucket", "value")
+    val model = WindowReconstructor.train(series, "value",
+      WindowReconstructor.Params(bucketInterval = HOUR))
+    val fc = model.forecast(spark, 720L * HOUR, 768L * HOUR).collect()
+    assert(fc.length == 48)
+    // bands bracket the prediction and follow the daily shape
+    fc.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("lower")) <= r.getDouble(r.fieldIndex("predicted")))
+      assert(r.getDouble(r.fieldIndex("predicted")) <= r.getDouble(r.fieldIndex("upper")))
+    }
+    val preds = fc.map(r => r.getDouble(r.fieldIndex("predicted")))
+    assert(preds.max - preds.min > 2.0) // daily amplitude visible
+  }
+
+  test("seasonal model behind the same trait") {
+    val series = sinSeries(720, HOUR, seed = 5).toDF("bucket", "value")
+    val m = ModelRegistry("seasonal")
+      .train(series, "value", s"""{"bucket_interval":$HOUR}""")
+    val out = m.predict(series, "value")
+    assert(Seq("predicted", "lower", "upper", "score")
+      .forall(out.columns.contains))
+    assert(m.forecast(spark, 720L * HOUR, 744L * HOUR).count() == 24)
+  }
+}
