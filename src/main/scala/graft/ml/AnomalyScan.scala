@@ -30,6 +30,40 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType, StructFi
   * while each series stays ordered. For the reference's single-series case
   * this degenerates to one task, same as the reference's sequential loop.
   */
+/** The persisted anomaly run state — what the reference keeps in
+  * `model._state` across scheduled evals (`last_anomaly_ts` + the open
+  * anomaly dict, /root/reference/loudml/donut.py:570-589,1487-1568;
+  * persisted per run by /root/reference/loudml/worker.py:255-263). With it
+  * an anomaly spanning two eval windows fires exactly one start and one
+  * end. */
+final case class RunState(
+    open: Boolean = false,
+    lastEndTs: Option[Long] = None,
+    episodeMax: Double = 0.0)
+
+object RunState {
+  val empty: RunState = RunState()
+
+  /** Recover the post-scan state from scan output (+ the pre-scan state
+    * for fields the window didn't touch). Aggregations are over one eval
+    * window — O(window) rows, any scale. */
+  def fromScan(scanned: org.apache.spark.sql.DataFrame, before: RunState): RunState = {
+    import org.apache.spark.sql.functions._
+    val last = scanned.orderBy(col("bucket").desc)
+      .select("anomaly", "episode_max").limit(1).collect()
+    if (last.isEmpty) before
+    else {
+      val marker = Option(last(0).getString(0)).getOrElse("")
+      val open = marker == "start" || marker == "ongoing"
+      val endRow = scanned.filter(col("anomaly") === "end")
+        .agg(max(col("bucket"))).collect()(0)
+      val lastEnd = if (endRow.isNullAt(0)) before.lastEndTs else Some(endRow.getLong(0))
+      val epi = if (open && !last(0).isNullAt(1)) last(0).getDouble(1) else 0.0
+      RunState(open, lastEnd, epi)
+    }
+  }
+}
+
 object AnomalyScan {
 
   /** @return input columns +
@@ -47,7 +81,8 @@ object AnomalyScan {
       maxThreshold: Double = 99.7,
       minThreshold: Double = 68.0,
       gracePeriodSec: Long = 0L,
-      seriesKeys: Seq[String] = Nil): DataFrame = {
+      seriesKeys: Seq[String] = Nil,
+      initial: RunState = RunState.empty): DataFrame = {
     val inSchema = scored.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("anomaly", StringType, nullable = true),
@@ -65,10 +100,14 @@ object AnomalyScan {
             org.apache.spark.sql.functions.col(bucketCol)): _*)
 
     arranged.mapPartitions { it =>
-      var curKey: Seq[Any] = null
-      var open = false                // anomaly episode in progress
-      var lastEndTs = Long.MinValue   // last_anomaly_ts: set on episode END
-      var episodeMax = 0.0            // running max score of the episode
+      // unkeyed scans resume from `initial` (cross-run state, §2.9);
+      // keyed scans always start fresh per series (curKey=null forces the
+      // first-row reset)
+      var curKey: Seq[Any] = if (keyIdx.isEmpty) Nil else null
+      var open = initial.open         // anomaly episode in progress
+      var lastEndTs =                 // last_anomaly_ts: set on episode END
+        initial.lastEndTs.getOrElse(Long.MinValue)
+      var episodeMax = initial.episodeMax // running max score of the episode
       it.map { r =>
         val key = keyIdx.map(r.get)
         if (key != curKey) {

@@ -1,0 +1,166 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Anomaly hooks — the alert-delivery seam of the reference
+  * (/root/reference/loudml/api.py:110-139: `on_anomaly_start(dt, score,
+  * predicted, observed, anomalies)` / `on_anomaly_end(dt, score)`),
+  * dispatched from the detection scan
+  * (/root/reference/loudml/donut.py:1534-1568: start fires when a new
+  * episode opens, end fires with the episode's max score when it closes;
+  * hook exceptions are swallowed so one failing hook can't break the
+  * scan).
+  */
+trait Hook {
+  def name: String
+
+  /** Fired when an anomaly episode opens.
+    * `anomalies`: feature → (direction "low"/"high", score) — the
+    * reference's anomalies dict (donut.py:1507-1512). */
+  def onAnomalyStart(ts: Long, score: Double, predicted: Option[Double],
+      observed: Option[Double], anomalies: Map[String, (String, Double)]): Unit
+
+  /** Fired when the episode closes; `score` is the episode max
+    * (donut.py:1562-1566). Default no-op as in the reference. */
+  def onAnomalyEnd(ts: Long, score: Double): Unit = ()
+}
+
+object Hooks {
+
+  /** Dispatch start/end events from [[AnomalyScan.scan]] output to hooks,
+    * in bucket order. Only marker rows are collected — O(episodes), not
+    * O(buckets): the frame is filtered to `anomaly IN ('start','end')`
+    * before it reaches the driver. `feature` names the scored feature for
+    * the anomalies dict; direction = low when observed < predicted
+    * (donut.py:1509). */
+  def dispatch(scanned: DataFrame, hooks: Seq[Hook],
+      feature: String = "value"): Unit = {
+    if (hooks.isEmpty) return
+    val cols = scanned.columns.toSet
+    val events = scanned
+      .filter(col("anomaly").isin("start", "end"))
+      .orderBy("bucket").collect()
+    events.foreach { r =>
+      val ts = r.getLong(r.fieldIndex("bucket"))
+      val score = r.getDouble(r.fieldIndex("score"))
+      def opt(c: String): Option[Double] =
+        if (cols(c) && !r.isNullAt(r.fieldIndex(c)))
+          Some(r.getDouble(r.fieldIndex(c))) else None
+      r.getString(r.fieldIndex("anomaly")) match {
+        case "start" =>
+          val (pred, obs) = (opt("predicted"), opt("observed"))
+          val direction = (obs, pred) match {
+            case (Some(o), Some(p)) if o < p => "low"
+            case _                           => "high"
+          }
+          hooks.foreach { h =>
+            try h.onAnomalyStart(ts, score, pred, obs,
+              Map(feature -> (direction, score)))
+            catch { case scala.util.control.NonFatal(_) => () } // donut.py:1545-1548
+          }
+        case "end" =>
+          val epi = opt("episode_max").getOrElse(score)
+          hooks.foreach { h =>
+            try h.onAnomalyEnd(ts, epi)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        case _ => ()
+      }
+    }
+  }
+}
+
+/** Mutable annotation store backing [[AnnotationHook]] — the
+  * insert-then-update protocol of the reference's annotation sink
+  * (`insert_annotation` / `update_annotation`,
+  * /root/reference/loudml/influx.py:616-660). In-memory here (annotations
+  * are human-scale); a TSDB/Delta-backed impl plugs in behind the same
+  * two calls. */
+class AnnotationStore {
+  private val rows =
+    scala.collection.mutable.LinkedHashMap.empty[String, (Long, Option[Long], String, String)]
+
+  def insert(id: String, startTs: Long, text: String, kind: String): Unit =
+    synchronized { rows.put(id, (startTs, None, text, kind)) }
+
+  def close(id: String, endTs: Long): Unit = synchronized {
+    rows.get(id).foreach { case (s, _, t, k) => rows.put(id, (s, Some(endTs), t, k)) }
+  }
+
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    synchronized {
+      rows.iterator.map { case (id, (s, e, t, k)) =>
+        (id, s, e.map(Long.box).orNull.asInstanceOf[java.lang.Long], t, k)
+      }.toSeq
+    }.toDF("id", "start_ts", "end_ts", "text", "type")
+  }
+}
+
+/** The reference's AnnotationHook
+  * (/root/reference/loudml/annotations.py:15-69): on start, insert an
+  * annotation describing the abnormal features and remember its id (the
+  * `set_object` persistent-object protocol, api.py:145-169, so the open
+  * annotation survives process restarts); on end, update it with the end
+  * timestamp and forget the id. */
+class AnnotationHook(
+    store: AnnotationStore,
+    kind: String = "anomaly",
+    text: String = "{desc}",
+    objects: ObjectStore = ObjectStore.inMemory) extends Hook {
+
+  val name = "annotations"
+  private val objKey = "annotations.points"
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  override def onAnomalyStart(ts: Long, score: Double, predicted: Option[Double],
+      observed: Option[Double], anomalies: Map[String, (String, Double)]): Unit = {
+    val desc = anomalies.map { case (f, (dir, s)) =>
+      f"feature '$f' is too $dir (score = $s%.1f)"
+    }.mkString("; ")
+    val id = s"ann-${counter.incrementAndGet()}"
+    store.insert(id, ts, text.replace("{desc}", desc), kind)
+    objects.set(objKey, id)
+  }
+
+  override def onAnomalyEnd(ts: Long, score: Double): Unit =
+    objects.get(objKey).foreach { id =>
+      store.close(id, ts)
+      objects.delete(objKey)
+    }
+}
+
+/** Per-hook persistent key/value objects
+  * (/root/reference/loudml/api.py:145-169). File-backed for cross-run
+  * survival; in-memory for tests. */
+trait ObjectStore {
+  def set(key: String, value: String): Unit
+  def get(key: String): Option[String]
+  def delete(key: String): Unit
+}
+
+object ObjectStore {
+  def inMemory: ObjectStore = new ObjectStore {
+    private val m = scala.collection.concurrent.TrieMap.empty[String, String]
+    def set(key: String, value: String): Unit = m.put(key, value)
+    def get(key: String): Option[String] = m.get(key)
+    def delete(key: String): Unit = m.remove(key)
+  }
+
+  /** Files under `<dir>/objects/<key>` (the filestorage model-object
+    * layout analog, /root/reference/loudml/filestorage.py). */
+  def onDisk(dir: String): ObjectStore = new ObjectStore {
+    private val base = java.nio.file.Paths.get(dir, "objects")
+    private def p(key: String) = base.resolve(key)
+    def set(key: String, value: String): Unit = {
+      java.nio.file.Files.createDirectories(base)
+      java.nio.file.Files.writeString(p(key), value)
+    }
+    def get(key: String): Option[String] =
+      if (java.nio.file.Files.exists(p(key)))
+        Some(java.nio.file.Files.readString(p(key)))
+      else None
+    def delete(key: String): Unit = java.nio.file.Files.deleteIfExists(p(key))
+  }
+}

@@ -83,18 +83,31 @@ object WindowReconstructor extends ModelType {
       sigmaFloor = jNum(j \ "sigma_floor").getOrElse(1e-9))
   }
 
-  /** Lag features with deterministic imputation: value at t−i, else slot
-    * mean of t−i (the lagged row's own `sm`), else global mean. Requires a
+  /** Lag features with deterministic imputation AND context sanitization:
+    * a lag value outside its own slot's normal band (|v − μ_slot| >
+    * 3σ_slot) is REPLACED by the slot mean before it enters the basis; a
+    * missing lag likewise falls back to its slot mean, then to the global
+    * mean. Replacement (not clamping) is the deterministic analog of
+    * Donut's MCMC imputation + manifold projection
+    * (/root/reference/loudml/donut.py:1264-1296), which resamples
+    * abnormal/missing window entries from the learned normal
+    * distribution: an anomalous bucket in the context cannot poison the
+    * reconstruction of the buckets after it — without this, a level-shift
+    * anomaly drags x̂ up within L buckets and the episode never closes
+    * (clamping to the band edge still leaves ~σ-scale contamination,
+    * enough to hold the score above min_threshold ≈ 1σ). Requires a
     * spine-complete series (every interval present — TimesQuery output). */
   private def featureCols(valueCol: String, p: Params, globalMean: Double)
       : Seq[(String, Column)] = {
     val w = Window.orderBy("bucket")
     val P = p.periodBuckets
-    def filledLag(i: Int, alias: String): (String, Column) =
-      alias -> coalesce(
-        lag(col(valueCol), i).over(w),
-        lag(col("__sm"), i).over(w),
-        lit(globalMean))
+    def filledLag(i: Int, alias: String): (String, Column) = {
+      val v = lag(col(valueCol), i).over(w)
+      val m = lag(col("__sm"), i).over(w)
+      val s = lag(col("__sig"), i).over(w)
+      val sane = when(v.isNull || abs(v - m) > lit(3.0) * s, m).otherwise(v)
+      alias -> coalesce(sane, lit(globalMean))
+    }
     Seq("__one" -> lit(1.0)) ++
       (1 to p.localLags).map(i => filledLag(i, s"__lag_$i")) ++
       Seq(filledLag(P, "__seas_1"), filledLag(2 * P, "__seas_2")) ++
@@ -103,13 +116,15 @@ object WindowReconstructor extends ModelType {
 
   /** Join the per-slot profile then add the feature basis columns. */
   private def assemble(bucketed: DataFrame, valueCol: String,
-      profile: DataFrame, globalMean: Double, p: Params): (DataFrame, Seq[String]) = {
+      profile: DataFrame, globalMean: Double, globalSigma: Double,
+      p: Params): (DataFrame, Seq[String]) = {
     val withSm = bucketed
       .withColumn("__slot", SeasonalModel.slotCol(col("bucket"),
         SeasonalModelParams(p.bucketInterval, p.period)))
       .join(broadcast(profile.select(col("slot").as("__slot"),
-        col("mu").as("__sm"))), Seq("__slot"), "left")
+        col("mu").as("__sm"), col("sigma").as("__sig"))), Seq("__slot"), "left")
       .withColumn("__sm", coalesce(col("__sm"), lit(globalMean)))
+      .withColumn("__sig", coalesce(col("__sig"), lit(globalSigma)))
     val feats = featureCols(valueCol, p, globalMean)
     val out = feats.foldLeft(withSm) { case (df, (n, c)) => df.withColumn(n, c) }
     (out, feats.map(_._1))
@@ -146,16 +161,20 @@ object WindowReconstructor extends ModelType {
     train(bucketed, valueCol, parseParams(settingsJson))
 
   def train(bucketed: DataFrame, valueCol: String, p: Params): TrainedReconstructor = {
-    // slot profile + global mean (σ=0→1 guard not needed: σ comes from
-    // residuals below, floored)
-    val gRow = bucketed.agg(avg(col(valueCol))).collect()(0)
+    // per-slot (μ, σ_pop) profile + global (μ, σ); slot σ bounds the
+    // context-sanitization band, residual σ (below) sets the score bands
+    val gRow = bucketed.agg(avg(col(valueCol)), stddev_pop(col(valueCol)))
+      .collect()(0)
     val globalMean = if (gRow.isNullAt(0)) 0.0 else gRow.getDouble(0)
+    val globalSigma = if (gRow.isNullAt(1)) 0.0 else gRow.getDouble(1)
     val profile = bucketed
       .groupBy(SeasonalModel.slotCol(col("bucket"),
         SeasonalModelParams(p.bucketInterval, p.period)))
-      .agg(avg(col(valueCol)).as("mu"))
+      .agg(avg(col(valueCol)).as("mu"),
+        coalesce(stddev_pop(col(valueCol)), lit(globalSigma)).as("sigma"))
       .filter(col("mu").isNotNull)
-    val (feat, names) = assemble(bucketed, valueCol, profile, globalMean, p)
+    val (feat, names) = assemble(bucketed, valueCol, profile, globalMean,
+      globalSigma, p)
     val rows = feat.filter(col(valueCol).isNotNull)
 
     // normal equations in ONE distributed agg: sums of fi*fj (i ≤ j), fi*y
@@ -178,7 +197,7 @@ object WindowReconstructor extends ModelType {
     val sig = rows.agg(stddev_pop(col(valueCol) - predExpr)).collect()(0)
     val sigma = math.max(if (sig.isNullAt(0)) 0.0 else sig.getDouble(0), p.sigmaFloor)
 
-    new TrainedReconstructor(profile, p, weights, sigma, globalMean)
+    new TrainedReconstructor(profile, p, weights, sigma, globalMean, globalSigma)
   }
 
   def load(spark: SparkSession, profile: DataFrame, settingsJson: String): TrainedModel = {
@@ -190,8 +209,9 @@ object WindowReconstructor extends ModelType {
     val sigma = jNum(j \ "sigma").getOrElse(
       throw new IllegalArgumentException("stored model has no sigma"))
     val globalMean = jNum(j \ "global_mean").getOrElse(0.0)
+    val globalSigma = jNum(j \ "global_sigma").getOrElse(0.0)
     new TrainedReconstructor(profile, parseParams(settingsJson), weights, sigma,
-      globalMean)
+      globalMean, globalSigma)
   }
 
   final class TrainedReconstructor(
@@ -199,14 +219,15 @@ object WindowReconstructor extends ModelType {
       val params: Params,
       val weights: Array[Double],
       val sigma: Double,
-      val globalMean: Double) extends TrainedModel {
+      val globalMean: Double,
+      val globalSigma: Double) extends TrainedModel {
 
     def modelType: String = name
 
     def settingsJson: String = {
       val base = params.json.stripSuffix("}")
       s"""$base,"weights":[${weights.mkString(",")}],"sigma":$sigma,""" +
-        s""""global_mean":$globalMean}"""
+        s""""global_mean":$globalMean,"global_sigma":$globalSigma}"""
     }
 
     /** μ = w·features, bands μ ± 3σ (the reference's 3-sigma bands,
@@ -216,7 +237,8 @@ object WindowReconstructor extends ModelType {
       * reference extends by span−1, donut.py:1210-1217). */
     def predict(bucketed: DataFrame, valueCol: String,
         anomalyType: String = "low_high"): DataFrame = {
-      val (feat, names) = assemble(bucketed, valueCol, profile, globalMean, params)
+      val (feat, names) = assemble(bucketed, valueCol, profile, globalMean,
+        globalSigma, params)
       val mu = names.zip(weights)
         .map { case (n, wi) => col(n) * lit(wi) }.reduce(_ + _)
       feat
@@ -226,7 +248,7 @@ object WindowReconstructor extends ModelType {
         .withColumn("score",
           Stats.anomalyScore(col(valueCol), col("predicted"), col("upper"),
             anomalyType))
-        .drop((Seq("__slot", "__sm") ++ names): _*)
+        .drop((Seq("__slot", "__sm", "__sig") ++ names): _*)
     }
 
     /** Future bands: with no observations every lag imputes to its slot

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ml._
+import graft.streaming.{EvalParams, ScheduledEval, StateStore}
+
+/** Scheduled near-real-time eval (server.py:1559-1580) with persisted run
+  * state (worker.py:255-263) and hooks (api.py:110-139,
+  * annotations.py:15-69). The headline guarantee: an anomaly spanning two
+  * eval invocations fires exactly one start and one end. */
+class ScheduledEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HOUR = 3600L
+
+  private class RecordingHook extends Hook {
+    val name = "recording"
+    val starts = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    override def onAnomalyStart(ts: Long, score: Double, predicted: Option[Double],
+        observed: Option[Double], anomalies: Map[String, (String, Double)]): Unit =
+      starts += ((ts, score))
+    override def onAnomalyEnd(ts: Long, score: Double): Unit = ends += ((ts, score))
+  }
+
+  // flat-10 world with injected 100-valued anomaly buckets; training-era
+  // noise comes from ONE seeded stream (per-bucket re-seeded Randoms have
+  // a biased first draw, which shifts the training mean)
+  private val anomalyHours = Set(724L, 725L, 726L, 727L, 733L, 737L)
+  private val trainNoise: Array[Double] = {
+    val rnd = new scala.util.Random(11)
+    Array.fill(720)(rnd.nextGaussian() * 0.3)
+  }
+  private def valueAt(hour: Long): Double =
+    if (anomalyHours(hour)) 100.0
+    else if (hour < 720) 10.0 + trainNoise(hour.toInt)
+    else 10.0
+  private def fetch(from: Long, to: Long): DataFrame =
+    (from until to by HOUR).map(ts => (ts, valueAt(ts / HOUR))).toDF("bucket", "value")
+
+  private def trainedModel(): TrainedModel =
+    WindowReconstructor.train(fetch(0L, 720L * HOUR), "value",
+      WindowReconstructor.Params(bucketInterval = HOUR))
+
+  test("anomaly spanning two evals fires exactly one start and one end; " +
+      "grace persists across runs (server.py:1559-1580, worker.py:255-263)") {
+    val stateRoot = java.nio.file.Files.createTempDirectory("runstate").toString
+    val hook = new RecordingHook
+    val store = new AnnotationStore
+    val ann = new AnnotationHook(store)
+    val eval = new ScheduledEval(
+      trainedModel(), fetch,
+      EvalParams(interval = 6 * HOUR, offset = 0L, bucketInterval = HOUR,
+        gracePeriodSec = 6 * HOUR),
+      stateRoot, "m1", hooks = Seq(hook, ann))
+
+    // eval 1: window [720h,726h): anomaly opens at 724h
+    val w1 = eval.evalOnce(726L * HOUR)
+    assert(w1.filter(col("anomaly") === "start").count() == 1)
+    assert(StateStore.load(stateRoot, "m1").open)
+
+    // eval 2: window [726h,732h): 726/727 still anomalous → NO second
+    // start (state resumed), closes at 728h
+    val w2 = eval.evalOnce(732L * HOUR)
+    assert(w2.filter(col("anomaly") === "start").count() == 0)
+    val ongoing = w2.filter(col("anomaly") === "ongoing")
+      .select("bucket").as[Long].collect().toSet
+    assert(ongoing == Set(726L * HOUR, 727L * HOUR))
+    assert(w2.filter(col("anomaly") === "end")
+      .select("bucket").as[Long].collect().toSeq == Seq(728L * HOUR))
+    val st2 = StateStore.load(stateRoot, "m1")
+    assert(!st2.open && st2.lastEndTs.contains(728L * HOUR))
+
+    // eval 3: window [732h,738h): spike at 733h is 5h after the END →
+    // suppressed by grace (closed, no event); spike at 737h is 9h after →
+    // fresh start
+    val w3 = eval.evalOnce(738L * HOUR)
+    assert(w3.filter(col("bucket") === 733L * HOUR)
+      .select("anomaly").collect()(0).isNullAt(0))
+    assert(w3.filter(col("anomaly") === "start")
+      .select("bucket").as[Long].collect().toSeq == Seq(737L * HOUR))
+
+    // eval 4: window [738h,744h): quiet → episode ends at 738h
+    eval.evalOnce(744L * HOUR)
+
+    assert(hook.starts.map(_._1).toSeq == Seq(724L * HOUR, 737L * HOUR))
+    assert(hook.ends.map(_._1).toSeq == Seq(728L * HOUR, 738L * HOUR))
+    assert(hook.ends.forall(_._2 > 99.0)) // end reports the episode max
+
+    // annotation hook: two annotations, both closed, matching the episodes
+    val anns = store.toDF(spark).orderBy("start_ts").collect()
+    assert(anns.length == 2)
+    assert(anns(0).getLong(anns(0).fieldIndex("start_ts")) == 724L * HOUR)
+    assert(anns(0).getLong(anns(0).fieldIndex("end_ts")) == 728L * HOUR)
+    assert(anns(1).getLong(anns(1).fieldIndex("start_ts")) == 737L * HOUR)
+    assert(anns(1).getLong(anns(1).fieldIndex("end_ts")) == 738L * HOUR)
+    assert(anns(0).getString(anns(0).fieldIndex("text")).contains("too high"))
+  }
+
+  test("run state round-trips through the store") {
+    val root = java.nio.file.Files.createTempDirectory("runstate").toString
+    assert(StateStore.load(root, "x") == RunState.empty)
+    val st = RunState(open = true, lastEndTs = Some(123L), episodeMax = 87.5)
+    StateStore.save(root, "x", st)
+    assert(StateStore.load(root, "x") == st)
+    StateStore.clear(root, "x")
+    assert(StateStore.load(root, "x") == RunState.empty)
+  }
+
+  test("hook exceptions don't break dispatch (donut.py:1545-1548)") {
+    val bad = new Hook {
+      val name = "bad"
+      override def onAnomalyStart(ts: Long, score: Double, p: Option[Double],
+          o: Option[Double], a: Map[String, (String, Double)]): Unit =
+        sys.error("boom")
+    }
+    val good = new RecordingHook
+    val scanned = AnomalyScan.scan(
+      Seq((0L, 10.0), (1L, 99.9), (2L, 10.0)).toDF("bucket", "score"),
+      maxThreshold = 99.7, minThreshold = 68.0)
+    Hooks.dispatch(scanned, Seq(bad, good))
+    assert(good.starts.nonEmpty) // bad hook swallowed, good hook still fired
+  }
+}
