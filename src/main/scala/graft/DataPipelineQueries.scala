@@ -50,6 +50,12 @@ object DataPipelineQueries {
         .limit(20)
     }),
 
+    // ── end-to-end LSH dedup: bands → candidates → verify → keep-min
+    "q_dedup_lsh" -> ((s, dir) =>
+      Dedup.lshDedup(docs(s, dir), "doc_id", "text",
+          numHashes = H, bands = 4, tau = 0.5)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
     // ── SimHash 60-bit signatures
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -244,6 +250,36 @@ object DataPipelineQueries {
          |CROSS JOIN sigs b
          |WHERE a.doc_id != b.doc_id
          |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+    },
+
+    // mirrors Dedup.lshDedup: 4 bands × 2 sig rows, candidates share a
+    // band key, verified at est-Jaccard (sig agreement) ≥ 0.5, keep-min
+    "q_dedup_lsh" -> {
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, md5(CAST(sig_${2 * b} AS VARCHAR) || '_' || " +
+          s"CAST(sig_${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      val eq = (0 until H)
+        .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shinglesCte, $sigsCte,
+         |bandkeys AS (
+         |  $bandRows
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), removed AS (
+         |  SELECT DISTINCT c.id_b AS doc_id
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.id_a
+         |  JOIN sigs sb ON sb.doc_id = c.id_b
+         |  WHERE CAST($eq AS DOUBLE) / ${H}.0 >= 0.5
+         |)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_simhash" ->

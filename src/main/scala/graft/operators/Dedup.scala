@@ -96,15 +96,28 @@ object Dedup {
     * Blocking join on the shingle (set semantics), then
     * J = |A∩B| / (|A|+|B|−|A∩B|). `maxPerShingle` caps fan-out on
     * super-common shingles (the skew guard at 100 TB — a stop-phrase
-    * shared by millions of docs must not produce a quadratic bucket). */
+    * shared by millions of docs must not produce a quadratic bucket).
+    *
+    * The guard itself must not be the skew: over-cap shingles are found
+    * with a `groupBy(sh).count` (map-side partial counts — a hot shingle
+    * contributes one partial per task, never one task holding every
+    * occurrence) and removed with a broadcast anti-join of that tiny
+    * over-cap set. A `count().over(Window.partitionBy(sh))` here would
+    * ship every occurrence of the hot shingle to a single task BEFORE the
+    * filter could drop it.
+    *
+    * Approximation note: `sizes` uses UNCAPPED shingle sets while `inter`
+    * counts only capped shingles, so J is undercounted for docs containing
+    * over-cap shingles — a deliberate bias (pairs held together only by
+    * stop-phrases shouldn't match) shared by the DuckDB oracle. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxPerShingle: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleN)).as("sh")).distinct()
-    val capped = sh.withColumn("__c",
-        count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("__c") <= maxPerShingle).drop("__c")
+    val overCap = sh.groupBy("sh").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxPerShingle).select("sh")
+    val capped = sh.join(broadcast(overCap), Seq("sh"), "left_anti")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = capped.as("a")
       .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -131,5 +144,45 @@ object Dedup {
     }
     sigs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+  }
+
+  /** End-to-end LSH dedup — the 100 TB near-dup path: MinHash signatures
+    * → band keys → candidate pairs (docs sharing any band bucket; a
+    * bucket join, never all-pairs) → verify candidates by estimated
+    * Jaccard (signature agreement ≥ τ) → survivor set by the keep-min
+    * rule (a doc is dropped iff it has a verified neighbor with a smaller
+    * id — one pass, no connected components; transitive chains collapse
+    * to their minimum over repeated application, which single-pass
+    * approximates from the min side).
+    *
+    * Shuffles: explode/distinct on shingles, one groupBy for signatures,
+    * one self-join keyed on (band, band_key) — bucket sizes are n/2^bits
+    * expected, and a hot bucket is bounded by banding width, not corpus
+    * size. The final filter is a broadcast anti-join of the removed-id
+    * set when it is small, a shuffled anti-join otherwise (left to AQE).
+    */
+  def lshDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      tau: Double = 0.5): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val bk = lshBandKeys(sigs, idCol, numHashes, bands)
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val est = (0 until numHashes)
+      .map(i => when(col(s"sa.sig_$i") === col(s"sb.sig_$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
+    val verified = cand
+      .join(sigs.as("sa"), col("id_a") === col(s"sa.$idCol"))
+      .join(sigs.as("sb"), col("id_b") === col(s"sb.$idCol"))
+      .filter(est >= tau)
+      .select("id_a", "id_b")
+    val removed = verified.select(col("id_b").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
   }
 }
