@@ -73,6 +73,35 @@ object SparkEntry {
     // ── §2.1-2.4: the core times-query (scan+filter+bucket+agg+spine+fill)
     "q_times_avg_count" -> ((s, dir) => timesAvgCount(s, dir)),
 
+    // ── §2.2 per-feature measurement override (model.py:82-83): features
+    //    resolve to different sources, fused per source, merged by bucket
+    "q_times_multi" -> ((s, dir) => {
+      def resolve(b: Option[String], m: Option[String]): DataFrame = m match {
+        case Some("clicks") =>
+          t(s, dir, "events").filter(col("event_type") === "click")
+        case _ => t(s, dir, "events")
+      }
+      TimesQuery.runMulti(s, resolve, "ts", HOUR, FROM, FROM + 7L * 86400L,
+        Seq(
+          Feature("avg_all", "avg", "value"),
+          Feature("click_cnt", "count", "value",
+            measurement = Some("clicks"))))
+        .select(col("bucket"), round(col("avg_all"), 4).as("avg_all"),
+          col("click_cnt"))
+        .orderBy("bucket")
+    }),
+
+    // ── feature `scores` scaling at model-input assembly (model.py:97)
+    "q_feature_scores" -> ((s, dir) => {
+      val f = Feature("observed", "avg", "value", fill = ConstFill(0.0),
+        scores = "normalize")
+      val series = TimesQuery.run(
+        s, t(s, dir, "events"), "ts", HOUR, FROM, SPLIT, Seq(f))
+      graft.functions.Stats.scaleSeries(series, "observed", f.scores, "scaled")
+        .select(col("bucket"), round(col("scaled"), 6).as("scaled"))
+        .orderBy("bucket")
+    }),
+
     // ── §2.4 basic aggregations (TPC-H Q1 shape)
     "q_agg_basic" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -358,6 +387,48 @@ object SparkEntry {
          |       coalesce(a.count_click, 0.0) AS count_click
          |FROM spine s LEFT JOIN agg a USING (bucket)
          |ORDER BY s.bucket""".stripMargin,
+
+    "q_times_multi" -> {
+      val end = FROM + 7L * 86400L
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($FROM, ${end - HOUR}, $HOUR)) AS bucket
+         |), a AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         avg(value) AS avg_all
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $end
+         |  GROUP BY 1
+         |), c AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         CAST(count(value) AS DOUBLE) AS click_cnt
+         |  FROM events
+         |  WHERE epoch(ts) >= $FROM AND epoch(ts) < $end
+         |    AND event_type = 'click'
+         |  GROUP BY 1
+         |)
+         |SELECT s.bucket, round(a.avg_all, 4) AS avg_all,
+         |       coalesce(c.click_cnt, 0.0) AS click_cnt
+         |FROM spine s LEFT JOIN a USING (bucket) LEFT JOIN c USING (bucket)
+         |ORDER BY s.bucket""".stripMargin
+    },
+
+    "q_feature_scores" ->
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($FROM, ${SPLIT - HOUR}, $HOUR)) AS bucket
+         |), agg AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         avg(value) AS v
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT
+         |  GROUP BY 1
+         |), series AS (
+         |  SELECT s.bucket, coalesce(a.v, 0.0) AS v
+         |  FROM spine s LEFT JOIN agg a USING (bucket)
+         |), l2 AS (
+         |  SELECT sqrt(sum(v*v)) AS n FROM series
+         |)
+         |SELECT bucket,
+         |       round(v / (CASE WHEN l2.n = 0 OR l2.n IS NULL THEN 1.0
+         |                       ELSE l2.n END), 6) AS scaled
+         |FROM series, l2 ORDER BY bucket""".stripMargin,
 
     "q_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,

@@ -61,4 +61,46 @@ object Stats {
     * (/root/reference/loudml/donut.py:644-650). */
   def standardize(c: Column, mean: Column, std: Column): Column =
     (c - mean) / when(std === 0.0 || std.isNull, lit(1.0)).otherwise(std)
+
+  /** Per-feature `scores` scaling applied at model-input assembly — the
+    * feature DSL's scaling choice (/root/reference/loudml/model.py:97,129;
+    * default min_max):
+    *
+    *  - `"min_max"`     → (x − min)/(max − min), 0 when the series is
+    *    constant;
+    *  - `"normalize"`   → x/‖x‖₂ (unit L2 norm, identity for an all-zero
+    *    series);
+    *  - `"standardize"` → (x − μ)/σ_pop with the σ=0→1 guard.
+    *
+    * Stats are computed per series with a groupBy (map-side partials) and
+    * broadcast-joined back — no unpartitioned window, so the shape holds
+    * at any series count/length. Adds `outCol`; leaves `valueCol`. */
+  def scaleSeries(
+      df: org.apache.spark.sql.DataFrame, valueCol: String, method: String,
+      outCol: String,
+      seriesKeys: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val aggs = Seq(
+      min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"),
+      avg(col(valueCol)).as("__mu"), stddev_pop(col(valueCol)).as("__sd"),
+      sqrt(sum(col(valueCol) * col(valueCol))).as("__l2"))
+    val stats =
+      if (seriesKeys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(seriesKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined =
+      if (seriesKeys.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), seriesKeys)
+    val x = col(valueCol)
+    val scaled = method match {
+      case "min_max" =>
+        when(col("__mx") === col("__mn"), lit(0.0))
+          .otherwise((x - col("__mn")) / (col("__mx") - col("__mn")))
+      case "normalize" =>
+        x / when(col("__l2") === 0.0 || col("__l2").isNull, lit(1.0))
+          .otherwise(col("__l2"))
+      case "standardize" => standardize(x, col("__mu"), col("__sd"))
+      case m => throw new IllegalArgumentException(s"bad scores: $m")
+    }
+    joined.withColumn(outCol, scaled)
+      .drop("__mn", "__mx", "__mu", "__sd", "__l2")
+  }
 }

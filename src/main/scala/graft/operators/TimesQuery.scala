@@ -16,9 +16,15 @@ final case class ConstFill(value: Double) extends Fill
 case object PreviousFill extends Fill
 
 /** One feature of a times-query — mirrors the reference's feature DSL
-  * (/root/reference/loudml/model.py:77-131): named metric over a field,
-  * restricted by `match_all` tag equalities, with a default-fill policy and
-  * an optional `diff` transform (/root/reference/loudml/model.py:96).
+  * (/root/reference/loudml/model.py:77-131) in full: named metric over a
+  * field, restricted by `match_all` tag equalities, with a default-fill
+  * policy, an optional `diff` transform (model.py:96), a per-feature
+  * source override (`bucket`/`measurement`, model.py:82-83 — consumed by
+  * [[TimesQuery.runMulti]]), a script-derived field (ES painless analog →
+  * Spark SQL `expr`, model.py:93), IO direction (model.py:92,126-127),
+  * per-feature anomaly direction (model.py:95) and scaling choice
+  * (`scores`, model.py:97,129 — applied by
+  * [[graft.functions.Stats.scaleSeries]] at model-input assembly).
   */
 final case class Feature(
     name: String,
@@ -26,9 +32,31 @@ final case class Feature(
     field: String,
     matchAll: Seq[(String, Any)] = Nil,
     fill: Fill = NoFill,
-    transform: Option[String] = None) {
+    transform: Option[String] = None,
+    measurement: Option[String] = None,
+    bucket: Option[String] = None,
+    script: Option[String] = None,
+    io: String = "io",
+    anomalyType: String = "low_high",
+    scores: String = "min_max") {
   require(transform.forall(_ == "diff"), s"unsupported transform: $transform")
+  require(Set("io", "i", "o")(io), s"bad io: $io (io/i/o)")
+  require(Set("low", "high", "low_high")(anomalyType),
+    s"bad anomaly_type: $anomalyType")
+  require(Set("min_max", "normalize", "standardize")(scores),
+    s"bad scores: $scores")
   Metrics.validate(metric)
+
+  def isInput: Boolean = io.contains('i')
+  def isOutput: Boolean = io.contains('o')
+
+  /** Scan-fusion group id (`build_agg_id`, model.py:133-141): features
+    * sharing it can be computed in one scan. */
+  def aggId: String = {
+    val prefix = measurement.getOrElse(bucket.getOrElse("all"))
+    if (matchAll.isEmpty) prefix
+    else s"${prefix}_${matchAll.map { case (k, v) => s"$k=$v" }.sorted.mkString(",")}"
+  }
 }
 
 /** The core operator: filtered, time-bucketed, per-feature aggregation with
@@ -138,9 +166,12 @@ object TimesQuery {
     // Post-agg metrics (derivative/integral) aggregate avg() first, then get
     // their window transform after the spine join.
     def baseCol(feat: Feature): Column = {
+      // script-derived field (ES painless analog, SURVEY §2.2): a Spark
+      // SQL expression instead of a raw column
+      val input = feat.script.map(expr).getOrElse(col(feat.field))
       val guarded =
-        if (feat.matchAll.isEmpty) col(feat.field)
-        else when(tagPredicate(feat.matchAll), col(feat.field))
+        if (feat.matchAll.isEmpty) input
+        else when(tagPredicate(feat.matchAll), input)
       if (Metrics.isPostAgg(feat.metric)) avg(guarded).as(feat.name)
       else Metrics.agg(feat.metric, guarded, exact).cast("double").as(feat.name)
     }
@@ -216,6 +247,32 @@ object TimesQuery {
     */
   def mergeByBucket(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce((a, b) => a.join(b, Seq("bucket"), "full_outer"))
+
+  /** Times-query over features with per-feature `bucket`/`measurement`
+    * source overrides (/root/reference/loudml/model.py:82-83; influx
+    * measurement selection /root/reference/loudml/influx.py:540-543).
+    * Features are grouped by (bucket, measurement) — each group fuses
+    * into ONE scan exactly like [[run]] (same-source features stay one
+    * shuffle); groups hit different sources and merge by bucket label.
+    * `resolve` maps (bucket, measurement) to a points frame exposing
+    * `tsCol` (resolvers normalize timestamp column names). */
+  def runMulti(
+      spark: SparkSession,
+      resolve: (Option[String], Option[String]) => DataFrame,
+      tsCol: String,
+      interval: Long,
+      from: Long,
+      to: Long,
+      features: Seq[Feature],
+      exact: Boolean = true): DataFrame = {
+    require(features.nonEmpty, "at least one feature")
+    val groups = features.groupBy(f => (f.bucket, f.measurement)).toSeq
+      .sortBy { case ((b, m), _) => (b.getOrElse(""), m.getOrElse("")) }
+    val parts = groups.map { case ((b, m), fs) =>
+      run(spark, resolve(b, m), tsCol, interval, from, to, fs, exact = exact)
+    }
+    mergeByBucket(parts).orderBy("bucket")
+  }
 
   /** Convenience: bucket label as UTC timestamp instead of epoch seconds. */
   def withTimestamp(df: DataFrame): DataFrame =

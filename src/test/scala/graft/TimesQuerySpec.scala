@@ -110,4 +110,55 @@ class TimesQuerySpec extends SparkSpec {
     assertThrows[graft.functions.Metrics.UnsupportedMetric](
       Feature("x", "nope", "foo"))
   }
+
+  test("feature DSL validation mirrors the reference schema " +
+      "(model.py:77-98, tests/test_model.py)") {
+    // valid: full surface
+    val f = Feature("foo", "avg", "bar", measurement = Some("baz"),
+      bucket = Some("b1"), io = "o", anomalyType = "low",
+      scores = "standardize", script = Some("value * 2"))
+    assert(!f.isInput && f.isOutput)
+    assert(f.aggId == "baz")
+    assert(Feature("foo", "avg", "bar",
+      matchAll = Seq("tag" -> "x", "a" -> 1)).aggId == "all_a=1,tag=x")
+    // invalid enum values
+    assertThrows[IllegalArgumentException](Feature("f", "avg", "b", io = "x"))
+    assertThrows[IllegalArgumentException](
+      Feature("f", "avg", "b", anomalyType = "sideways"))
+    assertThrows[IllegalArgumentException](
+      Feature("f", "avg", "b", scores = "nope"))
+    assertThrows[IllegalArgumentException](
+      Feature("f", "avg", "b", transform = Some("square")))
+  }
+
+  test("scores scaling: min_max / normalize / standardize " +
+      "(model.py:97,129)") {
+    import graft.functions.Stats
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    def vals(method: String): Seq[Double] =
+      Stats.scaleSeries(df, "v", method, "s").orderBy("v")
+        .select("s").collect().map(_.getDouble(0)).toSeq
+    assert(vals("min_max") == Seq(0.0, 1.0 / 3, 2.0 / 3, 1.0))
+    val l2 = math.sqrt(1 + 4 + 9 + 16)
+    assert(vals("normalize").zip(Seq(1, 2, 3, 4).map(_ / l2))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    val mu = 2.5; val sd = math.sqrt(1.25)
+    assert(vals("standardize").zip(Seq(1, 2, 3, 4).map(x => (x - mu) / sd))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // constant series: min_max → 0, standardize σ=0→1 guard
+    val const = Seq(5.0, 5.0).toDF("v")
+    assert(Stats.scaleSeries(const, "v", "min_max", "s")
+      .select("s").collect().forall(_.getDouble(0) == 0.0))
+    assert(Stats.scaleSeries(const, "v", "standardize", "s")
+      .select("s").collect().forall(_.getDouble(0) == 0.0))
+  }
+
+  test("script-derived feature field (ES painless analog, model.py:93)") {
+    val pts = Seq((1.0, 1L), (3.0, 2L)).toDF("foo", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val out = TimesQuery.run(spark, pts, "ts", 10L, 0L, 10L,
+      Seq(Feature("doubled", "sum", "foo", script = Some("foo * 2"))))
+      .collect()
+    assert(out.length == 1 && out(0).getDouble(out(0).fieldIndex("doubled")) == 8.0)
+  }
 }
