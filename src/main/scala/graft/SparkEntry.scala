@@ -91,6 +91,21 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ── §2.4 mode + topk/bottomk THROUGH TimesQuery (registry path; the
+    //    script floors value to 1dp so frequency ties are common and the
+    //    lowest-value tie-break is genuinely exercised)
+    "q_times_mode" -> ((s, dir) =>
+      TimesQuery.run(s, t(s, dir, "events"), "ts", 86400L, FROM, TO,
+        Seq(
+          Feature("mode_v", "mode", "value",
+            script = Some("floor(value * 10) / 10")),
+          Feature("top_v", "topk", "value"),
+          Feature("bot_v", "bottomk", "value")))
+        .select(col("bucket"), col("mode_v"),
+          round(col("top_v"), 4).as("top_v"),
+          round(col("bot_v"), 4).as("bot_v"))
+        .orderBy("bucket")),
+
     // ── feature `scores` scaling at model-input assembly (model.py:97)
     "q_feature_scores" -> ((s, dir) => {
       val f = Feature("observed", "avg", "value", fill = ConstFill(0.0),
@@ -410,6 +425,31 @@ object SparkEntry {
          |FROM spine s LEFT JOIN a USING (bucket) LEFT JOIN c USING (bucket)
          |ORDER BY s.bucket""".stripMargin
     },
+
+    "q_times_mode" ->
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($FROM, ${TO - 86400L}, 86400)) AS bucket
+         |), pts AS (
+         |  SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS bucket,
+         |         floor(value * 10) / 10 AS v, value
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $TO
+         |), counts AS (
+         |  SELECT bucket, v, count(*) AS c FROM pts GROUP BY 1, 2
+         |), md AS (
+         |  SELECT bucket, v,
+         |         row_number() OVER (PARTITION BY bucket
+         |           ORDER BY c DESC, v ASC) AS rn
+         |  FROM counts
+         |), mm AS (
+         |  SELECT bucket, max(value) AS top_v, min(value) AS bot_v
+         |  FROM pts GROUP BY 1
+         |)
+         |SELECT s.bucket, md.v AS mode_v,
+         |       round(mm.top_v, 4) AS top_v, round(mm.bot_v, 4) AS bot_v
+         |FROM spine s
+         |LEFT JOIN (SELECT bucket, v FROM md WHERE rn = 1) md USING (bucket)
+         |LEFT JOIN mm USING (bucket)
+         |ORDER BY s.bucket""".stripMargin,
 
     "q_feature_scores" ->
       s"""WITH spine AS (

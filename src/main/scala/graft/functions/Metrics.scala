@@ -76,19 +76,13 @@ object Metrics {
   private def pct(c: Column, q: Double, exact: Boolean): Column =
     if (exact) percentile(c, lit(q)) else percentile_approx(c, lit(q), lit(10000))
 
-  /** Mode with a deterministic tie-break (smallest value wins). Spark's
-    * builtin `mode` breaks ties arbitrarily across partitions; for
-    * reproducible results (and oracle equality) we take max by
-    * (count, -value): max_by handles it via a struct ordering trick.
-    * Influx `mode` also returns the lowest value on ties.
-    */
-  def deterministicMode(c: Column): Column = {
-    // two-level aggregation is done by TimesQuery for real mode queries; as a
-    // single aggregate we use the exact percentile-free approach: collect the
-    // counts map. For scalar doubles at bucket granularity this stays small.
-    // mode(col) exists in Spark 3.4+, deterministic flag in 4.x:
-    mode(c, deterministic = true)
-  }
+  /** Mode with a deterministic tie-break: Spark 4's
+    * `mode(c, deterministic = true)` returns the LOWEST value among
+    * equally-frequent candidates, which is exactly InfluxDB's mode
+    * tie-break rule (lowest value wins). Oracle-checked through
+    * TimesQuery by q_times_mode against an explicit
+    * rank-by-(count desc, value asc) DuckDB mirror. */
+  def deterministicMode(c: Column): Column = mode(c, deterministic = true)
 
   /** Validate a metric name (unknown → UnsupportedMetric). */
   def validate(metric: String): String = {
