@@ -71,18 +71,17 @@ object Format {
 object WriteBack {
 
   def predictionFrame(scored: DataFrame, feature: String, model: String): DataFrame = {
-    var out = scored.select(
+    val cols = Seq(
       col("bucket"),
       col("predicted").as(feature),
       col("observed").as(s"@$feature"),
       col("lower").as(s"lower_$feature"),
       col("upper").as(s"upper_$feature"),
-      col("score"))
-      .withColumn("model", lit(model))
-    if (scored.columns.contains("is_anomaly"))
-      out = out.withColumn("is_anomaly",
-        scored("is_anomaly").cast("string")) // tags are strings (§1.2)
-    out
+      col("score")) ++
+      (if (scored.columns.contains("is_anomaly"))
+        Seq(col("is_anomaly").cast("string").as("is_anomaly")) // tags are strings (§1.2)
+      else Nil)
+    scored.select(cols: _*).withColumn("model", lit(model))
   }
 
   /** Append to a parquet sink partitioned by UTC date — the

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{DateMath, FeatureDsl, Templates}
+import graft.io.{Format, ModelStore, WriteBack}
+import graft.ml.Annotations
+import graft.operators.{Feature, TimesQuery}
+import graft.sources.Tables
+
+/** Parity tests for the previously-untested surfaces: DateMath
+  * (tests/test_misc.py), Templates, FeatureDsl parse errors,
+  * Format.series/buckets JSON shapes (donut.py:331-412), ModelStore
+  * save→restore→load (filestorage.py:57-236), Annotations window goldens
+  * (test_donut.py:171-225), WriteBack schema (bucket.py:232-253), and the
+  * CSV source (membucket.py:90-112) through a times-query golden. */
+class SurfacesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── DateMath (tests/test_misc.py:22-48) ─────────────────────────────
+
+  test("timedelta parse mirrors test_misc.test_timedelta") {
+    assert(DateMath.parseDelta("4") == 4.0)
+    assert(DateMath.parseDelta("42") == 42.0)
+    assert(DateMath.parseDelta("+42") == 42.0)
+    assert(DateMath.parseDelta("42s") == 42.0)
+    assert(DateMath.parseDelta("42.0s") == 42.0)
+    assert(DateMath.parseDelta("42m") == 42.0 * 60)
+    assert(DateMath.parseDelta("42h") == 42.0 * 3600)
+    assert(DateMath.parseDelta("42d") == 42.0 * 86400)
+    assert(DateMath.parseDelta("42w") == 42.0 * 7 * 86400)
+    assert(DateMath.parseDelta("-42s") == -42.0)
+    assert(DateMath.parseDelta("2M") == 60.0 * 24 * 3600)
+    assert(DateMath.parseDelta("2y") == 365.0 * 2 * 24 * 3600)
+    for (bad <- Seq("", "foo", "42x"))
+      assertThrows[IllegalArgumentException](DateMath.parseDelta(bad))
+  }
+
+  test("timestamp parse/format round-trips mirror test_misc.test_datetime") {
+    assert(DateMath.parseTs("1515404366.123") == 1515404366.123)
+    assert(DateMath.parseTs("2018-01-08T09:39:26.123Z") == 1515404366.123)
+    assert(DateMath.formatTs(1515404366.123) == "2018-01-08T09:39:26.123Z")
+    assert(DateMath.parseTs(DateMath.formatTs(1515404366.123)) == 1515404366.123)
+    // relative now±delta with injected now (api-conventions.asciidoc:28-83)
+    assert(DateMath.parseTs("now", nowEpoch = 1000L) == 1000.0)
+    assert(DateMath.parseTs("now-5m", nowEpoch = 1000L) == 700.0)
+    assert(DateMath.parseTs("now+1h", nowEpoch = 1000L) == 4600.0)
+  }
+
+  // ── Templates (model.py:149-204) ────────────────────────────────────
+
+  test("templates substitute and discover unbound variables") {
+    val tpl = """{"name": "{{ name }}", "span": {{span}}}"""
+    assert(Templates.variables(tpl) == Set("name", "span"))
+    assert(Templates.render(tpl, Map("name" -> "m1", "span" -> "24")) ==
+      """{"name": "m1", "span": 24}""")
+    val e = intercept[IllegalArgumentException](
+      Templates.render(tpl, Map("name" -> "m1")))
+    assert(e.getMessage.contains("span"))
+  }
+
+  // ── FeatureDsl parse (misc.py:334-342, server.py:1181-1207) ─────────
+
+  test("feature expression parse + errors") {
+    val f = FeatureDsl.parse("avg(cpu.load)")
+    assert(f.metric == "avg" && f.measurement.contains("cpu") && f.field == "load")
+    assert(f.name == "avg_load")
+    val bare = FeatureDsl.parse("count(value)")
+    assert(bare.measurement.isEmpty && bare.field == "value")
+    assert(FeatureDsl.parseList("avg(m.f); count(g)").map(_.metric) ==
+      Seq("avg", "count"))
+    assertThrows[IllegalArgumentException](FeatureDsl.parse("avg"))
+    assertThrows[IllegalArgumentException](FeatureDsl.parse("avg()"))
+    assertThrows[graft.functions.Metrics.UnsupportedMetric](
+      FeatureDsl.parse("nope(f)"))
+  }
+
+  // ── Format.series / Format.buckets (donut.py:331-412) ───────────────
+
+  test("format_series columnar JSON shape, NaN→null") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val df = Seq(
+      (0L, 1.5, 1.4, 1.0, 1.8),
+      (10L, Double.NaN, 1.5, 1.1, 1.9))
+      .toDF("bucket", "cpu", "predicted", "lower", "upper")
+    val j = JsonMethods.parse(Format.series(df, Seq("cpu"), predicted = true))
+    assert((j \ "timestamps") == JArray(List(JInt(0), JInt(10))))
+    (j \ "observed" \ "cpu") match {
+      case JArray(List(JDouble(1.5), JNull)) => () // NaN→null (misc.py:345-356)
+      case other => fail(s"bad observed: $other")
+    }
+    (j \ "predicted" \ "predicted") match {
+      case JArray(List(JDouble(1.4), JDouble(1.5))) => ()
+      case other => fail(s"bad predicted: $other")
+    }
+  }
+
+  test("format_buckets row-wise JSON with per-bucket stats") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val df = Seq((0L, 2.0, 87.5, true), (10L, 3.0, 10.0, false))
+      .toDF("bucket", "cpu", "score", "is_anomaly")
+    val JArray(rows) = JsonMethods.parse(Format.buckets(df, Seq("cpu")))
+    assert(rows.length == 2)
+    assert((rows.head \ "timestamp") == JInt(0))
+    assert((rows.head \ "stats" \ "score") == JDouble(87.5))
+    assert((rows.head \ "stats" \ "anomaly") == JBool(true))
+    assert((rows.head \ "values" \ "cpu") == JDouble(2.0))
+  }
+
+  // ── WriteBack (bucket.py:232-253, donut.py:293-319) ─────────────────
+
+  test("write-back schema: predicted under feature, observed under @feature") {
+    val scored = Seq((0L, 1.0, 1.1, 0.8, 1.4, 12.5, false))
+      .toDF("bucket", "observed", "predicted", "lower", "upper", "score", "is_anomaly")
+    val out = WriteBack.predictionFrame(scored, "cpu", "m1")
+    assert(out.columns.toSet == Set("bucket", "cpu", "@cpu", "lower_cpu",
+      "upper_cpu", "score", "model", "is_anomaly"))
+    val r = out.collect()(0)
+    assert(r.getDouble(r.fieldIndex("cpu")) == 1.1)     // predicted
+    assert(r.getDouble(r.fieldIndex("@cpu")) == 1.0)    // observed
+    assert(r.getString(r.fieldIndex("is_anomaly")) == "false") // tag = string
+    // partitioned parquet sink round-trip (date partition pruning at scale)
+    val dir = java.nio.file.Files.createTempDirectory("wb").toString + "/sink"
+    WriteBack.save(out, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1 && back.columns.contains("date"))
+  }
+
+  // ── ModelStore (filestorage.py:57-236) ──────────────────────────────
+
+  test("versioned checkpoints: save, ACTIVE pointer, restore, load") {
+    val root = java.nio.file.Files.createTempDirectory("store").toString
+    val p1 = Seq((0L, 1.0)).toDF("slot", "mu")
+    val p2 = Seq((0L, 2.0)).toDF("slot", "mu")
+    assert(ModelStore.save(p1, """{"v":1}""", root, "m") == 1)
+    assert(ModelStore.save(p2, """{"v":2}""", root, "m") == 2)
+    assert(ModelStore.listVersions(root, "m") == Seq(1, 2))
+    assert(ModelStore.activeVersion(root, "m").contains(2))
+    val (prof2, json2) = ModelStore.load(spark, root, "m")
+    assert(json2 == """{"v":2}""" && prof2.collect()(0).getDouble(1) == 2.0)
+    // _restore points ACTIVE back (server.py:890-904)
+    ModelStore.restore(root, "m", 1)
+    val (prof1, json1) = ModelStore.load(spark, root, "m")
+    assert(json1 == """{"v":1}""" && prof1.collect()(0).getDouble(1) == 1.0)
+    assertThrows[IllegalArgumentException](ModelStore.restore(root, "m", 9))
+  }
+
+  // ── Annotations (test_donut.py:171-225 _format_windows goldens) ─────
+
+  test("annotation window flag/exclude mirror _format_windows goldens") {
+    // range [100,200[ step 10 — the reference's exact cases
+    val buckets = (100L until 200L by 10L).map(Tuple1(_)).toDF("bucket")
+    def flags(ws: Seq[(Long, Long)]): Seq[Boolean] = {
+      val w = ws.toDF("start_ts", "end_ts")
+      Annotations.flagWindows(buckets, w).orderBy("bucket")
+        .select("is_abnormal").as[Boolean].collect().toSeq
+    }
+    assert(flags(Seq((50L, 90L), (200L, 220L))) == Seq.fill(10)(false))
+    assert(flags(Seq((100L, 200L))) == Seq.fill(10)(true))
+    assert(flags(Seq((150L, 160L))) ==
+      Seq(false, false, false, false, false, true, false, false, false, false))
+    assert(flags(Seq((50L, 110L), (190L, 240L))) ==
+      Seq(true, false, false, false, false, false, false, false, false, true))
+    // exclusion drops exactly the flagged buckets
+    val w = Seq((150L, 160L)).toDF("start_ts", "end_ts")
+    assert(Annotations.excludeWindows(buckets, w).count() == 9)
+    // inRange: list_anomalies overlap semantics (influx.py:662-694)
+    val anns = Seq((10L, 20L, "a"), (30L, 40L, "b")).toDF("start_ts", "end_ts", "text")
+    assert(Annotations.inRange(anns, 15L, 35L).count() == 2)
+    assert(Annotations.inRange(anns, 20L, 30L).count() == 0) // [from,to[ exclusive
+  }
+
+  // ── CSV source (membucket.py:90-112, nl.csv.gz-style) ───────────────
+
+  test("semicolon CSV(.gz) loads and runs a times-query (golden)") {
+    val dir = java.nio.file.Files.createTempDirectory("csv")
+    val csv = dir.resolve("nl.csv")
+    // nl.csv shape: DT;Temperature;CO2 (membucket.py:90-112)
+    java.nio.file.Files.writeString(csv,
+      """DT;Temperature;CO2
+        |2024-01-01 00:10:00;20.0;400
+        |2024-01-01 00:20:00;22.0;410
+        |2024-01-01 01:10:00;24.0;420
+        |2024-01-01 02:30:00;;430
+        |""".stripMargin)
+    val raw = Tables.loadCsv(spark, csv.toString)
+      .withColumn("ts", to_timestamp(col("DT")))
+    val out = TimesQuery.run(spark, raw, "ts", 3600L,
+      1704067200L, 1704067200L + 4 * 3600L,
+      Seq(Feature("avg_temp", "avg", "Temperature"),
+        Feature("n_co2", "count", "CO2")))
+      .collect()
+    assert(out.length == 4)
+    val byBucket: Map[Long, (Option[Any], Double)] = out.map { r =>
+      (r.getLong(0) - 1704067200L) / 3600L ->
+        ((Option(r.get(r.fieldIndex("avg_temp"))),
+          r.getDouble(r.fieldIndex("n_co2"))))
+    }.toMap
+    assert(byBucket(0L) == (Some(21.0), 2.0)) // (20+22)/2, two CO2 points
+    assert(byBucket(1L) == (Some(24.0), 1.0))
+    assert(byBucket(2L) == (None, 1.0))       // empty Temperature cell → null
+    assert(byBucket(3L) == (None, 0.0))       // empty bucket: count 0, avg null
+  }
+}
