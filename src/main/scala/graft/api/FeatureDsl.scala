@@ -82,6 +82,32 @@ object DateMath {
   }
 }
 
+/** REST list sort + pagination — the service-layer shape shared by every
+  * list endpoint (/root/reference/loudml/server.py:604-638,706-723,
+  * 1241-1257): `sort=<field>:<1|-1>`, `page` (0-based, ≥ 0), `per_page`
+  * (≤ 100). Validation mirrors the reference's `Invalid` errors.
+  */
+object Listing {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+
+  def sortPage(df: DataFrame, sort: String = "name:1",
+      page: Int = 0, perPage: Int = 50): DataFrame = {
+    if (perPage > 100 || perPage <= 0)
+      throw new IllegalArgumentException("invalid value for parameter 'per_page'")
+    if (page < 0)
+      throw new IllegalArgumentException("invalid value for parameter 'page'")
+    val (field, order) = sort.split(":") match {
+      case Array(f, o) if o == "1" || o == "-1" => (f, o.toInt)
+      case Array(f)                             => (f, 1)
+      case _ =>
+        throw new IllegalArgumentException("invalid value for parameter 'sort'")
+    }
+    val ordered = df.orderBy(if (order == -1) col(field).desc else col(field).asc)
+    ordered.offset(page * perPage).limit(perPage)
+  }
+}
+
 /** `{{var}}` model templates with undeclared-variable discovery —
   * /root/reference/loudml/model.py:149-204 (Jinja2 in the reference; the
   * capability is plain substitution + listing unbound variables).

@@ -277,4 +277,20 @@ object TimesQuery {
   /** Convenience: bucket label as UTC timestamp instead of epoch seconds. */
   def withTimestamp(df: DataFrame): DataFrame =
     df.withColumn("bucket_ts", timestamp_seconds(col("bucket")))
+
+  /** Time offset relative to the first bucket — the reference returns
+    * `(ts − t₀)` tuples from `get_times_data`
+    * (/root/reference/loudml/influx.py:591-612,
+    * /root/reference/loudml/membucket.py:253-273). Per series when keys
+    * given; the min is an aggregation broadcast back (no unpartitioned
+    * window). */
+  def withTimeOffset(df: DataFrame, seriesKeys: Seq[String] = Nil): DataFrame = {
+    val m =
+      if (seriesKeys.isEmpty) df.agg(min(col("bucket")).as("__t0"))
+      else df.groupBy(seriesKeys.map(col): _*).agg(min(col("bucket")).as("__t0"))
+    val joined =
+      if (seriesKeys.isEmpty) df.crossJoin(broadcast(m))
+      else df.join(broadcast(m), seriesKeys)
+    joined.withColumn("time_offset", col("bucket") - col("__t0")).drop("__t0")
+  }
 }

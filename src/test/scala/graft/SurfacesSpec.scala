@@ -172,6 +172,67 @@ class SurfacesSpec extends SparkSpec {
     assert(Annotations.inRange(anns, 20L, 30L).count() == 0) // [from,to[ exclusive
   }
 
+  // ── Constraint test on forecast (misc.py:311-330, worker.py:299-318) ─
+
+  test("forecast constraint: parse + first violation") {
+    import graft.ml.Constraints
+    val c = Constraints.parse("cpu:high:80.5")
+    assert(c == Constraints.Constraint("cpu", "high", 80.5))
+    assertThrows[IllegalArgumentException](Constraints.parse("cpu:high"))
+    assertThrows[IllegalArgumentException](Constraints.parse("cpu:sideways:1"))
+    assertThrows[IllegalArgumentException](Constraints.parse("cpu:low:xx"))
+    val fc = Seq((0L, 50.0), (10L, 85.0), (20L, 90.0))
+      .toDF("bucket", "predicted")
+    assert(Constraints.firstViolation(fc, c) == Some((10L, 85.0)))
+    assert(Constraints.firstViolation(fc,
+      Constraints.Constraint("cpu", "low", 40.0)).isEmpty)
+    assert(Constraints.firstViolation(fc,
+      Constraints.Constraint("cpu", "low", 60.0)) == Some((0L, 50.0)))
+  }
+
+  test("top-N abnormal keys from a keyed scan (server.py:1605-1626)") {
+    import graft.ml.{AnomalyScan, Constraints}
+    val scores = Seq(
+      ("a", 0L, 99.9), ("a", 3L, 99.8), ("b", 0L, 50.0), ("b", 3L, 99.95),
+      ("c", 0L, 10.0), ("c", 3L, 20.0))
+      .toDF("host", "bucket", "score")
+    val scanned = AnomalyScan.scan(scores, maxThreshold = 99.7,
+      minThreshold = 68.0, seriesKeys = Seq("host"))
+    val top = Constraints.topAbnormalKeys(scanned, Seq("host"), 2).collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("b", "a"))
+    assert(top(1).getLong(top(1).fieldIndex("n_anomalies")) == 2L)
+  }
+
+  // ── Time offset vs first bucket (influx.py:591-612) ─────────────────
+
+  test("time offset relative to first bucket, per series") {
+    val df = Seq(("a", 100L), ("a", 110L), ("b", 200L), ("b", 230L))
+      .toDF("host", "bucket")
+    val out = TimesQuery.withTimeOffset(df, Seq("host"))
+      .orderBy("host", "bucket")
+      .select("host", "time_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 0L), ("a", 10L), ("b", 0L), ("b", 30L)))
+    val single = TimesQuery.withTimeOffset(Seq(5L, 9L).toDF("bucket"))
+      .orderBy("bucket").select("time_offset").as[Long].collect().toSeq
+    assert(single == Seq(0L, 4L))
+  }
+
+  // ── REST list sort/pagination (server.py:604-638) ───────────────────
+
+  test("list sort + pagination with validation") {
+    import graft.api.Listing
+    val df = Seq("c", "a", "d", "b").map(Tuple1(_)).toDF("name")
+    assert(Listing.sortPage(df, "name:1", 0, 2)
+      .as[String].collect().toSeq == Seq("a", "b"))
+    assert(Listing.sortPage(df, "name:-1", 1, 2)
+      .as[String].collect().toSeq == Seq("b", "a"))
+    assertThrows[IllegalArgumentException](Listing.sortPage(df, perPage = 101))
+    assertThrows[IllegalArgumentException](Listing.sortPage(df, perPage = 0))
+    assertThrows[IllegalArgumentException](Listing.sortPage(df, page = -1))
+    assertThrows[IllegalArgumentException](Listing.sortPage(df, sort = "a:b:c"))
+  }
+
   // ── CSV source (membucket.py:90-112, nl.csv.gz-style) ───────────────
 
   test("semicolon CSV(.gz) loads and runs a times-query (golden)") {
