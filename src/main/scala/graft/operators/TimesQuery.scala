@@ -129,8 +129,18 @@ object TimesQuery {
       features: Seq[Feature],
       seriesKeys: Seq[String] = Nil,
       exact: Boolean = true,
-      anchorAtFrom: Boolean = false): DataFrame = {
+      anchorAtFrom: Boolean = false,
+      maxSeries: Option[Int] = None): DataFrame = {
     require(features.nonEmpty, "at least one feature")
+    // max_series_per_request guard (/root/reference/loudml/bucket.py:41-46,
+    // 87-89, default 2000): refuse a fan-out beyond the configured series
+    // limit before running the query. Opt-in (the check itself costs a
+    // distinct count over the key columns).
+    maxSeries.filter(_ => seriesKeys.nonEmpty).foreach { mx =>
+      val n = points.select(seriesKeys.map(col): _*).distinct().count()
+      if (n > mx) throw new IllegalArgumentException(
+        s"max_series_per_request exceeded: $n series > $mx")
+    }
     val (f, t) = if (anchorAtFrom) (from, to) else alignRange(from, to, interval)
     val ts = col(tsCol)
 

@@ -117,6 +117,40 @@ class ModelSpec extends SparkSpec {
     assert(preds.max - preds.min > 2.0) // daily amplitude visible
   }
 
+  test("incremental training: merged sufficient stats == full retrain " +
+      "(donut.py:857-897 warm start)") {
+    val s1 = sinSeries(240, HOUR, seed = 9)
+    val s2 = sinSeries(240, HOUR, seed = 10).map { case (ts, v) =>
+      (ts + 240 * HOUR, v) }
+    val p = SeasonalModelParams(bucketInterval = HOUR)
+    val full = SeasonalModel.train((s1 ++ s2).toDF("bucket", "value"), "value", p)
+      .orderBy("slot").collect()
+    val merged = SeasonalModel.statsToProfile(SeasonalModel.mergeStats(
+      SeasonalModel.trainStats(s1.toDF("bucket", "value"), "value", p),
+      SeasonalModel.trainStats(s2.toDF("bucket", "value"), "value", p)))
+      .orderBy("slot").collect()
+    assert(full.length == merged.length)
+    full.zip(merged).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9) // mu
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-9) // sigma
+    }
+  }
+
+  test("fitBest picks the true period by validation MSE " +
+      "(donut.py:800-855 hyperparameter search)") {
+    // 12h-periodic signal: candidate periods 6h/12h/24h — 12h must win
+    val series = (0 until 480).map { t =>
+      (t * HOUR, 5.0 + 3.0 * math.sin(2 * math.Pi * t / 12.0))
+    }
+    val train = series.take(360).toDF("bucket", "value")
+    val valid = series.drop(360).toDF("bucket", "value")
+    val (best, profile) = SeasonalModel.fitBest(
+      train, valid, "value", HOUR, Seq(6 * HOUR, 12 * HOUR, 24 * HOUR))
+    assert(best.period == 12 * HOUR)
+    assert(profile.count() == 12)
+  }
+
   test("seasonal model behind the same trait") {
     val series = sinSeries(720, HOUR, seed = 5).toDF("bucket", "value")
     val m = ModelRegistry("seasonal")

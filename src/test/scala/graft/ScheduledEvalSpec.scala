@@ -109,6 +109,51 @@ class ScheduledEvalSpec extends SparkSpec {
     assert(StateStore.load(root, "x") == RunState.empty)
   }
 
+  test("streaming eval: watermarked windows, anomaly spanning two " +
+      "micro-batches fires one start + one end (SURVEY §2.9)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEval
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // model: seasonal on a flat-10 series (sigma=0 → 1 guard → clean bands)
+    val train = (0 until 240).map(t => (t * 10L, 10.0)).toDF("bucket", "value")
+    val model = ModelRegistry("seasonal")
+      .train(train, "value", """{"bucket_interval":10,"period":86400}""")
+
+    val ms = MemoryStream[(Long, Double)]
+    val points = ms.toDF()
+      .select(timestamp_seconds(col("_1")).as("ts"), col("_2").as("value"))
+    val bucketed = StreamingEval.bucketize(points, "ts", "value",
+      interval = 10L, offsetSec = 0L)
+
+    val stateRoot = java.nio.file.Files.createTempDirectory("srs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val hook = new RecordingHook
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = StreamingEval.start(bucketed, model,
+      graft.streaming.EvalParams(interval = 10L, offset = 0L,
+        bucketInterval = 10L, maxThreshold = 99.7, minThreshold = 68.0),
+      stateRoot, "sm1", hooks = Seq(hook), checkpointDir = ckpt,
+      onBatch = b => got ++= b.orderBy("bucket").collect().map(r =>
+        (r.getLong(r.fieldIndex("bucket")),
+          Option(r.getString(r.fieldIndex("anomaly"))).orNull)))
+    try {
+      // batch 1: watermark advances to 35 → buckets 0,10,20 close;
+      // bucket 20 (value 100) opens the anomaly
+      ms.addData((5L, 10.0), (15L, 10.0), (25L, 100.0), (35L, 100.0))
+      q.processAllAvailable()
+      // batch 2: watermark 55 → buckets 30 (still 100 → ongoing, NO new
+      // start) and 40 (back to 10 → end) close
+      ms.addData((45L, 10.0), (55L, 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.toSeq == Seq(
+      (0L, null), (10L, null), (20L, "start"), (30L, "ongoing"), (40L, "end")))
+    assert(hook.starts.map(_._1).toSeq == Seq(20L))
+    assert(hook.ends.map(_._1).toSeq == Seq(40L))
+  }
+
   test("hook exceptions don't break dispatch (donut.py:1545-1548)") {
     val bad = new Hook {
       val name = "bad"

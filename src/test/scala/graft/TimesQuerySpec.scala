@@ -106,6 +106,22 @@ class TimesQuerySpec extends SparkSpec {
     assert(rows.filter(_._1 == "b").map(_._3).toSeq == Seq(10.0, 10.0, 10.0))
   }
 
+  test("max_series_per_request guard (bucket.py:41-46,87-89)") {
+    val pts = Seq(("a", 1.0, 1L), ("b", 2.0, 1L), ("c", 3.0, 1L))
+      .toDF("host", "foo", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val e = intercept[IllegalArgumentException] {
+      TimesQuery.run(spark, pts, "ts", 3L, 0L, 3L,
+        Seq(Feature("avg_foo", "avg", "foo")),
+        seriesKeys = Seq("host"), maxSeries = Some(2))
+    }
+    assert(e.getMessage.contains("max_series_per_request"))
+    // within limit → runs
+    assert(TimesQuery.run(spark, pts, "ts", 3L, 0L, 3L,
+      Seq(Feature("avg_foo", "avg", "foo")),
+      seriesKeys = Seq("host"), maxSeries = Some(3)).count() == 3)
+  }
+
   test("unsupported metric raises UnsupportedMetric (loudml/errors.py:106-115)") {
     assertThrows[graft.functions.Metrics.UnsupportedMetric](
       Feature("x", "nope", "foo"))
