@@ -166,23 +166,33 @@ object Dedup {
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
       tau: Double = 0.5): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val bk = lshBandKeys(sigs, idCol, numHashes, bands)
-    val cand = bk.as("a")
-      .join(bk.as("b"),
+    val rowsPer = numHashes / bands
+    require(rowsPer * bands == numHashes, "bands must divide numHashes")
+    // band keys WITH the signature struct riding along: the verify stage
+    // reads both sides' signatures straight off the candidate join, so
+    // the shingle→signature pipeline appears exactly twice in the plan
+    // (the two join sides) instead of four times (band self-join + two
+    // sigs lookups). Payload is numHashes longs per row — cheap shuffle.
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPer).map(r => col(s"sig_${b * rowsPer + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("key"))
+    }
+    val keyed = sigs.withColumn("bk", explode(array(bandCols: _*)))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.key").as("band_key"),
+        struct((0 until numHashes).map(i => col(s"sig_$i")): _*).as("sig"))
+    val est = (0 until numHashes)
+      .map(i => when(col(s"a.sig.sig_$i") === col(s"b.sig.sig_$i"), 1)
+        .otherwise(0))
+      .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
+    val removed = keyed.as("a")
+      .join(keyed.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    val est = (0 until numHashes)
-      .map(i => when(col(s"sa.sig_$i") === col(s"sb.sig_$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
-    val verified = cand
-      .join(sigs.as("sa"), col("id_a") === col(s"sa.$idCol"))
-      .join(sigs.as("sb"), col("id_b") === col(s"sb.$idCol"))
       .filter(est >= tau)
-      .select("id_a", "id_b")
-    val removed = verified.select(col("id_b").as(idCol)).distinct()
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
     df.join(removed, Seq(idCol), "left_anti")
   }
 }
