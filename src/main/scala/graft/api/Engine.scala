@@ -1,0 +1,254 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ml.{AnomalyScan, Constraints, Hook, ModelRegistry, TrainedModel}
+import graft.operators.{ConstFill, Feature, Fill, NoFill, PreviousFill, TimesQuery}
+import graft.sources.BucketRegistry
+import graft.streaming.{EvalParams, ScheduledEval}
+
+/** Model settings — the reference's settings dict
+  * (/root/reference/loudml/model.py:207-264: name, type, features[],
+  * bucket_interval, interval, offset, thresholds, grace_period,
+  * default_bucket). Interval-ish fields accept numbers or timedelta
+  * strings ("1h", "140m") exactly like the voluptuous schema
+  * (/root/reference/loudml/schemas.py). */
+final case class ModelSettings(
+    name: String,
+    tpe: String,
+    features: Seq[Feature],
+    bucketInterval: Long,
+    interval: Long,
+    offset: Long,
+    maxThreshold: Double,
+    minThreshold: Double,
+    gracePeriod: Long,
+    defaultBucket: Option[String],
+    raw: String) {
+
+  /** Settings JSON for the model trait with interval fields numeric. */
+  def canonicalJson: String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val merged = JsonMethods.parse(raw).merge(JObject(
+      "type" -> JString(tpe),
+      "bucket_interval" -> JLong(bucketInterval)))
+    JsonMethods.compact(JsonMethods.render(merged))
+  }
+}
+
+object ModelSettings {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def seconds(j: JValue, default: => Long): Long = j match {
+    case JInt(x)     => x.toLong
+    case JLong(x)    => x
+    case JDouble(x)  => x.toLong
+    case JString(s)  => DateMath.parseDelta(s).toLong
+    case _           => default
+  }
+  private def num(j: JValue, default: => Double): Double = j match {
+    case JInt(x)    => x.toDouble
+    case JLong(x)   => x.toDouble
+    case JDouble(x) => x
+    case _          => default
+  }
+  private def str(j: JValue): Option[String] = j match {
+    case JString(s) => Some(s); case _ => None
+  }
+
+  private def feature(j: JValue): Feature = {
+    val name = str(j \ "name").getOrElse(
+      throw new IllegalArgumentException("feature needs a name"))
+    val metric = str(j \ "metric").getOrElse(
+      throw new IllegalArgumentException("feature needs a metric"))
+    val field = str(j \ "field").getOrElse(
+      throw new IllegalArgumentException("feature needs a field"))
+    val matchAll: Seq[(String, Any)] = (j \ "match_all") match {
+      case JArray(xs) => xs.map { m =>
+        val tag = str(m \ "tag").getOrElse(
+          throw new IllegalArgumentException("match_all entry needs a tag"))
+        val v: Any = (m \ "value") match {
+          case JString(s) => s
+          case JInt(x)    => x.toLong
+          case JLong(x)   => x
+          case JDouble(x) => x
+          case JBool(b)   => b
+          case _ => throw new IllegalArgumentException("match_all needs a value")
+        }
+        tag -> v
+      }
+      case _ => Nil
+    }
+    val fill: Fill = (j \ "default") match {
+      case JString("previous") => PreviousFill
+      case JInt(x)             => ConstFill(x.toDouble)
+      case JLong(x)            => ConstFill(x.toDouble)
+      case JDouble(x)          => ConstFill(x)
+      case _                   => NoFill
+    }
+    Feature(name, metric, field, matchAll = matchAll, fill = fill,
+      measurement = str(j \ "measurement"), bucket = str(j \ "bucket"),
+      script = str(j \ "script"),
+      io = str(j \ "io").getOrElse("io"),
+      anomalyType = str(j \ "anomaly_type").getOrElse("low_high"),
+      scores = str(j \ "scores").getOrElse("min_max"))
+  }
+
+  def parse(json: String): ModelSettings = {
+    val j = JsonMethods.parse(json)
+    val feats = (j \ "features") match {
+      case JArray(xs) if xs.nonEmpty => xs.map(feature)
+      case _ => throw new IllegalArgumentException("model needs features")
+    }
+    ModelSettings(
+      name = str(j \ "name").getOrElse(
+        throw new IllegalArgumentException("model needs a name")),
+      tpe = str(j \ "type").getOrElse(
+        throw new IllegalArgumentException("model has no type")),
+      features = feats,
+      bucketInterval = seconds(j \ "bucket_interval",
+        throw new IllegalArgumentException("model needs bucket_interval")),
+      interval = seconds(j \ "interval", 60L),
+      offset = seconds(j \ "offset", 30L),
+      maxThreshold = num(j \ "max_threshold", 99.7),
+      minThreshold = num(j \ "min_threshold", 68.0),
+      gracePeriod = seconds(j \ "grace_period", 0L),
+      defaultBucket = str(j \ "default_bucket"),
+      raw = json)
+  }
+}
+
+/** The engine facade — what the reference's REST server exposes, as a
+  * library (endpoint → method):
+  *
+  *  - `POST /buckets/<b>/_read` (server.py:1168-1217)  → [[readFromBucket]]
+  *  - model CRUD (server.py:736-936)                   → [[createModel]]
+  *  - `POST /models/<m>/_train` (server.py:907-936)    → [[trainModel]]
+  *  - `POST /models/<m>/_eval` (server.py:1583-1602)   → [[evalModel]]
+  *  - `POST /models/<m>/_forecast` + constraint
+  *    (worker.py:299-318)                              → [[forecastModel]]
+  *  - `POST /models/<m>/_start` (server.py:1559-1580)  → [[startScheduled]]
+  *
+  * A loudml user switches by registering buckets, posting the same model
+  * settings JSON, and calling these methods. The Flask/job-pool plumbing
+  * of the reference is process architecture, not capability — callers
+  * own their own async.
+  */
+class Engine(
+    spark: SparkSession,
+    val buckets: BucketRegistry,
+    storageRoot: String) {
+
+  private val settings =
+    scala.collection.concurrent.TrieMap.empty[String, ModelSettings]
+
+  def createModel(settingsJson: String): ModelSettings = {
+    val s = ModelSettings.parse(settingsJson)
+    ModelRegistry(s.tpe) // unknown type → UnsupportedModel, model.py:445-468
+    settings.put(s.name, s)
+    s
+  }
+
+  def getModel(name: String): ModelSettings =
+    settings.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown model: $name"))
+
+  /** `_read`: features expressed as `metric(measurement.field)` lists,
+    * from/to as epoch / ISO / now±delta date-math. */
+  def readFromBucket(bucket: String, from: String, to: String,
+      bucketInterval: Long, featuresExpr: String,
+      nowEpoch: Long = System.currentTimeMillis() / 1000): DataFrame = {
+    val b = buckets(bucket)
+    val feats = FeatureDsl.parseList(featuresExpr).map(_.toFeature())
+    TimesQuery.run(spark, b.readPoints(spark), b.timestampField,
+      bucketInterval,
+      DateMath.parseTs(from, nowEpoch).toLong,
+      DateMath.parseTs(to, nowEpoch).toLong,
+      feats)
+  }
+
+  /** Bucketed single-feature series for a model (reference models are
+    * single-feature, donut.py:543-545). */
+  private def series(s: ModelSettings, bucket: String, from: Long,
+      to: Long): DataFrame = {
+    val b = buckets(bucket)
+    TimesQuery.run(spark, b.readPoints(spark), b.timestampField,
+      s.bucketInterval, from, to, s.features.take(1))
+  }
+
+  private def bucketOf(s: ModelSettings, bucket: Option[String]): String =
+    bucket.orElse(s.defaultBucket).getOrElse(
+      throw new IllegalArgumentException(s"model ${s.name} has no bucket"))
+
+  /** `_train`: fetch, train via the type registry, checkpoint. Returns
+    * the checkpoint version. */
+  def trainModel(name: String, from: String, to: String,
+      bucket: Option[String] = None,
+      nowEpoch: Long = System.currentTimeMillis() / 1000): Int = {
+    val s = getModel(name)
+    val bucketed = series(s, bucketOf(s, bucket),
+      DateMath.parseTs(from, nowEpoch).toLong,
+      DateMath.parseTs(to, nowEpoch).toLong)
+    val trained = ModelRegistry(s.tpe)
+      .train(bucketed, s.features.head.name, s.canonicalJson)
+    trained.save(storageRoot, name)
+  }
+
+  def loadTrained(name: String): TrainedModel =
+    ModelRegistry.load(spark, storageRoot, name)
+
+  /** `_eval`: score `[from,to[` (context extended back 2 periods for
+    * window models, donut.py:1210-1217) and, when `detectAnomalies`, run
+    * the hysteresis scan (stateless here — the scheduled path owns
+    * persistent state, mirroring `_eval`'s save_run_state=False,
+    * server.py:1589). */
+  def evalModel(name: String, from: String, to: String,
+      detectAnomalies: Boolean = true, bucket: Option[String] = None,
+      nowEpoch: Long = System.currentTimeMillis() / 1000): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val s = getModel(name)
+    val f = DateMath.parseTs(from, nowEpoch).toLong
+    val t = DateMath.parseTs(to, nowEpoch).toLong
+    val model = loadTrained(name)
+    val scored = model.predict(
+      series(s, bucketOf(s, bucket), f - 2 * 86400L, t),
+      s.features.head.name, s.features.head.anomalyType)
+      .filter(col("bucket") >= f && col("bucket") < t)
+    if (!detectAnomalies) scored
+    else AnomalyScan.scan(
+      scored.withColumn("score", coalesce(col("score"), lit(0.0))),
+      maxThreshold = s.maxThreshold, minThreshold = s.minThreshold,
+      gracePeriodSec = s.gracePeriod)
+  }
+
+  /** `_forecast` with optional `feature:low|high:threshold` constraint;
+    * returns the bands and the first constraint violation if any. */
+  def forecastModel(name: String, from: String, to: String,
+      constraint: Option[String] = None,
+      nowEpoch: Long = System.currentTimeMillis() / 1000)
+      : (DataFrame, Option[(Long, Double)]) = {
+    val fc = loadTrained(name).forecast(spark,
+      DateMath.parseTs(from, nowEpoch).toLong,
+      DateMath.parseTs(to, nowEpoch).toLong)
+    (fc, constraint.map(c => Constraints.firstViolation(fc, Constraints.parse(c)))
+      .getOrElse(None))
+  }
+
+  /** `_start`: the scheduled near-real-time loop with persisted run
+    * state; drive it with [[ScheduledEval.evalOnce]] per trigger. */
+  def startScheduled(name: String, hooks: Seq[Hook] = Nil,
+      bucket: Option[String] = None): ScheduledEval = {
+    val s = getModel(name)
+    val b = bucketOf(s, bucket)
+    new ScheduledEval(
+      loadTrained(name),
+      (from, to) => series(s, b, from, to),
+      EvalParams(interval = s.interval, offset = s.offset,
+        bucketInterval = s.bucketInterval,
+        maxThreshold = s.maxThreshold, minThreshold = s.minThreshold,
+        gracePeriodSec = s.gracePeriod),
+      storageRoot, name, hooks, s.features.head.name)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{Engine, ModelSettings}
+import graft.ml.{Hook, UnsupportedModel}
+import graft.sources.{BucketRegistry, ParquetBucket, TestdataBucket, UnsupportedBucket}
+
+/** The engine facade: the reference's REST surface as a library —
+  * _read (server.py:1168-1217), model CRUD + _train (907-936), _eval
+  * (1583-1602), _forecast + constraint (worker.py:299-318), _start
+  * (1559-1580). A loudml user's switch-over path. */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HOUR = 3600L
+
+  private def newEngine(): (Engine, String) = {
+    val root = java.nio.file.Files.createTempDirectory("engine").toString
+    val reg = new BucketRegistry
+    (new Engine(spark, reg, root), root)
+  }
+
+  test("_read: feature DSL + date math over a registered bucket") {
+    val (engine, _) = newEngine()
+    engine.buckets.register(
+      new TestdataBucket("events", "/root/testdata/sf0.001", "events"))
+    val out = engine.readFromBucket("events",
+      "2024-01-01T00:00:00.000Z", "2024-01-02T00:00:00.000Z",
+      HOUR, "avg(value);count(value)")
+    assert(out.count() == 24)
+    assert(out.columns.toSeq == Seq("bucket", "avg_value", "count_value"))
+    assertThrows[UnsupportedBucket](
+      engine.readFromBucket("nope", "0", "1", HOUR, "avg(v)"))
+  }
+
+  test("model lifecycle: create → train → eval → forecast → scheduled " +
+      "(settings JSON round-trip)") {
+    val (engine, _) = newEngine()
+    // parquet bucket: flat-10 hourly series, anomaly at hours 730/731
+    val dir = java.nio.file.Files.createTempDirectory("pts").toString + "/pts"
+    (0 until 744).map { t =>
+      (t * HOUR, if (t == 730 || t == 731) 100.0 else 10.0)
+    }.toDF("epoch", "value")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("value"))
+      .write.parquet(dir)
+    engine.buckets.register(new ParquetBucket("pts", dir))
+
+    val s = engine.createModel(
+      s"""{"name": "m1", "type": "seasonal",
+         |  "features": [{"name": "avg_v", "metric": "avg", "field": "value",
+         |                "default": 0}],
+         |  "bucket_interval": "1h", "interval": "6h", "offset": "0s",
+         |  "max_threshold": 99.7, "min_threshold": 68.0,
+         |  "default_bucket": "pts"}""".stripMargin)
+    assert(s.bucketInterval == HOUR && s.interval == 6 * HOUR)
+    assertThrows[UnsupportedModel](engine.createModel(
+      """{"name":"x","type":"donut9000","bucket_interval":60,
+        |"features":[{"name":"a","metric":"avg","field":"v"}]}""".stripMargin))
+
+    // train on hours [0, 720)
+    val v = engine.trainModel("m1", "0", (720L * HOUR).toString)
+    assert(v == 1)
+
+    // eval [720h, 744h): detection flags exactly the two anomaly buckets
+    val scanned = engine.evalModel("m1", (720L * HOUR).toString,
+      (744L * HOUR).toString)
+    assert(scanned.count() == 24)
+    val flagged = scanned.filter(col("is_anomaly"))
+      .select("bucket").as[Long].collect().toSet
+    assert(flagged == Set(730L * HOUR, 731L * HOUR))
+
+    // forecast 24h ahead with a constraint that must not trip, then one
+    // that must (flat profile ≈ 10)
+    val (fc, none) = engine.forecastModel("m1", (744L * HOUR).toString,
+      (768L * HOUR).toString, constraint = Some("avg_v:high:50"))
+    assert(fc.count() == 24 && none.isEmpty)
+    val (_, hit) = engine.forecastModel("m1", (744L * HOUR).toString,
+      (768L * HOUR).toString, constraint = Some("avg_v:low:50"))
+    assert(hit.isDefined)
+
+    // scheduled loop from the same settings fires the hook on the spike
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val hook = new Hook {
+      val name = "rec"
+      override def onAnomalyStart(ts: Long, score: Double, p: Option[Double],
+          o: Option[Double], a: Map[String, (String, Double)]): Unit = seen += ts
+    }
+    val sched = engine.startScheduled("m1", hooks = Seq(hook))
+    sched.evalOnce(732L * HOUR) // window [726h, 732h)
+    assert(seen.toSeq == Seq(730L * HOUR))
+  }
+
+  test("settings parse: timedelta strings, match_all, previous fill") {
+    val s = ModelSettings.parse(
+      """{"name": "m", "type": "seasonal", "bucket_interval": 60,
+        |  "grace_period": "140m",
+        |  "features": [{"name": "f", "metric": "count", "field": "v",
+        |    "match_all": [{"tag": "host", "value": "web-1"}],
+        |    "default": "previous", "anomaly_type": "high"}]}""".stripMargin)
+    assert(s.gracePeriod == 140 * 60)
+    val f = s.features.head
+    assert(f.matchAll == Seq("host" -> "web-1"))
+    assert(f.fill == graft.operators.PreviousFill)
+    assert(f.anomalyType == "high")
+    assertThrows[IllegalArgumentException](
+      ModelSettings.parse("""{"name":"m","bucket_interval":60,"features":[]}"""))
+  }
+}
