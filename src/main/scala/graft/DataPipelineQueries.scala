@@ -112,6 +112,15 @@ object DataPipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ── IVF-bucketed ANN (inverted lists over sampled centroids)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
     // ── language ID heuristic
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -352,6 +361,43 @@ object DataPipelineQueries {
         |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
         |         id_a, id_b
         |LIMIT 20""".stripMargin,
+
+    // mirrors Similarity.ivfTopK: centroids = first 16 corpus vectors,
+    // corpus assigned to its argmax-cosine cell (ties → lowest cell),
+    // queries probe their 4 best cells, exact cosine + rank within
+    "q_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 16
+        |), sims AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) *
+        |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
+        |           c.cell ASC) AS rn
+        |  FROM e CROSS JOIN cents c
+        |), corpus_cells AS (
+        |  SELECT vec_id AS match_id, cell, v AS cv FROM sims WHERE rn = 1
+        |), query_probes AS (
+        |  SELECT vec_id AS query_id, cell, v AS qv
+        |  FROM sims WHERE vec_id < 20 AND rn <= 4
+        |), scored AS (
+        |  SELECT q.query_id, cc.match_id,
+        |         list_dot_product(q.qv, cc.cv) /
+        |           (sqrt(list_dot_product(q.qv, q.qv)) *
+        |            sqrt(list_dot_product(cc.cv, cc.cv))) AS cr
+        |  FROM query_probes q JOIN corpus_cells cc USING (cell)
+        |  WHERE q.query_id != cc.match_id
+        |), ranked AS (
+        |  SELECT query_id, match_id, cr,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cr DESC, match_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, match_id, round(cr, 4) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_lang_id" ->
       s"""WITH hits AS (

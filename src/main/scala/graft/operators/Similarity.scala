@@ -70,6 +70,47 @@ object Similarity {
       when(dot(vec, pl) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
+    * nearest centroid, probe the `nprobe` cells nearest each query, exact
+    * cosine + top-k within probed cells — the classic IVF-Flat shape
+    * (cells ≈ n/nlist vectors; work per query drops from O(n) to
+    * O(nprobe·n/nlist + nlist)). Centroids here are SAMPLED
+    * deterministically (the first `nlist` corpus vectors) rather than
+    * k-means-trained: same structure and plan shape, lower recall,
+    * fully reproducible and oracle-checkable; swapping in trained
+    * centroids changes only the centroid frame.
+    *
+    * Scale: cell assignment is a broadcast of nlist centroids against one
+    * corpus scan; the probe join is keyed on the cell id (shuffle on
+    * O(queries·nprobe) vs corpus cells), never an all-pairs product. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("centv"))
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val scored = df.select(col(id), asDouble(col(v)).as("__v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__sim", cosine(col("__v"), col("centv")))
+      val w = Window.partitionBy(id).orderBy(col("__sim").desc, col("cell").asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(id), col("cell"), col("__v"))
+    }
+    val corpusCells = assign(corpus, idCol, vecCol, 1)
+      .select(col(idCol).as("match_id"), col("cell"), col("__v").as("cv"))
+    val queryProbes = assign(queries, idCol, vecCol, nprobe)
+      .select(col(idCol).as("query_id"), col("cell"), col("__v").as("qv"))
+    val scored = corpusCells.join(broadcast(queryProbes), "cell")
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "match_id", "cosine")
+  }
+
   /** LSH-bucketed ANN: join queries to corpus on equal SRP bucket, then
     * exact cosine + top-k within candidates. Recall < 1 by construction;
     * `planes` trades recall vs bucket size (n/2^planes expected). */

@@ -90,6 +90,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top.getAs[Long]("match_id") == 1L)
   }
 
+  test("IVF with nprobe = nlist degenerates to exact brute force") {
+    // 30 deterministic pseudo-random vectors; probing every cell must
+    // reproduce the exact top-k (IVF only loses matches via unprobed cells)
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val brute = rows(Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 3))
+    val ivf = rows(Similarity.ivfTopK(q, vecs, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 4))
+    assert(ivf == brute)
+    // with fewer probes: results are a subset of the probed cells, ranked
+    val partial = Similarity.ivfTopK(q, vecs, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 1)
+    assert(partial.count() <= brute.size)
+  }
+
   // ── SeasonalModel ──────────────────────────────────────────────
 
   test("seasonal model reproduces a constant daily pattern exactly") {

@@ -10,8 +10,8 @@ object PlanAuditMain {
     val name = args(0)
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
     df.write.format("noop").mode("overwrite").save() // finalize AQE plan
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val plan = df.queryExecution.executedPlan.toString
+    if (args.length > 1 && args(1) == "full") println(plan)
     println("=== " + name + " ===")
     println("ReusedExchange count: " + "ReusedExchange".r.findAllIn(plan).length)
     println("Exchange count: " + "Exchange".r.findAllIn(plan).length)
