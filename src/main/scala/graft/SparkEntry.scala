@@ -44,7 +44,7 @@ object SparkEntry {
           matchAll = Seq("event_type" -> "click"), fill = ConstFill(0.0)),
         Feature("count_click", "count", "value",
           matchAll = Seq("event_type" -> "click"), fill = ConstFill(0.0))))
-      .withColumn("avg_click", round(col("avg_click"), 4))
+      .withColumn("avg_click", round(col("avg_click") + lit(1e-9), 4))
 
   /** Hourly avg(value) over all events for a range — the canonical bucketed
     * series feeding the window/ML operators. */
@@ -208,7 +208,7 @@ object SparkEntry {
       TimesQuery.run(s, t(s, dir, "events"), "ts", 1800L, FROM, TO,
         Seq(Feature("ff_signup", "avg", "value",
           matchAll = Seq("event_type" -> "signup"), fill = PreviousFill)))
-        .withColumn("ff_signup", round(col("ff_signup"), 4))),
+        .withColumn("ff_signup", round(col("ff_signup") + lit(1e-9), 4))),
 
     // ── §2.5 diff transform (declared at loudml/model.py:96)
     "q_diff" -> ((s, dir) =>
@@ -230,8 +230,8 @@ object SparkEntry {
         TimesQuery.run(s, t(s, dir, "events"), "ts", HOUR, FROM, TO,
           Seq(Feature(name, "avg", "value", matchAll = Seq("event_type" -> tag))))
       TimesQuery.mergeByBucket(Seq(one("avg_click", "click"), one("avg_view", "view")))
-        .withColumn("avg_click", round(col("avg_click"), 4))
-        .withColumn("avg_view", round(col("avg_view"), 4))
+        .withColumn("avg_click", round(col("avg_click") + lit(1e-9), 4))
+        .withColumn("avg_view", round(col("avg_view") + lit(1e-9), 4))
         .orderBy("bucket")
     }),
 
@@ -331,7 +331,7 @@ object SparkEntry {
        |  SELECT unnest(generate_series($from, ${to - step}, $step)) AS bucket
        |), agg AS (
        |  SELECT CAST(floor(epoch(ts)/$step) AS BIGINT)*$step AS bucket,
-       |         avg(CASE WHEN $filter THEN $valueExpr END) AS v
+       |         CAST(sum(CAST(CASE WHEN $filter THEN $valueExpr END AS DECIMAL(30,12))) AS DOUBLE) / count(CASE WHEN $filter THEN $valueExpr END) AS v
        |  FROM events
        |  WHERE epoch(ts) >= $from AND epoch(ts) < $to
        |  GROUP BY 1
@@ -342,7 +342,7 @@ object SparkEntry {
   /** Per-slot seasonal profile + scored test series, as SQL CTEs. */
   private val seasonalSql: String =
     s"""WITH train_agg AS (
-       |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+       |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
        |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT GROUP BY 1
        |), train_spine AS (
        |  SELECT unnest(generate_series($FROM, ${SPLIT - HOUR}, $HOUR)) AS bucket
@@ -355,7 +355,7 @@ object SparkEntry {
        |              ELSE stddev_pop(v) END AS sigma
        |  FROM train_series GROUP BY 1
        |), test_agg AS (
-       |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+       |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
        |  FROM events WHERE epoch(ts) >= $SPLIT AND epoch(ts) < $TO GROUP BY 1
        |), test_spine AS (
        |  SELECT unnest(generate_series($SPLIT, ${TO - HOUR}, $HOUR)) AS bucket
@@ -391,14 +391,14 @@ object SparkEntry {
          |  SELECT unnest(generate_series($FROM, ${TO - HOUR}, $HOUR)) AS bucket
          |), agg AS (
          |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
-         |         avg(CASE WHEN event_type='click' THEN value END) AS avg_click,
+         |         CAST(sum(CAST(CASE WHEN event_type='click' THEN value END AS DECIMAL(30,12))) AS DOUBLE) / count(CASE WHEN event_type='click' THEN value END) AS avg_click,
          |         CAST(count(CASE WHEN event_type='click' THEN value END) AS DOUBLE) AS count_click
          |  FROM events
          |  WHERE epoch(ts) >= $FROM AND epoch(ts) < $TO
          |  GROUP BY 1
          |)
          |SELECT s.bucket,
-         |       round(coalesce(a.avg_click, 0.0), 4) AS avg_click,
+         |       round(coalesce(a.avg_click, 0.0) + 1e-9, 4) AS avg_click,
          |       coalesce(a.count_click, 0.0) AS count_click
          |FROM spine s LEFT JOIN agg a USING (bucket)
          |ORDER BY s.bucket""".stripMargin,
@@ -409,7 +409,7 @@ object SparkEntry {
          |  SELECT unnest(generate_series($FROM, ${end - HOUR}, $HOUR)) AS bucket
          |), a AS (
          |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
-         |         avg(value) AS avg_all
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS avg_all
          |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $end
          |  GROUP BY 1
          |), c AS (
@@ -456,7 +456,7 @@ object SparkEntry {
          |  SELECT unnest(generate_series($FROM, ${SPLIT - HOUR}, $HOUR)) AS bucket
          |), agg AS (
          |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
-         |         avg(value) AS v
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
          |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT
          |  GROUP BY 1
          |), series AS (
@@ -538,7 +538,8 @@ object SparkEntry {
       s"""WITH ${spineAvgSql(FROM, TO, 1800L, filter = "event_type='signup'")}
          |SELECT bucket,
          |       round(last_value(v IGNORE NULLS) OVER (
-         |         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         |         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         + 1e-9, 4)
          |         AS ff_signup
          |FROM series ORDER BY bucket""".stripMargin,
 
@@ -562,15 +563,15 @@ object SparkEntry {
       s"""WITH spine AS (
          |  SELECT unnest(generate_series($FROM, ${TO - HOUR}, $HOUR)) AS bucket
          |), clicks AS (
-         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
          |  FROM events WHERE event_type='click'
          |    AND epoch(ts) >= $FROM AND epoch(ts) < $TO GROUP BY 1
          |), views AS (
-         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
          |  FROM events WHERE event_type='view'
          |    AND epoch(ts) >= $FROM AND epoch(ts) < $TO GROUP BY 1
          |)
-         |SELECT s.bucket, round(c.v, 4) AS avg_click, round(w.v, 4) AS avg_view
+         |SELECT s.bucket, round(c.v + 1e-9, 4) AS avg_click, round(w.v + 1e-9, 4) AS avg_view
          |FROM spine s
          |LEFT JOIN clicks c USING (bucket)
          |LEFT JOIN views w USING (bucket)
@@ -677,7 +678,7 @@ object SparkEntry {
 
     "q_forecast" ->
       s"""WITH train_agg AS (
-         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, avg(value) AS v
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
          |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT GROUP BY 1
          |), train_spine AS (
          |  SELECT unnest(generate_series($FROM, ${SPLIT - HOUR}, $HOUR)) AS bucket

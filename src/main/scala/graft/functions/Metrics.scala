@@ -55,7 +55,16 @@ object Metrics {
     */
   def agg(metric: String, c: Column, exact: Boolean = true): Column =
     canonical(metric) match {
-      case "avg"            => avg(c)
+      case "avg"            =>
+        // exact tier: decimal-sum / count — double summation is order-
+        // dependent (partition order differs from any sequential oracle,
+        // visible at the 4th decimal once buckets hold hundreds of rows);
+        // decimal accumulation is exact, so any engine and any partition
+        // count agree bit-for-bit. approx tier keeps codegen'd double avg.
+        if (exact)
+          (sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+            .cast("double") / count(c))
+        else avg(c)
       case "count"          => count(c).cast("double") // count non-null = field-exists semantics (loudml/mongo.py:51-53)
       case "min"            => min(c)
       case "max"            => max(c)

@@ -182,7 +182,8 @@ object TimesQuery {
       val guarded =
         if (feat.matchAll.isEmpty) input
         else when(tagPredicate(feat.matchAll), input)
-      if (Metrics.isPostAgg(feat.metric)) avg(guarded).as(feat.name)
+      if (Metrics.isPostAgg(feat.metric))
+        Metrics.agg("avg", guarded, exact).as(feat.name)
       else Metrics.agg(feat.metric, guarded, exact).cast("double").as(feat.name)
     }
     val aggs = features.map(baseCol)
