@@ -97,9 +97,13 @@ object WindowReconstructor extends ModelType {
     * (clamping to the band edge still leaves ~σ-scale contamination,
     * enough to hold the score above min_threshold ≈ 1σ). Requires a
     * spine-complete series (every interval present — TimesQuery output). */
-  private def featureCols(valueCol: String, p: Params, globalMean: Double)
-      : Seq[(String, Column)] = {
-    val w = Window.orderBy("bucket")
+  private def featureCols(valueCol: String, p: Params, globalMean: Double,
+      seriesKeys: Seq[String] = Nil): Seq[(String, Column)] = {
+    // per-series windows: lags never cross a series boundary, and the
+    // sort is per-partition, not global — the multi-series 100 TB shape
+    val w =
+      if (seriesKeys.isEmpty) Window.orderBy("bucket")
+      else Window.partitionBy(seriesKeys.map(col): _*).orderBy("bucket")
     val P = p.periodBuckets
     def filledLag(i: Int, alias: String): (String, Column) = {
       val v = lag(col(valueCol), i).over(w)
@@ -117,7 +121,7 @@ object WindowReconstructor extends ModelType {
   /** Join the per-slot profile then add the feature basis columns. */
   private def assemble(bucketed: DataFrame, valueCol: String,
       profile: DataFrame, globalMean: Double, globalSigma: Double,
-      p: Params): (DataFrame, Seq[String]) = {
+      p: Params, seriesKeys: Seq[String] = Nil): (DataFrame, Seq[String]) = {
     val withSm = bucketed
       .withColumn("__slot", SeasonalModel.slotCol(col("bucket"),
         SeasonalModelParams(p.bucketInterval, p.period)))
@@ -125,7 +129,7 @@ object WindowReconstructor extends ModelType {
         col("mu").as("__sm"), col("sigma").as("__sig"))), Seq("__slot"), "left")
       .withColumn("__sm", coalesce(col("__sm"), lit(globalMean)))
       .withColumn("__sig", coalesce(col("__sig"), lit(globalSigma)))
-    val feats = featureCols(valueCol, p, globalMean)
+    val feats = featureCols(valueCol, p, globalMean, seriesKeys)
     val out = feats.foldLeft(withSm) { case (df, (n, c)) => df.withColumn(n, c) }
     (out, feats.map(_._1))
   }
@@ -236,9 +240,18 @@ object WindowReconstructor extends ModelType {
       * `2·period` back past the scoring range so lags have context (the
       * reference extends by span−1, donut.py:1210-1217). */
     def predict(bucketed: DataFrame, valueCol: String,
-        anomalyType: String = "low_high"): DataFrame = {
+        anomalyType: String = "low_high"): DataFrame =
+      predictKeyed(bucketed, valueCol, anomalyType, Nil)
+
+    /** Fleet scoring: one trained model over MANY series at once.
+      * `seriesKeys` partition the lag windows, so context never leaks
+      * across series and no global sort appears — each series scores as
+      * if predicted alone (the series-independence invariant is
+      * unit-tested). */
+    def predictKeyed(bucketed: DataFrame, valueCol: String,
+        anomalyType: String, seriesKeys: Seq[String]): DataFrame = {
       val (feat, names) = assemble(bucketed, valueCol, profile, globalMean,
-        globalSigma, params)
+        globalSigma, params, seriesKeys)
       val mu = names.zip(weights)
         .map { case (n, wi) => col(n) * lit(wi) }.reduce(_ + _)
       feat

@@ -117,6 +117,29 @@ class ModelSpec extends SparkSpec {
     assert(preds.max - preds.min > 2.0) // daily amplitude visible
   }
 
+  test("fleet scoring: keyed predict == per-series predict (no lag " +
+      "leakage across series)") {
+    val model = WindowReconstructor.train(
+      sinSeries(720, HOUR, seed = 21).toDF("bucket", "value"), "value",
+      WindowReconstructor.Params(bucketInterval = HOUR))
+    // two series with very different levels; interleaved in one frame
+    val a = sinSeries(96, HOUR, seed = 22)
+    val b = sinSeries(96, HOUR, seed = 23).map { case (ts, v) => (ts, v + 40.0) }
+    val keyed = (a.map { case (ts, v) => ("a", ts, v) } ++
+      b.map { case (ts, v) => ("b", ts, v) }).toDF("host", "bucket", "value")
+    def preds(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("bucket", "predicted").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val together = model.predictKeyed(keyed, "value", "low_high", Seq("host"))
+    val aTogether = preds(together.filter(col("host") === "a"))
+    val bTogether = preds(together.filter(col("host") === "b"))
+    val aAlone = preds(model.predict(a.toDF("bucket", "value"), "value"))
+    val bAlone = preds(model.predict(b.toDF("bucket", "value"), "value"))
+    assert(aTogether.keySet == aAlone.keySet)
+    aTogether.foreach { case (k, v) => assert(math.abs(v - aAlone(k)) < 1e-12) }
+    bTogether.foreach { case (k, v) => assert(math.abs(v - bAlone(k)) < 1e-12) }
+  }
+
   test("incremental training: merged sufficient stats == full retrain " +
       "(donut.py:857-897 warm start)") {
     val s1 = sinSeries(240, HOUR, seed = 9)
