@@ -118,7 +118,13 @@ object Dedup {
     val overCap = sh.groupBy("sh").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > maxPerShingle).select("sh")
     val capped = sh.join(broadcast(overCap), Seq("sh"), "left_anti")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // |A| per doc = distinct shingle count, computed per ROW on the doc
+    // scan (size∘array_distinct) — same value as counting the exploded
+    // distinct frame, but with no shuffle and no recompute of the
+    // explode+distinct subtree
+    val sizes = df.select(col(idCol).as("id"),
+      size(array_distinct(wordShingles(col(textCol), shingleN)))
+        .cast("long").as("sz"))
     val inter = capped.as("a")
       .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

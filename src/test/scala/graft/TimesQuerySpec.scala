@@ -106,6 +106,24 @@ class TimesQuerySpec extends SparkSpec {
     assert(rows.filter(_._1 == "b").map(_._3).toSeq == Seq(10.0, 10.0, 10.0))
   }
 
+  test("time-range predicate reaches the parquet scan (PushedFilters on " +
+      "the raw nanos column)") {
+    val pts = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val out = TimesQuery.run(spark, pts, "ts", 3600L,
+      1704067200L, 1704067200L + 86400L,
+      Seq(Feature("v", "avg", "value")))
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the literal range on ts_nanos is the pushable form; losing it would
+    // silently turn row-group pruning into full scans at 100 TB
+    assert(plan.contains("PushedFilters"),
+      "no parquet scan with pushed filters in plan")
+    // the pushed filter names the FILE column (raw nanos long `ts`) with
+    // nanos-scale literals — proof the range prunes row groups
+    assert(plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"),
+      s"nanos range not pushed to scan:\n$plan")
+  }
+
   test("max_series_per_request guard (bucket.py:41-46,87-89)") {
     val pts = Seq(("a", 1.0, 1L), ("b", 2.0, 1L), ("c", 3.0, 1L))
       .toDF("host", "foo", "epoch")
