@@ -112,6 +112,12 @@ object DataPipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ── embedding-cosine near-dup dedup (SRP buckets → verify → keep-min)
+    "q_dedup_embed" -> ((s, dir) =>
+      Similarity.cosineDedup(embs(s, dir), "vec_id", "embedding",
+          tau = 0.45, planes = 4, dim = 64)
+        .select("vec_id").orderBy("vec_id")),
+
     // ── IVF-bucketed ANN (inverted lists over sampled centroids)
     "q_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -361,6 +367,36 @@ object DataPipelineQueries {
         |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) DESC,
         |         id_a, id_b
         |LIMIT 20""".stripMargin,
+
+    // mirrors Similarity.cosineDedup with the same seed-42 hyperplanes as
+    // q_ann_lsh (first 4 planes): bucket, pair within bucket, cosine ≥ τ,
+    // drop the larger id
+    "q_dedup_embed" -> {
+      val hp = Similarity.hyperplanes(4, 64)
+      val planeRows = hp.zipWithIndex.map { case (p, i) =>
+        s"($i, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
+      }.mkString(",\n    ")
+      s"""WITH planes(pid, pv) AS (VALUES
+         |    $planeRows
+         |), e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), bk AS (
+         |  SELECT e.vec_id, any_value(e.v) AS v,
+         |         sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+         |                  THEN 1 << p.pid ELSE 0 END) AS bucket_id
+         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+         |), removed AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM bk a JOIN bk b
+         |    ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) *
+         |           sqrt(list_dot_product(b.v, b.v))) >= 0.45
+         |)
+         |SELECT vec_id FROM e
+         |WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // mirrors Similarity.ivfTopK: centroids = first 16 corpus vectors,
     // corpus assigned to its argmax-cosine cell (ties → lowest cell),

@@ -111,6 +111,30 @@ object Similarity {
       .select("query_id", "rank", "match_id", "cosine")
   }
 
+  /** Embedding-cosine near-dup dedup — the vector analog of
+    * [[Dedup.lshDedup]]: SRP-bucket the corpus (seeded hyperplanes →
+    * deterministic plan literals), candidate pairs share a bucket (a
+    * bucket join, never all-pairs), verify at cosine ≥ τ, drop the larger
+    * id of each verified pair (keep-min). Recall follows the SRP bucket
+    * structure: near-identical vectors agree on every sign bit with high
+    * probability, so true duplicates rarely escape; `planes` trades
+    * recall vs bucket size. */
+  def cosineDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double, planes: Int, dim: Int): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val keyed = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__bucket", srpBucket(col("__v"), hp))
+    val removed = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(cosine(col("a.__v"), col("b.__v")) >= tau)
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
+    corpus.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** LSH-bucketed ANN: join queries to corpus on equal SRP bucket, then
     * exact cosine + top-k within candidates. Recall < 1 by construction;
     * `planes` trades recall vs bucket size (n/2^planes expected). */

@@ -90,6 +90,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top.getAs[Long]("match_id") == 1L)
   }
 
+  test("cosineDedup removes near-identical vectors, keeps the min id") {
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val jig = base.clone(); jig(0) = jig(0) + 0.01f // near-duplicate of base
+    val vecs = ((0L until 10L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))) ++
+      Seq((10L, base.toSeq), (11L, jig.toSeq)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.cosineDedup(vecs, "vec_id", "embedding",
+      tau = 0.99, planes = 3, dim = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(10L) && !kept.contains(11L)) // keep-min drops 11
+    assert((0L until 10L).forall(kept)) // random vectors all survive
+  }
+
   test("IVF with nprobe = nlist degenerates to exact brute force") {
     // 30 deterministic pseudo-random vectors; probing every cell must
     // reproduce the exact top-k (IVF only loses matches via unprobed cells)
