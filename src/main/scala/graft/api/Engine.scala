@@ -23,6 +23,7 @@ final case class ModelSettings(
     maxThreshold: Double,
     minThreshold: Double,
     gracePeriod: Long,
+    period: Long,
     defaultBucket: Option[String],
     raw: String) {
 
@@ -115,6 +116,7 @@ object ModelSettings {
       maxThreshold = num(j \ "max_threshold", 99.7),
       minThreshold = num(j \ "min_threshold", 68.0),
       gracePeriod = seconds(j \ "grace_period", 0L),
+      period = seconds(j \ "period", 86400L),
       defaultBucket = str(j \ "default_bucket"),
       raw = json)
   }
@@ -212,8 +214,10 @@ class Engine(
     val f = DateMath.parseTs(from, nowEpoch).toLong
     val t = DateMath.parseTs(to, nowEpoch).toLong
     val model = loadTrained(name)
+    // context reaches back 2 seasonal periods so window models have
+    // their phase-aligned lags (donut.py:1210-1217 extends by span)
     val scored = model.predict(
-      series(s, bucketOf(s, bucket), f - 2 * 86400L, t),
+      series(s, bucketOf(s, bucket), f - 2 * s.period, t),
       s.features.head.name, s.features.head.anomalyType)
       .filter(col("bucket") >= f && col("bucket") < t)
     if (!detectAnomalies) scored
@@ -248,7 +252,7 @@ class Engine(
       EvalParams(interval = s.interval, offset = s.offset,
         bucketInterval = s.bucketInterval,
         maxThreshold = s.maxThreshold, minThreshold = s.minThreshold,
-        gracePeriodSec = s.gracePeriod),
+        gracePeriodSec = s.gracePeriod, contextSec = 2 * s.period),
       storageRoot, name, hooks, s.features.head.name)
   }
 }
