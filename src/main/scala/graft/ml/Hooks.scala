@@ -71,6 +71,26 @@ object Hooks {
   }
 }
 
+object HookTest {
+  /** Fire a synthetic anomaly (start at max score, immediate end) through
+    * the hooks — the reference's fake-prediction hook test
+    * (/root/reference/loudml/donut.py:1316-1331, served by `_hook_test`,
+    * /root/reference/loudml/server.py:1016-1028): verifies alert wiring
+    * without touching data. */
+  def fire(hooks: Seq[Hook], feature: String = "value",
+      nowEpoch: Long = System.currentTimeMillis() / 1000,
+      bucketInterval: Long = 60L): Unit = {
+    hooks.foreach { h =>
+      try {
+        h.onAnomalyStart(nowEpoch - bucketInterval, 100.0,
+          predicted = Some(0.0), observed = Some(Double.MaxValue),
+          anomalies = Map(feature -> ("high", 100.0)))
+        h.onAnomalyEnd(nowEpoch, 100.0)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+}
+
 /** Mutable annotation store backing [[AnnotationHook]] — the
   * insert-then-update protocol of the reference's annotation sink
   * (`insert_annotation` / `update_annotation`,

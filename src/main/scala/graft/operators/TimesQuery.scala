@@ -289,6 +289,26 @@ object TimesQuery {
   def withTimestamp(df: DataFrame): DataFrame =
     df.withColumn("bucket_ts", timestamp_seconds(col("bucket")))
 
+  /** Sequential train/validation split — the reference's
+    * `train_test_split` (/root/reference/loudml/donut.py:989-997: first
+    * `trainSize` fraction of the ordered series trains, the rest
+    * validates). Row-count-based like the reference (ntrn =
+    * round(n·trainSize)); one count + two bucket-threshold filters, no
+    * sort or limit — the threshold comes from an ordered quantile over
+    * the (bounded) bucket labels. */
+  def sequentialSplit(bucketed: DataFrame, trainSize: Double = 0.67)
+      : (DataFrame, DataFrame) = {
+    require(trainSize > 0 && trainSize < 1, s"bad train_size: $trainSize")
+    val buckets = bucketed.select(min(col("bucket")), max(col("bucket")),
+      count(lit(1))).collect()(0)
+    val (lo, hi, n) = (buckets.getLong(0), buckets.getLong(1), buckets.getLong(2))
+    // spine-complete series ⇒ bucket labels are evenly spaced; the
+    // (round(n·trainSize))-th bucket is lo + ntrn·step
+    val step = if (n > 1) (hi - lo) / (n - 1) else 1L
+    val cut = lo + math.round(n * trainSize) * step
+    (bucketed.filter(col("bucket") < cut), bucketed.filter(col("bucket") >= cut))
+  }
+
   /** Time offset relative to the first bucket — the reference returns
     * `(ts − t₀)` tuples from `get_times_data`
     * (/root/reference/loudml/influx.py:591-612,

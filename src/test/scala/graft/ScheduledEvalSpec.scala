@@ -154,6 +154,30 @@ class ScheduledEvalSpec extends SparkSpec {
     assert(hook.ends.map(_._1).toSeq == Seq(40L))
   }
 
+  test("hook test fires a synthetic start+end (donut.py:1316-1331)") {
+    val hook = new RecordingHook
+    val store = new AnnotationStore
+    HookTest.fire(Seq(hook, new AnnotationHook(store)), "cpu",
+      nowEpoch = 1000L, bucketInterval = 60L)
+    assert(hook.starts.toSeq == Seq((940L, 100.0)))
+    assert(hook.ends.toSeq == Seq((1000L, 100.0)))
+    val ann = store.toDF(spark).collect()(0)
+    assert(ann.getString(ann.fieldIndex("text")).contains("too high"))
+    assert(ann.getLong(ann.fieldIndex("end_ts")) == 1000L)
+  }
+
+  test("sequential train/validation split (donut.py:989-997)") {
+    import graft.operators.TimesQuery
+    val series = (0 until 100).map(t => (t * 3600L, t.toDouble))
+      .toDF("bucket", "value")
+    val (train, valid) = TimesQuery.sequentialSplit(series, 0.67)
+    assert(train.count() == 67 && valid.count() == 33)
+    // ordered: every train bucket precedes every validation bucket
+    val maxTrain = train.agg(max("bucket")).collect()(0).getLong(0)
+    val minValid = valid.agg(min("bucket")).collect()(0).getLong(0)
+    assert(maxTrain < minValid)
+  }
+
   test("hook exceptions don't break dispatch (donut.py:1545-1548)") {
     val bad = new Hook {
       val name = "bad"
