@@ -115,9 +115,6 @@ object Dedup {
       shingleN: Int = 3, maxPerShingle: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleN)).as("sh")).distinct()
-    val overCap = sh.groupBy("sh").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > maxPerShingle).select("sh")
-    val capped = sh.join(broadcast(overCap), Seq("sh"), "left_anti")
     // |A| per doc = distinct shingle count, computed per ROW on the doc
     // scan (size∘array_distinct) — same value as counting the exploded
     // distinct frame, but with no shuffle and no recompute of the
@@ -125,9 +122,18 @@ object Dedup {
     val sizes = df.select(col(idCol).as("id"),
       size(array_distinct(wordShingles(col(textCol), shingleN)))
         .cast("long").as("sz"))
-    val inter = capped.as("a")
-      .join(capped.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // intersections by inverting: group docs per shingle (ONE pass over
+    // the exploded set — a self-join here would compute the heavy
+    // explode+distinct subtree once per side), drop hot shingles at the
+    // same grouping (the skew guard: a stop-phrase never materializes its
+    // quadratic pair list), then emit in-list pairs and count per pair.
+    // Per-shingle doc lists are ≤ maxPerShingle by construction.
+    val inter = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxPerShingle))
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> " +
+          "struct(a AS id_a, b AS id_b)))), p -> p.id_a < p.id_b)")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
