@@ -240,19 +240,42 @@ class Engine(
       .getOrElse(None))
   }
 
-  /** `_start`: the scheduled near-real-time loop with persisted run
-    * state; drive it with [[ScheduledEval.evalOnce]] per trigger. */
-  def startScheduled(name: String, hooks: Seq[Hook] = Nil,
-      bucket: Option[String] = None): ScheduledEval = {
-    val s = getModel(name)
-    val b = bucketOf(s, bucket)
-    new ScheduledEval(
-      loadTrained(name),
-      (from, to) => series(s, b, from, to),
-      EvalParams(interval = s.interval, offset = s.offset,
-        bucketInterval = s.bucketInterval,
-        maxThreshold = s.maxThreshold, minThreshold = s.minThreshold,
-        gracePeriodSec = s.gracePeriod, contextSec = 2 * s.period),
-      storageRoot, name, hooks, s.features.head.name)
+  /** `_read` with the endpoint's JSON response shape
+    * `{timestamps: [...], observed: {name: [...]}}`
+    * (/root/reference/loudml/worker.py:130-163). */
+  def readFromBucketJson(bucket: String, from: String, to: String,
+      bucketInterval: Long, featuresExpr: String,
+      nowEpoch: Long = System.currentTimeMillis() / 1000): String = {
+    val names = FeatureDsl.parseList(featuresExpr).map(_.name)
+    graft.io.Format.series(
+      readFromBucket(bucket, from, to, bucketInterval, featuresExpr, nowEpoch),
+      names)
   }
+
+  private val scheduled =
+    scala.collection.concurrent.TrieMap.empty[String, ScheduledEval]
+
+  /** `_start`: the scheduled near-real-time loop with persisted run
+    * state; drive it with [[ScheduledEval.evalOnce]] per trigger.
+    * Idempotent like the reference (`_start` twice returns the existing
+    * scheduled job, server.py:1563-1566). */
+  def startScheduled(name: String, hooks: Seq[Hook] = Nil,
+      bucket: Option[String] = None): ScheduledEval =
+    scheduled.getOrElseUpdate(name, {
+      val s = getModel(name)
+      val b = bucketOf(s, bucket)
+      new ScheduledEval(
+        loadTrained(name),
+        (from, to) => series(s, b, from, to),
+        EvalParams(interval = s.interval, offset = s.offset,
+          bucketInterval = s.bucketInterval,
+          maxThreshold = s.maxThreshold, minThreshold = s.minThreshold,
+          gracePeriodSec = s.gracePeriod, contextSec = 2 * s.period),
+        storageRoot, name, hooks, s.features.head.name)
+    })
+
+  /** `_stop` (server.py:1629-1674): deregister the scheduled loop. The
+    * persisted run state survives (the reference restores jobs at boot,
+    * server.py:1821-1843 — a later `_start` resumes where it left off). */
+  def stopScheduled(name: String): Boolean = scheduled.remove(name).isDefined
 }

@@ -91,6 +91,34 @@ class EngineSpec extends SparkSpec {
     assert(seen.toSeq == Seq(730L * HOUR))
   }
 
+  test("_read JSON shape + idempotent _start/_stop") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val (engine, _) = newEngine()
+    engine.buckets.register(
+      new TestdataBucket("events", "/root/testdata/sf0.001", "events"))
+    val j = JsonMethods.parse(engine.readFromBucketJson("events",
+      "1704067200", "1704074400", HOUR, "avg(value)"))
+    assert((j \ "timestamps") match {
+      case JArray(ts) => ts.length == 2; case _ => false
+    })
+    assert((j \ "observed" \ "avg_value") match {
+      case JArray(vs) => vs.length == 2; case _ => false
+    })
+
+    // idempotent _start: same loop instance; _stop deregisters
+    engine.createModel(
+      s"""{"name": "m2", "type": "seasonal", "bucket_interval": "1h",
+         |  "features": [{"name": "avg_v", "metric": "avg", "field": "value"}],
+         |  "default_bucket": "events"}""".stripMargin)
+    engine.trainModel("m2", "1704067200", "1704672000")
+    val loop1 = engine.startScheduled("m2")
+    assert(engine.startScheduled("m2") eq loop1)
+    assert(engine.stopScheduled("m2"))
+    assert(!engine.stopScheduled("m2"))
+    assert(engine.startScheduled("m2") ne loop1)
+  }
+
   test("settings parse: timedelta strings, match_all, previous fill") {
     val s = ModelSettings.parse(
       """{"name": "m", "type": "seasonal", "bucket_interval": 60,
