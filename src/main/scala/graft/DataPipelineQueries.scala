@@ -112,10 +112,12 @@ object DataPipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ── embedding-cosine near-dup dedup (SRP buckets → verify → keep-min)
+    // ── embedding-cosine near-dup dedup (banded SRP buckets → verify →
+    //    keep-min): 4 bands × 8 planes, per-bucket skew cap 1000
     "q_dedup_embed" -> ((s, dir) =>
       Similarity.cosineDedup(embs(s, dir), "vec_id", "embedding",
-          tau = 0.45, planes = 4, dim = 64)
+          tau = 0.45, bands = 4, planesPerBand = 8, dim = 64,
+          maxBucket = 1000)
         .select("vec_id").orderBy("vec_id")),
 
     // ── IVF-bucketed ANN (inverted lists over sampled centroids)
@@ -368,11 +370,12 @@ object DataPipelineQueries {
         |         id_a, id_b
         |LIMIT 20""".stripMargin,
 
-    // mirrors Similarity.cosineDedup with the same seed-42 hyperplanes as
-    // q_ann_lsh (first 4 planes): bucket, pair within bucket, cosine ≥ τ,
-    // drop the larger id
+    // mirrors the BANDED Similarity.cosineDedup with the same seed-42
+    // hyperplanes (4 bands × 8 planes): per-band bucket id, candidates
+    // agree on any band's bucket, skew cap 1000 per (band, bucket),
+    // cosine ≥ τ verify, drop the larger id
     "q_dedup_embed" -> {
-      val hp = Similarity.hyperplanes(4, 64)
+      val hp = Similarity.hyperplanes(32, 64)
       val planeRows = hp.zipWithIndex.map { case (p, i) =>
         s"($i, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
       }.mkString(",\n    ")
@@ -382,13 +385,18 @@ object DataPipelineQueries {
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |), bk AS (
          |  SELECT e.vec_id, any_value(e.v) AS v,
+         |         CAST(p.pid // 8 AS INT) AS band,
          |         sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-         |                  THEN 1 << p.pid ELSE 0 END) AS bucket_id
-         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+         |                  THEN 1 << (p.pid % 8) ELSE 0 END) AS bucket
+         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.pid // 8
+         |), safe AS (
+         |  SELECT * FROM bk
+         |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000
          |), removed AS (
          |  SELECT DISTINCT b.vec_id
-         |  FROM bk a JOIN bk b
-         |    ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+         |  FROM safe a JOIN safe b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id
          |  WHERE list_dot_product(a.v, b.v) /
          |          (sqrt(list_dot_product(a.v, a.v)) *
          |           sqrt(list_dot_product(b.v, b.v))) >= 0.45

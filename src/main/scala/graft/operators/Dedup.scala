@@ -122,14 +122,25 @@ object Dedup {
     val sizes = df.select(col(idCol).as("id"),
       size(array_distinct(wordShingles(col(textCol), shingleN)))
         .cast("long").as("sz"))
-    // intersections by inverting: group docs per shingle (ONE pass over
-    // the exploded set — a self-join here would compute the heavy
-    // explode+distinct subtree once per side), drop hot shingles at the
-    // same grouping (the skew guard: a stop-phrase never materializes its
-    // quadratic pair list), then emit in-list pairs and count per pair.
-    // Per-shingle doc lists are ≤ maxPerShingle by construction.
-    val inter = sh.groupBy("sh").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxPerShingle))
+    // intersections by inverting: group docs per shingle, then emit
+    // in-list pairs and count per pair. The skew guard is TWO-PASS so the
+    // guard itself never assembles the hot list it exists to drop:
+    //   pass 1: groupBy(sh).count() — map-side partial counts, a hot
+    //           shingle contributes one long per task, never one task
+    //           holding every occurrence;
+    //   pass 2: broadcast anti-join the (tiny) over-cap shingle set out,
+    //           THEN collect_list — every surviving per-shingle doc list
+    //           is ≤ maxPerShingle by construction, so no aggregation
+    //           buffer can exceed maxPerShingle ids.
+    // A single-pass `collect_list → filter(size ≤ cap)` would merge every
+    // occurrence of a stop-phrase into ONE reducer's buffer before the
+    // filter could discard it (~800 MB for a shingle shared by 100M docs).
+    val overCap = sh.groupBy("sh").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxPerShingle)
+      .select("sh")
+    val inter = sh.join(broadcast(overCap), Seq("sh"), "left_anti")
+      .groupBy("sh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> " +
           "struct(a AS id_a, b AS id_b)))), p -> p.id_a < p.id_b)")).as("p"))

@@ -80,27 +80,56 @@ object Similarity {
     * fully reproducible and oracle-checkable; swapping in trained
     * centroids changes only the centroid frame.
     *
-    * Scale: cell assignment is a broadcast of nlist centroids against one
-    * corpus scan; the probe join is keyed on the cell id (shuffle on
-    * O(queries·nprobe) vs corpus cells), never an all-pairs product. */
+    * Scale: corpus cell assignment is SHUFFLE-FREE — the centroids are
+    * collected driver-side (nlist × dim doubles: model-sized, like any
+    * trained index structure) and embedded as one array-of-structs plan
+    * literal with precomputed norms; each corpus row computes its
+    * argmax-cosine cell inside the projection via a sequential `aggregate`
+    * fold tracking (bestSim, bestCell). A crossJoin + `row_number().over(
+    * Window.partitionBy(id))` here would shuffle O(corpus·nlist) scored
+    * rows just to keep 1 — 4096× data amplification at nlist=4096. Ties
+    * break to the lowest cell (centroids folded in ascending-cell order,
+    * strict `>` keeps the earlier winner), matching the window ordering
+    * the queries side still uses (queries are tiny and need keep=nprobe,
+    * where the window is the natural top-k). The probe join is keyed on
+    * the cell id, never an all-pairs product. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int, nprobe: Int): DataFrame = {
     val cents = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("centv"))
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val scored = df.select(col(id), asDouble(col(v)).as("__v"))
+    // driver-side collect is O(nlist·dim) — the IVF index itself, not data.
+    // Norms are precomputed with the same sequential left-fold the Spark
+    // expression tree uses (bit-identical to norm()).
+    val centRows = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val centLit = array(centRows.map { case (cell, v) =>
+      struct(lit(cell).as("cell"), typedlit(v.toSeq).as("centv"),
+        lit(math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))).as("cnorm"))
+    }: _*)
+    val corpusCells = corpus
+      .select(col(idCol).as("match_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("__n", norm(col("cv")))
+      .withColumn("__best", aggregate(
+        centLit,
+        struct(lit(Double.NegativeInfinity).as("sim"), lit(Long.MaxValue).as("cell")),
+        (acc, c) => {
+          val sim = dot(col("cv"), c.getField("centv")) /
+            (col("__n") * c.getField("cnorm"))
+          when(sim > acc.getField("sim"),
+            struct(sim.as("sim"), c.getField("cell").as("cell"))).otherwise(acc)
+        }))
+      .select(col("match_id"), col("__best.cell").as("cell"), col("cv"))
+    val queryProbes = {
+      val scored = queries.select(col(idCol), asDouble(col(vecCol)).as("__v"))
         .crossJoin(broadcast(cents))
         .withColumn("__sim", cosine(col("__v"), col("centv")))
-      val w = Window.partitionBy(id).orderBy(col("__sim").desc, col("cell").asc)
+      val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell").asc)
       scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(id), col("cell"), col("__v"))
+        .filter(col("__r") <= nprobe)
+        .select(col(idCol).as("query_id"), col("cell"), col("__v").as("qv"))
     }
-    val corpusCells = assign(corpus, idCol, vecCol, 1)
-      .select(col(idCol).as("match_id"), col("cell"), col("__v").as("cv"))
-    val queryProbes = assign(queries, idCol, vecCol, nprobe)
-      .select(col(idCol).as("query_id"), col("cell"), col("__v").as("qv"))
     val scored = corpusCells.join(broadcast(queryProbes), "cell")
       .filter(col("query_id") =!= col("match_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
@@ -112,22 +141,62 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup dedup — the vector analog of
-    * [[Dedup.lshDedup]]: SRP-bucket the corpus (seeded hyperplanes →
-    * deterministic plan literals), candidate pairs share a bucket (a
-    * bucket join, never all-pairs), verify at cosine ≥ τ, drop the larger
-    * id of each verified pair (keep-min). Recall follows the SRP bucket
-    * structure: near-identical vectors agree on every sign bit with high
-    * probability, so true duplicates rarely escape; `planes` trades
-    * recall vs bucket size. */
+    * [[Dedup.lshDedup]], BANDED: `bands` independent SRP plane sets of
+    * `planesPerBand` bits each (seeded hyperplanes → deterministic plan
+    * literals); candidate pairs agree on ANY band's full bucket id; verify
+    * at cosine ≥ τ; drop the larger id of each verified pair (keep-min).
+    *
+    * Why banding: a single fixed-plane bucket join has expected pair count
+    * n²/2^planes — quadratic in corpus size at ANY fixed plane count. With
+    * banding, `planesPerBand` is sized to the target bucket
+    * (≈ log₂(n/bucket_target), so buckets stay O(bucket_target) as n
+    * grows) and `bands` independently recovers recall: near-identical
+    * vectors (per-bit agreement p ≈ 1 − θ/π → 1) agree on all bits of at
+    * least one band with probability 1 − (1 − p^planesPerBand)^bands.
+    * E.g. at cos ≈ 0.99: 4×8-bit bands catch ≈ 99% of true pairs while
+    * generating 4·n²/2⁸ candidates — 4× fewer than the old 4-plane single
+    * projection, with better recall.
+    *
+    * `maxBucket` is the skew guard for correlated embeddings (dense
+    * regions → hot buckets): per-(band, bucket) counts are aggregated
+    * map-side (pass 1), the tiny over-cap set is broadcast-anti-joined out
+    * (pass 2) BEFORE the self-join, so one hot bucket can never emit a
+    * quadratic pair list. Capped buckets lose recall only for vectors
+    * whose every band is over-cap — by construction regions so dense that
+    * near-dup pairs there are better handled by raising planesPerBand.
+    * Vectors ride the band rows (like signatures in lshDedup), so the
+    * corpus scan appears exactly twice in the plan (the two join sides) —
+    * no join-back to fetch vectors for the verify. */
   def cosineDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
-      tau: Double, planes: Int, dim: Int): DataFrame = {
-    val hp = hyperplanes(planes, dim)
-    val keyed = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__bucket", srpBucket(col("__v"), hp))
-    val removed = keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.__bucket") === col("b.__bucket") &&
+      tau: Double, bands: Int, planesPerBand: Int, dim: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val hp = hyperplanes(bands * planesPerBand, dim)
+    val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until planesPerBand).map { i =>
+        val pl = typedlit(hp(b * planesPerBand + i).toSeq)
+        when(dot(col("__v"), pl) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val keyed = e
+      .withColumn("__bb", explode(array(bandCols: _*)))
+      .select(col(idCol), col("__v"),
+        col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
+    val safe =
+      if (maxBucket == Int.MaxValue) keyed
+      else {
+        val overCap = keyed.groupBy("__band", "__bucket")
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > maxBucket)
+          .select("__band", "__bucket")
+        keyed.join(broadcast(overCap), Seq("__band", "__bucket"), "left_anti")
+      }
+    val removed = safe.as("a")
+      .join(safe.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__bucket") === col("b.__bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(cosine(col("a.__v"), col("b.__v")) >= tau)
       .select(col(s"b.$idCol").as(idCol))

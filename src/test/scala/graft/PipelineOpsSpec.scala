@@ -99,10 +99,25 @@ class PipelineOpsSpec extends SparkSpec {
       Seq((10L, base.toSeq), (11L, jig.toSeq)))
       .toDF("vec_id", "embedding")
     val kept = Similarity.cosineDedup(vecs, "vec_id", "embedding",
-      tau = 0.99, planes = 3, dim = 16)
+      tau = 0.99, bands = 2, planesPerBand = 3, dim = 16)
       .select("vec_id").as[Long].collect().toSet
     assert(kept.contains(10L) && !kept.contains(11L)) // keep-min drops 11
     assert((0L until 10L).forall(kept)) // random vectors all survive
+  }
+
+  test("cosineDedup bucket cap drops over-cap buckets from candidates") {
+    // 12 copies of the same vector: every band bucket holds all 12. With
+    // maxBucket=4 the over-cap buckets are anti-joined out, so NO pair is
+    // ever generated — all 12 survive (recall sacrificed by the guard, by
+    // design). Without the cap, keep-min leaves only the min id.
+    val v = Seq.fill(16)(1.0f)
+    val vecs = (0L until 12L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineDedup(vecs, "vec_id", "embedding",
+      tau = 0.9, bands = 2, planesPerBand = 3, dim = 16, maxBucket = 4)
+    assert(capped.count() == 12L)
+    val uncapped = Similarity.cosineDedup(vecs, "vec_id", "embedding",
+      tau = 0.9, bands = 2, planesPerBand = 3, dim = 16)
+    assert(uncapped.select("vec_id").as[Long].collect().toSeq == Seq(0L))
   }
 
   test("IVF with nprobe = nlist degenerates to exact brute force") {
