@@ -183,11 +183,20 @@ object Dedup {
     * expected, and a hot bucket is bounded by banding width, not corpus
     * size. The final filter is a broadcast anti-join of the removed-id
     * set when it is small, a shuffled anti-join otherwise (left to AQE).
+    *
+    * `maxBucket` (off by default) is the belt-and-braces skew guard for
+    * template-heavy corpora where one band key collects millions of
+    * near-identical docs: same two-pass shape as [[ngramJaccardPairs]]'s
+    * `maxPerShingle` — per-(band, band_key) counts first (map-side
+    * partials), then a broadcast anti-join of the tiny over-cap key set
+    * BEFORE the candidate self-join, so one hot bucket can never emit a
+    * quadratic pair list. Docs whose EVERY band is over-cap escape dedup
+    * (recall sacrificed by the guard, never memory).
     */
   def lshDedup(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
     val rowsPer = numHashes / bands
     require(rowsPer * bands == numHashes, "bands must divide numHashes")
@@ -200,10 +209,19 @@ object Dedup {
       val slice = (0 until rowsPer).map(r => col(s"sig_${b * rowsPer + r}"))
       struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("key"))
     }
-    val keyed = sigs.withColumn("bk", explode(array(bandCols: _*)))
+    val allKeyed = sigs.withColumn("bk", explode(array(bandCols: _*)))
       .select(col(idCol), col("bk.band").as("band"),
         col("bk.key").as("band_key"),
         struct((0 until numHashes).map(i => col(s"sig_$i")): _*).as("sig"))
+    val keyed =
+      if (maxBucket == Int.MaxValue) allKeyed
+      else {
+        val overCap = allKeyed.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > maxBucket)
+          .select("band", "band_key")
+        allKeyed.join(broadcast(overCap), Seq("band", "band_key"), "left_anti")
+      }
     val est = (0 until numHashes)
       .map(i => when(col(s"a.sig.sig_$i") === col(s"b.sig.sig_$i"), 1)
         .otherwise(0))

@@ -120,6 +120,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(uncapped.select("vec_id").as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("lshDedup bucket cap drops over-cap band buckets from candidates") {
+    // 10 identical docs share every band key (bucket size 10 in all 4
+    // bands). maxBucket=4 anti-joins every bucket out → no candidate
+    // pairs → all 10 survive; uncapped keep-min leaves only doc 0.
+    val docs = (0L until 10L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.lshDedup(docs, "doc_id", "text", maxBucket = 4)
+    assert(capped.count() == 10L)
+    val uncapped = Dedup.lshDedup(docs, "doc_id", "text")
+    assert(uncapped.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("IVF with nprobe = nlist degenerates to exact brute force") {
     // 30 deterministic pseudo-random vectors; probing every cell must
     // reproduce the exact top-k (IVF only loses matches via unprobed cells)
