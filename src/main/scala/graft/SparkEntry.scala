@@ -315,6 +315,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ── §2.11 forecast at a requested confidence with horizon noise
+    //    (percent_interval/percent_noise, loudml/donut.py:1338-1339,1415,
+    //    1423): z = Φ⁻¹(1−(1−0.68)/2) ≈ 0.9945, half-band grows by
+    //    noise·j·|μ| per forecast step j
+    "q_forecast_ci" -> ((s, dir) => {
+      val profile = SeasonalModel.train(
+        hourlyAvg(s, dir, FROM, SPLIT), "observed", seasonalParams)
+      SeasonalModel.forecastCI(s, profile, TO, TO + 2 * 86400L, seasonalParams,
+          percentInterval = 0.68, percentNoise = 2.0)
+        .select(
+          col("bucket"),
+          round(col("predicted"), 4).as("predicted"),
+          round(col("lower"), 4).as("lower"),
+          round(col("upper"), 4).as("upper"))
+        .orderBy("bucket")
+    }),
+
     // ── §2.11 MSE between observed and predicted (loudml/donut.py:417-424)
     "q_mse" -> ((s, dir) =>
       seasonalScored(s, dir)
@@ -704,5 +721,36 @@ object SparkEntry {
       s"""$seasonalSql
          |SELECT round(avg((observed - predicted)*(observed - predicted)), 4) AS mse
          |FROM scored""".stripMargin,
+
+    // z and per-step noise are plan literals computed by the same Scala
+    // code the query uses (they cannot drift); step j is exact (buckets
+    // are multiples of the interval), so double→BIGINT conversion agrees
+    // across engines
+    "q_forecast_ci" -> {
+      val z = graft.functions.Stats.normPpf(1.0 - (1.0 - 0.68) / 2.0)
+      val noise = 2.0 * HOUR.toDouble / 86400.0
+      s"""WITH train_agg AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT GROUP BY 1
+         |), train_spine AS (
+         |  SELECT unnest(generate_series($FROM, ${SPLIT - HOUR}, $HOUR)) AS bucket
+         |), train_series AS (
+         |  SELECT s.bucket, a.v FROM train_spine s LEFT JOIN train_agg a USING (bucket)
+         |), profile AS (
+         |  SELECT CAST((bucket % 86400) / $HOUR AS BIGINT) AS slot,
+         |         avg(v) AS mu,
+         |         CASE WHEN stddev_pop(v) = 0 OR stddev_pop(v) IS NULL THEN 1.0
+         |              ELSE stddev_pop(v) END AS sigma
+         |  FROM train_series GROUP BY 1
+         |), fspine AS (
+         |  SELECT unnest(generate_series($TO, ${TO + 2 * 86400 - HOUR}, $HOUR)) AS bucket
+         |)
+         |SELECT f.bucket, round(p.mu, 4) AS predicted,
+         |       round(p.mu - ($z*p.sigma + $noise*CAST((f.bucket - $TO)/$HOUR AS BIGINT)*abs(p.mu)), 4) AS lower,
+         |       round(p.mu + ($z*p.sigma + $noise*CAST((f.bucket - $TO)/$HOUR AS BIGINT)*abs(p.mu)), 4) AS upper
+         |FROM fspine f
+         |JOIN profile p ON p.slot = CAST((f.bucket % 86400) / $HOUR AS BIGINT)
+         |ORDER BY f.bucket""".stripMargin
+    },
   )
 }

@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ml.{AnomalyScan, Constraints, Hook, ModelRegistry, TrainedModel}
+import graft.ml.{Annotations, AnomalyScan, Constraints, Hook, ModelRegistry, TrainedModel}
 import graft.operators.{ConstFill, Feature, Fill, NoFill, PreviousFill, TimesQuery}
 import graft.sources.BucketRegistry
 import graft.streaming.{EvalParams, ScheduledEval}
@@ -27,13 +27,18 @@ final case class ModelSettings(
     defaultBucket: Option[String],
     raw: String) {
 
-  /** Settings JSON for the model trait with interval fields numeric. */
+  /** Settings JSON for the model trait with EVERY duration field numeric
+    * — model types parse durations with a plain numeric extractor, so a
+    * timedelta string (`"period": "2h"`, valid at this surface) must be
+    * canonicalized here or the model would silently fall back to its
+    * default period while the engine uses the parsed one. */
   def canonicalJson: String = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val merged = JsonMethods.parse(raw).merge(JObject(
       "type" -> JString(tpe),
-      "bucket_interval" -> JLong(bucketInterval)))
+      "bucket_interval" -> JLong(bucketInterval),
+      "period" -> JLong(period)))
     JsonMethods.compact(JsonMethods.render(merged))
   }
 }
@@ -141,7 +146,8 @@ object ModelSettings {
 class Engine(
     spark: SparkSession,
     val buckets: BucketRegistry,
-    storageRoot: String) {
+    storageRoot: String,
+    val annotations: graft.ml.AnnotationStore = new graft.ml.AnnotationStore) {
 
   private val settings =
     scala.collection.concurrent.TrieMap.empty[String, ModelSettings]
@@ -171,30 +177,52 @@ class Engine(
       feats)
   }
 
-  /** Bucketed single-feature series for a model (reference models are
-    * single-feature, donut.py:543-545). */
+  /** The model's input feature — model I/O assembly filters on the
+    * feature's declared direction (donut.py:547-551 `enum_features(
+    * is_input=True)`; model.py:126-127 `is_input = 'i' in io`): an
+    * output-only feature never feeds the model. Reference models are
+    * single-feature (donut.py:543-545), so the first input wins. */
+  private def inputFeature(s: ModelSettings): Feature =
+    s.features.find(_.isInput).getOrElse(throw new IllegalArgumentException(
+      s"model ${s.name} has no input feature (every feature is io='o')"))
+
+  /** Bucketed single-feature series for a model. */
   private def series(s: ModelSettings, bucket: String, from: Long,
       to: Long): DataFrame = {
     val b = buckets(bucket)
     TimesQuery.run(spark, b.readPoints(spark), b.timestampField,
-      s.bucketInterval, from, to, s.features.take(1))
+      s.bucketInterval, from, to, Seq(inputFeature(s)))
   }
 
   private def bucketOf(s: ModelSettings, bucket: Option[String]): String =
     bucket.orElse(s.defaultBucket).getOrElse(
       throw new IllegalArgumentException(s"model ${s.name} has no bucket"))
 
-  /** `_train`: fetch, train via the type registry, checkpoint. Returns
-    * the checkpoint version. */
+  /** `_train`: fetch, mask known-anomaly annotation windows, train via
+    * the type registry, checkpoint. Returns the checkpoint version.
+    * Window masking mirrors the reference worker, which fetches
+    * `list_anomalies` for the training range and passes the windows into
+    * `train` (/root/reference/loudml/worker.py:87-97) so a labeled outage
+    * never contaminates the learned profile. Open annotations (no end
+    * yet) mask to the end of the range. */
   def trainModel(name: String, from: String, to: String,
       bucket: Option[String] = None,
       nowEpoch: Long = System.currentTimeMillis() / 1000): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val s = getModel(name)
-    val bucketed = series(s, bucketOf(s, bucket),
-      DateMath.parseTs(from, nowEpoch).toLong,
-      DateMath.parseTs(to, nowEpoch).toLong)
+    val f = DateMath.parseTs(from, nowEpoch).toLong
+    val t = DateMath.parseTs(to, nowEpoch).toLong
+    val bucketed = series(s, bucketOf(s, bucket), f, t)
+    val input =
+      if (annotations.size == 0) bucketed
+      else {
+        val windows = Annotations.inRange(
+          annotations.toDF(spark)
+            .withColumn("end_ts", coalesce(col("end_ts"), lit(t))), f, t)
+        Annotations.maskWindows(bucketed, windows, inputFeature(s).name)
+      }
     val trained = ModelRegistry(s.tpe)
-      .train(bucketed, s.features.head.name, s.canonicalJson)
+      .train(input, inputFeature(s).name, s.canonicalJson)
     trained.save(storageRoot, name)
   }
 
@@ -218,7 +246,7 @@ class Engine(
     // their phase-aligned lags (donut.py:1210-1217 extends by span)
     val scored = model.predict(
       series(s, bucketOf(s, bucket), f - 2 * s.period, t),
-      s.features.head.name, s.features.head.anomalyType)
+      inputFeature(s).name, inputFeature(s).anomalyType)
       .filter(col("bucket") >= f && col("bucket") < t)
     if (!detectAnomalies) scored
     else AnomalyScan.scan(
@@ -228,14 +256,19 @@ class Engine(
   }
 
   /** `_forecast` with optional `feature:low|high:threshold` constraint;
-    * returns the bands and the first constraint violation if any. */
+    * returns the bands and the first constraint violation if any.
+    * `percentInterval`/`percentNoise` default to the reference's forecast
+    * defaults (0.68 two-sided interval, no horizon noise —
+    * /root/reference/loudml/donut.py:1338-1339). */
   def forecastModel(name: String, from: String, to: String,
       constraint: Option[String] = None,
+      percentInterval: Double = 0.68, percentNoise: Double = 0.0,
       nowEpoch: Long = System.currentTimeMillis() / 1000)
       : (DataFrame, Option[(Long, Double)]) = {
-    val fc = loadTrained(name).forecast(spark,
+    val fc = loadTrained(name).forecastCI(spark,
       DateMath.parseTs(from, nowEpoch).toLong,
-      DateMath.parseTs(to, nowEpoch).toLong)
+      DateMath.parseTs(to, nowEpoch).toLong,
+      percentInterval, percentNoise)
     (fc, constraint.map(c => Constraints.firstViolation(fc, Constraints.parse(c)))
       .getOrElse(None))
   }
@@ -271,7 +304,7 @@ class Engine(
           bucketInterval = s.bucketInterval,
           maxThreshold = s.maxThreshold, minThreshold = s.minThreshold,
           gracePeriodSec = s.gracePeriod, contextSec = 2 * s.period),
-        storageRoot, name, hooks, s.features.head.name)
+        storageRoot, name, hooks, inputFeature(s).name)
     })
 
   /** `_stop` (server.py:1629-1674): deregister the scheduled loop. The

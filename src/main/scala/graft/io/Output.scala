@@ -70,14 +70,20 @@ object Format {
   */
 object WriteBack {
 
-  def predictionFrame(scored: DataFrame, feature: String, model: String): DataFrame = {
-    val cols = Seq(
-      col("bucket"),
-      col("predicted").as(feature),
-      col("observed").as(s"@$feature"),
-      col("lower").as(s"lower_$feature"),
-      col("upper").as(s"upper_$feature"),
-      col("score")) ++
+  /** `io` is the feature's direction string (model.py:126-127:
+    * is_output = 'o' in io): an input-only feature contributes NO value
+    * columns to the write-back — only the bucket/score/tags row — since
+    * its "prediction" is model input, not model output. */
+  def predictionFrame(scored: DataFrame, feature: String, model: String,
+      io: String = "io"): DataFrame = {
+    val valueCols =
+      if (!io.contains('o')) Nil
+      else Seq(
+        col("predicted").as(feature),
+        col("observed").as(s"@$feature"),
+        col("lower").as(s"lower_$feature"),
+        col("upper").as(s"upper_$feature"))
+    val cols = Seq(col("bucket")) ++ valueCols ++ Seq(col("score")) ++
       (if (scored.columns.contains("is_anomaly"))
         Seq(col("is_anomaly").cast("string").as("is_anomaly")) // tags are strings (§1.2)
       else Nil)

@@ -37,4 +37,20 @@ object Annotations {
     * /root/reference/loudml/donut.py:962-987). */
   def excludeWindows(buckets: DataFrame, windows: DataFrame): DataFrame =
     flagWindows(buckets, windows).filter(!col("is_abnormal")).drop("is_abnormal")
+
+  /** Training-side MASK: null the value inside known-anomaly windows but
+    * keep the rows — the faithful analog of the VAE's abnormal mask
+    * (`_format_windows` marks entries missing and imputation fills them,
+    * /root/reference/loudml/donut.py:170-178,962-987). Masking beats
+    * dropping for window models: the spine stays complete so row-offset
+    * lags stay time-aligned, null targets fall out of the fit, and null
+    * lags impute to slot means. Aggregates (avg/stddev) ignore nulls, so
+    * profile models get exclusion semantics too. */
+  def maskWindows(buckets: DataFrame, windows: DataFrame,
+      valueCol: String): DataFrame =
+    flagWindows(buckets, windows)
+      .withColumn(valueCol,
+        when(col("is_abnormal"), lit(null).cast("double"))
+          .otherwise(col(valueCol)))
+      .drop("is_abnormal")
 }

@@ -108,6 +108,8 @@ class AnnotationStore {
     rows.get(id).foreach { case (s, _, t, k) => rows.put(id, (s, Some(endTs), t, k)) }
   }
 
+  def size: Int = synchronized { rows.size }
+
   def toDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     synchronized {

@@ -38,6 +38,17 @@ trait TrainedModel {
   /** Future bands over `[from, to[` (no observations). */
   def forecast(spark: SparkSession, from: Long, to: Long): DataFrame
 
+  /** Future bands at a requested confidence — the reference's forecast
+    * parameters (/root/reference/loudml/donut.py:1338-1339,1415,1423):
+    * half-width z·σ with z = Φ⁻¹(1−(1−percentInterval)/2), plus
+    * deterministic noise growth over the horizon — the reference expands
+    * each forecast step j by uniform(±noise·j) with
+    * noise = percentNoise·bucket_interval/86400; the deterministic analog
+    * widens the band by noise·j·|predicted| (the expansion's envelope).
+    * `forecast` ≡ `forecastCI(…, 0.9973002039367398, 0)` (z = 3). */
+  def forecastCI(spark: SparkSession, from: Long, to: Long,
+      percentInterval: Double, percentNoise: Double): DataFrame
+
   /** Versioned checkpoint via [[graft.io.ModelStore]]; returns version. */
   def save(root: String, name: String): Int =
     ModelStore.save(profile, settingsJson, root, name)

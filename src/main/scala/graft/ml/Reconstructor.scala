@@ -161,6 +161,82 @@ object WindowReconstructor extends ModelType {
     w
   }
 
+  /** Mergeable regression sufficient statistics — the reconstructor's
+    * warm-start state (the `continue`-training analog,
+    * /root/reference/loudml/donut.py:857-897): XᵀX (k×k), Xᵀy (k) and Σy²,
+    * all plain sums, so `merge` is element-wise addition. Everything the
+    * fit needs derives from them:
+    *   weights = ridgeSolve(XᵀX, Xᵀy);
+    *   RSS     = Σy² − 2wᵀ(Xᵀy) + wᵀ(XᵀX)w;
+    *   Σr      = Σy − wᵀ(Σx)  (row 0 of XᵀX is Σx: feature 0 is the
+    *             intercept; likewise (Xᵀy)₀ = Σy and XᵀX₀₀ = n);
+    *   σ²_pop  = RSS/n − (Σr/n)².
+    * EXACTNESS CONTRACT: stats merge exactly only against a FROZEN feature
+    * basis (profile + global stats) — features embed slot means, so chunks
+    * assembled with different profiles are sums over different bases. The
+    * warm-start path therefore assembles new data with the trained model's
+    * own profile ([[TrainedReconstructor.continueTraining]]). */
+  final case class RegStats(a: Array[Array[Double]], b: Array[Double],
+      syy: Double) {
+    def k: Int = b.length
+    def merge(o: RegStats): RegStats = {
+      require(o.k == k, s"stats arity mismatch: ${o.k} vs $k")
+      RegStats(
+        Array.tabulate(k, k)((i, j) => a(i)(j) + o.a(i)(j)),
+        Array.tabulate(k)(i => b(i) + o.b(i)),
+        syy + o.syy)
+    }
+  }
+
+  /** Normal-equation sums over a bucketed series assembled against the
+    * given (frozen) basis — one distributed agg, map-side partials.
+    * `targetFrom` excludes leading rows from the SUMS while still letting
+    * them provide lag context (the chunked-training contract: a chunk
+    * ships with 2·period of history, mirroring the predict path's context
+    * extension, so its early targets see real lags — without it the
+    * boundary rows impute to slot means and chunked sums drift from the
+    * full-data sums). */
+  private def regStats(bucketed: DataFrame, valueCol: String,
+      profile: DataFrame, globalMean: Double, globalSigma: Double,
+      p: Params, targetFrom: Option[Long] = None): RegStats = {
+    val (feat, names) = assemble(bucketed, valueCol, profile, globalMean,
+      globalSigma, p)
+    val rows = targetFrom.foldLeft(feat.filter(col(valueCol).isNotNull))(
+      (df, f) => df.filter(col("bucket") >= f))
+    val k = names.length
+    val prodAggs =
+      (for (i <- 0 until k; j <- i until k)
+        yield sum(col(names(i)) * col(names(j))).as(s"a_${i}_$j")) ++
+      (0 until k).map(i => sum(col(names(i)) * col(valueCol)).as(s"b_$i")) :+
+      sum(col(valueCol) * col(valueCol)).as("syy")
+    val s = rows.agg(prodAggs.head, prodAggs.tail: _*).collect()(0)
+    def d(n: String): Double =
+      if (s.isNullAt(s.fieldIndex(n))) 0.0 else s.getDouble(s.fieldIndex(n))
+    val a = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- i until k) {
+      val v = d(s"a_${i}_$j"); a(i)(j) = v; a(j)(i) = v
+    }
+    RegStats(a, Array.tabulate(k)(i => d(s"b_$i")), d("syy"))
+  }
+
+  /** Fit weights + residual σ purely from sufficient stats (no data
+    * pass) — the warm-start solve. */
+  private def fitFromStats(stats: RegStats, profile: DataFrame, p: Params,
+      globalMean: Double, globalSigma: Double): TrainedReconstructor = {
+    val weights = ridgeSolve(stats.a, stats.b, p.ridgeLambda)
+    val n = stats.a(0)(0) // Σ(1·1)
+    val k = stats.k
+    val wAw = (for (i <- 0 until k; j <- 0 until k)
+      yield weights(i) * stats.a(i)(j) * weights(j)).sum
+    val wb = (0 until k).map(i => weights(i) * stats.b(i)).sum
+    val rss = math.max(stats.syy - 2.0 * wb + wAw, 0.0)
+    val sumR = stats.b(0) - (0 until k).map(i => weights(i) * stats.a(0)(i)).sum
+    val varR = math.max(rss / n - (sumR / n) * (sumR / n), 0.0)
+    val sigma = math.max(math.sqrt(varR), p.sigmaFloor)
+    new TrainedReconstructor(profile, p, weights, sigma, globalMean,
+      globalSigma, Some(stats))
+  }
+
   def train(bucketed: DataFrame, valueCol: String, settingsJson: String): TrainedModel =
     train(bucketed, valueCol, parseParams(settingsJson))
 
@@ -177,31 +253,22 @@ object WindowReconstructor extends ModelType {
       .agg(avg(col(valueCol)).as("mu"),
         coalesce(stddev_pop(col(valueCol)), lit(globalSigma)).as("sigma"))
       .filter(col("mu").isNotNull)
+    val stats = regStats(bucketed, valueCol, profile, globalMean, globalSigma, p)
+    val weights = ridgeSolve(stats.a, stats.b, p.ridgeLambda)
+
+    // residual σ (population) over training targets — a direct data pass
+    // (numerically safer than the stats identity when residuals are tiny
+    // relative to Σy²; the warm-start path uses the identity)
     val (feat, names) = assemble(bucketed, valueCol, profile, globalMean,
       globalSigma, p)
     val rows = feat.filter(col(valueCol).isNotNull)
-
-    // normal equations in ONE distributed agg: sums of fi*fj (i ≤ j), fi*y
-    val k = names.length
-    val prodAggs =
-      (for (i <- 0 until k; j <- i until k)
-        yield sum(col(names(i)) * col(names(j))).as(s"a_${i}_$j")) ++
-      (0 until k).map(i => sum(col(names(i)) * col(valueCol)).as(s"b_$i"))
-    val s = rows.agg(prodAggs.head, prodAggs.tail: _*).collect()(0)
-    val a = Array.ofDim[Double](k, k)
-    for (i <- 0 until k; j <- i until k) {
-      val v = s.getDouble(s.fieldIndex(s"a_${i}_$j")); a(i)(j) = v; a(j)(i) = v
-    }
-    val b = Array.tabulate(k)(i => s.getDouble(s.fieldIndex(s"b_$i")))
-    val weights = ridgeSolve(a, b, p.ridgeLambda)
-
-    // residual σ (population) over training targets
     val predExpr = names.zip(weights)
       .map { case (n, wi) => col(n) * lit(wi) }.reduce(_ + _)
     val sig = rows.agg(stddev_pop(col(valueCol) - predExpr)).collect()(0)
     val sigma = math.max(if (sig.isNullAt(0)) 0.0 else sig.getDouble(0), p.sigmaFloor)
 
-    new TrainedReconstructor(profile, p, weights, sigma, globalMean, globalSigma)
+    new TrainedReconstructor(profile, p, weights, sigma, globalMean,
+      globalSigma, Some(stats))
   }
 
   def load(spark: SparkSession, profile: DataFrame, settingsJson: String): TrainedModel = {
@@ -224,9 +291,43 @@ object WindowReconstructor extends ModelType {
       val weights: Array[Double],
       val sigma: Double,
       val globalMean: Double,
-      val globalSigma: Double) extends TrainedModel {
+      val globalSigma: Double,
+      val regStats: Option[RegStats] = None) extends TrainedModel {
 
     def modelType: String = name
+
+    /** Warm start (`continue` training, donut.py:857-897): fold NEW data
+      * into the existing normal-equation sums and re-solve — old data is
+      * never revisited. The new chunk is assembled against THIS model's
+      * frozen basis (profile + global stats), which is what makes
+      * merge exact: chunk₁-stats ⊕ chunk₂-stats ≡ full-data stats under
+      * one basis (unit-tested to FP tolerance). Requires the model to
+      * still carry stats (a freshly trained model does; a checkpoint
+      * rehydrated without them cannot warm-start). */
+    def continueTraining(newData: DataFrame, valueCol: String,
+        targetFrom: Option[Long] = None): TrainedReconstructor = {
+      val prev = regStats.getOrElse(throw new IllegalStateException(
+        "model carries no sufficient stats; retrain from data"))
+      val merged = prev.merge(
+        WindowReconstructor.regStats(newData, valueCol, profile, globalMean,
+          globalSigma, params, targetFrom))
+      fitFromStats(merged, profile, params, globalMean, globalSigma)
+    }
+
+    /** Stats for an arbitrary chunk under THIS model's frozen basis —
+      * lets callers accumulate chunks themselves (distributed collection
+      * of per-partition stats, merged associatively). Ship each chunk
+      * with 2·period of leading history and point `targetFrom` at the
+      * chunk's own range start. */
+    def statsFor(chunk: DataFrame, valueCol: String,
+        targetFrom: Option[Long] = None): RegStats =
+      WindowReconstructor.regStats(chunk, valueCol, profile, globalMean,
+        globalSigma, params, targetFrom)
+
+    /** Re-solve this model from explicit (possibly merged) stats, keeping
+      * the frozen basis. */
+    def withStats(stats: RegStats): TrainedReconstructor =
+      fitFromStats(stats, profile, params, globalMean, globalSigma)
 
     def settingsJson: String = {
       val base = params.json.stripSuffix("}")
@@ -268,7 +369,18 @@ object WindowReconstructor extends ModelType {
       * mean, so x̂ depends only on slot — precompute the P slot
       * predictions driver-side (profile is model-sized) and broadcast-join
       * the spine. */
-    def forecast(spark: SparkSession, from: Long, to: Long): DataFrame = {
+    def forecast(spark: SparkSession, from: Long, to: Long): DataFrame =
+      forecastBands(spark, from, to, z = 3.0, noisePerStep = 0.0)
+
+    /** CI-parameterized bands — see [[TrainedModel.forecastCI]]. */
+    def forecastCI(spark: SparkSession, from: Long, to: Long,
+        percentInterval: Double, percentNoise: Double): DataFrame =
+      forecastBands(spark, from, to,
+        z = Stats.normPpf(1.0 - (1.0 - percentInterval) / 2.0),
+        noisePerStep = percentNoise * params.bucketInterval.toDouble / 86400.0)
+
+    private def forecastBands(spark: SparkSession, from: Long, to: Long,
+        z: Double, noisePerStep: Double): DataFrame = {
       import spark.implicits._
       val P = params.periodBuckets
       val sm: Map[Long, Double] = profile.collect()
@@ -281,13 +393,18 @@ object WindowReconstructor extends ModelType {
         val mu = weights.zip(feats).map { case (w, f) => w * f }.sum
         (s0.toLong, mu)
       }.toDF("slot", "predicted")
+      val half =
+        if (noisePerStep == 0.0) lit(z * sigma)
+        else lit(z * sigma) +
+          lit(noisePerStep) * ((col("bucket") - lit(from)) / lit(params.bucketInterval))
+            .cast("long") * abs(col("predicted"))
       spark.range(from, to, params.bucketInterval)
         .select(col("id").as("bucket"))
         .withColumn("slot", SeasonalModel.slotCol(col("bucket"),
           SeasonalModelParams(params.bucketInterval, params.period)))
         .join(broadcast(perSlot), "slot")
-        .withColumn("lower", col("predicted") - lit(3.0 * sigma))
-        .withColumn("upper", col("predicted") + lit(3.0 * sigma))
+        .withColumn("lower", col("predicted") - half)
+        .withColumn("upper", col("predicted") + half)
         .select("bucket", "predicted", "lower", "upper")
         .orderBy("bucket")
     }

@@ -77,15 +77,40 @@ object SeasonalModel {
       profile: DataFrame,
       from: Long,
       to: Long,
-      p: SeasonalModelParams): DataFrame = {
+      p: SeasonalModelParams): DataFrame =
+    forecastBands(spark, profile, from, to, p, z = 3.0, noisePerStep = 0.0)
+
+  /** Forecast at a requested confidence (`percent_interval`) with noise
+    * growth over the horizon (`percent_noise`) — the reference's forecast
+    * parameters (/root/reference/loudml/donut.py:1338-1339,1415,1423).
+    * z = Φ⁻¹(1−(1−percentInterval)/2); at step j the reference expands the
+    * window by uniform(±percentNoise·bucket_interval/86400·j); the
+    * deterministic analog widens the half-band by that envelope times
+    * |predicted|. */
+  def forecastCI(
+      spark: SparkSession, profile: DataFrame, from: Long, to: Long,
+      p: SeasonalModelParams, percentInterval: Double,
+      percentNoise: Double): DataFrame =
+    forecastBands(spark, profile, from, to, p,
+      z = Stats.normPpf(1.0 - (1.0 - percentInterval) / 2.0),
+      noisePerStep = percentNoise * p.bucketInterval.toDouble / 86400.0)
+
+  private def forecastBands(
+      spark: SparkSession, profile: DataFrame, from: Long, to: Long,
+      p: SeasonalModelParams, z: Double, noisePerStep: Double): DataFrame = {
     val spine = spark.range(from, to, p.bucketInterval)
       .select(col("id").as("bucket"))
+    val half =
+      if (noisePerStep == 0.0) lit(z) * col("sigma")
+      else lit(z) * col("sigma") +
+        lit(noisePerStep) * ((col("bucket") - lit(from)) / lit(p.bucketInterval))
+          .cast("long") * abs(col("mu"))
     spine
       .withColumn("slot", slotCol(col("bucket"), p))
       .join(broadcast(profile), "slot")
       .withColumn("predicted", col("mu"))
-      .withColumn("lower", col("mu") - lit(3.0) * col("sigma"))
-      .withColumn("upper", col("mu") + lit(3.0) * col("sigma"))
+      .withColumn("lower", col("mu") - half)
+      .withColumn("upper", col("mu") + half)
       .select("bucket", "predicted", "lower", "upper")
       .orderBy("bucket")
   }
@@ -196,5 +221,9 @@ object SeasonalModelType extends ModelType {
       SeasonalModel.predict(bucketed, profile, valueCol, p, anomalyType)
     def forecast(spark: SparkSession, from: Long, to: Long): DataFrame =
       SeasonalModel.forecast(spark, profile, from, to, p)
+    def forecastCI(spark: SparkSession, from: Long, to: Long,
+        percentInterval: Double, percentNoise: Double): DataFrame =
+      SeasonalModel.forecastCI(spark, profile, from, to, p,
+        percentInterval, percentNoise)
   }
 }

@@ -21,6 +21,21 @@ class EngineSpec extends SparkSpec {
     (new Engine(spark, reg, root), root)
   }
 
+  test("timedelta-string period survives canonicalJson into parseParams") {
+    // a "period": "2h" is valid at the settings surface; the model types
+    // parse durations numerically, so canonicalJson must merge the parsed
+    // seconds back in — otherwise the model trains on the default period
+    // while the engine evals with the parsed one
+    val s = ModelSettings.parse(
+      """{"name":"m","type":"seasonal","bucket_interval":"1h","period":"2h",
+        |"features":[{"name":"f","metric":"avg","field":"v"}]}""".stripMargin)
+    assert(s.period == 7200L && s.bucketInterval == 3600L)
+    val p = graft.ml.SeasonalModelType.parseParams(s.canonicalJson)
+    assert(p.period == 7200L && p.bucketInterval == 3600L)
+    val w = graft.ml.WindowReconstructor.parseParams(s.canonicalJson)
+    assert(w.period == 7200L && w.bucketInterval == 3600L)
+  }
+
   test("_read: feature DSL + date math over a registered bucket") {
     val (engine, _) = newEngine()
     engine.buckets.register(
@@ -89,6 +104,73 @@ class EngineSpec extends SparkSpec {
     val sched = engine.startScheduled("m1", hooks = Seq(hook))
     sched.evalOnce(732L * HOUR) // window [726h, 732h)
     assert(seen.toSeq == Seq(730L * HOUR))
+  }
+
+  test("training masks labeled anomaly windows: contaminated segment " +
+      "scores higher after exclusion (test_donut.py:296-340 analog)") {
+    // flat-10 series with a 2-day plateau at 100 (hours 240..288) — the
+    // labeled outage. Trained WITH the annotation, the profile must not
+    // absorb the plateau, so eval scores it as anomalous; trained WITHOUT,
+    // the plateau leaks into the per-slot means and scores drop.
+    val (engine, _) = newEngine()
+    val dir = java.nio.file.Files.createTempDirectory("ann").toString + "/pts"
+    (0 until 720).map { t =>
+      (t * HOUR, if (t >= 240 && t < 288) 100.0 else 10.0)
+    }.toDF("epoch", "value")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("value"))
+      .write.parquet(dir)
+    engine.buckets.register(new ParquetBucket("pts", dir))
+    engine.createModel(
+      s"""{"name": "ma", "type": "seasonal",
+         |  "features": [{"name": "avg_v", "metric": "avg", "field": "value",
+         |                "default": 0}],
+         |  "bucket_interval": "1h", "default_bucket": "pts"}""".stripMargin)
+
+    def meanScoreOverPlateau(): Double = {
+      val scored = engine.evalModel("ma", (240L * HOUR).toString,
+        (288L * HOUR).toString, detectAnomalies = false)
+      scored.agg(avg(col("score"))).collect()(0).getDouble(0)
+    }
+    engine.trainModel("ma", "0", (720L * HOUR).toString)
+    val contaminated = meanScoreOverPlateau()
+
+    engine.annotations.insert("out-1", 240L * HOUR, "labeled outage", "anomaly")
+    engine.annotations.close("out-1", 288L * HOUR)
+    engine.trainModel("ma", "0", (720L * HOUR).toString)
+    val excluded = meanScoreOverPlateau()
+
+    assert(excluded > contaminated,
+      s"excluded=$excluded contaminated=$contaminated")
+    assert(excluded > 99.0) // clean profile: the plateau is flagrant
+  }
+
+  test("model I/O assembly consumes io direction: output-only feature " +
+      "never feeds the model (donut.py:547-551)") {
+    val (engine, _) = newEngine()
+    val dir = java.nio.file.Files.createTempDirectory("iod").toString + "/pts"
+    (0 until 48).map(t => (t * HOUR, 10.0)).toDF("epoch", "value")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("value"))
+      .write.parquet(dir)
+    engine.buckets.register(new ParquetBucket("pts", dir))
+    engine.createModel(
+      s"""{"name": "mio", "type": "seasonal", "bucket_interval": "1h",
+         |  "default_bucket": "pts", "features": [
+         |  {"name": "out_f", "metric": "max", "field": "value", "io": "o"},
+         |  {"name": "in_f", "metric": "avg", "field": "value", "io": "i",
+         |   "default": 0}]}""".stripMargin)
+    engine.trainModel("mio", "0", (48L * HOUR).toString)
+    val scored = engine.evalModel("mio", "0", (48L * HOUR).toString,
+      detectAnomalies = false)
+    // the model's series is the first INPUT feature, not the first feature
+    assert(scored.columns.contains("in_f") && !scored.columns.contains("out_f"))
+
+    engine.createModel(
+      s"""{"name": "mbad", "type": "seasonal", "bucket_interval": "1h",
+         |  "default_bucket": "pts", "features": [
+         |  {"name": "only_out", "metric": "avg", "field": "value",
+         |   "io": "o"}]}""".stripMargin)
+    assertThrows[IllegalArgumentException](
+      engine.trainModel("mbad", "0", (48L * HOUR).toString))
   }
 
   test("_read JSON shape + idempotent _start/_stop") {

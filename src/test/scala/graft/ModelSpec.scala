@@ -117,6 +117,41 @@ class ModelSpec extends SparkSpec {
     assert(preds.max - preds.min > 2.0) // daily amplitude visible
   }
 
+  test("forecastCI: 0.68 interval is ±~1σ, noise widens bands over horizon") {
+    val series = sinSeries(720, HOUR, seed = 3).toDF("bucket", "value")
+    val model = WindowReconstructor.train(series, "value",
+      WindowReconstructor.Params(bucketInterval = HOUR))
+    val z68 = graft.functions.Stats.normPpf(1.0 - (1.0 - 0.68) / 2.0)
+    assert(math.abs(z68 - 0.994457883) < 1e-6) // the documented 0.68 ⇒ ~1σ
+    val fc = model.forecastCI(spark, 720L * HOUR, 744L * HOUR, 0.68, 0.0)
+      .collect()
+    fc.foreach { r =>
+      val half = r.getDouble(r.fieldIndex("upper")) -
+        r.getDouble(r.fieldIndex("predicted"))
+      assert(math.abs(half - z68 * model.sigma) < 1e-9)
+    }
+    // wide interval ⇒ wider bands; 3σ default == forecastCI(0.9973..., 0)
+    val fc997 = model.forecastCI(spark, 720L * HOUR, 744L * HOUR,
+      0.9973002039367398, 0.0).collect()
+    fc997.foreach { r =>
+      val half = r.getDouble(r.fieldIndex("upper")) -
+        r.getDouble(r.fieldIndex("predicted"))
+      assert(math.abs(half - 3.0 * model.sigma) < 1e-6)
+    }
+    // percent_noise: half-width grows linearly with the forecast step
+    val noisy = model.forecastCI(spark, 720L * HOUR, 744L * HOUR, 0.68, 2.0)
+      .orderBy("bucket").collect()
+    val halves = noisy.map(r => r.getDouble(r.fieldIndex("upper")) -
+      r.getDouble(r.fieldIndex("predicted")))
+    val bases = fc.sortBy(_.getLong(0)).map(r =>
+      r.getDouble(r.fieldIndex("upper")) - r.getDouble(r.fieldIndex("predicted")))
+    val preds = noisy.map(r => math.abs(r.getDouble(r.fieldIndex("predicted"))))
+    val noisePerStep = 2.0 * HOUR.toDouble / 86400.0
+    halves.indices.foreach { j =>
+      assert(math.abs(halves(j) - (bases(j) + noisePerStep * j * preds(j))) < 1e-9)
+    }
+  }
+
   test("fleet scoring: keyed predict == per-series predict (no lag " +
       "leakage across series)") {
     val model = WindowReconstructor.train(
@@ -138,6 +173,32 @@ class ModelSpec extends SparkSpec {
     assert(aTogether.keySet == aAlone.keySet)
     aTogether.foreach { case (k, v) => assert(math.abs(v - aAlone(k)) < 1e-12) }
     bTogether.foreach { case (k, v) => assert(math.abs(v - bAlone(k)) < 1e-12) }
+  }
+
+  test("reconstructor warm-start: chunked stats (with lag context) merge " +
+      "≡ one full-data fit under the frozen basis") {
+    val p = WindowReconstructor.Params(bucketInterval = HOUR)
+    val data = sinSeries(720, HOUR, seed = 7).toDF("bucket", "value")
+    val base = WindowReconstructor.train(data, "value", p)
+    val split = 360L * HOUR
+    val ctx = 2L * p.periodBuckets * HOUR // chunk ships 2 periods of history
+    val c1 = data.filter(col("bucket") < split)
+    val c2 = data.filter(col("bucket") >= split - ctx)
+    val merged = base.statsFor(c1, "value")
+      .merge(base.statsFor(c2, "value", targetFrom = Some(split)))
+    val mm = base.withStats(merged)
+    val ff = base.withStats(base.statsFor(data, "value"))
+    mm.weights.zip(ff.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(b)),
+        s"weights diverge: $a vs $b")
+    }
+    assert(math.abs(mm.sigma - ff.sigma) <= 1e-6 * math.max(1.0, ff.sigma))
+    // continueTraining folds the second chunk into the model's own stats
+    val warm = base.withStats(base.statsFor(c1, "value"))
+      .continueTraining(c2, "value", targetFrom = Some(split))
+    warm.weights.zip(ff.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-8 * math.max(1.0, math.abs(b)))
+    }
   }
 
   test("incremental training: merged sufficient stats == full retrain " +

@@ -128,6 +128,17 @@ class SurfacesSpec extends SparkSpec {
     assert(back.count() == 1 && back.columns.contains("date"))
   }
 
+  test("write-back consumes io direction: input-only feature contributes " +
+      "no value columns (model.py:126-127)") {
+    val scored = Seq((0L, 1.0, 1.1, 0.8, 1.4, 12.5, false))
+      .toDF("bucket", "observed", "predicted", "lower", "upper", "score", "is_anomaly")
+    val out = WriteBack.predictionFrame(scored, "cpu", "m1", io = "i")
+    assert(out.columns.toSet == Set("bucket", "score", "model", "is_anomaly"))
+    // and 'io' (the default) still writes everything
+    assert(WriteBack.predictionFrame(scored, "cpu", "m1", io = "io")
+      .columns.toSet.contains("cpu"))
+  }
+
   // ── ModelStore (filestorage.py:57-236) ──────────────────────────────
 
   test("versioned checkpoints: save, ACTIVE pointer, restore, load") {
