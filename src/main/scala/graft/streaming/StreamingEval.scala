@@ -52,10 +52,45 @@ object StreamingEval {
       .select(unix_timestamp(col("window.start")).as("bucket"), col("value"))
 
   /** Start the scored + scanned stream. Each micro-batch of closed
-    * buckets is scored by `model`, scanned with the hysteresis machine
-    * resumed from [[StateStore]], hooks fire on start/end, the new state
-    * persists, and `onBatch` receives the scanned (cached, small) frame.
-    */
+    * buckets is SPINE-COMPLETED, extended with lag context, scored by
+    * `model`, scanned with the hysteresis machine resumed from
+    * [[StateStore]], hooks fire on start/end, the new state persists, and
+    * `onBatch` receives the scanned (cached, small) frame.
+    *
+    * Gap materialization (the batch path's empty-bucket semantics,
+    * /root/reference/loudml/elastic.py:488-500): append-mode windowed
+    * aggregation emits only NON-EMPTY closed windows, so without spine
+    * completion a silent source — the classic "traffic dropped to zero"
+    * anomaly that gap materialization exists to catch — produces no
+    * buckets and no anomaly. Here every bucket between the persisted
+    * high-water mark and the newest watermark-closed bucket is emitted,
+    * missing ones synthesized with `fill` (the count=0 / default-fill
+    * analog): when data resumes after a gap, the skipped buckets are
+    * filled retroactively IN ORDER before the resuming bucket, so the
+    * hysteresis machine sees the outage. This is race-free: append mode
+    * releases every closed window with data in watermark order, so a
+    * bucket absent from the batch output yet older than the newest
+    * released one can never receive data later (it would be dropped as
+    * late). Synthesis starts only after the first observed bucket (a
+    * model that never saw data emits nothing), and a bucket at-or-below
+    * the high-water mark is dropped as a late duplicate.
+    *
+    * TOTAL silence never fires `foreachBatch` at all (an event-time
+    * watermark cannot advance without events), so it is closed by the
+    * caller's scheduler calling [[tick]] with the wall clock — the same
+    * ownership split as [[ScheduledEval]]: the engine owns event-time,
+    * the caller owns wall-time. (A wall clock consulted INSIDE
+    * `foreachBatch` would be wrong: a data micro-batch can fire with
+    * empty OUTPUT before the watermark-advance batch releases the rows,
+    * and clock-filling there would synthesize buckets whose real data is
+    * still pending, then drop that data as late.)
+    *
+    * Lag context: the trailing `contextSec` of emitted buckets persists
+    * next to the run state and is prepended before `predict`, then
+    * filtered back out — so window models see their phase-aligned lags
+    * and streaming scores match the batch path's ([[ScheduledEval]]
+    * fetches the same context) instead of imputing every lag to slot
+    * means. */
   def start(
       bucketed: DataFrame,
       model: TrainedModel,
@@ -65,26 +100,139 @@ object StreamingEval {
       hooks: Seq[Hook] = Nil,
       checkpointDir: String,
       trigger: Option[Trigger] = None,
+      fill: Double = 0.0,
       onBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
     val writer = bucketed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val scored = model.predict(batch, "value")
-            .withColumn("score", coalesce(col("score"), lit(0.0)))
-          val before = StateStore.load(stateRoot, modelName)
-          val scanned = AnomalyScan.scan(scored,
-            maxThreshold = params.maxThreshold,
-            minThreshold = params.minThreshold,
-            gracePeriodSec = params.gracePeriodSec,
-            initial = before).cache()
-          Hooks.dispatch(scanned, hooks)
-          StateStore.save(stateRoot, modelName, RunState.fromScan(scanned, before))
-          onBatch(scanned)
-        }
+        // one trigger's closed buckets: O(interval/bucketInterval) rows
+        val observed = batch.collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) fill else r.getDouble(1)))
+          .toMap
+        advance(batch.sparkSession, model, params, stateRoot, modelName,
+          hooks, fill, observed, upperExtra = None, onBatch)
       }
     trigger.foreach(writer.trigger)
     writer.start()
   }
+
+  /** Close TOTALLY silent buckets by wall clock: every bucket `b` with
+    * `b + bucketInterval ≤ now − offset` (the reference scheduler's
+    * window rule, loudml/server.py:1559-1580) above the persisted
+    * high-water mark is synthesized with `fill` and pushed through the
+    * same score → scan → hooks → state path as a streaming micro-batch.
+    * Call from the owner's scheduler when the stream reports no progress
+    * (e.g. once per `interval`); a no-op before the first observed bucket
+    * or when event-time already caught up. Data arriving later for a
+    * ticked bucket is dropped as late — the same contract `offset` gives
+    * the watermark. */
+  def tick(
+      spark: org.apache.spark.sql.SparkSession,
+      model: TrainedModel,
+      params: EvalParams,
+      stateRoot: String,
+      modelName: String,
+      hooks: Seq[Hook] = Nil,
+      fill: Double = 0.0,
+      now: Long,
+      onBatch: DataFrame => Unit = _ => ()): Unit = {
+    val bi = params.bucketInterval
+    val n = now - params.offset
+    val closed = n - Math.floorMod(n, bi) - bi
+    advance(spark, model, params, stateRoot, modelName, hooks, fill,
+      observed = Map.empty, upperExtra = Some(closed), onBatch)
+  }
+
+  /** Shared micro-batch core: spine-complete `[hwm+bi, up]`, prepend the
+    * persisted lag context, score, scan from persisted state, dispatch
+    * hooks, persist state + trailing context. */
+  private def advance(
+      spark: org.apache.spark.sql.SparkSession,
+      model: TrainedModel,
+      params: EvalParams,
+      stateRoot: String,
+      modelName: String,
+      hooks: Seq[Hook],
+      fill: Double,
+      observed: Map[Long, Double],
+      upperExtra: Option[Long],
+      onBatch: DataFrame => Unit): Unit = {
+    val bi = params.bucketInterval
+    val (hwm, hist) = BucketHistory.load(stateRoot, modelName)
+    val upperOpt = (observed.keySet ++ upperExtra).reduceOption(_ max _)
+    val lowerOpt = hwm.map(_ + bi)
+      .orElse(observed.keySet.reduceOption(_ min _))
+    (lowerOpt zip upperOpt).filter { case (lo, up) => lo <= up }
+      .foreach { case (lo, up) =>
+        val newRows = (lo to up by bi).map(b => b -> observed.getOrElse(b, fill))
+        import spark.implicits._
+        val series = (hist ++ newRows).toDF("bucket", "value")
+        val scored = model.predict(series, "value")
+          .filter(col("bucket") >= lo)
+          .withColumn("score", coalesce(col("score"), lit(0.0)))
+        val before = StateStore.load(stateRoot, modelName)
+        val scanned = AnomalyScan.scan(scored,
+          maxThreshold = params.maxThreshold,
+          minThreshold = params.minThreshold,
+          gracePeriodSec = params.gracePeriodSec,
+          initial = before).cache()
+        try {
+          Hooks.dispatch(scanned, hooks)
+          StateStore.save(stateRoot, modelName, RunState.fromScan(scanned, before))
+          BucketHistory.save(stateRoot, modelName, up,
+            (hist ++ newRows).filter(_._1 > up - params.contextSec))
+          onBatch(scanned)
+        } finally scanned.unpersist()
+      }
+  }
+}
+
+/** Streaming high-water mark + trailing lag-context buckets, persisted
+  * next to the run state (`<root>/<model>/stream_history.json`) — tiny
+  * (O(contextSec/bucketInterval) pairs), survives restarts like the
+  * reference's saved run state. */
+object BucketHistory {
+  import java.nio.file.{Files, Paths}
+
+  private def path(root: String, model: String) =
+    Paths.get(root, model, "stream_history.json")
+
+  def save(root: String, model: String, hwm: Long,
+      rows: Seq[(Long, Double)]): Unit = {
+    val p = path(root, model)
+    Files.createDirectories(p.getParent)
+    val arr = rows.sortBy(_._1)
+      .map { case (b, v) => s"[$b,$v]" }.mkString("[", ",", "]")
+    Files.writeString(p, s"""{"hwm":$hwm,"rows":$arr}""")
+  }
+
+  def load(root: String, model: String): (Option[Long], Seq[(Long, Double)]) = {
+    val p = path(root, model)
+    if (!Files.exists(p)) (None, Nil)
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(Files.readString(p))
+      val hwm = (j \ "hwm") match {
+        case JInt(x) => Some(x.toLong); case JLong(x) => Some(x); case _ => None
+      }
+      val rows = (j \ "rows") match {
+        case JArray(xs) => xs.collect {
+          case JArray(List(b, v)) =>
+            val bl = b match { case JInt(x) => x.toLong; case JLong(x) => x; case _ => 0L }
+            val vd = v match {
+              case JDouble(x) => x; case JInt(x) => x.toDouble
+              case JLong(x) => x.toDouble; case _ => 0.0
+            }
+            bl -> vd
+        }
+        case _ => Nil
+      }
+      (hwm, rows)
+    }
+  }
+
+  def clear(root: String, model: String): Unit =
+    Files.deleteIfExists(path(root, model))
 }

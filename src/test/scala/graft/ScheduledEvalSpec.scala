@@ -154,6 +154,129 @@ class ScheduledEvalSpec extends SparkSpec {
     assert(hook.ends.map(_._1).toSeq == Seq(40L))
   }
 
+  test("streaming gap materialization: silent buckets spine-fill when data " +
+      "resumes, and tick() closes total silence (elastic.py:488-500)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{BucketHistory, StreamingEval}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // count-like world: flat 10 when healthy; a silent source means the
+    // metric should read `fill`=0, which the flat-10 model flags
+    val train = (0 until 240).map(t => (t * 10L, 10.0)).toDF("bucket", "value")
+    val model = ModelRegistry("seasonal")
+      .train(train, "value", """{"bucket_interval":10,"period":86400}""")
+
+    val ms = MemoryStream[(Long, Double)]
+    val points = ms.toDF()
+      .select(timestamp_seconds(col("_1")).as("ts"), col("_2").as("value"))
+    val bucketed = StreamingEval.bucketize(points, "ts", "value",
+      interval = 10L, offsetSec = 0L)
+
+    val stateRoot = java.nio.file.Files.createTempDirectory("srs2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    val params = graft.streaming.EvalParams(interval = 10L, offset = 0L,
+      bucketInterval = 10L, maxThreshold = 99.7, minThreshold = 68.0)
+    val hook = new RecordingHook
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    val record: DataFrame => Unit =
+      b => got ++= b.orderBy("bucket").collect().map(r =>
+        (r.getLong(r.fieldIndex("bucket")),
+          r.getDouble(r.fieldIndex("value")),
+          Option(r.getString(r.fieldIndex("anomaly"))).orNull))
+    val q = StreamingEval.start(bucketed, model, params,
+      stateRoot, "sm2", hooks = Seq(hook), checkpointDir = ckpt,
+      fill = 0.0, onBatch = record)
+    try {
+      // healthy traffic: buckets 0,10,20 close at value 10
+      ms.addData((5L, 10.0), (15L, 10.0), (25L, 10.0), (35L, 10.0))
+      q.processAllAvailable()
+      assert(got.toSeq == Seq((0L, 10.0, null), (10L, 10.0, null), (20L, 10.0, null)))
+
+      // source goes SILENT for buckets 40,50, then resumes: the watermark
+      // jump closes buckets 30 (observed) and 60 (observed); 40,50 are
+      // synthesized at fill=0 → the outage raises start/ongoing, recovery
+      // at 60 closes it
+      ms.addData((65L, 10.0), (75L, 10.0))
+      q.processAllAvailable()
+      assert(got.drop(3).toSeq == Seq((30L, 10.0, null),
+        (40L, 0.0, "start"), (50L, 0.0, "ongoing"), (60L, 10.0, "end")))
+    } finally q.stop()
+
+    // TOTAL silence: no event ⇒ no micro-batch ⇒ the caller's scheduler
+    // ticks with the wall clock; buckets 70,80 (closed by now=95) fill at
+    // 0 and open a fresh episode
+    StreamingEval.tick(spark, model, params, stateRoot, "sm2",
+      hooks = Seq(hook), fill = 0.0, now = 95L, onBatch = record)
+    assert(got.drop(7).toSeq == Seq((70L, 0.0, "start"), (80L, 0.0, "ongoing")))
+    // a second tick at the same clock is a no-op (idempotent)
+    val n = got.size
+    StreamingEval.tick(spark, model, params, stateRoot, "sm2",
+      hooks = Seq(hook), fill = 0.0, now = 95L, onBatch = record)
+    assert(got.size == n)
+
+    assert(hook.starts.map(_._1).toSeq == Seq(40L, 70L))
+    assert(hook.ends.map(_._1).toSeq == Seq(60L))
+    // the persisted history carries hwm + trailing context for lag models
+    val (hwm, hist) = BucketHistory.load(stateRoot, "sm2")
+    assert(hwm.contains(80L))
+    assert(hist.nonEmpty && hist.forall(_._1 <= 80L))
+  }
+
+  test("streaming lag context: scores match the batch path for a window " +
+      "model (no batch/stream drift)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEval
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // window reconstructor NEEDS lags: without history context, every lag
+    // imputes to slot means and streaming scores drift from batch scores
+    val HOUR = 3600L
+    val rnd = new scala.util.Random(7)
+    val trainVals = Array.fill(720)(10.0 + rnd.nextGaussian() * 0.3)
+    def valAt(h: Long): Double = if (h < 720) trainVals(h.toInt) else 10.0 + 0.1 * (h % 5)
+    val train = (0L until 720L).map(h => (h * HOUR, valAt(h))).toDF("bucket", "value")
+    val model = WindowReconstructor.train(train, "value",
+      WindowReconstructor.Params(bucketInterval = HOUR))
+
+    val params = graft.streaming.EvalParams(interval = 6 * HOUR, offset = 0L,
+      bucketInterval = HOUR, contextSec = 48 * HOUR)
+
+    // batch path: one predict over [720h, 744h) with full context
+    val batchSeries = (672L until 744L).map(h => (h * HOUR, valAt(h))).toDF("bucket", "value")
+    val batchScores = model.predict(batchSeries, "value")
+      .filter(col("bucket") >= 720L * HOUR)
+      .select("bucket", "score").as[(Long, Double)].collect().toMap
+
+    // streaming path: same span in four 6h micro-batches
+    val ms = MemoryStream[(Long, Double)]
+    val points = ms.toDF()
+      .select(timestamp_seconds(col("_1")).as("ts"), col("_2").as("value"))
+    val bucketed = StreamingEval.bucketize(points, "ts", "value",
+      interval = HOUR, offsetSec = 0L)
+    val stateRoot = java.nio.file.Files.createTempDirectory("srs3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt3").toString
+    // seed the persisted context exactly as a restarted deployment would
+    graft.streaming.BucketHistory.save(stateRoot, "sm3", 719L * HOUR,
+      (672L until 720L).map(h => (h * HOUR, valAt(h))))
+    val streamScores = scala.collection.mutable.Map.empty[Long, Double]
+    val q = StreamingEval.start(bucketed, model, params,
+      stateRoot, "sm3", checkpointDir = ckpt,
+      onBatch = b => streamScores ++= b.select("bucket", "score")
+        .as[(Long, Double)].collect())
+    try {
+      (720L to 768L by 6).foreach { h0 =>
+        ms.addData((h0 until (h0 + 6)).map(h => (h * HOUR, valAt(h))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(batchScores.keySet.subsetOf(streamScores.keySet))
+    batchScores.foreach { case (b, s) =>
+      assert(math.abs(streamScores(b) - s) < 1e-9,
+        s"bucket $b: stream=${streamScores(b)} batch=$s")
+    }
+  }
+
   test("hook test fires a synthetic start+end (donut.py:1316-1331)") {
     val hook = new RecordingHook
     val store = new AnnotationStore
