@@ -46,6 +46,12 @@ object Metrics {
 
   private val percentileRe = "^(\\d{1,2})percentile$".r
 
+  /** Magnitude bounds for the exact-avg decimal lane: values outside
+    * `[DecimalSafeMin, DecimalSafeMax]` (absolute, nonzero) route their
+    * group to double avg. */
+  private val DecimalSafeMax = 1e13
+  private val DecimalSafeMin = 1e-9
+
   /** Aggregation column for `metric` over value column `c`.
     *
     * @param exact when true, median/percentiles use the exact `percentile`
@@ -61,10 +67,26 @@ object Metrics {
         // visible at the 4th decimal once buckets hold hundreds of rows);
         // decimal accumulation is exact, so any engine and any partition
         // count agree bit-for-bit. approx tier keeps codegen'd double avg.
-        if (exact)
-          (sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-            .cast("double") / count(c))
-        else avg(c)
+        //
+        // The decimal lane only admits |v| ≤ 1e13 (so the (38,12) sum
+        // accumulator absorbs 10^13 rows per bucket before overflow —
+        // under Spark 4's default ANSI mode an unguarded cast/sum would
+        // ERROR the whole query at 1e18) and, per group, the smallest
+        // nonzero |v| must be ≥ 1e-9 (12 fractional digits truncate
+        // below 1e-12; at ≥1e-9 that is ≤0.1% relative error). Out-of-
+        // range groups fall back to plain double avg — graceful
+        // degradation instead of a null/error cliff. Unsafe summands are
+        // nulled BEFORE the cast so ANSI can never throw on the branch
+        // not taken.
+        if (exact) {
+          val absC = abs(c)
+          val decSum = sum(when(absC <= DecimalSafeMax, c)
+            .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          val minNonzero = coalesce(min(when(absC > 0, absC)), lit(1.0))
+          when(max(absC) <= DecimalSafeMax && minNonzero >= DecimalSafeMin,
+            decSum.cast("double") / count(c))
+            .otherwise(avg(c))
+        } else avg(c)
       case "count"          => count(c).cast("double") // count non-null = field-exists semantics (loudml/mongo.py:51-53)
       case "min"            => min(c)
       case "max"            => max(c)

@@ -145,6 +145,25 @@ class TimesQuerySpec extends SparkSpec {
       Feature("x", "nope", "foo"))
   }
 
+  test("exact avg degrades gracefully outside the decimal-safe range " +
+      "(no ANSI overflow error at 1e18, no truncation-to-zero at 1e-14)") {
+    import graft.functions.Metrics
+    def avgOf(vals: Seq[Double]): Double =
+      vals.toDF("v").agg(Metrics.agg("avg", col("v")).as("a"))
+        .collect()(0).getDouble(0)
+    // huge magnitudes: an unguarded DECIMAL(30,12) cast errors under
+    // Spark 4 ANSI; the guard routes the group to double avg
+    assert(math.abs(avgOf(Seq(4e18, 2e18)) - 3e18) < 1e6)
+    // sub-truncation magnitudes: decimal would give exactly 0
+    assert(math.abs(avgOf(Seq(2e-14, 4e-14)) - 3e-14) < 1e-20)
+    // mixed: one unsafe value routes the whole group to double avg,
+    // not a partial decimal sum over the safe subset
+    assert(math.abs(avgOf(Seq(1e18, 2.0)) - 5e17) < 1e6)
+    // normal range keeps the exact decimal lane
+    assert(avgOf(Seq(0.1, 0.2)) == 0.15)
+    assert(avgOf(Seq(0.0, 0.0)) == 0.0) // all-zero group stays decimal
+  }
+
   test("feature DSL validation mirrors the reference schema " +
       "(model.py:77-98, tests/test_model.py)") {
     // valid: full surface
