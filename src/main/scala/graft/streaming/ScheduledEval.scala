@@ -56,9 +56,16 @@ class ScheduledEval(
       maxThreshold = params.maxThreshold, minThreshold = params.minThreshold,
       gracePeriodSec = params.gracePeriodSec, initial = before)
       .cache() // scanned feeds events + state + caller; tiny (one window)
-    Hooks.dispatch(scanned, hooks, valueCol)
-    StateStore.save(stateRoot, modelName, RunState.fromScan(scanned, before))
-    scanned
+    try {
+      Hooks.dispatch(scanned, hooks, valueCol)
+      StateStore.save(stateRoot, modelName, RunState.fromScan(scanned, before))
+      // hand the caller a LOCAL copy (one eval window — O(buckets) rows)
+      // and release the cached plan: a scheduled loop must not accumulate
+      // one pinned storage-memory block per trigger forever
+      val spark = scanned.sparkSession
+      spark.createDataFrame(
+        java.util.Arrays.asList(scanned.collect(): _*), scanned.schema)
+    } finally scanned.unpersist()
   }
 
   /** Replay a span of wall-clock time as consecutive trigger firings —
