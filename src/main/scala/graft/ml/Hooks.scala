@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * predicted, observed, anomalies)` / `on_anomaly_end(dt, score)`),
   * dispatched from the detection scan
   * (/root/reference/loudml/donut.py:1534-1568: start fires when a new
-  * episode opens, end fires with the episode's max score when it closes;
-  * hook exceptions are swallowed so one failing hook can't break the
-  * scan).
+  * episode opens, end fires with the CLOSING bucket's score when it
+  * closes — the reference recomputes `max_score` per bucket and its close
+  * branch passes that current value, leaving `anomaly['max_score']`
+  * unused; hook exceptions are swallowed-but-logged so one failing hook
+  * can't break the scan).
   */
 trait Hook {
   def name: String
@@ -21,12 +23,16 @@ trait Hook {
   def onAnomalyStart(ts: Long, score: Double, predicted: Option[Double],
       observed: Option[Double], anomalies: Map[String, (String, Double)]): Unit
 
-  /** Fired when the episode closes; `score` is the episode max
-    * (donut.py:1562-1566). Default no-op as in the reference. */
+  /** Fired when the episode closes; `score` is the closing bucket's
+    * score (donut.py:1562-1566 — the low reading that ended the episode;
+    * the episode max stays available as the scan output's `episode_max`
+    * column). Default no-op as in the reference. */
   def onAnomalyEnd(ts: Long, score: Double): Unit = ()
 }
 
 object Hooks {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Dispatch start/end events from [[AnomalyScan.scan]] output to hooks,
     * in bucket order. Only marker rows are collected — O(episodes), not
@@ -57,13 +63,19 @@ object Hooks {
           hooks.foreach { h =>
             try h.onAnomalyStart(ts, score, pred, obs,
               Map(feature -> (direction, score)))
-            catch { case scala.util.control.NonFatal(_) => () } // donut.py:1545-1548
+            catch { // swallow so one bad hook can't break the scan, but
+              // LOG like the reference does (donut.py:1545-1548)
+              case scala.util.control.NonFatal(e) =>
+                log.warn(s"hook '${h.name}' failed on anomaly start @$ts", e)
+            }
           }
         case "end" =>
-          val epi = opt("episode_max").getOrElse(score)
           hooks.foreach { h =>
-            try h.onAnomalyEnd(ts, epi)
-            catch { case scala.util.control.NonFatal(_) => () }
+            try h.onAnomalyEnd(ts, score)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                log.warn(s"hook '${h.name}' failed on anomaly end @$ts", e)
+            }
           }
         case _ => ()
       }
@@ -86,7 +98,11 @@ object HookTest {
           predicted = Some(0.0), observed = Some(Double.MaxValue),
           anomalies = Map(feature -> ("high", 100.0)))
         h.onAnomalyEnd(nowEpoch, 100.0)
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"hook '${h.name}' failed on hook test", e)
+      }
     }
   }
 }

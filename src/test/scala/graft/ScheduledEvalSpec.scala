@@ -87,7 +87,9 @@ class ScheduledEvalSpec extends SparkSpec {
 
     assert(hook.starts.map(_._1).toSeq == Seq(724L * HOUR, 737L * HOUR))
     assert(hook.ends.map(_._1).toSeq == Seq(728L * HOUR, 738L * HOUR))
-    assert(hook.ends.forall(_._2 > 99.0)) // end reports the episode max
+    // end reports the CLOSING bucket's (recovered) score, per the
+    // reference's close branch — the episode max rides in `episode_max`
+    assert(hook.ends.forall(_._2 < 68.0))
 
     // annotation hook: two annotations, both closed, matching the episodes
     val anns = store.toDF(spark).orderBy("start_ts").collect()
