@@ -183,13 +183,13 @@ object DataPipelineQueries {
   /** Distinct word-3-gram shingles per doc (DuckDB), mirroring
     * Dedup.wordShingles + distinct. */
   private val shinglesCte: String =
-    """sh AS (
-      |  SELECT DISTINCT doc_id, sh FROM (
-      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-      |      ELSE list_transform(range(1, len(toks)-1),
-      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      |  )
+    """sh_raw AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |    ELSE list_transform(range(1, len(toks)-1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, sh FROM sh_raw
       |)""".stripMargin
 
   private def sigSelect: String =
@@ -314,9 +314,11 @@ object DataPipelineQueries {
 
     "q_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |capped AS (
+         |over_cap AS (
+         |  SELECT sh FROM sh_raw GROUP BY sh HAVING count(*) > 1000
+         |), capped AS (
          |  SELECT doc_id AS id, sh FROM sh
-         |  QUALIFY count(*) OVER (PARTITION BY sh) <= 1000
+         |  WHERE sh NOT IN (SELECT sh FROM over_cap)
          |), sizes AS (
          |  SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY 1
          |), inter AS (

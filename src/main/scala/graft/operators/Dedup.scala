@@ -99,12 +99,16 @@ object Dedup {
     * shared by millions of docs must not produce a quadratic bucket).
     *
     * The guard itself must not be the skew: over-cap shingles are found
-    * with a `groupBy(sh).count` (map-side partial counts — a hot shingle
-    * contributes one partial per task, never one task holding every
-    * occurrence) and removed with a broadcast anti-join of that tiny
-    * over-cap set. A `count().over(Window.partitionBy(sh))` here would
-    * ship every occurrence of the hot shingle to a single task BEFORE the
-    * filter could drop it.
+    * with a `groupBy(sh).count` over the RAW (pre-distinct) explode —
+    * map-side partial counts, so a hot shingle contributes one long per
+    * task, never one task holding every occurrence, and the counting pass
+    * needs no `(id, shingle)` shuffle at all — and removed with a
+    * broadcast anti-join of that tiny over-cap set. The cap therefore
+    * bounds shingle OCCURRENCES, an upper bound on the per-shingle doc
+    * list the next stage assembles — same guard, strictly more
+    * conservative, and half the passes' shuffle cost. A `count().over(
+    * Window.partitionBy(sh))` here would ship every occurrence of the hot
+    * shingle to a single task BEFORE the filter could drop it.
     *
     * Approximation note: `sizes` uses UNCAPPED shingle sets while `inter`
     * counts only capped shingles, so J is undercounted for docs containing
@@ -113,8 +117,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxPerShingle: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleN)).as("sh")).distinct()
+    val raw = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleN)).as("sh"))
+    val sh = raw.distinct()
     // |A| per doc = distinct shingle count, computed per ROW on the doc
     // scan (size∘array_distinct) — same value as counting the exploded
     // distinct frame, but with no shuffle and no recompute of the
@@ -125,9 +130,11 @@ object Dedup {
     // intersections by inverting: group docs per shingle, then emit
     // in-list pairs and count per pair. The skew guard is TWO-PASS so the
     // guard itself never assembles the hot list it exists to drop:
-    //   pass 1: groupBy(sh).count() — map-side partial counts, a hot
-    //           shingle contributes one long per task, never one task
-    //           holding every occurrence;
+    //   pass 1: groupBy(sh).count() on the RAW explode (no distinct!) —
+    //           map-side partial counts collapse each task's occurrences
+    //           to one long per shingle, so pass 1 is scan + tiny
+    //           shuffle; occurrence count ≥ distinct-doc count, so the
+    //           cap stays a sound bound on the stage-2 list;
     //   pass 2: broadcast anti-join the (tiny) over-cap shingle set out,
     //           THEN collect_list — every surviving per-shingle doc list
     //           is ≤ maxPerShingle by construction, so no aggregation
@@ -135,7 +142,7 @@ object Dedup {
     // A single-pass `collect_list → filter(size ≤ cap)` would merge every
     // occurrence of a stop-phrase into ONE reducer's buffer before the
     // filter could discard it (~800 MB for a shingle shared by 100M docs).
-    val overCap = sh.groupBy("sh").agg(count(lit(1)).as("__cnt"))
+    val overCap = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxPerShingle)
       .select("sh")
     val inter = sh.join(broadcast(overCap), Seq("sh"), "left_anti")

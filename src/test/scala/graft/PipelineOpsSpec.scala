@@ -57,6 +57,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0))) // 3 shares nothing → no pair
   }
 
+  test("ngram jaccard skew guard caps shingle OCCURRENCES (pre-distinct)") {
+    // "a b c" occurs 3× in total (twice in doc 1, once in doc 2) but in
+    // only 2 distinct docs: the occurrence cap at 2 drops it (the guard
+    // counts the raw explode so pass 1 needs no distinct shuffle), so
+    // docs 1 and 2 — who share nothing else — form no pair
+    val df = Seq((1L, "a b c a b c"), (2L, "a b c x y z"), (3L, "q r s t"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      maxPerShingle = 2).count() == 0)
+    // at cap 3 the shingle survives and the pair appears
+    val p = Dedup.ngramJaccardPairs(df, "doc_id", "text", maxPerShingle = 3)
+      .select("id_a", "id_b", "inter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(p.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("lsh band keys: identical sigs share all bands") {
     val df = Seq((1L, "x y z w v u"), (2L, "x y z w v u")).toDF("doc_id", "text")
     val sigs = Dedup.minHashSignatures(df, "doc_id", "text", 4)
