@@ -84,6 +84,35 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ── Similarity ─────────────────────────────────────────────────
 
+  test("native DotProduct: bit-identical to the zip_with/aggregate fold, " +
+      "null/mismatch parity, codegen and interpreted paths agree") {
+    import graft.functions.VectorExprs
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    // adversarial doubles: catastrophic-cancellation-prone magnitudes make
+    // any fold-order difference visible
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)),
+      Seq.fill(64)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3))))
+    val df = rows.toDF("a", "b")
+    assert(df.select((VectorExprs.dot(col("a"), col("b")) <=>
+      hof(col("a"), col("b"))).as("eq")).filter(!col("eq")).count() == 0)
+    // mismatched lengths → null (zip_with pads with null and poisons the sum)
+    val mm = Seq((Seq(1.0, 2.0), Seq(3.0))).toDF("a", "b")
+      .select(VectorExprs.dot(col("a"), col("b"))).collect()(0)
+    assert(mm.isNullAt(0))
+    // null array → null; null element → null
+    val ne = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))).toDF("a", "b")
+      .select(VectorExprs.dot(col("a"), col("b"))).collect()(0)
+    assert(ne.isNullAt(0))
+    // interpreted (eval) path — used inside HOF lambdas like ivfTopK's fold
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.DotProduct(
+      Literal.create(Seq(1.0, 2.0, 3.0)), Literal.create(Seq(4.0, 5.0, 6.0)))
+    assert(e.eval(null) == 32.0)
+  }
+
   test("cosine: identity = 1, orthogonal = 0") {
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b", "c")
     val r = df.select(
