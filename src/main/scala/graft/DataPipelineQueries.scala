@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Queries + DuckDB oracles for the training-data-pipeline operators
@@ -128,6 +128,23 @@ object DataPipelineQueries {
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
     }),
+
+    // ── benchmark-contamination audit: probe = docs 0-19, corpus = rest;
+    //    containment = share of a probe doc's shingles present in corpus
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") < 20), d.filter(col("doc_id") >= 20),
+        "doc_id", "text")
+        .select(col("probe_id"), col("n_sh"), col("n_hit"),
+          round(col("containment"), 4).as("containment"))
+        .orderBy("probe_id")
+    }),
+
+    // ── deterministic hash sampling (partitioning-stable 10%)
+    "q_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(docs(s, dir), "doc_id", 0.1)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
 
     // ── language ID heuristic
     "q_lang_id" -> ((s, dir) =>
@@ -334,6 +351,33 @@ object DataPipelineQueries {
          |ORDER BY CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) DESC,
          |         i.id_a, i.id_b
          |LIMIT 20""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $shinglesCte,
+         |probe_sh AS (SELECT doc_id, sh FROM sh WHERE doc_id < 20),
+         |corpus_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id >= 20),
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM probe_sh GROUP BY 1
+         |), hits AS (
+         |  SELECT p.doc_id, count(*) AS n_hit
+         |  FROM probe_sh p JOIN corpus_sh c USING (sh) GROUP BY 1
+         |)
+         |SELECT d.doc_id AS probe_id,
+         |       coalesce(s.n_sh, 0) AS n_sh,
+         |       coalesce(h.n_hit, 0) AS n_hit,
+         |       CASE WHEN coalesce(s.n_sh, 0) > 0
+         |            THEN round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / s.n_sh, 4)
+         |            ELSE 0.0 END AS containment
+         |FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d
+         |LEFT JOIN sizes s USING (doc_id)
+         |LEFT JOIN hits h USING (doc_id)
+         |ORDER BY probe_id""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        / 4294967296.0 < 0.1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (

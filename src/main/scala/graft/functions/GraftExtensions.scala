@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark extension entry point registering graft's native expressions
+  * with the SQL function registry, so SQL-surface users get them too:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic
+  * // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+  * spark.sql("SELECT graft_dot(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * The DataFrame API path ([[VectorExprs.dot]]) does not require the
+  * extension — it builds the expression directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(
+        classOf[DotProduct].getCanonicalName, null, "graft_dot",
+        "graft_dot(a, b) - sequential-fold dot product of two array<double> " +
+          "columns; null on null input, null element, or length mismatch.",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot takes exactly 2 arguments, got ${children.length}")
+        DotProduct(children(0), children(1))
+      }))
+  }
+}

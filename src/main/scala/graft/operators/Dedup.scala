@@ -160,6 +160,40 @@ object Dedup {
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
   }
 
+  /** Benchmark-contamination check — the train/test-overlap audit every
+    * large-scale training pipeline needs before trusting an eval score:
+    * for each probe (benchmark) document, the fraction of its distinct
+    * word n-gram shingles that appear ANYWHERE in the training corpus.
+    * `containment` near 1 ⇒ the benchmark doc leaked into training data
+    * (the n-gram-overlap decontamination rule popularized by the GPT-3 /
+    * C4 dataset reports).
+    *
+    * Scale shape: the corpus collapses to its DISTINCT shingle set (one
+    * groupBy, map-side partials; the set is bounded by vocabulary, not
+    * corpus row count) and the probe side left-semi joins it keyed on the
+    * shingle — never a doc×doc product, and the build side carries each
+    * shingle once so a stop-phrase cannot fan out. Probe sizes are
+    * computed per ROW on the probe scan (size∘array_distinct), no second
+    * aggregation. */
+  def contamination(
+      probe: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val p = probe.select(col(idCol).as("probe_id"),
+      explode(wordShingles(col(textCol), shingleN)).as("sh")).distinct()
+    val c = corpus
+      .select(explode(wordShingles(col(textCol), shingleN)).as("sh")).distinct()
+    val hits = p.join(c, Seq("sh"), "left_semi")
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    val sizes = probe.select(col(idCol).as("probe_id"),
+      size(array_distinct(wordShingles(col(textCol), shingleN)))
+        .cast("long").as("n_sh"))
+    sizes.join(hits, Seq("probe_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("containment",
+        when(col("n_sh") > 0, col("n_hit").cast("double") / col("n_sh"))
+          .otherwise(lit(0.0)))
+  }
+
   /** LSH band keys from a signature frame: one row per (doc, band), key =
     * md5 of the concatenated band slice. GroupBy bandKey gives candidate
     * buckets; docs sharing any band key are near-dup candidates. */

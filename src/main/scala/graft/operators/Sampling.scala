@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent sampling and splitting for training
+  * corpora.
+  *
+  * `df.sample()` is seed-stable only for a fixed partitioning — the same
+  * corpus re-read with different file splits samples a DIFFERENT subset,
+  * which silently breaks resumable pipelines and ablation comparisons at
+  * 100 TB (where partitioning is never stable across runs). Hashing the
+  * document id instead makes membership a pure function of the row:
+  * stable across partitionings, engines (md5, oracle-checkable in
+  * DuckDB), and incremental corpus growth (a doc's split never changes
+  * when other docs arrive — the property that keeps train/val leakage-free
+  * under appends). Salting gives independent resamples without touching
+  * the data.
+  *
+  * All predicates are narrow codegen'd projections — no shuffle, no
+  * sampling pass; filters ride the scan.
+  */
+object Sampling {
+
+  /** Uniform-[0,1) value derived from the first 32 bits of
+    * md5(salt || id) — the engine-independent analog of `rand(seed)`
+    * keyed by row identity rather than partition position. */
+  def hashUniform(id: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Keep ~`fraction` of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    df.filter(hashUniform(col(idCol), salt) < fraction)
+  }
+
+  /** Assign each row a named split by consecutive hash intervals, e.g.
+    * `Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)`. Weights must
+    * sum to 1; the last split absorbs the hash's top edge. Appending new
+    * docs never moves an existing doc between splits. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val u = hashUniform(col(idCol), salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cuts.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
+      when(u < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -126,14 +126,21 @@ object Similarity {
             struct(sim.as("sim"), c.getField("cell").as("cell"))).otherwise(acc)
         }))
       .select(col("match_id"), col("__best.cell").as("cell"), col("cv"))
+    // query probes reuse the SAME collected centroid literal — explode it
+    // per query row, score, keep the nprobe best cells. No second corpus
+    // scan and no nested-loop join just to pair queries with centroids;
+    // queries are tiny, so the unpartitioned probe window is O(|Q|·nlist).
     val queryProbes = {
       val scored = queries.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("__sim", cosine(col("__v"), col("centv")))
-      val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("cell").asc)
+        .withColumn("__n", norm(col("__v")))
+        .select(col(idCol), col("__v"), col("__n"), explode(centLit).as("__c"))
+        .withColumn("__sim",
+          dot(col("__v"), col("__c.centv")) / (col("__n") * col("__c.cnorm")))
+      val w = Window.partitionBy(idCol).orderBy(col("__sim").desc, col("__c.cell").asc)
       scored.withColumn("__r", row_number().over(w))
         .filter(col("__r") <= nprobe)
-        .select(col(idCol).as("query_id"), col("cell"), col("__v").as("qv"))
+        .select(col(idCol).as("query_id"), col("__c.cell").as("cell"),
+          col("__v").as("qv"))
     }
     val scored = corpusCells.join(broadcast(queryProbes), "cell")
       .filter(col("query_id") =!= col("match_id"))

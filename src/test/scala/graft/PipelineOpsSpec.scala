@@ -73,6 +73,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("contamination: leaked doc ≈ 1, fresh doc = 0, short doc guarded") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // fully leaked
+      (2L, "completely novel benchmark question nobody saw"), // fresh
+      (3L, "too short"))                                      // 0 shingles
+      .toDF("doc_id", "text")
+    val r = Dedup.contamination(probe, corpus, "doc_id", "text")
+      .orderBy("probe_id")
+      .select("probe_id", "n_sh", "n_hit", "containment").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 7L, 7L, 1.0)))
+    assert(r(1) == ((2L, 4L, 0L, 0.0)))
+    assert(r(2) == ((3L, 0L, 0L, 0.0)))
+  }
+
+  test("hash sampling: deterministic, partitioning-independent, " +
+      "≈fraction; split intervals cover and never overlap") {
+    import graft.operators.Sampling
+    val df = spark.range(10000).select(col("id").as("doc_id"))
+    val s1 = Sampling.hashSample(df, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    // same rows regardless of partitioning (the property df.sample lacks)
+    val s2 = Sampling.hashSample(df.repartition(13), "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size / 10000.0 - 0.1) < 0.02)
+    // independent resample under a different salt
+    val s3 = Sampling.hashSample(df, "doc_id", 0.1, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 != s1)
+    // splits: total partition, stable under appends by construction
+    val sp = Sampling.hashSplit(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = sp.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") / 10000.0 - 0.8) < 0.02)
+    // sample(0.8) is exactly the train split (same hash, same interval)
+    val train = sp.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(Sampling.hashSample(df, "doc_id", 0.8)
+      .select("doc_id").as[Long].collect().toSet == train)
+  }
+
   test("lsh band keys: identical sigs share all bands") {
     val df = Seq((1L, "x y z w v u"), (2L, "x y z w v u")).toDF("doc_id", "text")
     val sigs = Dedup.minHashSignatures(df, "doc_id", "text", 4)
@@ -111,6 +160,15 @@ class PipelineOpsSpec extends SparkSpec {
     val e = graft.functions.DotProduct(
       Literal.create(Seq(1.0, 2.0, 3.0)), Literal.create(Seq(4.0, 5.0, 6.0)))
     assert(e.eval(null) == 32.0)
+  }
+
+  test("graft_dot is SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(spark.sql("SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS d")
+      .collect()(0).isNullAt(0))
   }
 
   test("cosine: identity = 1, orthogonal = 0") {
