@@ -247,12 +247,12 @@ object SparkEntry {
 
     // ── §2.8/§2.11 standardize (y-μ)/σ per series
     "q_standardize" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type")
-      t(s, dir, "events")
-        .withColumn("z",
-          round((col("value") - avg("value").over(w)) /
-            when(stddev_pop("value").over(w) === 0.0, 1.0)
-              .otherwise(stddev_pop("value").over(w)), 4))
+      // through the library's scale-safe shape (groupBy stats + broadcast
+      // join back) rather than Window.partitionBy(event_type): ~5 event
+      // types would mean 5 giant window partitions at 100 TB
+      graft.functions.Stats.scaleSeries(t(s, dir, "events"),
+          "value", "standardize", "z", seriesKeys = Seq("event_type"))
+        .withColumn("z", round(col("z"), 4))
         .select("event_id", "z")
         .orderBy("event_id")
     }),

@@ -63,13 +63,16 @@ object Dedup {
 
   /** MinHash signatures: one row per doc, columns sig_0..sig_{h-1}, where
     * sig_i = min over shingles of hash60(i || ':' || shingle).
-    * Single explode + single groupBy — shuffle is O(docs · h) longs. */
+    * Single explode + single groupBy — ONE shuffle of O(docs · h) longs:
+    * min is duplicate-insensitive (min over the shingle multiset ≡ min
+    * over the set), so no `(id, shingle)` distinct shuffle is needed for
+    * set semantics, and map-side partial mins collapse each task's
+    * exploded rows to one row of h longs per doc before the exchange. */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("sh"))
-      .distinct() // set semantics: identical shingle counts once
     val aggs = (0 until numHashes).map(i =>
       min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"sig_$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
