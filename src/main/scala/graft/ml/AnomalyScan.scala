@@ -74,6 +74,11 @@ object AnomalyScan {
     *  - `episode_max: Double` — running max score of the current episode
     *    (null outside episodes; on "end" rows it is the episode max that
     *    `on_anomaly_end` reports). */
+  /** @param initFromCols keyed-fleet state resume: when true (requires
+    *   `seriesKeys`), each key's machine initializes from the row columns
+    *   `__init_open` / `__init_last_end` / `__init_episode_max` (joined in
+    *   by [[FleetScan]] from the keyed state table; nulls = fresh state)
+    *   instead of starting closed — the per-key analog of `initial`. */
   def scan(
       scored: DataFrame,
       scoreCol: String = "score",
@@ -82,7 +87,10 @@ object AnomalyScan {
       minThreshold: Double = 68.0,
       gracePeriodSec: Long = 0L,
       seriesKeys: Seq[String] = Nil,
-      initial: RunState = RunState.empty): DataFrame = {
+      initial: RunState = RunState.empty,
+      initFromCols: Boolean = false): DataFrame = {
+    require(!initFromCols || seriesKeys.nonEmpty,
+      "initFromCols requires seriesKeys")
     val inSchema = scored.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("anomaly", StringType, nullable = true),
@@ -91,6 +99,12 @@ object AnomalyScan {
     val scoreIdx = inSchema.fieldIndex(scoreCol)
     val bucketIdx = inSchema.fieldIndex(bucketCol)
     val keyIdx = seriesKeys.map(inSchema.fieldIndex)
+    val initIdx =
+      if (initFromCols)
+        Some((inSchema.fieldIndex("__init_open"),
+          inSchema.fieldIndex("__init_last_end"),
+          inSchema.fieldIndex("__init_episode_max")))
+      else None
 
     val arranged =
       if (seriesKeys.isEmpty) scored.repartition(1).sortWithinPartitions(bucketCol)
@@ -111,7 +125,15 @@ object AnomalyScan {
       it.map { r =>
         val key = keyIdx.map(r.get)
         if (key != curKey) {
-          curKey = key; open = false; lastEndTs = Long.MinValue; episodeMax = 0.0
+          curKey = key
+          initIdx match {
+            case Some((oi, li, ei)) => // resume this key from its state row
+              open = !r.isNullAt(oi) && r.getBoolean(oi)
+              lastEndTs = if (r.isNullAt(li)) Long.MinValue else r.getLong(li)
+              episodeMax = if (r.isNullAt(ei)) 0.0 else r.getDouble(ei)
+            case None =>
+              open = false; lastEndTs = Long.MinValue; episodeMax = 0.0
+          }
         }
         val score = if (r.isNullAt(scoreIdx)) 0.0 else r.getDouble(scoreIdx)
         val ts = r.getLong(bucketIdx)

@@ -1,0 +1,126 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fleet-scale cross-run anomaly state — the keyed generalization of
+  * [[graft.streaming.StateStore]]'s one-JSON-per-model run state
+  * (/root/reference/loudml/worker.py:255-263): the reference monitors one
+  * series per model, so its state is a scalar; a fleet monitoring
+  * millions of series (one profile applied per host/device) needs the
+  * SAME hysteresis guarantee — an anomaly spanning two eval windows fires
+  * exactly one start per series — with state that stays DISTRIBUTED.
+  *
+  * Design: state is a keyed table (`seriesKeys ++ (open, last_end_ts,
+  * episode_max)`, one row per series — O(#series), parquet-persisted),
+  * joined onto the scored frame so each key's scan resumes from its
+  * state row ([[AnomalyScan.scan]] `initFromCols`); the new state is
+  * recovered per key with one aggregation over the scan output and
+  * full-outer-merged with the previous table so silent series carry
+  * their state (and their grace anchor) forward. Everything shuffles by
+  * the series key — the same partitioning the scan itself needs — and
+  * nothing is ever collected to the driver.
+  *
+  * Why not `flatMapGroupsWithState`: scoring is model-driven
+  * (`TrainedModel.predict` is a DataFrame transform — the profile join +
+  * window lags cannot run row-at-a-time inside a state function without
+  * duplicating the model), and this shape works identically under batch
+  * replay (ScheduledEval-style catch-up) and `foreachBatch` streaming,
+  * with state inspectable as a plain table. The trade is managing
+  * persistence ourselves — one parquet overwrite per trigger, atomic via
+  * versioned subdirs like [[graft.io.ModelStore]].
+  */
+object FleetScan {
+
+  /** Empty state table for `seriesKeys` of type string (the common case);
+    * for other key types, derive from a scored frame's schema instead. */
+  def emptyState(spark: SparkSession, seriesKeys: Seq[String]): DataFrame = {
+    val fields = seriesKeys.map(k =>
+      org.apache.spark.sql.types.StructField(k,
+        org.apache.spark.sql.types.StringType)) ++ Seq(
+      org.apache.spark.sql.types.StructField("open",
+        org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("last_end_ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("episode_max",
+        org.apache.spark.sql.types.DoubleType))
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(fields))
+  }
+
+  /** Keyed scan resuming each series from `state`; returns
+    * `(scanned, newState)`. `scanned` carries the usual
+    * [[AnomalyScan.scan]] markers; `newState` replaces `state` for the
+    * next run (persist it with [[saveState]]). Neither is an action —
+    * both are plans; `newState` must be materialized (saved) before
+    * `state`'s backing store is overwritten. */
+  def scanWithState(
+      scored: DataFrame,
+      state: DataFrame,
+      seriesKeys: Seq[String],
+      scoreCol: String = "score",
+      bucketCol: String = "bucket",
+      maxThreshold: Double = 99.7,
+      minThreshold: Double = 68.0,
+      gracePeriodSec: Long = 0L): (DataFrame, DataFrame) = {
+    require(seriesKeys.nonEmpty, "fleet scan requires seriesKeys")
+    val init = state.select(
+      (seriesKeys.map(col) :+ col("open").as("__init_open") :+
+        col("last_end_ts").as("__init_last_end") :+
+        col("episode_max").as("__init_episode_max")): _*)
+    val joined = scored.join(init, seriesKeys, "left")
+    val scanned = AnomalyScan.scan(joined, scoreCol, bucketCol,
+      maxThreshold, minThreshold, gracePeriodSec,
+      seriesKeys = seriesKeys, initFromCols = true)
+      .drop("__init_open", "__init_last_end", "__init_episode_max")
+
+    // per-key post-state, one aggregation: the latest MARKED row decides
+    // open/episode_max (a null marker can only occur while closed, so the
+    // latest marker is authoritative), the latest "end" bucket advances
+    // the grace anchor
+    val upd = scanned.groupBy(seriesKeys.map(col): _*).agg(
+      count(lit(1)).as("__n"), // presence marker for the full-outer merge
+      max(when(col("anomaly").isNotNull,
+        struct(col(bucketCol).as("b"), col("anomaly").as("m"),
+          col("episode_max").as("e")))).as("__last"),
+      max(when(col("anomaly") === "end", col(bucketCol))).as("__end"))
+    // never null: false && null = false when __last is null
+    val uOpen = col("u.__last").isNotNull &&
+      (col("u.__last.m") === "start" || col("u.__last.m") === "ongoing")
+    val present = col("u.__n").isNotNull
+    val newState = state.as("p")
+      .join(upd.as("u"), seriesKeys, "full_outer")
+      .select((seriesKeys.map(col) :+
+        when(present, uOpen)
+          .otherwise(coalesce(col("p.open"), lit(false))).as("open") :+
+        coalesce(col("u.__end"), col("p.last_end_ts")).as("last_end_ts") :+
+        when(present, when(uOpen, col("u.__last.e")).otherwise(lit(0.0)))
+          .otherwise(coalesce(col("p.episode_max"), lit(0.0)))
+          .as("episode_max")): _*)
+    (scanned, newState)
+  }
+
+  /** Persist the state table atomically: write a new versioned subdir,
+    * then point `ACTIVE` at it (the [[graft.io.ModelStore]] protocol) —
+    * the previous version stays readable until the pointer flips. */
+  def saveState(state: DataFrame, root: String, name: String): Int = {
+    val dir = java.nio.file.Paths.get(root, name)
+    java.nio.file.Files.createDirectories(dir)
+    val prior = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .flatMap(p => scala.util.Try(
+        p.split('/').last.stripPrefix("v").toInt).toOption)
+    val v = if (prior.isEmpty) 1 else prior.max + 1
+    state.write.mode("overwrite").parquet(s"$root/$name/v$v")
+    java.nio.file.Files.writeString(dir.resolve("ACTIVE"), v.toString)
+    v
+  }
+
+  /** Load the ACTIVE state version, or an empty table if none saved. */
+  def loadState(spark: SparkSession, root: String, name: String,
+      seriesKeys: Seq[String]): DataFrame = {
+    val active = java.nio.file.Paths.get(root, name, "ACTIVE")
+    if (!java.nio.file.Files.exists(active)) emptyState(spark, seriesKeys)
+    else spark.read.parquet(
+      s"$root/$name/v${java.nio.file.Files.readString(active).trim}")
+  }
+}
