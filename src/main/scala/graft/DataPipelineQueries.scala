@@ -94,10 +94,12 @@ object DataPipelineQueries {
     "q_embed_neardup" -> ((s, dir) => {
       val e = embs(s, dir).filter(col("vec_id") < 100)
         .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .withColumn("n", Similarity.norm(col("v"))) // once per row, pre-join
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+        .withColumn("cosine",
+          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(20)

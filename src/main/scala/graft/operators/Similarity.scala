@@ -42,6 +42,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Pair cosine from per-side precomputed norms: inside a candidate join
+    * use this (norms computed ONCE per row before the join) rather than
+    * [[cosine]], which re-derives both norms per PAIR — 3 array
+    * traversals per candidate instead of 1. Same arithmetic, same
+    * result, third of the work where pairs ≫ rows. */
+  private def pairCosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Exact cosine top-k: for each query row, the k nearest corpus rows
     * (excluding self-matches on id equality). */
   def bruteForceTopK(
@@ -49,11 +57,14 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("match_id"),
       asDouble(col(vecCol)).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("match_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        pairCosine(col("qv"), col("cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -125,7 +136,8 @@ object Similarity {
           when(sim > acc.getField("sim"),
             struct(sim.as("sim"), c.getField("cell").as("cell"))).otherwise(acc)
         }))
-      .select(col("match_id"), col("__best.cell").as("cell"), col("cv"))
+      .select(col("match_id"), col("__best.cell").as("cell"), col("cv"),
+        col("__n"))
     // query probes reuse the SAME collected centroid literal — explode it
     // per query row, score, keep the nprobe best cells. No second corpus
     // scan and no nested-loop join just to pair queries with centroids;
@@ -140,11 +152,12 @@ object Similarity {
       scored.withColumn("__r", row_number().over(w))
         .filter(col("__r") <= nprobe)
         .select(col(idCol).as("query_id"), col("__c.cell").as("cell"),
-          col("__v").as("qv"))
+          col("__v").as("qv"), col("__n").as("__qn"))
     }
     val scored = corpusCells.join(broadcast(queryProbes), "cell")
       .filter(col("query_id") =!= col("match_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        pairCosine(col("qv"), col("cv"), col("__qn"), col("__n")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -185,6 +198,7 @@ object Similarity {
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val hp = hyperplanes(bands * planesPerBand, dim)
     val e = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v"))) // per row, BEFORE pair fan-out
     val bandCols = (0 until bands).map { b =>
       val bucket = (0 until planesPerBand).map { i =>
         val pl = typedlit(hp(b * planesPerBand + i).toSeq)
@@ -194,7 +208,7 @@ object Similarity {
     }
     val keyed = e
       .withColumn("__bb", explode(array(bandCols: _*)))
-      .select(col(idCol), col("__v"),
+      .select(col(idCol), col("__v"), col("__n"),
         col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
     val safe =
       if (maxBucket == Int.MaxValue) keyed
@@ -210,7 +224,8 @@ object Similarity {
         col("a.__band") === col("b.__band") &&
           col("a.__bucket") === col("b.__bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(cosine(col("a.__v"), col("b.__v")) >= tau)
+      .filter(pairCosine(col("a.__v"), col("b.__v"),
+        col("a.__n"), col("b.__n")) >= tau)
       .select(col(s"b.$idCol").as(idCol))
       .distinct()
     corpus.join(removed, Seq(idCol), "left_anti")
@@ -226,12 +241,15 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket_id", srpBucket(col("qv"), hp))
+      .withColumn("__qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("match_id"),
       asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket_id", srpBucket(col("cv"), hp))
+      .withColumn("__cn", norm(col("cv")))
     val scored = c.join(broadcast(q), "bucket_id")
       .filter(col("query_id") =!= col("match_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        pairCosine(col("qv"), col("cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w))
