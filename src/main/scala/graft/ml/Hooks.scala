@@ -39,17 +39,23 @@ object Hooks {
     * O(buckets): the frame is filtered to `anomaly IN ('start','end')`
     * before it reaches the driver. `feature` names the scored feature for
     * the anomalies dict; direction = low when observed < predicted
-    * (donut.py:1509). */
+    * (donut.py:1509). For fleet scans pass `keyCols`: each event's
+    * anomalies-dict key is suffixed `[k1=v1,…]` so alerts identify the
+    * series. */
   def dispatch(scanned: DataFrame, hooks: Seq[Hook],
-      feature: String = "value"): Unit = {
+      feature: String = "value", keyCols: Seq[String] = Nil): Unit = {
     if (hooks.isEmpty) return
     val cols = scanned.columns.toSet
     val events = scanned
       .filter(col("anomaly").isin("start", "end"))
-      .orderBy("bucket").collect()
+      .orderBy((keyCols.map(col) :+ col("bucket")): _*).collect()
     events.foreach { r =>
       val ts = r.getLong(r.fieldIndex("bucket"))
       val score = r.getDouble(r.fieldIndex("score"))
+      val label =
+        if (keyCols.isEmpty) feature
+        else feature + keyCols.map(k => s"$k=${r.get(r.fieldIndex(k))}")
+          .mkString("[", ",", "]")
       def opt(c: String): Option[Double] =
         if (cols(c) && !r.isNullAt(r.fieldIndex(c)))
           Some(r.getDouble(r.fieldIndex(c))) else None
@@ -62,7 +68,7 @@ object Hooks {
           }
           hooks.foreach { h =>
             try h.onAnomalyStart(ts, score, pred, obs,
-              Map(feature -> (direction, score)))
+              Map(label -> (direction, score)))
             catch { // swallow so one bad hook can't break the scan, but
               // LOG like the reference does (donut.py:1545-1548)
               case scala.util.control.NonFatal(e) =>

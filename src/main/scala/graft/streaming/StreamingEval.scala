@@ -51,6 +51,77 @@ object StreamingEval {
         .cast("double").as("value"))
       .select(unix_timestamp(col("window.start")).as("bucket"), col("value"))
 
+  /** Keyed variant of [[bucketize]]: per-(series, window) tumbling
+    * aggregation — the fleet input shape. Same watermark/append
+    * semantics; the shuffle is keyed by (series ++ window), so a million
+    * series aggregate in parallel with map-side partials. */
+  def bucketizeKeyed(points: DataFrame, tsCol: String, valueCol: String,
+      seriesKeys: Seq[String], interval: Long, offsetSec: Long,
+      metric: String = "avg"): DataFrame =
+    points
+      .withWatermark(tsCol, s"$offsetSec seconds")
+      .groupBy((seriesKeys.map(col) :+
+        window(col(tsCol), s"$interval seconds")): _*)
+      .agg(Metrics.agg(metric, col(valueCol), exact = false)
+        .cast("double").as("value"))
+      .select((seriesKeys.map(col) :+
+        unix_timestamp(col("window.start")).as("bucket") :+ col("value")): _*)
+
+  /** Fleet streaming eval: each micro-batch of closed per-series buckets
+    * is scored by `score` (default `model.predict` — correct for
+    * profile-join models whose prediction depends only on the bucket
+    * slot; pass `m.predictKeyed(_, valueCol, seriesKeys)` for window
+    * models needing per-key lags), scanned per key with state resumed
+    * from the [[graft.ml.FleetScan]] keyed state table, and the new state
+    * persisted (versioned parquet, ACTIVE pointer flips only after the
+    * new version is fully written). One start + one end per episode PER
+    * SERIES across micro-batches; grace anchors are per key.
+    *
+    * Unlike the single-series [[start]], silent series do NOT synthesize
+    * fill buckets (their state and grace anchor carry forward via the
+    * full-outer state merge); per-key spine completion needs a per-key
+    * high-water-mark table and is the [[tick]] analog left to the
+    * caller's scheduler. */
+  def startFleet(
+      bucketed: DataFrame,
+      model: TrainedModel,
+      params: EvalParams,
+      stateRoot: String,
+      modelName: String,
+      seriesKeys: Seq[String],
+      hooks: Seq[Hook] = Nil,
+      checkpointDir: String,
+      trigger: Option[Trigger] = None,
+      score: Option[DataFrame => DataFrame] = None,
+      onBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
+    import graft.ml.FleetScan
+    val scoreFn = score.getOrElse((df: DataFrame) => model.predict(df, "value"))
+    val writer = bucketed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val state = FleetScan.loadState(spark, stateRoot, modelName, seriesKeys)
+          val scored = scoreFn(batch)
+            .withColumn("score", coalesce(col("score"), lit(0.0)))
+          val (scanned, newState) = FleetScan.scanWithState(
+            scored, state, seriesKeys,
+            maxThreshold = params.maxThreshold,
+            minThreshold = params.minThreshold,
+            gracePeriodSec = params.gracePeriodSec)
+          val cached = scanned.cache()
+          try {
+            Hooks.dispatch(cached, hooks, keyCols = seriesKeys)
+            FleetScan.saveState(newState, stateRoot, modelName)
+            onBatch(cached)
+          } finally cached.unpersist()
+        }
+      }
+    trigger.foreach(writer.trigger)
+    writer.start()
+  }
+
   /** Start the scored + scanned stream. Each micro-batch of closed
     * buckets is SPINE-COMPLETED, extended with lag context, scored by
     * `model`, scanned with the hysteresis machine resumed from

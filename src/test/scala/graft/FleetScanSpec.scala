@@ -60,6 +60,66 @@ class FleetScanSpec extends SparkSpec {
     assert(st3c == Map("a" -> false, "b" -> true))
   }
 
+  test("streaming fleet eval: per-series episodes span micro-batches, " +
+      "events labeled by key, state persisted across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ml.{Hook, ModelRegistry}
+    import graft.streaming.StreamingEval
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val train = (0 until 240).map(t => (t * 10L, 10.0)).toDF("bucket", "value")
+    val model = ModelRegistry("seasonal")
+      .train(train, "value", """{"bucket_interval":10,"period":86400}""")
+
+    val ms = MemoryStream[(String, Long, Double)]
+    val points = ms.toDF().select(col("_1").as("host"),
+      timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+    val bucketed = StreamingEval.bucketizeKeyed(points, "ts", "value",
+      Seq("host"), interval = 10L, offsetSec = 0L)
+
+    val stateRoot = java.nio.file.Files.createTempDirectory("fleet-s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fleet-c").toString
+    val startLabels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hook = new Hook {
+      val name = "rec"
+      override def onAnomalyStart(ts: Long, score: Double, p: Option[Double],
+          o: Option[Double], a: Map[String, (String, Double)]): Unit =
+        startLabels ++= a.keys
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    val q = StreamingEval.startFleet(bucketed, model,
+      graft.streaming.EvalParams(interval = 10L, offset = 0L,
+        bucketInterval = 10L, maxThreshold = 99.7, minThreshold = 68.0),
+      stateRoot, "fm1", Seq("host"), hooks = Seq(hook), checkpointDir = ckpt,
+      onBatch = b => got ++= b.orderBy("host", "bucket").collect().map(r =>
+        (r.getString(r.fieldIndex("host")), r.getLong(r.fieldIndex("bucket")),
+          Option(r.getString(r.fieldIndex("anomaly"))).orNull)))
+    try {
+      // batch 1: host a spikes at bucket 20 (open at batch end), b healthy
+      ms.addData(("a", 5L, 10.0), ("b", 5L, 10.0),
+        ("a", 15L, 10.0), ("b", 15L, 10.0),
+        ("a", 25L, 100.0), ("b", 25L, 10.0),
+        ("a", 35L, 100.0), ("b", 35L, 10.0))
+      q.processAllAvailable()
+      // batch 2: host a still anomalous at 30 then recovers at 40 —
+      // exactly ONE start for host a across the two micro-batches
+      ms.addData(("a", 45L, 10.0), ("b", 45L, 10.0),
+        ("a", 55L, 10.0), ("b", 55L, 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.count(_._3 == "start") == 1)
+    assert(got.filter(_._1 == "a").map(e => (e._2, e._3)).toSeq ==
+      Seq((0L, null), (10L, null), (20L, "start"), (30L, "ongoing"), (40L, "end")))
+    assert(got.filter(_._1 == "b").forall(_._3 == null))
+    assert(startLabels.toSeq == Seq("value[host=a]"))
+    // persisted fleet state: both hosts closed, host a grace-anchored at 40
+    val st = graft.ml.FleetScan.loadState(spark, stateRoot, "fm1", Seq("host"))
+      .orderBy("host").collect()
+    assert(st.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(!st(0).getBoolean(1) && st(0).getLong(2) == 40L)
+  }
+
   test("state table round-trips through versioned persistence") {
     val root = java.nio.file.Files.createTempDirectory("fleet").toString
     val keys = Seq("host")
