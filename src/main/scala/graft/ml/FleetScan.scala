@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
 object FleetScan {
 
   /** Empty state table for `seriesKeys` of type string (the common case);
-    * for other key types, derive from a scored frame's schema instead. */
+    * for other key types, derive from a scored frame's schema instead.
+    * `hwm` is each series' newest scanned bucket — the per-key
+    * high-water mark that [[spineComplete]] fills from. */
   def emptyState(spark: SparkSession, seriesKeys: Seq[String]): DataFrame = {
     val fields = seriesKeys.map(k =>
       org.apache.spark.sql.types.StructField(k,
@@ -43,9 +45,56 @@ object FleetScan {
       org.apache.spark.sql.types.StructField("last_end_ts",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("episode_max",
-        org.apache.spark.sql.types.DoubleType))
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("hwm",
+        org.apache.spark.sql.types.LongType))
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType(fields))
+  }
+
+  /** Per-key gap materialization — the fleet analog of
+    * [[graft.streaming.StreamingEval]]'s spine completion, fully
+    * distributed: for each series, every bucket in
+    * `[hwm + interval, max(observed bucket for the key, upperExtra)]`
+    * is emitted, missing ones synthesized at `fill` — so a series that
+    * goes silent mid-fleet still produces the count=0 buckets its model
+    * needs to alarm on. `upperExtra` (wall-clock closed bucket) extends
+    * the spine for keys with NO rows this trigger — the fleet tick; keys
+    * with no prior hwm start at their first observed bucket (a series
+    * never seen emits nothing from clock alone).
+    *
+    * Shapes: one groupBy over the observed batch (per-key bounds), a
+    * join against the O(#series) state table, `sequence`+`explode` per
+    * key (bounded by `maxGapBuckets` so one decommissioned host cannot
+    * explode a year of fill rows into every trigger), and a left join of
+    * the spine back to the observations — everything keyed by series. */
+  def spineComplete(
+      observed: DataFrame,
+      state: DataFrame,
+      seriesKeys: Seq[String],
+      bucketInterval: Long,
+      valueCol: String = "value",
+      bucketCol: String = "bucket",
+      fill: Double = 0.0,
+      upperExtra: Option[Long] = None,
+      maxGapBuckets: Int = 10000): DataFrame = {
+    val bi = bucketInterval
+    val bounds = observed.groupBy(seriesKeys.map(col): _*)
+      .agg(min(col(bucketCol)).as("__omin"), max(col(bucketCol)).as("__omax"))
+    val withState = state.select((seriesKeys.map(col) :+ col("hwm")): _*)
+      .join(bounds, seriesKeys, "full_outer")
+      .withColumn("__lo", coalesce(col("hwm") + bi, col("__omin")))
+      .withColumn("__up", upperExtra
+        .map(u => greatest(coalesce(col("__omax"), lit(Long.MinValue)), lit(u)))
+        .getOrElse(col("__omax")))
+      .filter(col("__lo").isNotNull && col("__up").isNotNull &&
+        col("__lo") <= col("__up"))
+      .withColumn("__up", least(col("__up"),
+        col("__lo") + lit(maxGapBuckets.toLong * bi)))
+    val spine = withState.select((seriesKeys.map(col) :+
+      explode(sequence(col("__lo"), col("__up"), lit(bi))).as(bucketCol)): _*)
+    spine.join(observed, seriesKeys :+ bucketCol, "left")
+      .withColumn(valueCol, coalesce(col(valueCol), lit(fill)))
   }
 
   /** Keyed scan resuming each series from `state`; returns
@@ -64,7 +113,11 @@ object FleetScan {
       minThreshold: Double = 68.0,
       gracePeriodSec: Long = 0L): (DataFrame, DataFrame) = {
     require(seriesKeys.nonEmpty, "fleet scan requires seriesKeys")
-    val init = state.select(
+    // tolerate pre-hwm state tables (hwm joined the schema later)
+    val stateFull =
+      if (state.columns.contains("hwm")) state
+      else state.withColumn("hwm", lit(null).cast("long"))
+    val init = stateFull.select(
       (seriesKeys.map(col) :+ col("open").as("__init_open") :+
         col("last_end_ts").as("__init_last_end") :+
         col("episode_max").as("__init_episode_max")): _*)
@@ -83,12 +136,13 @@ object FleetScan {
       max(when(col("anomaly").isNotNull,
         struct(col(bucketCol).as("b"), col("anomaly").as("m"),
           col("episode_max").as("e")))).as("__last"),
-      max(when(col("anomaly") === "end", col(bucketCol))).as("__end"))
+      max(when(col("anomaly") === "end", col(bucketCol))).as("__end"),
+      max(col(bucketCol)).as("__maxb"))
     // never null: false && null = false when __last is null
     val uOpen = col("u.__last").isNotNull &&
       (col("u.__last.m") === "start" || col("u.__last.m") === "ongoing")
     val present = col("u.__n").isNotNull
-    val newState = state.as("p")
+    val newState = stateFull.as("p")
       .join(upd.as("u"), seriesKeys, "full_outer")
       .select((seriesKeys.map(col) :+
         when(present, uOpen)
@@ -96,7 +150,8 @@ object FleetScan {
         coalesce(col("u.__end"), col("p.last_end_ts")).as("last_end_ts") :+
         when(present, when(uOpen, col("u.__last.e")).otherwise(lit(0.0)))
           .otherwise(coalesce(col("p.episode_max"), lit(0.0)))
-          .as("episode_max")): _*)
+          .as("episode_max") :+
+        coalesce(col("u.__maxb"), col("p.hwm")).as("hwm")): _*)
     (scanned, newState)
   }
 

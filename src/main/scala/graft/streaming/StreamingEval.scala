@@ -77,11 +77,13 @@ object StreamingEval {
     * new version is fully written). One start + one end per episode PER
     * SERIES across micro-batches; grace anchors are per key.
     *
-    * Unlike the single-series [[start]], silent series do NOT synthesize
-    * fill buckets (their state and grace anchor carry forward via the
-    * full-outer state merge); per-key spine completion needs a per-key
-    * high-water-mark table and is the [[tick]] analog left to the
-    * caller's scheduler. */
+    * With `fill` set, each key's gap buckets are synthesized from its
+    * state-table high-water mark ([[graft.ml.FleetScan.spineComplete]] —
+    * fully distributed) before scoring, so a series that goes silent
+    * mid-fleet still alarms when ITS data resumes or any batch fires;
+    * TOTALLY silent series are closed by [[fleetTick]] from the caller's
+    * scheduler (same event-time/wall-time split as [[tick]]). Without
+    * `fill`, silent series only carry state forward. */
   def startFleet(
       bucketed: DataFrame,
       model: TrainedModel,
@@ -93,33 +95,103 @@ object StreamingEval {
       checkpointDir: String,
       trigger: Option[Trigger] = None,
       score: Option[DataFrame => DataFrame] = None,
+      fill: Option[Double] = None,
       onBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
-    import graft.ml.FleetScan
-    val scoreFn = score.getOrElse((df: DataFrame) => model.predict(df, "value"))
     val writer = bucketed.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val state = FleetScan.loadState(spark, stateRoot, modelName, seriesKeys)
-          val scored = scoreFn(batch)
-            .withColumn("score", coalesce(col("score"), lit(0.0)))
-          val (scanned, newState) = FleetScan.scanWithState(
-            scored, state, seriesKeys,
-            maxThreshold = params.maxThreshold,
-            minThreshold = params.minThreshold,
-            gracePeriodSec = params.gracePeriodSec)
-          val cached = scanned.cache()
-          try {
-            Hooks.dispatch(cached, hooks, keyCols = seriesKeys)
-            FleetScan.saveState(newState, stateRoot, modelName)
-            onBatch(cached)
-          } finally cached.unpersist()
+          // the batch's newest closed bucket is FLEET-WIDE event time
+          // (one global watermark closed it): with fill on, it bounds
+          // every key's spine, so a series silent mid-fleet alarms as
+          // soon as any series' data closes later buckets
+          val upper =
+            if (fill.isDefined)
+              Some(batch.agg(max(col("bucket"))).collect()(0).getLong(0))
+            else None
+          fleetAdvance(batch.sparkSession, batch, model, params, stateRoot,
+            modelName, seriesKeys, hooks, score, fill, upperExtra = upper,
+            onBatch)
         }
       }
     trigger.foreach(writer.trigger)
     writer.start()
+  }
+
+  /** Fleet [[tick]]: close totally silent series by wall clock — every
+    * known series (one row in the fleet state table) whose high-water
+    * mark trails `now − offset` gets its missing buckets synthesized at
+    * `fill` and scanned, so a host that stopped reporting entirely still
+    * alarms. Distributed end to end: the spine derives from the
+    * O(#series) state table, never a driver loop. Call from the owner's
+    * scheduler when the stream reports no progress. */
+  def fleetTick(
+      spark: org.apache.spark.sql.SparkSession,
+      model: TrainedModel,
+      params: EvalParams,
+      stateRoot: String,
+      modelName: String,
+      seriesKeys: Seq[String],
+      hooks: Seq[Hook] = Nil,
+      score: Option[DataFrame => DataFrame] = None,
+      fill: Double = 0.0,
+      now: Long,
+      onBatch: DataFrame => Unit = _ => ()): Unit = {
+    val bi = params.bucketInterval
+    val n = now - params.offset
+    val closed = n - Math.floorMod(n, bi) - bi
+    val fields = seriesKeys.map(k => org.apache.spark.sql.types.StructField(k,
+      org.apache.spark.sql.types.StringType)) ++ Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType))
+    val emptyObserved = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](),
+      org.apache.spark.sql.types.StructType(fields))
+    fleetAdvance(spark, emptyObserved, model, params, stateRoot, modelName,
+      seriesKeys, hooks, score, Some(fill), upperExtra = Some(closed), onBatch)
+  }
+
+  /** Shared fleet micro-batch core: optional per-key spine completion,
+    * score, keyed scan with state resume, hooks, state persistence. */
+  private def fleetAdvance(
+      spark: org.apache.spark.sql.SparkSession,
+      observed: DataFrame,
+      model: TrainedModel,
+      params: EvalParams,
+      stateRoot: String,
+      modelName: String,
+      seriesKeys: Seq[String],
+      hooks: Seq[Hook],
+      score: Option[DataFrame => DataFrame],
+      fill: Option[Double],
+      upperExtra: Option[Long],
+      onBatch: DataFrame => Unit): Unit = {
+    import graft.ml.FleetScan
+    val scoreFn = score.getOrElse((df: DataFrame) => model.predict(df, "value"))
+    val state = FleetScan.loadState(spark, stateRoot, modelName, seriesKeys)
+    val series = fill match {
+      case Some(f) => FleetScan.spineComplete(observed, state, seriesKeys,
+        params.bucketInterval, fill = f, upperExtra = upperExtra)
+      case None => observed
+    }
+    if (!series.isEmpty) {
+      val scored = scoreFn(series)
+        .withColumn("score", coalesce(col("score"), lit(0.0)))
+      val (scanned, newState) = FleetScan.scanWithState(
+        scored, state, seriesKeys,
+        maxThreshold = params.maxThreshold,
+        minThreshold = params.minThreshold,
+        gracePeriodSec = params.gracePeriodSec)
+      val cached = scanned.cache()
+      try {
+        Hooks.dispatch(cached, hooks, keyCols = seriesKeys)
+        FleetScan.saveState(newState, stateRoot, modelName)
+        onBatch(cached)
+      } finally cached.unpersist()
+    }
   }
 
   /** Start the scored + scanned stream. Each micro-batch of closed

@@ -120,14 +120,76 @@ class FleetScanSpec extends SparkSpec {
     assert(!st(0).getBoolean(1) && st(0).getLong(2) == 40L)
   }
 
+  test("fleet gap fill: a series silent mid-fleet alarms via per-key " +
+      "spine completion; fleetTick closes total silence for ALL series") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ml.ModelRegistry
+    import graft.streaming.StreamingEval
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val train = (0 until 240).map(t => (t * 10L, 10.0)).toDF("bucket", "value")
+    val model = ModelRegistry("seasonal")
+      .train(train, "value", """{"bucket_interval":10,"period":86400}""")
+    val params = graft.streaming.EvalParams(interval = 10L, offset = 0L,
+      bucketInterval = 10L, maxThreshold = 99.7, minThreshold = 68.0)
+
+    val ms = MemoryStream[(String, Long, Double)]
+    val points = ms.toDF().select(col("_1").as("host"),
+      timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+    val bucketed = StreamingEval.bucketizeKeyed(points, "ts", "value",
+      Seq("host"), interval = 10L, offsetSec = 0L)
+
+    val stateRoot = java.nio.file.Files.createTempDirectory("fleet-g").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fleet-gc").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, String)]
+    val record: org.apache.spark.sql.DataFrame => Unit =
+      b => got ++= b.orderBy("host", "bucket").collect().map(r =>
+        (r.getString(r.fieldIndex("host")), r.getLong(r.fieldIndex("bucket")),
+          r.getDouble(r.fieldIndex("value")),
+          Option(r.getString(r.fieldIndex("anomaly"))).orNull))
+    val q = StreamingEval.startFleet(bucketed, model, params,
+      stateRoot, "fm2", Seq("host"), checkpointDir = ckpt,
+      fill = Some(0.0), onBatch = record)
+    try {
+      // batch 1: both hosts healthy through bucket 20
+      ms.addData(("a", 5L, 10.0), ("b", 5L, 10.0),
+        ("a", 15L, 10.0), ("b", 15L, 10.0),
+        ("a", 25L, 10.0), ("b", 25L, 10.0),
+        ("a", 35L, 10.0), ("b", 35L, 10.0))
+      q.processAllAvailable()
+      // host b goes SILENT; host a keeps reporting. The batch closes
+      // buckets 30 (both hosts' last events) and 40 (a only) — the
+      // fleet-wide event-time bound (40) extends b's spine, so b's
+      // missing bucket 40 synthesizes at 0 and b alarms while a is clean
+      ms.addData(("a", 45L, 10.0), ("a", 55L, 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.filter(_._1 == "a").forall(_._4 == null))
+    val bTail = got.filter(e => e._1 == "b" && e._2 >= 30L)
+      .map(e => (e._2, e._3, e._4))
+    assert(bTail == Seq((30L, 10.0, null), (40L, 0.0, "start")))
+
+    // BOTH hosts now silent: no micro-batch fires, so the scheduler
+    // ticks; buckets 50,60 fill at 0 for both by wall clock — a starts
+    // its own episode, b stays ongoing (no second start)
+    StreamingEval.fleetTick(spark, model, params, stateRoot, "fm2",
+      Seq("host"), fill = 0.0, now = 75L, onBatch = record)
+    val tick = got.drop(got.size - 4).toSeq
+    assert(tick.map(e => (e._1, e._2, e._4)) == Seq(
+      ("a", 50L, "start"), ("a", 60L, "ongoing"),
+      ("b", 50L, "ongoing"), ("b", 60L, "ongoing")))
+    assert(got.count(e => e._1 == "b" && e._4 == "start") == 1)
+  }
+
   test("state table round-trips through versioned persistence") {
     val root = java.nio.file.Files.createTempDirectory("fleet").toString
     val keys = Seq("host")
     assert(FleetScan.loadState(spark, root, "f1", keys).count() == 0)
     val st = Seq(("a", true, Some(10L), 99.9), ("b", false, None, 0.0))
       .map { case (h, o, e, m) =>
-        (h, o, e.map(Long.box).orNull.asInstanceOf[java.lang.Long], m) }
-      .toDF("host", "open", "last_end_ts", "episode_max")
+        (h, o, e.map(Long.box).orNull.asInstanceOf[java.lang.Long], m, 10L) }
+      .toDF("host", "open", "last_end_ts", "episode_max", "hwm")
     assert(FleetScan.saveState(st, root, "f1") == 1)
     val back = FleetScan.loadState(spark, root, "f1", keys)
       .orderBy("host").collect()
