@@ -304,11 +304,76 @@ class Engine(
           bucketInterval = s.bucketInterval,
           maxThreshold = s.maxThreshold, minThreshold = s.minThreshold,
           gracePeriodSec = s.gracePeriod, contextSec = 2 * s.period),
-        storageRoot, name, hooks, inputFeature(s).name)
+        storageRoot, name, hooksOf(name) ++ hooks, inputFeature(s).name)
     })
 
   /** `_stop` (server.py:1629-1674): deregister the scheduled loop. The
     * persisted run state survives (the reference restores jobs at boot,
     * server.py:1821-1843 — a later `_start` resumes where it left off). */
   def stopScheduled(name: String): Boolean = scheduled.remove(name).isDefined
+
+  /** `GET /models` (docs/reference/api/models.asciidoc:60-64): all model
+    * settings, name-sorted; page with
+    * [[graft.api.Listing.sortPage]] like the reference's list args. */
+  def listModels(): Seq[ModelSettings] =
+    settings.values.toSeq.sortBy(_.name)
+
+  /** `DELETE /models/<model_names>` — semicolon-separated, as documented
+    * (models.asciidoc:44-57): unregisters settings, stops any scheduled
+    * loop, detaches hooks, and removes the stored checkpoints. Returns
+    * how many named models existed. */
+  def deleteModel(names: String): Int =
+    names.split(";").count { n =>
+      val had = settings.remove(n).isDefined
+      scheduled.remove(n)
+      modelHooks.remove(n)
+      val dir = java.nio.file.Paths.get(storageRoot, n)
+      if (java.nio.file.Files.exists(dir)) {
+        java.nio.file.Files.walk(dir).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      had
+    }
+
+  // ── per-model hooks API (docs/reference/api/hooks.asciidoc;
+  //    server.py hook CRUD + _hook_test, 1016-1028). Hooks here are
+  //    library objects implementing [[graft.ml.Hook]] rather than
+  //    type+config JSON (the reference's plugin classes map to Hook
+  //    implementations; AnnotationHook is the built-in analog).
+  private val modelHooks = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.mutable.LinkedHashMap[String, Hook]]
+
+  /** `PUT /models/<m>/hooks/<name>` analog: attach (or replace) a named
+    * hook; [[startScheduled]] picks attached hooks up automatically. */
+  def putHook(model: String, hook: Hook): Unit = {
+    getModel(model) // UnsupportedModel on unknown, like the reference's 404
+    modelHooks.getOrElseUpdate(model,
+      scala.collection.mutable.LinkedHashMap.empty).put(hook.name, hook)
+  }
+
+  /** `GET /models/<m>/hooks` analog. */
+  def listHooks(model: String): Seq[String] =
+    modelHooks.get(model).map(_.keys.toSeq).getOrElse(Nil)
+
+  /** `DELETE /models/<m>/hooks/<name>` analog. */
+  def deleteHook(model: String, hookName: String): Boolean =
+    modelHooks.get(model).exists(_.remove(hookName).isDefined)
+
+  /** `POST /models/<m>/hooks/<name>/_test` (server.py:1016-1028): fire a
+    * synthetic start+end through the named hook to verify alert wiring
+    * without touching data. */
+  def testHook(model: String, hookName: String,
+      nowEpoch: Long = System.currentTimeMillis() / 1000): Boolean =
+    modelHooks.get(model).flatMap(_.get(hookName)) match {
+      case Some(h) =>
+        graft.ml.HookTest.fire(Seq(h), inputFeature(getModel(model)).name,
+          nowEpoch, getModel(model).bucketInterval)
+        true
+      case None => false
+    }
+
+  /** Hooks attached to `model` via [[putHook]]. */
+  def hooksOf(model: String): Seq[Hook] =
+    modelHooks.get(model).map(_.values.toSeq).getOrElse(Nil)
 }

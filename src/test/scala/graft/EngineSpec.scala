@@ -201,6 +201,36 @@ class EngineSpec extends SparkSpec {
     assert(engine.startScheduled("m2") ne loop1)
   }
 
+  test("model list/delete + per-model hooks CRUD and _hook_test " +
+      "(models.asciidoc:44-64, hooks.asciidoc)") {
+    val (engine, root) = newEngine()
+    def mk(n: String) = engine.createModel(
+      s"""{"name":"$n","type":"seasonal","features":[
+         |{"name":"avg_v","metric":"avg","field":"v"}],
+         |"bucket_interval":"1h"}""".stripMargin)
+    mk("mb"); mk("ma"); mk("mc")
+    assert(engine.listModels().map(_.name) == Seq("ma", "mb", "mc"))
+
+    // hooks: attach, list, test, delete
+    val store = new graft.ml.AnnotationStore
+    engine.putHook("ma", new graft.ml.AnnotationHook(store))
+    assert(engine.listHooks("ma") == Seq("annotations"))
+    assert(engine.testHook("ma", "annotations", nowEpoch = 1000L))
+    assert(store.size == 1) // synthetic start+end reached the hook
+    assert(!engine.testHook("ma", "nope"))
+    assertThrows[IllegalArgumentException](
+      engine.putHook("zz", new graft.ml.AnnotationHook(store)))
+
+    // delete: semicolon-separated, storage cleaned, hooks detached
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "ma", "v1"))
+    assert(engine.deleteModel("ma;mc;nope") == 2)
+    assert(engine.listModels().map(_.name) == Seq("mb"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "ma")))
+    assert(engine.listHooks("ma").isEmpty)
+    assertThrows[IllegalArgumentException](engine.getModel("ma"))
+  }
+
   test("settings parse: timedelta strings, match_all, previous fill") {
     val s = ModelSettings.parse(
       """{"name": "m", "type": "seasonal", "bucket_interval": 60,
