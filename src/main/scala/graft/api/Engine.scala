@@ -376,4 +376,37 @@ class Engine(
   /** Hooks attached to `model` via [[putHook]]. */
   def hooksOf(model: String): Seq[Hook] =
     modelHooks.get(model).map(_.values.toSeq).getOrElse(Nil)
+
+  // ── runtime bucket CRUD (docs/reference/api/buckets.asciidoc:
+  //    GET /buckets, POST /buckets, DELETE /buckets/<names>). Settings
+  //    persist one JSON file per bucket and reload at construction, like
+  //    the reference's config-file buckets.
+  private val bucketDir = java.nio.file.Paths.get(storageRoot, "buckets")
+  locally {
+    if (java.nio.file.Files.isDirectory(bucketDir))
+      java.nio.file.Files.list(bucketDir).toArray.map(_.toString)
+        .filter(_.endsWith(".json")).foreach { p =>
+          buckets.register(graft.sources.BucketSettings.fromJson(
+            java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+        }
+  }
+
+  /** `POST /buckets`: settings-JSON bucket, registered + persisted. */
+  def createBucket(json: String): graft.sources.Bucket = {
+    val b = graft.sources.BucketSettings.fromJson(json)
+    buckets.register(b)
+    java.nio.file.Files.createDirectories(bucketDir)
+    java.nio.file.Files.writeString(bucketDir.resolve(s"${b.name}.json"), json)
+    b
+  }
+
+  /** `GET /buckets`: configured bucket names. */
+  def listBuckets(): Seq[String] = buckets.names
+
+  /** `DELETE /buckets/<names>` (semicolon-separated). */
+  def deleteBucket(names: String): Int =
+    names.split(";").count { n =>
+      java.nio.file.Files.deleteIfExists(bucketDir.resolve(s"$n.json"))
+      buckets.remove(n)
+    }
 }

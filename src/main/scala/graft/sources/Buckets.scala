@@ -40,6 +40,42 @@ class BucketRegistry {
   def apply(name: String): Bucket =
     buckets.getOrElse(name, throw UnsupportedBucket(name))
   def names: Seq[String] = buckets.keys.toSeq.sorted
+  def remove(name: String): Boolean = buckets.remove(name).isDefined
+}
+
+object BucketSettings {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  /** Settings-JSON bucket factory — the runtime `POST /buckets` schema
+    * (docs/reference/api/buckets.asciidoc:47-…; `load_bucket` dispatch on
+    * `type`, bucket.py:297-306). Supported types map to the sandbox-
+    * reachable sources: `parquet` (path[, timestamp_field]), `csv`
+    * (path[, delimiter, timestamp_field]), `testdata` (dir, table).
+    * The reference's network TSDB types would register here the same
+    * way. [[MemBucket]] needs a programmatic schema, so it stays
+    * code-registered. */
+  def fromJson(json: String): Bucket = {
+    val j = JsonMethods.parse(json)
+    def str(v: JValue, what: String): String = v match {
+      case JString(x) => x
+      case _ => throw new IllegalArgumentException(s"bucket needs $what")
+    }
+    def opt(v: JValue): Option[String] =
+      v match { case JString(x) => Some(x); case _ => None }
+    val name = str(j \ "name", "name")
+    str(j \ "type", "type") match {
+      case "parquet" => new ParquetBucket(name, str(j \ "path", "path"),
+        opt(j \ "timestamp_field").getOrElse("ts"))
+      case "csv" => new CsvBucket(name, str(j \ "path", "path"),
+        opt(j \ "delimiter").getOrElse(";"),
+        opt(j \ "timestamp_field").getOrElse("timestamp"))
+      case "testdata" => new TestdataBucket(name, str(j \ "dir", "dir"),
+        str(j \ "table", "table"),
+        opt(j \ "timestamp_field").getOrElse("ts"))
+      case t => throw new IllegalArgumentException(s"unknown bucket type: $t")
+    }
+  }
 }
 
 /** Parquet-backed bucket (the 100 TB shape: date-partitioned parquet with

@@ -231,6 +231,26 @@ class EngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](engine.getModel("ma"))
   }
 
+  test("runtime bucket CRUD: settings-JSON create, list, delete, boot " +
+      "restore (buckets.asciidoc)") {
+    val (engine, root) = newEngine()
+    engine.createBucket(
+      """{"name":"ev","type":"testdata","dir":"/root/testdata/sf0.001",
+        |"table":"events"}""".stripMargin)
+    assert(engine.listBuckets().contains("ev"))
+    // usable immediately through _read
+    assert(engine.readFromBucket("ev", "2024-01-01T00:00:00.000Z",
+      "2024-01-01T06:00:00.000Z", HOUR, "count(value)").count() == 6)
+    assertThrows[IllegalArgumentException](engine.createBucket(
+      """{"name":"x","type":"influxdb","addr":"localhost"}"""))
+    // boot restore: a new engine over the same root sees the bucket
+    val e2 = new Engine(spark, new BucketRegistry, root)
+    assert(e2.listBuckets() == Seq("ev"))
+    assert(e2.deleteBucket("ev;nope") == 1)
+    assert(e2.listBuckets().isEmpty)
+    assert(new Engine(spark, new BucketRegistry, root).listBuckets().isEmpty)
+  }
+
   test("settings parse: timedelta strings, match_all, previous fill") {
     val s = ModelSettings.parse(
       """{"name": "m", "type": "seasonal", "bucket_interval": 60,
