@@ -122,7 +122,13 @@ object Dedup {
       shingleN: Int = 3, maxPerShingle: Int = 1000): DataFrame = {
     val raw = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleN)).as("sh"))
-    val sh = raw.distinct()
+    // set semantics per doc WITHOUT a shuffle: a (id, sh) distinct can
+    // only dedupe within one doc (id is part of the key), so
+    // array_distinct before the explode — a narrow per-row op — is
+    // equivalent to `.distinct()` and removes the widest exchange in the
+    // plan entirely
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
     // |A| per doc = distinct shingle count, computed per ROW on the doc
     // scan (size∘array_distinct) — same value as counting the exploded
     // distinct frame, but with no shuffle and no recompute of the
@@ -181,10 +187,15 @@ object Dedup {
   def contamination(
       probe: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
+    // probe set semantics are per doc → array_distinct (narrow), no
+    // shuffle; the corpus distinct is genuinely cross-doc (one shingle
+    // column), kept — map-side partial dedup bounds its exchange by
+    // vocabulary, and array_distinct first shrinks the explode
     val p = probe.select(col(idCol).as("probe_id"),
-      explode(wordShingles(col(textCol), shingleN)).as("sh")).distinct()
+      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
     val c = corpus
-      .select(explode(wordShingles(col(textCol), shingleN)).as("sh")).distinct()
+      .select(explode(array_distinct(wordShingles(col(textCol), shingleN)))
+        .as("sh")).distinct()
     val hits = p.join(c, Seq("sh"), "left_semi")
       .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
     val sizes = probe.select(col(idCol).as("probe_id"),
