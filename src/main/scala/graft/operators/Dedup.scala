@@ -36,24 +36,18 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Word n-gram shingles of a whitespace-tokenized text column.
-    *
-    * Built by zipping n shifted slices of the token array rather than a
-    * `transform(sequence, i -> element_at(...))` lambda: inside a lambda
-    * each `element_at(split(text),i)` re-evaluates the split per element
-    * (no CSE across lambda calls), making shingling O(words²) per doc —
-    * measured 3-5× slower at sf0.1. The slice form evaluates `split` a
-    * constant number of times per row.
+  /** Word n-gram shingles of a whitespace-tokenized text column — the
+    * native one-pass kernel ([[graft.functions.WordShingles]]; history:
+    * a `transform(sequence, i -> element_at(split(text), i)...)` lambda
+    * re-evaluates the split per element (O(words²) per doc, 3-5× slower
+    * at sf0.1); zipping n shifted `slice`s fixed that but still paid
+    * per-shingle lambda binds and boxing outside whole-stage codegen —
+    * shingling is the hottest kernel in the text-dedup family, so it
+    * follows [[graft.functions.DotProduct]] into a native expression).
     *
     * Guarded: texts shorter than n tokens yield an empty array. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val cnt = greatest(size(toks) - (n - 1), lit(0))
-    val slices = (0 until n).map(i => slice(toks, lit(i + 1), cnt))
-    val zipped = slices.reduce((a, b) =>
-      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    when(size(toks) < n, array().cast("array<string>")).otherwise(zipped)
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(text, n)
 
   /** Engine-independent 60-bit hash of a string: first 15 hex chars of md5
     * as a (positive) long. 60 bits keeps every bit op in signed-long-safe

@@ -73,6 +73,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("native WordShingles ≡ the composed slice/zip_with form, " +
+      "including empty tokens and short-text guard") {
+    // the composed reference implementation it replaced
+    def composed(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(text, " ")
+      val cnt = greatest(size(toks) - (n - 1), lit(0))
+      val slices = (0 until n).map(i => slice(toks, lit(i + 1), cnt))
+      val zipped = slices.reduce((a, b) =>
+        zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+      when(size(toks) < n, array().cast("array<string>")).otherwise(zipped)
+    }
+    val rnd = new scala.util.Random(5)
+    val words = Array("a", "bb", "ccc", "", "dd", "é☃") // incl. empty + unicode
+    val texts = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.length))).mkString(" ")) ++
+      Seq("", " ", "a  b", "one two three four")
+    for (n <- Seq(1, 2, 3)) {
+      val df = texts.toDF("t")
+      val bad = df.filter(!(graft.operators.Dedup.wordShingles(col("t"), n) <=>
+        composed(col("t"), n))).count()
+      assert(bad == 0, s"n=$n mismatch")
+    }
+  }
+
   test("contamination: leaked doc ≈ 1, fresh doc = 0, short doc guarded") {
     import graft.operators.Dedup
     val corpus = Seq(
