@@ -32,5 +32,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot takes exactly 2 arguments, got ${children.length}")
         DotProduct(children(0), children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(
+        classOf[WordShingles].getCanonicalName, null, "graft_word_shingles",
+        "graft_word_shingles(text, n) - word n-gram shingles of a " +
+          "whitespace-tokenized string; fewer than n tokens yields [].",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_word_shingles takes exactly 2 arguments, got ${children.length}")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_word_shingles: n must be an integer literal")
+        }
+        WordShingles(children(0), n)
+      }))
   }
 }

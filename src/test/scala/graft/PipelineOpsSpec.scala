@@ -193,6 +193,8 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0)
     assert(spark.sql("SELECT graft_dot(array(1.0d), array(1.0d, 2.0d)) AS d")
       .collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT graft_word_shingles('a b c d', 3) AS s")
+      .collect()(0).getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
   test("cosine: identity = 1, orthogonal = 0") {
