@@ -70,8 +70,12 @@ object StreamingEval {
   /** Fleet streaming eval: each micro-batch of closed per-series buckets
     * is scored by `score` (default `model.predict` — correct for
     * profile-join models whose prediction depends only on the bucket
-    * slot; pass `m.predictKeyed(_, valueCol, seriesKeys)` for window
-    * models needing per-key lags), scanned per key with state resumed
+    * slot. A window model needs per-key LAG CONTEXT that a trigger's
+    * batch does not carry: its scorer must prepend trailing history
+    * itself — fetch from the bucket store, score with
+    * `m.predictKeyed(_, valueCol, seriesKeys)`, filter back to the
+    * batch's buckets — or its leading buckets impute lags to slot
+    * means), scanned per key with state resumed
     * from the [[graft.ml.FleetScan]] keyed state table, and the new state
     * persisted (versioned parquet, ACTIVE pointer flips only after the
     * new version is fully written). One start + one end per episode PER
