@@ -154,6 +154,7 @@ class Engine(
 
   def createModel(settingsJson: String): ModelSettings = {
     val s = ModelSettings.parse(settingsJson)
+    Schemas.requireKey(s.name, "model name")
     ModelRegistry(s.tpe) // unknown type → UnsupportedModel, model.py:445-468
     settings.put(s.name, s)
     s
@@ -394,6 +395,7 @@ class Engine(
   /** `POST /buckets`: settings-JSON bucket, registered + persisted. */
   def createBucket(json: String): graft.sources.Bucket = {
     val b = graft.sources.BucketSettings.fromJson(json)
+    Schemas.requireKey(b.name, "bucket name")
     buckets.register(b)
     java.nio.file.Files.createDirectories(bucketDir)
     java.nio.file.Files.writeString(bucketDir.resolve(s"${b.name}.json"), json)

@@ -177,6 +177,7 @@ class ScheduledJobs(engine: Engine, storageRoot: String) {
   def create(json: String, nowEpoch: Long = System.currentTimeMillis / 1000)
       : ScheduledJob = {
     val job = ScheduledJob.parse(json)
+    Schemas.requireKey(job.name, "scheduled job name")
     jobs.put(job.name, job)
     registered.put(job.name, nowEpoch)
     java.nio.file.Files.createDirectories(dir)

@@ -251,6 +251,20 @@ class EngineSpec extends SparkSpec {
     assert(new Engine(spark, new BucketRegistry, root).listBuckets().isEmpty)
   }
 
+  test("key schema validation mirrors tests/test_schemas.py:test_key") {
+    import graft.api.Schemas
+    Seq("foo", "foo_bar", "Foo-Bar", "00_foo_00_bar_001", "_foo")
+      .foreach(k => assert(Schemas.isKey(k), k))
+    Seq("", "foo/bar", ".foo", "a b", "a.b").foreach(k =>
+      assert(!Schemas.isKey(k), k))
+    val (engine, _) = newEngine()
+    assertThrows[IllegalArgumentException](engine.createModel(
+      """{"name":"bad/name","type":"seasonal","bucket_interval":60,
+        |"features":[{"name":"f","metric":"avg","field":"v"}]}""".stripMargin))
+    assertThrows[IllegalArgumentException](engine.createBucket(
+      """{"name":"../escape","type":"parquet","path":"/tmp/x"}"""))
+  }
+
   test("settings parse: timedelta strings, match_all, previous fill") {
     val s = ModelSettings.parse(
       """{"name": "m", "type": "seasonal", "bucket_interval": 60,
