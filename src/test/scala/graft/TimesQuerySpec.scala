@@ -164,6 +164,30 @@ class TimesQuerySpec extends SparkSpec {
     assert(avgOf(Seq(0.0, 0.0)) == 0.0) // all-zero group stays decimal
   }
 
+  test("approx tier (exact=false, the streaming/100TB setting) tracks " +
+      "the exact tier within tolerance") {
+    import graft.functions.Metrics
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(20000)(rnd.nextGaussian() * 50 + 100).toDF("v")
+    def both(metric: String): (Double, Double) = {
+      val r = df.agg(
+        Metrics.agg(metric, col("v"), exact = true).cast("double").as("e"),
+        Metrics.agg(metric, col("v"), exact = false).cast("double").as("a"))
+        .collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    for (m <- Seq("avg", "median", "95percentile", "5percentile")) {
+      val (e, a) = both(m)
+      assert(math.abs(a - e) <= math.max(math.abs(e) * 0.01, 1e-6),
+        s"$m: exact=$e approx=$a")
+    }
+    // metrics with no approx variant are identical across tiers
+    for (m <- Seq("count", "min", "max", "sum", "stddev", "spread")) {
+      val (e, a) = both(m)
+      assert(e == a, m)
+    }
+  }
+
   test("feature DSL validation mirrors the reference schema " +
       "(model.py:77-98, tests/test_model.py)") {
     // valid: full surface
