@@ -384,12 +384,15 @@ class Engine(
   //    the reference's config-file buckets.
   private val bucketDir = java.nio.file.Paths.get(storageRoot, "buckets")
   locally {
-    if (java.nio.file.Files.isDirectory(bucketDir))
-      java.nio.file.Files.list(bucketDir).toArray.map(_.toString)
+    if (java.nio.file.Files.isDirectory(bucketDir)) {
+      val listing = java.nio.file.Files.list(bucketDir)
+      try listing.toArray.map(_.toString)
         .filter(_.endsWith(".json")).foreach { p =>
           buckets.register(graft.sources.BucketSettings.fromJson(
             java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
         }
+      finally listing.close()
+    }
   }
 
   /** `POST /buckets`: settings-JSON bucket, registered + persisted. */

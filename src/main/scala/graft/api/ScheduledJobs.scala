@@ -165,12 +165,14 @@ class ScheduledJobs(engine: Engine, storageRoot: String) {
 
   // boot restore (config.py:35-37 analog)
   if (java.nio.file.Files.isDirectory(dir)) {
-    java.nio.file.Files.list(dir).toArray.map(_.toString)
+    val listing = java.nio.file.Files.list(dir)
+    try listing.toArray.map(_.toString)
       .filter(_.endsWith(".json")).foreach { p =>
         val j = ScheduledJob.parse(java.nio.file.Files.readString(
           java.nio.file.Paths.get(p)))
         jobs.put(j.name, j)
       }
+    finally listing.close()
   }
 
   /** POST /scheduled_jobs */

@@ -161,9 +161,11 @@ object FleetScan {
   def saveState(state: DataFrame, root: String, name: String): Int = {
     val dir = java.nio.file.Paths.get(root, name)
     java.nio.file.Files.createDirectories(dir)
-    val prior = java.nio.file.Files.list(dir).toArray.map(_.toString)
-      .flatMap(p => scala.util.Try(
+    val listing = java.nio.file.Files.list(dir)
+    val prior =
+      try listing.toArray.map(_.toString).flatMap(p => scala.util.Try(
         p.split('/').last.stripPrefix("v").toInt).toOption)
+      finally listing.close()
     val v = if (prior.isEmpty) 1 else prior.max + 1
     state.write.mode("overwrite").parquet(s"$root/$name/v$v")
     java.nio.file.Files.writeString(dir.resolve("ACTIVE"), v.toString)
