@@ -105,11 +105,12 @@ object DataPipelineQueries {
         .limit(20)
     }),
 
-    // ── LSH-bucketed ANN (the 100 TB path; recall<1 → rows-only check)
+    // ── LSH-bucketed ANN (the 100 TB path): 4 bands × 4 planes — banded
+    //    candidates, hash-checked against plane literals in DuckDB
     "q_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
-        "vec_id", "embedding", k = 5, planes = 8, dim = 64)
+        "vec_id", "embedding", k = 5, planes = 16, dim = 64, bands = 4)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
     }),
@@ -555,7 +556,9 @@ object DataPipelineQueries {
     // DuckDB double[] literals (generated from the same hyperplanes()
     // call; they cannot drift) and replay bucket → join → rank.
     "q_ann_lsh" -> {
-      val hp = Similarity.hyperplanes(8, 64)
+      // mirrors the BANDED lshTopK: 4 bands × 4 planes from the same
+      // seed-42 hyperplanes; candidates agree on any band's full bucket
+      val hp = Similarity.hyperplanes(16, 64)
       val planeRows = hp.zipWithIndex.map { case (p, i) =>
         s"($i, CAST([${p.mkString(", ")}] AS DOUBLE[]))"
       }.mkString(",\n    ")
@@ -565,19 +568,21 @@ object DataPipelineQueries {
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |), bk AS (
          |  SELECT e.vec_id, any_value(e.v) AS v,
+         |         CAST(p.pid // 4 AS INT) AS band,
          |         sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-         |                  THEN 1 << p.pid ELSE 0 END) AS bucket_id
-         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id
+         |                  THEN 1 << (p.pid % 4) ELSE 0 END) AS bucket
+         |  FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.pid // 4
          |), q AS (
-         |  SELECT vec_id AS query_id, v AS qv, bucket_id
+         |  SELECT vec_id AS query_id, v AS qv, band, bucket
          |  FROM bk WHERE vec_id < 20
          |), scored AS (
-         |  SELECT q.query_id, c.vec_id AS match_id,
+         |  SELECT DISTINCT q.query_id, c.vec_id AS match_id,
          |         list_dot_product(q.qv, c.v) /
          |           (sqrt(list_dot_product(q.qv, q.qv)) *
          |            sqrt(list_dot_product(c.v, c.v))) AS cr
          |  FROM q JOIN bk c
-         |    ON q.bucket_id = c.bucket_id AND q.query_id != c.vec_id
+         |    ON q.band = c.band AND q.bucket = c.bucket
+         |   AND q.query_id != c.vec_id
          |), ranked AS (
          |  SELECT query_id, match_id, cr,
          |         row_number() OVER (PARTITION BY query_id

@@ -51,7 +51,9 @@ object BucketSettings {
     * (docs/reference/api/buckets.asciidoc:47-…; `load_bucket` dispatch on
     * `type`, bucket.py:297-306). Supported types map to the sandbox-
     * reachable sources: `parquet` (path[, timestamp_field]), `csv`
-    * (path[, delimiter, timestamp_field]), `testdata` (dir, table).
+    * (path[, delimiter, timestamp_field]), `json` (path[,
+    * timestamp_field]), `orc` (path[, timestamp_field]), `testdata`
+    * (dir, table).
     * The reference's network TSDB types would register here the same
     * way. [[MemBucket]] needs a programmatic schema, so it stays
     * code-registered. */
@@ -70,6 +72,10 @@ object BucketSettings {
       case "csv" => new CsvBucket(name, str(j \ "path", "path"),
         opt(j \ "delimiter").getOrElse(";"),
         opt(j \ "timestamp_field").getOrElse("timestamp"))
+      case "json" => new JsonBucket(name, str(j \ "path", "path"),
+        opt(j \ "timestamp_field").getOrElse("timestamp"))
+      case "orc" => new OrcBucket(name, str(j \ "path", "path"),
+        opt(j \ "timestamp_field").getOrElse("ts"))
       case "testdata" => new TestdataBucket(name, str(j \ "dir", "dir"),
         str(j \ "table", "table"),
         opt(j \ "timestamp_field").getOrElse("ts"))
@@ -102,6 +108,30 @@ final class CsvBucket(
     override val timestampField: String = "timestamp") extends Bucket {
   def readPoints(spark: SparkSession): DataFrame =
     Tables.loadCsv(spark, path, delimiter)
+}
+
+/** JSON-lines bucket (one point object per line — the shape of the
+  * reference's `insert_times_data` payloads written to disk; gz
+  * transparent). Schema inference happens once per read plan. */
+final class JsonBucket(
+    val name: String, path: String,
+    override val timestampField: String = "timestamp") extends Bucket {
+  def readPoints(spark: SparkSession): DataFrame =
+    // inferTimestamp is off by default (schema-inference cost); a points
+    // frame needs its time column typed, so turn it on here
+    spark.read.option("inferTimestamp", "true").json(path)
+  override def writePoints(df: DataFrame): Unit =
+    df.write.mode("append").json(path)
+}
+
+/** ORC bucket — same columnar pushdown/pruning contract as parquet for
+  * shops standardized on ORC. */
+final class OrcBucket(
+    val name: String, path: String,
+    override val timestampField: String = "ts") extends Bucket {
+  def readPoints(spark: SparkSession): DataFrame = spark.read.orc(path)
+  override def writePoints(df: DataFrame): Unit =
+    df.write.mode("append").orc(path)
 }
 
 /** In-memory bucket (the MemBucket analog, membucket.py:78-287): points

@@ -251,6 +251,25 @@ class EngineSpec extends SparkSpec {
     assert(new Engine(spark, new BucketRegistry, root).listBuckets().isEmpty)
   }
 
+  test("json and orc buckets: write, settings-create, _read end to end") {
+    val (engine, _) = newEngine()
+    val base = java.nio.file.Files.createTempDirectory("srcs").toString
+    val pts = (0 until 48).map(t => (t * HOUR, (t % 24).toDouble))
+      .toDF("epoch", "value")
+      .select(timestamp_seconds(col("epoch")).as("ts"), col("value"))
+    pts.write.json(s"$base/j")
+    pts.write.orc(s"$base/o")
+    engine.createBucket(
+      s"""{"name":"bj","type":"json","path":"$base/j","timestamp_field":"ts"}""")
+    engine.createBucket(s"""{"name":"bo","type":"orc","path":"$base/o"}""")
+    for (b <- Seq("bj", "bo")) {
+      val out = engine.readFromBucket(b, "1970-01-01T00:00:00.000Z",
+        "1970-01-02T00:00:00.000Z", HOUR, "avg(value)")
+      assert(out.count() == 24, b)
+      assert(out.agg(max(col("avg_value"))).collect()(0).getDouble(0) == 23.0, b)
+    }
+  }
+
   test("key schema validation mirrors tests/test_schemas.py:test_key") {
     import graft.api.Schemas
     Seq("foo", "foo_bar", "Foo-Bar", "00_foo_00_bar_001", "_foo")

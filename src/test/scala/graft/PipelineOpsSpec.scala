@@ -262,6 +262,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(uncapped.select("doc_id").as[Long].collect().toSeq == Seq(0L))
   }
 
+  test("ANN recall floors on real embeddings: LSH and IVF top-5 vs " +
+      "exact brute force (sf0.001)") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "match_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = top5(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    def recallOf(approx: Map[Long, Set[Long]]): Double = {
+      val hits = exact.map { case (k, t) =>
+        approx.getOrElse(k, Set.empty).count(t).toDouble / t.size }
+      hits.sum / hits.size
+    }
+    // 4×4-bit banded SRP (the q_ann_lsh config). Historical note: the
+    // monolithic 8-plane bucket this replaced measured 0.02 here —
+    // banding is what makes SRP recall usable; the floor guards against
+    // silent recall collapse from a plan change
+    val lsh = recallOf(top5(Similarity.lshTopK(
+      q, e, "vec_id", "embedding", 5, planes = 16, dim = 64, bands = 4)))
+    assert(lsh >= 0.4, s"LSH recall collapsed: $lsh")
+    // IVF probing 8 of 16 cells keeps most of the mass
+    val ivf = recallOf(top5(
+      Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)))
+    assert(ivf >= 0.6, s"IVF recall collapsed: $ivf")
+  }
+
   test("IVF with nprobe = nlist degenerates to exact brute force") {
     // 30 deterministic pseudo-random vectors; probing every cell must
     // reproduce the exact top-k (IVF only loses matches via unprobed cells)

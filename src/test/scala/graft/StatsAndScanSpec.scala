@@ -65,6 +65,47 @@ class StatsAndScanSpec extends SparkSpec {
     assert(epi(0) == null) // no episode → null
   }
 
+  test("hysteresis scan ≡ sequential reference replay over random score " +
+      "series (differential property test)") {
+    import graft.ml.{AnomalyScan, RunState}
+    // independent sequential re-implementation of donut.py:1477-1578
+    def replay(scores: Seq[Double], maxT: Double, minT: Double,
+        grace: Long): Seq[(String, Boolean)] = {
+      var open = false; var lastEnd = Long.MinValue
+      scores.zipWithIndex.map { case (s, i) =>
+        val ts = i * 60L
+        val inGrace = lastEnd != Long.MinValue && ts - lastEnd < grace
+        val det = !inGrace && s >= maxT
+        val marker: String =
+          if (!open) { if (det) { open = true; "start" } else null }
+          else if (det) "ongoing"
+          else if (s < minT) { open = false; lastEnd = ts; "end" }
+          else "ongoing"
+        (marker, det)
+      }
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 20) {
+      // scores clustered near the thresholds to exercise every branch
+      val scores = Seq.fill(120)(rnd.nextInt(4) match {
+        case 0 => 99.7 + rnd.nextDouble() * 0.3  // detection
+        case 1 => 68.0 + rnd.nextDouble() * 31.0 // hysteresis hold
+        case 2 => rnd.nextDouble() * 68.0        // quiet
+        case _ => 99.69                          // just under max
+      })
+      val grace = Seq(0L, 120L, 300L)(trial % 3)
+      val got = AnomalyScan.scan(
+        scores.zipWithIndex.map { case (s, i) => (i * 60L, s) }
+          .toDF("bucket", "score"),
+        maxThreshold = 99.7, minThreshold = 68.0, gracePeriodSec = grace,
+        initial = RunState.empty)
+        .orderBy("bucket")
+        .select("anomaly", "is_anomaly").collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      assert(got == replay(scores, 99.7, 68.0, grace), s"trial $trial")
+    }
+  }
+
   test("grace suppresses re-alert, state stays closed (donut.py:1488-1490)") {
     val scores = Seq(
       (0L, 99.9), (3L, 10.0), (6L, 99.9), (100L, 99.9))
