@@ -182,6 +182,64 @@ class FleetScanSpec extends SparkSpec {
     assert(got.count(e => e._1 == "b" && e._4 == "start") == 1)
   }
 
+  test("FleetSeasonal: one-pass keyed profiles ≡ per-key SeasonalModel; " +
+      "each host scored against its OWN baseline in streaming fleet eval") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ml.{FleetSeasonal, SeasonalModel, SeasonalModelParams}
+    import graft.streaming.StreamingEval
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val p = SeasonalModelParams(bucketInterval = 10L, period = 40L)
+    // host a lives at 10, host b at 50, with per-slot structure
+    def level(h: String, slot: Long): Double =
+      (if (h == "a") 10.0 else 50.0) + slot
+    val train = (for (h <- Seq("a", "b"); t <- 0 until 240)
+      yield (h, t * 10L, level(h, (t % 4).toLong))).toDF("host", "bucket", "value")
+
+    val fleetProfile = FleetSeasonal.train(train, "value", Seq("host"), p)
+    // equivalence: the one-pass keyed profile equals training each key alone
+    for (h <- Seq("a", "b")) {
+      val solo = SeasonalModel.train(
+        train.filter(col("host") === h), "value", p)
+        .orderBy("slot").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      val keyed = fleetProfile.filter(col("host") === h)
+        .select("slot", "mu", "sigma").orderBy("slot").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(solo.toSeq == keyed.toSeq, h)
+    }
+
+    // streaming fleet: value 10 at slot 0 is NORMAL for a, a collapse
+    // for b — only b alarms
+    val ms = MemoryStream[(String, Long, Double)]
+    val points = ms.toDF().select(col("_1").as("host"),
+      timestamp_seconds(col("_2")).as("ts"), col("_3").as("value"))
+    val bucketed = StreamingEval.bucketizeKeyed(points, "ts", "value",
+      Seq("host"), interval = 10L, offsetSec = 0L)
+    val stateRoot = java.nio.file.Files.createTempDirectory("fseas").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fseas-c").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    val q = StreamingEval.startFleet(bucketed,
+      model = null, // scorer injected below; model unused
+      graft.streaming.EvalParams(interval = 10L, offset = 0L,
+        bucketInterval = 10L, maxThreshold = 99.7, minThreshold = 68.0),
+      stateRoot, "fs1", Seq("host"), checkpointDir = ckpt,
+      score = Some(df => FleetSeasonal.predict(df, fleetProfile, "value",
+        Seq("host"), p)),
+      onBatch = b => got ++= b.orderBy("host", "bucket").collect().map(r =>
+        (r.getString(r.fieldIndex("host")), r.getLong(r.fieldIndex("bucket")),
+          Option(r.getString(r.fieldIndex("anomaly"))).orNull)))
+    try {
+      // slot 0 buckets: a→10 (its own normal), b→10 (collapsed from 50)
+      ms.addData(("a", 2405L, 10.0), ("b", 2405L, 10.0),
+        ("a", 2415L, 11.0), ("b", 2415L, 51.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byHost = got.groupBy(_._1)
+    assert(byHost("a").forall(_._3 == null), s"a alarmed: ${byHost("a")}")
+    assert(byHost("b").map(e => (e._2, e._3)).toSeq == Seq((2400L, "start")),
+      s"b: ${byHost("b")}")
+  }
+
   test("state table round-trips through versioned persistence") {
     val root = java.nio.file.Files.createTempDirectory("fleet").toString
     val keys = Seq("host")
