@@ -288,6 +288,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf >= 0.6, s"IVF recall collapsed: $ivf")
   }
 
+  test("banded cosineDedup recall: planted near-dups (cos ≈ 0.99) are " +
+      "caught despite the bucketed candidate join") {
+    // the corpus has no true near-dups (max pair cosine ≈ 0.5), so plant
+    // 50 jittered copies: dup(i) = v(i) + 0.02·gaussian per dim — cos
+    // ≈ 0.99 against the original (true near-duplicate territory; at
+    // 4×8-bit banding the expected candidate recall there is ≈ 0.99)
+    val base = graft.sources.Tables.load(
+      spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val rnd = new scala.util.Random(31)
+    val dups = base.take(50).map { case (id, v) =>
+      (id + 1000L, v.map(_ + rnd.nextGaussian() * 0.02).toSeq) }
+    val corpus = (base.map { case (id, v) => (id, v.toSeq) } ++ dups)
+      .toSeq.toDF("vec_id", "embedding")
+    val kept = Similarity.cosineDedup(corpus, "vec_id", "embedding",
+      tau = 0.9, bands = 4, planesPerBand = 8, dim = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // keep-min: the original survives, the planted copy is removed
+    val missed = (0 until 50).count(i => kept(i + 1000L))
+    assert(base.take(50).forall { case (id, _) => kept(id) })
+    assert(missed <= 2, s"dedup missed $missed of 50 planted near-dups")
+  }
+
   test("IVF with nprobe = nlist degenerates to exact brute force") {
     // 30 deterministic pseudo-random vectors; probing every cell must
     // reproduce the exact top-k (IVF only loses matches via unprobed cells)
