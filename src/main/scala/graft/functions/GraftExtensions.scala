@@ -49,5 +49,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(children(0), n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(
+        classOf[MinHashSigs].getCanonicalName, null, "graft_minhash",
+        "graft_minhash(text, n, h) - array<long> of h MinHash signature " +
+          "mins over word n-gram shingles (60-bit md5 hashes); null when " +
+          "the text has fewer than n tokens.",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_minhash takes exactly 3 arguments, got ${children.length}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"graft_minhash: $name must be an integer literal")
+        }
+        MinHashSigs(children(0), intLit(children(1), "n"), intLit(children(2), "h"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(
+        classOf[SimHash64].getCanonicalName, null, "graft_simhash",
+        "graft_simhash(text) - 60-bit SimHash long over whitespace tokens " +
+          "(60-bit md5 token hashes, ±1 votes per bit).",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_simhash takes exactly 1 argument, got ${children.length}")
+        SimHash64(children(0))
+      }))
   }
 }

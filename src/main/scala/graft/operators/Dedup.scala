@@ -57,37 +57,37 @@ object Dedup {
 
   /** MinHash signatures: one row per doc, columns sig_0..sig_{h-1}, where
     * sig_i = min over shingles of hash60(i || ':' || shingle).
-    * Single explode + single groupBy — ONE shuffle of O(docs · h) longs:
-    * min is duplicate-insensitive (min over the shingle multiset ≡ min
-    * over the set), so no `(id, shingle)` distinct shuffle is needed for
-    * set semantics, and map-side partial mins collapse each task's
-    * exploded rows to one row of h longs per doc before the exchange. */
+    *
+    * A signature is a PURE PER-ROW function of the text (min over the
+    * shingle multiset ≡ min over the set), so this is a narrow map with
+    * ZERO shuffles — the one-pass native kernel
+    * [[graft.functions.MinHashSigs]] computes all h mins per row inside
+    * whole-stage codegen. History: an explode(shingles) → groupBy(doc)
+    * plan paid a full O(docs·h)-long exchange (map-side partial mins,
+    * still an Exchange over every doc) for what never needed to leave
+    * its input partition; at 100 TB that exchange was the largest cost
+    * in the signature family. Docs with fewer than `shingleN` tokens
+    * have no shingles and are dropped (groupBy-form parity). */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("sh"))
-    val aggs = (0 until numHashes).map(i =>
-      min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"sig_$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigs = graft.functions.MinHashSigs(col(textCol), shingleN, numHashes)
+    df.select(col(idCol), sigs.as("__sigs"))
+      .filter(col("__sigs").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
   }
 
   /** SimHash (60-bit) per doc over whitespace tokens (with multiplicity):
     * bit b of the signature is 1 iff Σ_tokens (±1 by bit b of hash60(tok))
-    * is positive. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", hash60(col("tok")))
-    val votes = (0 until 60).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$b"))
-    val voted = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 60)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    voted.select(col(idCol), sig.as("simhash"))
-  }
+    * is positive. Like [[minHashSignatures]], a pure per-row fold — the
+    * native [[graft.functions.SimHash64]] kernel replaces the old
+    * explode(tokens) → groupBy(doc).agg(60 conditional sums) plan (a full
+    * token-level exchange) with a zero-shuffle narrow map. Null texts are
+    * dropped (explode-form parity: explode of a null array emits no row). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.SimHash64(col(textCol)).as("simhash"))
 
   /** Exact n-gram Jaccard for candidate pairs that share ≥1 shingle.
     * Blocking join on the shingle (set semantics), then
@@ -246,6 +246,23 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
       tau: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val removed = lshVerifiedPairs(
+      df, idCol, textCol, numHashes, bands, shingleN, tau, maxBucket)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
+  /** Verified near-dup pairs `(id_a < id_b)` from the banded-LSH pipeline
+    * — the shared candidate stage of [[lshDedup]] (keep-min survivor set)
+    * and [[nearDupClusters]] (connected components). A pair appears once
+    * PER AGREEING BAND (multiplicity ≤ bands); consumers dedupe on the
+    * projection they need — keep-min needs only `distinct(id_b)`, which
+    * is cheaper than deduping full pairs first. */
+  def lshVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      tau: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
     val rowsPer = numHashes / bands
     require(rowsPer * bands == numHashes, "bands must divide numHashes")
@@ -275,14 +292,81 @@ object Dedup {
       .map(i => when(col(s"a.sig.sig_$i") === col(s"b.sig.sig_$i"), 1)
         .otherwise(0))
       .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
-    val removed = keyed.as("a")
+    keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(est >= tau)
-      .select(col(s"b.$idCol").as(idCol))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * node id reachable from it. Each round is ONE keyed join + ONE
+    * aggregation (both shuffles keyed by node id — no driver-side graph,
+    * no adjacency materialization beyond the edge list), and the round
+    * count is bounded by the longest shortest-path to a component's
+    * minimum — for near-dup graphs (dense cliquey clusters of bounded
+    * diameter) convergence is 2-3 rounds. Every round persists its label
+    * frame and materializes it via the convergence probe, so round k+1's
+    * shuffle reads round k's cached output rather than recomputing the
+    * lineage; the previous round is unpersisted immediately. For graphs
+    * with adversarially long chains swap the propagation step for
+    * large-star/small-star (same per-round shape, O(log n) rounds) —
+    * near-dup dedup does not need it.
+    *
+    * `nodes` must be one column named after `idCol`; `edges` must carry
+    * (`id_a`, `id_b`) with multiplicity allowed (deduped here). Returns
+    * (idCol, cluster_id) for EVERY node — singletons label themselves. */
+  def connectedComponents(
+      nodes: DataFrame, edges: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    df.join(removed, Seq(idCol), "left_anti")
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy("src").agg(min("dlabel").as("nmin"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      // convergence probe doubles as the materialization action
+      done = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).limit(1).count() == 0L
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val out = labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    labels.unpersist() // result rows are tiny projections; recompute is fine
+    out
+  }
+
+  /** Near-dup cluster assignment — the canonicalization step real
+    * training pipelines run after LSH (RefinedWeb/SlimPajama-style):
+    * verified near-dup pairs from [[lshVerifiedPairs]] form an undirected
+    * graph; each doc gets the smallest doc id of its connected component
+    * as `cluster_id` (singletons label themselves). Unlike [[lshDedup]]'s
+    * single-pass keep-min (which approximates transitive chains from the
+    * min side), the component label is exact under transitivity — pick
+    * `cluster_id = doc_id` rows to keep one canonical doc per cluster. */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      tau: Double = 0.5, maxBucket: Int = Int.MaxValue,
+      maxIter: Int = 20): DataFrame = {
+    val pairs = lshVerifiedPairs(
+      df, idCol, textCol, numHashes, bands, shingleN, tau, maxBucket)
+      .dropDuplicates("id_a", "id_b")
+    connectedComponents(df.select(col(idCol)), pairs, idCol, maxIter)
   }
 }

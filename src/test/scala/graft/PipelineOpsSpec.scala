@@ -97,6 +97,57 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("native MinHashSigs / SimHash64 ≡ the explode→groupBy forms they " +
+      "replaced, including no-shingle docs and SQL-surface registration") {
+    // the explode/groupBy reference implementations the narrow per-row
+    // kernels replaced — kept here as the differential oracle
+    def minhashRef(df: org.apache.spark.sql.DataFrame, h: Int, n: Int) = {
+      val exploded = df.select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), n)).as("sh"))
+      val aggs = (0 until h).map(i =>
+        min(Dedup.hash60(concat(lit(i.toString), lit(":"), col("sh"))))
+          .as(s"sig_$i"))
+      exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
+    def simhashRef(df: org.apache.spark.sql.DataFrame) = {
+      val toks = df.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", Dedup.hash60(col("tok")))
+      val votes = (0 until 60).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"v$b"))
+      val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      val sig = (0 until 60)
+        .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      voted.select(col("doc_id"), sig.as("simhash"))
+    }
+    val rnd = new scala.util.Random(11)
+    val words = Array("alpha", "bb", "c", "", "δδ", "ee", "ff", "gg")
+    val texts = Seq.tabulate(300)(i => (i.toLong,
+      Seq.fill(rnd.nextInt(9))(words(rnd.nextInt(words.length)))
+        .mkString(" "))) ++
+      Seq((900L, ""), (901L, " "), (902L, "one two"), (903L, "one two three"))
+    val df = texts.toDF("doc_id", "text")
+    for (h <- Seq(4, 8); n <- Seq(2, 3)) {
+      val got = Dedup.minHashSignatures(df, "doc_id", "text", h, n)
+      val exp = minhashRef(df, h, n)
+      // same doc set (shingle-less docs dropped by both), same sig values
+      assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0,
+        s"minhash mismatch at h=$h n=$n")
+    }
+    val gotS = Dedup.simHash(df, "doc_id", "text")
+    val expS = simhashRef(df)
+    assert(gotS.exceptAll(expS).count() == 0 && expS.exceptAll(gotS).count() == 0)
+    // SQL surface
+    val sqlSig = spark.sql(
+      "SELECT graft_minhash('a b c d', 3, 2) AS s, graft_simhash('a b') AS h")
+      .collect()(0)
+    assert(sqlSig.getSeq[Long](0).length == 2 && !sqlSig.isNullAt(1))
+    assert(spark.sql("SELECT graft_minhash('a b', 3, 2) AS s")
+      .collect()(0).isNullAt(0)) // < n tokens → null signature
+  }
+
   test("contamination: leaked doc ≈ 1, fresh doc = 0, short doc guarded") {
     import graft.operators.Dedup
     val corpus = Seq(
@@ -153,6 +204,74 @@ class PipelineOpsSpec extends SparkSpec {
     val byBand = bands.groupBy("band", "band_key").count()
       .select("count").as[Long].collect()
     assert(byBand.toSeq == Seq(2L, 2L)) // both docs in both band buckets
+  }
+
+  test("connected components: chain, clique, singleton; labels = component min") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3 (transitive, not a clique), clique 4-5-6, singleton 7
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(nodes, edges, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+  }
+
+  test("nearDupClusters: transitive chain collapses to one cluster; " +
+      "cluster reps form the canonical survivor set") {
+    // a ≈ b and b ≈ c by construction (share most shingles), a vs c less
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " tail2"),
+      (3L, base + " tail2 tail3"),
+      (10L, "completely different content entirely here now ok fine yes"))
+      .toDF("doc_id", "text")
+    val cl = Dedup.nearDupClusters(df, "doc_id", "text", numHashes = 8,
+      bands = 4, tau = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L && cl(10L) == 10L)
+  }
+
+  test("repetition signals: hand-computed fractions + empty/short guards") {
+    val df = Seq(
+      (1L, "a a a b"),            // top token 3/4; top bigram "a a" 2/3
+      (2L, "x y. x y. z"),        // sents: ["x y","x y","z"] → dup 1/3
+      (3L, ""),                   // 1 empty token; no bigrams
+      (4L, "unique words only"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextAnalysis.topTokenFrac(col("text")).as("t"),
+      TextAnalysis.topBigramFrac(col("text")).as("b"),
+      TextAnalysis.dupSentFrac(col("text")).as("s"))
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(math.abs(r(1L)._1 - 0.75) < 1e-9)
+    assert(math.abs(r(1L)._2 - 2.0 / 3.0) < 1e-9)
+    assert(math.abs(r(2L)._3 - 1.0 / 3.0) < 1e-9)
+    assert(r(3L)._1 == 1.0 && r(3L)._2 == 0.0) // [""] → one token, no bigrams
+    assert(r(4L)._1 == 1.0 / 3.0 && r(4L)._3 == 0.0)
+  }
+
+  test("stratifiedTopK: exact quota per stratum, append/partitioning " +
+      "stability, small strata kept whole") {
+    import graft.operators.Sampling
+    val df = (1L to 500L).map(i => (i, if (i <= 490) "big" else "small"))
+      .toDF("doc_id", "source")
+    val s = Sampling.stratifiedTopK(df, "source", "doc_id", k = 10)
+    val byStratum = s.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum == Map("big" -> 10L, "small" -> 10L)) // small: all 10 rows
+    // partitioning independence: same picks after a repartition
+    val ids = s.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.stratifiedTopK(df.repartition(13), "source", "doc_id", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == ids2)
+    // append stability: adding rows to "big" never changes "small"'s picks
+    val grown = df.union(Seq((1000L, "big"), (1001L, "big")).toDF("doc_id", "source"))
+    val smallBefore = ids.filter(_ > 490)
+    val smallAfter = Sampling.stratifiedTopK(grown, "source", "doc_id", 10)
+      .filter(col("source") === "small").select("doc_id").as[Long].collect().toSet
+    assert(smallAfter == smallBefore)
   }
 
   // ── Similarity ─────────────────────────────────────────────────
