@@ -196,6 +196,30 @@ object DataPipelineQueries {
         round(coalesce(element_at(col("features"), j + 1), lit(0.0)), 6).as(s"f$j"))
       decoded.select((col("media_id") +: fs): _*).orderBy("media_id")
     }),
+
+    // ── near-dup clustering: connected components over verified LSH
+    //    pairs — exact transitive cluster ids (vs lshDedup's one-pass
+    //    keep-min), every doc labeled with its component's min doc_id
+    "q_dedup_cluster" -> ((s, dir) =>
+      Dedup.nearDupClusters(docs(s, dir), "doc_id", "text",
+          numHashes = H, bands = 4, tau = 0.5)
+        .orderBy("doc_id")),
+
+    // ── repetition / boilerplate signals (Gopher-style quality rules)
+    "q_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextAnalysis.topTokenFrac(col("text")) + lit(1e-9), 4)
+          .as("top_token_frac"),
+        round(TextAnalysis.topBigramFrac(col("text")) + lit(1e-9), 4)
+          .as("top_bigram_frac"),
+        round(TextAnalysis.dupSentFrac(col("text")) + lit(1e-9), 4)
+          .as("dup_sent_frac"))
+        .orderBy("doc_id")),
+
+    // ── stratified sampling: 25 docs per source, smallest id-hash quota
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedTopK(docs(s, dir), "source", "doc_id", k = 25)
+        .select("source", "doc_id").orderBy("source", "doc_id")),
   )
 
   // ───────────────────────── oracle SQL ─────────────────────────
@@ -592,5 +616,91 @@ object DataPipelineQueries {
          |SELECT query_id, rank, match_id, round(cr, 4) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // mirrors Dedup.nearDupClusters: the q_dedup_lsh candidate/verify
+    // stages, then exact connected components via a recursive reachability
+    // CTE (UNION dedups rows, so the recursion terminates at the
+    // component closure); cluster_id = min reachable doc id
+    "q_dedup_cluster" -> {
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, md5(CAST(sig_${2 * b} AS VARCHAR) || '_' || " +
+          s"CAST(sig_${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      val eq = (0 until H)
+        .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $shinglesCte, $sigsCte,
+         |bandkeys AS (
+         |  $bandRows
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), verified AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.id_a
+         |  JOIN sigs sb ON sb.doc_id = c.id_b
+         |  WHERE CAST($eq AS DOUBLE) / ${H}.0 >= 0.5
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM verified
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.lab
+         |  FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id AS doc_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    // repetition signals: max-multiplicity over the token / 2-gram
+    // multisets ≡ Spark's longest-equal-run fold over the sorted arrays
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         string_split(text, '. ') AS sents
+        |  FROM documents
+        |), tok_top AS (
+        |  SELECT doc_id, max(c) AS m, sum(c) AS n FROM (
+        |    SELECT doc_id, tok, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), bigs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |              ELSE list_transform(range(1, len(toks)),
+        |                     i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+        |  FROM toks
+        |), big_top AS (
+        |  SELECT doc_id, max(c) AS m, sum(c) AS n FROM (
+        |    SELECT doc_id, bg, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM bigs)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |)
+        |SELECT t.doc_id,
+        |       round(CAST(tt.m AS DOUBLE) / tt.n + 1e-9, 4) AS top_token_frac,
+        |       round(coalesce(CAST(bt.m AS DOUBLE) / bt.n, 0.0) + 1e-9, 4)
+        |         AS top_bigram_frac,
+        |       round(1.0 - CAST(len(list_distinct(t.sents)) AS DOUBLE)
+        |               / len(t.sents) + 1e-9, 4) AS dup_sent_frac
+        |FROM toks t
+        |LEFT JOIN tok_top tt USING (doc_id)
+        |LEFT JOIN big_top bt USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |               / 4294967296.0, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -36,6 +36,39 @@ object Sampling {
     df.filter(hashUniform(col(idCol), salt) < fraction)
   }
 
+  /** Deterministic stratified sample: the `k` rows with the smallest id
+    * hash within each stratum — per-group quota sampling (language- or
+    * source-balanced corpus assembly), as partitioning/append-stable as
+    * [[hashSample]].
+    *
+    * Scale shape: the naive plan (`row_number` over a per-stratum window)
+    * ships EVERY row of a hot stratum to one task — a 90%-English corpus
+    * would put 90 TB through one window partition. Instead, a two-pass
+    * guard: per-stratum counts (map-side partials, one tiny aggregate)
+    * are broadcast back and rows are pre-filtered to hash <
+    * `margin·k/n_stratum`, so the expected survivor count per stratum is
+    * `margin·k` regardless of stratum size; the window then runs on
+    * O(strata·margin·k) rows. With margin 8 the probability that a true
+    * top-k row is filtered away (i.e. fewer than k of the uniform hashes
+    * land under 8× their expected quantile) is a < e^{-3k} Chernoff tail
+    * — negligible for any real k, and strata with ≤ margin·k rows keep
+    * everything (threshold ≥ 1), so small strata are EXACT by
+    * construction. */
+  def stratifiedTopK(df: DataFrame, strataCol: String, idCol: String,
+      k: Int, salt: String = "", margin: Double = 8.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("__n"))
+    val keyed = df.join(broadcast(counts), strataCol)
+      .withColumn("__u", hashUniform(col(idCol), salt))
+      .filter(col("__u") < least(lit(1.0), lit(margin * k) / col("__n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("__u"), col(idCol))
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__u", "__n", "__rn")
+  }
+
   /** Assign each row a named split by consecutive hash intervals, e.g.
     * `Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)`. Weights must
     * sum to 1; the last split absorbs the hash's top edge. Appending new

@@ -73,4 +73,48 @@ object TextAnalysis {
     * whitespace/punct/case edits (rolling-hash-class dedup key). */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Fraction of an array taken by its most frequent element — computed
+    * per ROW (sort + one fold over the sorted array tracking the longest
+    * equal run), so the whole repetition family is a narrow projection:
+    * no explode, no per-doc groupBy, nothing leaves the input partition.
+    * Empty arrays score 0. */
+  def maxRunFrac(arr: Column): Column = {
+    val folded = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(arr) > 0,
+      folded.cast("double") / size(arr).cast("double")).otherwise(lit(0.0))
+  }
+
+  /** Repetition / boilerplate signals (the Gopher-style quality rules
+    * every corpus-curation pipeline applies before training):
+    *  - `top_token_frac`    — share of tokens taken by the most frequent
+    *    token (catches keyword stuffing / degenerate repetition);
+    *  - `top_bigram_frac`   — share of word 2-grams taken by the most
+    *    frequent 2-gram (catches phrase-level loops);
+    *  - `dup_sent_frac`     — 1 − distinct/total over '. '-split
+    *    sentences (catches copy-pasted boilerplate blocks).
+    * All three are per-row Column expressions over the token/shingle
+    * arrays — codegen-friendly narrow maps at any corpus size. */
+  def topTokenFrac(text: Column): Column =
+    maxRunFrac(split(text, " "))
+
+  def topBigramFrac(text: Column): Column =
+    maxRunFrac(graft.functions.WordShingles(text, 2))
+
+  def dupSentFrac(text: Column): Column = {
+    val sents = split(text, "\\. ")
+    when(size(sents) > 0,
+      lit(1.0) - size(array_distinct(sents)).cast("double") /
+        size(sents).cast("double"))
+      .otherwise(lit(0.0))
+  }
 }
