@@ -220,6 +220,12 @@ object DataPipelineQueries {
     "q_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedTopK(docs(s, dir), "source", "doc_id", k = 25)
         .select("source", "doc_id").orderBy("source", "doc_id")),
+
+    // ── TF-IDF keyword extraction: top-3 terms per doc
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .withColumn("tfidf", round(col("tfidf") + lit(1e-9), 4))
+        .orderBy("doc_id", "rank")),
   )
 
   // ───────────────────────── oracle SQL ─────────────────────────
@@ -702,5 +708,34 @@ object DataPipelineQueries {
         |               / 4294967296.0, doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
+
+    // smoothed tf-idf = tf * (ln((N+1)/(df+1)) + 1); rank on the
+    // unrounded score, term asc tie-break (both engines)
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents
+        |  ) GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |      FROM documents
+        |    )
+        |  ) GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |         t.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (d.df + 1)) + 1) AS s
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, term, s,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY s DESC, term ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, term, round(s + 1e-9, 4) AS tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
   )
 }

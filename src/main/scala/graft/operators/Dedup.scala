@@ -323,8 +323,10 @@ object Dedup {
       nodes: DataFrame, edges: DataFrame, idCol: String,
       maxIter: Int = 20): DataFrame = {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // persisted: the edge lineage (for near-dup graphs, the whole LSH
+    // candidate pipeline) must run ONCE, not once per round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().persist()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .persist()
     var iter = 0
@@ -333,22 +335,25 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy("src").agg(min("dlabel").as("nmin"))
+      // `old` rides along so the convergence probe is a filter on the
+      // cached frame, not another join against the previous round
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist()
       // convergence probe doubles as the materialization action
-      done = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).limit(1).count() == 0L
+      done = next.filter(col("label") =!= col("old")).limit(1).count() == 0L
       labels.unpersist()
       labels = next
       iter += 1
     }
-    val out = labels.select(col("id").as(idCol), col("label").as("cluster_id"))
-    labels.unpersist() // result rows are tiny projections; recompute is fine
-    out
+    sym.unpersist()
+    // the final label table STAYS persisted: it is two longs per node
+    // (index-sized, not corpus-sized), and unpersisting here would make
+    // every downstream action replay the whole iteration lineage. If the
+    // cache is evicted the lineage still reproduces the result.
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
   /** Near-dup cluster assignment — the canonicalization step real

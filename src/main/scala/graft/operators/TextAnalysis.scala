@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus curation (BASELINE.json north star):
@@ -116,5 +117,43 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(sents)).cast("double") /
         size(sents).cast("double"))
       .otherwise(lit(0.0))
+  }
+
+  /** Corpus-level TF-IDF keyword extraction: the `k` highest-scoring
+    * terms per document, `tfidf = tf · (ln((N+1)/(df+1)) + 1)` (the
+    * smoothed formulation; tf = in-doc occurrences over whitespace
+    * tokens, df = docs containing the term).
+    *
+    * Scale shape, stage by stage:
+    *  - `tf`: explode → groupBy (doc, term) — map-side partial counts,
+    *    shuffle keyed by (doc, term), no hot key possible (a doc bounds
+    *    its own tokens);
+    *  - `df`: per-row `array_distinct` (narrow) → groupBy(term) — the
+    *    exchange is bounded by VOCABULARY, not corpus size;
+    *  - the corpus count rides in as a broadcast 1-row frame (no
+    *    window-over-everything);
+    *  - score join keyed on term: stop words make the probe side skewed
+    *    — AQE skew-join splits them (the build side has one row per
+    *    term); the final top-k window partitions by doc (bounded by
+    *    per-doc vocabulary). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__N"))
+    val tf = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = df
+      .select(explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        col("tf") * (log((col("__N") + 1).cast("double") /
+          (col("df") + 1).cast("double")) + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
 }

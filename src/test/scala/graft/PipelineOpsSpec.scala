@@ -252,6 +252,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(4L)._1 == 1.0 / 3.0 && r(4L)._3 == 0.0)
   }
 
+  test("tfidf: rare term outranks common term; rank tie-break by term") {
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common other thing"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 3)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .collect().map(x => (x.getInt(1), x.getString(2), x.getDouble(3)))
+    // doc 1: tf(common)=2 df=3; tf(rare)=1 df=1
+    val n = 3.0
+    val sCommon = 2 * (math.log((n + 1) / 4) + 1)
+    val sRare = 1 * (math.log((n + 1) / 2) + 1)
+    assert(r.head._2 == (if (sRare > sCommon) "rare" else "common"))
+    assert(math.abs(r.map(_._3).max - math.max(sRare, sCommon)) < 1e-9)
+    assert(r.length == 2)
+  }
+
   test("stratifiedTopK: exact quota per stratum, append/partitioning " +
       "stability, small strata kept whole") {
     import graft.operators.Sampling
