@@ -226,6 +226,14 @@ object DataPipelineQueries {
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .withColumn("tfidf", round(col("tfidf") + lit(1e-9), 4))
         .orderBy("doc_id", "rank")),
+
+    // ── C4-style boilerplate removal, token unit (the synthetic corpus
+    //    has no sentence structure): drop tokens present in ≥ 390 docs,
+    //    rebuild each doc from survivors in original order
+    "q_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplate(docs(s, dir), "doc_id", "text",
+          minDocs = 390, sepRegex = " ", joinSep = " ")
+        .orderBy("doc_id")),
   )
 
   // ───────────────────────── oracle SQL ─────────────────────────
@@ -737,5 +745,27 @@ object DataPipelineQueries {
         |)
         |SELECT doc_id, rank, term, round(s + 1e-9, 4) AS tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // parallel unnests zip by position in DuckDB → (pos, token) rows;
+    // string_agg(… ORDER BY i) rebuilds the doc in original order
+    "q_boilerplate" ->
+      """WITH sents AS (
+        |  SELECT doc_id, unnest(arr) AS s,
+        |         unnest(range(1, len(arr) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+        |), hot AS (
+        |  SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) AS c FROM sents GROUP BY 1
+        |  ) WHERE c >= 390
+        |), kept AS (
+        |  SELECT doc_id, s, i FROM sents
+        |  WHERE s NOT IN (SELECT s FROM hot)
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS cleaned
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -356,6 +356,48 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** C4-style cross-corpus boilerplate removal: drop every sentence that
+    * occurs in at least `minDocs` DISTINCT documents (cookie banners,
+    * navigation junk, license headers — the line-dedup rule of the C4 /
+    * Gopher cleaning recipes), then rebuild each document from its
+    * surviving sentences in original order.
+    *
+    * Scale shape: sentence→doc-frequency is one groupBy over the
+    * per-row-deduped sentence explode (map-side partials, exchange
+    * bounded by the distinct-sentence vocabulary); the hot set is
+    * removed with an anti-join keyed on the sentence (AQE broadcasts it
+    * when small — boilerplate sets usually are); the rebuild groups by
+    * doc with a per-doc-bounded `collect_list` of (pos, sentence) and
+    * sorts WITHIN the row (array_sort on the struct), so no window and
+    * no skew beyond document length. Documents whose every sentence is
+    * boilerplate come back as empty strings, not dropped.
+    *
+    * `sepRegex`/`joinSep` choose the unit: the default is '. '-split
+    * sentences (the C4 line rule); `(" ", " ")` gives corpus-stop-word
+    * pruning (drop tokens present in ≥ minDocs docs) — same plan, same
+    * guarantees. */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, sepRegex: String = "\\. ",
+      joinSep: String = ". "): DataFrame = {
+    val arr = split(col(textCol), sepRegex)
+    val hot = df.select(explode(array_distinct(arr)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDocs)
+      .select("s")
+    val sents = df.select(col(idCol), posexplode(arr).as(Seq("pos", "s")))
+    val rebuilt = sents.join(hot, Seq("s"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")),
+        joinSep).as("cleaned"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+  }
+
   /** Near-dup cluster assignment — the canonicalization step real
     * training pipelines run after LSH (RefinedWeb/SlimPajama-style):
     * verified near-dup pairs from [[lshVerifiedPairs]] form an undirected

@@ -252,6 +252,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(4L)._1 == 1.0 / 3.0 && r(4L)._3 == 0.0)
   }
 
+  test("removeBoilerplate: shared sentences dropped, order kept, " +
+      "all-boilerplate doc becomes empty") {
+    val banner = "accept all cookies"
+    val df = Seq(
+      (1L, s"$banner. real content one. more text"),
+      (2L, s"unique intro. $banner. body two"),
+      (3L, s"$banner"),
+      (4L, "totally original. nothing shared"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "real content one. more text")
+    assert(out(2L) == "unique intro. body two")
+    assert(out(3L) == "")
+    assert(out(4L) == "totally original. nothing shared")
+  }
+
   test("tfidf: rare term outranks common term; rank tie-break by term") {
     val df = Seq(
       (1L, "common common rare"),
