@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Queries + DuckDB oracles for the training-data-pipeline operators
@@ -234,6 +234,54 @@ object DataPipelineQueries {
       Dedup.removeBoilerplate(docs(s, dir), "doc_id", "text",
           minDocs = 390, sepRegex = " ", joinSep = " ")
         .orderBy("doc_id")),
+
+    // ── sequence-packing manifest: global token offsets + sequence
+    //    span per doc (two-level prefix sum, 512-token sequences)
+    "q_pack" -> ((s, dir) =>
+      Packing.packManifest(docs(s, dir), "doc_id", "text", seqLen = 512)
+        .orderBy("doc_id")),
+
+    // ── packed-sequence slices: which token range of which doc fills
+    //    each training sequence
+    "q_pack_slices" -> ((s, dir) => {
+      val m = Packing.packManifest(docs(s, dir), "doc_id", "text", 512)
+      Packing.packSlices(m, "doc_id", 512).orderBy("seq_id", "doc_id")
+    }),
+
+    // ── PII redaction: the corpus has no PII, so append deterministic
+    //    synthetic spans (email, IPv4, account number) per doc and
+    //    verify both engines scrub them identically
+    "q_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 acct 90"),
+          lpad(col("doc_id").cast("string"), 8, "0"))).as("redacted"))
+        .orderBy("doc_id")),
+
+    // ── int8 symmetric quantization: per-vector scale + md5 over the
+    //    exact int codes (pins every element)
+    "q_quantize" -> ((s, dir) =>
+      embs(s, dir)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("__q"))
+        .select(col("vec_id"),
+          round(col("__q.scale") + lit(1e-9), 6).as("scale"),
+          md5(array_join(transform(col("__q.q"), _.cast("string")), ","))
+            .as("q_md5"))
+        .orderBy("vec_id")),
+
+    // ── ANN over int8-quantized vectors (what a 4×-smaller embedding
+    //    store serves): same probe set as q_embed_topk
+    "q_ann_quant" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.quantizedTopK(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+        .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
+        .orderBy("query_id", "rank")
+    }),
   )
 
   // ───────────────────────── oracle SQL ─────────────────────────
@@ -767,5 +815,113 @@ object DataPipelineQueries {
         |SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // exclusive prefix sum over id order = each doc's global token
+    // offset; `//` is BIGINT division (Spark floor(x / L) equivalent)
+    "q_pack" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents
+        |), pre AS (
+        |  SELECT doc_id, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS start_token
+        |  FROM sized
+        |)
+        |SELECT doc_id, n_tokens, start_token,
+        |       start_token // 512 AS seq_first,
+        |       CASE WHEN n_tokens = 0 THEN start_token // 512
+        |            ELSE (start_token + n_tokens - 1) // 512 END AS seq_last
+        |FROM pre ORDER BY doc_id""".stripMargin,
+
+    "q_pack_slices" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents
+        |), pre AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS start_token
+        |  FROM sized
+        |), spans AS (
+        |  SELECT doc_id, n_tokens, start_token,
+        |         unnest(range(start_token // 512,
+        |                      (start_token + n_tokens - 1) // 512 + 1))
+        |           AS seq_id
+        |  FROM pre WHERE n_tokens > 0
+        |)
+        |SELECT seq_id, doc_id,
+        |       greatest(seq_id * 512, start_token) - start_token AS doc_from,
+        |       least((seq_id + 1) * 512, start_token + n_tokens)
+        |         - start_token AS doc_to
+        |FROM spans ORDER BY seq_id, doc_id""".stripMargin,
+
+    // 'g' flag: replace ALL matches (Spark regexp_replace default)
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.com from 10.0.'
+        |         || CAST(doc_id % 256 AS VARCHAR) || '.7 acct 90'
+        |         || lpad(CAST(doc_id AS VARCHAR), 8, '0'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{9,}\b', '<NUM>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // int codes kept as exact-integer DOUBLEs for md5; scale math all
+    // double, mirroring Similarity.quantize
+    "q_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+        |  FROM (SELECT vec_id, v,
+        |          list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+        |        FROM v)
+        |)
+        |SELECT vec_id, round(scale + 1e-9, 6) AS scale,
+        |       md5(array_to_string(list_transform(v,
+        |         x -> CAST(CAST(round(x / scale) AS INTEGER) AS VARCHAR)), ','))
+        |         AS q_md5
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    // quantized codes are small ints, so the double list_dot_product is
+    // the EXACT integer dot; scales cancel in the quantized cosine, and
+    // norms are taken once per side like the Spark plan
+    "q_ann_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |          list_aggregate(list_transform(
+        |            CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') AS m
+        |        FROM embeddings)
+        |), qz AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> round(x / scale)) AS q
+        |  FROM s
+        |), nz AS (
+        |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS n FROM qz
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+        |         list_dot_product(a.q, b.q) / (a.n * b.n) AS qcos_raw
+        |  FROM nz a CROSS JOIN nz b
+        |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+        |), ranked AS (
+        |  SELECT query_id, match_id, qcos_raw,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qcos_raw DESC, match_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, match_id, round(qcos_raw + 1e-9, 4) AS qcos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining: lay the corpus out as one virtual
+  * token stream (docs concatenated in id order) and cut it into
+  * fixed-length training sequences — the "concat-and-chunk" step every
+  * LLM data pipeline runs after cleaning/dedup.
+  *
+  * The primitive is a GLOBAL EXCLUSIVE PREFIX SUM of per-doc token
+  * counts: doc d starts at `sum(n_tokens of all docs with id < d.id)`.
+  * The naive plan (`sum over (ORDER BY id)`) is a single-partition
+  * window — the textbook scale-killer. Instead the classic two-level
+  * scan:
+  *
+  *   1. project the corpus down to its manifest `(id, n_tokens)` —
+  *      ~16 bytes/row, ~0.1% of a text corpus, so later exchanges move
+  *      the manifest, never the documents;
+  *   2. `repartitionByRange(id)` so partition i holds only ids below
+  *      partition i+1, then a per-partition running sum
+  *      (`Window.partitionBy(spark_partition_id())` — parallel across
+  *      partitions, each window bounded by one partition's rows);
+  *   3. per-partition totals (one tiny agg, numPartitions rows) are
+  *      collected, cumulated on the driver, and broadcast-joined back
+  *      as the partition base offsets.
+  *
+  * Total cost: two exchanges of the manifest + an O(partitions) driver
+  * step — at 100 TB / 100B docs that is a few GB shuffled, vs the
+  * single-window plan that funnels every row through one task.
+  *
+  * Determinism: the result is a pure function of `(id, n_tokens)` —
+  * partition count and range boundaries only decide WHERE the prefix
+  * sum is assembled, never its value, so any partitioning of the same
+  * corpus yields byte-identical manifests (spec-proven), and the layout
+  * is reproducible across runs/engines (DuckDB oracle).
+  */
+object Packing {
+
+  /** Packing manifest: for each doc, its global token offset and the
+    * range of `seqLen`-token training sequences it lands in.
+    *
+    * Output: `(idCol, n_tokens, start_token, seq_first, seq_last)`,
+    * where `seq_first = start_token / seqLen` and `seq_last` is the
+    * sequence holding the doc's final token (empty docs: `seq_first`,
+    * occupying no slot). Ids must be unique; corpus order = id order.
+    *
+    * `sizeExpr` is the per-doc token count (defaults to
+    * [[TextAnalysis.tokenCount]] of `textCol`); pass a precomputed
+    * column (e.g. a real tokenizer's count) to pack by it.
+    */
+  def packManifest(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, sizeExpr: Option[Column] = None,
+      partitions: Int = 0): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val nParts =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sized = df.select(col(idCol),
+      sizeExpr.getOrElse(TextAnalysis.tokenCount(col(textCol)))
+        .cast("long").as("n_tokens"))
+
+    // per-partition exclusive running sum (parallel: one window group
+    // per range partition). __pid must be projected under the window's
+    // hash exchange, so it reads the RANGE partition index.
+    val ranged = sized.repartitionByRange(nParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__local",
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+
+    // partition totals → driver cumsum → broadcast base offsets.
+    // collect() is O(partitions): bounded by cluster config, not data.
+    val totals = local.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+    val baseDf = df.sparkSession.createDataFrame(bases)
+      .toDF("__pid", "__base")
+
+    val start = col("__base") + col("__local")
+    local.join(broadcast(baseDf), "__pid")
+      .select(col(idCol), col("n_tokens"),
+        start.as("start_token"),
+        floor(start / seqLen).as("seq_first"),
+        when(col("n_tokens") === 0, floor(start / seqLen))
+          .otherwise(floor((start + col("n_tokens") - 1) / seqLen))
+          .as("seq_last"))
+  }
+
+  /** Explode a [[packManifest]] into per-(sequence, doc) slices: for
+    * each training sequence, which token range of which doc fills it.
+    * Output: `(seq_id, idCol, doc_from, doc_to)` with `[doc_from,
+    * doc_to[` token offsets WITHIN the doc; a sequence's slices ordered
+    * by `idCol` reassemble its `seqLen` tokens exactly (last sequence
+    * may be a remainder). Narrow explode over the manifest — each doc
+    * emits `seq_last - seq_first + 1` rows, so the result is
+    * O(docs + totalTokens/seqLen); no additional shuffle.
+    */
+  def packSlices(manifest: DataFrame, idCol: String, seqLen: Long)
+      : DataFrame = {
+    val seq = explode(sequence(col("seq_first"), col("seq_last")))
+    manifest.filter(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"), col("start_token"),
+        seq.as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        (greatest(col("seq_id") * seqLen, col("start_token"))
+          - col("start_token")).as("doc_from"),
+        (least((col("seq_id") + 1) * seqLen,
+          col("start_token") + col("n_tokens"))
+          - col("start_token")).as("doc_to"))
+  }
+}

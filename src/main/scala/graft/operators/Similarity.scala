@@ -72,6 +72,56 @@ object Similarity {
       .select("query_id", "rank", "match_id", "cosine")
   }
 
+  /** Symmetric per-vector int8 quantization: `q_i = round(x_i / scale)`,
+    * `scale = max|x| / 127` — the storage layout a 100 TB embedding
+    * store actually ships (4× smaller than float32, 8× smaller than the
+    * double math we compute in). Returns `(scale: double, q: array<int>)`;
+    * zero vectors get scale 1 so the division is total.
+    *
+    * Narrow codegen'd projection (two array folds + a transform), no
+    * shuffle; reconstruction error per element is ≤ scale/2 by
+    * construction (spec-proven). Engine-independent: double math +
+    * half-away-from-zero rounding, so signatures hash-match the DuckDB
+    * oracle exactly (`q_quantize` pins every element via an md5 over the
+    * int array). */
+  def quantize(vec: Column): Column = {
+    val v = asDouble(vec)
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    struct(scale.as("scale"),
+      transform(v, x => round(x / scale).cast("int")).as("q"))
+  }
+
+  /** Exact top-k over QUANTIZED vectors — what an int8 index serves.
+    * The ranking kernel is the quantized COSINE, where the per-vector
+    * scales cancel (`cos(ŝa·qa, ŝb·qb) = Σqa·qb / (|qa|·|qb|)`), so the
+    * per-pair math is integer dot products only: exact, reproducible,
+    * oracle-matchable, and directly comparable to [[bruteForceTopK]]
+    * (ranking fidelity is spec-bounded). Int norms are computed once per
+    * row before the join, mirroring [[pairCosine]]. */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    def intDot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    def side(df: DataFrame, as: String, v: String, n: String) =
+      df.select(col(idCol).as(as), col(vecCol).as("__v"))
+        .select(col(as), quantize(col("__v")).getField("q").as(v))
+        .withColumn(n, sqrt(intDot(col(v), col(v)).cast("double")))
+    val q = side(queries, "query_id", "qv", "__qn")
+    val c = side(corpus, "match_id", "cv", "__cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("qcos",
+        intDot(col("qv"), col("cv")).cast("double")
+          / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "match_id", "qcos")
+  }
+
   /** Deterministic hyperplanes: planes × dim doubles in [-1, 1] from a
     * fixed-seed PRNG (seed 42, matching the corpus generator's ethos). */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

@@ -48,6 +48,26 @@ object TextAnalysis {
     }
   }
 
+  /** PII redaction patterns — deliberately in the common subset of Java
+    * regex (Spark) and RE2 (DuckDB/the oracle): character classes, `\b`,
+    * bounded repetition; no lookaround, no backrefs. Order matters:
+    * emails first (their local parts may contain digit runs), then IPv4,
+    * then bare long digit runs (phone/account-number shaped). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{9,}\\b" -> "<NUM>")
+
+  /** Scrub emails, IPv4 addresses, and ≥9-digit runs from `text`,
+    * replacing each span with a typed placeholder — the standard PII
+    * pass of a training-data pipeline. Pure chained `regexp_replace`:
+    * codegen'd, embarrassingly parallel, no shuffle. (Real deployments
+    * extend [[piiPatterns]]; the operator shape is the point.) */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ml.{SeasonalModel, SeasonalModelParams}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -267,6 +267,111 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == "unique intro. body two")
     assert(out(3L) == "")
     assert(out(4L) == "totally original. nothing shared")
+  }
+
+  test("packManifest: contiguous offsets, correct seq spans, and " +
+      "partition-count invariance of the two-level prefix sum") {
+    val df = Seq(
+      (1L, "a b c d e"),       // 5 tokens  → [0, 5)
+      (2L, "f g h"),           // 3 tokens  → [5, 8)
+      (3L, ""),                // 0 tokens  → start 8, no slot
+      (4L, (1 to 7).map(i => s"t$i").mkString(" "))) // 7 → [8, 15)
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Packing.packManifest(df.repartition(parts), "doc_id", "text",
+          seqLen = 4, partitions = parts)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val m = run(3)
+    assert(m == Seq(
+      (1L, 5L, 0L, 0L, 1L),   // tokens 0-4 → seqs 0..1
+      (2L, 3L, 5L, 1L, 1L),   // tokens 5-7 → seq 1
+      (3L, 0L, 8L, 2L, 2L),   // empty doc: offset advances, no slot
+      (4L, 7L, 8L, 2L, 3L)))  // tokens 8-14 → seqs 2..3
+    // the prefix sum is a pure function of (id, n): any partitioning
+    // of the same corpus yields the identical manifest
+    assert(run(1) == m && run(7) == m)
+  }
+
+  test("packSlices: each full sequence reassembles exactly seqLen tokens " +
+      "from in-doc contiguous slices") {
+    val df = Seq.tabulate(20)(i => (i.toLong, (0 until 3 + i % 5)
+      .map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val man = Packing.packManifest(df, "doc_id", "text", seqLen = 7)
+    val slices = Packing.packSlices(man, "doc_id", seqLen = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = man.agg(sum("n_tokens")).as[Long].head()
+    val bySeq = slices.groupBy(_._1)
+    val fullSeqs = total / 7
+    bySeq.foreach { case (seqId, ss) =>
+      val len = ss.map(s => s._4 - s._3).sum
+      if (seqId < fullSeqs) assert(len == 7L, s"seq $seqId has $len tokens")
+      else assert(len == total % 7)
+    }
+    // slices of one doc across sequences are contiguous within the doc
+    slices.groupBy(_._2).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._1)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).withFilter(_.length == 2).foreach { w =>
+        assert(w(0)._4 == w(1)._3)
+      }
+    }
+  }
+
+  test("redactPii: emails, IPv4s, long digit runs scrubbed; short " +
+      "numbers and plain text untouched") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server at 192.168.001.254 port 8080"),
+      (3L, "acct 123456789012 pin 1234"),
+      (4L, "version 1.2.3 of 4 things")) // not an IP (3 octets), short nums
+      .toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "server at <IP> port 8080")
+    assert(out(3L) == "acct <NUM> pin 1234")
+    assert(out(4L) == "version 1.2.3 of 4 things")
+  }
+
+  test("quantize: per-element reconstruction error <= scale/2; " +
+      "quantized top-k agrees with float top-k on separated data") {
+    // 10 well-separated clusters of 5 (center + small deterministic
+    // noise): a probe's true top-5 is its cluster, with an inter-cluster
+    // cosine gap far above int8 quantization error. Near-tie corpora
+    // (gaps < ~0.5%) can legitimately reorder under int8 — that is a
+    // property of quantization, not a bug, and not what we pin here.
+    val vecs = Seq.tabulate(50) { i =>
+      val cl = i % 10
+      (i.toLong, Array.tabulate(16)(j =>
+        (math.sin(cl * 37 + j * 3 + 1) * (1 + cl % 3)
+          + 0.02 * math.sin(i * 7 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qd = vecs.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"),
+        Similarity.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("v"), col("q.scale").as("s"), col("q.q").as("qv"))
+      .collect()
+    qd.foreach { r =>
+      val v = r.getSeq[Double](1); val s = r.getDouble(2)
+      val q = r.getSeq[Int](3)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(qi * s - x) <= s / 2 + 1e-12)
+      }
+    }
+    // ranking fidelity: each probe's exact top-4 is its cluster; int8
+    // must reproduce it
+    val probes = vecs.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(probes, vecs, "vec_id", "embedding", 4)
+      .select("query_id", "match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.quantizedTopK(probes, vecs, "vec_id", "embedding", 4)
+      .select("query_id", "match_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlap = exact.keys.iterator.map(k => (exact(k) & quant(k)).size).sum
+    assert(overlap == 40, s"int8 top-4 overlap $overlap/40")
   }
 
   test("tfidf: rare term outranks common term; rank tie-break by term") {
