@@ -88,8 +88,13 @@ object Similarity {
     val v = asDouble(vec)
     val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
     val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
-    struct(scale.as("scale"),
-      transform(v, x => round(x / scale).cast("int")).as("q"))
+    // bind scale to a lambda variable so it is evaluated ONCE per row:
+    // inlining it in the per-element lambda would re-run the O(d) maxAbs
+    // fold for every element (Catalyst does not CSE across lambda
+    // boundaries) — an O(d²) kernel
+    element_at(transform(array(scale), s =>
+      struct(s.as("scale"),
+        transform(v, x => round(x / s).cast("int")).as("q"))), 1)
   }
 
   /** Exact top-k over QUANTIZED vectors — what an int8 index serves.
