@@ -155,15 +155,18 @@ object Similarity {
     * collected driver-side (nlist × dim doubles: model-sized, like any
     * trained index structure) and embedded as one array-of-structs plan
     * literal with precomputed norms; each corpus row computes its
-    * argmax-cosine cell inside the projection via a sequential `aggregate`
-    * fold tracking (bestSim, bestCell). A crossJoin + `row_number().over(
-    * Window.partitionBy(id))` here would shuffle O(corpus·nlist) scored
-    * rows just to keep 1 — 4096× data amplification at nlist=4096. Ties
-    * break to the lowest cell (centroids folded in ascending-cell order,
-    * strict `>` keeps the earlier winner), matching the window ordering
-    * the queries side still uses (queries are tiny and need keep=nprobe,
-    * where the window is the natural top-k). The probe join is keyed on
-    * the cell id, never an all-pairs product. */
+    * argmax-cosine cell inside the projection: one `transform` scoring
+    * every centroid exactly once, then `array_max` over (sim, -cell)
+    * structs (a fold with `when(sim > best)` would evaluate the dot
+    * product TWICE per centroid — no CSE inside lambdas). A crossJoin +
+    * `row_number().over(Window.partitionBy(id))` here would shuffle
+    * O(corpus·nlist) scored rows just to keep 1 — 4096× data
+    * amplification at nlist=4096. Ties break to the lowest cell (the
+    * negated-cell struct field makes lexicographic max prefer the
+    * smaller cell id), matching the window ordering the queries side
+    * still uses (queries are tiny and need keep=nprobe, where the
+    * window is the natural top-k). The probe join is keyed on the cell
+    * id, never an all-pairs product. */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int, nprobe: Int): DataFrame = {
@@ -182,17 +185,13 @@ object Similarity {
     val corpusCells = corpus
       .select(col(idCol).as("match_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("__n", norm(col("cv")))
-      .withColumn("__best", aggregate(
-        centLit,
-        struct(lit(Double.NegativeInfinity).as("sim"), lit(Long.MaxValue).as("cell")),
-        (acc, c) => {
-          val sim = dot(col("cv"), c.getField("centv")) /
-            (col("__n") * c.getField("cnorm"))
-          when(sim > acc.getField("sim"),
-            struct(sim.as("sim"), c.getField("cell").as("cell"))).otherwise(acc)
-        }))
-      .select(col("match_id"), col("__best.cell").as("cell"), col("cv"),
-        col("__n"))
+      .withColumn("__best", array_max(transform(centLit, c =>
+        struct(
+          (dot(col("cv"), c.getField("centv")) /
+            (col("__n") * c.getField("cnorm"))).as("sim"),
+          (-c.getField("cell")).as("negcell")))))
+      .select(col("match_id"), (-col("__best.negcell")).as("cell"),
+        col("cv"), col("__n"))
     // query probes reuse the SAME collected centroid literal — explode it
     // per query row, score, keep the nprobe best cells. No second corpus
     // scan and no nested-loop join just to pair queries with centroids;
