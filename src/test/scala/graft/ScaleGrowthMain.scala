@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, Similarity}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Scale-growth audit (not a unit test — run with `Test/runMain`):
   * synthesizes 1× / K× corpora from sf0.1 by unioning id-shifted copies
@@ -85,6 +85,20 @@ object ScaleGrowthMain {
             "vec_id", "embedding", 5, 16, 4)),
         "stratified" -> time("stratified",
           Sampling.stratifiedTopK(d, "source", "doc_id", 25)),
+        "pack" -> time("pack",
+          Packing.packManifest(d, "doc_id", "text", 512)),
+        "boilerplate" -> time("boilerplate",
+          Dedup.removeBoilerplate(d, "doc_id", "text", minDocs = 390,
+            sepRegex = " ", joinSep = " ")),
+        "redact" -> time("redact",
+          d.select(col("doc_id"),
+            TextAnalysis.redactPii(col("text")).as("redacted"))),
+        "quantize" -> time("quantize",
+          e.select(col("vec_id"),
+            Similarity.quantize(col("embedding")).as("q"))),
+        "ann_quant" -> time("ann_quant",
+          Similarity.quantizedTopK(e.filter(col("vec_id") < 20), e,
+            "vec_id", "embedding", 5)),
       )
     }
 
