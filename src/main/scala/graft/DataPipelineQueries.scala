@@ -248,6 +248,12 @@ object DataPipelineQueries {
       Packing.packSlices(m, "doc_id", 512).orderBy("seq_id", "doc_id")
     }),
 
+    // ── grouped packing: per-source shards pack independently
+    "q_pack_grouped" -> ((s, dir) =>
+      Packing.packManifest(docs(s, dir), "doc_id", "text", seqLen = 512,
+          groupCol = Some("source"))
+        .orderBy("doc_id")),
+
     // ── PII redaction: the corpus has no PII, so append deterministic
     //    synthetic spans (email, IPv4, account number) per doc and
     //    verify both engines scrub them identically
@@ -861,6 +867,26 @@ object DataPipelineQueries {
         |       least((seq_id + 1) * 512, start_token + n_tokens)
         |         - start_token AS doc_to
         |FROM spans ORDER BY seq_id, doc_id""".stripMargin,
+
+    "q_pack_grouped" ->
+      """WITH sized AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents
+        |), pre AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS start_token
+        |  FROM sized
+        |)
+        |SELECT doc_id, source, n_tokens, start_token,
+        |       start_token // 512 AS seq_first,
+        |       CASE WHEN n_tokens = 0 THEN start_token // 512
+        |            ELSE (start_token + n_tokens - 1) // 512 END AS seq_last
+        |FROM pre ORDER BY doc_id""".stripMargin,
 
     // 'g' flag: replace ALL matches (Spark regexp_replace default)
     "q_redact" ->

@@ -49,46 +49,65 @@ object Packing {
     * `sizeExpr` is the per-doc token count (defaults to
     * [[TextAnalysis.tokenCount]] of `textCol`); pass a precomputed
     * column (e.g. a real tokenizer's count) to pack by it.
+    *
+    * `groupCol` packs each group independently (per-language/source
+    * shards): offsets and sequence ids restart at 0 within every group,
+    * and the output carries the group column. Driver work grows to
+    * O(groups·partitions) — shard-level cardinalities only.
     */
   def packManifest(df: DataFrame, idCol: String, textCol: String,
       seqLen: Long, sizeExpr: Option[Column] = None,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0, groupCol: Option[String] = None): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
     val nParts =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val sized = df.select(col(idCol),
+    // grouped packing (per-language/source shard): offsets and sequence
+    // ids restart per group, so each shard packs independently — the
+    // string-keyed group rides every exchange and the driver cumsum.
+    val grp = groupCol.map(g => col(g).cast("string"))
+      .getOrElse(lit("")).as("__grp")
+    val sized = df.select(col(idCol) +: grp +:
+      groupCol.map(g => col(g).as("__gorig")).toSeq :+
       sizeExpr.getOrElse(TextAnalysis.tokenCount(col(textCol)))
-        .cast("long").as("n_tokens"))
+        .cast("long").as("n_tokens"): _*)
 
     // per-partition exclusive running sum (parallel: one window group
-    // per range partition). __pid must be projected under the window's
-    // hash exchange, so it reads the RANGE partition index.
-    val ranged = sized.repartitionByRange(nParts, col(idCol))
+    // per (group, range-partition)). __pid must be projected under the
+    // window's hash exchange, so it reads the RANGE partition index.
+    val ranged = sized.repartitionByRange(nParts, col("__grp"), col(idCol))
       .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("__grp"), col("__pid"))
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("__local",
       coalesce(sum(col("n_tokens")).over(w), lit(0L)))
 
-    // partition totals → driver cumsum → broadcast base offsets.
-    // collect() is O(partitions): bounded by cluster config, not data.
-    val totals = local.groupBy(col("__pid"))
+    // (group, partition) totals → driver cumsum per group → broadcast
+    // base offsets. collect() is O(groups·partitions): shard-level
+    // grouping (languages, sources) keeps this driver-sized.
+    val totals = local.groupBy(col("__grp"), col("__pid"))
       .agg(sum(col("n_tokens")).as("__tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val bases = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val bases = totals.foldLeft(
+      (List.empty[(String, Int, Long)], "", 0L)) {
+      case ((acc, prevGrp, run), (g, pid, tot)) =>
+        val base = if (g == prevGrp) run else 0L
+        ((g, pid, base) :: acc, g, base + tot)
+    }._1.reverse
     val baseDf = df.sparkSession.createDataFrame(bases)
-      .toDF("__pid", "__base")
+      .toDF("__grp", "__pid", "__base")
 
     val start = col("__base") + col("__local")
-    local.join(broadcast(baseDf), "__pid")
-      .select(col(idCol), col("n_tokens"),
+    val head = col(idCol) +: groupCol.map(g => col("__gorig").as(g)).toSeq
+    local.join(broadcast(baseDf), Seq("__grp", "__pid"))
+      .select(head ++ Seq(col("n_tokens"),
         start.as("start_token"),
         floor(start / seqLen).as("seq_first"),
         when(col("n_tokens") === 0, floor(start / seqLen))
           .otherwise(floor((start + col("n_tokens") - 1) / seqLen))
-          .as("seq_last"))
+          .as("seq_last")): _*)
   }
 
   /** Explode a [[packManifest]] into per-(sequence, doc) slices: for

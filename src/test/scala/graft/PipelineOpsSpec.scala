@@ -294,6 +294,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(1) == m && run(7) == m)
   }
 
+  test("packManifest grouped: offsets and sequence ids restart per " +
+      "group; each group's manifest equals packing it alone") {
+    val df = Seq(
+      (1L, "en", "a b c d e"), (2L, "de", "f g h"),
+      (3L, "en", "i j"), (4L, "de", "k l m n o p q"))
+      .toDF("doc_id", "lang", "text")
+    val grouped = Packing.packManifest(df, "doc_id", "text", seqLen = 4,
+        groupCol = Some("lang"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(grouped == Seq(
+      (1L, "en", 5L, 0L, 0L, 1L), (2L, "de", 3L, 0L, 0L, 0L),
+      (3L, "en", 2L, 5L, 1L, 1L), (4L, "de", 7L, 3L, 0L, 2L)))
+    for (g <- Seq("en", "de")) {
+      val alone = Packing.packManifest(df.filter(col("lang") === g),
+          "doc_id", "text", seqLen = 4)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(alone == grouped.filter(_._2 == g)
+        .map(t => (t._1, t._3, t._4, t._5, t._6)))
+    }
+  }
+
   test("packSlices: each full sequence reassembles exactly seqLen tokens " +
       "from in-doc contiguous slices") {
     val df = Seq.tabulate(20)(i => (i.toLong, (0 until 3 + i % 5)
