@@ -254,6 +254,21 @@ object DataPipelineQueries {
           groupCol = Some("source"))
         .orderBy("doc_id")),
 
+    // ── overlapping token chunks (chunk-then-embed prep)
+    "q_chunks" -> ((s, dir) =>
+      Packing.chunkDocs(docs(s, dir), "doc_id", "text",
+          chunkLen = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // ── token-budget mixture sampling: per-source budgets 300+100k
+    //    (low sources trim hard, high sources stay whole at sf0.01)
+    "q_token_budget" -> ((s, dir) => {
+      val budgets = (0 until 20).map(k => s"src$k" -> (300L + 100L * k)).toMap
+      Sampling.tokenBudgetSample(docs(s, dir), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), budgets)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // ── PII redaction: the corpus has no PII, so append deterministic
     //    synthetic spans (email, IPv4, account number) per doc and
     //    verify both engines scrub them identically
@@ -887,6 +902,54 @@ object DataPipelineQueries {
         |       CASE WHEN n_tokens = 0 THEN start_token // 512
         |            ELSE (start_token + n_tokens - 1) // 512 END AS seq_last
         |FROM pre ORDER BY doc_id""".stripMargin,
+
+    // range(m) is empty at m=0, so list_append handles the
+    // right-aligned tail start uniformly; list_slice end is 1-based
+    // inclusive = start + length of the Spark slice
+    "q_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CASE WHEN len(toks) <= 64 THEN 0
+        |              ELSE CAST(ceil((len(toks) - 64) / 48.0) AS INT) END AS m
+        |  FROM tok
+        |), starts AS (
+        |  SELECT doc_id, toks, n,
+        |         unnest(range(m + 1)) AS chunk_id,
+        |         unnest(list_append(
+        |           list_transform(range(m), i -> i * 48),
+        |           CAST(greatest(n - 64, 0) AS BIGINT))) AS start_token
+        |  FROM base WHERE n > 0
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(start_token AS BIGINT) AS start_token,
+        |       array_to_string(list_slice(toks, start_token + 1,
+        |         start_token + least(64, n - start_token)), ' ') AS chunk
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // budgets 300+100k per srcK; rate = min(1, budget/stratum tokens);
+    // membership by the same md5-uniform as q_hash_sample
+    "q_token_budget" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |           AS n
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, sum(n) AS tot FROM tok GROUP BY 1
+        |), rate AS (
+        |  SELECT source,
+        |         least(1.0, (300.0 + 100.0 * CAST(substr(source, 4) AS INT))
+        |           / tot) AS r
+        |  FROM tot
+        |)
+        |SELECT t.doc_id, t.source
+        |FROM tok t JOIN rate USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
+        |        AS BIGINT) / 4294967296.0 < r
+        |ORDER BY t.doc_id""".stripMargin,
 
     // 'g' flag: replace ALL matches (Spark regexp_replace default)
     "q_redact" ->

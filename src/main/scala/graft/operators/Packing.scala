@@ -110,6 +110,42 @@ object Packing {
           .as("seq_last")): _*)
   }
 
+  /** Split each document into overlapping token chunks — the
+    * chunk-then-embed preparation for retrieval/similarity pipelines.
+    * Windows are `chunkLen` tokens, advancing by `stride`; the final
+    * window is right-aligned at `n - chunkLen` so coverage is complete
+    * without a redundant contained tail (docs with ≤ `chunkLen` tokens
+    * yield one chunk; empty docs yield none). Tokens are the
+    * `[A-Za-z0-9]+` runs of [[TextAnalysis.tokenCount]], and chunk text
+    * is those tokens space-joined (punctuation does not survive —
+    * chunking is an embedding-prep step, not a reconstruction).
+    *
+    * Output: `(idCol, chunk_id, start_token, chunk)`. Narrow per-row
+    * explode, O(tokens/stride) rows, no shuffle (plan-audited via the
+    * oracle query); deterministic and engine-independent.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen >= 1 && stride >= 1, "chunkLen and stride must be >= 1")
+    val toks = expr(s"regexp_extract_all($textCol, '[A-Za-z0-9]+', 0)")
+    val n = size(toks)
+    // m full-stride starts, then the right-aligned tail start
+    val m = when(n <= chunkLen, lit(0))
+      .otherwise(ceil((n - chunkLen).cast("double") / stride).cast("int"))
+    val starts = concat(
+      when(m === 0, array().cast("array<int>"))
+        .otherwise(transform(sequence(lit(0), m - 1), i => i * stride)),
+      array(greatest(n - chunkLen, lit(0))))
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
+        posexplode(when(n === 0, array().cast("array<int>"))
+          .otherwise(starts)).as(Seq("chunk_id", "start_token")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_token").cast("long").as("start_token"),
+        array_join(slice(col("__toks"), col("start_token") + 1,
+          least(lit(chunkLen), col("__n") - col("start_token"))), " ")
+          .as("chunk"))
+  }
+
   /** Explode a [[packManifest]] into per-(sequence, doc) slices: for
     * each training sequence, which token range of which doc fills it.
     * Output: `(seq_id, idCol, doc_from, doc_to)` with `[doc_from,

@@ -69,6 +69,36 @@ object Sampling {
       .drop("__u", "__n", "__rn")
   }
 
+  /** Sample each stratum down to ≈ a TOKEN budget — the data-mixing
+    * step of corpus assembly ("200B tokens of web, 30B of code"):
+    * stratum s keeps rows with probability `min(1, budget_s / tokens_s)`,
+    * so each stratum's expected surviving token mass equals its budget
+    * (strata under budget are kept whole; strata without a budget are
+    * dropped). Membership is [[hashUniform]]-deterministic, so resamples
+    * are stable across partitionings and engines.
+    *
+    * Scale shape: one map-side-partial aggregate for per-stratum token
+    * totals (stratum-cardinality rows to the driver), rates broadcast
+    * back, then a narrow filter — no window, no per-stratum funnel. Like
+    * any budget targeting, rates shift as the corpus grows; pin `salt`
+    * and budgets to reproduce a mix. */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
+      sizeExpr: Column, budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "at least one stratum budget")
+    val totals = df.groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(sum(sizeExpr.cast("long")).as("__tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val rates = totals.map { case (s, tot) =>
+      (s, math.min(1.0, budgets.getOrElse(s, 0L).toDouble / math.max(tot, 1L)))
+    }.toSeq
+    val ratesDf = df.sparkSession.createDataFrame(rates).toDF("__s", "__rate")
+    df.withColumn("__s", col(strataCol).cast("string"))
+      .join(broadcast(ratesDf), "__s")
+      .filter(hashUniform(col(idCol), salt) < col("__rate"))
+      .drop("__s", "__rate")
+  }
+
   /** Assign each row a named split by consecutive hash intervals, e.g.
     * `Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)`. Weights must
     * sum to 1; the last split absorbs the hash's top edge. Appending new

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ml.{SeasonalModel, SeasonalModelParams}
-import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -342,6 +342,51 @@ class PipelineOpsSpec extends SparkSpec {
         assert(w(0)._4 == w(1)._3)
       }
     }
+  }
+
+  test("chunkDocs: full-coverage sliding windows with right-aligned " +
+      "tail, short-doc and empty-doc edges") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // n=10 > chunkLen
+      (2L, "a b c"),                                   // n <= chunkLen
+      (3L, ""))                                        // empty → no chunks
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocs(df, "doc_id", "text", chunkLen = 8, stride = 4)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // doc 1: m = ceil(2/4) = 1 full-stride start + tail at n-8 = 2
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1L, 2L, (3 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, 0L, 0L, "a b c")))
+    // every token of doc 1 appears in some chunk (coverage)
+    val covered = out.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("tokenBudgetSample: over-budget strata downsample to ~budget " +
+      "tokens, under-budget strata kept whole, unbudgeted dropped") {
+    val rnd = new scala.util.Random(3)
+    val df = Seq.tabulate(3000) { i =>
+      val srcN = i % 3
+      (i.toLong, s"s$srcN", Seq.fill(10 + rnd.nextInt(11))("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budgets = Map("s0" -> 3000L, "s1" -> 1000000L) // s2 unbudgeted
+    val kept = Sampling.tokenBudgetSample(df, "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), budgets)
+      .withColumn("n", TextAnalysis.tokenCount(col("text")))
+      .groupBy("source").agg(sum("n").as("tok"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!kept.contains("s2"))
+    assert(kept("s1")._2 == 1000L) // under budget: kept whole
+    val s0 = kept("s0")._1
+    assert(s0 > 1500 && s0 < 4500, s"s0 kept $s0 tokens, want ~3000")
+    // determinism: the same call yields the same selection
+    val again = Sampling.tokenBudgetSample(df.repartition(7), "source",
+        "doc_id", TextAnalysis.tokenCount(col("text")), budgets)
+      .agg(sum(TextAnalysis.tokenCount(col("text")))).as[Long].head()
+    assert(again == kept.values.map(_._1).sum)
   }
 
   test("redactPii: emails, IPv4s, long digit runs scrubbed; short " +
