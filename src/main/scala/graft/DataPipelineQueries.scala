@@ -254,6 +254,17 @@ object DataPipelineQueries {
           groupCol = Some("source"))
         .orderBy("doc_id")),
 
+    // ── unigram-LM quality score (perplexity-filter shape): corpus
+    //    scored against its own unigram model, bits per token
+    "q_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.lmBitsPerToken(d, "doc_id", "text",
+          TextAnalysis.unigramLm(d, "text"))
+        .withColumn("bits_per_token",
+          round(col("bits_per_token") + lit(1e-9), 4))
+        .orderBy("doc_id")
+    }),
+
     // ── overlapping token chunks (chunk-then-embed prep)
     "q_chunks" -> ((s, dir) =>
       Packing.chunkDocs(docs(s, dir), "doc_id", "text",
@@ -902,6 +913,24 @@ object DataPipelineQueries {
         |       CASE WHEN n_tokens = 0 THEN start_token // 512
         |            ELSE (start_token + n_tokens - 1) // 512 END AS seq_last
         |FROM pre ORDER BY doc_id""".stripMargin,
+
+    // corpus-on-corpus scoring: no OOV branch can fire; avg of doubles
+    // differs only in summation order → epsilon + round(4)
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |           AS token
+        |  FROM documents
+        |), lm AS (
+        |  SELECT token,
+        |         log2(CAST(count(*) AS DOUBLE)
+        |           / (SELECT count(*) FROM tok)) AS logp
+        |  FROM tok GROUP BY 1
+        |)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       round(avg(-l.logp) + 1e-9, 4) AS bits_per_token
+        |FROM tok t JOIN lm l USING (token)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // range(m) is empty at m=0, so list_append handles the
     // right-aligned tail start uniformly; list_slice end is 1-based

@@ -89,6 +89,44 @@ object TextAnalysis {
       lit(0.3) * least(avgTokLen / lit(8.0), lit(1.0))
   }
 
+  /** Lowercased `[a-z0-9]+` token stream (the [[tokenCount]] tokens,
+    * case-folded) — shared by the unigram-LM scorer. */
+  def lmTokens(textCol: String): Column =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+
+  /** Train a unigram language model over a corpus: `(token, logp)` with
+    * `logp = log2(count/total)`. The frequency table is the model — its
+    * size is the VOCABULARY, not the corpus, so the one exchange here is
+    * vocabulary-bounded (map-side partial counts), and the table joins
+    * against scored corpora by token key (no broadcast assumption: real
+    * vocabs outgrow broadcast; AQE picks the strategy). */
+  def unigramLm(corpus: DataFrame, textCol: String): DataFrame = {
+    val counts = corpus
+      .select(explode(lmTokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // one scalar to the driver: the corpus token total (model-sized)
+    val total = counts.agg(sum("cnt")).head().getLong(0)
+    counts.select(col("token"),
+      log2(col("cnt").cast("double") / total).as("logp"))
+  }
+
+  /** Score documents by mean negative log2 unigram probability — "bits
+    * per token", the perplexity-filter shape of CCNet/Gopher cleaning
+    * (low bits ≈ stereotypical text, high bits ≈ rare-token noise; real
+    * pipelines threshold both tails). Out-of-vocabulary tokens cost
+    * `oovBits` (default 30 ≈ a one-in-a-billion token). Docs with zero
+    * tokens are omitted (no token stream to score).
+    *
+    * Plan: explode → vocabulary-keyed join → per-doc avg: two linear
+    * shuffles (tokens, then doc keys), no window, no driver data. */
+  def lmBitsPerToken(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, oovBits: Double = 30.0): DataFrame =
+    df.select(col(idCol), explode(lmTokens(textCol)).as("token"))
+      .join(lm, Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-coalesce(col("logp"), lit(-oovBits))).as("bits_per_token"))
+
   /** Canonical-form fingerprint: md5 of lowercased text with every
     * non-alphanumeric run collapsed to one space, trimmed — robust to
     * whitespace/punct/case edits (rolling-hash-class dedup key). */

@@ -389,6 +389,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.values.map(_._1).sum)
   }
 
+  test("unigram LM: uniform corpus scores exactly log2(vocab) bits; " +
+      "rare-token doc scores higher than common-token doc; OOV costs " +
+      "oovBits") {
+    // 4 tokens, each appearing exactly once → p = 1/4, bits = 2
+    val uniform = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val lmU = TextAnalysis.unigramLm(uniform, "text")
+    val u = TextAnalysis.lmBitsPerToken(uniform, "doc_id", "text", lmU)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(u(1L) - 2.0) < 1e-12 && math.abs(u(2L) - 2.0) < 1e-12)
+
+    val corpus = Seq((1L, "the the the the the the the rare"))
+      .toDF("doc_id", "text")
+    val lm = TextAnalysis.unigramLm(corpus, "text")
+    val probe = Seq((10L, "the the"), (11L, "rare rare"), (12L, "unseen"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.lmBitsPerToken(probe, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(10L) < s(11L))          // common tokens cost fewer bits
+    assert(s(12L) == 30.0)           // OOV default
+    assert(math.abs(s(10L) - (-math.log(7.0 / 8.0) / math.log(2.0))) < 1e-12)
+  }
+
   test("redactPii: emails, IPv4s, long digit runs scrubbed; short " +
       "numbers and plain text untouched") {
     val df = Seq(
