@@ -254,6 +254,13 @@ object DataPipelineQueries {
           groupCol = Some("source"))
         .orderBy("doc_id")),
 
+    // ── C4 global line dedup, token unit: each token keeps exactly one
+    //    occurrence corpus-wide (earliest (doc_id, pos))
+    "q_line_dedup" -> ((s, dir) =>
+      Dedup.dedupLines(docs(s, dir), "doc_id", "text",
+          sepRegex = " ", joinSep = " ")
+        .orderBy("doc_id")),
+
     // ── unigram-LM quality score (perplexity-filter shape): corpus
     //    scored against its own unigram model, bits per token
     "q_lm_score" -> ((s, dir) => {
@@ -913,6 +920,28 @@ object DataPipelineQueries {
         |       CASE WHEN n_tokens = 0 THEN start_token // 512
         |            ELSE (start_token + n_tokens - 1) // 512 END AS seq_last
         |FROM pre ORDER BY doc_id""".stripMargin,
+
+    // winner = first (doc_id, pos) occurrence; the oracle's per-sentence
+    // window mirrors the engine's min-struct aggregate
+    "q_line_dedup" ->
+      """WITH sents AS (
+        |  SELECT doc_id, unnest(arr) AS s,
+        |         unnest(range(1, len(arr) + 1)) AS i
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+        |), kept AS (
+        |  SELECT doc_id, s, i FROM (
+        |    SELECT doc_id, s, i,
+        |           row_number() OVER (PARTITION BY s ORDER BY doc_id, i)
+        |             AS rn
+        |    FROM sents
+        |  ) WHERE rn = 1
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(s, ' ' ORDER BY i) AS cleaned
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(r.cleaned, '') AS cleaned
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // corpus-on-corpus scoring: no OOV branch can fire; avg of doubles
     // differs only in summation order → epsilon + round(4)

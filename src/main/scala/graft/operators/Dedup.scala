@@ -398,6 +398,40 @@ object Dedup {
       .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
   }
 
+  /** C4's other line rule: every repeated sentence keeps exactly ONE
+    * copy corpus-wide — the occurrence with the smallest `(id, pos)` —
+    * and loses the rest ([[removeBoilerplate]] instead drops ALL copies
+    * of over-threshold lines; C4 applies both). Documents are rebuilt
+    * from surviving sentences in original order; fully-deduped docs
+    * come back as empty strings.
+    *
+    * Scale shape: the winner per sentence is a `min(struct(id, pos))`
+    * aggregate — map-side partial min, so a sentence shared by 100M
+    * docs reduces to one row without assembling any list; survivors are
+    * selected by an equi-join keyed on the sentence (winner side is one
+    * row per distinct sentence); the rebuild sorts WITHIN each row like
+    * [[removeBoilerplate]]. */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\\. ", joinSep: String = ". "): DataFrame = {
+    val arr = split(col(textCol), sepRegex)
+    val sents = df.select(col(idCol), posexplode(arr).as(Seq("pos", "s")))
+    val winners = sents.groupBy("s")
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("p"))).as("w"))
+      .select(col("s"), col("w.id").as("__wid"), col("w.p").as("__wpos"))
+    val kept = sents.join(winners, "s")
+      .filter(col(idCol) === col("__wid") && col("pos") === col("__wpos"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")),
+        joinSep).as("cleaned"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("cleaned", coalesce(col("cleaned"), lit("")))
+  }
+
   /** Near-dup cluster assignment — the canonicalization step real
     * training pipelines run after LSH (RefinedWeb/SlimPajama-style):
     * verified near-dup pairs from [[lshVerifiedPairs]] form an undirected

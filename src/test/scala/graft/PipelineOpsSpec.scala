@@ -389,6 +389,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.values.map(_._1).sum)
   }
 
+  test("dedupLines: repeated sentence keeps exactly its first " +
+      "(id, pos) occurrence; duplicate within one doc also collapses") {
+    val df = Seq(
+      (1L, "shared line. own one"),
+      (2L, "intro two. shared line. own two"),
+      (3L, "repeat me. repeat me. own three"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "shared line. own one")   // first occurrence wins
+    assert(out(2L) == "intro two. own two")      // later copy dropped
+    assert(out(3L) == "repeat me. own three")    // in-doc dup collapses
+  }
+
   test("unigram LM: uniform corpus scores exactly log2(vocab) bits; " +
       "rare-token doc scores higher than common-token doc; OOV costs " +
       "oovBits") {
