@@ -154,18 +154,22 @@ object Packing {
     * may be a remainder). Narrow explode over the manifest — each doc
     * emits `seq_last - seq_first + 1` rows, so the result is
     * O(docs + totalTokens/seqLen); no additional shuffle.
+    *
+    * For a GROUPED manifest pass the group column in `carryCols`:
+    * sequence ids are per-group there, so `(group, seq_id)` — not
+    * `seq_id` alone — identifies a training sequence.
     */
-  def packSlices(manifest: DataFrame, idCol: String, seqLen: Long)
-      : DataFrame = {
+  def packSlices(manifest: DataFrame, idCol: String, seqLen: Long,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val seq = explode(sequence(col("seq_first"), col("seq_last")))
     manifest.filter(col("n_tokens") > 0)
-      .select(col(idCol), col("n_tokens"), col("start_token"),
-        seq.as("seq_id"))
-      .select(col("seq_id"), col(idCol),
+      .select(col(idCol) +: carryCols.map(col) ++: Seq(col("n_tokens"),
+        col("start_token"), seq.as("seq_id")): _*)
+      .select(col("seq_id") +: carryCols.map(col) ++: Seq(col(idCol),
         (greatest(col("seq_id") * seqLen, col("start_token"))
           - col("start_token")).as("doc_from"),
         (least((col("seq_id") + 1) * seqLen,
           col("start_token") + col("n_tokens"))
-          - col("start_token")).as("doc_to"))
+          - col("start_token")).as("doc_to")): _*)
   }
 }

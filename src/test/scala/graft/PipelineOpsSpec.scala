@@ -317,6 +317,18 @@ class PipelineOpsSpec extends SparkSpec {
       assert(alone == grouped.filter(_._2 == g)
         .map(t => (t._1, t._3, t._4, t._5, t._6)))
     }
+    // grouped slices carry the group: every (group, seq_id) except each
+    // group's last reassembles exactly seqLen tokens
+    val man = Packing.packManifest(df, "doc_id", "text", seqLen = 4,
+      groupCol = Some("lang"))
+    val sl = Packing.packSlices(man, "doc_id", seqLen = 4,
+        carryCols = Seq("lang"))
+      .collect().map(r => (r.getString(1), r.getLong(0),
+        r.getLong(4) - r.getLong(3))).toSeq
+    val perSeq = sl.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(perSeq(("en", 0L)) == 4L && perSeq(("en", 1L)) == 3L)
+    assert(perSeq(("de", 0L)) == 4L && perSeq(("de", 2L)) == 2L)
   }
 
   test("packSlices: each full sequence reassembles exactly seqLen tokens " +
