@@ -287,6 +287,13 @@ object DataPipelineQueries {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // ── materialized packed sequences: md5 pins the gathered text
+    "q_pack_text" -> ((s, dir) =>
+      Packing.packSequences(docs(s, dir), "doc_id", "text", seqLen = 512)
+        .select(col("seq_id"), col("n_tokens"),
+          md5(col("seq_text")).as("seq_md5"))
+        .orderBy("seq_id")),
+
     // ── PII redaction: the corpus has no PII, so append deterministic
     //    synthetic spans (email, IPv4, account number) per doc and
     //    verify both engines scrub them identically
@@ -1008,6 +1015,39 @@ object DataPipelineQueries {
         |WHERE CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
         |        AS BIGINT) / 4294967296.0 < r
         |ORDER BY t.doc_id""".stripMargin,
+
+    // slices joined back to token arrays; string_agg ORDER BY doc_id
+    // mirrors the engine's sort-within-row gather
+    "q_pack_text" ->
+      """WITH sized AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents
+        |), pre AS (
+        |  SELECT doc_id, toks, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS start_token
+        |  FROM sized
+        |), spans AS (
+        |  SELECT doc_id, toks, n_tokens, start_token,
+        |         unnest(range(start_token // 512,
+        |                      (start_token + n_tokens - 1) // 512 + 1))
+        |           AS seq_id
+        |  FROM pre WHERE n_tokens > 0
+        |), pieces AS (
+        |  SELECT seq_id, doc_id,
+        |         greatest(seq_id * 512, start_token) - start_token AS f,
+        |         least((seq_id + 1) * 512, start_token + n_tokens)
+        |           - start_token AS t,
+        |         toks
+        |  FROM spans
+        |)
+        |SELECT seq_id, sum(t - f) AS n_tokens,
+        |       md5(string_agg(array_to_string(list_slice(toks, f + 1, t), ' '),
+        |         ' ' ORDER BY doc_id)) AS seq_md5
+        |FROM pieces GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
     // 'g' flag: replace ALL matches (Spark regexp_replace default)
     "q_redact" ->

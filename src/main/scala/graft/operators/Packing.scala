@@ -110,6 +110,38 @@ object Packing {
           .as("seq_last")): _*)
   }
 
+  /** Materialize the packed training sequences themselves: gather each
+    * sequence's token slices from its source docs and concatenate them
+    * in corpus order — the end product of [[packManifest]]/[[packSlices]].
+    * Output: `(groupCol?, seq_id, n_tokens, seq_text)`; every sequence
+    * except each (group's) last holds exactly `seqLen` tokens
+    * (oracle-checked via md5 over the text).
+    *
+    * Scale shape: the manifest/slices side is O(docs + tokens/seqLen)
+    * rows; the token gather is one id-keyed join against the corpus
+    * (docs project straight to their token arrays — text moves once),
+    * and the per-sequence groupBy collects ≤ seqLen tokens per row, so
+    * reducer buffers are bounded by the sequence length, never by doc
+    * or corpus size. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, groupCol: Option[String] = None): DataFrame = {
+    val man = packManifest(docs, idCol, textCol, seqLen, groupCol = groupCol)
+    val slices = packSlices(man, idCol, seqLen, carryCols = groupCol.toSeq)
+    val toks = docs.select(col(idCol),
+      expr(s"regexp_extract_all($textCol, '[A-Za-z0-9]+', 0)").as("__toks"))
+    val keys = groupCol.map(col).toSeq :+ col("seq_id")
+    slices.join(toks, idCol)
+      .select(keys ++ Seq(col(idCol),
+        slice(col("__toks"), col("doc_from") + 1,
+          (col("doc_to") - col("doc_from")).cast("int")).as("__piece"),
+        (col("doc_to") - col("doc_from")).as("__n")): _*)
+      .groupBy(keys: _*)
+      .agg(sum(col("__n")).as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col(idCol), col("__piece")))),
+          x => x.getField("__piece"))), " ").as("seq_text"))
+  }
+
   /** Split each document into overlapping token chunks — the
     * chunk-then-embed preparation for retrieval/similarity pipelines.
     * Windows are `chunkLen` tokens, advancing by `stride`; the final

@@ -356,6 +356,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: gathered text crosses doc boundaries in corpus " +
+      "order; every full sequence holds exactly seqLen tokens") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, "a b c d"),   // doc 1 + head of doc 2
+      (1L, 4L, "e f g h"),   // tail of doc 2 + head of doc 3
+      (2L, 1L, "i")))        // remainder
+  }
+
   test("chunkDocs: full-coverage sliding windows with right-aligned " +
       "tail, short-doc and empty-doc edges") {
     val df = Seq(
