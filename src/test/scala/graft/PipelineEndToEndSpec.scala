@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+
+/** End-to-end composition of the training-data pipeline on real
+  * sf0.001 parquet: redact → keep-one line dedup → boilerplate drop →
+  * LSH near-dup dedup → quality/LM filter → token-budget mix → pack.
+  * Each stage's COLUMN CONTRACT must chain into the next — this is the
+  * test that catches a renamed output column or a dropped id, which the
+  * per-operator specs cannot see.
+  */
+class PipelineEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full pipeline composes on sf0.001 with invariants at each stage") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val n0 = docs.count()
+    assert(n0 > 0)
+
+    // 1. PII scrub: row-preserving
+    val scrubbed = docs.withColumn("text",
+      TextAnalysis.redactPii(col("text")))
+    assert(scrubbed.count() == n0)
+
+    // 2. keep-one line dedup (token unit): row-preserving, token mass
+    //    can only shrink
+    val tok = (c: String) => sum(TextAnalysis.tokenCount(col(c)))
+    val tokens0 = scrubbed.agg(tok("text")).as[Long].head()
+    val once = Dedup.dedupLines(scrubbed, "doc_id", "text",
+      sepRegex = " ", joinSep = " ")
+    assert(once.count() == n0)
+    val tokens1 = once.agg(tok("cleaned")).as[Long].head()
+    assert(tokens1 <= tokens0)
+
+    // 3. boilerplate drop on the deduped text: row-preserving
+    val trimmed = Dedup.removeBoilerplate(
+        once.withColumnRenamed("cleaned", "text"), "doc_id", "text",
+        minDocs = 400, sepRegex = " ", joinSep = " ")
+      .withColumnRenamed("cleaned", "text")
+    assert(trimmed.count() == n0)
+
+    // 4. near-dup dedup runs on the ORIGINAL text (cleaning may erase
+    //    the distinguishing tokens); survivors are a subset of docs
+    val survivors = Dedup.lshDedup(docs, "doc_id", "text",
+      numHashes = 8, bands = 4, tau = 0.5)
+    val nDedup = survivors.count()
+    assert(nDedup <= n0 && nDedup > 0)
+
+    // 5. LM quality filter on survivors: keep docs below the 90th
+    //    percentile of bits/token (drop rare-token noise)
+    val lm = TextAnalysis.unigramLm(survivors, "text")
+    val scored = TextAnalysis.lmBitsPerToken(survivors, "doc_id", "text", lm)
+    val cut = scored.stat.approxQuantile("bits_per_token", Array(0.9), 0.01)(0)
+    val kept = scored.filter(col("bits_per_token") <= cut)
+      .join(survivors, "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept <= nDedup)
+
+    // 6. token-budget mix over sources: kept token mass per budgeted
+    //    stratum is <= budget + one doc's tokens (rate guarantee)
+    val budgets = (0 until 20).map(k => s"src$k" -> 200L).toMap
+    val mixed = Sampling.tokenBudgetSample(kept, "source", "doc_id",
+      TextAnalysis.tokenCount(col("text")), budgets)
+    assert(mixed.count() <= nKept)
+
+    // 7. pack the final mix: manifest covers every mixed doc exactly
+    //    once, offsets contiguous, sequences reassemble
+    val man = Packing.packManifest(mixed, "doc_id", "text", seqLen = 64)
+    assert(man.count() == mixed.count())
+    val totalTok = man.agg(sum("n_tokens")).as[Long].head()
+    val seqs = Packing.packSequences(mixed, "doc_id", "text", seqLen = 64)
+    val gathered = seqs.agg(sum("n_tokens")).as[Long].head()
+    assert(gathered == totalTok, "packed sequences must conserve tokens")
+    val full = seqs.filter(col("seq_id") < totalTok / 64)
+    assert(full.filter(col("n_tokens") =!= 64).count() == 0,
+      "every non-final sequence holds exactly seqLen tokens")
+  }
+}
