@@ -159,6 +159,8 @@ object Packing {
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
       chunkLen: Int, stride: Int): DataFrame = {
     require(chunkLen >= 1 && stride >= 1, "chunkLen and stride must be >= 1")
+    require(stride <= chunkLen,
+      "stride > chunkLen would leave uncovered token gaps")
     val toks = expr(s"regexp_extract_all($textCol, '[A-Za-z0-9]+', 0)")
     val n = size(toks)
     // m full-stride starts, then the right-aligned tail start
