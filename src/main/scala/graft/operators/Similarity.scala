@@ -167,31 +167,73 @@ object Similarity {
     * still uses (queries are tiny and need keep=nprobe, where the
     * window is the natural top-k). The probe join is keyed on the cell
     * id, never an all-pairs product. */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val cents = corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("centv"))
-    // driver-side collect is O(nlist·dim) — the IVF index itself, not data.
-    // Norms are precomputed with the same sequential left-fold the Spark
-    // expression tree uses (bit-identical to norm()).
-    val centRows = cents.collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val centLit = array(centRows.map { case (cell, v) =>
-      struct(lit(cell).as("cell"), typedlit(v.toSeq).as("centv"),
+  /** Centroid array as a plan literal with precomputed norms (cell id =
+    * array position). Driver-side O(nlist·dim) — the IVF index itself,
+    * not data. Norms use the same sequential left-fold the Spark
+    * expression tree uses (bit-identical to norm()). */
+  private def centroidLit(cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (v, cell) =>
+      struct(lit(cell.toLong).as("cell"), typedlit(v.toSeq).as("centv"),
         lit(math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))).as("cnorm"))
     }: _*)
+
+  /** Argmax-cosine cell for one row: one `transform` scoring every
+    * centroid exactly once, `array_max` over (sim, −cell) structs —
+    * ties to the lowest cell; see [[ivfTopK]] for why not a fold. */
+  private def bestCell(cl: Column, v: Column, vNorm: Column): Column =
+    -array_max(transform(cl, c =>
+      struct(
+        (dot(v, c.getField("centv")) /
+          (vNorm * c.getField("cnorm"))).as("sim"),
+        (-c.getField("cell")).as("negcell")))).getField("negcell")
+
+  /** Spherical k-means centroids for [[ivfTopK]]: Lloyd iterations with
+    * the shuffle-free [[bestCell]] assignment and a per-cell mean of
+    * UNIT member vectors (the spherical update — cosine objective is
+    * monotone non-increasing, spec-checked). Deterministic init: the
+    * `nlist` lowest-id corpus vectors. Each iteration is one
+    * assignment-plus-aggregate job; the update aggregate is one row per
+    * cell (map-side partials), centroids collect O(nlist·dim) to the
+    * driver like any trained index. Empty cells keep their previous
+    * centroid. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5): Array[Array[Double]] = {
+    var cents = corpus.filter(col(idCol) < nlist).orderBy(col(idCol))
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, s"corpus has no rows with $idCol < $nlist")
+    val dim = cents(0).length
+    val unit = corpus.select(asDouble(col(vecCol)).as("cv"))
+      .withColumn("__n", norm(col("cv")))
+      .filter(col("__n") > 0)
+      .select(transform(col("cv"), x => x / col("__n")).as("uv"))
+    for (_ <- 0 until iters) {
+      val aggs = (0 until dim).map(i => avg(col("uv").getItem(i)).as(s"c$i"))
+      val updated = unit
+        .withColumn("cell", bestCell(centroidLit(cents), col("uv"), lit(1.0)))
+        .groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getLong(0).toInt ->
+          Array.tabulate(dim)(i => r.getDouble(i + 1))).toMap
+      cents = Array.tabulate(cents.length)(c => updated.getOrElse(c, cents(c)))
+    }
+    cents
+  }
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centRows = centroids.getOrElse {
+      corpus.filter(col(idCol) < nlist).orderBy(col(idCol))
+        .select(asDouble(col(vecCol))).collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
+    val centLit = centroidLit(centRows)
     val corpusCells = corpus
       .select(col(idCol).as("match_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("__n", norm(col("cv")))
-      .withColumn("__best", array_max(transform(centLit, c =>
-        struct(
-          (dot(col("cv"), c.getField("centv")) /
-            (col("__n") * c.getField("cnorm"))).as("sim"),
-          (-c.getField("cell")).as("negcell")))))
-      .select(col("match_id"), (-col("__best.negcell")).as("cell"),
-        col("cv"), col("__n"))
+      .withColumn("cell", bestCell(centLit, col("cv"), col("__n")))
+      .select(col("match_id"), col("cell"), col("cv"), col("__n"))
     // query probes reuse the SAME collected centroid literal — explode it
     // per query row, score, keep the nprobe best cells. No second corpus
     // scan and no nested-loop join just to pair queries with centroids;

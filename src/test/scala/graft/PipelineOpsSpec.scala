@@ -703,6 +703,47 @@ class PipelineOpsSpec extends SparkSpec {
     assert(missed <= 2, s"dedup missed $missed of 50 planted near-dups")
   }
 
+  test("kmeans centroids: spherical cost monotone non-increasing from a " +
+      "bad init, and trained IVF reaches exact top-1 on clustered data") {
+    // 10 clusters of 5; ids ordered so the deterministic init (lowest
+    // nlist ids) starts with only TWO distinct clusters — k-means must
+    // spread out
+    val vecs = Seq.tabulate(50) { i =>
+      val cl = i / 5
+      (i.toLong, Array.tabulate(16)(j =>
+        (math.sin(cl * 2.39996 + j * 1.7 + 0.5) * 2.0
+          + 0.03 * math.sin(i * 7 + j)).toFloat))
+    }.toDF("vec_id", "embedding")
+    def cost(cents: Array[Array[Double]]): Double = {
+      val cl = cents.map(c => {
+        val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n)
+      })
+      vecs.select(Similarity.asDouble(col("embedding"))).collect()
+        .map(_.getSeq[Double](0).toArray).map { v =>
+          val n = math.sqrt(v.map(x => x * x).sum)
+          1.0 - cl.map(c => c.zip(v).map(p => p._1 * p._2).sum / n).max
+        }.sum
+    }
+    val iters = (0 to 3).map(it =>
+      cost(Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+        nlist = 10, iters = it)))
+    iters.sliding(2).foreach { w =>
+      assert(w(1) <= w(0) + 1e-9, s"cost went up: $iters")
+    }
+    assert(iters.last < iters.head, s"training never improved: $iters")
+    // trained index: top-1 via nprobe=2 matches exact brute force
+    val trained = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      nlist = 10, iters = 5)
+    val probes = vecs.filter(col("vec_id") % 5 === 0)
+    val exact = Similarity.bruteForceTopK(probes, vecs, "vec_id",
+        "embedding", 1)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(probes, vecs, "vec_id", "embedding",
+        k = 1, nlist = 10, nprobe = 2, centroids = Some(trained))
+      .select("query_id", "match_id").as[(Long, Long)].collect().toMap
+    assert(ivf == exact)
+  }
+
   test("IVF with nprobe = nlist degenerates to exact brute force") {
     // 30 deterministic pseudo-random vectors; probing every cell must
     // reproduce the exact top-k (IVF only loses matches via unprobed cells)
