@@ -339,26 +339,55 @@ object Similarity {
     * (`bands = 1` degenerates to the monolithic bucket). */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, planes: Int, dim: Int, bands: Int = 1): DataFrame = {
+      k: Int, planes: Int, dim: Int, bands: Int = 1,
+      multiProbe: Int = 0): DataFrame = {
     require(bands >= 1 && planes % bands == 0, "bands must divide planes")
     val per = planes / bands
+    require(multiProbe >= 0 && multiProbe <= per,
+      "multiProbe flips at most all band bits")
     val hp = hyperplanes(planes, dim)
-    def banded(df: DataFrame, id: String, vout: String, nout: String) = {
+    // 2^i for a dynamic bit index (functions.shiftleft needs a literal);
+    // exact in double for i < 53, and per ≤ 60 bits by construction
+    def bit(i: Column): Column =
+      pow(lit(2.0), i.cast("double")).cast("long")
+    def banded(df: DataFrame, id: String, vout: String, nout: String,
+        probe: Int) = {
       val e = df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vout))
         .withColumn(nout, norm(col(vout)))
+      // plane dots are MATERIALIZED per (row, band) so bucket and probe
+      // derivations below read data, never re-run the O(dim) dot
       val bandCols = (0 until bands).map { b =>
-        val bucket = (0 until per).map { i =>
+        val dots = array((0 until per).map { i =>
           val pl = typedlit(hp(b * per + i).toSeq)
-          when(dot(col(vout), pl) >= 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        struct(lit(b).as("band"), bucket.as("bucket"))
+          struct(dot(col(vout), pl).as("d"), lit(i).as("i"))
+        }: _*)
+        struct(lit(b).as("band"), dots.as("dots"))
       }
-      e.withColumn("__bb", explode(array(bandCols: _*)))
+      val withDots = e.withColumn("__bb", explode(array(bandCols: _*)))
         .select(col(id), col(vout), col(nout),
-          col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
+          col("__bb.band").as("__band"), col("__bb.dots").as("__dots"))
+      val bucket = aggregate(col("__dots"), lit(0L), (acc, x) =>
+        acc + when(x.getField("d") >= 0, bit(x.getField("i")))
+          .otherwise(lit(0L)))
+      if (probe == 0)
+        withDots.withColumn("__bucket", bucket).drop("__dots")
+      else {
+        // query-directed multi-probe: also probe the buckets obtained by
+        // flipping the `probe` LEAST-CONFIDENT bits (smallest |dot| —
+        // the planes the vector most plausibly sits on the other side
+        // of). Probing expands only the tiny query side; the corpus
+        // keeps one bucket per band.
+        val byMargin = array_sort(transform(col("__dots"), x =>
+          struct(abs(x.getField("d")).as("m"), x.getField("i").as("i"))))
+        val flips = transform(slice(byMargin, 1, probe), x => x.getField("i"))
+        withDots.withColumn("__b0", bucket)
+          .withColumn("__bucket", explode(concat(array(col("__b0")),
+            transform(flips, i => col("__b0").bitwiseXOR(bit(i))))))
+          .drop("__dots", "__b0")
+      }
     }
-    val q = banded(queries, "query_id", "qv", "__qn")
-    val c = banded(corpus, "match_id", "cv", "__cn")
+    val q = banded(queries, "query_id", "qv", "__qn", multiProbe)
+    val c = banded(corpus, "match_id", "cv", "__cn", 0)
     val scored = c.join(broadcast(q), Seq("__band", "__bucket"))
       .filter(col("query_id") =!= col("match_id"))
       // a pair agreeing on several bands scores once

@@ -677,6 +677,14 @@ class PipelineOpsSpec extends SparkSpec {
     val ivf = recallOf(top5(
       Similarity.ivfTopK(q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)))
     assert(ivf >= 0.6, s"IVF recall collapsed: $ivf")
+    // query-directed multi-probe (flip the 2 least-confident bits per
+    // band): strictly more candidates than the plain banded join, so
+    // recall can only rise — and must beat it on this corpus
+    val mp = recallOf(top5(Similarity.lshTopK(
+      q, e, "vec_id", "embedding", 5, planes = 16, dim = 64, bands = 4,
+      multiProbe = 2)))
+    assert(mp >= lsh, s"multi-probe lost recall: $mp < $lsh")
+    assert(mp >= 0.6, s"multi-probe recall floor: $mp")
   }
 
   test("banded cosineDedup recall: planted near-dups (cos ≈ 0.99) are " +
