@@ -261,6 +261,61 @@ object Similarity {
       .select("query_id", "rank", "match_id", "cosine")
   }
 
+  /** IVF-SQ8: IVF cell routing with int8-quantized vectors inside the
+    * candidate join — the composition a 100 TB ANN store actually runs
+    * (FAISS's large-scale default). Cell assignment reads the full
+    * float vector (it is being scanned anyway); everything that flows
+    * INTO the join — the per-row payload that gets shuffled on the cell
+    * key and broadcast on the query side — carries the int8 codes plus
+    * one int norm instead of the double array: 8× less join traffic at
+    * identical routing. The pair kernel is the scale-free quantized
+    * cosine of [[quantizedTopK]] (integer-exact, reproducible); recall
+    * vs the float IVF is spec-bounded. */
+  def ivfTopKQuantized(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centRows = centroids.getOrElse {
+      corpus.filter(col(idCol) < nlist).orderBy(col(idCol))
+        .select(asDouble(col(vecCol))).collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
+    val centLit = centroidLit(centRows)
+    def intDot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val corpusCells = corpus
+      .select(col(idCol).as("match_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__n", norm(col("__cv")))
+      .withColumn("cell", bestCell(centLit, col("__cv"), col("__n")))
+      .select(col("match_id"), col("cell"),
+        quantize(col("__cv")).getField("q").as("cq"))
+      .withColumn("__cn", sqrt(intDot(col("cq"), col("cq")).cast("double")))
+    val queryProbes = {
+      val scored = queries.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+        .withColumn("__n", norm(col("__v")))
+        .select(col(idCol), col("__v"), col("__n"), explode(centLit).as("__c"))
+        .withColumn("__sim",
+          dot(col("__v"), col("__c.centv")) / (col("__n") * col("__c.cnorm")))
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("__sim").desc, col("__c.cell").asc)
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nprobe)
+        .select(col(idCol).as("query_id"), col("__c.cell").as("cell"),
+          quantize(col("__v")).getField("q").as("qq"))
+        .withColumn("__qn", sqrt(intDot(col("qq"), col("qq")).cast("double")))
+    }
+    val scored = corpusCells.join(broadcast(queryProbes), "cell")
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("qcos",
+        intDot(col("qq"), col("cq")).cast("double")
+          / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "match_id", "qcos")
+  }
+
   /** Embedding-cosine near-dup dedup — the vector analog of
     * [[Dedup.lshDedup]], BANDED: `bands` independent SRP plane sets of
     * `planesPerBand` bits each (seeded hyperplanes → deterministic plan

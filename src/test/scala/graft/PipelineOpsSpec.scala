@@ -685,6 +685,11 @@ class PipelineOpsSpec extends SparkSpec {
       multiProbe = 2)))
     assert(mp >= lsh, s"multi-probe lost recall: $mp < $lsh")
     assert(mp >= 0.6, s"multi-probe recall floor: $mp")
+    // IVF-SQ8: same routing as float IVF, int8 codes in the join — the
+    // quantization must not cost more than a sliver of recall here
+    val sq8 = recallOf(top5(Similarity.ivfTopKQuantized(
+      q, e, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)))
+    assert(sq8 >= ivf - 0.1, s"IVF-SQ8 recall collapsed: $sq8 vs float $ivf")
   }
 
   test("banded cosineDedup recall: planted near-dups (cos ≈ 0.99) are " +
