@@ -308,6 +308,15 @@ object DataPipelineQueries {
           lpad(col("doc_id").cast("string"), 8, "0"))).as("redacted"))
         .orderBy("doc_id")),
 
+    // ── mean-pool embeddings per label (class centroids / the pool
+    //    step of chunk→embed→pool)
+    "q_mean_pool" -> ((s, dir) =>
+      Similarity.meanPool(embs(s, dir), "label", "embedding")
+        .select(col("label"), col("n"),
+          transform(col("centroid"), x => round(x + lit(1e-9), 6))
+            .as("centroid"))
+        .orderBy("label")),
+
     // ── int8 symmetric quantization: per-vector scale + md5 over the
     //    exact int codes (pins every element)
     "q_quantize" -> ((s, dir) =>
@@ -1061,6 +1070,23 @@ object DataPipelineQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{9,}\b', '<NUM>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-(label, dim) avgs reassembled in dim order; round(6)+eps
+    // absorbs summation-order fp differences
+    "q_mean_pool" ->
+      """WITH expl AS (
+        |  SELECT label,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         unnest(range(len(embedding))) AS p
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT label, p, avg(x) AS m, count(*) AS c
+        |  FROM expl GROUP BY 1, 2
+        |)
+        |SELECT label, max(c) AS n,
+        |       list_transform(list(m ORDER BY p),
+        |         x -> round(x + 1e-9, 6)) AS centroid
+        |FROM dims GROUP BY label ORDER BY label""".stripMargin,
 
     // int codes kept as exact-integer DOUBLEs for md5; scale math all
     // double, mirroring Similarity.quantize

@@ -127,6 +127,25 @@ object Similarity {
       .select("query_id", "rank", "match_id", "qcos")
   }
 
+  /** Element-wise mean of embeddings per key — the POOL step of the
+    * chunk → embed → pool loop (doc vectors from chunk vectors, class
+    * centroids from members). Output: `(keyCol, n, centroid)`.
+    *
+    * Plan: posexplode to `(key, dim-pos, x)` → one `(key, pos)` grouBy
+    * with map-side partial avgs → reassemble each vector with a per-key
+    * `collect_list` bounded by DIM (never by member count, so a key
+    * with 100M members costs the same buffer as one with 10). Linear,
+    * two shuffles of scalar rows. */
+  def meanPool(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol),
+        posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
+      .groupBy(col(keyCol), col("__p"))
+      .agg(avg(col("__x")).as("__m"), count(lit(1)).as("__c"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__c")).as("n"),
+        transform(array_sort(collect_list(struct(col("__p"), col("__m")))),
+          x => x.getField("__m")).as("centroid"))
+
   /** Deterministic hyperplanes: planes × dim doubles in [-1, 1] from a
     * fixed-seed PRNG (seed 42, matching the corpus generator's ethos). */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

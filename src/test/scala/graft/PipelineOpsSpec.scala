@@ -588,6 +588,18 @@ class PipelineOpsSpec extends SparkSpec {
       .collect()(0).getSeq[String](0) == Seq("a b c", "b c d"))
   }
 
+  test("meanPool: hand-computed per-key element-wise means and counts") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 6.0f)),
+      ("b", Array(10.0f, 0.0f)))
+      .toDF("k", "v")
+    val out = Similarity.meanPool(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(out("a") == (2L, Seq(2.0, 4.0)))
+    assert(out("b") == (1L, Seq(10.0, 0.0)))
+  }
+
   test("cosine: identity = 1, orthogonal = 0") {
     val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0))).toDF("a", "b", "c")
     val r = df.select(
