@@ -335,6 +335,140 @@ object Similarity {
       .select("query_id", "rank", "match_id", "qcos")
   }
 
+  /** Product-quantization codebooks: split the vector into `m`
+    * subspaces and k-means (L2) each to `k` codewords, so a vector
+    * encodes as `m` small ints (`m` bytes at k ≤ 256) — the
+    * memory-bound big-store layout beyond SQ8 (32× compression at
+    * dim=64, m=8 vs float32). Returns `m × k × dim/m` codewords.
+    *
+    * Training is Lloyd in ALL subspaces at once: each iteration is ONE
+    * job — explode rows to (subspace, subvector), assign by argmin L2
+    * against the codebook literal, update with a (subspace, cell)
+    * aggregate whose output is `m·k` rows. Deterministic init: the
+    * subvectors of the `k` lowest-id corpus rows. Empty cells keep
+    * their codeword. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int = 256, iters: Int = 3): Array[Array[Array[Double]]] = {
+    val first = corpus.orderBy(col(idCol)).limit(k)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(first.length == k, s"corpus must have >= $k rows")
+    val dim = first(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => first.map(_.slice(s * sub, (s + 1) * sub)))
+    val subRows = corpus.select(asDouble(col(vecCol)).as("__v"))
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("__v"), s * sub + 1, sub).as("sv"))): _*)).as("__e"))
+      .select(col("__e.s").as("__s"), col("__e.sv").as("__sv"))
+    for (_ <- 0 until iters) {
+      val assigned = subRows.withColumn("__cell",
+        pqNearest(pqBookLit(books), col("__s"), col("__sv")))
+      val aggs = (0 until sub).map(i =>
+        avg(col("__sv").getItem(i)).as(s"c$i"))
+      val updated = assigned.groupBy(col("__s"), col("__cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => (r.getInt(0), r.getLong(1).toInt) ->
+          Array.tabulate(sub)(i => r.getDouble(i + 2))).toMap
+      books = Array.tabulate(m)(s => Array.tabulate(k)(c =>
+        updated.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /** Codebooks as one plan literal: array (per subspace) of arrays (per
+    * codeword) of `struct(cell, cw)`. */
+  private def pqBookLit(books: Array[Array[Array[Double]]]): Column =
+    array(books.map(b => array(b.zipWithIndex.map { case (cw, c) =>
+      struct(lit(c.toLong).as("cell"), typedlit(cw.toSeq).as("cw"))
+    }: _*)): _*)
+
+  /** Argmin-L2 codeword for one subvector (ties to the lowest cell);
+    * scores each codeword once (`transform` + `array_max` over
+    * (−dist, −cell) — see [[bestCell]]). */
+  private def pqNearest(bookLit: Column, s: Column, sv: Column): Column = {
+    val l2 = (c: Column) => aggregate(
+      zip_with(sv, c.getField("cw"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    -array_max(transform(element_at(bookLit, s + 1), c =>
+      struct((-l2(c)).as("negd"),
+        (-c.getField("cell")).as("negcell")))).getField("negcell")
+  }
+
+  /** PQ-encode: `m` codeword ids per vector. */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val sub = books(0)(0).length
+    val v = asDouble(vec)
+    array(books.indices.map(s =>
+      pqNearest(pqBookLit(books), lit(s), slice(v, s * sub + 1, sub))
+        .cast("int")): _*)
+  }
+
+  /** PQ top-k with ASYMMETRIC distance (ADC): corpus rows carry only
+    * their `m`-byte codes; each query precomputes its distance table
+    * (`m × k` L2 distances to every codeword) ONCE as a column, and the
+    * pair kernel is `m` table lookups — no vector math per pair. This
+    * is the IVF-PQ scoring model: the join moves codes, not vectors.
+    *
+    * `rerank > k` adds the standard exact re-rank stage: shortlist
+    * `rerank` candidates per query by ADC, then join ONLY the
+    * survivors (|Q|·rerank rows, corpus-independent) back to their
+    * float vectors and order by exact L2. The full corpus still pays
+    * only code lookups; recall vs exact is spec-bounded. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, books: Array[Array[Array[Double]]],
+      rerank: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("match_id"),
+      pqEncode(col(vecCol), books).as("codes"))
+    // per-query ADC table: for each subspace, distances to all codewords
+    val sub = books(0)(0).length
+    val v = asDouble(col(vecCol))
+    val table = array(books.indices.map { s =>
+      val qs = slice(v, s * sub + 1, sub)
+      transform(element_at(pqBookLit(books), s + 1), cw =>
+        aggregate(zip_with(qs, cw.getField("cw"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      // materialize the table through the broadcast, not the raw vector
+      table.as("qt"))
+    val adc = aggregate(
+      zip_with(col("qt"), col("codes"),
+        (t, code) => element_at(t, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("adc_dist", adc)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("match_id").asc)
+    if (rerank <= k)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "match_id", "adc_dist")
+    else {
+      val short = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= rerank)
+        .select("query_id", "match_id")
+      val l2 = (a: Column, b: Column) => aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val qv = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      val cv = corpus.select(col(idCol).as("match_id"),
+        asDouble(col(vecCol)).as("__cv"))
+      val exact = short.join(broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .withColumn("adc_dist", l2(col("__qv"), col("__cv")))
+      val w2 = Window.partitionBy("query_id")
+        .orderBy(col("adc_dist").asc, col("match_id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "match_id", "adc_dist")
+    }
+  }
+
   /** Embedding-cosine near-dup dedup — the vector analog of
     * [[Dedup.lshDedup]], BANDED: `bands` independent SRP plane sets of
     * `planesPerBand` bits each (seeded hyperplanes → deterministic plan

@@ -769,6 +769,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("PQ: Lloyd distortion monotone non-increasing; ADC top-5 recall " +
+      "floor vs exact L2 on real embeddings (sf0.001)") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val vecs = e.select(col("vec_id"), Similarity.asDouble(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def distortion(books: Array[Array[Array[Double]]]): Double = {
+      val sub = books(0)(0).length
+      vecs.values.map { v =>
+        books.indices.map { s =>
+          val sv = v.slice(s * sub, (s + 1) * sub)
+          books(s).map(cw =>
+            cw.zip(sv).map(p => (p._1 - p._2) * (p._1 - p._2)).sum).min
+        }.sum
+      }.sum / vecs.size
+    }
+    val d0 = distortion(Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, k = 16, iters = 0))
+    val d3 = distortion(Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, k = 16, iters = 3))
+    assert(d3 <= d0 + 1e-9 && d3 < d0, s"PQ training never improved: $d0 -> $d3")
+
+    val books = Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, k = 16, iters = 3)
+    val q = e.filter(col("vec_id") < 20)
+    // exact L2 top-5, driver-side (ADC approximates L2, not cosine)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => (p._1 - p._2) * (p._1 - p._2)).sum
+    val exact = (0L until 20L).map { qid =>
+      qid -> vecs.filter(_._1 != qid).toSeq
+        .sortBy { case (mid, v) => (l2(vecs(qid), v), mid) }
+        .take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "match_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.iterator.map(k => (exact(k) & got(k)).size).sum / 100.0
+    }
+    val raw = recallOf(
+      Similarity.pqTopK(q, e, "vec_id", "embedding", 5, books))
+    assert(raw >= 0.15, s"raw ADC recall collapsed: $raw")
+    // the standard exact re-rank of a 50-candidate ADC shortlist: the
+    // corpus still pays only code lookups, survivors get exact L2
+    val reranked = recallOf(Similarity.pqTopK(q, e, "vec_id", "embedding",
+      5, books, rerank = 50))
+    assert(reranked > raw, s"re-rank did not help: $reranked vs $raw")
+    assert(reranked >= 0.5, s"re-ranked PQ recall floor: $reranked")
+  }
+
   test("IVF with nprobe = nlist degenerates to exact brute force") {
     // 30 deterministic pseudo-random vectors; probing every cell must
     // reproduce the exact top-k (IVF only loses matches via unprobed cells)
