@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Similarity, Temporal}
+import graft.sources.Tables
+
+/** Oracle-checked queries for the [[graft.operators.Temporal]] family and
+  * [[Similarity.semanticDedup]]. Split from SparkEntry for the same reason
+  * as DataPipelineQueries: one section per operator family.
+  *
+  * Determinism notes specific to this file:
+  *  - sub-second ordering (as-of, sessionize) uses exact NANOSECOND longs
+  *    on both sides (`ts_nanos` here, `epoch_ns(ts)` in DuckDB) — epoch
+  *    seconds as doubles would be fine at these magnitudes, but integers
+  *    remove the question;
+  *  - the synthetic counter for q_rate is built from `round(value·100)`
+  *    BIGINTs so the running sum is integer-exact in both engines, and
+  *    `value ≥ 0` in the test data makes Spark `pmod` ≡ DuckDB `%`;
+  *  - EWMA is the same double recurrence (α·v + (1−α)·prev) evaluated in
+  *    the same order in both engines, rounded at output.
+  */
+object TemporalQueries {
+
+  private val HOUR = 3600L
+  private val NS = 1000000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Exact hourly avg (house pattern: DECIMAL(30,12) sum / count). */
+  private def exactAvg(c: org.apache.spark.sql.Column) =
+    (sum(c.cast(DecimalType(30, 12))).cast("double") / count(c))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── as-of join: each purchase gets the user's latest view at-or-before
+    "q_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts_nanos").as("pts"), col("value"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_nanos").as("vts"),
+          col("value").as("vvalue"), col("event_id").as("vid"))
+      Temporal.asofJoin(purchases, views, Seq("user_id"), "pts", "vts",
+          payload = Seq("vvalue", "vid"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("p_value"),
+          col("r_vid").as("view_id"),
+          round(col("r_vvalue"), 4).as("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // ── interval join: clicks inside [error_ts, error_ts + 2h) per user
+    "q_interval_join" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("sec", expr("ts_nanos div 1000000000"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("sec").as("iv_start"))
+        .withColumn("iv_end", col("iv_start") + 2 * HOUR)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("sec"))
+      Temporal.intervalJoin(clicks, errors, Seq("user_id"),
+          "sec", "iv_start", "iv_end", bucketSec = HOUR)
+        .select("user_id", "click_id", "err_id")
+        .orderBy("user_id", "click_id", "err_id")
+    }),
+
+    // ── sessionization: 6h-gap visits per user, with per-session rollup
+    "q_sessionize" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_id"),
+        col("ts_nanos").as("tns"), col("value"))
+      Temporal.sessionize(e, Seq("user_id"), "tns",
+          gapTicks = 6 * HOUR * NS, tieCols = Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(tns) div 1000000000").as("start_s"),
+          expr("max(tns) div 1000000000").as("end_s"),
+          round(sum(col("value").cast(DecimalType(30, 12))).cast("double"), 4)
+            .as("sum_v"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ── multi-grain rollup: (type, day) / (type) / () in ONE scan
+    "q_rollup" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("day",
+        (expr("ts_nanos div 1000000000 div 86400") * 86400).cast("long"))
+      e.rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(30, 12))).cast("double"), 4)
+            .as("sum_v"),
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("day")).cast("long").as("g_day"))
+        .orderBy(col("g_type"), col("g_day"), col("event_type"), col("day"))
+    }),
+
+    // ── counter-reset-aware rate over a synthetic wrapping counter
+    "q_rate" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("sec", expr("ts_nanos div 1000000000"))
+        .withColumn("units", expr("CAST(round(value * 100) AS BIGINT)"))
+      val w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+      val counter = pmod(sum(col("units")).over(w), lit(100000L))
+      val counted = e.withColumn("c", counter)
+        .select("event_type", "sec", "event_id", "c")
+      Temporal.counterRate(counted, Seq("event_type"), "sec", "c",
+          bucketSec = 86400L, tieCols = Seq("event_id"))
+        .select(col("event_type"), col("bucket"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ── EWMA over the hourly per-type series
+    "q_ewma" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("bucket",
+        (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+      val series = e.groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      Temporal.ewma(series, Seq("event_type"), "bucket", "v", alpha = 0.3)
+        .select(col("event_type"), col("bucket"),
+          round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ── semantic dedup: k-means-cell candidate sets (centroids pinned to
+    //    the 16 lowest-id vectors so the oracle can replicate assignment)
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(Similarity.asDouble(col("embedding"))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS pts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT event_id AS vid, user_id, epoch_ns(ts) AS vts,
+        |         value AS vvalue
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT p.event_id, p.user_id, round(p.value, 4) AS p_value,
+        |       v.vid AS view_id, round(v.vvalue, 4) AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.pts >= v.vts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH er AS (
+        |  SELECT user_id, event_id AS err_id,
+        |         epoch_ns(ts) // 1000000000 AS iv_start,
+        |         epoch_ns(ts) // 1000000000 + 7200 AS iv_end
+        |  FROM events WHERE event_type = 'error'
+        |), cl AS (
+        |  SELECT user_id, event_id AS click_id,
+        |         epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT cl.user_id, cl.click_id, er.err_id
+        |FROM cl JOIN er ON cl.user_id = er.user_id
+        |  AND cl.sec >= er.iv_start AND cl.sec < er.iv_end
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN lag(tns) OVER w IS NULL
+        |                   OR tns - lag(tns) OVER w > 21600000000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY tns, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+        |    AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(tns) // 1000000000 AS start_s,
+        |       max(tns) // 1000000000 AS end_s,
+        |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4)
+        |         AS sum_v
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 86400 * 86400 AS BIGINT)
+        |           AS day,
+        |         value
+        |  FROM events
+        |)
+        |SELECT event_type, day, count(*) AS n,
+        |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4)
+        |         AS sum_v,
+        |       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |       CAST(GROUPING(day) AS BIGINT) AS g_day
+        |FROM e
+        |GROUP BY ROLLUP (event_type, day)
+        |ORDER BY g_type, g_day, event_type, day""".stripMargin,
+
+    "q_rate" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         epoch_ns(ts) // 1000000000 AS sec,
+        |         CAST(round(value * 100) AS BIGINT) AS units
+        |  FROM events
+        |), counted AS (
+        |  SELECT event_type, sec, event_id,
+        |         sum(units) OVER (PARTITION BY event_type
+        |           ORDER BY sec, event_id) % 100000 AS c
+        |  FROM e
+        |), inc AS (
+        |  SELECT event_type, sec,
+        |         CASE WHEN lag(c) OVER w IS NULL THEN NULL
+        |              WHEN c >= lag(c) OVER w THEN c - lag(c) OVER w
+        |              ELSE c END AS step
+        |  FROM counted
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY sec, event_id)
+        |)
+        |SELECT event_type,
+        |       CAST(sec // 86400 * 86400 AS BIGINT) AS bucket,
+        |       round(sum(step) / 86400.0, 6) AS rate
+        |FROM inc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_ewma" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), nb AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY bucket) AS rn
+        |  FROM b
+        |), r AS (
+        |  SELECT event_type, rn, bucket, v, v AS e FROM nb WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nb.event_type, nb.rn, nb.bucket, nb.v,
+        |         0.3 * nb.v + 0.7 * r.e
+        |  FROM nb JOIN r ON nb.event_type = r.event_type
+        |    AND nb.rn = r.rn + 1
+        |)
+        |SELECT event_type, bucket, round(e, 6) AS ewma
+        |FROM r ORDER BY 1, 2""".stripMargin,
+
+    // assignment CTE mirrors q_ann_ivf (centroids = 16 lowest-id vectors,
+    // argmax-cosine cell, ties → lowest cell); then within-cell pairs with
+    // cosine ≥ 0.4 remove the higher id
+    "q_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 16
+        |), sims AS (
+        |  SELECT e.vec_id, e.label, e.v, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) *
+        |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
+        |           c.cell ASC) AS rn
+        |  FROM e CROSS JOIN cents c
+        |), cells AS (
+        |  SELECT vec_id, label, v, cell FROM sims WHERE rn = 1
+        |), removed AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM cells a JOIN cells b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |          (sqrt(list_dot_product(a.v, a.v)) *
+        |           sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+        |ORDER BY vec_id""".stripMargin)
+}

@@ -535,6 +535,51 @@ object Similarity {
     corpus.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** SemDeDup-shaped semantic dedup: cluster the corpus (argmax-cosine
+    * assignment to `centroids` — typically [[kmeansCentroids]] output),
+    * compare pairs only WITHIN a cell, drop the higher-id member of every
+    * pair with cosine ≥ `tau`. Complements [[cosineDedup]]: SRP banding
+    * is data-independent (stable under corpus growth, oracle-checkable
+    * with plane literals), k-means cells follow the data distribution —
+    * fewer, tighter candidate sets when the corpus is clustered, which is
+    * exactly the semantic-dedup regime (Abbas et al., SemDeDup: embed →
+    * k-means → within-cluster cosine prune).
+    *
+    * Scale shape: assignment is the shuffle-free [[bestCell]] projection
+    * (centroids ride as a plan literal); the self-join is equi-keyed on
+    * the cell id so pair count is Σ n_c², bounded by the cap: cells over
+    * `maxCell` members are counted map-side, broadcast, and anti-joined
+    * out before the join — one dense mega-cluster can never emit a
+    * quadratic pair list (re-cluster with larger nlist to dedup inside
+    * it). Vectors+norms ride the cell rows, so the corpus scan appears
+    * exactly twice (the two join sides), no fetch-back join. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], tau: Double,
+      maxCell: Int = Int.MaxValue): DataFrame = {
+    val centLit = centroidLit(centroids)
+    val keyed = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("__cell", bestCell(centLit, col("__v"), col("__n")))
+    val safe =
+      if (maxCell == Int.MaxValue) keyed
+      else {
+        val overCap = keyed.groupBy("__cell")
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > maxCell)
+          .select("__cell")
+        keyed.join(broadcast(overCap), Seq("__cell"), "left_anti")
+      }
+    val removed = safe.as("a")
+      .join(safe.as("b"),
+        col("a.__cell") === col("b.__cell") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(pairCosine(col("a.__v"), col("b.__v"),
+        col("a.__n"), col("b.__n")) >= tau)
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
+    corpus.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** LSH-bucketed ANN, BANDED like [[cosineDedup]]: the `planes`
     * hyperplanes split into `bands` independent sets of planes/bands
     * bits; a corpus vector is a candidate for a query iff they agree on

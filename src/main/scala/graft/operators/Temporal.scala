@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal relational operators Spark lacks as built-ins — as-of join,
+  * interval (range) join, gap sessionization, counter-reset-aware rate,
+  * and EWMA smoothing — each expressed as a declarative plan Catalyst can
+  * optimize, with the shuffle structure chosen for 100 TB inputs.
+  *
+  * These extend the reference's time-series surface (bucketed aggregation
+  * over tagged series, /root/reference/loudml/bucket.py:365-420) with the
+  * enrichment/alignment joins a monitoring pipeline needs around it: align
+  * a metric to the latest config/deploy event (as-of), attribute points to
+  * incident windows (interval join), split activity into visits
+  * (sessionize), turn monotonic counters into rates (the Prometheus
+  * `rate()` semantic the reference's prometheus bucket reads pre-computed,
+  * /root/reference/loudml/prometheus.py), and smooth a series (EWMA).
+  *
+  * Timestamps are NUMERIC here (epoch seconds or nanos, caller's choice —
+  * all comparisons/differences are plain arithmetic), per the repo rule
+  * that computed time columns are integers, never timestamps.
+  */
+object Temporal {
+
+  /** Backward (default) or forward as-of join: for each left row, attach
+    * the payload of the single right row with the greatest `rightTs` ≤
+    * `leftTs` (forward: smallest ≥) within the same key group, optionally
+    * within `tolerance` time units. Left rows with no match keep nulls —
+    * LEFT OUTER semantics, exactly DuckDB's `ASOF LEFT JOIN`.
+    *
+    * Scale shape: the naive plan is a per-key theta join (every left row
+    * × every earlier right row, then argmax) — quadratic per key. This is
+    * instead the union-merge plan: both sides are projected to a common
+    * narrow schema, unioned, and ONE window pass per key carries the last
+    * seen right payload forward (`last(_, ignoreNulls)` over rows
+    * UNBOUNDED PRECEDING..CURRENT). Cost: one shuffle of |L|+|R| rows on
+    * the key columns, no join, no per-key blowup; within a partition the
+    * sort is the merge step of a sort-merge join. Skew bound: a key's
+    * partition holds that key's rows only — same bound as any keyed
+    * window/aggregation at 100 TB. Equal timestamps: the right row sorts
+    * BEFORE the left row (side 0 < 1), so a right event at exactly
+    * `leftTs` matches, matching DuckDB `ON l.ts >= r.ts`; ties among
+    * right rows at the same instant resolve to the last in `tieCols`
+    * order (pass tie columns for determinism).
+    *
+    * @param payload right columns to attach (prefixed `r_` on output)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      forward: Boolean = false, tolerance: Option[Long] = None,
+      rightTieCols: Seq[String] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payStruct = struct(
+      (col(rightTs).cast("long").as("__rts") +:
+        payload.map(c => col(c))): _*)
+    val r = right
+      .select((keys.map(col) :+ col(rightTs).cast("long").as("__ts")) ++
+        Seq(lit(0).as("__side"), payStruct.as("__pay"),
+          lit(null).cast(structTypeOf(left)).as("__lrow"),
+          struct((lit(0L) +: rightTieCols.map(col)): _*).as("__tie")): _*)
+    val l = left
+      .select((keys.map(col) :+ col(leftTs).cast("long").as("__ts")) ++
+        Seq(lit(1).as("__side"),
+          lit(null).cast(r.schema("__pay").dataType).as("__pay"),
+          struct(leftCols.map(col): _*).as("__lrow"),
+          lit(null).cast(r.schema("__tie").dataType).as("__tie")): _*)
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__side").asc, col("__tie").desc)
+      else Seq(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = r.unionByName(l)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val gap =
+      if (forward) col("__match.__rts") - col("__ts")
+      else col("__ts") - col("__match.__rts")
+    val matched = tolerance match {
+      case Some(tol) => carried.withColumn("__match",
+        when(gap <= lit(tol), col("__match")))
+      case None => carried
+    }
+    matched.select(
+      leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+        payload.map(c => col(s"__match.$c").as(s"r_$c")): _*)
+  }
+
+  private def structTypeOf(df: DataFrame) =
+    org.apache.spark.sql.types.StructType(df.schema.fields)
+
+  /** Point-in-interval join: pairs each point row with every interval row
+    * of the same key whose `[startCol, endCol)` contains `tsCol`.
+    *
+    * Scale shape: the naive plan is a per-key inequality (theta) join —
+    * Spark executes it as a broadcast nested loop or a cartesian-per-key
+    * sort-merge, both quadratic in hot keys. Instead both sides are mapped
+    * onto a time grid of `bucketSec`: each interval explodes to the
+    * buckets it covers (bounded by duration/bucketSec — pick bucketSec
+    * near the typical interval length so the fan-out is O(1)), each point
+    * computes its single containing bucket, and the join becomes an
+    * EQUI-join on (keys, bucket) that hashes, prunes, and AQE-skew-splits
+    * like any other. A point's bucket appears at most once per interval,
+    * so the exact containment filter after the join yields each matching
+    * pair exactly once — no distinct needed.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], tsCol: String, startCol: String, endCol: String,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val w = lit(bucketSec)
+    val iv = intervals.withColumn("__b",
+      explode(sequence(floor(col(startCol) / w).cast("long"),
+        floor((col(endCol) - 1) / w).cast("long"))))
+    val pts = points.withColumn("__b", floor(col(tsCol) / w).cast("long"))
+    pts.join(iv, keys :+ "__b")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__b")
+  }
+
+  /** Gap-based sessionization: within each key, a new session starts when
+    * the gap to the previous event exceeds `gapTicks` (same unit as
+    * `tsCol`). Adds a 0-based `session_id` per key. One shuffle on the
+    * keys; the two stacked windows (lag + running sum) share the same
+    * partitioning and sort, so Catalyst plans a single Exchange + Sort.
+    * Per-key partition size is bounded by that key's history — the same
+    * bound as any keyed window at scale. `tieCols` break equal-timestamp
+    * ordering deterministically.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+      gapTicks: Long, tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val newSess = when(
+      col(tsCol) - lag(col(tsCol), 1).over(w) > lit(gapTicks) ||
+        lag(col(tsCol), 1).over(w).isNull, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(newSess).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)) - 1L)
+  }
+
+  /** Counter → per-bucket rate with Prometheus reset semantics
+    * (/root/reference/loudml/prometheus.py reads the TSDB's own `rate()`;
+    * this is that semantic over a raw monotonic counter column): the
+    * increase between consecutive samples is `c - lag(c)` when the
+    * counter grew, and `c` when it shrank (the counter restarted from 0 —
+    * a process restart), summed per `[bucketSec]` bucket and divided by
+    * the bucket length. The first sample of each key contributes nothing
+    * (no predecessor). One keyed window (lag) + one keyed aggregation,
+    * both on the same key hash — two shuffles total, map-side partials on
+    * the sum.
+    */
+  def counterRate(df: DataFrame, keys: Seq[String], tsCol: String,
+      counterCol: String, bucketSec: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val prev = lag(col(counterCol), 1).over(w)
+    val inc = when(prev.isNull, lit(null))
+      .when(col(counterCol) >= prev, col(counterCol) - prev)
+      .otherwise(col(counterCol))
+    df.withColumn("__inc", inc)
+      .withColumn("bucket",
+        (floor(col(tsCol) / bucketSec) * bucketSec).cast("long"))
+      .groupBy((keys.map(col) :+ col("bucket")): _*)
+      .agg((sum(col("__inc")) / lit(bucketSec.toDouble)).as("rate"))
+  }
+
+  /** Exponentially-weighted moving average over an already-bucketized
+    * series: `ewma_i = α·v_i + (1−α)·ewma_{i−1}`, seeded with the first
+    * value. Input is one row per (keys, bucketCol); output adds `ewma`.
+    *
+    * Scale shape: the recurrence is sequential per key, but it runs AFTER
+    * bucketization — the series length is bounded by the query's time
+    * range / bucket width (a config constant), not by data volume, so the
+    * heavy reduction already happened map-side in the bucketing
+    * aggregation. Each key's series is collected into one sorted array
+    * (size O(buckets)) and folded by a single codegen'd `aggregate`
+    * expression — no UDF, no driver collect, keys stay distributed. The
+    * fold appends to an array per step (O(buckets²) copying); at the
+    * bounded series lengths this operator is defined for (≤ ~10⁵ buckets)
+    * that is microseconds per key.
+    */
+  def ewma(series: DataFrame, keys: Seq[String], bucketCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0,1]")
+    val g = series.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct(col(bucketCol).as("b"), col(valueCol).as("v")))).as("__s"))
+    val folded = g.withColumn("__e", expr(
+      s"""aggregate(__s,
+         |  named_struct('out', cast(array() as array<struct<b:bigint,e:double>>),
+         |               'prev', cast(null as double)),
+         |  (acc, x) -> named_struct(
+         |    'out', acc.out || array(named_struct('b', x.b, 'e',
+         |      CASE WHEN acc.prev IS NULL THEN x.v
+         |           ELSE $alpha * x.v + ${1 - alpha} * acc.prev END)),
+         |    'prev', CASE WHEN acc.prev IS NULL THEN x.v
+         |                 ELSE $alpha * x.v + ${1 - alpha} * acc.prev END),
+         |  acc -> acc.out)""".stripMargin))
+    folded.select((keys.map(col) :+ explode(col("__e")).as("__x")): _*)
+      .select((keys.map(col) ++ Seq(col("__x.b").as(bucketCol),
+        col("__x.e").as("ewma"))): _*)
+  }
+}

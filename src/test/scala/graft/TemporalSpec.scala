@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Temporal}
+
+/** Unit coverage for the Temporal operator family: semantics against
+  * hand-computed or naive-plan references, plus plan-shape assertions
+  * (the as-of join must be join-free; the interval join must be an
+  * equi-join, not a nested loop).
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf: DataFrame = Seq(
+    // (key, ts, lval)
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+    ("b", 15L, 4.0), ("b", 5L, 5.0),
+    ("c", 50L, 6.0) // key with no right rows at all
+  ).toDF("k", "lts", "lval")
+
+  private def rightDf: DataFrame = Seq(
+    // (key, ts, rval)
+    ("a", 8L, 100.0), ("a", 20L, 200.0), ("a", 25L, 300.0),
+    ("b", 99L, 400.0)
+  ).toDF("k", "rts", "rval")
+
+  test("asofJoin backward: greatest right ts <= left ts, else null") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
+        payload = Seq("rval"))
+      .select("k", "lts", "r_rval").as[(String, Long, Option[Double])]
+      .collect().toSet
+    assert(out === Set(
+      ("a", 10L, Some(100.0)), // 8 <= 10
+      ("a", 20L, Some(200.0)), // equal ts matches (inclusive)
+      ("a", 30L, Some(300.0)),
+      ("b", 15L, None),        // only right row is at 99 > 15
+      ("b", 5L, None),
+      ("c", 50L, None)))       // no right rows for key
+  }
+
+  test("asofJoin forward: smallest right ts >= left ts") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
+        payload = Seq("rval"), forward = true)
+      .select("k", "lts", "r_rval").as[(String, Long, Option[Double])]
+      .collect().toSet
+    assert(out === Set(
+      ("a", 10L, Some(200.0)), // next at 20
+      ("a", 20L, Some(200.0)), // inclusive
+      ("a", 30L, None),        // nothing after 25? 25 < 30 → none
+      ("b", 15L, Some(400.0)),
+      ("b", 5L, Some(400.0)),
+      ("c", 50L, None)))
+  }
+
+  test("asofJoin tolerance nulls out matches beyond the horizon") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
+        payload = Seq("rval"), tolerance = Some(2L))
+      .select("k", "lts", "r_rval").as[(String, Long, Option[Double])]
+      .collect().toSet
+    assert(out === Set(
+      ("a", 10L, Some(100.0)), // gap 2 <= 2
+      ("a", 20L, Some(200.0)), // gap 0
+      ("a", 30L, None),        // nearest is 25, gap 5 > 2
+      ("b", 15L, None), ("b", 5L, None), ("c", 50L, None)))
+  }
+
+  test("asofJoin matches the naive per-key argmax join") {
+    // randomized cross-check on a denser frame
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(200)(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "lts", "lid")
+    val r = Seq.tabulate(300)(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, i.toDouble))
+      .toDF("k", "rts", "rval")
+      // de-dup (k, rts) so the naive argmax is unique
+      .groupBy("k", "rts").agg(max("rval").as("rval"))
+    val got = Temporal.asofJoin(l, r, Seq("k"), "lts", "rts", Seq("rval"))
+      .select("lid", "r_rval").as[(Long, Option[Double])].collect().toMap
+    val naive = l.join(r, l("k") === r("k") && r("rts") <= l("lts"), "left")
+      .groupBy("lid").agg(max(struct(col("rts"), col("rval"))).as("m"))
+      .select(col("lid"), col("m.rval"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got === naive)
+  }
+
+  test("asofJoin plan is join-free (one window, no Join node)") {
+    val plan = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
+      Seq("rval")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join in:\n$plan")
+  }
+
+  test("intervalJoin matches the naive theta join, each pair once") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(300)(i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(5000).toLong, i.toLong))
+      .toDF("k", "ts", "pid")
+    val ivs = Seq.tabulate(60)(i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(5000).toLong, i.toLong))
+      .map { case (k, s, id) => (k, s, s + 1 + rnd.nextInt(900), id) }
+      .toDF("k", "s", "e", "iid")
+    val got = Temporal.intervalJoin(pts, ivs, Seq("k"), "ts", "s", "e", 256L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = pts.join(ivs.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === naive)
+    assert(got.distinct === got, "no duplicate pairs")
+  }
+
+  test("intervalJoin plans an equi-join (SortMerge/Hash, not NestedLoop)") {
+    val pts = Seq(("a", 10L, 1L)).toDF("k", "ts", "pid")
+    val ivs = Seq(("a", 5L, 15L, 1L)).toDF("k", "s", "e", "iid")
+    val plan = Temporal.intervalJoin(pts, ivs, Seq("k"), "ts", "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"expected equi-join in:\n$plan")
+  }
+
+  test("sessionize splits on gap and is 0-based per key") {
+    val df = Seq(
+      ("u1", 0L), ("u1", 50L), ("u1", 200L), ("u1", 210L), ("u1", 500L),
+      ("u2", 1000L)
+    ).toDF("u", "ts")
+    val got = Temporal.sessionize(df, Seq("u"), "ts", gapTicks = 100L)
+      .select("u", "ts", "session_id").as[(String, Long, Long)]
+      .collect().toSet
+    assert(got === Set(
+      ("u1", 0L, 0L), ("u1", 50L, 0L),     // gap 50 <= 100
+      ("u1", 200L, 1L), ("u1", 210L, 1L),  // gap 150 > 100 → new
+      ("u1", 500L, 2L),
+      ("u2", 1000L, 0L)))
+  }
+
+  test("counterRate handles resets as restart-from-zero") {
+    val df = Seq(
+      // key, ts, counter: grows 0→40, resets to 5 (inc 5), grows to 25
+      ("s", 0L, 0L), ("s", 10L, 40L), ("s", 20L, 5L), ("s", 30L, 25L),
+      // second bucket
+      ("s", 100L, 30L)
+    ).toDF("k", "ts", "c")
+    val got = Temporal.counterRate(df, Seq("k"), "ts", "c", bucketSec = 100L)
+      .select("k", "bucket", "rate").as[(String, Long, Option[Double])]
+      .collect().toSet
+    // bucket 0: incs = (40, 5, 20) → 65/100; bucket 100: inc = 5 → 5/100
+    assert(got === Set(("s", 0L, Some(0.65)), ("s", 100L, Some(0.05))))
+  }
+
+  test("ewma equals the sequential recurrence per key") {
+    val rnd = new scala.util.Random(3)
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 50)
+      yield (k, i.toLong * 60, rnd.nextDouble() * 10)
+    val df = rows.toDF("k", "b", "v")
+    val got = Temporal.ewma(df, Seq("k"), "b", "v", alpha = 0.25)
+      .select("k", "b", "ewma").as[(String, Long, Double)]
+      .collect().groupBy(_._1).map { case (k, a) =>
+        k -> a.sortBy(_._2).map(_._3).toSeq }
+    val want = rows.groupBy(_._1).map { case (k, a) =>
+      val vs = a.sortBy(_._2).map(_._3)
+      k -> vs.tail.scanLeft(vs.head)((e, v) => 0.25 * v + 0.75 * e).toSeq
+    }
+    for (k <- Seq("a", "b"); (g, w) <- got(k).zip(want(k)))
+      assert(math.abs(g - w) < 1e-12, s"key $k")
+  }
+
+  test("semanticDedup drops within-cell near-dups; cap excludes hot cells") {
+    // two tight clusters + isolated points; centroids = the two anchors
+    val base = Seq(1.0, 0.0, 0.0, 0.0)
+    val other = Seq(0.0, 1.0, 0.0, 0.0)
+    def jitter(v: Seq[Double], eps: Double, i: Int): Seq[Double] =
+      v.updated(2, eps * (i + 1))
+    val rows =
+      (0 until 4).map(i => (i.toLong, jitter(base, 0.01, i))) ++
+      (4 until 8).map(i => (i.toLong, jitter(other, 0.01, i))) ++
+      Seq((8L, Seq(0.0, 0.0, 0.0, 1.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Array(base.toArray, other.toArray)
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      cents, tau = 0.99).select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 4L, 8L), "one survivor per cluster + isolate")
+    // with a cap of 3, both 4-member cells are dropped from candidacy:
+    // nothing is removed
+    val keptCap = Similarity.semanticDedup(df, "vec_id", "embedding",
+      cents, tau = 0.99, maxCell = 3).select("vec_id").as[Long]
+      .collect().toSet
+    assert(keptCap === rows.map(_._1).toSet)
+  }
+}
