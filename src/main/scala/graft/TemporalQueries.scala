@@ -126,6 +126,40 @@ object TemporalQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // ── rolling correlation between the click and purchase hourly series
+    //    (full 24-bucket windows only: partial windows can have zero
+    //    variance → NaN-vs-NULL divergence between engines)
+    "q_rolling_corr" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("bucket",
+        (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+      def series(t: String, out: String) =
+        e.filter(col("event_type") === t).groupBy("bucket")
+          .agg(exactAvg(col("value")).as(out))
+      val joined = series("click", "x").join(series("purchase", "y"), "bucket")
+      val rolled = Temporal.rollingCorr(joined, Nil, "bucket", "x", "y",
+        windowBuckets = 24)
+      val w = Window.orderBy("bucket")
+      rolled.withColumn("rn", row_number().over(w))
+        .filter(col("rn") >= 24)
+        .select(col("bucket"), round(col("roll_corr"), 6).as("roll_corr"))
+        .orderBy("bucket")
+    }),
+
+    // ── lead/lag detection: corr(click_t, purchase_{t+lag}) for ±6 hours
+    "q_xcorr" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("bucket",
+        (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+      def series(t: String, out: String) =
+        e.filter(col("event_type") === t).groupBy("bucket")
+          .agg(exactAvg(col("value")).as(out))
+      val joined = series("click", "x").join(series("purchase", "y"), "bucket")
+      Temporal.crossCorr(joined, Nil, "bucket", "x", "y",
+          maxLag = 6, step = HOUR)
+        .select(col("lag"), round(col("xcorr"), 6).as("xcorr"),
+          col("n_overlap"))
+        .orderBy("lag")
+    }),
+
     // ── semantic dedup: k-means-cell candidate sets (centroids pinned to
     //    the 16 lowest-id vectors so the oracle can replicate assignment)
     "q_semantic_dedup" -> ((s, dir) => {
@@ -256,6 +290,62 @@ object TemporalQueries {
         |)
         |SELECT event_type, bucket, round(e, 6) AS ewma
         |FROM r ORDER BY 1, 2""".stripMargin,
+
+    "q_rolling_corr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), cx AS (
+        |  SELECT bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS x
+        |  FROM e WHERE event_type = 'click' GROUP BY 1
+        |), cy AS (
+        |  SELECT bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS y
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1
+        |), j AS (
+        |  SELECT cx.bucket, x, y FROM cx JOIN cy USING (bucket)
+        |), r AS (
+        |  SELECT bucket,
+        |         corr(x, y) OVER (ORDER BY bucket
+        |           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS roll_corr,
+        |         row_number() OVER (ORDER BY bucket) AS rn
+        |  FROM j
+        |)
+        |SELECT bucket, round(roll_corr, 6) AS roll_corr
+        |FROM r WHERE rn >= 24 ORDER BY bucket""".stripMargin,
+
+    "q_xcorr" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), cx AS (
+        |  SELECT bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS x
+        |  FROM e WHERE event_type = 'click' GROUP BY 1
+        |), cy AS (
+        |  SELECT bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS y
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1
+        |), j AS (
+        |  SELECT cx.bucket, x, y FROM cx JOIN cy USING (bucket)
+        |), lags AS (
+        |  SELECT unnest(generate_series(-6, 6)) AS lag
+        |), shifted AS (
+        |  SELECT l.lag, a.x, b.y
+        |  FROM lags l
+        |  JOIN j a ON TRUE
+        |  JOIN j b ON b.bucket = a.bucket + l.lag * 3600
+        |)
+        |SELECT lag, round(corr(x, y), 6) AS xcorr,
+        |       count(*) AS n_overlap
+        |FROM shifted GROUP BY lag ORDER BY lag""".stripMargin,
 
     // assignment CTE mirrors q_ann_ivf (centroids = 16 lowest-id vectors,
     // argmax-cosine cell, ties → lowest cell); then within-cell pairs with

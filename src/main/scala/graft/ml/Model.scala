@@ -86,7 +86,9 @@ object ModelRegistry {
   }
 
   // built-in types (the reference ships 'donut'; we ship the seasonal
-  // baseline + the windowed reconstructor targeting donut's quality floors)
+  // baseline + the windowed reconstructor targeting donut's quality
+  // floors + additive Holt-Winters for trending seasonal series)
   register(SeasonalModelType)
   register(WindowReconstructor)
+  register(HoltWintersType)
 }

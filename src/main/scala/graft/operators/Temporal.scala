@@ -167,6 +167,45 @@ object Temporal {
       .agg((sum(col("__inc")) / lit(bucketSec.toDouble)).as("rate"))
   }
 
+  /** Rolling Pearson correlation between two bucketized series sharing a
+    * bucket column: `corr(x, y)` over the trailing `windowBuckets` rows,
+    * per key. Detects coupling changes between metrics (a cache and its
+    * DB decorrelating is an incident signal no single-series monitor
+    * sees). Runs AFTER bucketization, so partition size is O(buckets) —
+    * bounded by the query range, not data volume; `corr` is a built-in
+    * declarative aggregate, fully codegen-compatible over the frame.
+    */
+  def rollingCorr(series: DataFrame, keys: Seq[String], bucketCol: String,
+      xCol: String, yCol: String, windowBuckets: Int): DataFrame = {
+    val w = (if (keys.isEmpty) Window.orderBy(col(bucketCol))
+      else Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol)))
+      .rowsBetween(-(windowBuckets - 1), Window.currentRow)
+    series.withColumn("roll_corr", corr(col(xCol), col(yCol)).over(w))
+  }
+
+  /** Cross-correlation by lag: Pearson correlation between `x_t` and
+    * `y_{t+lag·step}` for every lag in `[-maxLag, maxLag]` — the lead/lag
+    * detector ("purchases track clicks with a 2h delay"). One self-join
+    * per plan (the lag axis explodes from a literal array, then a single
+    * equi-join aligns the shifted series), one aggregation keyed by
+    * (keys, lag): both shuffles are on small keyed series, never raw
+    * events. Output: one row per lag with its correlation.
+    */
+  def crossCorr(series: DataFrame, keys: Seq[String], bucketCol: String,
+      xCol: String, yCol: String, maxLag: Int, step: Long): DataFrame = {
+    val lags = typedlit((-maxLag to maxLag).map(_.toLong))
+    val x = series.select((keys.map(col) ++ Seq(col(bucketCol).as("__b"),
+      col(xCol).as("__x"))): _*)
+      .withColumn("lag", explode(lags))
+      .withColumn("__b", col("__b") + col("lag") * step)
+    val y = series.select((keys.map(col) ++ Seq(col(bucketCol).as("__b"),
+      col(yCol).as("__y"))): _*)
+    x.join(y, keys :+ "__b")
+      .groupBy((keys.map(col) :+ col("lag")): _*)
+      .agg(corr(col("__x"), col("__y")).as("xcorr"),
+        count(lit(1)).as("n_overlap"))
+  }
+
   /** Exponentially-weighted moving average over an already-bucketized
     * series: `ewma_i = α·v_i + (1−α)·ewma_{i−1}`, seeded with the first
     * value. Input is one row per (keys, bucketCol); output adds `ewma`.

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.{HoltWinters, HoltWintersParams, HoltWintersType, ModelRegistry}
+
+class HoltWintersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L
+
+  /** level 100, +0.5/bucket trend, daily sine season, deterministic. */
+  private def synth(nDays: Int, noise: Double = 0.0): Seq[(Long, Double)] = {
+    val rnd = new scala.util.Random(42)
+    (0 until nDays * 24).map { i =>
+      val season = 10.0 * math.sin(2 * math.Pi * (i % 24) / 24.0)
+      (i * H, 100.0 + 0.5 * i + season + noise * rnd.nextGaussian())
+    }
+  }
+
+  test("exact on a noiseless linear series (alpha=beta=1, no season)") {
+    val series = (0 until 48).map(i => (i * H, Some(3.0 + 2.0 * i)))
+    val p = HoltWintersParams(bucketInterval = H, period = H, // m = 1
+      alpha = 1.0, beta = 1.0, gamma = 0.0)
+    val st = HoltWinters.fit(series, p)
+    // state at t=47: level = y_47, trend = 2 per bucket
+    assert(math.abs(st.level - (3.0 + 2.0 * 47)) < 1e-9)
+    assert(math.abs(st.trend - 2.0) < 1e-9)
+  }
+
+  test("tracks trend + season: one-step RMS far below series stddev") {
+    val series = synth(10, noise = 1.0).map { case (b, v) => (b, Some(v)) }
+    val p = HoltWintersParams(bucketInterval = H, period = 86400L)
+    val st = HoltWinters.fit(series, p)
+    val values = series.map(_._2.get)
+    val mean = values.sum / values.size
+    val sd = math.sqrt(values.map(v => (v - mean) * (v - mean)).sum / values.size)
+    // series stddev is dominated by trend+season (~35); a fitted model's
+    // innovation scale should be near the noise floor
+    assert(st.sigma < sd / 5, s"sigma=${st.sigma} vs sd=$sd")
+    assert(st.sigma < 3.0, s"sigma=${st.sigma} should approach noise=1")
+  }
+
+  test("forecast continues trend and season within tolerance") {
+    val nDays = 20
+    val series = synth(nDays).map { case (b, v) => (b, Some(v)) }
+    val p = HoltWintersParams(bucketInterval = H, period = 86400L,
+      alpha = 0.3, beta = 0.01, gamma = 0.5)
+    val st = HoltWinters.fit(series, p)
+    val df = HoltWinters.profileFrame(spark, st)
+    val model = HoltWintersType.load(spark, df,
+      s"""{"type":"holtwinters","bucket_interval":$H,"period":86400,
+         |"alpha":0.3,"beta":0.01,"gamma":0.5,"level":${st.level},
+         |"trend":${st.trend},"sigma":${st.sigma},
+         |"last_bucket":${st.lastBucket}}""".stripMargin)
+    val from = nDays * 24 * H
+    val fc = model.forecast(spark, from, from + 24 * H)
+      .select("bucket", "predicted").as[(Long, Double)].collect().toMap
+    (0 until 24).foreach { i =>
+      val b = from + i * H
+      val truth = 100.0 + 0.5 * (nDays * 24 + i) +
+        10.0 * math.sin(2 * math.Pi * (i % 24) / 24.0)
+      assert(math.abs(fc(b) - truth) < 2.5,
+        s"h=$i: forecast ${fc(b)} vs truth $truth")
+    }
+  }
+
+  test("registry train → predict contract; save/load roundtrip") {
+    val series = synth(6, noise = 0.5)
+    val bucketed = series.toDF("bucket", "v")
+    val settings = s"""{"type":"holtwinters","bucket_interval":$H,
+      |"period":86400,"alpha":0.3,"beta":0.01,"gamma":0.4}""".stripMargin
+    val model = ModelRegistry("holtwinters").train(bucketed, "v", settings)
+    val scored = model.predict(bucketed.limit(48), "v")
+    assert(scored.columns.toSet.intersect(
+      Set("predicted", "lower", "upper", "score")).size == 4)
+    assert(scored.count() == 48)
+    // scores are in [0, 100]
+    val mm = scored.agg(min("score"), max("score")).as[(Double, Double)].head()
+    assert(mm._1 >= 0.0 && mm._2 <= 100.0)
+
+    val root = java.nio.file.Files.createTempDirectory("hw").toString
+    model.save(root, "hw1")
+    val loaded = ModelRegistry.load(spark, root, "hw1")
+    val a = model.forecast(spark, 1000 * H, 1010 * H)
+      .select("predicted").as[Double].collect().toSeq
+    val b = loaded.forecast(spark, 1000 * H, 1010 * H)
+      .select("predicted").as[Double].collect().toSeq
+    assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+  }
+
+  test("grid fitBest beats a bad fixed configuration in-sample") {
+    val series = synth(8, noise = 1.0).map { case (b, v) => (b, Some(v)) }
+    val base = HoltWintersParams(bucketInterval = H, period = 86400L)
+    val bad = HoltWinters.fit(series, base.copy(
+      alpha = 0.8, beta = 0.1, gamma = 0.1)) // a measured "rippler"
+    val (bestP, best) = HoltWinters.fitBest(series, base)
+    assert(best.sigma <= bad.sigma)
+    assert(Seq(0.1, 0.3, 0.5, 0.8).contains(bestP.alpha))
+    assert(Seq(0.01, 0.05).contains(bestP.beta))
+    assert(Seq(0.1, 0.3, 0.6).contains(bestP.gamma))
+  }
+
+  test("gaps roll the state forward without seasonal corruption") {
+    val full = synth(6).map { case (b, v) => (b, Some(v)) }
+    // knock out day 4 entirely
+    val gappy = full.filterNot { case (b, _) =>
+      b >= 3L * 86400 && b < 4L * 86400 }
+    val p = HoltWintersParams(bucketInterval = H, period = 86400L,
+      alpha = 0.3, beta = 0.01, gamma = 0.5)
+    val st = HoltWinters.fit(gappy, p)
+    val stFull = HoltWinters.fit(full, p)
+    // same forecast origin, similar state despite the missing day
+    assert(st.lastBucket == stFull.lastBucket)
+    assert(math.abs(st.level - stFull.level) < 5.0)
+    assert(math.abs(st.trend - stFull.trend) < 0.5)
+  }
+}

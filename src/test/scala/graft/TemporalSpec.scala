@@ -165,6 +165,26 @@ class TemporalSpec extends SparkSpec {
       assert(math.abs(g - w) < 1e-12, s"key $k")
   }
 
+  test("crossCorr finds a planted lag; rollingCorr windows correctly") {
+    // y_t = x_{t-2}: y LAGS x by 2 buckets → best lag = +2
+    val rnd = new scala.util.Random(9)
+    val x = Seq.tabulate(200)(i => (i.toLong, rnd.nextDouble()))
+    val xm = x.toMap
+    val rows = x.collect { case (b, v) if b >= 2 =>
+      (b, v, xm(b - 2)) }
+    val df = rows.toDF("bucket", "x", "y")
+    val cc = Temporal.crossCorr(df, Nil, "bucket", "x", "y",
+        maxLag = 4, step = 1L)
+      .select("lag", "xcorr").as[(Long, Double)].collect().toMap
+    assert(math.abs(cc(2L) - 1.0) < 1e-9, s"lag 2 corr = ${cc(2L)}")
+    assert(cc.filter(_._1 != 2L).values.forall(math.abs(_) < 0.3))
+    // rolling corr over a window where x == y is exactly 1
+    val same = x.toDF("bucket", "x").withColumn("y", col("x"))
+    val rc = Temporal.rollingCorr(same, Nil, "bucket", "x", "y", 10)
+      .filter(col("bucket") >= 9).select("roll_corr").as[Double].collect()
+    assert(rc.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
   test("semanticDedup drops within-cell near-dups; cap excludes hot cells") {
     // two tight clusters + isolated points; centroids = the two anchors
     val base = Seq(1.0, 0.0, 0.0, 0.0)
