@@ -337,6 +337,39 @@ object DataPipelineQueries {
         .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
         .orderBy("query_id", "rank")
     }),
+
+    // ── incremental LSH dedup: today's crawl (20% of docs) against the
+    //    standing corpus (the other 80%) — survivors of the new batch
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.lshDedupAgainst(
+          d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "doc_id", "text", numHashes = H, bands = 4, tau = 0.5)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
+    // ── incremental EXACT dedup via the Bloom-prefiltered anti-join
+    //    (result identical to a plain anti-join on the content hash)
+    "q_dedup_exact_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exactDedupAgainst(
+          d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "text", expectedItems = 100000L)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
+    // ── weighted sample (Efraimidis–Spirakis, weight = n_chars)
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedTopK(docs(s, dir), "doc_id",
+          col("n_chars").cast("double"), k = 60)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
+    // ── corpus heavy hitters: top word bigrams by occurrence count
+    "q_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 40)
+        .orderBy(col("cnt").desc, col("ngram"))),
   )
 
   // ───────────────────────── oracle SQL ─────────────────────────
@@ -1136,5 +1169,67 @@ object DataPipelineQueries {
         |)
         |SELECT query_id, rank, match_id, round(qcos_raw + 1e-9, 4) AS qcos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Dedup.lshDedupAgainst: incoming (doc_id%5=0) band keys
+    // joined against corpus (doc_id%5≠0) band keys, verified at sig
+    // agreement ≥ 0.5; matched incoming docs removed
+    "q_dedup_incremental" -> {
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, md5(CAST(sig_${2 * b} AS VARCHAR) || '_' || " +
+          s"CAST(sig_${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      val eq = (0 until H)
+        .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shinglesCte, $sigsCte,
+         |bandkeys AS (
+         |  $bandRows
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS corp_id
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |), removed AS (
+         |  SELECT DISTINCT c.in_id AS doc_id
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc_id = c.in_id
+         |  JOIN sigs sb ON sb.doc_id = c.corp_id
+         |  WHERE CAST($eq AS DOUBLE) / ${H}.0 >= 0.5
+         |)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id % 5 = 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_dedup_exact_incr" ->
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id % 5 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(d.text))
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |         pow(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |               AS BIGINT) / 4294967296.0,
+        |             1.0 / CAST(n_chars AS DOUBLE)) AS wk
+        |  FROM documents
+        |  ORDER BY wk DESC, doc_id LIMIT 60
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1]) END) AS ngram
+        |  FROM t
+        |)
+        |SELECT ngram, count(*) AS cnt FROM g
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 40""".stripMargin,
   )
 }

@@ -315,6 +315,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ── §2.11 Holt-Winters: train on days 1-20 (explicit α,β,γ — the
+    //    grid-searched path is unit-tested), forecast 48h from the split
+    "q_holtwinters" -> ((s, dir) => {
+      val settings =
+        """{"type":"holtwinters","bucket_interval":3600,"period":86400,
+          |"alpha":0.3,"beta":0.01,"gamma":0.3}""".stripMargin
+      val m = graft.ml.HoltWintersType.train(
+        hourlyAvg(s, dir, FROM, SPLIT), "observed", settings)
+      m.forecast(s, SPLIT, SPLIT + 2 * 86400L)
+        .select(
+          col("bucket"),
+          round(col("predicted"), 4).as("predicted"),
+          round(col("lower"), 4).as("lower"),
+          round(col("upper"), 4).as("upper"))
+        .orderBy("bucket")
+    }),
+
     // ── §2.11 forecast at a requested confidence with horizon noise
     //    (percent_interval/percent_noise, loudml/donut.py:1338-1339,1415,
     //    1423): z = Φ⁻¹(1−(1−0.68)/2) ≈ 0.9945, half-band grows by
@@ -721,6 +738,81 @@ object SparkEntry {
       s"""$seasonalSql
          |SELECT round(avg((observed - predicted)*(observed - predicted)), 4) AS mse
          |FROM scored""".stripMargin,
+
+    // the Holt-Winters fold replayed as a recursive CTE with the seasonal
+    // vector carried as a LIST column — every double op in the same order
+    // as HoltWinters.fit; z is a plan literal from the same Scala normPpf
+    // the query uses (cannot drift); list_reduce forces the sequential
+    // summation order of Seq.sum in the init means
+    "q_holtwinters" -> {
+      val alpha = 0.3; val beta = 0.01; val gamma = 0.3; val m = 24
+      val z = graft.functions.Stats.normPpf(
+        1.0 - (1.0 - 0.9973002039367398) / 2.0)
+      val roll = s"(CASE WHEN (o.bucket - f.prev_bucket) // $HOUR > 1 " +
+        s"THEN f.lvl + CAST((o.bucket - f.prev_bucket) // $HOUR - 1 AS DOUBLE) * f.tr " +
+        "ELSE f.lvl END)"
+      val sj = "f.season[CAST(o.slot AS INT) + 1]"
+      val predExpr = "(st.lvl + CAST((f.bucket - st.last_bucket) // " +
+        s"$HOUR AS DOUBLE) * st.tr + " +
+        s"st.season[CAST((f.bucket % 86400) // $HOUR AS INT) + 1])"
+      s"""WITH RECURSIVE train_agg AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT GROUP BY 1
+         |), obs AS (
+         |  SELECT bucket, v, (bucket % 86400) // $HOUR AS slot,
+         |         row_number() OVER (ORDER BY bucket) AS rn
+         |  FROM train_agg WHERE v IS NOT NULL
+         |), nobs AS (SELECT count(*) AS n FROM obs),
+         |s1 AS (
+         |  SELECT list_reduce(list(v ORDER BY rn), (a, b) -> a + b) AS sum1,
+         |         count(*) AS n1
+         |  FROM obs WHERE rn <= $m
+         |), s2 AS (
+         |  SELECT CASE WHEN count(*) > 0
+         |              THEN list_reduce(list(v ORDER BY rn), (a, b) -> a + b) END AS sum2,
+         |         count(*) AS n2
+         |  FROM obs WHERE rn > $m AND rn <= ${2 * m}
+         |), init AS (
+         |  SELECT sum1/n1 AS mean1,
+         |         CASE WHEN n2 > 0 THEN (sum2/n2 - sum1/n1) / $m ELSE 0.0 END AS trend0
+         |  FROM s1, s2
+         |), slot_last AS (
+         |  SELECT slot, v FROM (
+         |    SELECT slot, v, row_number() OVER (PARTITION BY slot ORDER BY rn DESC) AS rr
+         |    FROM obs WHERE rn <= $m) t WHERE rr = 1
+         |), season0 AS (
+         |  SELECT list(coalesce(sl.v - (SELECT mean1 FROM init), 0.0) ORDER BY g.j) AS season
+         |  FROM generate_series(0, ${m - 1}) g(j) LEFT JOIN slot_last sl ON sl.slot = g.j
+         |), fold AS (
+         |  SELECT CAST(0 AS BIGINT) AS rn,
+         |         (SELECT mean1 FROM init) AS lvl,
+         |         (SELECT trend0 FROM init) AS tr,
+         |         (SELECT season FROM season0) AS season,
+         |         (SELECT bucket FROM obs WHERE rn = 1) AS prev_bucket,
+         |         CAST(0.0 AS DOUBLE) AS sse
+         |  UNION ALL
+         |  SELECT o.rn,
+         |         $alpha * (o.v - $sj) + (1 - $alpha) * ($roll + f.tr) AS newlvl,
+         |         $beta * (newlvl - $roll) + (1 - $beta) * f.tr AS newtr,
+         |         list_transform(range(1, ${m + 1}), i -> CASE WHEN i - 1 = o.slot
+         |             THEN $gamma * (o.v - newlvl) + (1 - $gamma) * $sj
+         |             ELSE f.season[CAST(i AS INT)] END) AS season,
+         |         o.bucket AS prev_bucket,
+         |         f.sse + (o.v - ($roll + f.tr + $sj)) * (o.v - ($roll + f.tr + $sj)) AS sse
+         |  FROM fold f JOIN obs o ON o.rn = f.rn + 1
+         |), st AS (
+         |  SELECT lvl, tr, season, prev_bucket AS last_bucket,
+         |         greatest(sqrt(sse / (SELECT n FROM nobs)), 1e-9) AS sigma
+         |  FROM fold WHERE rn = (SELECT n FROM nobs)
+         |), fspine AS (
+         |  SELECT unnest(generate_series($SPLIT, ${SPLIT + 2 * 86400 - HOUR}, $HOUR)) AS bucket
+         |)
+         |SELECT f.bucket,
+         |       round($predExpr, 4) AS predicted,
+         |       round($predExpr - $z * st.sigma, 4) AS lower,
+         |       round($predExpr + $z * st.sigma, 4) AS upper
+         |FROM fspine f, st ORDER BY f.bucket""".stripMargin
+    },
 
     // z and per-step noise are plan literals computed by the same Scala
     // code the query uses (they cannot drift); step j is exact (buckets

@@ -160,6 +160,22 @@ object TemporalQueries {
         .orderBy("lag")
     }),
 
+    // ── linear interpolation of gap hours in the sparse 'error' series
+    "q_interpolate" -> ((s, dir) => {
+      val from = 1704067200L // 2024-01-01T00:00:00Z (events table range)
+      val to = 1706659200L   // 2024-01-31T00:00:00Z
+      val spine = s.range(from / HOUR, to / HOUR)
+        .select((col("id") * HOUR).as("bucket"))
+      val agg = ev(s, dir).filter(col("event_type") === "error")
+        .groupBy((expr("ts_nanos div 1000000000 div 3600") * HOUR)
+          .cast("long").as("bucket"))
+        .agg(exactAvg(col("value")).as("v"))
+      val series = spine.join(agg, Seq("bucket"), "left")
+      Temporal.interpolate(series, Nil, "bucket", "v")
+        .select(col("bucket"), round(col("v"), 6).as("v"))
+        .orderBy("bucket")
+    }),
+
     // ── semantic dedup: k-means-cell candidate sets (centroids pinned to
     //    the 16 lowest-id vectors so the oracle can replicate assignment)
     "q_semantic_dedup" -> ((s, dir) => {
@@ -346,6 +362,40 @@ object TemporalQueries {
         |SELECT lag, round(corr(x, y), 6) AS xcorr,
         |       count(*) AS n_overlap
         |FROM shifted GROUP BY lag ORDER BY lag""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(1704067200, 1706659200 - 3600, 3600))
+        |    AS bucket
+        |), agg AS (
+        |  SELECT CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |), s AS (
+        |  SELECT spine.bucket, agg.v FROM spine LEFT JOIN agg USING (bucket)
+        |), f AS (
+        |  SELECT bucket, v,
+        |         last_value(v IGNORE NULLS) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN bucket END
+        |           IGNORE NULLS) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+        |         first_value(v IGNORE NULLS) OVER (ORDER BY bucket
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN bucket END
+        |           IGNORE NULLS) OVER (ORDER BY bucket
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM s
+        |)
+        |SELECT bucket,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |                    pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE)
+        |                      / CAST(nb - pb AS DOUBLE))
+        |             END, 6) AS v
+        |FROM f ORDER BY bucket""".stripMargin,
 
     // assignment CTE mirrors q_ann_ivf (centroids = 16 lowest-id vectors,
     // argmax-cosine cell, ties → lowest cell); then within-cell pairs with

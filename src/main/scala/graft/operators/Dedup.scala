@@ -263,42 +263,135 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
       tau: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val rowsPer = numHashes / bands
-    require(rowsPer * bands == numHashes, "bands must divide numHashes")
-    // band keys WITH the signature struct riding along: the verify stage
-    // reads both sides' signatures straight off the candidate join, so
-    // the shingle→signature pipeline appears exactly twice in the plan
-    // (the two join sides) instead of four times (band self-join + two
-    // sigs lookups). Payload is numHashes longs per row — cheap shuffle.
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPer).map(r => col(s"sig_${b * rowsPer + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("key"))
-    }
-    val allKeyed = sigs.withColumn("bk", explode(array(bandCols: _*)))
-      .select(col(idCol), col("bk.band").as("band"),
-        col("bk.key").as("band_key"),
-        struct((0 until numHashes).map(i => col(s"sig_$i")): _*).as("sig"))
+    val allKeyed = bandKeyedSigs(df, idCol, textCol, numHashes, bands, shingleN)
     val keyed =
       if (maxBucket == Int.MaxValue) allKeyed
-      else {
-        val overCap = allKeyed.groupBy("band", "band_key")
-          .agg(count(lit(1)).as("__cnt"))
-          .filter(col("__cnt") > maxBucket)
-          .select("band", "band_key")
-        allKeyed.join(broadcast(overCap), Seq("band", "band_key"), "left_anti")
-      }
-    val est = (0 until numHashes)
-      .map(i => when(col(s"a.sig.sig_$i") === col(s"b.sig.sig_$i"), 1)
-        .otherwise(0))
-      .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
+      else allKeyed.join(
+        broadcast(overCapKeys(allKeyed, maxBucket)),
+        Seq("band", "band_key"), "left_anti")
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(est >= tau)
+      .filter(sigAgreement(numHashes) >= tau)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  /** Band keys WITH the signature struct riding along: the verify stage
+    * reads both sides' signatures straight off the candidate join, so the
+    * shingle→signature pipeline appears exactly once per join side in the
+    * plan (instead of once for the band join plus once per sig lookup).
+    * Payload is numHashes longs per row — cheap shuffle. Shared by the
+    * self-join ([[lshVerifiedPairs]]) and cross-corpus
+    * ([[lshDedupAgainst]]) candidate stages. */
+  private def bandKeyedSigs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val rowsPer = numHashes / bands
+    require(rowsPer * bands == numHashes, "bands must divide numHashes")
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPer).map(r => col(s"sig_${b * rowsPer + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("key"))
+    }
+    sigs.withColumn("bk", explode(array(bandCols: _*)))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.key").as("band_key"),
+        struct((0 until numHashes).map(i => col(s"sig_$i")): _*).as("sig"))
+  }
+
+  /** Fraction of agreeing signature rows between join sides `a`/`b`. */
+  private def sigAgreement(numHashes: Int): Column =
+    (0 until numHashes)
+      .map(i => when(col(s"a.sig.sig_$i") === col(s"b.sig.sig_$i"), 1)
+        .otherwise(0))
+      .reduce(_ + _).cast("double") / lit(numHashes.toDouble)
+
+  /** Tiny (band, band_key) set whose bucket exceeds `maxBucket` rows. */
+  private def overCapKeys(keyed: DataFrame, maxBucket: Int): DataFrame =
+    keyed.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBucket)
+      .select("band", "band_key")
+
+  /** Incremental (cross-corpus) LSH dedup — the "today's crawl vs the
+    * existing corpus" shape: drop from `incoming` every doc whose
+    * estimated Jaccard (signature agreement) against ANY `corpus` doc
+    * reaches `tau`. Same banding/verify machinery as [[lshDedup]], but the
+    * candidate stage is an equi-join BETWEEN the two corpora's band keys,
+    * so cost is |incoming|·(hits per band bucket), never |corpus|².
+    *
+    * Scale shape: the corpus side's band-keyed signatures are a pure
+    * per-row projection of the corpus (zero-shuffle signatures), so the
+    * only exchanges are the candidate equi-join's two hash partitions and
+    * the final anti-join — identical to appending the crawl to the corpus
+    * and re-running full dedup, minus the corpus×corpus quadrant it would
+    * redundantly re-verify. The bucket cap is measured on the CORPUS side
+    * (the big side — a hot template bucket there is what explodes the
+    * join) and removes that key from both sides; per surviving incoming
+    * row the join fan-out is then ≤ bands·maxBucket.
+    */
+  def lshDedupAgainst(
+      incoming: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      tau: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val inKeyed = bandKeyedSigs(incoming, idCol, textCol,
+      numHashes, bands, shingleN)
+    val corpKeyed = bandKeyedSigs(corpus, idCol, textCol,
+      numHashes, bands, shingleN)
+    val (inSide, corpSide) =
+      if (maxBucket == Int.MaxValue) (inKeyed, corpKeyed)
+      else {
+        val overCap = broadcast(overCapKeys(corpKeyed, maxBucket))
+        (inKeyed.join(overCap, Seq("band", "band_key"), "left_anti"),
+          corpKeyed.join(overCap, Seq("band", "band_key"), "left_anti"))
+      }
+    val matched = inSide.as("a")
+      .join(corpSide.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key"))
+      .filter(sigAgreement(numHashes) >= tau)
+      .select(col(s"a.$idCol").as(idCol))
+      .distinct()
+    incoming.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /** Exact anti-join with a Bloom prefilter — membership against a key
+    * set too large to broadcast (corpus content fingerprints, seen-URL
+    * tables). A Bloom "no" is definitive, so only the tiny might-contain
+    * fraction (true matches + fpp of the rest) pays the exact shuffled
+    * anti-join; everything else passes with a narrow codegen'd filter.
+    * Result is EXACT (the filter never decides membership alone):
+    * bloom-negatives ∪ (bloom-positives anti-join keys).
+    *
+    * The built filter is driver-materialized and rides the probe plan as
+    * a literal — same tradeoff as any broadcast build side (sized by
+    * `numBits`, e.g. 1e9 keys @1% ≈ 1.2 GB; size to the real key count).
+    */
+  def bloomAntiJoin(df: DataFrame, keys: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomExprs
+    val bloomRow = keys
+      .agg(BloomExprs.bloomAgg(col(keyCol), expectedItems, fpp).as("bf"))
+      .head()
+    if (bloomRow.isNullAt(0)) df // empty key set: nothing to remove
+    else {
+      val bytes = bloomRow.getAs[Array[Byte]](0)
+      val maybe = df.filter(BloomExprs.mightContain(bytes, col(keyCol)))
+      val clear = df.filter(!BloomExprs.mightContain(bytes, col(keyCol)))
+      clear.unionByName(maybe.join(keys, Seq(keyCol), "left_anti"))
+    }
+  }
+
+  /** Incremental EXACT dedup: drop incoming docs whose content hash
+    * already exists in the corpus, via [[bloomAntiJoin]] on the md5
+    * content key — so at 100 TB the corpus fingerprint set is consulted
+    * by a narrow filter and only candidate rows shuffle. */
+  def exactDedupAgainst(incoming: DataFrame, corpus: DataFrame,
+      textCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val keyed = incoming.withColumn("__ck", contentKey(col(textCol)))
+    val corpusKeys = corpus.select(contentKey(col(textCol)).as("__ck")).distinct()
+    bloomAntiJoin(keyed, corpusKeys, "__ck", expectedItems, fpp).drop("__ck")
   }
 
   /** Connected components over an undirected edge list by iterative

@@ -116,4 +116,29 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic weighted sample WITHOUT replacement of size `k`
+    * (Efraimidis–Spirakis A-ES): each row gets the key `u^(1/w)` with
+    * `u = hashUniform(id)` and `w = weight`, and the `k` largest keys win
+    * — inclusion probability proportional to weight, exactly the
+    * "prefer high-quality docs but keep diversity" mixture draw a
+    * curriculum/quality-weighted corpus assembly needs. Determinism rides
+    * the id hash like every sampler here: membership is a pure function
+    * of (id, weight, salt), stable across partitionings and appends of
+    * losing rows.
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans as TakeOrdered — a
+    * per-partition top-k (heap, O(rows·log k), no sort spill) plus a
+    * driver merge of partitions·k rows; nothing global ever
+    * materializes. Weights must be strictly positive.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weight: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = pow(hashUniform(col(idCol), salt), lit(1.0) / weight)
+    df.withColumn("__wk", key)
+      .orderBy(col("__wk").desc, col(idCol))
+      .limit(k)
+      .drop("__wk")
+  }
 }

@@ -242,4 +242,37 @@ object Temporal {
       .select((keys.map(col) ++ Seq(col("__x.b").as(bucketCol),
         col("__x.e").as("ewma"))): _*)
   }
+
+  /** Linear interpolation of null gaps in a bucketized series — the gap
+    * fill BETWEEN the reference's constant/`previous` modes (the
+    * interpolation its ES connector sketches but never enables,
+    * /root/reference/loudml/elastic.py:573-603): each null value becomes
+    * the time-weighted blend of the nearest non-null neighbors,
+    * `prev + (next−prev)·(b−b_prev)/(b_next−b_prev)`. Leading/trailing
+    * nulls (no neighbor on one side) stay null — compose with ffill/const
+    * fill for edge policy.
+    *
+    * Scale shape: four window carries (prev/next value and bucket) over
+    * the same keyed partitioning and sort — one Exchange + two Sorts
+    * (asc + desc frame), all post-bucketization, so partition size is
+    * O(buckets) per key, bounded by the query range, not data volume.
+    */
+  def interpolate(series: DataFrame, keys: Seq[String], bucketCol: String,
+      valueCol: String): DataFrame = {
+    val base = (if (keys.isEmpty) Window.orderBy(col(bucketCol))
+      else Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol)))
+    val back = base.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val b = col(bucketCol)
+    val prevV = last(v, ignoreNulls = true).over(back)
+    val prevB = last(when(v.isNotNull, b), ignoreNulls = true).over(back)
+    val nextV = first(v, ignoreNulls = true).over(fwd)
+    val nextB = first(when(v.isNotNull, b), ignoreNulls = true).over(fwd)
+    series.withColumn(valueCol,
+      when(v.isNotNull, v)
+        .when(prevV.isNotNull && nextV.isNotNull,
+          prevV + (nextV - prevV) *
+            ((b - prevB).cast("double") / (nextB - prevB).cast("double"))))
+  }
 }

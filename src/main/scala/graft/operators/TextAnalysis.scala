@@ -214,4 +214,21 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** Corpus-level frequent n-grams (heavy hitters) with occurrence
+    * counts — the "what template phrases dominate this crawl" audit that
+    * feeds boilerplate rules and stop-phrase lists. One narrow explode of
+    * per-row shingles (multiset — repeated phrases in one doc count every
+    * time) into ONE aggregation whose exchange is bounded by n-gram
+    * vocabulary (map-side partials absorb the duplication), then a
+    * TakeOrdered top-k (per-partition heap + driver merge of
+    * partitions·k rows, nothing global). Ties break lexicographically
+    * for determinism. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be >= 1")
+    df.select(explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
 }

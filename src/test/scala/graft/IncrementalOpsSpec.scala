@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Temporal, TextAnalysis}
+
+/** Round-4 additions: incremental (cross-corpus) dedup, Bloom-prefiltered
+  * membership, weighted sampling, corpus heavy hitters, interpolation. */
+class IncrementalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── incremental LSH dedup ──────────────────────────────────────
+
+  private val corpus = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog today"),
+    (101L, "completely different corpus document about spark engines"),
+    (102L, "another unrelated text body mentioning benchmarks only"))
+    .toDF("doc_id", "text")
+
+  test("lshDedupAgainst drops incoming near-dups of the corpus, keeps rest") {
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // dup of 100
+      (2L, "entirely novel incoming document with fresh content here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshDedupAgainst(incoming, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L))
+  }
+
+  test("lshDedupAgainst: corpus-side bucket cap removes hot keys from both sides") {
+    // every corpus doc identical → one hot band bucket; cap 2 excludes it,
+    // so the identical incoming doc escapes dedup (recall traded, never mem)
+    val hotCorpus = (0 until 8).map(i => (100L + i, "aa bb cc dd ee ff gg"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((1L, "aa bb cc dd ee ff gg")).toDF("doc_id", "text")
+    val capped = Dedup.lshDedupAgainst(incoming, hotCorpus, "doc_id", "text",
+      maxBucket = 2)
+    assert(capped.count() == 1)
+    val uncapped = Dedup.lshDedupAgainst(incoming, hotCorpus, "doc_id", "text")
+    assert(uncapped.count() == 0)
+  }
+
+  // ── Bloom-prefiltered membership ───────────────────────────────
+
+  test("bloomAntiJoin is exactly a plain anti-join (incl. fp candidates)") {
+    val df = spark.range(0, 500).select(
+      concat(lit("k"), col("id")).as("key"), col("id"))
+    val keys = spark.range(0, 1000, 3)
+      .select(concat(lit("k"), col("id")).as("key"))
+    val got = Dedup.bloomAntiJoin(df, keys, "key", expectedItems = 400)
+      .select("id").as[Long].collect().sorted
+    val want = df.join(keys, Seq("key"), "left_anti")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq)
+    assert(want.nonEmpty && want.length < 500) // both branches exercised
+  }
+
+  test("bloomAntiJoin with empty key set keeps everything") {
+    val df = Seq(("a", 1), ("b", 2)).toDF("key", "v")
+    val keys = Seq.empty[String].toDF("key")
+    assert(Dedup.bloomAntiJoin(df, keys, "key", 10).count() == 2)
+  }
+
+  test("exactDedupAgainst removes only content-hash matches") {
+    val incoming = Seq((1L, "same text"), (2L, "new text"))
+      .toDF("doc_id", "text")
+    val corp = Seq((9L, "same text"), (8L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDedupAgainst(incoming, corp, "text", 100)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L))
+    assert(out.length == 1 &&
+      Dedup.exactDedupAgainst(incoming, corp, "text", 100)
+        .columns.toSeq == incoming.columns.toSeq) // helper column dropped
+  }
+
+  // ── weighted sampling ──────────────────────────────────────────
+
+  test("weightedTopK matches the naive driver-side A-ES computation") {
+    val df = spark.range(0, 300).select(col("id"),
+      (pmod(col("id"), lit(7)) + 1).cast("double").as("w"))
+    val got = Sampling.weightedTopK(df, "id", col("w"), k = 25)
+      .select("id").as[Long].collect().sorted
+    val naive = df.select(col("id"), col("w"),
+        Sampling.hashUniform(col("id")).as("u"))
+      .collect()
+      .map(r => (r.getLong(0), math.pow(r.getDouble(2), 1.0 / r.getDouble(1))))
+      .sortBy { case (id, k) => (-k, id) }
+      .take(25).map(_._1).sorted
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("weightedTopK favors heavy rows: inclusion rate grows with weight") {
+    val df = spark.range(0, 400).select(col("id"),
+      when(col("id") < 200, lit(1.0)).otherwise(lit(20.0)).as("w"))
+    val picked = Sampling.weightedTopK(df, "id", col("w"), k = 100)
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ >= 200)
+    assert(heavy > 60, s"heavy rows picked: $heavy of 100")
+  }
+
+  // ── corpus heavy hitters ───────────────────────────────────────
+
+  test("topNgrams counts bigram occurrences (multiset) with ordered ties") {
+    val df = Seq("a b a b", "a b c", "x y").toDF("text")
+    val got = TextAnalysis.topNgrams(df, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "a b": 2 (doc1) + 1 (doc2) = 3; then "b a" 1, "b c" 1, "x y" 1
+    assert(got.head == ("a b", 3L))
+    assert(got.tail.map(_._2).forall(_ == 1L))
+    assert(got.tail.map(_._1) == got.tail.map(_._1).sorted)
+  }
+
+  // ── interpolation ──────────────────────────────────────────────
+
+  test("interpolate fills interior gaps linearly, leaves edges null") {
+    val series = Seq(
+      (0L, None), (1L, Some(1.0)), (2L, None), (3L, None),
+      (4L, Some(4.0)), (5L, None))
+      .toDF("bucket", "v")
+    val out = Temporal.interpolate(series, Nil, "bucket", "v")
+      .orderBy("bucket").select("v").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(None, Some(1.0), Some(2.0), Some(3.0),
+      Some(4.0), None))
+  }
+
+  test("interpolate respects uneven bucket spacing and keys") {
+    val series = Seq(
+      ("a", 0L, Some(0.0)), ("a", 10L, None), ("a", 40L, Some(8.0)),
+      ("b", 0L, Some(5.0)), ("b", 10L, None))
+      .toDF("k", "bucket", "v")
+    val out = Temporal.interpolate(series, Seq("k"), "bucket", "v")
+      .orderBy("k", "bucket").select("v").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // a@10 = 0 + (8-0) * (10/40) = 2.0 ; b@10 has no next → null
+    assert(out.toSeq == Seq(Some(0.0), Some(2.0), Some(8.0),
+      Some(5.0), None))
+  }
+}

@@ -99,6 +99,21 @@ object ScaleGrowthMain {
         "ann_quant" -> time("ann_quant",
           Similarity.quantizedTopK(e.filter(col("vec_id") < 20), e,
             "vec_id", "embedding", 5)),
+        "dedup_against" -> time("dedup_against",
+          Dedup.lshDedupAgainst(
+            d.filter(pmod(col("doc_id"), lit(10)) === 0),
+            d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            "doc_id", "text", maxBucket = 2000)),
+        "bloom_anti" -> time("bloom_anti",
+          Dedup.exactDedupAgainst(
+            d.filter(pmod(col("doc_id"), lit(10)) === 0),
+            d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            "text", expectedItems = 10000000L)),
+        "weighted_topk" -> time("weighted_topk",
+          Sampling.weightedTopK(d, "doc_id",
+            length(col("text")).cast("double"), 100)),
+        "top_ngrams" -> time("top_ngrams",
+          TextAnalysis.topNgrams(d, "text", 2, 40)),
       )
     }
 
