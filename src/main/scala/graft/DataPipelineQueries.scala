@@ -360,6 +360,14 @@ object DataPipelineQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // ── exact Jaccard threshold self-join (PPJoin prefix filtering —
+    //    no cap, no LSH: every pair ≥ τ, provably)
+    "q_jaccard_join" -> ((s, dir) =>
+      Dedup.jaccardJoin(docs(s, dir), "doc_id", "text", tau = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // ── weighted sample (Efraimidis–Spirakis, weight = n_chars)
     "q_weighted_sample" -> ((s, dir) =>
       Sampling.weightedTopK(docs(s, dir), "doc_id",
@@ -1209,6 +1217,26 @@ object DataPipelineQueries {
         |    SELECT 1 FROM documents c
         |    WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(d.text))
         |ORDER BY d.doc_id""".stripMargin,
+
+    // exact pair set: DuckDB computes every co-shingle pair's true
+    // Jaccard directly (no prefix filter needed at oracle scale)
+    "q_jaccard_join" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+         |         AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (

@@ -27,6 +27,8 @@ object TemporalQueries {
 
   private val HOUR = 3600L
   private val NS = 1000000000L
+  private val FROM = 1704067200L             // 2024-01-01T00:00:00Z
+  private val SPLIT = FROM + 20L * 86400L    // train/test split (day 21)
 
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
@@ -158,6 +160,28 @@ object TemporalQueries {
         .select(col("lag"), round(col("xcorr"), 6).as("xcorr"),
           col("n_overlap"))
         .orderBy("lag")
+    }),
+
+    // ── fleet Holt-Winters: one state per event_type trained in ONE
+    //    distributed job, 24h forecast per key
+    "q_fleet_hw" -> ((s, dir) => {
+      val p = graft.ml.HoltWintersParams(bucketInterval = HOUR,
+        period = 86400L, alpha = 0.3, beta = 0.01, gamma = 0.3)
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * HOUR).cast("long"))
+        .filter(col("bucket") >= FROM && col("bucket") < SPLIT)
+        .groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      val states = graft.ml.FleetHoltWinters.train(
+        series, "v", Seq("event_type"), p)
+      graft.ml.FleetHoltWinters.forecast(
+          states, Seq("event_type"), SPLIT, SPLIT + 86400L, p)
+        .select(col("event_type"), col("bucket"),
+          round(col("predicted"), 4).as("predicted"),
+          round(col("lower"), 4).as("lower"),
+          round(col("upper"), 4).as("upper"))
+        .orderBy("event_type", "bucket")
     }),
 
     // ── linear interpolation of gap hours in the sparse 'error' series
@@ -362,6 +386,84 @@ object TemporalQueries {
         |SELECT lag, round(corr(x, y), 6) AS xcorr,
         |       count(*) AS n_overlap
         |FROM shifted GROUP BY lag ORDER BY lag""".stripMargin,
+
+    // the keyed generalization of SparkEntry's q_holtwinters oracle: the
+    // per-key fold replayed as ONE recursive CTE whose rows advance every
+    // key in lockstep (join on key + rn), seasonal vectors as LIST columns
+    "q_fleet_hw" -> {
+      val alpha = 0.3; val beta = 0.01; val gamma = 0.3; val m = 24
+      val z = 3.0
+      val roll = s"(CASE WHEN (o.bucket - f.prev_bucket) // $HOUR > 1 " +
+        s"THEN f.lvl + CAST((o.bucket - f.prev_bucket) // $HOUR - 1 AS DOUBLE) * f.tr " +
+        "ELSE f.lvl END)"
+      val sj = "f.season[CAST(o.slot AS INT) + 1]"
+      val predExpr = "(st.lvl + CAST((f.bucket - st.last_bucket) // " +
+        s"$HOUR AS DOUBLE) * st.tr + " +
+        s"st.season[CAST((f.bucket % 86400) // $HOUR AS INT) + 1])"
+      s"""WITH RECURSIVE train_agg AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket, CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT GROUP BY 1, 2
+         |), obs AS (
+         |  SELECT event_type, bucket, v, (bucket % 86400) // $HOUR AS slot,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+         |  FROM train_agg WHERE v IS NOT NULL
+         |), nobs AS (SELECT event_type, max(rn) AS n FROM obs GROUP BY 1),
+         |s1 AS (
+         |  SELECT event_type, list_reduce(list(v ORDER BY rn), (a, b) -> a + b) AS sum1,
+         |         count(*) AS n1
+         |  FROM obs WHERE rn <= $m GROUP BY 1
+         |), s2 AS (
+         |  SELECT event_type,
+         |         CASE WHEN count(*) > 0
+         |              THEN list_reduce(list(v ORDER BY rn), (a, b) -> a + b) END AS sum2,
+         |         count(*) AS n2
+         |  FROM obs WHERE rn > $m AND rn <= ${2 * m} GROUP BY 1
+         |), init AS (
+         |  SELECT s1.event_type, sum1/n1 AS mean1,
+         |         CASE WHEN coalesce(n2, 0) > 0 THEN (sum2/n2 - sum1/n1) / $m ELSE 0.0 END AS trend0
+         |  FROM s1 LEFT JOIN s2 USING (event_type)
+         |), slot_last AS (
+         |  SELECT event_type, slot, v FROM (
+         |    SELECT event_type, slot, v,
+         |           row_number() OVER (PARTITION BY event_type, slot ORDER BY rn DESC) AS rr
+         |    FROM obs WHERE rn <= $m) t WHERE rr = 1
+         |), season0 AS (
+         |  SELECT i.event_type, list(coalesce(sl.v - i.mean1, 0.0) ORDER BY g.j) AS season
+         |  FROM init i
+         |  CROSS JOIN generate_series(0, ${m - 1}) g(j)
+         |  LEFT JOIN slot_last sl ON sl.event_type = i.event_type AND sl.slot = g.j
+         |  GROUP BY i.event_type
+         |), first_b AS (
+         |  SELECT event_type, bucket FROM obs WHERE rn = 1
+         |), fold AS (
+         |  SELECT i.event_type, CAST(0 AS BIGINT) AS rn, i.mean1 AS lvl, i.trend0 AS tr,
+         |         s0.season AS season, fb.bucket AS prev_bucket, CAST(0.0 AS DOUBLE) AS sse
+         |  FROM init i JOIN season0 s0 USING (event_type) JOIN first_b fb USING (event_type)
+         |  UNION ALL
+         |  SELECT o.event_type, o.rn,
+         |         $alpha * (o.v - $sj) + (1 - $alpha) * ($roll + f.tr) AS newlvl,
+         |         $beta * (newlvl - $roll) + (1 - $beta) * f.tr AS newtr,
+         |         list_transform(range(1, ${m + 1}), i -> CASE WHEN i - 1 = o.slot
+         |             THEN $gamma * (o.v - newlvl) + (1 - $gamma) * $sj
+         |             ELSE f.season[CAST(i AS INT)] END) AS season,
+         |         o.bucket AS prev_bucket,
+         |         f.sse + (o.v - ($roll + f.tr + $sj)) * (o.v - ($roll + f.tr + $sj)) AS sse
+         |  FROM fold f JOIN obs o ON o.event_type = f.event_type AND o.rn = f.rn + 1
+         |), st AS (
+         |  SELECT f.event_type, f.lvl, f.tr, f.season, f.prev_bucket AS last_bucket,
+         |         greatest(sqrt(f.sse / nb.n), 1e-9) AS sigma
+         |  FROM fold f JOIN nobs nb ON nb.event_type = f.event_type AND f.rn = nb.n
+         |), fspine AS (
+         |  SELECT k.event_type,
+         |         unnest(generate_series($SPLIT, ${SPLIT + 86400 - HOUR}, $HOUR)) AS bucket
+         |  FROM (SELECT DISTINCT event_type FROM obs) k
+         |)
+         |SELECT f.event_type, f.bucket,
+         |       round($predExpr, 4) AS predicted,
+         |       round($predExpr - $z * st.sigma, 4) AS lower,
+         |       round($predExpr + $z * st.sigma, 4) AS upper
+         |FROM fspine f JOIN st USING (event_type) ORDER BY 1, 2""".stripMargin
+    },
 
     "q_interpolate" ->
       """WITH spine AS (

@@ -394,6 +394,61 @@ object Dedup {
     bloomAntiJoin(keyed, corpusKeys, "__ck", expectedItems, fpp).drop("__ck")
   }
 
+  /** EXACT similarity self-join: every pair with shingle-set Jaccard
+    * ≥ `tau`, with no recall loss — the deterministic complement to
+    * [[lshVerifiedPairs]] (probabilistic recall) and
+    * [[ngramJaccardPairs]] (whose per-shingle cap trades recall for
+    * skew safety). Uses PPJoin-style prefix filtering (Xiao et al.,
+    * WWW'08): order each doc's shingles by a global canonical order
+    * (document frequency ascending, then shingle — rarest first); if
+    * J(A,B) ≥ τ the two sets MUST share a token within each one's first
+    * `|x| − ⌈τ·|x|⌉ + 1` tokens, so candidates come from an equi-join on
+    * PREFIX tokens only, plus the length filter
+    * `min(|A|,|B|) ≥ τ·max(|A|,|B|)`.
+    *
+    * Scale shape: candidate buckets are keyed by each doc's RAREST
+    * shingles by construction (df-ascending prefix), so stop-phrase
+    * buckets never form — the skew the inverted-index plan must cap away
+    * is designed out, at the cost of one vocabulary-bounded df
+    * aggregation and one per-doc window (partition = one doc's
+    * vocabulary). The verify stage joins per-doc sorted shingle arrays
+    * (buffer bounded by document length) and computes exact
+    * intersection; every shuffle is keyed by doc id or shingle.
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, shingleN: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0,1]")
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val ranked = sh.join(freq, "sh").join(sizes, "id")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("rank") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(tau) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list(col("sh"))).as("set"),
+        count(lit(1)).as("sz"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node's label converges to the smallest
     * node id reachable from it. Each round is ONE keyed join + ONE

@@ -253,9 +253,10 @@ object Temporal {
     * fill for edge policy.
     *
     * Scale shape: four window carries (prev/next value and bucket) over
-    * the same keyed partitioning and sort — one Exchange + two Sorts
-    * (asc + desc frame), all post-bucketization, so partition size is
-    * O(buckets) per key, bounded by the query range, not data volume.
+    * the same keyed partitioning and sort — the preceding and following
+    * frames share one WindowExec and one Sort (plan-audited), all
+    * post-bucketization, so partition size is O(buckets) per key, bounded
+    * by the query range, not data volume.
     */
   def interpolate(series: DataFrame, keys: Seq[String], bucketCol: String,
       valueCol: String): DataFrame = {

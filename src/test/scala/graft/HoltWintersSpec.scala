@@ -115,4 +115,49 @@ class HoltWintersSpec extends SparkSpec {
     assert(math.abs(st.level - stFull.level) < 5.0)
     assert(math.abs(st.trend - stFull.trend) < 0.5)
   }
+
+  test("fleet training: per-key state identical to each series fit alone") {
+    import graft.ml.FleetHoltWinters
+    val p = HoltWintersParams(bucketInterval = H, period = 86400L,
+      alpha = 0.3, beta = 0.01, gamma = 0.3)
+    // two keys with different shapes, plus a gap in one of them
+    val a = synth(6, noise = 1.0).map { case (b, v) => ("a", b, v) }
+    val b = synth(6, noise = 2.0).collect {
+      case ((bk, v)) if (bk / H) % 31 != 0 => ("b", bk, v * 0.5 + 7)
+    }
+    val df = (a ++ b).toDF("k", "bucket", "v")
+    val states = FleetHoltWinters.train(df, "v", Seq("k"), p)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((key, rows) <- Seq("a" -> a, "b" -> b)) {
+      val solo = HoltWinters.fit(
+        rows.map { case (_, bk, v) => (bk, Some(v)) }.sortBy(_._1), p)
+      val got = states(key)
+      assert(got.getDouble(1) == solo.level, s"$key level")
+      assert(got.getDouble(2) == solo.trend, s"$key trend")
+      assert(got.getDouble(3) == solo.sigma, s"$key sigma")
+      assert(got.getLong(4) == solo.lastBucket, s"$key lastBucket")
+      assert(got.getSeq[Double](5) == solo.season.toSeq, s"$key season")
+    }
+  }
+
+  test("fleet forecast matches the solo projection per key and bucket") {
+    import graft.ml.FleetHoltWinters
+    val p = HoltWintersParams(bucketInterval = H, period = 86400L)
+    val a = synth(4).map { case (b, v) => ("a", b, v) }
+    val df = a.toDF("k", "bucket", "v")
+    val states = FleetHoltWinters.train(df, "v", Seq("k"), p)
+    val from = 4L * 86400L
+    val fc = FleetHoltWinters.forecast(states, Seq("k"), from, from + 6 * H, p)
+      .orderBy("bucket").collect()
+    val solo = HoltWinters.fit(
+      a.map { case (_, b, v) => (b, Some(v)) }, p)
+    fc.foreach { r =>
+      val bkt = r.getLong(1)
+      val h = (bkt - solo.lastBucket) / H
+      val exp = solo.level + h * solo.trend +
+        solo.season(((bkt % 86400) / H).toInt)
+      assert(r.getDouble(2) == exp, s"bucket $bkt predicted")
+      assert(r.getDouble(3) == exp - 3.0 * solo.sigma, s"bucket $bkt lower")
+    }
+  }
 }

@@ -98,6 +98,37 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(heavy > 60, s"heavy rows picked: $heavy of 100")
   }
 
+  // ── exact Jaccard join (prefix filtering) ──────────────────────
+
+  test("jaccardJoin equals the naive all-pairs exact computation") {
+    // synthetic corpus with shared template phrases (hot shingles), a
+    // near-dup pair, and unique docs — exercises prefix + length filters
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docsData = Seq(
+      (1L, s"$base alpha beta gamma"),
+      (2L, s"$base alpha beta delta"),   // near-dup of 1
+      (3L, s"$base entirely different tail content here now"),
+      (4L, "totally unrelated text about spark catalyst plans"),
+      (5L, s"$base alpha beta gamma"))   // exact dup of 1
+      .toDF("doc_id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardJoin(docsData, "doc_id", "text", tau)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // naive: driver-side exact jaccard over all pairs
+      val sets = docsData.select(col("doc_id"),
+          array_distinct(Dedup.wordShingles(col("text"), 3)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val naive = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) intersect sets(b)).size
+        uni = (sets(a) union sets(b)).size
+        j = inter.toDouble / uni if j >= tau
+      } yield (a, b, j)).toSet
+      assert(got == naive, s"tau=$tau")
+    }
+  }
+
   // ── corpus heavy hitters ───────────────────────────────────────
 
   test("topNgrams counts bigram occurrences (multiset) with ordered ties") {
