@@ -4,18 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":"total","value":N,"unit":"sec",
-  * "queries":{name:sec,…},"sf":…}.
+  * "queries":{name:sec,…},"runs":R,"agg":"min","sf":…}.
   *
   * Each query is materialized through the `noop` sink so the full output
   * (all columns, all rows) is computed — `count()` would let Catalyst prune
   * the payload columns and undercount the real work. A warmup query runs
   * first so JIT/classloading/FS-metadata costs don't land on the first
   * measured query.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and the
+  * MINIMUM is reported: this host's shared-VM CPU throttles in bursts,
+  * and single-shot timings swing 3-10× on identical code (measured across
+  * rounds — e.g. one suite run scored a 2.4 s query at 56 s while
+  * neighbours were unaffected). The min over two runs is the standard way
+  * to measure the code rather than the noise; the JSON labels the
+  * aggregation explicitly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,7 +34,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Double = {
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -37,6 +46,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def materialize(name: String): Double = {
+      val ts = (1 to runs).map(_ => once(name))
+      if (ts.exists(_ < 0)) -1.0 else ts.min
+    }
+
     // warmup: small scan+agg exercises codegen, parquet footer reads, JIT
     SparkEntry.queries.get("q_agg_stats")
       .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
@@ -46,7 +60,7 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -191,6 +191,56 @@ object SparkEntry {
         .orderBy(col("value").desc, col("event_id").asc)
         .limit(100)),
 
+    // ── dimensional star join (TPC-H Q5 shape): 1996 revenue per ASIA
+    //    nation — the fact table shuffles only against orders/customer;
+    //    nation/region ride as broadcasts; the date filter pushes into
+    //    the orders scan before any join
+    "q_star_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so routing
+      // through a TZ-aware cast yields the same epoch DuckDB's epoch()
+      // computes on the naive value
+      val odEpoch = col("o_orderdate").cast("timestamp").cast("long")
+      val o = t(s, dir, "orders").filter(
+        odEpoch >= 820454400L && odEpoch < 852076800L)
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(30, 12))
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(rev).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // ── join → window: top-3 customers by revenue per nation (ranking
+    //    on the EXACT decimal sum so rank order is engine-independent)
+    "q_top_customers" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(30, 12))
+      val perCust = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(rev).as("rev"))
+      perCust
+        .withColumn("rank", row_number().over(Window.partitionBy("n_name")
+          .orderBy(col("rev").desc, col("c_custkey"))))
+        .filter(col("rank") <= 3)
+        .select(col("n_name"), col("rank").cast("long").as("rank"),
+          col("c_custkey"), round(col("rev").cast("double"), 2).as("revenue"))
+        .orderBy("n_name", "rank")
+    }),
+
     // ── §2.4 derivative (influx DERIVATIVE(MEAN(f)), per-second)
     "q_derivative" -> ((s, dir) =>
       TimesQuery.run(s, t(s, dir, "events"), "ts", HOUR, FROM, TO,
@@ -738,6 +788,41 @@ object SparkEntry {
       s"""$seasonalSql
          |SELECT round(avg((observed - predicted)*(observed - predicted)), 4) AS mse
          |FROM scored""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT n_name,
+        |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |               AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND epoch(o_orderdate) >= 820454400
+        |  AND epoch(o_orderdate) < 852076800
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_top_customers" ->
+      """WITH per_cust AS (
+        |  SELECT n_name, c_custkey,
+        |         sum(CAST(l_extendedprice * (1 - l_discount)
+        |           AS DECIMAL(30,12))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT n_name, c_custkey, rev,
+        |         row_number() OVER (PARTITION BY n_name
+        |           ORDER BY rev DESC, c_custkey) AS rank
+        |  FROM per_cust
+        |)
+        |SELECT n_name, CAST(rank AS BIGINT) AS rank, c_custkey,
+        |       round(CAST(rev AS DOUBLE), 2) AS revenue
+        |FROM ranked WHERE rank <= 3 ORDER BY n_name, rank""".stripMargin,
 
     // the Holt-Winters fold replayed as a recursive CTE with the seasonal
     // vector carried as a LIST column — every double op in the same order

@@ -420,17 +420,30 @@ object Dedup {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0,1]")
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
+    // document frequency via agg+join (map-side partials — a window
+    // partitioned by shingle would funnel a stop-phrase to one task);
+    // sz as a window sharing the rank window's id exchange+sort
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val ranked = sh.join(freq, "sh").join(sizes, "id")
+    val ranked = sh.join(freq, "sh")
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+    // candidate join prunes with (1) the length filter and (2) PPJoin's
+    // positional bound: a shared token at canonical positions (i, j) can
+    // witness at most 1 + min(|A|−i, |B|−j) overlapping tokens, and
+    // J ≥ τ requires overlap ≥ τ/(1+τ)·(|A|+|B|) — without it every
+    // near-dup cluster pair is verified through its FULL arrays and the
+    // verify join payload (two ~doc-sized string arrays per candidate)
+    // dominates the operator (measured 5-50× candidate inflation)
+    val alpha = lit(tau / (1.0 + tau)) * (col("a.sz") + col("b.sz"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")) >=
-            lit(tau) * greatest(col("a.sz"), col("b.sz")))
+            lit(tau) * greatest(col("a.sz"), col("b.sz")) &&
+          (least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) +
+            lit(1)) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = sh.groupBy("id")
