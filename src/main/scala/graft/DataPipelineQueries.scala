@@ -205,6 +205,16 @@ object DataPipelineQueries {
           numHashes = H, bands = 4, tau = 0.5)
         .orderBy("doc_id")),
 
+    // ── same clusters via star contraction (O(log n) rounds — the
+    //    unbounded-diameter path); labels must equal q_dedup_cluster's
+    "q_dedup_cluster_star" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+        numHashes = H, bands = 4, tau = 0.5).dropDuplicates("id_a", "id_b")
+      Dedup.connectedComponentsStar(d.select(col("doc_id")), pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ── repetition / boilerplate signals (Gopher-style quality rules)
     "q_repetition" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -444,6 +454,44 @@ object DataPipelineQueries {
       val conds = langs.map(o => s"h_$l >= h_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** Shared by q_dedup_cluster and q_dedup_cluster_star: the two CC
+    * algorithms must produce identical labels. */
+  private lazy val dedupClusterSql: String = {
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, md5(CAST(sig_${2 * b} AS VARCHAR) || '_' || " +
+        s"CAST(sig_${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val eq = (0 until H)
+      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $shinglesCte, $sigsCte,
+       |bandkeys AS (
+       |  $bandRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandkeys a JOIN bandkeys b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.id_a
+       |  JOIN sigs sb ON sb.doc_id = c.id_b
+       |  WHERE CAST($eq AS DOUBLE) / ${H}.0 >= 0.5
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM verified
+       |), reach AS (
+       |  SELECT doc_id AS id, doc_id AS lab FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.lab
+       |  FROM reach r JOIN edges e ON e.src = r.id
+       |)
+       |SELECT id AS doc_id, min(lab) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -778,42 +826,10 @@ object DataPipelineQueries {
     // mirrors Dedup.nearDupClusters: the q_dedup_lsh candidate/verify
     // stages, then exact connected components via a recursive reachability
     // CTE (UNION dedups rows, so the recursion terminates at the
-    // component closure); cluster_id = min reachable doc id
-    "q_dedup_cluster" -> {
-      val bandRows = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, md5(CAST(sig_${2 * b} AS VARCHAR) || '_' || " +
-          s"CAST(sig_${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
-      val eq = (0 until H)
-        .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH RECURSIVE $shinglesCte, $sigsCte,
-         |bandkeys AS (
-         |  $bandRows
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bandkeys a JOIN bandkeys b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id
-         |), verified AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN sigs sa ON sa.doc_id = c.id_a
-         |  JOIN sigs sb ON sb.doc_id = c.id_b
-         |  WHERE CAST($eq AS DOUBLE) / ${H}.0 >= 0.5
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM verified
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM verified
-         |), reach AS (
-         |  SELECT doc_id AS id, doc_id AS lab FROM documents
-         |  UNION
-         |  SELECT e.dst AS id, r.lab
-         |  FROM reach r JOIN edges e ON e.src = r.id
-         |)
-         |SELECT id AS doc_id, min(lab) AS cluster_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-    },
+    // component closure); cluster_id = min reachable doc id. The star-
+    // contraction variant must produce the SAME labels — same oracle.
+    "q_dedup_cluster" -> dedupClusterSql,
+    "q_dedup_cluster_star" -> dedupClusterSql,
 
     // repetition signals: max-multiplicity over the token / 2-gram
     // multisets ≡ Spark's longest-equal-run fold over the sorted arrays

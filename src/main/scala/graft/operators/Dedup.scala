@@ -482,7 +482,7 @@ object Dedup {
     * (idCol, cluster_id) for EVERY node — singletons label themselves. */
   def connectedComponents(
       nodes: DataFrame, edges: DataFrame, idCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
     // persisted: the edge lineage (for near-dup graphs, the whole LSH
     // candidate pipeline) must run ONCE, not once per round
@@ -498,14 +498,17 @@ object Dedup {
         .groupBy("src").agg(min("dlabel").as("nmin"))
       // `old` rides along so the convergence probe is a filter on the
       // cached frame, not another join against the previous round
+      // localCheckpoint, not persist: each round's plan references the
+      // previous labels ~3× — a cache keeps the DATA but the un-truncated
+      // LINEAGE grows 3^rounds, and a high-diameter graph (anything
+      // needing 12+ rounds) stalls in the optimizer before it runs.
+      // Checkpointing swaps the lineage for the materialized blocks.
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
-      // convergence probe doubles as the materialization action
+        .localCheckpoint(true)
       done = next.filter(col("label") =!= col("old")).limit(1).count() == 0L
-      labels.unpersist()
       labels = next
       iter += 1
     }
@@ -515,6 +518,82 @@ object Dedup {
     // every downstream action replay the whole iteration lineage. If the
     // cache is evicted the lineage still reproduces the result.
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round alternative to
+    * [[connectedComponents]]'s min-label propagation, for graphs whose
+    * diameter is NOT bounded (chained near-dups, reply threads, link
+    * graphs): a 10⁶-long path converges in ~20 rounds here versus 10⁶
+    * rounds of propagation.
+    *
+    * Each half-round is joins + aggregations only — per-node neighbor
+    * minima come from `groupBy.min` (map-side partials), never a
+    * neighbor-list `collect_list`, so a celebrity node with 100M edges
+    * costs a skewed-but-mergeable aggregation, not a 100M-element array
+    * on one task. Each round's edge frame is `localCheckpoint`ed, not
+    * merely persisted: one star round references its input ~6 times, so
+    * the LOGICAL plan grows exponentially with rounds (measured: an
+    * un-truncated 10-round lineage OOMs merely STRINGIFYING the plan) —
+    * checkpointing replaces the lineage with the materialized blocks,
+    * the same pattern every iterative graph library uses. Blocks live
+    * O(rounds) = O(log n) and edge sets shrink monotonically.
+    *
+    * Same contract as [[connectedComponents]]: returns
+    * `(idCol, cluster_id)` for every node, singletons labeling
+    * themselves; ids must be orderable (numeric/string).
+    */
+  def connectedComponentsStar(
+      nodes: DataFrame, edges: DataFrame, idCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // large-star: every neighbor v > u attaches to m(u) = min(Γ(u) ∪ u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .select(col("a").as("u"), col("b").as("v"))
+      val m = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // small-star: edges pointed at their larger endpoint; every smaller
+    // neighbor (and u itself) attaches to the group minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val m = dir.groupBy("u").agg(min("v").as("m"))
+      dir.join(m, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    var e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = e.limit(1).count() == 0L
+    while (!done && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint when the (canonicalized) edge sets agree; exceptAll on
+      // the index-sized star frames, not the corpus
+      val prevCanon = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b")).distinct()
+      val nextCanon = next.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b")).distinct()
+      done = prevCanon.exceptAll(nextCanon).limit(1).count() == 0L &&
+        nextCanon.exceptAll(prevCanon).limit(1).count() == 0L
+      e = next
+      iter += 1
+    }
+    // converged: every non-root points straight at its component min
+    val roots = e.select(greatest(col("a"), col("b")).as("id"),
+      least(col("a"), col("b")).as("root"))
+      .groupBy("id").agg(min("root").as("root"))
+    nodes.select(col(idCol).as("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** C4-style cross-corpus boilerplate removal: drop every sentence that
@@ -605,7 +684,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
       tau: Double = 0.5, maxBucket: Int = Int.MaxValue,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val pairs = lshVerifiedPairs(
       df, idCol, textCol, numHashes, bands, shingleN, tau, maxBucket)
       .dropDuplicates("id_a", "id_b")

@@ -98,6 +98,31 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(heavy > 60, s"heavy rows picked: $heavy of 100")
   }
 
+  // ── connected components: star contraction ─────────────────────
+
+  test("connectedComponentsStar equals propagation CC on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val n = 200L
+    val edges = (0 until 150)
+      .map(_ => (rnd.nextLong(n), rnd.nextLong(n)))
+      .toDF("id_a", "id_b")
+    val nodes = spark.range(n).toDF("id")
+    val star = Dedup.connectedComponentsStar(nodes, edges, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(nodes, edges, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("star CC converges on a long chain (propagation's worst case)") {
+    val n = 600L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = spark.range(n).toDF("id")
+    val star = Dedup.connectedComponentsStar(nodes, edges, "id", maxIter = 30)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(star == Set(0L)) // one component, rooted at the minimum id
+  }
+
   // ── exact Jaccard join (prefix filtering) ──────────────────────
 
   test("jaccardJoin equals the naive all-pairs exact computation") {
