@@ -203,8 +203,14 @@ object SparkEntry {
       val odEpoch = col("o_orderdate").cast("timestamp").cast("long")
       val o = t(s, dir, "orders").filter(
         odEpoch >= 820454400L && odEpoch < 852076800L)
+      // DECIMAL(30,6), not (30,12): the true product has <= 4 decimal
+      // digits (2-decimal price x 2-decimal discount); at 12 digits the
+      // binary representation error can land exactly on a rounding
+      // half-boundary where Spark (half-up) and DuckDB (half-even)
+      // disagree — observed once in 600k rows at sf0.1. At 6 digits the
+      // ~1e-12 error is 6 orders of magnitude from any boundary.
       val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(30, 12))
+        .cast(DecimalType(30, 6))
       t(s, dir, "lineitem")
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -223,8 +229,14 @@ object SparkEntry {
     //    on the EXACT decimal sum so rank order is engine-independent)
     "q_top_customers" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
+      // DECIMAL(30,6), not (30,12): the true product has <= 4 decimal
+      // digits (2-decimal price x 2-decimal discount); at 12 digits the
+      // binary representation error can land exactly on a rounding
+      // half-boundary where Spark (half-up) and DuckDB (half-even)
+      // disagree — observed once in 600k rows at sf0.1. At 6 digits the
+      // ~1e-12 error is 6 orders of magnitude from any boundary.
       val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast(DecimalType(30, 12))
+        .cast(DecimalType(30, 6))
       val perCust = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -792,7 +804,7 @@ object SparkEntry {
     "q_star_join" ->
       """SELECT n_name,
         |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-        |               AS DECIMAL(30,12))) AS DOUBLE), 2) AS revenue,
+        |               AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -808,7 +820,7 @@ object SparkEntry {
       """WITH per_cust AS (
         |  SELECT n_name, c_custkey,
         |         sum(CAST(l_extendedprice * (1 - l_discount)
-        |           AS DECIMAL(30,12))) AS rev
+        |           AS DECIMAL(30,6))) AS rev
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey

@@ -200,6 +200,15 @@ object TemporalQueries {
         .orderBy("bucket")
     }),
 
+    // ── Morton z-value for the (user_id, hour) layout key — the data-
+    //    skipping sort key writeZOrdered lays files out by
+    "q_zorder" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"),
+          graft.io.ZOrder.zValue(col("user_id"),
+            expr("ts_nanos div 1000000000 div 3600") - lit(FROM / HOUR))
+            .as("zval"))
+        .orderBy("event_id")),
+
     // ── semantic dedup: k-means-cell candidate sets (centroids pinned to
     //    the 16 lowest-id vectors so the oracle can replicate assignment)
     "q_semantic_dedup" -> ((s, dir) => {
@@ -498,6 +507,21 @@ object TemporalQueries {
         |                      / CAST(nb - pb AS DOUBLE))
         |             END, 6) AS v
         |FROM f ORDER BY bucket""".stripMargin,
+
+    // same 21-bit interleave, generated term-by-term (x bit i → 2i,
+    // y bit i → 2i+1), fully parenthesized for DuckDB precedence
+    "q_zorder" -> {
+      val terms = (0 until 21).flatMap(i => Seq(
+        s"(((user_id >> $i) & 1) << ${2 * i})",
+        s"(((hr >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""SELECT event_id, ($terms) AS zval
+         |FROM (
+         |  SELECT event_id, user_id,
+         |         epoch_ns(ts) // 1000000000 // 3600 - ${FROM / HOUR} AS hr
+         |  FROM events
+         |)
+         |ORDER BY event_id""".stripMargin
+    },
 
     // assignment CTE mirrors q_ann_ivf (centroids = 16 lowest-id vectors,
     // argmax-cosine cell, ties → lowest cell); then within-cell pairs with

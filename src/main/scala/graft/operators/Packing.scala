@@ -75,8 +75,16 @@ object Packing {
     // per-partition exclusive running sum (parallel: one window group
     // per (group, range-partition)). __pid must be projected under the
     // window's hash exchange, so it reads the RANGE partition index.
+    // localCheckpoint pins the partitioning: the offsets job and the
+    // final join are SEPARATE actions, and AQE may coalesce the range
+    // shuffle differently per action — divergent __pid assignments
+    // silently drop rows in the (grp, pid) base-offset join (found by
+    // the sf0.1 cross-scale gate: 47 of 5000 manifest rows vanished).
+    // The checkpointed frame is the manifest (id, grp, n_tokens) — text
+    // never reaches it, so the materialization is index-sized.
     val ranged = sized.repartitionByRange(nParts, col("__grp"), col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("__grp"), col("__pid"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -166,6 +166,37 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(got.tail.map(_._1) == got.tail.map(_._1).sorted)
   }
 
+  // ── z-order layout ─────────────────────────────────────────────
+
+  test("zValue interleaves bits (golden + inverse-locality property)") {
+    import graft.io.ZOrder
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (7L, 7L), (8L, 0L))
+      .toDF("x", "y")
+    val z = df.select(ZOrder.zValue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // (x,y) → interleave: (1,0)→1, (0,1)→2, (1,1)→3, (7,7)→63, (8,0)→64
+    assert(z == Seq(0L, 1L, 2L, 3L, 63L, 64L))
+  }
+
+  test("z-ordered files bound the worst query dimension; 1-D sort does not") {
+    import graft.io.ZOrder
+    val grid = spark.range(64L * 64L).select(
+      pmod(col("id"), lit(64)).as("x"),
+      (col("id") / 64).cast("long").as("y"), col("id"))
+    val zp = "/tmp/graft_ztest_z"
+    val xp = "/tmp/graft_ztest_x"
+    ZOrder.writeZOrdered(grid, zp, col("x"), col("y"), numFiles = 16, bits = 6)
+    grid.repartitionByRange(16, col("x")).write.mode("overwrite").parquet(xp)
+    def touched(p: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(p).filter(pred)
+        .select(input_file_name()).distinct().count()
+    val zWorst = math.max(touched(zp, col("x") < 8), touched(zp, col("y") < 8))
+    val xWorst = math.max(touched(xp, col("x") < 8), touched(xp, col("y") < 8))
+    assert(zWorst < xWorst, s"z=$zWorst xsort=$xWorst")
+    // a true 2-D box is one compact z-range
+    assert(touched(zp, col("x") < 8 && col("y") < 8) <= 2)
+  }
+
   // ── interpolation ──────────────────────────────────────────────
 
   test("interpolate fills interior gaps linearly, leaves edges null") {
