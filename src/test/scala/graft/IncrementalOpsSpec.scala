@@ -166,6 +166,28 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(got.tail.map(_._1) == got.tail.map(_._1).sorted)
   }
 
+  // ── sketch-tier corpus stats ───────────────────────────────────
+
+  test("approxDistinct lands within the HLL error bound of exact") {
+    import graft.operators.CorpusStats
+    val df = spark.range(0, 20000).select((col("id") % 5000).as("k"))
+    val approx = CorpusStats.approxDistinct(df, col("k"), rsd = 0.02)
+    assert(math.abs(approx - 5000L) <= 5000L * 0.06,
+      s"approx=$approx") // 3x rsd
+  }
+
+  test("strataProfile: one-pass per-stratum doc/vocab estimates") {
+    import graft.operators.CorpusStats
+    val docsDf = (0 until 300).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      (i.toLong, lang, s"token$i word${i % 50} alpha beta gamma delta")
+    }.toDF("doc_id", "lang", "text")
+    val prof = CorpusStats.strataProfile(docsDf, "lang", "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(prof("de") - 100L) <= 20)
+    assert(math.abs(prof("en") - 200L) <= 30)
+  }
+
   // ── z-order layout ─────────────────────────────────────────────
 
   test("zValue interleaves bits (golden + inverse-locality property)") {
