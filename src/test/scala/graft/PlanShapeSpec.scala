@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, Temporal, TextAnalysis}
+
+/** Physical-plan regression tests for the round-4 operators: the scale
+  * arguments in the scaladocs (TakeOrdered instead of global sort, a
+  * bounded number of exchanges, shared window sorts) are asserted here
+  * so a refactor that silently degrades the plan fails loudly. Bounds
+  * are upper limits, not exact shapes — AQE/codegen details may vary. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int =
+    p.linesIterator.count(_.contains(needle))
+
+  /** Shuffle exchanges only — broadcasts are cheap by design. */
+  private def shuffles(p: String): Int =
+    count(p, "Exchange hashpartitioning") +
+      count(p, "Exchange rangepartitioning") +
+      count(p, "Exchange SinglePartition")
+
+  private val docs = Seq(
+    (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ff"), (3L, "zz yy xx ww vv"))
+    .toDF("doc_id", "text")
+
+  test("weightedTopK plans as TakeOrdered with no exchange") {
+    val p = plan(Sampling.weightedTopK(docs, "doc_id",
+      length(col("text")).cast("double"), 2))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(shuffles(p) == 0, p)
+  }
+
+  test("topNgrams: one aggregation exchange + TakeOrdered") {
+    val p = plan(TextAnalysis.topNgrams(docs, "text", 2, 5))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(shuffles(p) <= 1, p)
+  }
+
+  test("interpolate (unkeyed): both frames share one window + one sort") {
+    val series = spark.range(0, 50).select(col("id").as("bucket"),
+      when(pmod(col("id"), lit(5)) === 0, col("id").cast("double")).as("v"))
+    val p = plan(Temporal.interpolate(series, Nil, "bucket", "v"))
+    assert(count(p, "Window") == 1, p)
+    assert(count(p, "Sort") == 1, p)
+  }
+
+  test("lshDedupAgainst: zero-shuffle signatures below the candidate join") {
+    // range-based inputs: a Seq-backed LocalRelation would be constant-
+    // folded through the whole pipeline, erasing the projections the
+    // test asserts on
+    def corpus(n: Long, tag: String) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("aa bb cc dd ee "), lit(tag), col("id")).as("text"))
+    val p = plan(Dedup.lshDedupAgainst(
+      corpus(5, "in"), corpus(50, "corp"), "doc_id", "text"))
+    // signature kernels evaluate as projections (present in the plan),
+    // and the only shuffles are candidate-join sides + distinct (+ the
+    // final anti-join when not broadcast)
+    assert(p.contains("graft_minhash"), p.take(4000))
+    assert(shuffles(p) <= 5, p.take(4000))
+  }
+
+  test("bloomAntiJoin: clear branch is a narrow filter, no join") {
+    val df = spark.range(0, 100).select(concat(lit("k"), col("id")).as("key"))
+    val keys = spark.range(0, 50, 2)
+      .select(concat(lit("k"), col("id")).as("key"))
+    val p = plan(Dedup.bloomAntiJoin(df, keys, "key", 100))
+    assert(count(p, "might_contain") >= 2, p) // probe + negated probe
+    // exactly one join in the whole union (the candidate anti-join)
+    assert(count(p, "Join") <= 2, p)
+  }
+
+  test("jaccardJoin: sz window shares the rank window's exchange") {
+    val p = plan(Dedup.jaccardJoin(docs, "doc_id", "text", 0.5))
+    // prefix side appears twice (self-join); each side: freq exchange +
+    // id window exchange; verify side: two set joins + distinct — bound
+    // the total so an agg+join-back regression (2 extra exchanges per
+    // side) trips the assertion
+    assert(shuffles(p) <= 14, p)
+  }
+}
