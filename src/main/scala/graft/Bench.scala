@@ -12,13 +12,17 @@ import org.apache.spark.sql.SparkSession
   * first so JIT/classloading/FS-metadata costs don't land on the first
   * measured query.
   *
-  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 2) and the
-  * MINIMUM is reported: this host's shared-VM CPU throttles in bursts,
-  * and single-shot timings swing 3-10× on identical code (measured across
+  * Each query is timed in SPARK_GRAFT_BENCH_RUNS full passes over the
+  * suite (default 2) and the per-query MINIMUM across passes is
+  * reported: this host's shared-VM CPU throttles in bursts, and
+  * single-shot timings swing 3-10× on identical code (measured across
   * rounds — e.g. one suite run scored a 2.4 s query at 56 s while
-  * neighbours were unaffected). The min over two runs is the standard way
-  * to measure the code rather than the noise; the JSON labels the
-  * aggregation explicitly.
+  * neighbours were unaffected). The passes are INTERLEAVED — the whole
+  * suite runs once, then again — so a throttle burst, which is short
+  * and contiguous in time, cannot hit both runs of the same query
+  * (back-to-back runs sat inside one burst and defeated min-of-2 in
+  * round 4). The JSON carries every pass's raw numbers as evidence
+  * alongside the per-query min.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,21 +50,26 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def materialize(name: String): Double = {
-      val ts = (1 to runs).map(_ => once(name))
-      if (ts.exists(_ < 0)) -1.0 else ts.min
-    }
-
     // warmup: small scan+agg exercises codegen, parquet footer reads, JIT
     SparkEntry.queries.get("q_agg_stats")
       .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> materialize(n))
+    // interleaved passes: run the WHOLE suite once per pass, min per
+    // query across passes — a contiguous throttle burst can inflate a
+    // query in at most one pass
+    val passes: Seq[Map[String, Double]] =
+      (1 to runs).map(_ => names.map(n => n -> once(n)).toMap)
+    val results = names.map { n =>
+      val ts = passes.map(_(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
     val ok = results.filter(_._2 >= 0)
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val passesJson = passes.map(p => names.map(n => s""""$n":${p(n)}""")
+      .mkString("{", ",", "}")).mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"agg":"min","interleaved":true,"passes":$passesJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

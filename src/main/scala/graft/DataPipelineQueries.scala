@@ -248,7 +248,12 @@ object DataPipelineQueries {
     // ── sequence-packing manifest: global token offsets + sequence
     //    span per doc (two-level prefix sum, 512-token sequences)
     "q_pack" -> ((s, dir) =>
+      // row_md5 folds the whole row into one value so any future
+      // engine/oracle divergence localizes to specific rows
       Packing.packManifest(docs(s, dir), "doc_id", "text", seqLen = 512)
+        .withColumn("row_md5", md5(concat_ws("|",
+          col("doc_id"), col("n_tokens"), col("start_token"),
+          col("seq_first"), col("seq_last"))))
         .orderBy("doc_id")),
 
     // ── packed-sequence slices: which token range of which doc fills
@@ -319,12 +324,17 @@ object DataPipelineQueries {
         .orderBy("doc_id")),
 
     // ── mean-pool embeddings per label (class centroids / the pool
-    //    step of chunk→embed→pool)
+    //    step of chunk→embed→pool). The centroid is pinned as md5 over
+    //    exact scaled integers — never a raw array<double> column (the
+    //    driver's pandas hasher cannot sort ndarray cells); round(6)+eps
+    //    absorbs summation-order fp differences, ×1e6→long makes every
+    //    element an exact integer whose string form both engines agree on
     "q_mean_pool" -> ((s, dir) =>
       Similarity.meanPool(embs(s, dir), "label", "embedding")
         .select(col("label"), col("n"),
-          transform(col("centroid"), x => round(x + lit(1e-9), 6))
-            .as("centroid"))
+          md5(array_join(transform(col("centroid"),
+            x => round(round(x + lit(1e-9), 6) * 1e6).cast("long")
+              .cast("string")), ",")).as("centroid_md5"))
         .orderBy("label")),
 
     // ── int8 symmetric quantization: per-vector scale + md5 over the
@@ -943,11 +953,18 @@ object DataPipelineQueries {
         |           AS start_token
         |  FROM sized
         |)
-        |SELECT doc_id, n_tokens, start_token,
-        |       start_token // 512 AS seq_first,
-        |       CASE WHEN n_tokens = 0 THEN start_token // 512
-        |            ELSE (start_token + n_tokens - 1) // 512 END AS seq_last
-        |FROM pre ORDER BY doc_id""".stripMargin,
+        |, fin AS (
+        |  SELECT doc_id, n_tokens, start_token,
+        |         start_token // 512 AS seq_first,
+        |         CASE WHEN n_tokens = 0 THEN start_token // 512
+        |              ELSE (start_token + n_tokens - 1) // 512 END
+        |           AS seq_last
+        |  FROM pre
+        |)
+        |SELECT doc_id, n_tokens, start_token, seq_first, seq_last,
+        |       md5(concat_ws('|', doc_id, n_tokens, start_token,
+        |                     seq_first, seq_last)) AS row_md5
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "q_pack_slices" ->
       """WITH sized AS (
@@ -1129,7 +1146,9 @@ object DataPipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // per-(label, dim) avgs reassembled in dim order; round(6)+eps
-    // absorbs summation-order fp differences
+    // absorbs summation-order fp differences, then ×1e6→BIGINT→md5
+    // pins every element as an exact integer (no array column in the
+    // output — the driver's hasher can't sort arrays)
     "q_mean_pool" ->
       """WITH expl AS (
         |  SELECT label,
@@ -1141,8 +1160,10 @@ object DataPipelineQueries {
         |  FROM expl GROUP BY 1, 2
         |)
         |SELECT label, max(c) AS n,
-        |       list_transform(list(m ORDER BY p),
-        |         x -> round(x + 1e-9, 6)) AS centroid
+        |       md5(array_to_string(list_transform(list(m ORDER BY p),
+        |         x -> CAST(CAST(round(round(x + 1e-9, 6) * 1000000)
+        |                        AS BIGINT) AS VARCHAR)), ','))
+        |         AS centroid_md5
         |FROM dims GROUP BY label ORDER BY label""".stripMargin,
 
     // int codes kept as exact-integer DOUBLEs for md5; scale math all

@@ -117,6 +117,40 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ── §2.1 JDBC bucket end-to-end (the reference's "external store"
+    //    connector class, file-backed via embedded Derby — the only
+    //    store reachable without network): stage a one-week purchase
+    //    slice into the database, then run the SAME bucketed agg
+    //    THROUGH the JDBC relation. Time-range predicates push into the
+    //    store's own SQL (PushedFilters on the JDBC scan — the Spark
+    //    analog of the reference generating WHERE clauses into
+    //    InfluxQL, influx.py:521-546); pushdown is plan-audited in
+    //    PlanShapeSpec.
+    "q_times_jdbc" -> ((s, dir) => {
+      val end = FROM + 7L * 86400L
+      val dbDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_derby_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      System.setProperty("derby.stream.error.file",
+        new java.io.File(sys.props("java.io.tmpdir"), "derby.log").getPath)
+      val bucket = new graft.sources.JdbcBucket(
+        "evdb", s"jdbc:derby:${dbDir.getAbsolutePath}/events;create=true",
+        "events_week", "ts")
+      val slice = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" &&
+          col("ts_nanos") >= FROM * 1000000000L &&
+          col("ts_nanos") < end * 1000000000L)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .coalesce(1) // embedded store: one writer connection is the shape
+      bucket.overwrite(slice)
+      TimesQuery.run(s, bucket.readPoints(s), "ts", HOUR, FROM, end,
+          Seq(
+            Feature("avg_v", "avg", "value", fill = ConstFill(0.0)),
+            Feature("cnt_v", "count", "value", fill = ConstFill(0.0))))
+        .withColumn("avg_v", round(col("avg_v") + lit(1e-9), 4))
+        .orderBy("bucket")
+    }),
+
     // ── §2.4 basic aggregations (TPC-H Q1 shape)
     "q_agg_basic" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -482,6 +516,28 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same tables, same column names). */
   private def coreOracleSql: Map[String, String] = Map(
+    // same series the JDBC round-trip stages: the oracle reads the
+    // parquet directly — value/ts must survive the store byte-exact
+    "q_times_jdbc" -> {
+      val end = FROM + 7L * 86400L
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($FROM, ${end - HOUR}, $HOUR)) AS bucket
+         |), agg AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS avg_v,
+         |         CAST(count(value) AS DOUBLE) AS cnt_v
+         |  FROM events
+         |  WHERE event_type = 'purchase'
+         |    AND epoch(ts) >= $FROM AND epoch(ts) < $end
+         |  GROUP BY 1
+         |)
+         |SELECT s.bucket,
+         |       round(coalesce(a.avg_v, 0.0) + 1e-9, 4) AS avg_v,
+         |       coalesce(a.cnt_v, 0.0) AS cnt_v
+         |FROM spine s LEFT JOIN agg a USING (bucket)
+         |ORDER BY s.bucket""".stripMargin
+    },
+
     "q_times_avg_count" ->
       s"""WITH spine AS (
          |  SELECT unnest(generate_series($FROM, ${TO - HOUR}, $HOUR)) AS bucket

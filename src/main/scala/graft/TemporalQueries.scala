@@ -82,8 +82,10 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_events"),
           expr("min(tns) div 1000000000").as("start_s"),
           expr("max(tns) div 1000000000").as("end_s"),
-          round(sum(col("value").cast(DecimalType(30, 12))).cast("double"), 4)
-            .as("sum_v"))
+          // scaled-integer sum: round each value to 1e-4 units BEFORE
+          // summing — exact long arithmetic, order-independent, and no
+          // decimal-cast half-boundary for the engines to disagree on
+          sum(round(col("value") * 10000).cast("long")).as("sum_v4"))
         .orderBy("user_id", "session_id")
     }),
 
@@ -93,8 +95,9 @@ object TemporalQueries {
         (expr("ts_nanos div 1000000000 div 86400") * 86400).cast("long"))
       e.rollup(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast(DecimalType(30, 12))).cast("double"), 4)
-            .as("sum_v"),
+          // scaled-integer sum (see q_sessionize): exact and
+          // boundary-free vs the oracle
+          sum(round(col("value") * 10000).cast("long")).as("sum_v4"),
           grouping(col("event_type")).cast("long").as("g_type"),
           grouping(col("day")).cast("long").as("g_day"))
         .orderBy(col("g_type"), col("g_day"), col("event_type"), col("day"))
@@ -272,8 +275,7 @@ object TemporalQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(tns) // 1000000000 AS start_s,
         |       max(tns) // 1000000000 AS end_s,
-        |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4)
-        |         AS sum_v
+        |       sum(CAST(round(value * 10000) AS BIGINT)) AS sum_v4
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rollup" ->
@@ -285,8 +287,7 @@ object TemporalQueries {
         |  FROM events
         |)
         |SELECT event_type, day, count(*) AS n,
-        |       round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4)
-        |         AS sum_v,
+        |       sum(CAST(round(value * 10000) AS BIGINT)) AS sum_v4,
         |       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
         |       CAST(GROUPING(day) AS BIGINT) AS g_day
         |FROM e

@@ -95,11 +95,11 @@ object FleetHoltWinters {
     * predicted/bands, Φ-score like the solo model. */
   def predict(bucketed: DataFrame, states: DataFrame, valueCol: String,
       keys: Seq[String], p: HoltWintersParams,
-      anomalyType: String = "low_high"): DataFrame =
+      anomalyType: String = "low_high", z: Double = 3.0): DataFrame =
     bucketed.join(states, keys)
       .withColumn("predicted", projection(p))
-      .withColumn("lower", col("predicted") - lit(3.0) * col("sigma"))
-      .withColumn("upper", col("predicted") + lit(3.0) * col("sigma"))
+      .withColumn("lower", col("predicted") - lit(z) * col("sigma"))
+      .withColumn("upper", col("predicted") + lit(z) * col("sigma"))
       .withColumn("score", graft.functions.Stats.anomalyScore(
         col(valueCol), col("predicted"), col("upper"), anomalyType))
       .drop("level", "trend", "sigma", "last_bucket", "season")

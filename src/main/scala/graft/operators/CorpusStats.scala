@@ -33,11 +33,14 @@ object CorpusStats {
 
   /** Per-stratum approximate distinct counts in ONE pass (the profile
     * table a mixture sampler reads): `(strataCol, approx_docs,
-    * approx_vocab)`. */
+    * approx_vocab)`. `explode_outer` keeps docs with zero shingles
+    * (< 3 tokens) so `approx_docs` counts every doc, not just docs
+    * with at least one shingle. */
   def strataProfile(df: DataFrame, strataCol: String, idCol: String,
       textCol: String, rsd: Double = 0.05): DataFrame =
     df.select(col(strataCol), col(idCol),
-        explode(array_distinct(Dedup.wordShingles(col(textCol), 3))).as("sh"))
+        explode_outer(array_distinct(Dedup.wordShingles(col(textCol), 3)))
+          .as("sh"))
       .groupBy(strataCol)
       .agg(approx_count_distinct(col(idCol), rsd).as("approx_docs"),
         approx_count_distinct(col("sh"), rsd).as("approx_vocab"))

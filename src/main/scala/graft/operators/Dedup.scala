@@ -586,6 +586,11 @@ object Dedup {
       e = next
       iter += 1
     }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds " +
+          "(rounds are O(log n) — raise maxIter); labels from a " +
+          "non-converged edge set would be silently wrong")
     // converged: every non-root points straight at its component min
     val roots = e.select(greatest(col("a"), col("b")).as("id"),
       least(col("a"), col("b")).as("root"))

@@ -18,23 +18,32 @@ import org.apache.spark.sql.functions._
   *   1. project the corpus down to its manifest `(id, n_tokens)` —
   *      ~16 bytes/row, ~0.1% of a text corpus, so later exchanges move
   *      the manifest, never the documents;
-  *   2. `repartitionByRange(id)` so partition i holds only ids below
-  *      partition i+1, then a per-partition running sum
-  *      (`Window.partitionBy(spark_partition_id())` — parallel across
-  *      partitions, each window bounded by one partition's rows);
-  *   3. per-partition totals (one tiny agg, numPartitions rows) are
+  *   2. assign each row an ordered bucket id from per-group QUANTILE
+  *      BOUNDARIES of the id (collected once, embedded in the plan as
+  *      literals), then a per-bucket running sum
+  *      (`Window.partitionBy(bucket)` — parallel across buckets, each
+  *      window bounded by one bucket's rows);
+  *   3. per-bucket totals (one tiny agg, numBuckets rows) are
   *      collected, cumulated on the driver, and broadcast-joined back
-  *      as the partition base offsets.
+  *      as the bucket base offsets.
   *
-  * Total cost: two exchanges of the manifest + an O(partitions) driver
-  * step — at 100 TB / 100B docs that is a few GB shuffled, vs the
-  * single-window plan that funnels every row through one task.
+  * Total cost: one boundary job + one exchange of the manifest + an
+  * O(buckets) driver step — at 100 TB / 100B docs that is a few GB
+  * shuffled, vs the single-window plan that funnels every row through
+  * one task.
   *
-  * Determinism: the result is a pure function of `(id, n_tokens)` —
-  * partition count and range boundaries only decide WHERE the prefix
-  * sum is assembled, never its value, so any partitioning of the same
-  * corpus yields byte-identical manifests (spec-proven), and the layout
-  * is reproducible across runs/engines (DuckDB oracle).
+  * Determinism: the result is a pure function of `(id, n_tokens)`, and
+  * so is every INTERMEDIATE — the bucket id is computed from boundary
+  * literals, not from `spark_partition_id()`, so separate actions,
+  * AQE re-plans, and block-loss recomputes all assign identical
+  * buckets by construction. (The previous design range-partitioned and
+  * read the physical partition index, which `RangePartitioner`'s
+  * per-RDD-id sampling seed can redraw per materialization; it needed
+  * an eager `localCheckpoint` pin and still left the recompute path
+  * unpinned.) Any partitioning of the same corpus yields
+  * byte-identical manifests (spec-proven across shuffle-partition
+  * counts and AQE settings), and the layout is reproducible across
+  * runs/engines (DuckDB oracle).
   */
 object Packing {
 
@@ -72,27 +81,50 @@ object Packing {
       sizeExpr.getOrElse(TextAnalysis.tokenCount(col(textCol)))
         .cast("long").as("n_tokens"): _*)
 
-    // per-partition exclusive running sum (parallel: one window group
-    // per (group, range-partition)). __pid must be projected under the
-    // window's hash exchange, so it reads the RANGE partition index.
-    // localCheckpoint pins the partitioning: the offsets job and the
-    // final join are SEPARATE actions, and AQE may coalesce the range
-    // shuffle differently per action — divergent __pid assignments
-    // silently drop rows in the (grp, pid) base-offset join (found by
-    // the sf0.1 cross-scale gate: 47 of 5000 manifest rows vanished).
-    // The checkpointed frame is the manifest (id, grp, n_tokens) — text
-    // never reaches it, so the materialization is index-sized.
-    val ranged = sized.repartitionByRange(nParts, col("__grp"), col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // Ordered bucket id as a PURE FUNCTION of (grp, id): per-group
+    // quantile boundaries of the id, collected ONCE and baked into the
+    // plan as literals. The offsets job and the final join are separate
+    // actions; deriving the bucket from data (never from the physical
+    // partition index) makes every action/recompute agree by
+    // construction — no checkpoint pin needed, and a lost block
+    // recomputes to the same values. Boundary placement only decides
+    // WHERE the prefix sum is assembled, never its value, so the
+    // approximate quantiles are fine (skew just unbalances buckets).
+    // Requires a numeric id (true of any corpus-scale doc id; ids are
+    // already required unique).
+    val bucketed =
+      if (nParts <= 1) sized.withColumn("__pid", lit(0))
+      else {
+        // collect the boundaries in ONE job and embed them as a map
+        // LITERAL — percentile_approx's partial-merge order is not
+        // guaranteed stable across materializations, so a lazy join
+        // against it could assign different buckets per action; a
+        // literal cannot. O(groups) driver rows, nParts-1 doubles each.
+        val qs = (1 until nParts).map(_.toDouble / nParts)
+        val boundsMap: Map[String, Seq[Double]] = sized
+          .groupBy(col("__grp"))
+          .agg(percentile_approx(col(idCol).cast("double"),
+            typedLit(qs), lit(10000)).as("__bounds"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+        sized.withColumn("__pid",
+          aggregate(element_at(typedLit(boundsMap), col("__grp")),
+            lit(0),
+            (acc, b) => acc + when(col(idCol).cast("double") > b, 1)
+              .otherwise(0)))
+      }
     val w = Window.partitionBy(col("__grp"), col("__pid"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = ranged.withColumn("__local",
-      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // persist is an OPTIMIZATION only (totals job + final join both
+    // read this frame; without it each would re-tokenize the corpus) —
+    // a lost block recomputes to identical values by construction.
+    val local = bucketed.withColumn("__local",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (group, partition) totals → driver cumsum per group → broadcast
-    // base offsets. collect() is O(groups·partitions): shard-level
+    // (group, bucket) totals → driver cumsum per group → broadcast
+    // base offsets. collect() is O(groups·buckets): shard-level
     // grouping (languages, sources) keeps this driver-sized.
     val totals = local.groupBy(col("__grp"), col("__pid"))
       .agg(sum(col("n_tokens")).as("__tot"))

@@ -135,7 +135,12 @@ object Sampling {
   def weightedTopK(df: DataFrame, idCol: String, weight: Column, k: Int,
       salt: String = ""): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val key = pow(hashUniform(col(idCol), salt), lit(1.0) / weight)
+    // enforce the documented contract at runtime: w <= 0 would give
+    // u^(1/w) = NaN (w=0) or > 1 (w<0) and silently win the top-k
+    val checked = when(weight > 0, weight).otherwise(
+      raise_error(concat(lit("weightedTopK: weight must be > 0, got "),
+        weight.cast("string"))))
+    val key = pow(hashUniform(col(idCol), salt), lit(1.0) / checked)
     df.withColumn("__wk", key)
       .orderBy(col("__wk").desc, col(idCol))
       .limit(k)

@@ -79,6 +79,9 @@ object BucketSettings {
       case "testdata" => new TestdataBucket(name, str(j \ "dir", "dir"),
         str(j \ "table", "table"),
         opt(j \ "timestamp_field").getOrElse("ts"))
+      case "jdbc" => new JdbcBucket(name, str(j \ "url", "url"),
+        str(j \ "table", "table"),
+        opt(j \ "timestamp_field").getOrElse("ts"))
       case t => throw new IllegalArgumentException(s"unknown bucket type: $t")
     }
   }
@@ -132,6 +135,57 @@ final class OrcBucket(
   def readPoints(spark: SparkSession): DataFrame = spark.read.orc(path)
   override def writePoints(df: DataFrame): Unit =
     df.write.mode("append").orc(path)
+}
+
+/** JDBC bucket — the one "external store" connector class buildable in a
+  * network-less sandbox (embedded/file-backed engines like Derby; in
+  * production the same class fronts Postgres/MySQL/anything with a JDBC
+  * driver). Mirrors the reference connector contract
+  * (/root/reference/loudml/bucket.py:157-194: filtered bucketed read,
+  * buffered point insert, drop): the read path hands Spark a JDBC
+  * relation whose time-range and tag predicates are PUSHED into the
+  * remote store's own SQL (PushedFilters on the JDBC scan — the Spark
+  * analog of the reference generating `WHERE time >= … AND tag = …`
+  * into InfluxQL, /root/reference/loudml/influx.py:521-546).
+  *
+  * Scale shape: `extraOptions` passes through Spark's JDBC partitioned
+  * read (`partitionColumn`/`lowerBound`/`upperBound`/`numPartitions`)
+  * so a large table reads as N parallel range queries instead of one
+  * cursor; writes batch per partition (`batchsize`).
+  */
+final class JdbcBucket(
+    val name: String, url: String, table: String,
+    override val timestampField: String = "ts",
+    extraOptions: Map[String, String] = Map.empty) extends Bucket {
+
+  def readPoints(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(extraOptions).load()
+
+  override def writePoints(df: DataFrame): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(extraOptions).mode("append").save()
+
+  /** Replace the table's contents (create-or-truncate + load) — the
+    * setup path tests/staging use; `columnTypes` overrides the dialect's
+    * default DDL types (e.g. `"event_type VARCHAR(32)"` where the
+    * dialect would pick CLOB). */
+  def overwrite(df: DataFrame, columnTypes: Option[String] = None): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(extraOptions)
+    columnTypes.fold(w)(ct => w.option("createTableColumnTypes", ct))
+      .mode("overwrite").save()
+  }
+
+  override def drop(): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try { val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table") finally st.close()
+    } finally conn.close()
+  }
 }
 
 /** In-memory bucket (the MemBucket analog, membucket.py:78-287): points
