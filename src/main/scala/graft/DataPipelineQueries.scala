@@ -190,7 +190,11 @@ object DataPipelineQueries {
     //    rounded double column per element (arrays aren't hashable by the
     //    driver's pandas compare; scalars are)
     "q_multimodal_features" -> ((s, dir) => {
-      val decoded = Multimodal.decodeStub(
+      // routes through the REAL decode path: ImageIO rejects the text
+      // blobs by magic bytes and the deterministic byte-stat fallback
+      // produces exactly the stub features the oracle mirrors — a
+      // genuinely mixed corpus would decode its images in this same plan
+      val decoded = Multimodal.decodeImage(
         Multimodal.attachBlob(docs(s, dir), "doc_id", "text"))
       val fs = (0 until 8).map(j =>
         round(coalesce(element_at(col("features"), j + 1), lit(0.0)), 6).as(s"f$j"))

@@ -116,6 +116,57 @@ object HoltWinters {
     cands.map(c => (c, fit(series, c))).minBy(_._2.sigma)
   }
 
+  /** Budgeted annealed random search over the CONTINUOUS (α, β, γ) space
+    * (+ an optional period candidate set) — the reference's hyperopt-TPE
+    * `max_evals` knob (/root/reference/loudml/donut.py:800-855) restated
+    * without the surrogate density: a third of the budget explores with
+    * seeded uniform draws over the full box, the rest exploits by
+    * perturbing the incumbent with log-scale noise whose temperature
+    * anneals toward zero — TPE's explore/exploit split, deterministic by
+    * seed. Each eval is one O(buckets) driver fold (criterion: the same
+    * in-sample one-step RMS as [[fitBest]]); the whole budget costs less
+    * than one Spark job. Beats the fixed grid at equal budget whenever
+    * the optimum sits off-grid (spec-pinned on a seeded synthetic).
+    */
+  def searchBest(series: Seq[(Long, Option[Double])], p: HoltWintersParams,
+      maxEvals: Int = 21, periods: Seq[Long] = Nil, seed: Long = 42L)
+      : (HoltWintersParams, HoltWintersState) = {
+    require(maxEvals >= 1, "maxEvals must be >= 1")
+    val rnd = new scala.util.Random(seed)
+    val pers = if (periods.nonEmpty) periods else Seq(p.period)
+    val lo = Array(0.01, 0.001, 0.01) // α, β, γ bounds
+    val hi = Array(0.99, 0.2, 0.99)
+    def clamp(v: Double, i: Int) = math.min(hi(i), math.max(lo(i), v))
+    def uniform(i: Int) = lo(i) + rnd.nextDouble() * (hi(i) - lo(i))
+
+    val explore = math.max(1, maxEvals / 3)
+    var best: (HoltWintersParams, HoltWintersState) = null
+    var evals = 0
+    while (evals < maxEvals) {
+      val cand =
+        if (best == null || evals < explore)
+          p.copy(alpha = uniform(0), beta = uniform(1), gamma = uniform(2),
+            period = pers(rnd.nextInt(pers.size)))
+        else {
+          // anneal: log-normal perturbation of the incumbent, temperature
+          // decaying from 0.5 to ~0.05 over the remaining budget
+          val t = 0.5 * math.pow(0.1,
+            (evals - explore).toDouble / math.max(1, maxEvals - explore))
+          val b = best._1
+          p.copy(
+            alpha = clamp(b.alpha * math.exp(rnd.nextGaussian() * t), 0),
+            beta = clamp(b.beta * math.exp(rnd.nextGaussian() * t), 1),
+            gamma = clamp(b.gamma * math.exp(rnd.nextGaussian() * t), 2),
+            period = if (pers.size == 1 || rnd.nextDouble() < 0.8) b.period
+              else pers(rnd.nextInt(pers.size)))
+        }
+      val st = fit(series, cand)
+      if (best == null || st.sigma < best._2.sigma) best = (cand, st)
+      evals += 1
+    }
+    best
+  }
+
   /** Collect a bucketed frame to the ordered driver-side series
     * (model-sized: O(buckets)). */
   def collectSeries(bucketed: DataFrame, valueCol: String)
@@ -181,9 +232,16 @@ object HoltWintersType extends ModelType {
       settingsJson: String): TrainedModel = {
     val (p0, explicit) = params(settingsJson)
     val series = HoltWinters.collectSeries(bucketed, valueCol)
+    // "max_evals" present → budgeted annealed search (the reference's
+    // hyperopt knob, donut.py:800-855); absent → the fixed grid
+    val maxEvals = jNum(JsonMethods.parse(settingsJson) \ "max_evals")
+      .map(_.toInt)
     val (p, st) =
       if (explicit) (p0, HoltWinters.fit(series, p0))
-      else HoltWinters.fitBest(series, p0)
+      else maxEvals match {
+        case Some(n) => HoltWinters.searchBest(series, p0, n)
+        case None    => HoltWinters.fitBest(series, p0)
+      }
     val spark = bucketed.sparkSession
     // merge (not ~): replaces existing keys so the settings JSON never
     // carries duplicate fields (json4s `\` on a duplicated key returns a

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * metadata, plus decode / feature-extract stages (BASELINE.json north
   * star).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB (`decodeStub`); everything around it —
-  * schema (binary + metadata struct), partition-sized batch iteration via
-  * `mapPartitions`, fixed-width feature output with a real Encoder — is the
-  * production plumbing and is tested. Swapping the stub for a real codec
-  * changes one function.
+  * IMAGE decode is real: [[decodeImage]] uses the JDK's own ImageIO
+  * codecs (PNG/BMP/GIF/JPEG) and falls back to the deterministic
+  * byte-stat STUB kernel for blobs no codec accepts, so dirty corpora
+  * never fail the job. Audio/video codecs don't exist in the JDK, so
+  * those decodes remain the clearly-marked stub (`decodeStub`);
+  * everything around them — schema (binary + metadata struct),
+  * partition-sized batch iteration via `mapPartitions`, fixed-width
+  * feature output with a real Encoder — is the production plumbing and
+  * is tested.
   *
   * Scale notes: blobs never pass through a shuffle here (all stages are
   * narrow maps); at 100 TB you'd store blobs in parquet binary columns
@@ -45,47 +48,99 @@ object Multimodal {
         lit(64).as("width"),
         lit(64).as("height")).as("meta"))
 
-  /** STUB decode: a real implementation would decode image bytes to
-    * pixels here (no codec libs in this container). The stub derives a
-    * deterministic 8-value "feature vector" from the raw bytes so the
-    * downstream plumbing (batching, schema, joins with embeddings) is
-    * exercised with stable values: f_i = mean of bytes ≡ i (mod 8),
-    * normalized to [0,1]. Features are Double (exact integer-sum math →
-    * DuckDB-oracle-equal); a real codec would emit float32 — swap the
-    * element type with the codec.
-    *
-    * Dataset-typed `mapPartitions` (Encoders.row), not `df.rdd`: rows stay
-    * in Tungsten binary format end-to-end, no RDD round-trip. The
-    * partition is the batch unit (the mapInPandas analog); a real codec
-    * would init once per partition here.
-    */
-  def decodeStub(df: DataFrame): DataFrame = {
+  /** Deterministic byte-stat features (the decode STUB's kernel, and the
+    * fallback for undecodable blobs): f_i = mean of bytes ≡ i (mod 8),
+    * normalized to [0,1]. Exact integer-sum math → DuckDB-oracle-equal. */
+  private[operators] def byteStatFeatures(bytes: Array[Byte]): Array[Double] =
+    if (bytes == null) null
+    else {
+      val sums = new Array[Long](8)
+      val counts = new Array[Long](8)
+      var i = 0
+      while (i < bytes.length) {
+        sums(i % 8) += bytes(i) & 0xff
+        counts(i % 8) += 1
+        i += 1
+      }
+      Array.tabulate(8)(j =>
+        if (counts(j) == 0) 0.0
+        else sums(j).toDouble / counts(j) / 255.0)
+    }
+
+  private def withFeatures(df: DataFrame)(
+      f: Array[Byte] => Array[Double]): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(DoubleType), nullable = true))
     val dataIdx = df.schema.fieldIndex("data")
     df.mapPartitions { it =>
       // per-partition (batch) codec init would go here
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]](dataIdx)
-        val feats: Array[Double] =
-          if (bytes == null) null
-          else {
-            val sums = new Array[Long](8)
-            val counts = new Array[Long](8)
-            var i = 0
-            while (i < bytes.length) {
-              sums(i % 8) += bytes(i) & 0xff
-              counts(i % 8) += 1
-              i += 1
-            }
-            Array.tabulate(8)(j =>
-              if (counts(j) == 0) 0.0
-              else sums(j).toDouble / counts(j) / 255.0)
-          }
-        Row.fromSeq(r.toSeq :+ feats)
-      }
+      it.map(r => Row.fromSeq(r.toSeq :+ f(r.getAs[Array[Byte]](dataIdx))))
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** STUB decode: derives the deterministic byte-stat "feature vector"
+    * from the raw bytes so the downstream plumbing (batching, schema,
+    * joins with embeddings) is exercised with stable values; a real
+    * codec would emit float32 — swap the element type with the codec.
+    *
+    * Dataset-typed `mapPartitions` (Encoders.row), not `df.rdd`: rows stay
+    * in Tungsten binary format end-to-end, no RDD round-trip. The
+    * partition is the batch unit (the mapInPandas analog).
+    */
+  def decodeStub(df: DataFrame): DataFrame =
+    withFeatures(df)(byteStatFeatures)
+
+  /** REAL image decode via the JDK's own ImageIO codecs (PNG/BMP/GIF/
+    * JPEG — no external libraries): decodes the blob to pixels and emits
+    * an 8-value feature vector
+    * `[width, height, meanR, meanG, meanB, meanLuma, stdLuma, aspect]`
+    * (channel means normalized to [0,1], Rec.601 luma, aspect = w/h).
+    * PNG/BMP/GIF are lossless so the features are bit-deterministic
+    * across JVMs. Blobs ImageIO cannot decode (wrong magic, truncated
+    * file, or a non-image payload) fall back to [[byteStatFeatures]],
+    * so a mixed or dirty corpus never fails the job — the production
+    * posture for crawled data.
+    *
+    * Same scale shape as the stub: a narrow Dataset-typed
+    * `mapPartitions`, blobs never shuffle, the partition is the decode
+    * batch; `ImageIO.read` selects a reader by magic bytes and rejects
+    * non-images cheaply. */
+  def decodeImage(df: DataFrame): DataFrame =
+    withFeatures(df) { bytes =>
+      if (bytes == null) null
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) byteStatFeatures(bytes)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0.0; var sg = 0.0; var sb = 0.0
+          var sy = 0.0; var syy = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b; sy += luma; syy += luma * luma
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          val meanLuma = sy / n
+          val varLuma = math.max(0.0, syy / n - meanLuma * meanLuma)
+          Array(w.toDouble, h.toDouble, sr / n / 255.0, sg / n / 255.0,
+            sb / n / 255.0, meanLuma / 255.0, math.sqrt(varLuma) / 255.0,
+            w.toDouble / h)
+        }
+      }
+    }
 
   /** Frame sampling: cut `n` evenly-spaced fixed-width byte windows from
     * the blob (video-frame-sampling shape; windows of real codecs would

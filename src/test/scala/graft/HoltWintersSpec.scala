@@ -101,6 +101,41 @@ class HoltWintersSpec extends SparkSpec {
     assert(Seq(0.1, 0.3, 0.6).contains(bestP.gamma))
   }
 
+  test("searchBest (annealed, max_evals-budgeted) beats the grid at " +
+      "equal budget when the optimum is off-grid, and recovers the " +
+      "true period from candidates") {
+    val series = synth(10, noise = 1.0).map { case (b, v) => (b, Some(v)) }
+    val base = HoltWintersParams(bucketInterval = H, period = 86400L)
+    val gridBudget = 4 * 2 * 3 // fitBest's fixed grid size
+    val (_, gridBest) = HoltWinters.fitBest(series, base)
+    val (searchP, searchBest) =
+      HoltWinters.searchBest(series, base, maxEvals = gridBudget)
+    // continuous draws + annealing reach between the grid's points
+    assert(searchBest.sigma <= gridBest.sigma,
+      s"search σ=${searchBest.sigma} vs grid σ=${gridBest.sigma}")
+    assert(searchP.alpha > 0 && searchP.alpha < 1)
+    // period candidates: the true daily period wins over wrong ones
+    val (perP, _) = HoltWinters.searchBest(series, base, maxEvals = 30,
+      periods = Seq(6 * H, 86400L, 36 * H))
+    assert(perP.period == 86400L, s"picked period ${perP.period}")
+    // determinism: same seed, same budget → identical result
+    val (p2, st2) = HoltWinters.searchBest(series, base, maxEvals = gridBudget)
+    assert(p2 == searchP && st2.sigma == searchBest.sigma)
+  }
+
+  test("max_evals in settings JSON routes training through searchBest") {
+    val series = synth(8, noise = 1.0)
+    val df = series.toSeq.toDF("bucket", "v")
+    val m = HoltWintersType.train(df, "v",
+      """{"type":"holtwinters","bucket_interval":3600,"period":86400,"max_evals":15}""")
+    // trained JSON carries the chosen (off-grid) constants
+    val j = org.json4s.jackson.JsonMethods.parse(m.settingsJson)
+    val alpha = (j \ "alpha").values.toString.toDouble
+    assert(alpha > 0 && alpha < 1)
+    assert(!Seq(0.1, 0.3, 0.5, 0.8).contains(alpha),
+      s"alpha=$alpha looks like a grid point, not a continuous draw")
+  }
+
   test("gaps roll the state forward without seasonal corruption") {
     val full = synth(6).map { case (b, v) => (b, Some(v)) }
     // knock out day 4 entirely

@@ -884,6 +884,48 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ── Multimodal ─────────────────────────────────────────────────
 
+  test("decodeImage: real PNG/BMP bytes decode to pixel features; " +
+      "non-image blobs fall back to the byte-stat kernel") {
+    def pngBytes(rgb: Int, w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) rgb else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.Row
+    // left half pure red, right half white, 8x4
+    val rows = Seq(
+      Row(1L, pngBytes(0xff0000, 8, 4, "png"), Row(0L, "image", 8, 4)),
+      Row(2L, pngBytes(0x0000ff, 8, 4, "bmp"), Row(0L, "image", 8, 4)),
+      Row(3L, "not an image at all".getBytes("UTF-8"),
+        Row(0L, "image", 0, 0)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), Multimodal.mediaSchema)
+    val out = Multimodal.decodeImage(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](r.fieldIndex("features")))
+      .toMap
+    // png: w=8, h=4, meanR = (0.5*255 + 0.5*255)/255 = 1.0 (red half has
+    // R=255, white half R=255); meanG = meanB = 0.5; aspect = 2
+    assert(out(1L)(0) == 8.0 && out(1L)(1) == 4.0)
+    assert(math.abs(out(1L)(2) - 1.0) < 1e-9)
+    assert(math.abs(out(1L)(3) - 0.5) < 1e-9)
+    assert(math.abs(out(1L)(4) - 0.5) < 1e-9)
+    assert(math.abs(out(1L)(7) - 2.0) < 1e-9)
+    // bmp: blue half → meanB = 1.0, meanR = 0.5
+    assert(math.abs(out(2L)(4) - 1.0) < 1e-9)
+    assert(math.abs(out(2L)(2) - 0.5) < 1e-9)
+    // luma std positive on a two-tone image
+    assert(out(1L)(6) > 0.0 && out(2L)(6) > 0.0)
+    // non-image: identical to the stub kernel
+    val stub = Multimodal.decodeStub(df.filter(col("media_id") === 3))
+      .collect()(0)
+    assert(out(3L) == stub.getSeq[Double](stub.fieldIndex("features")))
+  }
+
   test("blob plumbing: schema, deterministic stub decode, frame sampling") {
     val df = Seq((1L, "abcdefgh" * 4)).toDF("doc_id", "text")
     val media = Multimodal.attachBlob(df, "doc_id", "text")
