@@ -48,8 +48,11 @@ object TemporalQueries {
       val views = e.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts_nanos").as("vts"),
           col("value").as("vvalue"), col("event_id").as("vid"))
+      // rightTieCols: views sharing one timestamp resolve to the highest
+      // vid — a total order, so duplicated-instant data (common in real
+      // streams) cannot flip the match between runs or engines
       Temporal.asofJoin(purchases, views, Seq("user_id"), "pts", "vts",
-          payload = Seq("vvalue", "vid"))
+          payload = Seq("vvalue", "vid"), rightTieCols = Seq("vid"))
         .select(col("event_id"), col("user_id"),
           round(col("value"), 4).as("p_value"),
           col("r_vid").as("view_id"),
@@ -226,20 +229,33 @@ object TemporalQueries {
 
   def oracleSql: Map[String, String] = Map(
 
+    // not DuckDB's ASOF JOIN: its choice among right rows sharing the
+    // boundary timestamp is unspecified, so the oracle replays the
+    // engine's union-merge with the SAME explicit total order
+    // (ts, side, vid) — ties among views resolve to the highest vid
     "q_asof" ->
-      """WITH p AS (
-        |  SELECT event_id, user_id, epoch_ns(ts) AS pts, value
-        |  FROM events WHERE event_type = 'purchase'
-        |), v AS (
-        |  SELECT event_id AS vid, user_id, epoch_ns(ts) AS vts,
-        |         value AS vvalue
+      """WITH u AS (
+        |  SELECT user_id, epoch_ns(ts) AS uts, 0 AS side,
+        |         event_id AS vid, value AS vvalue,
+        |         NULL::BIGINT AS event_id, NULL::DOUBLE AS value
         |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts), 1, NULL, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN side = 0
+        |             THEN struct_pack(vid := vid, vv := vvalue) END
+        |           IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY uts, side, vid
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS mt
+        |  FROM u
         |)
-        |SELECT p.event_id, p.user_id, round(p.value, 4) AS p_value,
-        |       v.vid AS view_id, round(v.vvalue, 4) AS view_value
-        |FROM p ASOF LEFT JOIN v
-        |  ON p.user_id = v.user_id AND p.pts >= v.vts
-        |ORDER BY p.event_id""".stripMargin,
+        |SELECT event_id, user_id, round(value, 4) AS p_value,
+        |       mt.vid AS view_id, round(mt.vv, 4) AS view_value
+        |FROM m WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
 
     "q_interval_join" ->
       """WITH er AS (
