@@ -75,6 +75,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Join") <= 2, p)
   }
 
+  test("packManifest: no range exchange, no physical-partition-index " +
+      "dependence, bounded shuffles") {
+    val corpus = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id"), lit(" x y z")).as("text"))
+    val m = graft.operators.Packing.packManifest(corpus, "doc_id", "text", 8)
+    val p = plan(m)
+    // the bucket id is a pure function of the data: the plan must carry
+    // no range partitioning (RangePartitioner's per-RDD-id sampling
+    // seed) and no spark_partition_id read
+    assert(count(p, "Exchange rangepartitioning") == 0, p.take(3000))
+    assert(!p.contains("SPARK_PARTITION_ID"), p.take(3000))
+    // one keyed window exchange + the broadcast base join; the totals
+    // agg reuses the window's partitioning
+    assert(shuffles(p) <= 2, p.take(3000))
+  }
+
+  test("decodeImage: narrow map, blobs never shuffle") {
+    val media = graft.operators.Multimodal.attachBlob(
+      spark.range(10).select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text")), "doc_id", "text")
+    val p = plan(graft.operators.Multimodal.decodeImage(media))
+    assert(shuffles(p) == 0, p)
+  }
+
   test("jaccardJoin: sz window shares the rank window's exchange") {
     val p = plan(Dedup.jaccardJoin(docs, "doc_id", "text", 0.5))
     // prefix side appears twice (self-join); each side: freq exchange +
