@@ -162,6 +162,23 @@ object DataPipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
 
+    // ── BPE-ish token-budget estimator (GPT-2 pre-tokenizer split in
+    //    the Java∩RE2 regex subset) beside the whitespace-word count
+    "q_token_bpe" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
+        .orderBy("doc_id")),
+
+    // ── cross-doc duplicate n-gram coverage: the near-template flag
+    //    exact/LSH dedup misses (doc 80% boilerplate + 20% unique)
+    "q_dup_coverage" -> ((s, dir) =>
+      TextAnalysis.crossDocCoverage(docs(s, dir), "doc_id", "text")
+        .withColumn("dup_coverage",
+          round(col("dup_coverage") + lit(1e-9), 6))
+        .orderBy("doc_id")),
+
     // ── quality scoring
     "q_quality" -> ((s, dir) =>
       docs(s, dir)
@@ -749,6 +766,47 @@ object DataPipelineQueries {
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the contraction alternative's quote is doubled for the SQL literal;
+    // the pattern itself is TextAnalysis.bpePattern verbatim
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |         AS BIGINT) AS n_bpe,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |         AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.crossDocCoverage: per-(doc, gram)
+    // multiplicities, docs-per-gram, shared-occurrence fraction
+    "q_dup_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE list_transform(range(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)
+        |    AS g
+        |  FROM toks
+        |), pd AS (
+        |  SELECT doc_id, g, count(*) AS m FROM g GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT g, count(*) AS ndocs FROM pd GROUP BY 1
+        |), cov AS (
+        |  SELECT pd.doc_id, sum(pd.m) AS n_grams,
+        |         sum(CASE WHEN dfq.ndocs >= 2 THEN pd.m ELSE 0 END)
+        |           AS n_shared
+        |  FROM pd JOIN dfq USING (g) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(cov.n_grams, 0) AS n_grams,
+        |       coalesce(cov.n_shared, 0) AS n_shared,
+        |       round(coalesce(CAST(cov.n_shared AS DOUBLE) / cov.n_grams,
+        |                      0.0) + 1e-9, 6) AS dup_coverage
+        |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_quality" ->
       s"""SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality

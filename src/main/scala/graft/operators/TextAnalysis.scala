@@ -16,6 +16,25 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+"))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the Java-regex ∩
+    * RE2 subset both engines execute identically: English contractions,
+    * optionally space-prefixed letter runs / digit runs / punctuation
+    * runs, then whitespace runs. The original's trailing-space
+    * lookahead (`\s+(?!\S)`) is dropped (RE2 has no lookaround) — the
+    * count differs from GPT-2's only in how multi-space gaps group,
+    * which a budget estimator doesn't care about. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: the standard "how many tokens will the
+    * tokenizer emit" estimator a token-budget pipeline runs BEFORE the
+    * real (vocab-dependent) tokenizer exists — GPT-2's pre-tokenizer
+    * split, whose piece count upper-bounds and tracks the merged BPE
+    * count. Pure codegen'd `regexp_count`: zero-shuffle, mirrored
+    * verbatim in the DuckDB oracle. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePattern))
+
   /** Indicator token lists per language for the langId heuristic.
     * Deliberately tiny — the operator shape (N scored profiles → argmax
     * with deterministic tie-break) is what matters; real profiles are a
@@ -126,6 +145,42 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         avg(-coalesce(col("logp"), lit(-oovBits))).as("bits_per_token"))
+
+  /** Cross-document duplicate n-gram coverage: per doc, the fraction of
+    * its word-n-gram OCCURRENCES whose n-gram also appears in at least
+    * one OTHER document — the corpus-level complement of the per-doc
+    * Gopher repetition rules, and the cheap flag for near-template docs
+    * that exact/LSH dedup misses (a page that is 80% shared boilerplate
+    * plus a unique 20% hashes uniquely and rarely crosses an LSH
+    * threshold, but scores ~0.8 here). Output: `(idCol, n_grams,
+    * n_shared, dup_coverage)`; docs with < n tokens keep 0s.
+    *
+    * Scale shape: per-(doc, gram) multiplicities aggregate map-side
+    * before anything exchanges; gram document-frequency is a second agg
+    * whose exchange is bounded by the distinct-gram vocabulary; the
+    * join back is gram-keyed (AQE handles hot grams); the final agg is
+    * doc-keyed. No all-pairs term anywhere — cost is O(total grams)
+    * rows through two linear shuffles, same family as
+    * [[lmBitsPerToken]]. */
+  def crossDocCoverage(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val perDoc = df
+      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("m"))
+    // docs-per-gram: perDoc already has one row per (doc, gram)
+    val docFreq = perDoc.groupBy("g").agg(count(lit(1)).as("ndocs"))
+    val cov = perDoc.join(docFreq, "g")
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_grams"),
+        sum(when(col("ndocs") >= 2, col("m")).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol)).join(cov, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_shared"))
+      .withColumn("dup_coverage",
+        when(col("n_grams") > 0,
+          col("n_shared").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+  }
 
   /** Canonical-form fingerprint: md5 of lowercased text with every
     * non-alphanumeric run collapsed to one space, trimmed — robust to

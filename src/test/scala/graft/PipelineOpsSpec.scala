@@ -862,6 +862,41 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ── TextAnalysis ───────────────────────────────────────────────
 
+  test("bpeTokenCount: GPT-2 pre-tokenizer piece counts on hand-built " +
+      "strings") {
+    val rows = Seq(
+      (1L, "a b"),        // "a", " b"                         → 2
+      (2L, "it's"),       // "it", "'s"                        → 2
+      (3L, "x2"),         // "x", "2"                          → 2
+      (4L, "hi!!"),       // "hi", "!!"                        → 2
+      (5L, "The cat's  mat."), // The, " cat", 's, "  ", "mat", "." → 6
+      (6L, ""))           // no pieces                         → 0
+      .toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextAnalysis.bpeTokenCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 6, 6L -> 0))
+  }
+
+  test("crossDocCoverage: shared occurrences counted with multiplicity, " +
+      "short docs keep zeros") {
+    val docs = Seq(
+      (1L, "a b c d"),        // grams: abc, bcd
+      (2L, "a b c x y z"),    // grams: abc, bcx, cxy, xyz
+      (3L, "a b c a b c"),    // grams: abc, bca, cab, abc (abc ×2)
+      (4L, "q r"))            // < 3 tokens → no grams
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.crossDocCoverage(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // "a b c" appears in docs 1, 2, 3 → shared; everything else unique
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L) == ((4L, 2L, 0.5))) // both abc occurrences count
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("token count, fingerprint stability, langId, quality bounds") {
     val df = Seq(
       ("the fast small a the", 1L),
