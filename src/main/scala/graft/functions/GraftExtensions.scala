@@ -33,6 +33,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children(0), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getCanonicalName, null,
+        "graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - common-element count of two " +
+          "sorted, distinct array<string> columns (two-pointer merge); " +
+          "null on null input.",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_sorted_intersect takes exactly 2 arguments, got ${children.length}")
+        SortedIntersectCount(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(
         classOf[WordShingles].getCanonicalName, null, "graft_word_shingles",

@@ -454,8 +454,10 @@ object Dedup {
         col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
         col("sz").as("sz_b")), "id_b")
-      .withColumn("inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      // codegen'd two-pointer merge over the sorted sets — no per-pair
+      // hash set / result array like array_intersect (ArrayExprs doc)
+      .withColumn("inter", graft.functions.ArrayExprs
+        .sortedIntersectCount(col("set_a"), col("set_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= tau)

@@ -577,6 +577,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e.eval(null) == 32.0)
   }
 
+  test("native SortedIntersectCount: equals size(array_intersect) on " +
+      "random sorted-distinct sets, codegen + interpreted + SQL paths") {
+    import graft.functions.ArrayExprs
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 200).map(i => f"w$i%03d")
+    val rows = Seq.fill(300)((
+      rnd.shuffle(vocab).take(rnd.nextInt(60)).sorted,
+      rnd.shuffle(vocab).take(rnd.nextInt(60)).sorted))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      (ArrayExprs.sortedIntersectCount(col("a"), col("b")) <=>
+        size(array_intersect(col("a"), col("b"))).cast("long")).as("eq"))
+      .filter(!col("eq")).count()
+    assert(diff == 0)
+    // null input → null
+    val n = Seq((Some(Seq("a")), Option.empty[Seq[String]])).toDF("a", "b")
+      .select(ArrayExprs.sortedIntersectCount(col("a"), col("b"))).collect()(0)
+    assert(n.isNullAt(0))
+    // interpreted path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val e = graft.functions.SortedIntersectCount(
+      Literal.create(Seq("a", "b", "d"), ArrayType(StringType)),
+      Literal.create(Seq("b", "c", "d"), ArrayType(StringType)))
+    assert(e.eval(null) == 2L)
+    // SQL surface
+    val r = spark.sql(
+      "SELECT graft_sorted_intersect(array('a','b','d'), array('b','c','d')) AS c")
+      .collect()(0)
+    assert(r.getLong(0) == 2L)
+  }
+
   test("graft_dot is SQL-callable via GraftExtensions") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
