@@ -409,6 +409,14 @@ object DataPipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // ── exact top-k most-similar pairs via the τ-descending PPJoin
+    //    ladder — the scale answer to ngramJaccardPairs' all-pairs term
+    "q_jaccard_topk" -> ((s, dir) =>
+      Dedup.topKJaccardPairs(docs(s, dir), "doc_id", "text", k = 20)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))),
+
     // ── weighted sample (Efraimidis–Spirakis, weight = n_chars)
     "q_weighted_sample" -> ((s, dir) =>
       Sampling.weightedTopK(docs(s, dir), "doc_id",
@@ -1336,6 +1344,28 @@ object DataPipelineQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    // ranks by the UNROUNDED jaccard (like the engine), rounds only the
+    // output; floor 0.15 = the engine ladder's last τ
+    "q_jaccard_topk" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT id_a, id_b,
+         |         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard
+         |FROM (SELECT * FROM scored WHERE j >= 0.15
+         |      ORDER BY j DESC, id_a, id_b LIMIT 20)
+         |ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
 
     "q_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (

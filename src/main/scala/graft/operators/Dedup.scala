@@ -464,6 +464,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact top-k most-similar pairs WITHOUT the all-pairs term —
+    * τ-DESCENDING search over the PPJoin join: run [[jaccardJoin]] at a
+    * high threshold; if it yields ≥ k pairs, their top-k IS the global
+    * top-k (every unreturned pair has J < τ ≤ the k-th returned J);
+    * otherwise lower τ and retry. Near-dup-rich corpora — the only kind
+    * where "most similar pairs" is asked at scale — exit at the first
+    * or second τ, where the prefix filter prunes hardest, so the cost
+    * tracks MATCH DENSITY instead of the co-shingle pair space that
+    * makes [[ngramJaccardPairs]]'s single-pass inversion the suite's
+    * designed worst case. Each attempt is an independent PPJoin plan
+    * (no cross-attempt state); attempts are counted, not data-sized.
+    *
+    * Contract: returns the top-k pairs among those with J ≥ `taus.last`
+    * (the declared floor — ranking below it would need the all-pairs
+    * computation this operator exists to avoid), ordered
+    * (J desc, id_a, id_b); fewer than k such pairs → all of them. */
+  def topKJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, taus: Seq[Double] = Seq(0.9, 0.7, 0.5, 0.3, 0.15),
+      shingleN: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(taus.nonEmpty && taus == taus.sorted.reverse,
+      "taus must be a descending threshold ladder")
+    val ord = Seq(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+    var result: DataFrame = null
+    val it = taus.iterator
+    while (result == null && it.hasNext) {
+      val tau = it.next()
+      val pairs = jaccardJoin(df, idCol, textCol, tau, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val enough = pairs.limit(k).count() >= k
+      if (enough || !it.hasNext) result = pairs
+      else pairs.unpersist()
+    }
+    result.orderBy(ord: _*).limit(k)
+  }
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every node's label converges to the smallest
     * node id reachable from it. Each round is ONE keyed join + ONE

@@ -154,6 +154,44 @@ class IncrementalOpsSpec extends SparkSpec {
     }
   }
 
+  test("topKJaccardPairs: equals the naive top-k above the floor; " +
+      "early-exits at a high tau when matches are dense") {
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docsData = (
+      // 6 clones → 15 exact pairs at J = 1.0 (dense: exits at τ = 0.9)
+      (1L to 6L).map(i => (i, s"$base alpha beta gamma")) ++
+      Seq(
+        (7L, s"$base alpha beta delta"),   // near-dup of the clones
+        (8L, s"$base entirely different tail content here now"),
+        (9L, "totally unrelated text about spark catalyst plans")))
+      .toDF("doc_id", "text")
+    val k = 10
+    val got = Dedup.topKJaccardPairs(docsData, "doc_id", "text", k)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sets = docsData.select(col("doc_id"),
+        array_distinct(Dedup.wordShingles(col("text"), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val naive = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size
+      j = inter.toDouble / (sets(a) union sets(b)).size if j >= 0.15
+    } yield (a, b, j)).toSeq
+      .sortBy(t => (-t._3, t._1, t._2)).take(k)
+    assert(got == naive)
+    // sparse corpus: must descend the ladder and still agree
+    val sparse = Seq(
+      (1L, s"$base alpha beta gamma"),
+      (2L, s"$base alpha zeta epsilon"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four nine ten eleven")) // J = 2/8 = 0.25 ≥ floor
+      .toDF("doc_id", "text")
+    val got2 = Dedup.topKJaccardPairs(sparse, "doc_id", "text", 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 2L), (3L, 4L)))
+  }
+
   // ── corpus heavy hitters ───────────────────────────────────────
 
   test("topNgrams counts bigram occurrences (multiset) with ordered ties") {
