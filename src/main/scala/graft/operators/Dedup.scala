@@ -487,17 +487,26 @@ object Dedup {
     require(taus.nonEmpty && taus == taus.sorted.reverse,
       "taus must be a descending threshold ladder")
     val ord = Seq(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
-    var result: DataFrame = null
+    var result: Array[org.apache.spark.sql.Row] = null
+    var schema: org.apache.spark.sql.types.StructType = null
     val it = taus.iterator
     while (result == null && it.hasNext) {
       val tau = it.next()
       val pairs = jaccardJoin(df, idCol, textCol, tau, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val enough = pairs.limit(k).count() >= k
-      if (enough || !it.hasNext) result = pairs
-      else pairs.unpersist()
+      if (enough || !it.hasNext) {
+        // ≤ k rows by construction — driver-sized; collecting here lets
+        // the rung's cache be released instead of leaking for the app's
+        // lifetime (the caller's plan no longer references it).
+        val top = pairs.orderBy(ord: _*).limit(k)
+        schema = top.schema
+        result = top.collect()
+      }
+      pairs.unpersist()
     }
-    result.orderBy(ord: _*).limit(k)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(result: _*), schema)
   }
 
   /** Connected components over an undirected edge list by iterative
