@@ -1,12 +1,25 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: read Verify's parquet
 dumps + oracle_sql.json, run each oracle in DuckDB over the same sf dir,
-compare row count, schema (column names), and values (rows sorted).
+compare row count, schema (column names), values (rows sorted), AND
+pandas dtypes.
+
+The dtype check is the driver-faithful part: the driver hashes the
+pandas materialization (`con.sql(sql).df()`), so an oracle column DuckDB
+widens to HUGEINT (any uncast sum() over integers) becomes float64 in
+pandas while Spark's parquet is int64 — identical values, different
+hash. Two rounds of red queries (r4 arrays, r5 HUGEINT) passed the old
+fetchall-based check; this version fails them locally:
+  - any oracle result column whose DuckDB type is HUGEINT is an
+    immediate LINT failure (the SQL must CAST the aggregate);
+  - oracle-vs-spark pandas dtype *kinds* must agree per column
+    (float vs int is the hazard; datetime tick resolution is not).
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
-import json, math, sys
+import glob, json, math, sys
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -20,6 +33,23 @@ def canon(v):
         return repr(v)
     return repr(v)
 
+def dtype_mismatches(exp_df, got_df):
+    """Column-name-keyed dtype-kind comparison. Returns [(col, exp, got)].
+
+    Kind-level ('f' vs 'i' vs 'O' vs 'M'...) is the driver-relevant
+    granularity: the hash stringifies values, so int32 vs int64 (both
+    'i', same str) is fine but float64 vs int64 ('f' vs 'i',
+    '240000.0' vs '240000') is the entire r5 failure class.
+    """
+    bad = []
+    for col in exp_df.columns:
+        if col not in got_df.columns:
+            continue  # schema check reports this separately
+        ek, gk = exp_df[col].dtype.kind, got_df[col].dtype.kind
+        if ek != gk:
+            bad.append((col, str(exp_df[col].dtype), str(got_df[col].dtype)))
+    return bad
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -28,8 +58,23 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            rel = con.sql(sql)
+            exp_cols = [d[0] for d in rel.description]
+            # LINT: DuckDB widens integer aggregates to HUGEINT; pandas
+            # has no int128 and materializes float64 -> driver hash
+            # mismatch even with equal values. The SQL must CAST.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"FAIL {name}: LINT oracle columns {huge} are "
+                      f"HUGEINT — wrap the aggregate in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+            exp_df = con.sql(sql).df()
             exp = con.sql(sql).fetchall()
-            exp_cols = [d[0] for d in con.sql(sql).description]
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            got_df = pd.concat([pd.read_parquet(f) for f in files],
+                               ignore_index=True)
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = [d[0] for d in got_rel.description]
             got = got_rel.fetchall()
@@ -38,6 +83,11 @@ def main(sf_dir, out_dir):
             gidx = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
             if sorted(exp_cols) != sorted(got_cols):
                 print(f"FAIL {name}: schema exp={sorted(exp_cols)} got={sorted(got_cols)}")
+                n_fail += 1
+                continue
+            dbad = dtype_mismatches(exp_df, got_df)
+            if dbad:
+                print(f"FAIL {name}: dtype mismatch (oracle vs spark): {dbad}")
                 n_fail += 1
                 continue
             if len(exp) != len(got):

@@ -803,14 +803,14 @@ object DataPipelineQueries {
         |), dfq AS (
         |  SELECT g, count(*) AS ndocs FROM pd GROUP BY 1
         |), cov AS (
-        |  SELECT pd.doc_id, sum(pd.m) AS n_grams,
-        |         sum(CASE WHEN dfq.ndocs >= 2 THEN pd.m ELSE 0 END)
-        |           AS n_shared
+        |  SELECT pd.doc_id, CAST(sum(pd.m) AS BIGINT) AS n_grams,
+        |         CAST(sum(CASE WHEN dfq.ndocs >= 2 THEN pd.m ELSE 0 END)
+        |           AS BIGINT) AS n_shared
         |  FROM pd JOIN dfq USING (g) GROUP BY 1
         |)
         |SELECT d.doc_id,
-        |       coalesce(cov.n_grams, 0) AS n_grams,
-        |       coalesce(cov.n_shared, 0) AS n_shared,
+        |       CAST(coalesce(cov.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(cov.n_shared, 0) AS BIGINT) AS n_shared,
         |       round(coalesce(CAST(cov.n_shared AS DOUBLE) / cov.n_grams,
         |                      0.0) + 1e-9, 6) AS dup_coverage
         |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
@@ -1018,9 +1018,9 @@ object DataPipelineQueries {
         |  FROM documents
         |), pre AS (
         |  SELECT doc_id, n_tokens,
-        |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |           AS start_token
+        |           AS BIGINT) AS start_token
         |  FROM sized
         |)
         |, fin AS (
@@ -1197,7 +1197,7 @@ object DataPipelineQueries {
         |         toks
         |  FROM spans
         |)
-        |SELECT seq_id, sum(t - f) AS n_tokens,
+        |SELECT seq_id, CAST(sum(t - f) AS BIGINT) AS n_tokens,
         |       md5(string_agg(array_to_string(list_slice(toks, f + 1, t), ' '),
         |         ' ' ORDER BY doc_id)) AS seq_md5
         |FROM pieces GROUP BY seq_id ORDER BY seq_id""".stripMargin,

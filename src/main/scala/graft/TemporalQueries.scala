@@ -282,16 +282,17 @@ object TemporalQueries {
         |                 THEN 1 ELSE 0 END AS new_sess
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
         |), sess AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
         |    ORDER BY tns, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-        |    AS session_id
+        |    AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(tns) // 1000000000 AS start_s,
         |       max(tns) // 1000000000 AS end_s,
-        |       sum(CAST(round(value * 10000) AS BIGINT)) AS sum_v4
+        |       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |         AS sum_v4
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rollup" ->
@@ -303,7 +304,8 @@ object TemporalQueries {
         |  FROM events
         |)
         |SELECT event_type, day, count(*) AS n,
-        |       sum(CAST(round(value * 10000) AS BIGINT)) AS sum_v4,
+        |       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |         AS sum_v4,
         |       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
         |       CAST(GROUPING(day) AS BIGINT) AS g_day
         |FROM e
