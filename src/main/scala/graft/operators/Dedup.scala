@@ -110,10 +110,26 @@ object Dedup {
     * Approximation note: `sizes` uses UNCAPPED shingle sets while `inter`
     * counts only capped shingles, so J is undercounted for docs containing
     * over-cap shingles — a deliberate bias (pairs held together only by
-    * stop-phrases shouldn't match) shared by the DuckDB oracle. */
+    * stop-phrases shouldn't match) shared by the DuckDB oracle.
+    *
+    * Candidate-volume guard: the exact tier's cost is Σ_sh C(occ_sh, 2)
+    * — quadratic in per-shingle density, so a clone-dense corpus (every
+    * doc duplicated 10×) multiplies it 100× while leaving row counts
+    * only 10× (measured: ~24 min at sf1 clone density vs 2.4 s at
+    * sf0.1). Before building the pair plan, one cheap eager job (scan +
+    * map-side partial counts + 1-row agg) estimates the post-cap
+    * candidate volume from OCCURRENCE counts (≥ distinct-doc counts, so
+    * the estimate is a sound upper trigger); above `maxCandidatePairs`
+    * the call fails fast with a pointer to the scale tiers
+    * ([[lshVerifiedPairs]] for all near-dup pairs,
+    * [[topKJaccardPairs]] for the top pairs) instead of grinding out a
+    * shuffle that is quadratically past its design point. Pass
+    * `maxCandidatePairs <= 0` to disable (callers that have already
+    * sized the corpus). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, maxPerShingle: Int = 1000): DataFrame = {
+      shingleN: Int = 3, maxPerShingle: Int = 1000,
+      maxCandidatePairs: Long = 100000000L): DataFrame = {
     val raw = df.select(col(idCol).as("id"),
       explode(wordShingles(col(textCol), shingleN)).as("sh"))
     // set semantics per doc WITHOUT a shuffle: a (id, sh) distinct can
@@ -145,6 +161,23 @@ object Dedup {
     // A single-pass `collect_list → filter(size ≤ cap)` would merge every
     // occurrence of a stop-phrase into ONE reducer's buffer before the
     // filter could discard it (~800 MB for a shingle shared by 100M docs).
+    if (maxCandidatePairs > 0) {
+      // DIV keeps the per-shingle term integral; cnt ≤ corpus rows and
+      // the cap bounds each term by C(cap,2), so the long sum can't
+      // overflow for any corpus this JVM could enumerate pairs for
+      val est = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
+        .agg(coalesce(sum(when(col("__cnt") <= maxPerShingle,
+          expr("__cnt * (__cnt - 1) DIV 2")).otherwise(lit(0L))), lit(0L)))
+        .head.getLong(0)
+      if (est > maxCandidatePairs)
+        throw new IllegalStateException(
+          s"ngramJaccardPairs: estimated candidate volume $est exceeds " +
+            s"maxCandidatePairs=$maxCandidatePairs — the exact all-pairs " +
+            "tier is quadratically past its design point on this corpus. " +
+            "Use Dedup.lshVerifiedPairs (banded LSH + exact verify) for " +
+            "near-dup pairs, Dedup.topKJaccardPairs for the top pairs, " +
+            "or raise/disable maxCandidatePairs if the cost is intended.")
+    }
     val overCap = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxPerShingle)
       .select("sh")

@@ -90,8 +90,27 @@ object Packing {
     // recomputes to the same values. Boundary placement only decides
     // WHERE the prefix sum is assembled, never its value, so the
     // approximate quantiles are fine (skew just unbalances buckets).
-    // Requires a numeric id (true of any corpus-scale doc id; ids are
-    // already required unique).
+    // The bucketed path requires a NUMERIC id column (schema-checked —
+    // zero runtime cost): buckets come from the double cast while the
+    // in-bucket window orders by the raw id, and only numeric types
+    // keep those two orderings consistent. String ids — even
+    // numeric-looking ones — would bucket numerically but sort
+    // lexicographically ("10" < "9"), silently corrupting start_token
+    // offsets; a non-castable id would land every row in bucket 0 the
+    // same silent way. (long→double bucketing stays order-consistent
+    // above 2^53: the cast is monotone, equal doubles share a bucket,
+    // and the raw long ordering refines within it.) The single-bucket
+    // path orders by the raw id alone and accepts any orderable type.
+    val idIsNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (nParts > 1 && !idIsNumeric)
+      throw new IllegalArgumentException(
+        s"packManifest: id column '$idCol' is " +
+          s"${df.schema(idCol).dataType.simpleString}, but bucketed " +
+          "packing requires a numeric id (bucket assignment is numeric " +
+          "while in-bucket ordering is raw — any other type can " +
+          "silently corrupt start_token offsets). Use a numeric id, or " +
+          "partitions = 1 for the single-bucket path.")
     val bucketed =
       if (nParts <= 1) sized.withColumn("__pid", lit(0))
       else {
@@ -116,17 +135,22 @@ object Packing {
     val w = Window.partitionBy(col("__grp"), col("__pid"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // persist is an OPTIMIZATION only (totals job + final join both
-    // read this frame; without it each would re-tokenize the corpus) —
-    // a lost block recomputes to identical values by construction.
+    // No persist: the totals job below needs only per-bucket SUMS (not
+    // the window's prefix sum), so it aggregates the pre-window frame —
+    // cheaper than the old local-frame totals (no sort) — and the final
+    // join recomputes the tokenize+window once per downstream action.
+    // Every value is a pure function of the data, so the recompute is
+    // byte-identical; a cached manifest here outlived the call (an
+    // app-lifetime corpus-sized leak per invocation). Callers packing a
+    // large corpus should write the manifest out once instead of
+    // re-materializing it.
     val local = bucketed.withColumn("__local",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      coalesce(sum(col("n_tokens")).over(w), lit(0L)))
 
     // (group, bucket) totals → driver cumsum per group → broadcast
     // base offsets. collect() is O(groups·buckets): shard-level
     // grouping (languages, sources) keeps this driver-sized.
-    val totals = local.groupBy(col("__grp"), col("__pid"))
+    val totals = bucketed.groupBy(col("__grp"), col("__pid"))
       .agg(sum(col("n_tokens")).as("__tot"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))

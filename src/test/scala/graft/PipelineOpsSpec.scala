@@ -73,6 +73,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("ngram jaccard candidate budget: triggers on a clone-dense corpus, " +
+      "silent when candidates fit, disabled at <= 0") {
+    // 40 identical docs, 3 distinct shingles each occurring 40× →
+    // post-cap candidate estimate = 3·C(40,2) = 2340
+    val clones = (1L to 40L).map(i => (i, "a b c d e")).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(clones, "doc_id", "text",
+        maxCandidatePairs = 1000)
+    }
+    assert(ex.getMessage.contains("lshVerifiedPairs"))
+    assert(ex.getMessage.contains("2340"))
+    // same corpus under a budget that fits — runs to completion
+    assert(Dedup.ngramJaccardPairs(clones, "doc_id", "text",
+      maxCandidatePairs = 2340).count() == 40L * 39 / 2)
+    // <= 0 disables the guard entirely
+    assert(Dedup.ngramJaccardPairs(clones, "doc_id", "text",
+      maxCandidatePairs = 0).count() == 40L * 39 / 2)
+    // over-cap shingles don't count toward the estimate (they never
+    // reach the pair stage): every shingle over the occurrence cap →
+    // estimate 0 → silent even at budget 1
+    assert(Dedup.ngramJaccardPairs(clones, "doc_id", "text",
+      maxPerShingle = 10, maxCandidatePairs = 1).count() == 0)
+  }
+
   test("native WordShingles ≡ the composed slice/zip_with form, " +
       "including empty tokens and short-text guard") {
     // the composed reference implementation it replaced
@@ -292,6 +316,31 @@ class PipelineOpsSpec extends SparkSpec {
     // the prefix sum is a pure function of (id, n): any partitioning
     // of the same corpus yields the identical manifest
     assert(run(1) == m && run(7) == m)
+  }
+
+  test("packManifest: non-numeric id types fail fast under bucketing " +
+      "(even numeric-looking strings — they'd bucket numerically but " +
+      "sort lexicographically); single-bucket path accepts any id") {
+    val bad = Seq(("doc-a", "a b c"), ("doc-b", "d e f"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Packing.packManifest(bad, "doc_id", "text", seqLen = 4,
+        partitions = 2)
+    }
+    assert(ex.getMessage.contains("requires a numeric id"))
+    // numeric-LOOKING strings are the silent-corruption case ("10" <
+    // "9" lexicographically) — must fail the same way, not run
+    val numStr = Seq(("9", "a b c"), ("10", "d e f"))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.packManifest(numStr, "doc_id", "text", seqLen = 4,
+        partitions = 2)
+    }
+    // single-bucket path imposes no numeric contract (raw-id ordering)
+    val solo = Packing.packManifest(bad, "doc_id", "text", seqLen = 4,
+        partitions = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(solo == Map("doc-a" -> 0L, "doc-b" -> 3L))
   }
 
   test("packManifest grouped: offsets and sequence ids restart per " +
