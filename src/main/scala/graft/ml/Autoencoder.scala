@@ -141,7 +141,25 @@ object AutoencoderReconstructor extends ModelType {
 
   def train(bucketed: DataFrame, valueCol: String, p: Params): Trained = {
     val spark = bucketed.sparkSession
-    val series = HoltWinters.collectSeries(bucketed, valueCol)
+    val f = fitSeries(HoltWinters.collectSeries(bucketed, valueCol), p)
+    import spark.implicits._
+    val profile = (0 until p.periodBuckets)
+      .map(s => (s.toLong, f.slotMean(s), f.slotSig(s)))
+      .toDF("slot", "mu", "sigma")
+    new Trained(profile, p, f.w, f.sigma, f.mu, f.sd, f.slotMean, f.slotSig)
+  }
+
+  /** Pure fit result — everything a scorer needs, no Spark types, so
+    * the same fit runs on the driver (solo) or inside a keyed
+    * `mapGroups` task ([[FleetAutoencoder]]). */
+  private[ml] final case class Fit(
+      w: Array[Array[Double]], sigma: Double, mu: Double, sd: Double,
+      slotMean: Array[Double], slotSig: Array[Double])
+
+  /** The whole training computation as a pure function of the sorted
+    * bucketized series — shared verbatim by solo and fleet training. */
+  private[ml] def fitSeries(
+      series: Seq[(Long, Option[Double])], p: Params): Fit = {
     require(series.nonEmpty, "no data to train on")
     val obs = series.flatMap(_._2)
     require(obs.nonEmpty, "no observations to train on")
@@ -261,10 +279,45 @@ object AutoencoderReconstructor extends ModelType {
     val sigma = math.max(
       if (cnt == 0) 0.0 else sd * math.sqrt(sse / cnt), p.sigmaFloor)
 
-    import spark.implicits._
-    val profile = (0 until P)
-      .map(s => (s.toLong, slotMean(s), slotSig(s))).toDF("slot", "mu", "sigma")
-    new Trained(profile, p, w, sigma, mu, sd, slotMean, slotSig)
+    Fit(w, sigma, mu, sd, slotMean, slotSig)
+  }
+
+  /** One-step prediction for the window ending at `endBucket`:
+    * right-align the observed context, left-pad gaps with slot means,
+    * mask abnormal entries (> 3σ_slot), impute the target entry, and
+    * MCMC-reconstruct — the shared scoring kernel of the solo
+    * [[Trained.predict]] pass and the fleet per-key replay. Returns the
+    * de-standardized prediction. */
+  private[ml] def predictWindow(w: Array[Array[Double]], p: Params,
+      mu: Double, sd: Double, slotMean: Array[Double],
+      slotSig: Array[Double], endBucket: Long,
+      win: Iterable[(Long, Option[Double])]): Double = {
+    val span = p.span
+    val interval = p.bucketInterval
+    def slotOf(bucket: Long): Int =
+      (math.floorMod(bucket, p.period) / interval).toInt
+    val x = new Array[Double](span)
+    val imp = new Array[Boolean](span)
+    var j = 0
+    while (j < span) {
+      val b = endBucket - (span - 1 - j) * interval
+      x(j) = slotMean(slotOf(b)); imp(j) = true; j += 1
+    }
+    win.foreach { case (b, vOpt) =>
+      val off = ((b - endBucket) / interval).toInt + span - 1
+      if (off >= 0 && off < span && vOpt.isDefined) {
+        val z = (vOpt.get - mu) / sd
+        val s = slotOf(b)
+        if (math.abs(z - slotMean(s)) > 3.0 * slotSig(s)) {
+          // abnormal context → treated as missing (Donut's mask)
+          x(off) = slotMean(s); imp(off) = true
+        } else { x(off) = z; imp(off) = false }
+      }
+    }
+    // the target (last) entry is always imputed before scoring
+    x(span - 1) = slotMean(slotOf(endBucket)); imp(span - 1) = true
+    val out = mcmcReconstruct(w, x, imp, p.mcmcIters, p.hidden, span)
+    mu + sd * out(span - 1)
   }
 
   def load(spark: SparkSession, profile: DataFrame,
@@ -305,10 +358,14 @@ object AutoencoderReconstructor extends ModelType {
       s"""$base,"weights":[$flat],"sigma":$sigma,"mu":$mu,"sd":$sd}"""
     }
 
-    /** Distributed window scoring: per-bucket windows assemble with one
-      * ordered window pass; each row reconstructs in a narrow map with
-      * the weight matrix in the closure. The series should extend
-      * span−1 buckets back past the scoring range for full context
+    /** Window scoring for the solo-series shape: the global
+      * `Window.orderBy` assembles per-bucket windows on ONE partition —
+      * model-sized by reference semantics (a single series' buckets),
+      * not a distributed path; fleet-scale scoring goes through the
+      * keyed fleet variants, which partition the window by series key.
+      * Each row then reconstructs in a narrow map with the weight
+      * matrix in the closure. The series should extend span−1 buckets
+      * back past the scoring range for full context
       * (donut.py:1210-1217). */
     def predict(bucketed: DataFrame, valueCol: String,
         anomalyType: String = "low_high"): DataFrame = {
@@ -320,44 +377,18 @@ object AutoencoderReconstructor extends ModelType {
           col("bucket").as("b"), col(valueCol).cast("double").as("v"))).over(w))
       val outSchema = StructType(packed.schema.fields :+
         StructField("predicted", DoubleType, nullable = true))
-      val (wts, hid, mcmc) = (weights, p.hidden, p.mcmcIters)
+      val wts = weights
       val (muL, sdL, smL, ssL) = (mu, sd, slotMean, slotSig)
-      val (interval, period) = (p.bucketInterval, p.period)
       val winIdx = packed.schema.fieldIndex("__win")
       val bIdx = packed.schema.fieldIndex("bucket")
       val scored = packed.mapPartitions { it =>
-        val P = (period / interval).toInt
-        def slotOf(bucket: Long): Int =
-          (math.floorMod(bucket, period) / interval).toInt
         it.map { r =>
           val endBucket = r.getLong(bIdx)
-          val win = r.getSeq[Row](winIdx)
-          // right-align the window at endBucket; left-pad short/gapped
-          // context with slot means
-          val x = new Array[Double](span)
-          val imp = new Array[Boolean](span)
-          var j = 0
-          while (j < span) {
-            val b = endBucket - (span - 1 - j) * interval
-            x(j) = smL(slotOf(b)); imp(j) = true; j += 1
-          }
-          win.foreach { e =>
-            val b = e.getLong(0)
-            val off = ((b - endBucket) / interval).toInt + span - 1
-            if (off >= 0 && off < span && !e.isNullAt(1)) {
-              val z = (e.getDouble(1) - muL) / sdL
-              val s = slotOf(b)
-              if (math.abs(z - smL(s)) > 3.0 * ssL(s)) {
-                // abnormal context → treated as missing (Donut's mask)
-                x(off) = smL(s); imp(off) = true
-              } else { x(off) = z; imp(off) = false }
-            }
-          }
-          // the target (last) entry is always imputed before scoring
-          x(span - 1) = smL(slotOf(endBucket)); imp(span - 1) = true
-          val out = AutoencoderReconstructor.mcmcReconstruct(
-            wts, x, imp, mcmc, hid, span)
-          Row.fromSeq(r.toSeq :+ (muL + sdL * out(span - 1)))
+          val win = r.getSeq[Row](winIdx).map(e => (e.getLong(0),
+            if (e.isNullAt(1)) None else Some(e.getDouble(1))))
+          val pred = AutoencoderReconstructor.predictWindow(
+            wts, p, muL, sdL, smL, ssL, endBucket, win)
+          Row.fromSeq(r.toSeq :+ pred)
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       scored

@@ -181,6 +181,14 @@ final class JdbcBucket(
   }
 
   override def drop(): Unit = {
+    // table comes from user settings JSON and is interpolated into DDL:
+    // restrict to plain (possibly schema-qualified) identifiers so a
+    // crafted name can't smuggle SQL into the store
+    if (!table.matches("^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*$"))
+      throw new IllegalArgumentException(
+        s"JdbcBucket.drop: table name '$table' is not a plain SQL " +
+          "identifier (expected [A-Za-z_][A-Za-z0-9_]*, optionally " +
+          "schema-qualified)")
     val conn = java.sql.DriverManager.getConnection(url)
     try { val st = conn.createStatement()
       try st.executeUpdate(s"DROP TABLE $table") finally st.close()

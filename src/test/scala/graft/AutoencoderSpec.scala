@@ -109,6 +109,53 @@ class AutoencoderSpec extends SparkSpec {
     assert(math.abs(out - 1.0) <= 0.22, s"imputed $out, want 1.0 +- 0.22")
   }
 
+  test("fleet AE: per-key state and scores are bit-identical to the " +
+      "solo fit/predict of each series alone; untrained keys emit " +
+      "nothing; no driver loop (one job trains every key)") {
+    val p = AutoencoderReconstructor.Params(
+      bucketInterval = HOUR, hidden = 3, epochs = 20)
+    // three hosts with genuinely different regimes
+    val fleet = Seq(
+      "web1" -> sinSeries(240, HOUR, seed = 11),
+      "web2" -> sinSeries(240, HOUR, seed = 29).map(t => (t._1, t._2 * 3)),
+      "db1" -> amSeries(10, seed = 5).map(t => (t._1, t._2 + 8.0)))
+    val df = fleet.flatMap { case (h, s) => s.map(x => (h, x._1, x._2)) }
+      .toDF("host", "bucket", "value")
+    val states = FleetAutoencoder.train(df, "value", Seq("host"), p)
+    assert(states.count() == 3)
+
+    val scoredAll = FleetAutoencoder.predict(df, states, "value",
+      Seq("host"), p)
+    for ((h, s) <- fleet) {
+      val solo = AutoencoderReconstructor.train(
+        s.toDF("bucket", "value"), "value", p)
+      val st = states.filter(col("host") === h).head()
+      // state parity: flattened weights, sigma, mu, sd all bit-equal
+      assert(st.getSeq[Double](st.fieldIndex("weights")).toSeq ==
+        solo.weights.flatten.toSeq)
+      assert(st.getAs[Double]("sigma") == solo.sigma)
+      assert(st.getAs[Double]("mu") == solo.mu)
+      assert(st.getAs[Double]("sd") == solo.sd)
+      // score parity: the fleet replay equals the solo window pass
+      val soloPred = solo.predict(s.toDF("bucket", "value"), "value")
+        .orderBy("bucket")
+        .select("predicted", "score").as[(Double, Double)].collect()
+      val fleetPred = scoredAll.filter(col("host") === h)
+        .orderBy("bucket")
+        .select("predicted", "score").as[(Double, Double)].collect()
+      assert(fleetPred.length == s.length)
+      assert(soloPred.zip(fleetPred).forall { case ((p1, s1), (p2, s2)) =>
+        p1 == p2 && s1 == s2 })
+    }
+    // a key with points but no trained state scores nothing
+    val extra = df.union(Seq(("ghost", 0L, 1.0), ("ghost", HOUR, 2.0))
+      .toDF("host", "bucket", "value"))
+    val got = FleetAutoencoder.predict(extra, states, "value",
+      Seq("host"), p)
+    assert(got.filter(col("host") === "ghost").count() == 0)
+    assert(got.count() == scoredAll.count())
+  }
+
   test("registry save/load round-trip: identical predictions, " +
       "deterministic retrain") {
     assert(ModelRegistry.names.contains("autoencoder"))

@@ -49,6 +49,22 @@ class JdbcBucketSpec extends SparkSpec {
     intercept[Exception] { b.readPoints(spark).count() }
   }
 
+  test("drop rejects table names that are not plain SQL identifiers " +
+      "(settings-JSON injection guard); schema-qualified names pass " +
+      "validation") {
+    val dir = Files.createTempDirectory("graft_jdbc_spec").toFile
+    val url = s"jdbc:derby:${dir.getAbsolutePath}/db;create=true"
+    for (evil <- Seq("pts; DROP TABLE users", "pts--", "a b", "x'y"))
+      intercept[IllegalArgumentException] {
+        new JdbcBucket("testdb", url, evil).drop()
+      }
+    // a qualified identifier passes validation and reaches the store
+    // (which then reports the missing table, not a syntax hole)
+    intercept[java.sql.SQLException] {
+      new JdbcBucket("testdb", url, "app.pts").drop()
+    }
+  }
+
   test("time-range + tag predicates push into the store's SQL " +
       "(PushedFilters on the JDBC scan)") {
     val b = freshBucket("pushed")
