@@ -279,6 +279,64 @@ class ScheduledEvalSpec extends SparkSpec {
     }
   }
 
+  test("streaming autoencoder: scores match the batch path (no " +
+      "batch/stream drift for the strongest window model)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEval
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // same shape as the reconstructor parity test: the AE's span-window
+    // needs span-1 lag buckets of context; contextSec = 48h > span·bi
+    val HOUR = 3600L
+    val rnd = new scala.util.Random(13)
+    def valAt(h: Long): Double =
+      8.0 + 3.0 * math.sin(2 * math.Pi * (h % 24) / 24.0) +
+        (if (h < 720) rnd.nextGaussian() * 0.2 else 0.1 * (h % 3))
+    val trainVals = (0L until 720L).map(valAt) // fix the seeded draws
+    def at(h: Long): Double = if (h < 720) trainVals(h.toInt) else valAt(h)
+    val train = (0L until 720L).map(h => (h * HOUR, at(h)))
+      .toDF("bucket", "value")
+    val model = graft.ml.AutoencoderReconstructor.train(train, "value",
+      graft.ml.AutoencoderReconstructor.Params(
+        bucketInterval = HOUR, hidden = 4, epochs = 30))
+
+    val params = graft.streaming.EvalParams(interval = 6 * HOUR,
+      offset = 0L, bucketInterval = HOUR, contextSec = 48 * HOUR)
+
+    val batchSeries = (672L until 744L).map(h => (h * HOUR, at(h)))
+      .toDF("bucket", "value")
+    val batchScores = model.predict(batchSeries, "value")
+      .filter(col("bucket") >= 720L * HOUR)
+      .select("bucket", "score").as[(Long, Double)].collect().toMap
+
+    val ms = MemoryStream[(Long, Double)]
+    val points = ms.toDF()
+      .select(timestamp_seconds(col("_1")).as("ts"), col("_2").as("value"))
+    val bucketed = StreamingEval.bucketize(points, "ts", "value",
+      interval = HOUR, offsetSec = 0L)
+    val stateRoot = java.nio.file.Files.createTempDirectory("srs4").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt4").toString
+    graft.streaming.BucketHistory.save(stateRoot, "ae_s", 719L * HOUR,
+      (672L until 720L).map(h => (h * HOUR, at(h))))
+    val streamScores = scala.collection.mutable.Map.empty[Long, Double]
+    val q = StreamingEval.start(bucketed, model, params,
+      stateRoot, "ae_s", checkpointDir = ckpt,
+      onBatch = b => streamScores ++= b.select("bucket", "score")
+        .as[(Long, Double)].collect())
+    try {
+      (720L to 744L by 6).foreach { h0 =>
+        ms.addData((h0 until (h0 + 6)).map(h => (h * HOUR, at(h))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(batchScores.keySet.subsetOf(streamScores.keySet))
+    batchScores.foreach { case (b, s) =>
+      assert(math.abs(streamScores(b) - s) < 1e-9,
+        s"bucket $b: stream=${streamScores(b)} batch=$s")
+    }
+  }
+
   test("hook test fires a synthetic start+end (donut.py:1316-1331)") {
     val hook = new RecordingHook
     val store = new AnnotationStore
