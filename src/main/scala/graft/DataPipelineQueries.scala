@@ -179,6 +179,17 @@ object DataPipelineQueries {
           round(col("dup_coverage") + lit(1e-9), 6))
         .orderBy("doc_id")),
 
+    // ── exact-substring-dedup analog (Lee et al. 2021): merged spans of
+    //    corpus-duplicated word 3-grams, and the destructive strip
+    "q_dup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicateSpans(docs(s, dir), "doc_id", "text", n = 3)
+        .orderBy("doc_id", "span_start")),
+
+    "q_strip_spans" -> ((s, dir) =>
+      TextAnalysis.stripDuplicateSpans(docs(s, dir), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("clean_text"))
+        .orderBy("doc_id")),
+
     // ── quality scoring
     "q_quality" -> ((s, dir) =>
       docs(s, dir)
@@ -217,6 +228,45 @@ object DataPipelineQueries {
         round(coalesce(element_at(col("features"), j + 1), lit(0.0)), 6).as(s"f$j"))
       decoded.select((col("media_id") +: fs): _*).orderBy("media_id")
     }),
+
+    // ── multimodal audio: REAL JDK codec roundtrip — text bytes become
+    //    the PCM payload of a genuine WAV container (AudioSystem.write),
+    //    then decodeAudio parses it back with javax.sound.sampled and
+    //    emits sample-domain stats. The oracle recomputes the stats from
+    //    the same bytes (samples are exact multiples of 2^-7, so the
+    //    float math agrees bit-for-bit); header-derived fields
+    //    (sample_rate/channels/n_frames) prove the container parse ran —
+    //    a byte-stat fallback would emit garbage rates and go red
+    "q_audio_features" -> ((s, dir) => {
+      val decoded = Multimodal.decodeAudio(
+        Multimodal.buildWav(
+          Multimodal.attachBlob(docs(s, dir), "doc_id", "text", kind = "audio")))
+      decoded.select(
+        col("media_id"),
+        element_at(col("features"), 1).cast("bigint").as("sample_rate"),
+        element_at(col("features"), 2).cast("bigint").as("channels"),
+        element_at(col("features"), 3).cast("bigint").as("n_frames"),
+        // UNROUNDED doubles: samples are exact multiples of 2^-7, so
+        // sums are exact in any order and mean/rms/peak are the SAME
+        // double on both engines — rounding would reintroduce the
+        // half-boundary hazard (HALF_UP vs float-domain rounding
+        // disagreed at the 6th decimal on real data)
+        element_at(col("features"), 5).as("mean_amp"),
+        element_at(col("features"), 6).as("rms_amp"),
+        element_at(col("features"), 7).as("peak_amp"))
+        .orderBy("media_id")
+    }),
+
+    // ── multimodal video-shape: evenly-spaced byte-window frame cuts
+    //    (the opaque-codec path; sampleGifFrames is the real-codec one).
+    //    Frames emitted as hex so the driver's pandas hash sees strings
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.attachBlob(docs(s, dir), "doc_id", "text", kind = "video"),
+          n = 4, frameBytes = 16)
+        .select(col("media_id"), col("frame_no"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("media_id", "frame_no")),
 
     // ── near-dup clustering: connected components over verified LSH
     //    pairs — exact transitive cluster ids (vs lshDedup's one-pass
@@ -441,6 +491,41 @@ object DataPipelineQueries {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |), sh AS (
       |  SELECT DISTINCT doc_id, sh FROM sh_raw
+      |)""".stripMargin
+
+  // Shared CTE prefix for the duplicate-span oracles: positions of word
+  // 3-grams whose corpus-wide occurrence count ≥ 2, merged into maximal
+  // spans (starts ≤ 3 apart share a span — gaps-and-islands windows).
+  // lag NULL on a doc's first dup position → CASE else-branch 1, the
+  // same null semantics as the engine's `when(...).otherwise(1)`.
+  private val dupSpansCte: String =
+    """grams AS (
+      |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+      |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |       unnest(range(1, len(toks)-1)) AS r(i)
+      |  WHERE len(toks) >= 3
+      |), cnt AS (
+      |  SELECT g, count(*) AS c FROM grams GROUP BY 1
+      |), dup AS (
+      |  SELECT grams.doc_id, grams.pos
+      |  FROM grams JOIN cnt USING (g) WHERE cnt.c >= 2
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+      |                                        ORDER BY pos) <= 3
+      |              THEN 0 ELSE 1 END AS new_span
+      |  FROM dup
+      |), sp AS (
+      |  SELECT doc_id, pos,
+      |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos)
+      |           AS span_id
+      |  FROM isl
+      |), spans AS (
+      |  SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+      |         CAST(max(pos) + 3 AS INT) AS span_end,
+      |         CAST(count(*) AS BIGINT) AS n_dup_grams
+      |  FROM sp GROUP BY doc_id, span_id
       |)""".stripMargin
 
   private def sigSelect: String =
@@ -816,6 +901,38 @@ object DataPipelineQueries {
         |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_dup_spans" ->
+      s"""WITH $dupSpansCte
+         |SELECT doc_id, span_start, span_end, n_dup_grams
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // Strip: keep each word whose 0-based index is covered by no span;
+    // docs with no spans (or < 3 tokens) pass through whole. string_agg
+    // over zero kept tokens is NULL → coalesce to '' (a fully
+    // duplicated doc becomes the empty string, like the engine).
+    "q_strip_spans" ->
+      s"""WITH $dupSpansCte, toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), words AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS wi, t[i] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+         |), kept AS (
+         |  SELECT w.doc_id, w.wi, w.tok
+         |  FROM words w
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |                    WHERE s.doc_id = w.doc_id
+         |                      AND w.wi >= s.span_start
+         |                      AND w.wi < s.span_end)
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(k.clean_text, '') AS clean_text
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id,
+         |                  string_agg(tok, ' ' ORDER BY wi) AS clean_text
+         |           FROM kept GROUP BY doc_id) k
+         |  ON k.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_quality" ->
       s"""SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -860,6 +977,53 @@ object DataPipelineQueries {
          |FROM documents d LEFT JOIN feats f ON f.doc_id = d.doc_id
          |ORDER BY media_id""".stripMargin
     },
+
+    // Mirrors the WAV roundtrip sample-domain stats: payload bytes are
+    // the UTF-8 bytes of text (recovered via hex two-char slices — no
+    // ASCII assumption), samples v = (byte-128)/128 exactly (power-of-2
+    // divisor ⇒ exact doubles ⇒ order-independent sums). v*v spelled as
+    // a product, not power(), to match the engine's multiply.
+    "q_audio_features" ->
+      """WITH hexed AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, hx, unnest(range(0, n)) AS i FROM hexed
+        |), samples AS (
+        |  SELECT doc_id,
+        |         (CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT) - 128.0)
+        |           / 128.0 AS v
+        |  FROM idx
+        |), feats AS (
+        |  SELECT doc_id, avg(v) AS mean_amp, sqrt(avg(v * v)) AS rms_amp,
+        |         max(abs(v)) AS peak_amp
+        |  FROM samples GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(1 AS BIGINT) AS channels,
+        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_frames,
+        |       coalesce(f.mean_amp, 0.0) AS mean_amp,
+        |       coalesce(f.rms_amp, 0.0) AS rms_amp,
+        |       coalesce(f.peak_amp, 0.0) AS peak_amp
+        |FROM documents d LEFT JOIN feats f ON f.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Mirrors Multimodal.frameSample's byte windows: frame i starts at
+    // byte floor(n_bytes*i/4), 16 bytes wide, clamped at the blob end.
+    // DuckDB's substring has no BLOB overload, so the slice happens in
+    // the hex domain (byte b ↔ hex chars 2b+1..2b+2 — exactly 2 chars
+    // per byte, so windows map linearly). CROSS JOIN a 4-row frame
+    // index; hex strings compared on both sides.
+    "q_frame_sample" ->
+      """SELECT d.doc_id AS media_id, f.frame_no,
+        |       substr(hex(encode(d.text)),
+        |              CAST(2 * (octet_length(encode(d.text)) * f.frame_no // 4)
+        |                   AS INT) + 1, 32) AS frame_hex
+        |FROM documents d
+        |CROSS JOIN (SELECT unnest(range(0, 4)) AS frame_no) f
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     // The SRP hyperplanes are deterministic plan literals (seed 42) — so
     // the full LSH pipeline IS oracle-checkable: embed the same planes as

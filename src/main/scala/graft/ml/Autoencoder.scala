@@ -42,11 +42,13 @@ import graft.functions.Stats
   * model-sized, the same driver budget as every profile/HW fit here; the
   * distributed reduction already happened in the bucketing aggregation)
   * and fits on the driver — epochs·batches of hidden·span flops, no
-  * Spark job per epoch. Scoring is fully distributed: windows assemble
-  * with one ordered window pass (`collect_list` over the last span
-  * buckets, per-series partitioning for fleets) and each row
-  * reconstructs in a narrow `mapPartitions` with the weight matrix in
-  * the closure — no shuffle beyond the window sort, no driver loop.
+  * Spark job per epoch. Solo scoring assembles windows with ONE global
+  * ordered window (`Window.orderBy("bucket")` — a single-partition sort,
+  * acceptable because a solo series is model-sized by reference
+  * semantics: one bucketized series fits one task); each row then
+  * reconstructs narrowly with the weight matrix in the closure. For
+  * many-series scale use [[FleetAutoencoder]], which partitions the
+  * window by series key and trains/scores per key with no global sort.
   */
 object AutoencoderReconstructor extends ModelType {
   import org.json4s._

@@ -11,12 +11,17 @@ import org.apache.spark.sql.types._
   * IMAGE decode is real: [[decodeImage]] uses the JDK's own ImageIO
   * codecs (PNG/BMP/GIF/JPEG) and falls back to the deterministic
   * byte-stat STUB kernel for blobs no codec accepts, so dirty corpora
-  * never fail the job. Audio/video codecs don't exist in the JDK, so
-  * those decodes remain the clearly-marked stub (`decodeStub`);
-  * everything around them — schema (binary + metadata struct),
-  * partition-sized batch iteration via `mapPartitions`, fixed-width
-  * feature output with a real Encoder — is the production plumbing and
-  * is tested.
+  * never fail the job. AUDIO decode is real too: [[decodeAudio]] parses
+  * WAV/AIFF/AU containers with the JDK's `javax.sound.sampled` and
+  * emits sample-domain features ([[buildWav]] is the matching real
+  * encoder). VIDEO has no JDK codec; [[sampleGifFrames]] covers the
+  * frame-sampling surface with the one real multi-frame format ImageIO
+  * ships (animated GIF), and [[frameSample]] keeps the byte-window
+  * shape for opaque codecs. Undecodable blobs everywhere fall back to
+  * the deterministic byte-stat kernel — everything around the codecs —
+  * schema (binary + metadata struct), partition-sized batch iteration
+  * via `mapPartitions`, fixed-width feature output with a real
+  * Encoder — is the production plumbing and is tested.
   *
   * Scale notes: blobs never pass through a shuffle here (all stages are
   * narrow maps); at 100 TB you'd store blobs in parquet binary columns
@@ -112,35 +117,190 @@ object Multimodal {
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           catch { case _: Exception => null }
-        if (img == null) byteStatFeatures(bytes)
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          var sr = 0.0; var sg = 0.0; var sb = 0.0
-          var sy = 0.0; var syy = 0.0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
-              val luma = 0.299 * r + 0.587 * g + 0.114 * b
-              sr += r; sg += g; sb += b; sy += luma; syy += luma * luma
-              x += 1
-            }
-            y += 1
+        if (img == null) byteStatFeatures(bytes) else pixelFeatures(img)
+      }
+    }
+
+  /** Pixel feature kernel shared by [[decodeImage]] and
+    * [[sampleGifFrames]]:
+    * `[width, height, meanR, meanG, meanB, meanLuma, stdLuma, aspect]`. */
+  private[operators] def pixelFeatures(
+      img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sy = 0.0; var syy = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sy += luma; syy += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val meanLuma = sy / n
+    val varLuma = math.max(0.0, syy / n - meanLuma * meanLuma)
+    Array(w.toDouble, h.toDouble, sr / n / 255.0, sg / n / 255.0,
+      sb / n / 255.0, meanLuma / 255.0, math.sqrt(varLuma) / 255.0,
+      w.toDouble / h)
+  }
+
+  /** REAL audio encode via the JDK's own `javax.sound.sampled` writer:
+    * wraps the blob's bytes as the PCM payload of a genuine WAV
+    * container (8-bit unsigned mono by default — every byte is one
+    * sample/frame). The container is produced by `AudioSystem.write`,
+    * not hand-rolled header bytes, so [[decodeAudio]] exercises a true
+    * encoder↔decoder roundtrip. Narrow `mapPartitions`; blobs never
+    * shuffle. */
+  def buildWav(df: DataFrame, sampleRate: Float = 8000f): DataFrame = {
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        sampleRate, 8, 1, 1, sampleRate, false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val out =
+          if (bytes == null) null
+          else {
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+            val baos = new java.io.ByteArrayOutputStream(bytes.length + 64)
+            javax.sound.sampled.AudioSystem.write(
+              ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            baos.toByteArray
           }
-          val n = (w.toLong * h).toDouble
-          val meanLuma = sy / n
-          val varLuma = math.max(0.0, syy / n - meanLuma * meanLuma)
-          Array(w.toDouble, h.toDouble, sr / n / 255.0, sg / n / 255.0,
-            sb / n / 255.0, meanLuma / 255.0, math.sqrt(varLuma) / 255.0,
-            w.toDouble / h)
+        Row.fromSeq(r.toSeq.updated(dataIdx, out))
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
+  /** REAL audio decode via the JDK's own `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM — no external libraries): parses the container,
+    * streams the sample frames, and emits an 8-value feature vector
+    * `[sampleRate, channels, nFrames, durationSec, meanAmp, rmsAmp,
+    * peakAmp, zeroCrossRate]` with amplitudes normalized to [-1,1]
+    * (channel-interleaved samples all contribute). Handles 8-bit
+    * unsigned and 16-bit signed PCM, either endianness. Blobs the codec
+    * rejects (wrong magic, truncated header, non-audio payload) fall
+    * back to [[byteStatFeatures]] — the same dirty-corpus posture as
+    * [[decodeImage]]. Narrow `mapPartitions`; the partition is the
+    * decode batch. */
+  def decodeAudio(df: DataFrame): DataFrame =
+    withFeatures(df) { bytes =>
+      if (bytes == null) null
+      else {
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (ais == null) byteStatFeatures(bytes)
+        else {
+          val fmt = ais.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val signed = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          if (bits != 8 && bits != 16) byteStatFeatures(bytes)
+          else {
+            val raw = ais.readAllBytes()
+            val bytesPer = bits / 8
+            val n = raw.length / bytesPer
+            var sum = 0.0; var sumSq = 0.0; var peak = 0.0
+            var crossings = 0L; var prevNeg = false
+            var i = 0
+            while (i < n) {
+              val v =
+                if (bits == 8) {
+                  val b = raw(i)
+                  (if (signed) b.toDouble else (b & 0xff) - 128.0) / 128.0
+                } else {
+                  val off = i * 2
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (raw(off + 1), raw(off))
+                    else (raw(off), raw(off + 1))
+                  val s = ((hi.toInt << 8) | (lo & 0xff)).toShort
+                  (if (signed) s.toDouble else ((s & 0xffff) - 32768).toDouble) / 32768.0
+                }
+              sum += v; sumSq += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              val neg = v < 0
+              if (i > 0 && neg != prevNeg) crossings += 1
+              prevNeg = neg
+              i += 1
+            }
+            val nd = n.toDouble
+            Array(
+              fmt.getSampleRate.toDouble,
+              fmt.getChannels.toDouble,
+              n.toDouble / fmt.getChannels,
+              n.toDouble / fmt.getChannels / fmt.getSampleRate,
+              if (n == 0) 0.0 else sum / nd,
+              if (n == 0) 0.0 else math.sqrt(sumSq / nd),
+              peak,
+              if (n < 2) 0.0 else crossings.toDouble / (n - 1))
+          }
         }
       }
     }
+
+  /** REAL multi-frame sampling (the video-frame-sample surface with the
+    * one multi-frame codec the JDK ships — animated GIF): opens an
+    * ImageIO reader on the blob, counts frames, decodes `n`
+    * evenly-spaced ones, and emits one row per sampled frame with
+    * `frame_no`, the frame index actually decoded, total frame count,
+    * and the same pixel features as [[decodeImage]]. Single-frame
+    * formats (PNG/BMP/JPEG) sample as one frame; undecodable blobs
+    * yield zero rows (route those through [[frameSample]]'s byte
+    * windows). Narrow per-row flatMap — blobs never shuffle, and only
+    * the sampled frames are decoded (`ImageReader.read(i)` seeks by
+    * index). */
+  def sampleGifFrames(df: DataFrame, n: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("features", ArrayType(DoubleType), nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Iterator.empty }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              val total = reader.getNumImages(true)
+              val picks =
+                if (total <= 0) Seq.empty
+                else (0 until math.min(n, total)).map(i => i * total / math.min(n, total))
+              picks.zipWithIndex.flatMap { case (fi, no) =>
+                val img =
+                  try reader.read(fi) catch { case _: Exception => null }
+                if (img == null) None
+                else Some(Row(r.getLong(idIdx), no, fi, total,
+                  pixelFeatures(img).toSeq))
+              }.iterator
+            } finally { reader.dispose(); iis.close() }
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 
   /** Frame sampling: cut `n` evenly-spaced fixed-width byte windows from
     * the blob (video-frame-sampling shape; windows of real codecs would

@@ -182,6 +182,69 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** Duplicate-span detection — the word-level analog of exact-substring
+    * training-data dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": any substring that appears more than
+    * once in the corpus is a removal candidate). A word n-gram is
+    * DUPLICATED when its total occurrence count across the corpus is
+    * ≥ 2 — a second copy anywhere, another document or the same one.
+    * Per document, the start positions of duplicated n-grams merge into
+    * maximal spans: starts p < p' share a span when p' − p ≤ n (their
+    * n-word windows overlap or abut). Output: one row per span —
+    * `(idCol, span_start, span_end, n_dup_grams)`, end exclusive, word
+    * indices.
+    *
+    * Scale shape: O(total grams) position rows flow through exactly two
+    * keyed exchanges (gram-count aggregation, which combines map-side,
+    * then the gram equi-join back) plus one per-doc window — no
+    * all-pairs term and no driver data. The reference technique's
+    * suffix array is a sequential single-node structure; this is the
+    * shuffle-native equivalent at n-gram resolution (spans shorter than
+    * n words are below the detection floor, exactly like the suffix
+    * -array pipeline's min-match-length). Ultra-frequent grams cost one
+    * dictionary row each; AQE's skew join splits the position side if
+    * one gram dominates a partition. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val pos = df.select(col(idCol),
+      posexplode(Dedup.wordShingles(col(textCol), n)).as(Seq("pos", "g")))
+    val dupGrams = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    pos.join(dupGrams.select("g"), "g")
+      // first row of a doc: lag is null → comparison null → otherwise(1)
+      .withColumn("new_span",
+        when(col("pos") - lag("pos", 1).over(w) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("span_id", sum("new_span").over(w))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(n)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("span_id")
+  }
+
+  /** The destructive half of exact-substring dedup: drop every word
+    * covered by a duplicated span and rebuild the text. Docs with no
+    * duplicated spans pass through unchanged. The per-doc span list is
+    * collected into an array column (spans per doc are bounded by
+    * words/n, and merged spans are far fewer), so the removal itself is
+    * a narrow per-row filter over the token array with its index — no
+    * extra shuffle beyond [[duplicateSpans]]' own. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<span_start:int,span_end:int>>")))
+      .withColumn("clean_text", concat_ws(" ",
+        filter(split(col(textCol), " "), (t, i) =>
+          !exists(col("spans"), s =>
+            i >= s.getField("span_start") && i < s.getField("span_end")))))
+      .drop("spans")
+  }
+
   /** Canonical-form fingerprint: md5 of lowercased text with every
     * non-alphanumeric run collapsed to one space, trimmed — robust to
     * whitespace/punct/case edits (rolling-hash-class dedup key). */

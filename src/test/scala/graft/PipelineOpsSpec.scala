@@ -998,6 +998,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.values.forall(v => v._4 >= 0.0 && v._4 <= 1.0))
   }
 
+  test("duplicateSpans: corpus-duplicated n-grams merge into maximal " +
+      "spans; stripDuplicateSpans removes exactly the covered words") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"),        // "a b c","b c d" shared with doc 2
+      (2L, "x y z a b c d q r s"),  // dup gram starts at 3,4
+      (3L, "m m m m m m"),          // within-doc duplicate gram (count 4)
+      (4L, "p q r"),                // unique single gram → no spans
+      (5L, "a b c Q Q Q a b c"))    // dup starts 0 and 6: gap 6 > n → 2 spans
+      .toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicateSpans(corpus, "doc_id", "text", 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(spans.toSeq == Seq(
+      (1L, 0, 4, 2L),   // positions {0,1} → [0, 1+3)
+      (2L, 3, 7, 2L),   // positions {3,4}
+      (3L, 0, 6, 4L),   // positions {0..3} all "m m m"
+      (5L, 0, 3, 1L), (5L, 6, 9, 1L)))
+    val clean = TextAnalysis.stripDuplicateSpans(corpus, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(clean(1L) == "e f g")
+    assert(clean(2L) == "x y z q r s")
+    assert(clean(3L) == "")            // fully duplicated doc vanishes
+    assert(clean(4L) == "p q r")       // untouched doc passes through
+    assert(clean(5L) == "Q Q Q")
+  }
+
   // ── Multimodal ─────────────────────────────────────────────────
 
   test("decodeImage: real PNG/BMP bytes decode to pixel features; " +
@@ -1055,5 +1083,104 @@ class PipelineOpsSpec extends SparkSpec {
     val frames = Multimodal.frameSample(media, 4, frameBytes = 8).collect()
     assert(frames.length == 4)
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
+  }
+
+  test("decodeAudio: real WAV roundtrip (8-bit unsigned payload) and a " +
+      "16-bit signed sine; non-audio blobs fall back to the byte-stat kernel") {
+    // 8-bit path: buildWav wraps the blob bytes as PCM samples — decode
+    // must recover header fields and exact sample stats
+    val text = "abcd"
+    val media = Multimodal.attachBlob(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", kind = "audio")
+    val wav = Multimodal.buildWav(media)
+    val blob = wav.collect()(0).getAs[Array[Byte]]("data")
+    assert(new String(blob.take(4), "US-ASCII") == "RIFF") // genuine container
+    val out = Multimodal.decodeAudio(wav).collect()(0)
+    val f = out.getSeq[Double](out.fieldIndex("features"))
+    assert(f(0) == 8000.0 && f(1) == 1.0 && f(2) == 4.0) // rate/ch/frames
+    assert(math.abs(f(3) - 4.0 / 8000.0) < 1e-12)        // duration
+    val samples = text.getBytes("UTF-8").map(b => ((b & 0xff) - 128.0) / 128.0)
+    assert(f(4) == samples.sum / 4)                       // mean (exact doubles)
+    assert(f(5) == math.sqrt(samples.map(v => v * v).sum / 4))
+    assert(f(6) == samples.map(math.abs).max)
+
+    // 16-bit signed little-endian sine at amplitude 0.5: rms ≈ A/√2,
+    // peak ≈ A, zero-crossing rate ≈ 2·cycles/nSamples
+    val rate = 8000f; val n = 8000; val cycles = 100
+    val fmt16 = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (0.5 * math.sin(2 * math.Pi * cycles * i / n) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt16, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    import org.apache.spark.sql.Row
+    val rows16 = Seq(
+      Row(2L, bos.toByteArray, Row(0L, "audio", 0, 0)),
+      Row(3L, "definitely not audio".getBytes("UTF-8"), Row(0L, "audio", 0, 0)))
+    val df16 = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows16).asJava), Multimodal.mediaSchema)
+    val out16 = Multimodal.decodeAudio(df16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](r.fieldIndex("features"))).toMap
+    assert(out16(2L)(0) == 8000.0 && out16(2L)(2) == n.toDouble)
+    assert(math.abs(out16(2L)(5) - 0.5 / math.sqrt(2)) < 1e-3) // rms
+    assert(math.abs(out16(2L)(6) - 0.5) < 1e-3)                // peak
+    assert(math.abs(out16(2L)(7) - 2.0 * cycles / n) < 1e-3)   // zcr
+    // non-audio: identical to the stub kernel
+    val stub = Multimodal.decodeStub(df16.filter(col("media_id") === 3))
+      .collect()(0)
+    assert(out16(3L) == stub.getSeq[Double](stub.fieldIndex("features")))
+  }
+
+  test("sampleGifFrames: animated GIF frames sample evenly with real " +
+      "pixel features; single-frame PNG yields one row; junk yields none") {
+    import org.apache.spark.sql.Row
+    def grayFrame(level: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    // 6 solid-gray frames at levels 0,40,…,200 (≤256 colors → GIF is
+    // lossless here, so decoded luma is exact)
+    (0 until 6).foreach(i => writer.writeToSequence(
+      new javax.imageio.IIOImage(grayFrame(i * 40), null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val png = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(grayFrame(120), "png", b)
+      b.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, bos.toByteArray, Row(0L, "video", 4, 4)),
+      Row(2L, png, Row(0L, "image", 4, 4)),
+      Row(3L, "junk bytes".getBytes("UTF-8"), Row(0L, "video", 0, 0)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), Multimodal.mediaSchema)
+    val out = Multimodal.sampleGifFrames(df, 3).collect()
+    val gif = out.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(gif.map(_.getInt(2)).toSeq == Seq(0, 2, 4)) // even spacing
+    assert(gif.forall(_.getInt(3) == 6))               // total frame count
+    val lumas = gif.map(_.getSeq[Double](4)(5) * 255.0)
+    assert(lumas.zip(Seq(0.0, 80.0, 160.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    val single = out.filter(_.getLong(0) == 2L)
+    assert(single.length == 1 && single(0).getInt(3) == 1)
+    assert(math.abs(single(0).getSeq[Double](4)(5) * 255.0 - 120.0) < 1e-6)
+    assert(!out.exists(_.getLong(0) == 3L))            // junk → zero rows
   }
 }

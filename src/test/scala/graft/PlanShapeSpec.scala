@@ -99,6 +99,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) == 0, p)
   }
 
+  test("audio/GIF codec stages: narrow maps, blobs never shuffle") {
+    val media = graft.operators.Multimodal.attachBlob(
+      spark.range(10).select(col("id").as("doc_id"),
+        concat(lit("t"), col("id")).as("text")), "doc_id", "text", "audio")
+    val p = plan(graft.operators.Multimodal.decodeAudio(
+      graft.operators.Multimodal.buildWav(media)))
+    assert(shuffles(p) == 0, p)
+    val g = plan(graft.operators.Multimodal.sampleGifFrames(media, 3))
+    assert(shuffles(g) == 0, g)
+  }
+
   test("jaccardJoin: sz window shares the rank window's exchange") {
     val p = plan(Dedup.jaccardJoin(docs, "doc_id", "text", 0.5))
     // prefix side appears twice (self-join); each side: freq exchange +
