@@ -14,10 +14,11 @@ import org.apache.spark.sql.types._
   * never fail the job. AUDIO decode is real too: [[decodeAudio]] parses
   * WAV/AIFF/AU containers with the JDK's `javax.sound.sampled` and
   * emits sample-domain features ([[buildWav]] is the matching real
-  * encoder). VIDEO has no JDK codec; [[sampleGifFrames]] covers the
-  * frame-sampling surface with the one real multi-frame format ImageIO
-  * ships (animated GIF), and [[frameSample]] keeps the byte-window
-  * shape for opaque codecs. Undecodable blobs everywhere fall back to
+  * encoder). VIDEO decode is real for the two containers pure JDK can
+  * handle: [[sampleGifFrames]] (animated GIF via ImageIO's multi-frame
+  * reader) and [[sampleAviFrames]] (RIFF/AVI chunk demux + per-frame
+  * MJPEG decode); [[frameSample]] keeps the byte-window shape for
+  * opaque codecs. Undecodable blobs everywhere fall back to
   * the deterministic byte-stat kernel — everything around the codecs —
   * schema (binary + metadata struct), partition-sized batch iteration
   * via `mapPartitions`, fixed-width feature output with a real
@@ -298,6 +299,84 @@ object Multimodal {
             } finally { reader.dispose(); iis.close() }
           }
         }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Minimal RIFF/AVI demuxer (pure JDK, the container format is public
+    * and trivially chunk-structured): walks the chunk tree, recurses
+    * into `movi`/`rec ` LISTs, and returns every video-frame chunk's
+    * payload (`##dc` compressed / `##db` uncompressed fourcc). For
+    * MJPEG AVIs — the overwhelmingly common self-contained case — each
+    * payload is a complete JPEG that ImageIO decodes. Non-AVI bytes
+    * (including RIFF/WAVE) return no frames. */
+  private[operators] def demuxAvi(b: Array[Byte]): Array[Array[Byte]] = {
+    def cc(off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
+      return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val fourcc = cc(off)
+        val size = u32(off + 4).toInt
+        val data = off + 8
+        if (data + size > b.length) return // truncated chunk: stop cleanly
+        if (fourcc == "LIST" && size >= 4) {
+          val listType = cc(data)
+          if (listType == "movi" || listType == "rec ")
+            walk(data + 4, data + size)
+        } else if (size > 0 && fourcc.length == 4 &&
+            fourcc.charAt(2) == 'd' &&
+            (fourcc.charAt(3) == 'c' || fourcc.charAt(3) == 'b')) {
+          out += java.util.Arrays.copyOfRange(b, data, data + size)
+        }
+        off = data + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, math.min(b.length, 8 + u32(4).toInt))
+    out.toArray
+  }
+
+  /** REAL video demux + frame decode for AVI/MJPEG — the one video
+    * container walkable in pure JDK: [[demuxAvi]] extracts the frame
+    * chunks, `n` evenly-spaced ones are decoded with ImageIO (each
+    * MJPEG frame is a standalone JPEG) and emitted with the shared
+    * [[pixelFeatures]] kernel — same output schema as
+    * [[sampleGifFrames]]. Frames ImageIO can't decode are skipped;
+    * non-AVI blobs yield zero rows. Narrow per-row flatMap — blobs
+    * never shuffle, only sampled frames decode. */
+  def sampleAviFrames(df: DataFrame, n: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("features", ArrayType(DoubleType), nullable = true)))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val frames = if (bytes == null) Array.empty[Array[Byte]]
+          else demuxAvi(bytes)
+        val total = frames.length
+        val picks =
+          if (total == 0) Seq.empty
+          else (0 until math.min(n, total)).map(i => i * total / math.min(n, total))
+        picks.zipWithIndex.flatMap { case (fi, no) =>
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(fi)))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else Some(Row(r.getLong(idIdx), no, fi, total,
+            pixelFeatures(img).toSeq))
+        }.iterator
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -1085,6 +1085,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
   }
 
+  test("sampleAviFrames: MJPEG frames demux from a RIFF/AVI container " +
+      "and decode; RIFF/WAVE and non-RIFF blobs yield zero rows") {
+    import org.apache.spark.sql.Row
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def jpegGray(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    def buildAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = new java.io.ByteArrayOutputStream()
+      movi.write("movi".getBytes("US-ASCII"))
+      frames.foreach { f =>
+        movi.write("00dc".getBytes("US-ASCII"))
+        movi.write(le32(f.length)); movi.write(f)
+        if ((f.length & 1) == 1) movi.write(0) // word alignment pad
+      }
+      val hdrl = "hdrl".getBytes("US-ASCII") ++
+        "avih".getBytes("US-ASCII") ++ le32(56) ++ new Array[Byte](56)
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("AVI ".getBytes("US-ASCII"))
+      body.write("LIST".getBytes("US-ASCII"))
+      body.write(le32(hdrl.length)); body.write(hdrl)
+      val mb = movi.toByteArray
+      body.write("LIST".getBytes("US-ASCII"))
+      body.write(le32(mb.length)); body.write(mb)
+      val b = body.toByteArray
+      "RIFF".getBytes("US-ASCII") ++ le32(b.length) ++ b
+    }
+    val levels = Seq(0, 60, 120, 180, 240)
+    val avi = buildAvi(levels.map(jpegGray))
+    // a genuine WAV (RIFF but not AVI) must NOT demux as video
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array[Byte](1, 2, 3, 4)), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val rows = Seq(
+      Row(1L, avi, Row(0L, "video", 8, 8)),
+      Row(2L, wavOut.toByteArray, Row(0L, "audio", 0, 0)),
+      Row(3L, "not even riff".getBytes("UTF-8"), Row(0L, "video", 0, 0)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), Multimodal.mediaSchema)
+    val out = Multimodal.sampleAviFrames(df, 3).collect()
+    assert(out.forall(_.getLong(0) == 1L)) // only the AVI demuxes
+    val got = out.sortBy(_.getInt(1))
+    assert(got.map(_.getInt(2)).toSeq == Seq(0, 1, 3)) // picks of 5 frames
+    assert(got.forall(_.getInt(3) == 5))
+    // JPEG is lossy but uniform frames decode near-exact
+    val lumas = got.map(_.getSeq[Double](4)(5) * 255.0)
+    assert(lumas.zip(Seq(0.0, 60.0, 180.0))
+      .forall { case (a, b) => math.abs(a - b) < 3.0 }, lumas.toSeq)
+  }
+
   test("decodeAudio: real WAV roundtrip (8-bit unsigned payload) and a " +
       "16-bit signed sine; non-audio blobs fall back to the byte-stat kernel") {
     // 8-bit path: buildWav wraps the blob bytes as PCM samples — decode

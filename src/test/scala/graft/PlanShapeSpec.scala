@@ -108,6 +108,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(p) == 0, p)
     val g = plan(graft.operators.Multimodal.sampleGifFrames(media, 3))
     assert(shuffles(g) == 0, g)
+    val a = plan(graft.operators.Multimodal.sampleAviFrames(media, 3))
+    assert(shuffles(a) == 0, a)
   }
 
   test("jaccardJoin: sz window shares the rank window's exchange") {
