@@ -257,6 +257,24 @@ object DataPipelineQueries {
         .orderBy("media_id")
     }),
 
+    // ── multimodal video: REAL codec roundtrip — text bytes render as
+    //    W×1 grayscale BMP frames (lossless, pixel = byte) muxed into a
+    //    RIFF/AVI container, then sampleAviFrames demuxes and decodes
+    //    them back. The oracle recomputes width/mean_r from the same
+    //    byte slices; mean_r is exact (integer pixel sums, two ordered
+    //    divisions) so it compares unrounded, like q_audio_features
+    "q_video_features" -> ((s, dir) => {
+      val media = Multimodal.attachBlob(docs(s, dir), "doc_id", "text",
+        kind = "video")
+      Multimodal.sampleAviFrames(Multimodal.buildAviBmp(media, frames = 3),
+          n = 3)
+        .select(col("media_id"), col("frame_no"), col("n_frames"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).as("mean_r"))
+        .orderBy("media_id", "frame_no")
+    }),
+
     // ── multimodal video-shape: evenly-spaced byte-window frame cuts
     //    (the opaque-codec path; sampleGifFrames is the real-codec one).
     //    Frames emitted as hex so the driver's pandas hash sees strings
@@ -1009,6 +1027,45 @@ object DataPipelineQueries {
         |       coalesce(f.peak_amp, 0.0) AS peak_amp
         |FROM documents d LEFT JOIN feats f ON f.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // Mirrors the AVI/BMP roundtrip: frame f covers byte slice
+    // [L·f//3, L·(f+1)//3) of the UTF-8 text (empty slices emit no
+    // frame), width = slice length, mean_r = (sum(byte)/width)/255 with
+    // the engine's exact division order. Bytes recovered via hex
+    // two-char slices; mean_r compared unrounded (integer sums → the
+    // same double on both engines).
+    "q_video_features" ->
+      """WITH hexed AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS L
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, f.f,
+        |         CAST(L * f.f // 3 AS INT) AS lo,
+        |         CAST(L * (f.f + 1) // 3 AS INT) AS hi, hx
+        |  FROM hexed CROSS JOIN (SELECT unnest(range(0, 3)) AS f) f
+        |), nonempty AS (
+        |  SELECT doc_id, lo, hi, hx,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY f)
+        |              - 1 AS INT) AS frame_no,
+        |         CAST(count(*) OVER (PARTITION BY doc_id) AS INT)
+        |           AS n_frames
+        |  FROM fr WHERE hi > lo
+        |), px AS (
+        |  SELECT doc_id, frame_no, n_frames, lo, hi,
+        |         unnest(range(lo, hi)) AS i, hx
+        |  FROM nonempty
+        |), stats AS (
+        |  SELECT doc_id, frame_no, n_frames, hi - lo AS width,
+        |         (CAST(sum(CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2)
+        |                         AS INT)) AS DOUBLE)
+        |          / (hi - lo)) / 255.0 AS mean_r
+        |  FROM px GROUP BY doc_id, frame_no, n_frames, lo, hi
+        |)
+        |SELECT doc_id AS media_id, frame_no, n_frames,
+        |       CAST(width AS INT) AS width, CAST(1 AS INT) AS height,
+        |       mean_r
+        |FROM stats ORDER BY media_id, frame_no""".stripMargin,
 
     // Mirrors Multimodal.frameSample's byte windows: frame i starts at
     // byte floor(n_bytes*i/4), 16 bytes wide, clamped at the blob end.

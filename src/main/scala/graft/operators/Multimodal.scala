@@ -197,18 +197,24 @@ object Multimodal {
   def decodeAudio(df: DataFrame): DataFrame =
     withFeatures(df) { bytes =>
       if (bytes == null) null
-      else {
+      else audioFeatures(bytes).getOrElse(byteStatFeatures(bytes))
+    }
+
+  /** Audio feature kernel shared by [[decodeAudio]] and [[decodeMedia]]:
+    * None when the bytes aren't a parseable 8/16-bit PCM container. */
+  private[operators] def audioFeatures(
+      bytes: Array[Byte]): Option[Array[Double]] = {
         val ais =
           try javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           catch { case _: Exception => null }
-        if (ais == null) byteStatFeatures(bytes)
+        if (ais == null) None
         else {
           val fmt = ais.getFormat
           val bits = fmt.getSampleSizeInBits
           val signed = fmt.getEncoding ==
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          if (bits != 8 && bits != 16) byteStatFeatures(bytes)
+          if (bits != 8 && bits != 16) None
           else {
             val raw = ais.readAllBytes()
             val bytesPer = bits / 8
@@ -238,7 +244,7 @@ object Multimodal {
               i += 1
             }
             val nd = n.toDouble
-            Array(
+            Some(Array(
               fmt.getSampleRate.toDouble,
               fmt.getChannels.toDouble,
               n.toDouble / fmt.getChannels,
@@ -246,11 +252,10 @@ object Multimodal {
               if (n == 0) 0.0 else sum / nd,
               if (n == 0) 0.0 else math.sqrt(sumSq / nd),
               peak,
-              if (n < 2) 0.0 else crossings.toDouble / (n - 1))
+              if (n < 2) 0.0 else crossings.toDouble / (n - 1)))
           }
         }
-      }
-    }
+  }
 
   /** REAL multi-frame sampling (the video-frame-sample surface with the
     * one multi-frame codec the JDK ships — animated GIF): opens an
@@ -303,6 +308,51 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Production entry point for a MIXED media corpus: sniffs each blob
+    * and routes it to the right real codec — AVI → middle-frame video
+    * decode, parseable PCM audio → [[audioFeatures]], anything ImageIO
+    * accepts → [[pixelFeatures]], everything else → the byte-stat
+    * fallback. Adds `media_kind` (`"video"`/`"audio"`/`"image"`/
+    * `"binary"`) next to the 8-wide `features` column; a dirty corpus
+    * never fails the job. The AVI fourcc gate and audio magic both
+    * reject cheaply, so the cascade costs one header inspection per
+    * miss. Narrow `mapPartitions` — same zero-shuffle shape as every
+    * decode stage here. */
+  def decodeMedia(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("media_kind", StringType, nullable = true),
+      StructField("features", ArrayType(DoubleType), nullable = true)))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val (kind, feats): (String, Array[Double]) =
+          if (bytes == null) (null, null)
+          else {
+            val frames = demuxAvi(bytes)
+            if (frames.nonEmpty) {
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(frames(frames.length / 2)))
+                catch { case _: Exception => null }
+              ("video",
+                if (img == null) byteStatFeatures(bytes) else pixelFeatures(img))
+            } else audioFeatures(bytes) match {
+              case Some(f) => ("audio", f)
+              case None =>
+                val img =
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes))
+                  catch { case _: Exception => null }
+                if (img != null) ("image", pixelFeatures(img))
+                else ("binary", byteStatFeatures(bytes))
+            }
+          }
+        Row.fromSeq(r.toSeq ++ Seq(kind, if (feats == null) null else feats.toSeq))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Minimal RIFF/AVI demuxer (pure JDK, the container format is public
     * and trivially chunk-structured): walks the chunk tree, recurses
     * into `movi`/`rec ` LISTs, and returns every video-frame chunk's
@@ -340,6 +390,67 @@ object Multimodal {
     }
     walk(12, math.min(b.length, 8 + u32(4).toInt))
     out.toArray
+  }
+
+  /** REAL video encode for the oracle-gated roundtrip: splits the
+    * blob's bytes into `frames` near-equal slices (slice f =
+    * bytes[⌊L·f/K⌋, ⌊L·(f+1)/K⌋)), renders each non-empty slice as a
+    * W×1 grayscale image (pixel value = byte value — lossless by
+    * construction) through the JDK's own BMP writer, and muxes the
+    * frames into a RIFF/AVI container with `00db` (uncompressed-fourcc)
+    * chunks. [[sampleAviFrames]] demuxes and decodes it back, so
+    * encode→mux→demux→decode roundtrips entirely through real codec
+    * code. Empty slices (blob shorter than K) emit no frame; a null
+    * blob emits an empty (frameless) container. Narrow `mapPartitions`. */
+  def buildAviBmp(df: DataFrame, frames: Int = 3): DataFrame = {
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        val out =
+          if (bytes == null) null
+          else {
+            def le32(v: Int) = Array((v & 0xff).toByte,
+              ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+              ((v >> 24) & 0xff).toByte)
+            val ascii = java.nio.charset.StandardCharsets.US_ASCII
+            val movi = new java.io.ByteArrayOutputStream()
+            movi.write("movi".getBytes(ascii))
+            val L = bytes.length
+            var f = 0
+            while (f < frames) {
+              val lo = (L.toLong * f / frames).toInt
+              val hi = (L.toLong * (f + 1) / frames).toInt
+              if (hi > lo) {
+                val w = hi - lo
+                val img = new java.awt.image.BufferedImage(
+                  w, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var x = 0
+                while (x < w) {
+                  val v = bytes(lo + x) & 0xff
+                  img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                val bmp = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "bmp", bmp)
+                val fb = bmp.toByteArray
+                movi.write("00db".getBytes(ascii))
+                movi.write(le32(fb.length)); movi.write(fb)
+                if ((fb.length & 1) == 1) movi.write(0)
+              }
+              f += 1
+            }
+            val mb = movi.toByteArray
+            val body = new java.io.ByteArrayOutputStream()
+            body.write("AVI ".getBytes(ascii))
+            body.write("LIST".getBytes(ascii))
+            body.write(le32(mb.length)); body.write(mb)
+            val bb = body.toByteArray
+            "RIFF".getBytes(ascii) ++ le32(bb.length) ++ bb
+          }
+        Row.fromSeq(r.toSeq.updated(dataIdx, out))
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
   /** REAL video demux + frame decode for AVI/MJPEG — the one video

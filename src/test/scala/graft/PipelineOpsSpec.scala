@@ -1146,6 +1146,49 @@ class PipelineOpsSpec extends SparkSpec {
       .forall { case (a, b) => math.abs(a - b) < 3.0 }, lumas.toSeq)
   }
 
+  test("decodeMedia: mixed corpus routes each blob to its real codec") {
+    import org.apache.spark.sql.Row
+    def png(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val wav = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array[Byte](0, 64, -128, -64)),
+        fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wav)
+    // one-frame AVI from the shared mux path (BMP payload)
+    val aviDf = Multimodal.buildAviBmp(
+      Multimodal.attachBlob(Seq((9L, "abcdefgh")).toDF("doc_id", "text"),
+        "doc_id", "text", "video"), frames = 1)
+    val avi = aviDf.collect()(0).getAs[Array[Byte]]("data")
+    val rows = Seq(
+      Row(1L, avi, Row(0L, "?", 0, 0)),
+      Row(2L, wav.toByteArray, Row(0L, "?", 0, 0)),
+      Row(3L, png(100), Row(0L, "?", 0, 0)),
+      Row(4L, "plain text bytes".getBytes("UTF-8"), Row(0L, "?", 0, 0)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), Multimodal.mediaSchema)
+    val out = Multimodal.decodeMedia(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[String]("media_kind"), r.getSeq[Double](r.fieldIndex("features"))))
+      .toMap
+    assert(out(1L)._1 == "video" && out(1L)._2(0) == 8.0) // frame width = 8 bytes
+    assert(out(2L)._1 == "audio" && out(2L)._2(0) == 8000.0)
+    assert(out(3L)._1 == "image" && out(3L)._2(0) == 4.0)
+    assert(out(4L)._1 == "binary")
+    val stub = Multimodal.decodeStub(df.filter(col("media_id") === 4)).collect()(0)
+    assert(out(4L)._2 == stub.getSeq[Double](stub.fieldIndex("features")))
+  }
+
   test("decodeAudio: real WAV roundtrip (8-bit unsigned payload) and a " +
       "16-bit signed sine; non-audio blobs fall back to the byte-stat kernel") {
     // 8-bit path: buildWav wraps the blob bytes as PCM samples — decode
