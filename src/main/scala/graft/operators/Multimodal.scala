@@ -360,7 +360,7 @@ object Multimodal {
     * MJPEG AVIs — the overwhelmingly common self-contained case — each
     * payload is a complete JPEG that ImageIO decodes. Non-AVI bytes
     * (including RIFF/WAVE) return no frames. */
-  private[operators] def demuxAvi(b: Array[Byte]): Array[Array[Byte]] = {
+  private[graft] def demuxAvi(b: Array[Byte]): Array[Array[Byte]] = {
     def cc(off: Int): String =
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u32(off: Int): Long =
@@ -369,26 +369,32 @@ object Multimodal {
     if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
       return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // Truncation posture: a LIST whose declared extent runs past the
+    // available bytes is walked CLAMPED (frames that survived the cut
+    // still harvest); an individual frame chunk cut mid-payload stops
+    // that level cleanly. Crawled media is routinely truncated — the
+    // demuxer salvages what's complete instead of discarding the blob.
     def walk(start: Int, end: Int): Unit = {
       var off = start
-      while (off + 8 <= end) {
+      val lim = math.min(end, b.length)
+      while (off + 8 <= lim) {
         val fourcc = cc(off)
         val size = u32(off + 4).toInt
         val data = off + 8
-        if (data + size > b.length) return // truncated chunk: stop cleanly
-        if (fourcc == "LIST" && size >= 4) {
+        if (fourcc == "LIST" && size >= 4 && data + 4 <= lim) {
           val listType = cc(data)
           if (listType == "movi" || listType == "rec ")
             walk(data + 4, data + size)
         } else if (size > 0 && fourcc.length == 4 &&
             fourcc.charAt(2) == 'd' &&
             (fourcc.charAt(3) == 'c' || fourcc.charAt(3) == 'b')) {
+          if (data + size > lim) return // frame cut mid-payload
           out += java.util.Arrays.copyOfRange(b, data, data + size)
         }
         off = data + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, math.min(b.length, 8 + u32(4).toInt))
+    walk(12, 8 + u32(4).toInt)
     out.toArray
   }
 

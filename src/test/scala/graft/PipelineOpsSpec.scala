@@ -1146,6 +1146,45 @@ class PipelineOpsSpec extends SparkSpec {
       .forall { case (a, b) => math.abs(a - b) < 3.0 }, lumas.toSeq)
   }
 
+  test("demuxAvi edge cases: rec-nested frames, odd-size padding, " +
+      "truncated chunks, and non-frame chunks are all handled") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if ((payload.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, children: Array[Byte]): Array[Byte] = {
+      val body = typ.getBytes("US-ASCII") ++ children
+      "LIST".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    def riff(children: Array[Byte]): Array[Byte] = {
+      val body = "AVI ".getBytes("US-ASCII") ++ children
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // frames nested inside a rec LIST within movi (interleaved-AVI
+    // shape), plus an odd-sized frame (forces the pad byte), plus an
+    // index chunk that must NOT be returned as a frame
+    val f1 = Array[Byte](1, 2, 3)           // odd size → padded
+    val f2 = Array[Byte](4, 5, 6, 7)
+    val avi = riff(list("movi",
+      chunk("00dc", f1) ++
+        list("rec ", chunk("01db", f2)) ++
+        chunk("idx1", Array[Byte](9, 9, 9, 9))))
+    val frames = Multimodal.demuxAvi(avi)
+    assert(frames.map(_.toSeq).toSeq == Seq(f1.toSeq, f2.toSeq))
+    // truncation inside the trailing idx1 chunk: both frames survive
+    val cutIdx = avi.dropRight(6)
+    assert(Multimodal.demuxAvi(cutIdx).map(_.toSeq).toSeq ==
+      Seq(f1.toSeq, f2.toSeq))
+    // truncation inside f2's payload: only the complete frame harvests
+    val cutF2 = avi.dropRight(14)
+    assert(Multimodal.demuxAvi(cutF2).map(_.toSeq).toSeq == Seq(f1.toSeq))
+    // a hdrl-only AVI (no movi) and an empty byte array yield nothing
+    assert(Multimodal.demuxAvi(riff(list("hdrl",
+      chunk("avih", new Array[Byte](56))))).isEmpty)
+    assert(Multimodal.demuxAvi(Array.empty[Byte]).isEmpty)
+  }
+
   test("decodeMedia: mixed corpus routes each blob to its real codec") {
     import org.apache.spark.sql.Row
     def png(level: Int): Array[Byte] = {
