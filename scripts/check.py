@@ -70,14 +70,20 @@ def main(sf_dir, out_dir):
                       f"HUGEINT — wrap the aggregate in CAST(... AS BIGINT)")
                 n_fail += 1
                 continue
-            exp_df = con.sql(sql).df()
-            exp = con.sql(sql).fetchall()
+            # ONE execution per side: the oracle runs once into pandas
+            # (the driver's materialization path) and rows are compared
+            # from the same frames. itertuples yields numpy scalars —
+            # their reprs differ from fetchall's python values but are
+            # SYMMETRIC across both sides, which is all canon needs.
+            # (The old rel.df()+rel.fetchall() pair re-executed every
+            # oracle twice — 3x gate time on the heavy sf1 queries.)
+            exp_df = rel.df()
             files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             got_df = pd.concat([pd.read_parquet(f) for f in files],
                                ignore_index=True)
-            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got_rel.description]
-            got = got_rel.fetchall()
+            got_cols = list(got_df.columns)
+            exp = [t for t in exp_df.itertuples(index=False, name=None)]
+            got = [t for t in got_df.itertuples(index=False, name=None)]
             # sort columns by name (driver semantics), then sort rows
             eidx = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
             gidx = sorted(range(len(got_cols)), key=lambda i: got_cols[i])

@@ -101,6 +101,12 @@ object FleetAutoencoder {
       stRows.nextOption() match {
         case None => Iterator.empty
         case Some(st) =>
+          // same contract as the solo load(): a state trained under a
+          // different hidden/span must fail loudly, not misindex
+          require(st.weights.length == p.hidden * p.span,
+            s"weight shape mismatch for key '$key': state has " +
+              s"${st.weights.length} weights, params expect " +
+              s"${p.hidden}×${p.span}")
           val w = Array.tabulate(p.hidden, p.span)((i, j) =>
             st.weights(i * p.span + j))
           val sm = st.slot_mean.toArray

@@ -115,9 +115,7 @@ object Multimodal {
     withFeatures(df) { bytes =>
       if (bytes == null) null
       else {
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+        val img = tryReadImage(bytes)
         if (img == null) byteStatFeatures(bytes) else pixelFeatures(img)
       }
     }
@@ -212,9 +210,15 @@ object Multimodal {
         else {
           val fmt = ais.getFormat
           val bits = fmt.getSampleSizeInBits
-          val signed = fmt.getEncoding ==
+          val enc = fmt.getEncoding
+          val signed = enc ==
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          if (bits != 8 && bits != 16) None
+          // linear PCM only: ULAW/ALAW streams parse (javax supports
+          // them) but their bytes are companded — reading them as
+          // linear samples would emit confidently-wrong features
+          val linear = signed || enc ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!linear || (bits != 8 && bits != 16)) None
           else {
             val raw = ais.readAllBytes()
             val bytesPer = bits / 8
@@ -257,24 +261,42 @@ object Multimodal {
         }
   }
 
+  /** Shared output schema of the frame samplers: one row per sampled
+    * frame with its sample ordinal, the frame index actually decoded,
+    * the container's total frame count, and [[pixelFeatures]]. */
+  private val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType), nullable = true)))
+
+  /** `n` evenly-spaced frame indices out of `total` (all of them when
+    * total ≤ n) — the one pick formula both samplers share. */
+  private[operators] def pickIndices(n: Int, total: Int): Seq[Int] =
+    if (total <= 0) Seq.empty
+    else (0 until math.min(n, total)).map(i => i * total / math.min(n, total))
+
+  /** ImageIO decode that never throws: null for anything the codecs
+    * reject (wrong magic, truncated payload, non-image bytes). */
+  private[operators] def tryReadImage(
+      bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: Exception => null }
+
   /** REAL multi-frame sampling (the video-frame-sample surface with the
     * one multi-frame codec the JDK ships — animated GIF): opens an
     * ImageIO reader on the blob, counts frames, decodes `n`
     * evenly-spaced ones, and emits one row per sampled frame with
     * `frame_no`, the frame index actually decoded, total frame count,
     * and the same pixel features as [[decodeImage]]. Single-frame
-    * formats (PNG/BMP/JPEG) sample as one frame; undecodable blobs
-    * yield zero rows (route those through [[frameSample]]'s byte
-    * windows). Narrow per-row flatMap — blobs never shuffle, and only
-    * the sampled frames are decoded (`ImageReader.read(i)` seeks by
-    * index). */
+    * formats (PNG/BMP/JPEG) sample as one frame; undecodable blobs —
+    * including ones whose SIGNATURE a reader accepts but whose block
+    * data then fails the frame scan — yield zero rows (route those
+    * through [[frameSample]]'s byte windows). Narrow per-row flatMap —
+    * blobs never shuffle, and only the sampled frames are decoded
+    * (`ImageReader.read(i)` seeks by index). */
   def sampleGifFrames(df: DataFrame, n: Int): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_no", IntegerType, nullable = false),
-      StructField("frame_index", IntegerType, nullable = false),
-      StructField("n_frames", IntegerType, nullable = false),
-      StructField("features", ArrayType(DoubleType), nullable = true)))
     val idIdx = df.schema.fieldIndex("media_id")
     val dataIdx = df.schema.fieldIndex("data")
     df.mapPartitions { it =>
@@ -289,23 +311,27 @@ object Multimodal {
           else {
             val reader = readers.next()
             try {
+              // setInput/getNumImages scan the stream and throw on
+              // corrupt block data even when the signature matched —
+              // a dirty corpus must yield zero rows, not a dead job
               reader.setInput(iis, false, true)
               val total = reader.getNumImages(true)
-              val picks =
-                if (total <= 0) Seq.empty
-                else (0 until math.min(n, total)).map(i => i * total / math.min(n, total))
-              picks.zipWithIndex.flatMap { case (fi, no) =>
+              pickIndices(n, total).zipWithIndex.flatMap { case (fi, no) =>
                 val img =
                   try reader.read(fi) catch { case _: Exception => null }
                 if (img == null) None
                 else Some(Row(r.getLong(idIdx), no, fi, total,
                   pixelFeatures(img).toSeq))
               }.iterator
-            } finally { reader.dispose(); iis.close() }
+            } catch { case _: Exception => Iterator.empty }
+            finally {
+              try { reader.dispose(); iis.close() }
+              catch { case _: Exception => () }
+            }
           }
         }
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    }(org.apache.spark.sql.Encoders.row(frameSchema))
   }
 
   /** Production entry point for a MIXED media corpus: sniffs each blob
@@ -329,21 +355,18 @@ object Multimodal {
         val (kind, feats): (String, Array[Double]) =
           if (bytes == null) (null, null)
           else {
-            val frames = demuxAvi(bytes)
-            if (frames.nonEmpty) {
-              val img =
-                try javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(frames(frames.length / 2)))
-                catch { case _: Exception => null }
+            val spans = demuxAviSpans(bytes)
+            if (spans.nonEmpty) {
+              // only the middle frame is copied out and decoded
+              val (o, l) = spans(spans.length / 2)
+              val img = tryReadImage(
+                java.util.Arrays.copyOfRange(bytes, o, o + l))
               ("video",
                 if (img == null) byteStatFeatures(bytes) else pixelFeatures(img))
             } else audioFeatures(bytes) match {
               case Some(f) => ("audio", f)
               case None =>
-                val img =
-                  try javax.imageio.ImageIO.read(
-                    new java.io.ByteArrayInputStream(bytes))
-                  catch { case _: Exception => null }
+                val img = tryReadImage(bytes)
                 if (img != null) ("image", pixelFeatures(img))
                 else ("binary", byteStatFeatures(bytes))
             }
@@ -359,8 +382,9 @@ object Multimodal {
     * payload (`##dc` compressed / `##db` uncompressed fourcc). For
     * MJPEG AVIs — the overwhelmingly common self-contained case — each
     * payload is a complete JPEG that ImageIO decodes. Non-AVI bytes
-    * (including RIFF/WAVE) return no frames. */
-  private[graft] def demuxAvi(b: Array[Byte]): Array[Array[Byte]] = {
+    * (including RIFF/WAVE) return no frames. Returns (offset, length)
+    * spans into the input so callers copy only the frames they use. */
+  private[graft] def demuxAviSpans(b: Array[Byte]): Array[(Int, Int)] = {
     def cc(off: Int): String =
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u32(off: Int): Long =
@@ -368,35 +392,47 @@ object Multimodal {
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
     if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
       return Array.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     // Truncation posture: a LIST whose declared extent runs past the
     // available bytes is walked CLAMPED (frames that survived the cut
     // still harvest); an individual frame chunk cut mid-payload stops
     // that level cleanly. Crawled media is routinely truncated — the
     // demuxer salvages what's complete instead of discarding the blob.
-    def walk(start: Int, end: Int): Unit = {
+    // ALL offset math is in Long: chunk sizes are unsigned 32-bit, so a
+    // size ≥ 2^31 (crafted, or a >2 GB AVI's RIFF header surviving a
+    // crawler cut) must neither wrap negative (a stuck or backwards
+    // cursor — an unkillable task) nor zero out the walk extent.
+    def walk(start: Long, end: Long): Unit = {
       var off = start
-      val lim = math.min(end, b.length)
+      val lim = math.min(end, b.length.toLong)
       while (off + 8 <= lim) {
-        val fourcc = cc(off)
-        val size = u32(off + 4).toInt
+        val fourcc = cc(off.toInt)
+        val size = u32(off.toInt + 4) // unsigned, 0..2^32-1
         val data = off + 8
         if (fourcc == "LIST" && size >= 4 && data + 4 <= lim) {
-          val listType = cc(data)
+          val listType = cc(data.toInt)
           if (listType == "movi" || listType == "rec ")
             walk(data + 4, data + size)
         } else if (size > 0 && fourcc.length == 4 &&
             fourcc.charAt(2) == 'd' &&
             (fourcc.charAt(3) == 'c' || fourcc.charAt(3) == 'b')) {
           if (data + size > lim) return // frame cut mid-payload
-          out += java.util.Arrays.copyOfRange(b, data, data + size)
+          out += ((data.toInt, size.toInt))
         }
         off = data + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, 8 + u32(4).toInt)
+    walk(12L, 8L + u32(4))
     out.toArray
   }
+
+  /** Payload-copying variant of [[demuxAviSpans]] for callers that want
+    * every frame's bytes (tests, eager pipelines). The samplers use the
+    * span form and copy only the frames they decode. */
+  private[graft] def demuxAvi(b: Array[Byte]): Array[Array[Byte]] =
+    demuxAviSpans(b).map { case (o, l) =>
+      java.util.Arrays.copyOfRange(b, o, o + l)
+    }
 
   /** REAL video encode for the oracle-gated roundtrip: splits the
     * blob's bytes into `frames` near-equal slices (slice f =
@@ -468,34 +504,26 @@ object Multimodal {
     * non-AVI blobs yield zero rows. Narrow per-row flatMap — blobs
     * never shuffle, only sampled frames decode. */
   def sampleAviFrames(df: DataFrame, n: Int): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_no", IntegerType, nullable = false),
-      StructField("frame_index", IntegerType, nullable = false),
-      StructField("n_frames", IntegerType, nullable = false),
-      StructField("features", ArrayType(DoubleType), nullable = true)))
     val idIdx = df.schema.fieldIndex("media_id")
     val dataIdx = df.schema.fieldIndex("data")
     df.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
-        val frames = if (bytes == null) Array.empty[Array[Byte]]
-          else demuxAvi(bytes)
-        val total = frames.length
-        val picks =
-          if (total == 0) Seq.empty
-          else (0 until math.min(n, total)).map(i => i * total / math.min(n, total))
-        picks.zipWithIndex.flatMap { case (fi, no) =>
-          val img =
-            try javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(frames(fi)))
-            catch { case _: Exception => null }
+        val spans = if (bytes == null) Array.empty[(Int, Int)]
+          else demuxAviSpans(bytes)
+        val total = spans.length
+        // spans, not payload copies: a 10k-frame container sampled at
+        // n=3 copies 3 frames' bytes, not the whole movi payload
+        pickIndices(n, total).zipWithIndex.flatMap { case (fi, no) =>
+          val (o, l) = spans(fi)
+          val img = tryReadImage(
+            java.util.Arrays.copyOfRange(bytes, o, o + l))
           if (img == null) None
           else Some(Row(r.getLong(idIdx), no, fi, total,
             pixelFeatures(img).toSeq))
         }.iterator
       }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+    }(org.apache.spark.sql.Encoders.row(frameSchema))
   }
 
   /** Frame sampling: cut `n` evenly-spaced fixed-width byte windows from

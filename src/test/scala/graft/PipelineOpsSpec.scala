@@ -1183,6 +1183,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.demuxAvi(riff(list("hdrl",
       chunk("avih", new Array[Byte](56))))).isEmpty)
     assert(Multimodal.demuxAvi(Array.empty[Byte]).isEmpty)
+    // crafted high-bit chunk size (u32 ≥ 2^31): must terminate (a
+    // wrapped-to-negative Int size once left the cursor stuck — an
+    // unkillable task) and salvage the frames before the bad chunk
+    val evil = riff(list("movi",
+      chunk("00dc", f1) ++
+        ("00dc".getBytes("US-ASCII") ++ le32(0xFFFFFFF8) ++ f2)))
+    assert(Multimodal.demuxAvi(evil).map(_.toSeq).toSeq == Seq(f1.toSeq))
   }
 
   test("decodeMedia: mixed corpus routes each blob to its real codec") {
