@@ -58,18 +58,35 @@ object FleetAutoencoder {
     * `(keys…, bucket, valueCol)` (gaps as missing rows or null values —
     * both impute exactly like the solo fit, which this reuses verbatim
     * per key). Returns `(keys…, weights, sigma, mu, sd, slot_mean,
-    * slot_sigma)` — one row per series. */
+    * slot_sigma)` — one row per series.
+    *
+    * A degenerate series (all-null, or fewer buckets than the window
+    * span — routine in a real million-key fleet) must not abort every
+    * OTHER key's fit: the solo `fitSeries` preconditions are caught per
+    * key and the key is skipped, mirroring the reference's
+    * one-job-per-series isolation (loudml/worker.py — a failed training
+    * job fails alone). Skips are counted in the named accumulator
+    * `graft.fleetAe.skippedKeys` on the session's SparkContext; anything
+    * other than a precondition violation still fails the job (a real
+    * bug must not be silently swallowed). */
   def train(bucketed: DataFrame, valueCol: String, keys: Seq[String],
       p: Params): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     val spark = bucketed.sparkSession
     import spark.implicits._
+    val skipped = spark.sparkContext.longAccumulator(
+      "graft.fleetAe.skippedKeys")
     val states = typedPoints(bucketed, valueCol, keys)
-      .groupByKey(_.k).mapGroups { (key, rows) =>
+      .groupByKey(_.k).flatMapGroups { (key, rows) =>
         val series = rows.map(r => (r.bucket, r.v)).toSeq.sortBy(_._1)
-        val f = fitSeries(series, p)
-        AeState(key, f.w.flatten.toIndexedSeq, f.sigma, f.mu, f.sd,
-          f.slotMean.toIndexedSeq, f.slotSig.toIndexedSeq)
+        try {
+          val f = fitSeries(series, p)
+          Iterator.single(AeState(key, f.w.flatten.toIndexedSeq, f.sigma,
+            f.mu, f.sd, f.slotMean.toIndexedSeq, f.slotSig.toIndexedSeq))
+        } catch {
+          case _: IllegalArgumentException =>
+            skipped.add(1L); Iterator.empty
+        }
       }.toDF()
     states.select(
       keys.zipWithIndex.map { case (k, i) => col("k")(i).as(k) } ++

@@ -116,16 +116,24 @@ object Dedup {
     * — quadratic in per-shingle density, so a clone-dense corpus (every
     * doc duplicated 10×) multiplies it 100× while leaving row counts
     * only 10× (measured: ~24 min at sf1 clone density vs 2.4 s at
-    * sf0.1). Before building the pair plan, one cheap eager job (scan +
+    * sf0.1). Before building the pair plan, ONE cheap eager job (scan +
     * map-side partial counts + 1-row agg) estimates the post-cap
     * candidate volume from OCCURRENCE counts (≥ distinct-doc counts, so
-    * the estimate is a sound upper trigger); above `maxCandidatePairs`
-    * the call fails fast with a pointer to the scale tiers
-    * ([[lshVerifiedPairs]] for all near-dup pairs,
+    * the estimate is a sound upper trigger) AND collects the over-cap
+    * shingle set in the same pass — the pair plan then anti-joins a
+    * broadcast of that collected set instead of re-scanning the corpus,
+    * so the guard costs one scan total, not one per job. Above
+    * `maxCandidatePairs` the call fails fast with a pointer to the
+    * scale tiers ([[lshVerifiedPairs]] for all near-dup pairs,
     * [[topKJaccardPairs]] for the top pairs) instead of grinding out a
-    * shuffle that is quadratically past its design point. Pass
-    * `maxCandidatePairs <= 0` to disable (callers that have already
-    * sized the corpus). */
+    * shuffle that is quadratically past its design point.
+    *
+    * Behavior note (guard added r6, single-job form r7): callers gain
+    * one eager aggregation job per call and a new `IllegalStateException`
+    * failure mode on corpora that previously (slowly) completed. Pass
+    * `maxCandidatePairs <= 0` to keep the pre-guard behavior — no eager
+    * job, no failure mode, over-cap set computed lazily (callers that
+    * have already sized the corpus). */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxPerShingle: Int = 1000,
@@ -161,27 +169,52 @@ object Dedup {
     // A single-pass `collect_list → filter(size ≤ cap)` would merge every
     // occurrence of a stop-phrase into ONE reducer's buffer before the
     // filter could discard it (~800 MB for a shingle shared by 100M docs).
-    if (maxCandidatePairs > 0) {
-      // DIV keeps the per-shingle term integral; cnt ≤ corpus rows and
-      // the cap bounds each term by C(cap,2), so the long sum can't
-      // overflow for any corpus this JVM could enumerate pairs for
-      val est = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
-        .agg(coalesce(sum(when(col("__cnt") <= maxPerShingle,
-          expr("__cnt * (__cnt - 1) DIV 2")).otherwise(lit(0L))), lit(0L)))
-        .head.getLong(0)
-      if (est > maxCandidatePairs)
-        throw new IllegalStateException(
-          s"ngramJaccardPairs: estimated candidate volume $est exceeds " +
-            s"maxCandidatePairs=$maxCandidatePairs — the exact all-pairs " +
-            "tier is quadratically past its design point on this corpus. " +
-            "Use Dedup.lshVerifiedPairs (banded LSH + exact verify) for " +
-            "near-dup pairs, Dedup.topKJaccardPairs for the top pairs, " +
-            "or raise/disable maxCandidatePairs if the cost is intended.")
-    }
-    val overCap = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > maxPerShingle)
-      .select("sh")
-    val inter = sh.join(broadcast(overCap), Seq("sh"), "left_anti")
+    // Guarded path: ONE eager job returns both the candidate estimate
+    // and the over-cap shingle set (the latter is tiny in the guard's
+    // admissible domain — est ≤ maxCandidatePairs already bounds the
+    // corpus to exact-tier size, where only stop-phrases pass the
+    // occurrence cap), so the guard no longer costs a second full
+    // corpus scan+shuffle when the pair plan later executes. The
+    // collected set re-enters the plan as a broadcast-parallelized
+    // frame, not an `isin` literal — the anti-join stays a hash lookup
+    // whatever the set's size. With the guard disabled (≤ 0) nothing
+    // runs eagerly and the over-cap set is computed lazily as before.
+    val capped: DataFrame =
+      if (maxCandidatePairs > 0) {
+        // DIV keeps the per-shingle term integral; cnt ≤ corpus rows and
+        // the cap bounds each term by C(cap,2), so the long sum can't
+        // overflow for any corpus this JVM could enumerate pairs for
+        val g = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
+          .agg(
+            coalesce(sum(when(col("__cnt") <= maxPerShingle,
+              expr("__cnt * (__cnt - 1) DIV 2")).otherwise(lit(0L))),
+              lit(0L)).as("__est"),
+            collect_list(when(col("__cnt") > maxPerShingle, col("sh")))
+              .as("__over"))
+          .head
+        val est = g.getLong(0)
+        if (est > maxCandidatePairs)
+          throw new IllegalStateException(
+            s"ngramJaccardPairs: estimated candidate volume $est exceeds " +
+              s"maxCandidatePairs=$maxCandidatePairs — the exact all-pairs " +
+              "tier is quadratically past its design point on this corpus. " +
+              "Use Dedup.lshVerifiedPairs (banded LSH + exact verify) for " +
+              "near-dup pairs, Dedup.topKJaccardPairs for the top pairs, " +
+              "or raise/disable maxCandidatePairs if the cost is intended.")
+        val over = g.getSeq[String](1)
+        if (over.isEmpty) sh
+        else {
+          val spark = df.sparkSession
+          import spark.implicits._
+          sh.join(broadcast(over.toDF("sh")), Seq("sh"), "left_anti")
+        }
+      } else {
+        val overCap = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > maxPerShingle)
+          .select("sh")
+        sh.join(broadcast(overCap), Seq("sh"), "left_anti")
+      }
+    val inter = capped
       .groupBy("sh").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(

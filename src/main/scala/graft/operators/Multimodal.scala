@@ -272,10 +272,16 @@ object Multimodal {
     StructField("features", ArrayType(DoubleType), nullable = true)))
 
   /** `n` evenly-spaced frame indices out of `total` (all of them when
-    * total ≤ n) — the one pick formula both samplers share. */
-  private[operators] def pickIndices(n: Int, total: Int): Seq[Int] =
+    * total ≤ n) — the one pick formula both samplers share. The product
+    * is taken in Long: a crafted AVI can declare hundreds of thousands
+    * of frame chunks, and `i * total` in Int would overflow to a
+    * negative index and kill the task on an untrusted blob. */
+  private[graft] def pickIndices(n: Int, total: Int): Seq[Int] =
     if (total <= 0) Seq.empty
-    else (0 until math.min(n, total)).map(i => i * total / math.min(n, total))
+    else {
+      val k = math.min(n, total)
+      (0 until k).map(i => (i.toLong * total / k).toInt)
+    }
 
   /** ImageIO decode that never throws: null for anything the codecs
     * reject (wrong magic, truncated payload, non-image bytes). */
@@ -443,7 +449,8 @@ object Multimodal {
     * chunks. [[sampleAviFrames]] demuxes and decodes it back, so
     * encode→mux→demux→decode roundtrips entirely through real codec
     * code. Empty slices (blob shorter than K) emit no frame; a null
-    * blob emits an empty (frameless) container. Narrow `mapPartitions`. */
+    * blob stays null (no container is fabricated for absent data).
+    * Narrow `mapPartitions`. */
   def buildAviBmp(df: DataFrame, frames: Int = 3): DataFrame = {
     val dataIdx = df.schema.fieldIndex("data")
     df.mapPartitions { it =>

@@ -156,6 +156,29 @@ class AutoencoderSpec extends SparkSpec {
     assert(got.count() == scoredAll.count())
   }
 
+  test("fleet AE: a degenerate key (too-short or all-null series) is " +
+      "skipped and counted, not fatal to the fleet job") {
+    val p = AutoencoderReconstructor.Params(
+      bucketInterval = HOUR, hidden = 2, epochs = 10)
+    val good = sinSeries(240, HOUR, seed = 11)
+    val df = (good.map(x => ("web1", x._1, x._2)) ++
+        Seq(("shorty", 0L, 1.0), ("shorty", HOUR, 2.0)) ++ // < span buckets
+        (0 until 48).map(h => ("ghost", h * HOUR, null.asInstanceOf[Any])))
+      .map { case (h, b, v) => (h, b, v.asInstanceOf[java.lang.Double]) }
+      .toDF("host", "bucket", "value")
+    val states = FleetAutoencoder.train(df, "value", Seq("host"), p)
+    // one healthy key fits; the two degenerate keys skip without
+    // aborting the job (the skip count rides the named accumulator
+    // `graft.fleetAe.skippedKeys`, visible in the UI/status store)
+    assert(states.select("host").as[String].collect().toSeq == Seq("web1"))
+    // per-key parity with the solo fit is untouched by the skip path
+    val solo = AutoencoderReconstructor.train(
+      good.toDF("bucket", "value"), "value", p)
+    val st = states.head()
+    assert(st.getSeq[Double](st.fieldIndex("weights")).toSeq ==
+      solo.weights.flatten.toSeq)
+  }
+
   test("registry save/load round-trip: identical predictions, " +
       "deterministic retrain") {
     assert(ModelRegistry.names.contains("autoencoder"))

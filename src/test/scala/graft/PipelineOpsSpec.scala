@@ -1146,6 +1146,21 @@ class PipelineOpsSpec extends SparkSpec {
       .forall { case (a, b) => math.abs(a - b) < 3.0 }, lumas.toSeq)
   }
 
+  test("pickIndices: Long product — no Int overflow when a crafted " +
+      "container declares hundreds of thousands of frames") {
+    // i*total in Int would overflow (99_999 × 250_000 ≈ 2.5e10) to a
+    // negative index and kill the task on an untrusted blob
+    val picks = Multimodal.pickIndices(100000, 250000)
+    assert(picks.length == 100000)
+    assert(picks.head == 0 && picks.last < 250000)
+    assert(picks.forall(i => i >= 0 && i < 250000))
+    assert(picks.sliding(2).forall(p => p(0) < p(1))) // strictly increasing
+    // unchanged small-case semantics
+    assert(Multimodal.pickIndices(3, 5) == Seq(0, 1, 3))
+    assert(Multimodal.pickIndices(5, 3) == Seq(0, 1, 2))
+    assert(Multimodal.pickIndices(3, 0).isEmpty)
+  }
+
   test("demuxAvi edge cases: rec-nested frames, odd-size padding, " +
       "truncated chunks, and non-frame chunks are all handled") {
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,

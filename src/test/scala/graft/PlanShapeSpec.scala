@@ -112,6 +112,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(a) == 0, a)
   }
 
+  test("ngramJaccardPairs guard path: ONE sh-keyed exchange — the " +
+      "over-cap set rides the eager estimate job as a broadcast, " +
+      "not a second corpus scan") {
+    // an over-cap shingle must exist so the anti-join branch is in the
+    // plan (the branch under test), and the guard must pass
+    val docs = (1L to 6L).map(i => (i, s"aa bb cc dd ee x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val p = plan(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      maxPerShingle = 4, maxCandidatePairs = 1000000))
+    assert(count(p, "Exchange hashpartitioning(sh") == 1, p.take(4000))
+    // guard disabled: the over-cap set is computed lazily inside the
+    // plan, which costs the second sh-keyed exchange (legacy shape)
+    val p0 = plan(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      maxPerShingle = 4, maxCandidatePairs = 0))
+    assert(count(p0, "Exchange hashpartitioning(sh") == 2, p0.take(4000))
+  }
+
   test("jaccardJoin: sz window shares the rank window's exchange") {
     val p = plan(Dedup.jaccardJoin(docs, "doc_id", "text", 0.5))
     // prefix side appears twice (self-join); each side: freq exchange +
