@@ -24,10 +24,21 @@ object Tables {
 
   /** Load one driver-provided table from a scale-factor directory.
     *
-    * The `events` table stores TIMESTAMP(NANOS) which Spark 4 refuses by
-    * default; we read nanos as long (legacy conf) and rebuild a
-    * microsecond-precision timestamp with exact integer division — no
-    * double roundtrip, so bucket/filter boundaries stay exact.
+    * The `events` table's `ts` column has shipped in two physical forms:
+    * TIMESTAMP(NANOS) (which Spark 4 reads as int64 nanos under the legacy
+    * conf) and plain `timestamp[us]`. The reference normalizes per-connector
+    * timestamp units as a matter of course (s/ms/us/ns —
+    * /root/reference/loudml/influx.py:62-68, elastic.py:48-52,
+    * warp10.py:121); we do the same: whichever form arrives, callers see
+    * BOTH a microsecond `ts` timestamp and an int64 `ts_nanos`, derived
+    * with exact integer arithmetic (no double roundtrip, so bucket/filter
+    * boundaries stay exact).
+    *
+    * Pushdown note: when `ts` is a native file timestamp column, range
+    * predicates belong on `ts` itself (typed literals push to the scan and
+    * prune row groups — TimesQuery does this); a predicate on the *derived*
+    * `ts_nanos` cannot push. In the legacy nanos-as-long layout it is the
+    * reverse: `ts_nanos` IS the file column and carries the pushdown.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -35,12 +46,20 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        // keep the raw nanos column: a literal predicate on it pushes to
-        // the parquet scan (row-group pruning), which the derived
-        // timestamp_micros(...) expression cannot — TimesQuery adds the
-        // redundant pushable range filter on `ts_nanos` automatically
+        // legacy layout: raw nanos long is the file column — keep it so
+        // literal predicates on it push to the scan (row-group pruning)
         d.withColumn("ts_nanos", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case (d, f) if f.name == "ts" &&
+          (f.dataType == org.apache.spark.sql.types.TimestampType ||
+           f.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+        // timestamp[us] layout (pandas writes no timezone → Spark infers
+        // NTZ): `ts` is the file column (range predicates on it push);
+        // derive the nanos view queries consume. The NTZ→instant cast uses
+        // the session timezone, which every entry point pins to UTC —
+        // matching DuckDB's epoch_ns(ts) on the naive column exactly.
+        d.withColumn("ts_nanos",
+          expr("unix_micros(cast(ts as timestamp)) * 1000L"))
       case (d, _) => d
     }
   }

@@ -107,21 +107,26 @@ class TimesQuerySpec extends SparkSpec {
   }
 
   test("time-range predicate reaches the parquet scan (PushedFilters on " +
-      "the raw nanos column)") {
+      "the file ts column)") {
     val pts = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val out = TimesQuery.run(spark, pts, "ts", 3600L,
       1704067200L, 1704067200L + 86400L,
       Seq(Feature("v", "avg", "value")))
     val plan = out.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // the literal range on ts_nanos is the pushable form; losing it would
-    // silently turn row-group pruning into full scans at 100 TB
+    // losing the pushed range would silently turn row-group pruning into
+    // full scans at 100 TB
     assert(plan.contains("PushedFilters"),
       "no parquet scan with pushed filters in plan")
-    // the pushed filter names the FILE column (raw nanos long `ts`) with
-    // nanos-scale literals — proof the range prunes row groups
-    assert(plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"),
-      s"nanos range not pushed to scan:\n$plan")
+    // the pushed filter must name the FILE column `ts` with a range literal
+    // in the file's own representation — raw int64 nanos (legacy
+    // TIMESTAMP(NANOS) layout) or a typed timestamp (timestamp[us] layout).
+    // Either proves the range prunes row groups.
+    val pushedNanos = plan.contains("GreaterThanOrEqual(ts,1704067200000000000)")
+    val pushedTs = plan.contains("GreaterThanOrEqual(ts,2024-01-01 00:00:00") ||
+      plan.contains("GreaterThanOrEqual(ts,2024-01-01T00:00")
+    assert(pushedNanos || pushedTs,
+      s"time range not pushed to scan on the file ts column:\n$plan")
   }
 
   test("max_series_per_request guard (bucket.py:41-46,87-89)") {
