@@ -60,15 +60,19 @@ object FleetAutoencoder {
     * per key). Returns `(keys…, weights, sigma, mu, sd, slot_mean,
     * slot_sigma)` — one row per series.
     *
-    * A degenerate series (all-null, or fewer buckets than the window
-    * span — routine in a real million-key fleet) must not abort every
-    * OTHER key's fit: the solo `fitSeries` preconditions are caught per
-    * key and the key is skipped, mirroring the reference's
+    * A degenerate series (empty, all-null, or fewer buckets than the
+    * window span — routine in a real million-key fleet) must not abort
+    * every OTHER key's fit: the solo `fitSeries` preconditions are
+    * checked EXPLICITLY per key (not by catching exceptions — an
+    * exception from inside the fit is a real bug and still fails the
+    * job) and the key is skipped, mirroring the reference's
     * one-job-per-series isolation (loudml/worker.py — a failed training
     * job fails alone). Skips are counted in the named accumulator
-    * `graft.fleetAe.skippedKeys` on the session's SparkContext; anything
-    * other than a precondition violation still fails the job (a real
-    * bug must not be silently swallowed). */
+    * `graft.fleetAe.skippedKeys`; that count is APPROXIMATE
+    * (at-least-once: task retries, speculation, and re-evaluation of
+    * the returned lazy frame re-add, and each train() call registers a
+    * fresh accumulator). When an exact count matters, derive it as
+    * (distinct input keys) − (output row count). */
   def train(bucketed: DataFrame, valueCol: String, keys: Seq[String],
       p: Params): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
@@ -79,13 +83,17 @@ object FleetAutoencoder {
     val states = typedPoints(bucketed, valueCol, keys)
       .groupByKey(_.k).flatMapGroups { (key, rows) =>
         val series = rows.map(r => (r.bucket, r.v)).toSeq.sortBy(_._1)
-        try {
+        // the solo fit's documented preconditions, checked up front —
+        // any throw from fitSeries itself is a genuine bug and must
+        // fail the job, so nothing here catches
+        val degenerate = series.isEmpty ||
+          series.size < p.span || series.forall(_._2.isEmpty)
+        if (degenerate) {
+          skipped.add(1L); Iterator.empty
+        } else {
           val f = fitSeries(series, p)
           Iterator.single(AeState(key, f.w.flatten.toIndexedSeq, f.sigma,
             f.mu, f.sd, f.slotMean.toIndexedSeq, f.slotSig.toIndexedSeq))
-        } catch {
-          case _: IllegalArgumentException =>
-            skipped.add(1L); Iterator.empty
         }
       }.toDF()
     states.select(

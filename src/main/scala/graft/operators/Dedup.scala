@@ -117,12 +117,14 @@ object Dedup {
     * doc duplicated 10×) multiplies it 100× while leaving row counts
     * only 10× (measured: ~24 min at sf1 clone density vs 2.4 s at
     * sf0.1). Before building the pair plan, ONE cheap eager job (scan +
-    * map-side partial counts + 1-row agg) estimates the post-cap
-    * candidate volume from OCCURRENCE counts (≥ distinct-doc counts, so
-    * the estimate is a sound upper trigger) AND collects the over-cap
-    * shingle set in the same pass — the pair plan then anti-joins a
-    * broadcast of that collected set instead of re-scanning the corpus,
-    * so the guard costs one scan total, not one per job. Above
+    * map-side partial counts, cached + 1-row agg of sums) estimates the
+    * post-cap candidate volume from OCCURRENCE counts (≥ distinct-doc
+    * counts, so the estimate is a sound upper trigger) and counts the
+    * over-cap shingles. The over-cap SET is never collected to the
+    * driver — est excludes over-cap shingles, so it does not bound that
+    * set's size; instead the set is materialized from the cached counts
+    * (no corpus re-scan) and anti-joined, broadcast only when its
+    * counted size is driver/executor-safe. Above
     * `maxCandidatePairs` the call fails fast with a pointer to the
     * scale tiers ([[lshVerifiedPairs]] for all near-dup pairs,
     * [[topKJaccardPairs]] for the top pairs) instead of grinding out a
@@ -169,45 +171,54 @@ object Dedup {
     // A single-pass `collect_list → filter(size ≤ cap)` would merge every
     // occurrence of a stop-phrase into ONE reducer's buffer before the
     // filter could discard it (~800 MB for a shingle shared by 100M docs).
-    // Guarded path: ONE eager job returns both the candidate estimate
-    // and the over-cap shingle set (the latter is tiny in the guard's
-    // admissible domain — est ≤ maxCandidatePairs already bounds the
-    // corpus to exact-tier size, where only stop-phrases pass the
-    // occurrence cap), so the guard no longer costs a second full
-    // corpus scan+shuffle when the pair plan later executes. The
-    // collected set re-enters the plan as a broadcast-parallelized
-    // frame, not an `isin` literal — the anti-join stays a hash lookup
-    // whatever the set's size. With the guard disabled (≤ 0) nothing
+    // Guarded path: the per-shingle counts frame is persisted
+    // (MEMORY_AND_DISK — O(vocabulary), distributed, spillable) and ONE
+    // eager 1-row agg over it returns the candidate estimate AND the
+    // over-cap shingle COUNT — sums only, nothing data-sized touches an
+    // aggregation buffer or the driver. Note est alone does NOT bound
+    // the over-cap set: over-cap shingles contribute 0 to est, so a
+    // clone/stop-phrase-dense corpus can pass the guard with est=0
+    // while its over-cap set is huge — which is why the set is never
+    // collected. When the count is non-zero the set is materialized off
+    // the CACHED counts via localCheckpoint (no second corpus scan) and
+    // anti-joined — broadcast when small, shuffle anti-join when not —
+    // then the cache is released. With the guard disabled (≤ 0) nothing
     // runs eagerly and the over-cap set is computed lazily as before.
     val capped: DataFrame =
       if (maxCandidatePairs > 0) {
-        // DIV keeps the per-shingle term integral; cnt ≤ corpus rows and
-        // the cap bounds each term by C(cap,2), so the long sum can't
-        // overflow for any corpus this JVM could enumerate pairs for
-        val g = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
-          .agg(
+        val counts = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // DIV keeps the per-shingle term integral; cnt ≤ corpus rows and
+          // the cap bounds each term by C(cap,2), so the long sum can't
+          // overflow for any corpus this JVM could enumerate pairs for
+          val g = counts.agg(
             coalesce(sum(when(col("__cnt") <= maxPerShingle,
               expr("__cnt * (__cnt - 1) DIV 2")).otherwise(lit(0L))),
               lit(0L)).as("__est"),
-            collect_list(when(col("__cnt") > maxPerShingle, col("sh")))
-              .as("__over"))
-          .head
-        val est = g.getLong(0)
-        if (est > maxCandidatePairs)
-          throw new IllegalStateException(
-            s"ngramJaccardPairs: estimated candidate volume $est exceeds " +
-              s"maxCandidatePairs=$maxCandidatePairs — the exact all-pairs " +
-              "tier is quadratically past its design point on this corpus. " +
-              "Use Dedup.lshVerifiedPairs (banded LSH + exact verify) for " +
-              "near-dup pairs, Dedup.topKJaccardPairs for the top pairs, " +
-              "or raise/disable maxCandidatePairs if the cost is intended.")
-        val over = g.getSeq[String](1)
-        if (over.isEmpty) sh
-        else {
-          val spark = df.sparkSession
-          import spark.implicits._
-          sh.join(broadcast(over.toDF("sh")), Seq("sh"), "left_anti")
-        }
+            count(when(col("__cnt") > maxPerShingle, lit(1))).as("__overCnt"))
+            .head
+          val est = g.getLong(0)
+          val overCnt = g.getLong(1)
+          if (est > maxCandidatePairs)
+            throw new IllegalStateException(
+              s"ngramJaccardPairs: estimated candidate volume $est exceeds " +
+                s"maxCandidatePairs=$maxCandidatePairs — the exact all-pairs " +
+                "tier is quadratically past its design point on this corpus. " +
+                "Use Dedup.lshVerifiedPairs (banded LSH + exact verify) for " +
+                "near-dup pairs, Dedup.topKJaccardPairs for the top pairs, " +
+                "or raise/disable maxCandidatePairs if the cost is intended.")
+          if (overCnt == 0L) sh
+          else {
+            // materialized eagerly so unpersisting the counts cache below
+            // cannot trigger a corpus re-scan when the pair plan executes
+            val over = counts.filter(col("__cnt") > maxPerShingle)
+              .select("sh").localCheckpoint(true)
+            val overSide =
+              if (overCnt <= 1000000L) broadcast(over) else over
+            sh.join(overSide, Seq("sh"), "left_anti")
+          }
+        } finally counts.unpersist(false)
       } else {
         val overCap = raw.groupBy("sh").agg(count(lit(1)).as("__cnt"))
           .filter(col("__cnt") > maxPerShingle)
