@@ -495,6 +495,78 @@ object DataPipelineQueries {
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 40)
         .orderBy(col("cnt").desc, col("ngram"))),
+
+    // ── dirty media: crawled blobs arrive truncated and corrupted; the
+    //    decoders must salvage what is complete and refuse to emit
+    //    confident features for what is not. Three deterministic dirt
+    //    classes by doc_id % 3, all oracle-checked:
+    //      avi_cut   — AVI truncated mid-second-frame; exactly the one
+    //                  complete frame harvests (width + exact mean_r)
+    //      bad_magic — WAV with its RIFF magic corrupted; decodeMedia
+    //                  must route it to 'binary', never 'audio'
+    //      wav_cut   — WAV payload cut in half; the container parse
+    //                  still runs and stats cover the surviving half
+    "q_media_dirty" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val d = docs(s, dir)
+      def blob(k: String, m: Long) = Multimodal.attachBlob(
+        d.filter(col("doc_id") % 3 === m), "doc_id", "text", kind = k)
+      // class 0: truncate the container mid-frame-1 payload
+      val avi = Multimodal.buildAviBmp(blob("video", 0L), frames = 3)
+      val aIdx = avi.schema.fieldIndex("data")
+      val aviCut = avi.mapPartitions { it =>
+        it.map { r =>
+          val b = r.getAs[Array[Byte]](aIdx)
+          val spans = Multimodal.demuxAviSpans(b)
+          val out = if (spans.length >= 2) {
+            val (o, l) = spans(1)
+            java.util.Arrays.copyOfRange(b, 0, o + l / 2)
+          } else b
+          Row.fromSeq(r.toSeq.updated(aIdx, out))
+        }
+      }(org.apache.spark.sql.Encoders.row(avi.schema))
+      val aviOut = Multimodal.sampleAviFrames(aviCut, n = 3)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_units"),
+          min(element_at(col("features"), 1)).cast("long").as("width"),
+          min(element_at(col("features"), 3)).as("stat"))
+        .select(col("media_id"), lit("avi_cut").as("dirt"),
+          lit(1).as("decoded"), col("n_units"), col("width"), col("stat"))
+      // class 1: flip the RIFF magic — every codec must reject it
+      val wavB = Multimodal.buildWav(blob("audio", 1L))
+      val bIdx = wavB.schema.fieldIndex("data")
+      val wavBad = wavB.mapPartitions { it =>
+        it.map { r =>
+          val b = r.getAs[Array[Byte]](bIdx).clone(); b(0) = 0
+          Row.fromSeq(r.toSeq.updated(bIdx, b))
+        }
+      }(org.apache.spark.sql.Encoders.row(wavB.schema))
+      val badOut = Multimodal.decodeMedia(wavBad)
+        .select(col("media_id"), lit("bad_magic").as("dirt"),
+          (col("media_kind") === "audio").cast("int").as("decoded"),
+          lit(0L).as("n_units"), lit(0L).as("width"), lit(0.0).as("stat"))
+      // class 2: drop the back half of the PCM payload (header-size
+      // agnostic: keep = total − (L − L/2) leaves exactly L/2 samples)
+      val wavC = Multimodal.buildWav(blob("audio", 2L))
+      val cIdx = wavC.schema.fieldIndex("data")
+      val mIdx = wavC.schema.fieldIndex("meta")
+      val wavCut = wavC.mapPartitions { it =>
+        it.map { r =>
+          val b = r.getAs[Array[Byte]](cIdx)
+          val L = r.getStruct(mIdx).getLong(0)
+          val keep = b.length - (L - L / 2).toInt
+          Row.fromSeq(r.toSeq.updated(cIdx,
+            java.util.Arrays.copyOfRange(b, 0, keep)))
+        }
+      }(org.apache.spark.sql.Encoders.row(wavC.schema))
+      val cutOut = Multimodal.decodeAudio(wavCut)
+        .select(col("media_id"), lit("wav_cut").as("dirt"),
+          lit(1).as("decoded"),
+          element_at(col("features"), 3).cast("long").as("n_units"),
+          lit(0L).as("width"),
+          element_at(col("features"), 6).as("stat"))
+      aviOut.unionByName(badOut).unionByName(cutOut).orderBy("media_id")
+    }),
   )
 
   // ───────────────────────── oracle SQL ─────────────────────────
@@ -1609,5 +1681,50 @@ object DataPipelineQueries {
         |)
         |SELECT ngram, count(*) AS cnt FROM g
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 40""".stripMargin,
+
+    // Mirrors the dirty-media salvage contract. avi_cut: the one
+    // complete frame is byte slice [0, L//3) (every doc is ≥ 3 bytes,
+    // so all three mux slices are nonempty and the cut lands inside
+    // frame 1); mean_r = (sum/width)/255 in the engine's division
+    // order. bad_magic: routing only — no features asserted. wav_cut:
+    // the surviving samples are the first L//2 payload bytes; rms as in
+    // q_audio_features (exact multiples of 2^-7 ⇒ identical doubles).
+    "q_media_dirty" ->
+      """WITH hexed AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS L
+        |  FROM documents
+        |), avi AS (
+        |  SELECT doc_id,
+        |         CAST(L // 3 AS BIGINT) AS width,
+        |         (CAST(sum(CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2)
+        |            AS INT)) AS DOUBLE) / (L // 3)) / 255.0 AS stat
+        |  FROM (SELECT doc_id, hx, L, unnest(range(0, L // 3)) AS i
+        |        FROM hexed WHERE doc_id % 3 = 0)
+        |  GROUP BY doc_id, L
+        |), wavc AS (
+        |  SELECT doc_id,
+        |         CAST(L // 2 AS BIGINT) AS n_units,
+        |         sqrt(avg(
+        |           ((CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
+        |              - 128.0) / 128.0) *
+        |           ((CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
+        |              - 128.0) / 128.0))) AS stat
+        |  FROM (SELECT doc_id, hx, L, unnest(range(0, L // 2)) AS i
+        |        FROM hexed WHERE doc_id % 3 = 2)
+        |  GROUP BY doc_id, L
+        |)
+        |SELECT * FROM (
+        |  SELECT doc_id AS media_id, 'avi_cut' AS dirt, 1 AS decoded,
+        |         CAST(1 AS BIGINT) AS n_units, width, stat
+        |  FROM avi
+        |  UNION ALL
+        |  SELECT doc_id, 'bad_magic', 0, CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), 0.0
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'wav_cut', 1, n_units, CAST(0 AS BIGINT), stat
+        |  FROM wavc
+        |) ORDER BY media_id""".stripMargin,
   )
 }

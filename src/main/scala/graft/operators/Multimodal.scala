@@ -199,7 +199,9 @@ object Multimodal {
     }
 
   /** Audio feature kernel shared by [[decodeAudio]] and [[decodeMedia]]:
-    * None when the bytes aren't a parseable 8/16-bit PCM container. */
+    * None when the bytes aren't a parseable audio container. 8/16-bit
+    * linear PCM is read directly; ULAW/ALAW are companded→linear via the
+    * JDK's own codec, so their features are true sample statistics. */
   private[operators] def audioFeatures(
       bytes: Array[Byte]): Option[Array[Double]] = {
         val ais =
@@ -208,19 +210,34 @@ object Multimodal {
           catch { case _: Exception => null }
         if (ais == null) None
         else {
-          val fmt = ais.getFormat
+          import javax.sound.sampled.{AudioFormat, AudioSystem}
+          val srcEnc = ais.getFormat.getEncoding
+          // ULAW/ALAW bytes are companded — reading them as linear
+          // samples would emit confidently-wrong features. Route them
+          // through the JDK's own codec to linear 16-bit PCM first;
+          // the converter is stream-wrapping (no full-file buffer).
+          val lin =
+            if (srcEnc == AudioFormat.Encoding.ULAW ||
+                srcEnc == AudioFormat.Encoding.ALAW) {
+              val sf = ais.getFormat
+              val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                sf.getSampleRate, 16, sf.getChannels,
+                sf.getChannels * 2, sf.getSampleRate, false)
+              try AudioSystem.getAudioInputStream(target, ais)
+              catch { case _: Exception => null }
+            } else ais
+          if (lin == null) None
+          else {
+          val fmt = lin.getFormat
           val bits = fmt.getSampleSizeInBits
           val enc = fmt.getEncoding
           val signed = enc ==
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          // linear PCM only: ULAW/ALAW streams parse (javax supports
-          // them) but their bytes are companded — reading them as
-          // linear samples would emit confidently-wrong features
           val linear = signed || enc ==
             javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
           if (!linear || (bits != 8 && bits != 16)) None
           else {
-            val raw = ais.readAllBytes()
+            val raw = lin.readAllBytes()
             val bytesPer = bits / 8
             val n = raw.length / bytesPer
             var sum = 0.0; var sumSq = 0.0; var peak = 0.0
@@ -257,6 +274,7 @@ object Multimodal {
               if (n == 0) 0.0 else math.sqrt(sumSq / nd),
               peak,
               if (n < 2) 0.0 else crossings.toDouble / (n - 1)))
+          }
           }
         }
   }
@@ -365,8 +383,7 @@ object Multimodal {
             if (spans.nonEmpty) {
               // only the middle frame is copied out and decoded
               val (o, l) = spans(spans.length / 2)
-              val img = tryReadImage(
-                java.util.Arrays.copyOfRange(bytes, o, o + l))
+              val img = decodeAviFrame(bytes, o, l, aviVideoFormat(bytes))
               ("video",
                 if (img == null) byteStatFeatures(bytes) else pixelFeatures(img))
             } else audioFeatures(bytes) match {
@@ -430,6 +447,83 @@ object Multimodal {
     }
     walk(12L, 8L + u32(4))
     out.toArray
+  }
+
+  /** BITMAPINFOHEADER (+ palette) of the first `vids` stream in an
+    * AVI's header LIST, or null when absent/truncated. Raw-DIB `##db`
+    * frames carry no per-frame header — the stream-format (`strf`)
+    * chunk is the only place their geometry lives; [[dibToBmp]]
+    * prepends it (plus a BITMAPFILEHEADER) to rebuild a BMP the JDK's
+    * own reader decodes. Same Long offset math and clamping posture as
+    * [[demuxAviSpans]] — this walks untrusted crawled bytes. */
+  private[graft] def aviVideoFormat(b: Array[Byte]): Array[Byte] = {
+    def cc(off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ")
+      return null
+    var result: Array[Byte] = null
+    def walk(start: Long, end: Long, ctx: String): Unit = {
+      var off = start
+      var vids = false // set by strh, consumed by the following strf
+      val lim = math.min(end, b.length.toLong)
+      while (off + 8 <= lim && result == null) {
+        val fourcc = cc(off.toInt)
+        val size = u32(off.toInt + 4)
+        val data = off + 8
+        if (fourcc == "LIST" && size >= 4 && data + 4 <= lim) {
+          val lt = cc(data.toInt)
+          if (lt == "hdrl" || lt == "strl")
+            walk(data + 4, data + size, lt)
+        } else if (ctx == "strl" && fourcc == "strh" && data + 4 <= lim) {
+          vids = cc(data.toInt) == "vids"
+        } else if (ctx == "strl" && fourcc == "strf" && vids &&
+            size >= 40 && data + size <= lim) {
+          result = java.util.Arrays.copyOfRange(
+            b, data.toInt, (data + size).toInt)
+        }
+        off = data + size + (size & 1)
+      }
+    }
+    walk(12L, 8L + u32(4), "")
+    result
+  }
+
+  /** Rebuild a standalone BMP from a raw DIB frame payload + the
+    * stream's BITMAPINFOHEADER(+palette): 14-byte BITMAPFILEHEADER with
+    * the pixel-data offset pointing past the copied header block. */
+  private[operators] def dibToBmp(
+      dib: Array[Byte], frame: Array[Byte]): Array[Byte] = {
+    val dataOff = 14 + dib.length
+    val total = dataOff + frame.length
+    val out = new Array[Byte](total)
+    out(0) = 'B'; out(1) = 'M'
+    def le32(v: Int, at: Int): Unit = {
+      out(at) = (v & 0xff).toByte
+      out(at + 1) = ((v >> 8) & 0xff).toByte
+      out(at + 2) = ((v >> 16) & 0xff).toByte
+      out(at + 3) = ((v >> 24) & 0xff).toByte
+    }
+    le32(total, 2)
+    le32(dataOff, 10)
+    System.arraycopy(dib, 0, out, 14, dib.length)
+    System.arraycopy(frame, 0, out, dataOff, frame.length)
+    out
+  }
+
+  /** Decode one demuxed frame span: self-contained payloads (MJPEG
+    * JPEGs, muxed BMPs) read directly; a payload ImageIO rejects is
+    * retried as a raw DIB against the stream's `strf` header (`##db`
+    * frames from real capture tools are bare pixel arrays). Null when
+    * neither form decodes. */
+  private[operators] def decodeAviFrame(bytes: Array[Byte], o: Int,
+      l: Int, dib: Array[Byte]): java.awt.image.BufferedImage = {
+    val payload = java.util.Arrays.copyOfRange(bytes, o, o + l)
+    val img = tryReadImage(payload)
+    if (img != null || dib == null) img
+    else tryReadImage(dibToBmp(dib, payload))
   }
 
   /** Payload-copying variant of [[demuxAviSpans]] for callers that want
@@ -507,7 +601,9 @@ object Multimodal {
     * chunks, `n` evenly-spaced ones are decoded with ImageIO (each
     * MJPEG frame is a standalone JPEG) and emitted with the shared
     * [[pixelFeatures]] kernel — same output schema as
-    * [[sampleGifFrames]]. Frames ImageIO can't decode are skipped;
+    * [[sampleGifFrames]]. Raw-DIB `##db` payloads decode through the
+    * stream's `strf` header ([[decodeAviFrame]]); frames neither form
+    * can decode are skipped;
     * non-AVI blobs yield zero rows. Narrow per-row flatMap — blobs
     * never shuffle, only sampled frames decode. */
   def sampleAviFrames(df: DataFrame, n: Int): DataFrame = {
@@ -519,12 +615,12 @@ object Multimodal {
         val spans = if (bytes == null) Array.empty[(Int, Int)]
           else demuxAviSpans(bytes)
         val total = spans.length
+        val dib = if (total == 0) null else aviVideoFormat(bytes)
         // spans, not payload copies: a 10k-frame container sampled at
         // n=3 copies 3 frames' bytes, not the whole movi payload
         pickIndices(n, total).zipWithIndex.flatMap { case (fi, no) =>
           val (o, l) = spans(fi)
-          val img = tryReadImage(
-            java.util.Arrays.copyOfRange(bytes, o, o + l))
+          val img = decodeAviFrame(bytes, o, l, dib)
           if (img == null) None
           else Some(Row(r.getLong(idIdx), no, fi, total,
             pixelFeatures(img).toSeq))

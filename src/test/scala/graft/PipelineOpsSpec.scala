@@ -1207,6 +1207,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Multimodal.demuxAvi(evil).map(_.toSeq).toSeq == Seq(f1.toSeq))
   }
 
+  test("sampleAviFrames: raw-DIB 00db frames decode through the strf " +
+      "BITMAPINFOHEADER; without a vids strf they are skipped") {
+    import org.apache.spark.sql.Row
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(cc: String, payload: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if ((payload.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, children: Array[Byte]): Array[Byte] = {
+      val body = typ.getBytes("US-ASCII") ++ children
+      "LIST".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    def riff(children: Array[Byte]): Array[Byte] = {
+      val body = "AVI ".getBytes("US-ASCII") ++ children
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // BITMAPINFOHEADER: 4×2, 24bpp, BI_RGB — row stride 12 (no padding)
+    val bih = le32(40) ++ le32(4) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(24) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+      new Array[Byte](48)
+    // solid-gray raw frame: every BGR byte = level (bottom-up is moot)
+    def dibFrame(level: Int) = Array.fill(24)(level.toByte)
+    val avi = riff(
+      list("hdrl", list("strl", chunk("strh", strh) ++ chunk("strf", bih))) ++
+        list("movi", chunk("00db", dibFrame(60)) ++ chunk("00db", dibFrame(200))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(Seq(Row(1L, avi, Row(0L, "video", 0, 0)))).asJava),
+      Multimodal.mediaSchema)
+    val out = Multimodal.sampleAviFrames(df, 2).collect()
+      .map(r => r.getInt(r.fieldIndex("frame_index")) ->
+        r.getSeq[Double](r.fieldIndex("features"))).toMap
+    assert(out.keySet == Set(0, 1))
+    assert(out(0)(0) == 4.0 && out(0)(1) == 2.0)      // geometry from strf
+    assert(math.abs(out(0)(5) - 60.0 / 255) < 1e-9)   // exact gray level
+    assert(math.abs(out(1)(5) - 200.0 / 255) < 1e-9)
+    // decodeMedia routes the same blob as video with real pixel features
+    val dm = Multimodal.decodeMedia(df).collect()(0)
+    assert(dm.getAs[String]("media_kind") == "video")
+    assert(dm.getSeq[Double](dm.fieldIndex("features"))(0) == 4.0)
+    // headerless AVI (no strf): raw frames can't decode → zero rows
+    val noHdr = riff(list("movi", chunk("00db", dibFrame(60))))
+    val df2 = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(Seq(Row(2L, noHdr, Row(0L, "video", 0, 0)))).asJava),
+      Multimodal.mediaSchema)
+    assert(Multimodal.sampleAviFrames(df2, 2).collect().isEmpty)
+  }
+
   test("decodeMedia: mixed corpus routes each blob to its real codec") {
     import org.apache.spark.sql.Row
     def png(level: Int): Array[Byte] = {
@@ -1301,6 +1352,40 @@ class PipelineOpsSpec extends SparkSpec {
     val stub = Multimodal.decodeStub(df16.filter(col("media_id") === 3))
       .collect()(0)
     assert(out16(3L) == stub.getSeq[Double](stub.fieldIndex("features")))
+  }
+
+  test("decodeAudio: ULAW-companded AU decodes through the JDK codec to " +
+      "true sample stats (not companded-bytes-as-linear)") {
+    import javax.sound.sampled._
+    // same 0.5-amplitude sine as the 16-bit test, companded to 8-bit ULAW
+    val rate = 8000f; val n = 8000; val cycles = 100
+    val fmt16 = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (0.5 * math.sin(2 * math.Pi * cycles * i / n) * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      rate, 8, 1, 1, rate, false)
+    val ulaw = AudioSystem.getAudioInputStream(ulawFmt,
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt16, n.toLong))
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.AU, bos)
+    import org.apache.spark.sql.Row
+    val rows = Seq(Row(7L, bos.toByteArray, Row(0L, "audio", 0, 0)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), Multimodal.mediaSchema)
+    val out = Multimodal.decodeAudio(df).collect()(0)
+    val f = out.getSeq[Double](out.fieldIndex("features"))
+    assert(f(0) == 8000.0 && f(1) == 1.0 && f(2) == n.toDouble)
+    // ULAW is 8-bit log-companded: loose tolerance, but nowhere near the
+    // garbage the old companded-as-linear read would produce
+    assert(math.abs(f(5) - 0.5 / math.sqrt(2)) < 2e-2)  // rms
+    assert(math.abs(f(6) - 0.5) < 2e-2)                 // peak
+    assert(math.abs(f(7) - 2.0 * cycles / n) < 2e-3)    // zcr
   }
 
   test("sampleGifFrames: animated GIF frames sample evenly with real " +
