@@ -106,6 +106,23 @@ object SparkEntry {
           round(col("bot_v"), 4).as("bot_v"))
         .orderBy("bucket")),
 
+    // ── general k>1 topk/bottomk: the bounded-heap native aggregate
+    //    (TopKAgg — O(k) state per bucket, mergeable partials), unrolled
+    //    to scalars for the driver's hash compare. Raw input doubles,
+    //    no arithmetic → compared unrounded.
+    "q_topk_agg" -> ((s, dir) =>
+      TimesQuery.run(s, t(s, dir, "events"), "ts", 86400L, FROM, TO,
+        Seq(
+          Feature("top3", "topk_3", "value"),
+          Feature("bot2", "bottomk_2", "value")))
+        .select(col("bucket"),
+          element_at(col("top3"), 1).as("t1"),
+          element_at(col("top3"), 2).as("t2"),
+          element_at(col("top3"), 3).as("t3"),
+          element_at(col("bot2"), 1).as("b1"),
+          element_at(col("bot2"), 2).as("b2"))
+        .orderBy("bucket")),
+
     // ── feature `scores` scaling at model-input assembly (model.py:97)
     "q_feature_scores" -> ((s, dir) => {
       val f = Feature("observed", "avg", "value", fill = ConstFill(0.0),
@@ -601,6 +618,34 @@ object SparkEntry {
          |FROM spine s
          |LEFT JOIN (SELECT bucket, v FROM md WHERE rn = 1) md USING (bucket)
          |LEFT JOIN mm USING (bucket)
+         |ORDER BY s.bucket""".stripMargin,
+
+    // rank-per-bucket mirror of the bounded-heap TopKAgg: t_i = i-th
+    // largest value, b_i = i-th smallest; ties resolved by value order
+    // only (duplicates each occupy a rank, same as the heap)
+    "q_topk_agg" ->
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($FROM, ${TO - 86400L}, 86400)) AS bucket
+         |), pts AS (
+         |  SELECT CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS bucket, value
+         |  FROM events
+         |  WHERE epoch(ts) >= $FROM AND epoch(ts) < $TO AND value IS NOT NULL
+         |), rk AS (
+         |  SELECT bucket, value,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY value DESC) AS rd,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY value ASC) AS ra
+         |  FROM pts
+         |), agg AS (
+         |  SELECT bucket,
+         |         max(CASE WHEN rd = 1 THEN value END) AS t1,
+         |         max(CASE WHEN rd = 2 THEN value END) AS t2,
+         |         max(CASE WHEN rd = 3 THEN value END) AS t3,
+         |         max(CASE WHEN ra = 1 THEN value END) AS b1,
+         |         max(CASE WHEN ra = 2 THEN value END) AS b2
+         |  FROM rk GROUP BY 1
+         |)
+         |SELECT s.bucket, a.t1, a.t2, a.t3, a.b1, a.b2
+         |FROM spine s LEFT JOIN agg a USING (bucket)
          |ORDER BY s.bucket""".stripMargin,
 
     "q_feature_scores" ->

@@ -44,7 +44,16 @@ object Metrics {
     case _                         => false
   }
 
+  /** True for metrics whose bucket value is `array<double>` rather than a
+    * scalar (general topk/bottomk) — callers must not cast them down. */
+  def isArrayValued(metric: String): Boolean = canonical(metric) match {
+    case topkRe(_) | bottomkRe(_) => true
+    case _                        => false
+  }
+
   private val percentileRe = "^(\\d{1,2})percentile$".r
+  private val topkRe = "^topk_([1-9]\\d{0,3})$".r
+  private val bottomkRe = "^bottomk_([1-9]\\d{0,3})$".r
 
   /** Magnitude bounds for the exact-avg decimal lane: values outside
     * `[DecimalSafeMin, DecimalSafeMax]` (absolute, nonzero) route their
@@ -98,9 +107,15 @@ object Metrics {
       case "median"         => pct(c, 0.5, exact)
       case "mode"           => deterministicMode(c)
       case percentileRe(p)  => pct(c, p.toInt / 100.0, exact)
-      // prometheus topk/bottomk with k=1 (loudml/prometheus.py:65-66)
+      // prometheus topk/bottomk: bare names keep the reference's k=1
+      // scalar semantics (loudml/prometheus.py:65-66); `topk_N` /
+      // `bottomk_N` return the general k-element array via the
+      // bounded-heap native aggregate (O(k) state, mergeable partials —
+      // see [[graft.functions.TopKAgg]])
       case "topk"           => max(c)
       case "bottomk"        => min(c)
+      case topkRe(k)        => TopKExprs.topK(c, k.toInt)
+      case bottomkRe(k)     => TopKExprs.bottomK(c, k.toInt)
       case m                => throw UnsupportedMetric(m)
     }
 

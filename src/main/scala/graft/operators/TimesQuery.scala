@@ -184,7 +184,14 @@ object TimesQuery {
         else when(tagPredicate(feat.matchAll), input)
       if (Metrics.isPostAgg(feat.metric))
         Metrics.agg("avg", guarded, exact).as(feat.name)
-      else Metrics.agg(feat.metric, guarded, exact).cast("double").as(feat.name)
+      else {
+        val a = Metrics.agg(feat.metric, guarded, exact)
+        // scalar metrics normalize to double; array-valued metrics
+        // (topk_N/bottomk_N) already carry array<double> and must not
+        // be collapsed
+        if (Metrics.isArrayValued(feat.metric)) a.as(feat.name)
+        else a.cast("double").as(feat.name)
+      }
     }
     val aggs = features.map(baseCol)
     val agged = inRange

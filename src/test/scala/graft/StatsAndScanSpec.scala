@@ -145,4 +145,46 @@ class StatsAndScanSpec extends SparkSpec {
     assert(m == Set(("a", 0L, "start"), ("a", 3L, "ongoing"),
       ("b", 0L, null), ("b", 3L, "start")))
   }
+
+  test("TopKAgg: bounded-heap topk_N/bottomk_N match full-sort truth " +
+      "across partitions; nulls and NaN skipped; short groups shrink") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Metrics, TopKExprs}
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.tabulate(1000)(i => (i % 7, rnd.nextDouble() * 100))
+    val df = spark.createDataFrame(
+        vals ++ Seq((0, Double.NaN), (1, Double.NaN)))
+      .toDF("g", "v")
+      // nulls interleaved: every 50th value nulled
+      .withColumn("v", when(monotonically_increasing_id() % 50 === 0,
+        lit(null)).otherwise(col("v")))
+      .repartition(8) // merge path exercised: partials combine across 8 tasks
+    val got = df.groupBy("g")
+      .agg(TopKExprs.topK(col("v"), 5).as("t"),
+        TopKExprs.bottomK(col("v"), 5).as("b"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Double](1), r.getSeq[Double](2)))
+      .toMap
+    val truth = df.select("g", "v").collect()
+      .filter(r => !r.isNullAt(1) && !r.getDouble(1).isNaN)
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    truth.foreach { case (g, xs) =>
+      assert(got(g)._1 == xs.sorted.reverse.take(5), s"topk group $g")
+      assert(got(g)._2 == xs.sorted.take(5), s"bottomk group $g")
+    }
+    // group smaller than k: all values, ordered
+    val small = spark.createDataFrame(Seq((1, 3.0), (1, 1.0), (1, 2.0)))
+      .toDF("g", "v")
+      .groupBy("g").agg(Metrics.agg("topk_5", col("v")).as("t"),
+        Metrics.agg("bottomk_2", col("v")).as("b"))
+      .collect()(0)
+    assert(small.getSeq[Double](1) == Seq(3.0, 2.0, 1.0))
+    assert(small.getSeq[Double](2) == Seq(1.0, 2.0))
+    // bare names stay the reference's k=1 scalars
+    assert(Metrics.validate("topk_3") == "topk_3")
+    intercept[graft.functions.Metrics.UnsupportedMetric] {
+      Metrics.validate("topk_0")
+    }
+  }
 }
