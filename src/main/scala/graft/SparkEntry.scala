@@ -153,10 +153,11 @@ object SparkEntry {
       val bucket = new graft.sources.JdbcBucket(
         "evdb", s"jdbc:derby:${dbDir.getAbsolutePath}/events;create=true",
         "events_week", "ts")
-      val slice = t(s, dir, "events")
-        .filter(col("event_type") === "purchase" &&
-          col("ts_nanos") >= FROM * 1000000000L &&
-          col("ts_nanos") < end * 1000000000L)
+      // rangeFilter, not a ts_nanos predicate: on the timestamp[us]
+      // layout ts_nanos is derived and its predicate cannot push — the
+      // typed ts range is the one that prunes the staging scan
+      val slice = TimesQuery.rangeFilter(t(s, dir, "events"), "ts", FROM, end)
+        .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
         .coalesce(1) // embedded store: one writer connection is the shape
       bucket.overwrite(slice)

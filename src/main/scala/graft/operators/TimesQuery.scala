@@ -85,6 +85,42 @@ final case class Feature(
   */
 object TimesQuery {
 
+  /** `[f, t[` epoch-seconds range filter that REACHES the parquet scan
+    * whatever the physical timestamp layout:
+    *  - predicate on `tsCol` with literals of the column's own type
+    *    (Timestamp or TimestampNTZ) → PushedFilters + row-group stats
+    *    pruning; at 100 TB, partition pruning on a date partition col;
+    *  - when the source also kept a raw epoch-nanos long beside a
+    *    derived timestamp (Tables.load's legacy layout), the same range
+    *    as literal comparisons on the raw column — semantically
+    *    redundant, never wrong, and in the nanos-as-int64 layout THAT
+    *    is the file column whose predicate prunes.
+    * Callers staging slices outside [[run]] (e.g. the JDBC write path)
+    * should use this instead of filtering a derived epoch expression,
+    * which cannot push. */
+  def rangeFilter(points: DataFrame, tsCol: String, f: Long, t: Long): DataFrame = {
+    val ts = col(tsCol)
+    val isNtz = points.schema(tsCol).dataType ==
+      org.apache.spark.sql.types.TimestampNTZType
+    def tsLit(epoch: Long): Column = {
+      val c = timestamp_seconds(lit(epoch))
+      if (isNtz) c.cast(org.apache.spark.sql.types.TimestampNTZType) else c
+    }
+    var inRange = points.filter(ts >= tsLit(f) && ts < tsLit(t))
+    val nanosCol = s"${tsCol}_nanos"
+    // only when the nanos long is a genuine FILE column (Tables.load tags
+    // it) — a redundant predicate on a *derived* nanos column pushes
+    // nothing and just burns per-row arithmetic in the scan filter
+    if (points.schema.fieldNames.contains(nanosCol) && {
+          val fld = points.schema(nanosCol)
+          fld.dataType == org.apache.spark.sql.types.LongType &&
+            fld.metadata.contains("graft.rawFileColumn")
+        })
+      inRange = inRange.filter(
+        col(nanosCol) >= f * 1000000000L && col(nanosCol) < t * 1000000000L)
+    inRange
+  }
+
   /** Floor `from`, ceil `to` to interval multiples
     * (/root/reference/loudml/misc.py:224-238). */
   def alignRange(from: Long, to: Long, interval: Long): (Long, Long) = {
@@ -143,27 +179,7 @@ object TimesQuery {
     }
     val (f, t) = if (anchorAtFrom) (from, to) else alignRange(from, to, interval)
     val ts = col(tsCol)
-
-    // Single scan: time-range predicate on *literals of the column's own
-    // type* so it pushes to the parquet scan (PushedFilters + row-group
-    // stats pruning; at 100 TB, partition pruning on a date partition col).
-    val isNtz = points.schema(tsCol).dataType ==
-      org.apache.spark.sql.types.TimestampNTZType
-    def tsLit(epoch: Long): Column = {
-      val c = timestamp_seconds(lit(epoch))
-      if (isNtz) c.cast(org.apache.spark.sql.types.TimestampNTZType) else c
-    }
-    var inRange = points.filter(ts >= tsLit(f) && ts < tsLit(t))
-    // If the source kept a raw epoch-nanos long beside a derived timestamp
-    // (Tables.load does for nanos parquet), add the same range as literal
-    // comparisons on the raw column: those REACH the parquet scan
-    // (PushedFilters → row-group pruning), which a predicate on the
-    // derived expression cannot. Semantically redundant, never wrong.
-    val nanosCol = s"${tsCol}_nanos"
-    if (points.schema.fieldNames.contains(nanosCol) &&
-        points.schema(nanosCol).dataType == org.apache.spark.sql.types.LongType)
-      inRange = inRange.filter(
-        col(nanosCol) >= f * 1000000000L && col(nanosCol) < t * 1000000000L)
+    val inRange = rangeFilter(points, tsCol, f, t)
 
     // anchored label: floor((ts-f)/i)*i + f; for epoch-aligned f (f % i == 0)
     // this reduces to floor(ts/i)*i, the epoch-aligned left edge

@@ -47,8 +47,13 @@ object Tables {
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         // legacy layout: raw nanos long is the file column — keep it so
-        // literal predicates on it push to the scan (row-group pruning)
-        d.withColumn("ts_nanos", col("ts"))
+        // literal predicates on it push to the scan (row-group pruning).
+        // The metadata tag tells TimesQuery.rangeFilter this long IS a
+        // file column (worth a redundant pushable predicate), unlike the
+        // derived ts_nanos below (pure per-row math, nothing to push).
+        val raw = new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean("graft.rawFileColumn", true).build()
+        d.withColumn("ts_nanos", col("ts").as("ts_nanos", raw))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case (d, f) if f.name == "ts" &&
           (f.dataType == org.apache.spark.sql.types.TimestampType ||
