@@ -55,7 +55,11 @@ object Bench {
     SparkEntry.queries.get("q_agg_stats")
       .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
 
+    // optional subset for local iteration: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // interleaved passes: run the WHOLE suite once per pass, min per
     // query across passes — a contiguous throttle burst can inflate a
     // query in at most one pass

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, SemiStructured, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Queries + DuckDB oracles for the training-data-pipeline operators
@@ -200,6 +200,45 @@ object DataPipelineQueries {
         .select(col("doc_id"),
           round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4).as("quality"))
         .orderBy("doc_id")),
+
+    // ── Gopher rule battery (Rae et al. 2021 §A1.1): auditable per-rule
+    //    booleans + their conjunction, all codegen'd per-row folds
+    "q_gopher_rules" -> ((s, dir) => {
+      val r = TextAnalysis.gopherRules(col("text"))
+      val names = Seq("r_wordcount", "r_meanwordlen", "r_symbol",
+        "r_bullet", "r_ellipsis", "r_alpha", "r_stopwords")
+      val cols = col("doc_id") +: names.map(n => r.getField(n).as(n)) :+
+        names.map(r.getField).reduce(_ && _).as("keep")
+      docs(s, dir).select(cols: _*).orderBy("doc_id")
+    }),
+
+    // ── canonical-document selection: near-dup clusters keep their
+    //    HIGHEST-QUALITY member (tie: min id), not the min-id one —
+    //    the curation policy real pipelines want
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.nearDupClusters(d, "doc_id", "text",
+        numHashes = H, bands = 4, tau = 0.5)
+      Dedup.selectRepresentatives(
+          d.withColumn("__q", TextAnalysis.qualityScore(col("text"))),
+          clusters, "doc_id", Seq(col("__q").desc, col("doc_id")))
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("cluster_size").cast("long").as("cluster_size"),
+          round(col("__q") + lit(1e-9), 4).as("quality"))
+        .orderBy("cluster_id")
+    }),
+
+    // ── JSONL shard round-trip: to_json(struct) → from_json, the exact
+    //    plumbing of writing and re-ingesting JSONL shards; `ok` proves
+    //    the text survives JSON escaping byte-for-byte
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val rt = SemiStructured.jsonlRoundtrip(docs(s, dir),
+        Seq("doc_id", "lang", "text"))
+      rt.select(col("doc_id"), col("doc_id_rt"), col("lang_rt"),
+          length(col("text_rt")).cast("long").as("n_chars_rt"),
+          (col("text_rt") === col("text")).as("ok"))
+        .orderBy("doc_id")
+    }),
 
     // ── document fingerprint (canonical-form md5)
     "q_fingerprint" -> ((s, dir) =>
@@ -672,7 +711,11 @@ object DataPipelineQueries {
 
   /** Shared by q_dedup_cluster and q_dedup_cluster_star: the two CC
     * algorithms must produce identical labels. */
-  private lazy val dedupClusterSql: String = {
+  /** The full LSH→verify→CC cluster derivation as a WITH-body (ending in
+    * `clusters(doc_id, cluster_id)`) — shared by q_dedup_cluster,
+    * q_dedup_cluster_star, and q_dedup_keep_best. Callers prepend
+    * `WITH RECURSIVE` and append their SELECT. */
+  private lazy val clusterCtes: String = {
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band, md5(CAST(sig_${2 * b} AS VARCHAR) || '_' || " +
         s"CAST(sig_${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs"
@@ -680,7 +723,7 @@ object DataPipelineQueries {
     val eq = (0 until H)
       .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH RECURSIVE $shinglesCte, $sigsCte,
+    s"""$shinglesCte, $sigsCte,
        |bandkeys AS (
        |  $bandRows
        |), cand AS (
@@ -703,10 +746,14 @@ object DataPipelineQueries {
        |  UNION
        |  SELECT e.dst AS id, r.lab
        |  FROM reach r JOIN edges e ON e.src = r.id
-       |)
-       |SELECT id AS doc_id, min(lab) AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |), clusters AS (
+       |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+       |)""".stripMargin
   }
+
+  private lazy val dedupClusterSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1026,6 +1073,68 @@ object DataPipelineQueries {
     "q_quality" ->
       s"""SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextAnalysis.gopherRules term by term; every fraction is a
+    // double quotient of exact integers so comparisons are engine-exact
+    "q_gopher_rules" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS DOUBLE) AS words,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]+', '', 'g')) AS DOUBLE) AS wls,
+        |    CAST(len(regexp_extract_all(text, '#'))
+        |         + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS syms,
+        |    greatest(CAST(length(text) - length(replace(text, chr(10), '')) AS DOUBLE) + 1.0,
+        |             1.0) AS nlines,
+        |    CAST(len(regexp_extract_all(text, '(?m)^\s*(?:-|\*|•)')) AS DOUBLE) AS bullets,
+        |    CAST(len(regexp_extract_all(text, '(?m)\.\.\.\s*$')) AS DOUBLE) AS ellip,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]*[A-Za-z][A-Za-z0-9]*')) AS DOUBLE) AS alphaw,
+        |    ((CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END)) AS stops
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (words >= 50 AND words <= 100000) AS r_wordcount,
+        |  (wls / greatest(words, 1.0) >= 3.0 AND wls / greatest(words, 1.0) <= 10.0) AS r_meanwordlen,
+        |  (syms / greatest(words, 1.0) < 0.1) AS r_symbol,
+        |  (bullets / nlines < 0.9) AS r_bullet,
+        |  (ellip / nlines < 0.3) AS r_ellipsis,
+        |  (alphaw / greatest(words, 1.0) >= 0.8) AS r_alpha,
+        |  (stops >= 2) AS r_stopwords,
+        |  ((words >= 50 AND words <= 100000)
+        |   AND (wls / greatest(words, 1.0) >= 3.0 AND wls / greatest(words, 1.0) <= 10.0)
+        |   AND (syms / greatest(words, 1.0) < 0.1)
+        |   AND (bullets / nlines < 0.9)
+        |   AND (ellip / nlines < 0.3)
+        |   AND (alphaw / greatest(words, 1.0) >= 0.8)
+        |   AND (stops >= 2)) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterCtes, q AS (
+         |  SELECT doc_id, ($qualityExpr) AS quality FROM documents
+         |), ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY c.cluster_id) AS sz
+         |  FROM clusters c JOIN q USING (doc_id)
+         |)
+         |SELECT cluster_id, doc_id AS keep_id, CAST(sz AS BIGINT) AS cluster_size,
+         |       round(quality + 1e-9, 4) AS quality
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    // the oracle states the roundtrip CONTRACT (identity); the engine
+    // earns it by actually serializing + reparsing every row
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, doc_id AS doc_id_rt, lang AS lang_rt,
+        |       CAST(length(text) AS BIGINT) AS n_chars_rt, TRUE AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
-import graft.operators.{Similarity, Temporal}
+import graft.operators.{SemiStructured, Similarity, Temporal}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the [[graft.operators.Temporal]] family and
@@ -132,6 +132,48 @@ object TemporalQueries {
         .select(col("event_type"), col("bucket"),
           round(col("ewma"), 6).as("ewma"))
         .orderBy("event_type", "bucket")
+    }),
+
+    // ── typed JSON extraction from the props payload: ONE from_json parse
+    //    per row (not n get_json_object re-parses), then a keyed agg
+    "q_json_extract" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", LongType)))
+      SemiStructured.extract(ev(s, dir), "props", schema)
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_k"),
+          round(exactAvg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // ── additive seasonal-trend decomposition of the hourly per-type
+    //    series (period = 24 h): trend / seasonal / residual components
+    "q_seasonal_decompose" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("bucket",
+        expr("ts_nanos div 1000000000 div 3600").cast("long"))
+      val series = e.groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      Temporal.seasonalDecompose(series, Seq("event_type"), "bucket", "v",
+          period = 24)
+        .select(col("event_type"), col("bucket"),
+          round(col("v"), 6).as("v"),
+          round(col("trend") + lit(1e-9), 6).as("trend"),
+          round(col("seasonal") + lit(1e-9), 6).as("seasonal"),
+          round(col("resid") + lit(1e-9), 6).as("resid"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ── pivot to wide: per-cohort event-type counts. The value list is
+    //    EXPLICIT — `.pivot(col)` without values runs a distinct-discovery
+    //    job first, a needless extra pass at 100 TB
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = ev(s, dir)
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+        .groupBy("cohort").pivot("event_type", types).count()
+      types.foldLeft(p)((d, t) => d.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("cohort")
     }),
 
     // ── rolling correlation between the click and purchase hourly series
@@ -358,6 +400,70 @@ object TemporalQueries {
         |)
         |SELECT event_type, bucket, round(e, 6) AS ewma
         |FROM r ORDER BY 1, 2""".stripMargin,
+
+    // core-SQL JSON mimic (regexp extraction) — the driver's DuckDB may
+    // not have the json extension loadable offline
+    "q_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       CAST(count(k) AS BIGINT) AS n_k,
+        |       round(CAST(sum(CAST(k AS DECIMAL(30,12))) AS DOUBLE) / count(k), 6)
+        |         AS avg_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, bucket, v,
+        |         CASE WHEN count(v) OVER w = 25
+        |              THEN CAST(sum(CAST(v AS DECIMAL(30,12))) OVER w AS DOUBLE)
+        |                   / 25.0
+        |         END AS trend
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), d AS (
+        |  SELECT *, v - trend AS detr, bucket % 24 AS slot FROM t
+        |), sm AS (
+        |  SELECT event_type, slot,
+        |         CAST(sum(CAST(detr AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(detr) AS slot_mean
+        |  FROM d GROUP BY 1, 2
+        |), gm AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(slot_mean AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(slot_mean) AS grand
+        |  FROM sm GROUP BY 1
+        |), se AS (
+        |  SELECT sm.event_type, sm.slot, sm.slot_mean - gm.grand AS seasonal
+        |  FROM sm JOIN gm USING (event_type)
+        |)
+        |SELECT d.event_type, d.bucket, round(d.v, 6) AS v,
+        |       round(d.trend + 1e-9, 6) AS trend,
+        |       round(se.seasonal + 1e-9, 6) AS seasonal,
+        |       round(d.detr - se.seasonal + 1e-9, 6) AS resid
+        |FROM d JOIN se ON d.event_type = se.event_type AND d.slot = se.slot
+        |ORDER BY d.event_type, d.bucket""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rolling_corr" ->
       """WITH e AS (

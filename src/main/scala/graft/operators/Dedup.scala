@@ -36,6 +36,36 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Canonical-document selection: keep ONE representative per cluster,
+    * chosen by the caller's preference order (e.g. quality DESC, id ASC —
+    * always end with a unique column so the choice is total). The exact
+    * keep-min policy ([[exact]], [[lshDedup]]) is this with `order =
+    * Seq(col(id))`; real curation pipelines instead keep the LONGEST or
+    * HIGHEST-QUALITY member of each near-dup family and drop the rest.
+    *
+    * `clusters` is any `(idCol, cluster_id)` labeling ([[nearDupClusters]],
+    * [[connectedComponentsStar]], or an exact-hash grouping). Output: the
+    * representative's full row plus `cluster_id` and `cluster_size`.
+    *
+    * Scale shape: one equi-join on the id (both sides pre-hashed on it)
+    * and one window partitioned by `cluster_id` — the ranked and counted
+    * frames share a single shuffle+sort (same partition spec). Cluster
+    * skew bounds the partition, and near-dup clusters are small by
+    * construction (a giant cluster means the corpus is one template —
+    * that's a boilerplate problem upstream, not a layout problem here).
+    */
+  def selectRepresentatives(docs: DataFrame, clusters: DataFrame,
+      idCol: String, order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "need at least one preference column")
+    val joined = docs.join(clusters, idCol)
+    val part = Window.partitionBy(col("cluster_id"))
+    joined
+      .withColumn("cluster_size", count(lit(1)).over(part))
+      .withColumn("__rn", row_number().over(part.orderBy(order: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Word n-gram shingles of a whitespace-tokenized text column — the
     * native one-pass kernel ([[graft.functions.WordShingles]]; history:
     * a `transform(sequence, i -> element_at(split(text), i)...)` lambda

@@ -258,6 +258,64 @@ object Temporal {
     * post-bucketization, so partition size is O(buckets) per key, bounded
     * by the query range, not data volume.
     */
+  /** Classic additive seasonal-trend decomposition (the moving-average
+    * decomposition underlying STL's initial pass — public textbook
+    * method): over a bucketized series,
+    *
+    *   trend_i    = centered moving average over `2·⌊period/2⌋+1` buckets
+    *                (null unless the window is complete — edges have no
+    *                trend, as in the textbook definition);
+    *   seasonal_s = mean of (v − trend) per slot s = bucket mod period,
+    *                centered so the indices sum to zero;
+    *   resid_i    = v_i − trend_i − seasonal_{slot(i)}.
+    *
+    * The reference fits seasonality implicitly (Donut's windowed VAE,
+    * /root/reference/loudml/donut.py; our SeasonalModel's slot baseline) —
+    * this is the transparent diagnostic version a capacity/anomaly
+    * pipeline runs to SEE the components.
+    *
+    * Determinism: every mean is the house exact pattern — decimal(30,12)
+    * sum (exact, order-independent) cast to double, divided by the count —
+    * so engine-side aggregation order can never wiggle a low bit.
+    *
+    * Scale shape: one keyed window pass (partition = one key's bucketized
+    * series, O(buckets) rows, bounded by the query range); the slot means
+    * are a keyed agg of ≤ period·|keys| rows whose join back is
+    * broadcast-sized by construction. Nothing touches raw (pre-bucket)
+    * events.
+    */
+  def seasonalDecompose(series: DataFrame, keys: Seq[String],
+      bucketCol: String, valueCol: String, period: Int): DataFrame = {
+    require(period >= 2, "period must be >= 2 buckets")
+    import org.apache.spark.sql.types.DecimalType
+    val h = period / 2
+    val span = 2 * h + 1
+    val base = (if (keys.isEmpty) Window.orderBy(col(bucketCol))
+      else Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol)))
+    val w = base.rowsBetween(-h, h)
+    val v = col(valueCol)
+    val exactSum = sum(v.cast(DecimalType(30, 12))).over(w).cast("double")
+    val trended = series.withColumn("trend",
+      when(count(v).over(w) === span, exactSum / lit(span.toDouble)))
+      .withColumn("__detr", v - col("trend"))
+      .withColumn("__slot", pmod(col(bucketCol), lit(period.toLong)))
+    val slotKeys = keys.map(col) :+ col("__slot")
+    val slotMeans = trended.groupBy(slotKeys: _*)
+      .agg((sum(col("__detr").cast(DecimalType(30, 12))).cast("double") /
+        count(col("__detr"))).as("__slot_mean"))
+    // center the indices: seasonal sums to ~0 across one period
+    val grand = slotMeans.groupBy(keys.map(col): _*)
+      .agg((sum(col("__slot_mean").cast(DecimalType(30, 12))).cast("double") /
+        count(col("__slot_mean"))).as("__grand"))
+    val centered = (if (keys.isEmpty) slotMeans.crossJoin(broadcast(grand))
+      else slotMeans.join(broadcast(grand), keys))
+      .withColumn("seasonal", col("__slot_mean") - col("__grand"))
+      .select((slotKeys :+ col("seasonal")): _*)
+    trended.join(broadcast(centered), keys :+ "__slot")
+      .withColumn("resid", col("__detr") - col("seasonal"))
+      .drop("__detr", "__slot")
+  }
+
   def interpolate(series: DataFrame, keys: Seq[String], bucketCol: String,
       valueCol: String): DataFrame = {
     val base = (if (keys.isEmpty) Window.orderBy(col(bucketCol))

@@ -281,6 +281,57 @@ object TextAnalysis {
     *    sentences (catches copy-pasted boilerplate blocks).
     * All three are per-row Column expressions over the token/shingle
     * arrays — codegen-friendly narrow maps at any corpus size. */
+  /** Gopher-style document-quality rule battery (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", §A1.1 — public paper;
+    * thresholds verbatim). Each rule is an independent boolean column so
+    * a pipeline can audit WHICH rule rejected a document (the paper's
+    * ablation workflow); `keep` is their conjunction.
+    *
+    *  - r_wordcount:   50 ≤ word count ≤ 100,000
+    *  - r_meanwordlen: 3 ≤ mean word character length ≤ 10
+    *  - r_symbol:      (#'#' + #'...') / words < 0.1
+    *  - r_bullet:      < 90% of lines start with a bullet
+    *  - r_ellipsis:    < 30% of lines end with an ellipsis
+    *  - r_alpha:       ≥ 80% of words contain ≥ 1 alphabetic char
+    *  - r_stopwords:   ≥ 2 distinct of the 8 Gopher stop words present
+    *
+    * Every term is a codegen'd regexp/arithmetic fold over the row —
+    * zero shuffles, trivially whole-stage at 100 TB. All expressions are
+    * RE2 ∩ Java-regex so the DuckDB oracle mirrors them verbatim;
+    * fractions are IEEE-double quotients of exact integers, so threshold
+    * comparisons are engine-independent. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val wordLenSum =
+      length(regexp_replace(text, lit("[^A-Za-z0-9]+"), lit(""))).cast("double")
+    val meanWordLen = wordLenSum / greatest(words, lit(1.0))
+    val symbols =
+      (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\."))).cast("double")
+    val lines = greatest(regexp_count(text, lit("\n")) + lit(1), lit(1)).cast("double")
+    val bulletLines =
+      regexp_count(text, lit("(?m)^\\s*(?:-|\\*|•)")).cast("double")
+    val ellipsisLines =
+      regexp_count(text, lit("(?m)\\.\\.\\.\\s*$")).cast("double")
+    val alphaWords = regexp_count(text, lit("[A-Za-z0-9]*[A-Za-z][A-Za-z0-9]*")).cast("double")
+    // presence via whitespace-split membership (not a regex): `$`-anchor
+    // semantics differ between Java regex and RE2 on texts ending in a
+    // newline, and membership is the cheaper op anyway
+    val stopHits = gopherStopwords
+      .map(w => when(array_contains(split(text, " "), w), 1).otherwise(0))
+      .reduce(_ + _)
+    struct(
+      (words >= 50 && words <= 100000).as("r_wordcount"),
+      (meanWordLen >= 3.0 && meanWordLen <= 10.0).as("r_meanwordlen"),
+      (symbols / greatest(words, lit(1.0)) < 0.1).as("r_symbol"),
+      (bulletLines / lines < 0.9).as("r_bullet"),
+      (ellipsisLines / lines < 0.3).as("r_ellipsis"),
+      (alphaWords / greatest(words, lit(1.0)) >= 0.8).as("r_alpha"),
+      (stopHits >= 2).as("r_stopwords"))
+  }
+
   def topTokenFrac(text: Column): Column =
     maxRunFrac(split(text, " "))
 
