@@ -290,30 +290,41 @@ object Temporal {
     import org.apache.spark.sql.types.DecimalType
     val h = period / 2
     val span = 2 * h + 1
-    val base = (if (keys.isEmpty) Window.orderBy(col(bucketCol))
-      else Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol)))
-    val w = base.rowsBetween(-h, h)
+    def part(cols: Seq[org.apache.spark.sql.Column]) =
+      if (cols.isEmpty) Window.partitionBy() else Window.partitionBy(cols: _*)
+    val kCols = keys.map(col)
+    // W1: centered moving average — trend
+    val wTrend = part(kCols).orderBy(col(bucketCol)).rowsBetween(-h, h)
     val v = col(valueCol)
-    val exactSum = sum(v.cast(DecimalType(30, 12))).over(w).cast("double")
-    val trended = series.withColumn("trend",
-      when(count(v).over(w) === span, exactSum / lit(span.toDouble)))
+    val exactSum = sum(v.cast(DecimalType(30, 12))).over(wTrend).cast("double")
+    // W2: per-(key, slot) mean of the detrended series, attached to every
+    // row by an unbounded window — no groupBy + join-back (a join would
+    // re-derive this whole subtree and re-scan the input; window reuse
+    // keeps it ONE pass)
+    val wSlot = part(kCols :+ col("__slot"))
+    // W3: grand mean of the slot means. Each slot contributes its mean
+    // exactly once: the slot's first row (row_number()==1) carries it,
+    // the unbounded key window sums those representatives.
+    val wSlotSeq = part(kCols :+ col("__slot")).orderBy(col(bucketCol))
+    val wKey = part(kCols)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(30, 12))
+    series
+      .withColumn("trend",
+        when(count(v).over(wTrend) === span, exactSum / lit(span.toDouble)))
       .withColumn("__detr", v - col("trend"))
       .withColumn("__slot", pmod(col(bucketCol), lit(period.toLong)))
-    val slotKeys = keys.map(col) :+ col("__slot")
-    val slotMeans = trended.groupBy(slotKeys: _*)
-      .agg((sum(col("__detr").cast(DecimalType(30, 12))).cast("double") /
-        count(col("__detr"))).as("__slot_mean"))
-    // center the indices: seasonal sums to ~0 across one period
-    val grand = slotMeans.groupBy(keys.map(col): _*)
-      .agg((sum(col("__slot_mean").cast(DecimalType(30, 12))).cast("double") /
-        count(col("__slot_mean"))).as("__grand"))
-    val centered = (if (keys.isEmpty) slotMeans.crossJoin(broadcast(grand))
-      else slotMeans.join(broadcast(grand), keys))
+      .withColumn("__slot_mean",
+        sum(dec(col("__detr"))).over(wSlot).cast("double") /
+          count(col("__detr")).over(wSlot))
+      .withColumn("__rep",
+        when(row_number().over(wSlotSeq) === 1, col("__slot_mean")))
+      // center the indices: seasonal sums to ~0 across one period
+      .withColumn("__grand",
+        sum(dec(col("__rep"))).over(wKey).cast("double") /
+          count(col("__rep")).over(wKey))
       .withColumn("seasonal", col("__slot_mean") - col("__grand"))
-      .select((slotKeys :+ col("seasonal")): _*)
-    trended.join(broadcast(centered), keys :+ "__slot")
       .withColumn("resid", col("__detr") - col("seasonal"))
-      .drop("__detr", "__slot")
+      .drop("__detr", "__slot", "__slot_mean", "__rep", "__grand")
   }
 
   def interpolate(series: DataFrame, keys: Seq[String], bucketCol: String,
