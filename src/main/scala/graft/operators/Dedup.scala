@@ -531,10 +531,20 @@ object Dedup {
     // partitioned by shingle would funnel a stop-phrase to one task);
     // sz as a window sharing the rank window's id exchange+sort
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // materialize the ranked frame ONCE: it feeds BOTH sides of the
+    // candidate self-join AND the verify-side set collection, and Spark
+    // does not reuse the exchange across those consumers (runtime-filter
+    // injection desymmetrizes the join branches) — without this the
+    // scan→shingle→freq-join→two-window subtree executes three times
+    // (measured: 6 FileScans on the sf0.1 corpus). The persist stores
+    // O(total shingles) rows MEMORY_AND_DISK — the same volume the
+    // sh-keyed exchange already wrote, paid once; blocks are released by
+    // the ContextCleaner when the returned frame goes out of scope.
     val ranked = sh.join(freq, "sh")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
     // candidate join prunes with (1) the length filter and (2) PPJoin's
@@ -553,7 +563,10 @@ object Dedup {
             lit(1)) >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = sh.groupBy("id")
+    // verify-side sets from the SAME checkpointed frame (ranked carries
+    // every (id, sh) row, so grouping it back reuses the materialization
+    // instead of re-deriving the shingle explosion a third time)
+    val sets = ranked.groupBy("id")
       .agg(sort_array(collect_list(col("sh"))).as("set"),
         count(lit(1)).as("sz"))
     cands
