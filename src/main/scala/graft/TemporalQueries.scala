@@ -156,8 +156,11 @@ object TemporalQueries {
         .agg(exactAvg(col("value")).as("v"))
       Temporal.seasonalDecompose(series, Seq("event_type"), "bucket", "v",
           period = 24)
+        // +1e-9 on EVERY rounded double incl. v: 10×-cloned corpora land
+        // hourly averages exactly on .xxxxxx5 where the engines' round()
+        // disagree (observed at sf1)
         .select(col("event_type"), col("bucket"),
-          round(col("v"), 6).as("v"),
+          round(col("v") + lit(1e-9), 6).as("v"),
           round(col("trend") + lit(1e-9), 6).as("trend"),
           round(col("seasonal") + lit(1e-9), 6).as("seasonal"),
           round(col("resid") + lit(1e-9), 6).as("resid"))
@@ -449,7 +452,7 @@ object TemporalQueries {
         |  SELECT sm.event_type, sm.slot, sm.slot_mean - gm.grand AS seasonal
         |  FROM sm JOIN gm USING (event_type)
         |)
-        |SELECT d.event_type, d.bucket, round(d.v, 6) AS v,
+        |SELECT d.event_type, d.bucket, round(d.v + 1e-9, 6) AS v,
         |       round(d.trend + 1e-9, 6) AS trend,
         |       round(se.seasonal + 1e-9, 6) AS seasonal,
         |       round(d.detr - se.seasonal + 1e-9, 6) AS resid
