@@ -51,6 +51,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(lines.forall(l => !l.contains("\n")))
   }
 
+  test("extract + gopherRules are stateless narrow maps: streaming " +
+      "output ≡ batch output on the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, """{"k": 5, "tag": "a"}""", "the quick brown fox and the dog"),
+      (2L, """broken""", "- bullet\n- bullet"),
+      (3L, """{"k": -1}""", (1 to 60).map(i => s"w$i").mkString(" ")))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      SemiStructured.extract(df, "props", kSchema)
+        .withColumn("keep", TextAnalysis.gopherRules(col("text"))("r_stopwords"))
+        .select("id", "k", "tag", "keep")
+    val batch = shape(rows.toDF("id", "props", "text"))
+      .collect().map(_.toSeq).toSet
+    val ms = MemoryStream[(Long, String, String)]
+    val q = shape(ms.toDF().toDF("id", "props", "text"))
+      .writeStream.format("memory").queryName("cur_par").outputMode("append")
+      .start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("cur_par").collect().map(_.toSeq).toSet
+      assert(stream === batch)
+    } finally q.stop()
+  }
+
   // ── Gopher rules ─────────────────────────────────────────────────────
 
   private def rules(text: String): Map[String, Boolean] = {
