@@ -40,10 +40,39 @@ object Tables {
     * `ts_nanos` cannot push. In the legacy nanos-as-long layout it is the
     * reverse: `ts_nanos` IS the file column and carries the pushdown.
     */
+  /** Canonical logical types for the driver-regenerated synthetic tables.
+    * The r7 regression was one physical-layout drift (`events.ts`); this
+    * widens the same absorb-don't-break stance to every column a pandas/
+    * pyarrow regeneration plausibly re-types (int32↔int64, float32↔
+    * float64, int→float). Exact-widening casts (int32→int64,
+    * float32→double) are lossless, so DuckDB-oracle parity is unaffected;
+    * a float64→float32 embedding narrowing would lose low bits but keeps
+    * the engine's Array[Float] kernels running (documented trade: a
+    * running engine with an auditable value diff beats 30 hard errors). */
+  private val canonicalTypes: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "events" -> Seq("event_id" -> LongType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType,
+        "props" -> StringType),
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = canonicalTypes.getOrElse(name, Nil).foldLeft(raw) {
+      case (d, (c, t)) =>
+        d.schema.find(_.name == c) match {
+          case Some(f) if f.dataType != t => d.withColumn(c, col(c).cast(t))
+          case _ => d
+        }
+    }
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         // legacy layout: raw nanos long is the file column — keep it so

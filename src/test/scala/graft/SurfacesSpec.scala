@@ -275,4 +275,31 @@ class SurfacesSpec extends SparkSpec {
     assert(byBucket(2L) == (None, 1.0))       // empty Temperature cell → null
     assert(byBucket(3L) == (None, 0.0))       // empty bucket: count 0, avg null
   }
+
+  test("Tables.load absorbs pandas re-typing drift: int32 ids, float64 " +
+      "embeddings, int n_chars all land at the canonical types") {
+    val dir = java.nio.file.Files.createTempDirectory("drift")
+    // documents with int32 doc_id / int32 n_chars
+    Seq((1, "alpha beta", "en", "s0", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("doc_id").cast("int"), col("text"), col("lang"),
+        col("source"), col("n_chars").cast("int"))
+      .write.parquet(s"$dir/documents.parquet")
+    // embeddings with float64 vectors and int64 label
+    Seq((1, Array(0.25, 0.5), 3))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id").cast("int"),
+        col("embedding").cast("array<double>"), col("label").cast("long"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val d = Tables.load(spark, dir.toString, "documents")
+    assert(d.schema("doc_id").dataType.typeName == "long")
+    assert(d.schema("n_chars").dataType.typeName == "long")
+    val e = Tables.load(spark, dir.toString, "embeddings")
+    assert(e.schema("vec_id").dataType.typeName == "long")
+    assert(e.schema("embedding").dataType.simpleString == "array<float>")
+    assert(e.schema("label").dataType.typeName == "integer")
+    // values survive the widening exactly
+    assert(d.select("doc_id").as[Long].head() == 1L)
+    assert(e.select(element_at(col("embedding"), 1)).as[Float].head() == 0.25f)
+  }
 }
