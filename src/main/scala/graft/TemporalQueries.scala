@@ -167,6 +167,19 @@ object TemporalQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // ── interval coalescing: each error event opens a 30-minute incident
+    //    window; overlapping/touching windows merge per type
+    "q_merge_intervals" -> ((s, dir) => {
+      val iv = ev(s, dir).filter(col("event_type") === "error")
+        .select(col("event_type"),
+          expr("ts_nanos div 1000000000").as("s"),
+          (expr("ts_nanos div 1000000000") + lit(1800L)).as("e"))
+      Temporal.mergeIntervals(iv, Seq("event_type"), "s", "e")
+        .select(col("event_type"), col("s").as("start_sec"),
+          col("e").as("end_sec"), col("n_merged"))
+        .orderBy("event_type", "start_sec")
+    }),
+
     // ── pivot to wide: per-cohort event-type counts. The value list is
     //    EXPLICIT — `.pivot(col)` without values runs a distinct-discovery
     //    job first, a needless extra pass at 100 TB
@@ -458,6 +471,33 @@ object TemporalQueries {
         |       round(d.detr - se.seasonal + 1e-9, 6) AS resid
         |FROM d JOIN se ON d.event_type = se.event_type AND d.slot = se.slot
         |ORDER BY d.event_type, d.bucket""".stripMargin,
+
+    "q_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT event_type,
+        |         epoch_ns(ts) // 1000000000 AS s,
+        |         epoch_ns(ts) // 1000000000 + 1800 AS e
+        |  FROM events WHERE event_type = 'error'
+        |), flagged AS (
+        |  SELECT event_type, s, e,
+        |         CASE WHEN max(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                IS NULL THEN 1
+        |              WHEN s > max(e) OVER (PARTITION BY event_type ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                THEN 1 ELSE 0 END AS opens
+        |  FROM iv
+        |), islands AS (
+        |  SELECT event_type, s, e,
+        |         sum(opens) OVER (PARTITION BY event_type ORDER BY s, e
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM flagged
+        |)
+        |SELECT event_type, CAST(min(s) AS BIGINT) AS start_sec,
+        |       CAST(max(e) AS BIGINT) AS end_sec,
+        |       CAST(count(*) AS BIGINT) AS n_merged
+        |FROM islands GROUP BY event_type, isl
+        |ORDER BY event_type, start_sec""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id % 10 AS cohort,

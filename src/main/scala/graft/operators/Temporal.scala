@@ -258,6 +258,45 @@ object Temporal {
     * post-bucketization, so partition size is O(buckets) per key, bounded
     * by the query range, not data volume.
     */
+  /** Merge overlapping (and by default touching) intervals per key —
+    * gaps-and-islands coalescing: incident windows, downtime stitching,
+    * annotation-span normalization (the reference's annotation windows,
+    * loudml — see [[graft.ml.Annotations]] — arrive overlapping and are
+    * consumed as if disjoint; this makes that explicit and reusable).
+    *
+    * Island detection: one keyed window ordered by (start, end) carries
+    * the running max of `end` over STRICTLY PRECEDING rows; a row opens a
+    * new island iff its start lies beyond that max (`>` when touching
+    * intervals merge — the half-open-interval default — `>=` otherwise).
+    * The island id is the running sum of those flags; islands aggregate
+    * to (min start, max end, member count). Tie order between identical
+    * starts cannot flip the result: the decision depends only on the
+    * running max, which is order-insensitive within a tie group.
+    *
+    * Scale shape: one shuffle on the keys for the window, one keyed agg
+    * on (keys, island) — both over interval rows (already-reduced data,
+    * not raw events). Per-key partition = that key's intervals, the same
+    * bound as any keyed window. */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startCol: String,
+      endCol: String, mergeTouching: Boolean = true): DataFrame = {
+    val base = (if (keys.isEmpty) Window.orderBy(col(startCol), col(endCol))
+      else Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(startCol), col(endCol)))
+    val prevMax = max(col(endCol))
+      .over(base.rowsBetween(Window.unboundedPreceding, -1))
+    val opens = when(prevMax.isNull, 1)
+      .when(if (mergeTouching) col(startCol) > prevMax
+            else col(startCol) >= prevMax, 1)
+      .otherwise(0)
+    df.withColumn("__open", opens)
+      .withColumn("__island",
+        sum(col("__open")).over(base.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy((keys.map(col) :+ col("__island")): _*)
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+      .drop("__island")
+  }
+
   /** Classic additive seasonal-trend decomposition (the moving-average
     * decomposition underlying STL's initial pass — public textbook
     * method): over a bucketized series,

@@ -207,4 +207,26 @@ class TemporalSpec extends SparkSpec {
       .collect().toSet
     assert(keptCap === rows.map(_._1).toSet)
   }
+
+  test("mergeIntervals: overlap + touching merge, nested absorb, disjoint survive, per-key isolation") {
+    val iv = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L),   // overlap -> [0,20)
+      ("a", 20L, 30L),                  // touching -> merges (default)
+      ("a", 40L, 50L),                  // disjoint island
+      ("a", 41L, 45L),                  // nested -> absorbed
+      ("b", 0L, 5L)                     // other key untouched
+    ).toDF("k", "s", "e")
+    val out = Temporal.mergeIntervals(iv, Seq("k"), "s", "e")
+      .orderBy("k", "s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", 0L, 30L, 3L), ("a", 40L, 50L, 2L), ("b", 0L, 5L, 1L)))
+    val strict = Temporal.mergeIntervals(iv, Seq("k"), "s", "e",
+        mergeTouching = false)
+      .orderBy("k", "s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(strict.toSeq === Seq(
+      ("a", 0L, 20L, 2L), ("a", 20L, 30L, 1L),
+      ("a", 40L, 50L, 2L), ("b", 0L, 5L, 1L)))
+  }
 }
