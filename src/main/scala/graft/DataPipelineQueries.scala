@@ -240,6 +240,22 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── top-k per group: the 3 highest-quality docs per source — a
+    //    rank-k window whose rank-1..k filter plans as WindowGroupLimit
+    //    (per-partition top-k heap BEFORE the sort, never a full sort of
+    //    each group)
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("__q").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("__q") + lit(1e-9), 4).as("quality"))
+        .orderBy("source", "rank")
+    }),
+
     // ── document fingerprint (canonical-form md5)
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir)
@@ -1135,6 +1151,19 @@ object DataPipelineQueries {
       """SELECT doc_id, doc_id AS doc_id_rt, lang AS lang_rt,
         |       CAST(length(text) AS BIGINT) AS n_chars_rt, TRUE AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      s"""WITH q AS (
+         |  SELECT source, doc_id, ($qualityExpr) AS quality FROM documents
+         |), ranked AS (
+         |  SELECT source, doc_id, quality,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY quality DESC, doc_id) AS rank
+         |  FROM q
+         |)
+         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+         |       round(quality + 1e-9, 4) AS quality
+         |FROM ranked WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

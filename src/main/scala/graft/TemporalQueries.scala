@@ -192,6 +192,21 @@ object TemporalQueries {
         .orderBy("cohort")
     }),
 
+    // ── unpivot (melt): the pivoted wide counts back to long form —
+    //    Spark's native unpivot, one narrow expand per row, no shuffle
+    //    beyond the pivot's own aggregation
+    "q_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide0 = ev(s, dir)
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+        .groupBy("cohort").pivot("event_type", types).count()
+      val wide = types.foldLeft(wide0)((d, t) =>
+        d.withColumn(t, coalesce(col(t), lit(0L))))
+      wide.unpivot(Array(col("cohort")), types.map(col).toArray,
+          "event_type", "n")
+        .orderBy("cohort", "event_type")
+    }),
+
     // ── rolling correlation between the click and purchase hourly series
     //    (full 24-bucket windows only: partial windows can have zero
     //    variance → NaN-vs-NULL divergence between engines)
@@ -507,6 +522,21 @@ object TemporalQueries {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH cohorts AS (
+        |  SELECT DISTINCT user_id % 10 AS cohort FROM events
+        |), types AS (
+        |  SELECT unnest(['click','error','purchase','signup','view']) AS event_type
+        |), counts AS (
+        |  SELECT user_id % 10 AS cohort, event_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT c.cohort, t.event_type, coalesce(x.n, 0) AS n
+        |FROM cohorts c CROSS JOIN types t
+        |LEFT JOIN counts x ON x.cohort = c.cohort AND x.event_type = t.event_type
+        |ORDER BY c.cohort, t.event_type""".stripMargin,
 
     "q_rolling_corr" ->
       """WITH e AS (
