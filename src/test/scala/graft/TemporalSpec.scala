@@ -229,4 +229,25 @@ class TemporalSpec extends SparkSpec {
       ("a", 0L, 20L, 2L), ("a", 20L, 30L, 1L),
       ("a", 40L, 50L, 2L), ("b", 0L, 5L, 1L)))
   }
+
+  test("saltedJoin: row-identical to the plain join (inner + left), hot key spread over salts") {
+    import graft.operators.Skew
+    val hot = (1 to 500).map(i => ("hot", i.toLong)) ++
+      Seq(("cold", 1L), ("orphan", 9L))
+    val left = hot.toDF("k", "v")
+    val right = Seq(("hot", 10.0), ("hot", 20.0), ("cold", 5.0),
+      ("unmatched", 1.0)).toDF("k", "w")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.toString).getOrElse("null"))).sorted
+    assert(canon(Skew.saltedJoin(left, right, Seq("k"), 8)).toSeq ===
+      canon(left.join(right, Seq("k"), "inner")).toSeq)
+    assert(canon(Skew.saltedJoin(left, right, Seq("k"), 8, "left")).toSeq ===
+      canon(left.join(right, Seq("k"), "left")).toSeq)
+    // the hot key's rows really do carry multiple salts
+    val salts = left.withColumn("__salt",
+        pmod(xxhash64(left.columns.map(col): _*), lit(8L)))
+      .filter(col("k") === "hot").select("__salt").distinct().count()
+    assert(salts > 1, s"expected >1 distinct salts for the hot key, got $salts")
+  }
 }
