@@ -26,8 +26,19 @@ object SemiStructured {
 
   /** Parse `jsonCol` once with `schema` and append each top-level field as
     * a column (existing columns kept). Nulls where the payload is missing,
-    * corrupt, or lacks the field. */
+    * corrupt, or lacks the field.
+    *
+    * A schema field whose name collides with an existing column is an
+    * error: `withColumn` would silently REPLACE the table column with the
+    * payload field — at 100 TB that's a corrupted pipeline, not a
+    * convenience. Rename in the schema (or project the clash away first). */
   def extract(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
+    val clash = schema.fields.map(_.name).toSet
+      .intersect(df.columns.toSet - jsonCol)
+    require(clash.isEmpty,
+      s"extract: schema field(s) ${clash.mkString(", ")} collide with " +
+        "existing columns — extraction would silently overwrite them; " +
+        "rename the schema fields or drop/rename the columns first")
     val parsed = from_json(col(jsonCol), schema)
     schema.fields.foldLeft(df.withColumn("__parsed", parsed)) { (d, f) =>
       d.withColumn(f.name, col("__parsed")(f.name))

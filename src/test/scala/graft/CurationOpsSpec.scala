@@ -33,6 +33,15 @@ class CurationOpsSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("extract refuses a schema field that would shadow an existing column") {
+    val df = Seq((1L, """{"id": 9}""")).toDF("id", "props")
+    val e = intercept[IllegalArgumentException] {
+      SemiStructured.extract(df, "props",
+        StructType(Seq(StructField("id", LongType))))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("jsonlRoundtrip: quotes, backslashes, newlines, unicode survive") {
     val nasty = Seq(
       (1L, "en", """plain text"""),
