@@ -250,4 +250,45 @@ class TemporalSpec extends SparkSpec {
       .filter(col("k") === "hot").select("__salt").distinct().count()
     assert(salts > 1, s"expected >1 distinct salts for the hot key, got $salts")
   }
+
+  test("mergeIntervals property: random corpora — islands disjoint, union of points preserved, members partition the input") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(40)
+      val iv = (1 to n).map { _ =>
+        val s = rnd.nextInt(100).toLong
+        (s, s + 1 + rnd.nextInt(20))
+      }
+      val merged = Temporal.mergeIntervals(
+          iv.toDF("s", "e"), Nil, "s", "e")
+        .orderBy("s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // islands strictly separated (touching would have merged)
+      merged.sliding(2).foreach {
+        case Array((_, e1, _), (s2, _, _)) =>
+          assert(s2 > e1, s"trial $trial: islands [$e1] and [$s2] touch/overlap")
+        case _ =>
+      }
+      // member counts partition the input
+      assert(merged.map(_._3).sum == n.toLong, s"trial $trial")
+      // covered integer points identical to the naive union
+      val naive = iv.flatMap { case (s, e) => s until e }.toSet
+      val got = merged.flatMap { case (s, e, _) => s until e }.toSet
+      assert(got == naive, s"trial $trial")
+    }
+  }
+
+  test("seasonalDecompose identity: v == trend + seasonal + resid wherever trend is defined") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 60L).map(b => ("k", b, rnd.nextDouble() * 100.0))
+    val out = Temporal.seasonalDecompose(rows.toDF("key", "bucket", "v"),
+        Seq("key"), "bucket", "v", period = 12)
+      .filter(col("trend").isNotNull)
+      .select("v", "trend", "seasonal", "resid").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (v, t, s, e) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(v - (t + s + e)) < 1e-9, s"$v != $t + $s + $e")
+    }
+  }
 }
