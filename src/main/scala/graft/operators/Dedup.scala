@@ -524,13 +524,6 @@ object Dedup {
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
       tau: Double, shingleN: Int = 3): DataFrame = {
-    require(tau > 0.0 && tau <= 1.0, "tau must be in (0,1]")
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
-    // document frequency via agg+join (map-side partials — a window
-    // partitioned by shingle would funnel a stop-phrase to one task);
-    // sz as a window sharing the rank window's id exchange+sort
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // materialize the ranked frame ONCE: it feeds BOTH sides of the
     // candidate self-join AND the verify-side set collection, and Spark
     // does not reuse the exchange across those consumers (runtime-filter
@@ -540,11 +533,35 @@ object Dedup {
     // O(total shingles) rows MEMORY_AND_DISK — the same volume the
     // sh-keyed exchange already wrote, paid once; blocks are released by
     // the ContextCleaner when the returned frame goes out of scope.
-    val ranked = sh.join(freq, "sh")
+    ppjoinFromRanked(
+      ppjoinRanked(df, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      tau)
+  }
+
+  /** The τ-INDEPENDENT half of the PPJoin: `(id, sh, df, sz, rank)` —
+    * shingles with document frequency, doc size, and ascending-df prefix
+    * rank. [[topKJaccardPairs]] persists this ONCE and runs its whole
+    * τ-ladder against it (every rung previously re-derived it).
+    * Document frequency via agg+join (map-side partials — a window
+    * partitioned by shingle would funnel a stop-phrase to one task);
+    * sz as a window sharing the rank window's id exchange+sort. */
+  private[operators] def ppjoinRanked(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(freq, "sh")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The τ-dependent half: prefix filter → pruned candidate self-join →
+    * exact verify, all reading the (ideally persisted) `ranked` frame. */
+  private[operators] def ppjoinFromRanked(ranked: DataFrame,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0,1]")
     val prefix = ranked
       .filter(col("rank") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
     // candidate join prunes with (1) the length filter and (2) PPJoin's
@@ -606,25 +623,32 @@ object Dedup {
     require(k >= 1, "k must be >= 1")
     require(taus.nonEmpty && taus == taus.sorted.reverse,
       "taus must be a descending threshold ladder")
+    // the τ-independent ranked frame is shared by EVERY rung — one
+    // shingle/freq/rank derivation for the whole ladder, released
+    // deterministically once the winning rung is collected
+    val ranked = ppjoinRanked(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ord = Seq(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
     var result: Array[org.apache.spark.sql.Row] = null
     var schema: org.apache.spark.sql.types.StructType = null
-    val it = taus.iterator
-    while (result == null && it.hasNext) {
-      val tau = it.next()
-      val pairs = jaccardJoin(df, idCol, textCol, tau, shingleN)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val enough = pairs.limit(k).count() >= k
-      if (enough || !it.hasNext) {
-        // ≤ k rows by construction — driver-sized; collecting here lets
-        // the rung's cache be released instead of leaking for the app's
-        // lifetime (the caller's plan no longer references it).
-        val top = pairs.orderBy(ord: _*).limit(k)
-        schema = top.schema
-        result = top.collect()
+    try {
+      val it = taus.iterator
+      while (result == null && it.hasNext) {
+        val tau = it.next()
+        val pairs = ppjoinFromRanked(ranked, tau)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val enough = pairs.limit(k).count() >= k
+        if (enough || !it.hasNext) {
+          // ≤ k rows by construction — driver-sized; collecting here lets
+          // the rung's cache be released instead of leaking for the app's
+          // lifetime (the caller's plan no longer references it).
+          val top = pairs.orderBy(ord: _*).limit(k)
+          schema = top.schema
+          result = top.collect()
+        }
+        pairs.unpersist()
       }
-      pairs.unpersist()
-    }
+    } finally ranked.unpersist(false)
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(result: _*), schema)
   }
