@@ -134,6 +134,23 @@ object TemporalQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // ── as-of with a tolerance horizon: the view must be within 1 h
+    //    before the purchase, else null (stale context is worse than none)
+    "q_asof_tol" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts_nanos").as("pts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_nanos").as("vts"),
+          col("event_id").as("vid"))
+      Temporal.asofJoin(purchases, views, Seq("user_id"), "pts", "vts",
+          payload = Seq("vid"), tolerance = Some(HOUR * NS),
+          rightTieCols = Seq("vid"))
+        .select(col("event_id"), col("user_id"), col("r_vid").as("view_id"))
+        .orderBy("event_id")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -431,6 +448,29 @@ object TemporalQueries {
         |)
         |SELECT event_type, bucket, round(e, 6) AS ewma
         |FROM r ORDER BY 1, 2""".stripMargin,
+
+    // correlated-window mirror (DuckDB ASOF JOIN has no tolerance knob):
+    // the window max over [pts-1h, pts] picks the same row the engine's
+    // union-merge carry does, with the identical vid tie-break
+    "q_asof_tol" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, epoch_ns(ts) AS vts, event_id AS vid
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |       (SELECT max(v.vid) FROM v
+        |        WHERE v.user_id = p.user_id
+        |          AND v.vts <= p.pts
+        |          AND v.vts >= p.pts - 3600000000000
+        |          AND v.vts = (SELECT max(v2.vts) FROM v v2
+        |                       WHERE v2.user_id = p.user_id
+        |                         AND v2.vts <= p.pts
+        |                         AND v2.vts >= p.pts - 3600000000000))
+        |         AS view_id
+        |FROM p ORDER BY event_id""".stripMargin,
 
     // core-SQL JSON mimic (regexp extraction) — the driver's DuckDB may
     // not have the json extension loadable offline
