@@ -44,4 +44,20 @@ object CorpusStats {
       .groupBy(strataCol)
       .agg(approx_count_distinct(col(idCol), rsd).as("approx_docs"),
         approx_count_distinct(col("sh"), rsd).as("approx_vocab"))
+
+  /** Approximate top-k frequent tokens over the whole corpus via the
+    * native SpaceSaving aggregate ([[graft.functions.HeavyHittersAgg]]):
+    * one narrow explode, one capacity-bounded mergeable aggregation —
+    * the shuffle carries O(capacity) counters per task, never the
+    * vocabulary (the exact tier, [[TextAnalysis.topNgrams]], shuffles
+    * O(distinct)). Output: `(item, count, err)` rows, count desc; the
+    * true count lies in `[count − err, count]`, and anything with
+    * frequency > tokens/capacity is guaranteed present. */
+  def approxTopTokens(df: DataFrame, textCol: String, k: Int,
+      capacity: Int = 4096): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(graft.functions.FreqSketch.heavyHitters(col("tok"), k, capacity)
+        .as("hh"))
+      .selectExpr("inline(hh)")
 }

@@ -187,4 +187,47 @@ class StatsAndScanSpec extends SparkSpec {
       Metrics.validate("topk_0")
     }
   }
+
+  test("heavyHitters: exact under capacity; guaranteed containment and error bounds over capacity") {
+    import graft.functions.FreqSketch
+    // distinct <= capacity -> exact counts, zero error
+    val small = Seq("a","a","a","b","b","c").toDF("t")
+    val ex = small.agg(FreqSketch.heavyHitters(col("t"), 3, 8).as("hh"))
+      .selectExpr("inline(hh)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ex.toSeq === Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+    // skewed stream over many distinct values, tight capacity: every true
+    // heavy hitter (freq > n/capacity) must be present, counts within err
+    val n = 4000
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to n).map { _ =>
+      val r = rnd.nextInt(100)
+      if (r < 30) "hot1" else if (r < 50) "hot2" else if (r < 60) "hot3"
+      else s"tail${rnd.nextInt(500)}"
+    }
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = vals.toDF("t").repartition(8)
+      .agg(FreqSketch.heavyHitters(col("t"), 5, 64).as("hh"))
+      .selectExpr("inline(hh)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val byItem = got.map(g => g._1 -> g).toMap
+    for (hot <- Seq("hot1", "hot2", "hot3")) {
+      assert(byItem.contains(hot), s"$hot (freq ${truth(hot)} > n/cap ${n / 64}) must be kept")
+      val (_, c, e) = byItem(hot)
+      assert(c >= truth(hot) && c - e <= truth(hot),
+        s"$hot true=${truth(hot)} not in [${c - e}, $c]")
+    }
+    assert(got.size <= 5)
+    assert(got.map(_._2).sliding(2).forall { case Seq(x, y) => x >= y; case _ => true })
+  }
+
+  test("approxTopTokens: sketch top-k agrees with the exact top-k on a clearly-separated corpus") {
+    import graft.operators.CorpusStats
+    val docs = Seq.fill(50)("alpha alpha beta") ++ Seq.fill(10)("gamma delta")
+    val df = docs.toDF("text").repartition(4)
+    val got = CorpusStats.approxTopTokens(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq === Seq("alpha", "beta", "delta")) // delta ties gamma at 10, item-asc breaks it
+    assert(got.head._2 == 100L) // exact when distinct << capacity
+  }
 }
