@@ -13,6 +13,53 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** SpaceSaving summary state: item → (count, err) plus a count-ordered
+  * index so the eviction victim (the current minimum) is found in
+  * O(log capacity) instead of a full O(capacity) scan — on a tail-heavy
+  * stream EVERY unseen item past capacity evicts, so the scan variant
+  * degrades to O(n·capacity) exactly when the sketch matters most.
+  * Index invariant: `byCount(c)` holds every item whose count is `c`;
+  * insertion-ordered sets make victim choice deterministic for a given
+  * arrival order. */
+final class FreqSketchState(val capacity: Int) {
+  val items = new java.util.HashMap[String, Array[Long]](capacity * 2)
+  val byCount = new java.util.TreeMap[Long, java.util.LinkedHashSet[String]]()
+
+  private def indexAdd(item: String, c: Long): Unit = {
+    var s = byCount.get(c)
+    if (s == null) { s = new java.util.LinkedHashSet[String](); byCount.put(c, s) }
+    s.add(item)
+  }
+
+  private def indexRemove(item: String, c: Long): Unit = {
+    val s = byCount.get(c)
+    s.remove(item)
+    if (s.isEmpty) byCount.remove(c)
+  }
+
+  def offer(item: String, count: Long, err: Long): Unit = {
+    val cur = items.get(item)
+    if (cur != null) {
+      indexRemove(item, cur(0))
+      cur(0) += count; cur(1) += err
+      indexAdd(item, cur(0))
+    } else if (items.size < capacity) {
+      items.put(item, Array(count, err))
+      indexAdd(item, count)
+    } else {
+      // SpaceSaving eviction: the newcomer inherits the minimum's count
+      // as overestimation error
+      val minSet = byCount.firstEntry()
+      val victim = minSet.getValue.iterator().next()
+      val m = minSet.getKey
+      indexRemove(victim, m)
+      items.remove(victim)
+      items.put(item, Array(m + count, m + err))
+      indexAdd(item, m + count)
+    }
+  }
+}
+
 /** SpaceSaving heavy hitters (Metwally et al. 2005, public algorithm) as
   * a native mergeable aggregate — the sketch-tier answer to "what are
   * the most frequent values" when the domain is too large for the exact
@@ -28,11 +75,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale shape: map-side partial summaries of O(capacity) entries per
   * task collapse before the exchange — the shuffle carries one
-  * capacity-bounded sketch per partition, never the value domain. Like
-  * the HLL tier in [[graft.operators.CorpusStats]], results are
-  * approximate and merge-order-dependent in their low counts, so this is
-  * unit-tested on its guarantees (exactness under capacity, containment
-  * of true heavy hitters, error bounds) rather than oracle-hashed.
+  * capacity-bounded sketch per partition, never the value domain; the
+  * count-ordered index keeps per-update cost O(log capacity) even on
+  * all-tail streams. Like the HLL tier in
+  * [[graft.operators.CorpusStats]], results are approximate and
+  * merge-order-dependent in their low counts, so this is unit-tested on
+  * its guarantees (exactness under capacity, containment of true heavy
+  * hitters, error bounds) rather than oracle-hashed.
   *
   * Output: `array<struct<item string, count long, err long>>` sorted by
   * (count desc, item asc), truncated to `k`. True count of `item` lies
@@ -44,7 +93,7 @@ case class HeavyHittersAgg(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]]
+  extends TypedImperativeAggregate[FreqSketchState]
   with UnaryLike[Expression] {
 
   require(k >= 1, s"heavy hitters need k >= 1, got $k")
@@ -62,64 +111,35 @@ case class HeavyHittersAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "heavy_hitters"
 
-  // value = Array(count, err)
-  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
-    new java.util.HashMap[String, Array[Long]](capacity * 2)
+  override def createAggregationBuffer(): FreqSketchState =
+    new FreqSketchState(capacity)
 
-  private def minEntry(
-      buf: java.util.HashMap[String, Array[Long]]): java.util.Map.Entry[String, Array[Long]] = {
-    var min: java.util.Map.Entry[String, Array[Long]] = null
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (min == null || e.getValue()(0) < min.getValue()(0)) min = e
-    }
-    min
-  }
-
-  private def offer(buf: java.util.HashMap[String, Array[Long]],
-      item: String, count: Long, err: Long): Unit = {
-    val cur = buf.get(item)
-    if (cur != null) { cur(0) += count; cur(1) += err }
-    else if (buf.size < capacity) buf.put(item, Array(count, err))
-    else {
-      // SpaceSaving eviction: the newcomer inherits the minimum's count
-      // as overestimation error
-      val min = minEntry(buf)
-      val m = min.getValue()(0)
-      buf.remove(min.getKey)
-      buf.put(item, Array(m + count, m + err))
-    }
-  }
-
-  override def update(buf: java.util.HashMap[String, Array[Long]],
-      input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+  override def update(buf: FreqSketchState, input: InternalRow): FreqSketchState = {
     val v = child.eval(input)
-    if (v != null) offer(buf, v.asInstanceOf[UTF8String].toString, 1L, 0L)
+    if (v != null) buf.offer(v.asInstanceOf[UTF8String].toString, 1L, 0L)
     buf
   }
 
-  override def merge(b1: java.util.HashMap[String, Array[Long]],
-      b2: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
-    b2.forEach((item, ce) => offer(b1, item, ce(0), ce(1)))
+  override def merge(b1: FreqSketchState, b2: FreqSketchState): FreqSketchState = {
+    b2.items.forEach((item, ce) => b1.offer(item, ce(0), ce(1)))
     b1
   }
 
-  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
-    val entries = new Array[(String, Long, Long)](buf.size)
+  override def eval(buf: FreqSketchState): Any = {
+    val entries = new Array[(String, Long, Long)](buf.items.size)
     var i = 0
-    buf.forEach((item, ce) => { entries(i) = (item, ce(0), ce(1)); i += 1 })
+    buf.items.forEach((item, ce) => { entries(i) = (item, ce(0), ce(1)); i += 1 })
     val sorted = entries.sortBy { case (item, c, _) => (-c, item) }.take(k)
     new GenericArrayData(sorted.map { case (item, c, e) =>
       InternalRow(UTF8String.fromString(item), c, e)
     })
   }
 
-  override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+  override def serialize(buf: FreqSketchState): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.forEach { (item, ce) =>
+    out.writeInt(buf.items.size)
+    buf.items.forEach { (item, ce) =>
       val b = item.getBytes(StandardCharsets.UTF_8)
       out.writeInt(b.length); out.write(b)
       out.writeLong(ce(0)); out.writeLong(ce(1))
@@ -127,7 +147,7 @@ case class HeavyHittersAgg(
     out.flush(); bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): FreqSketchState = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
@@ -135,8 +155,9 @@ case class HeavyHittersAgg(
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len); in.readFully(b)
-      buf.put(new String(b, StandardCharsets.UTF_8),
-        Array(in.readLong(), in.readLong()))
+      // offer() rebuilds the count index; n ≤ capacity so no evictions
+      val item = new String(b, StandardCharsets.UTF_8)
+      buf.offer(item, in.readLong(), in.readLong())
       i += 1
     }
     buf
