@@ -81,6 +81,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSigs(children(0), intLit(children(1), "n"), intLit(children(2), "h"))
       }))
+    def intLitArg(e: Expression, fn: String, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer literal")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(
+        classOf[TopKAgg].getCanonicalName, null, "graft_topk",
+        "graft_topk(v, k) - aggregate: array<double> of the k largest " +
+          "non-null values, descending; O(k) state per group.",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_topk takes exactly 2 arguments, got ${children.length}")
+        TopKAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          children(0), org.apache.spark.sql.types.DoubleType),
+          intLitArg(children(1), "graft_topk", "k"), bottom = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(
+        classOf[TopKAgg].getCanonicalName, null, "graft_bottomk",
+        "graft_bottomk(v, k) - aggregate: array<double> of the k smallest " +
+          "non-null values, ascending; O(k) state per group.",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_bottomk takes exactly 2 arguments, got ${children.length}")
+        TopKAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          children(0), org.apache.spark.sql.types.DoubleType),
+          intLitArg(children(1), "graft_bottomk", "k"), bottom = true)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(
+        classOf[HeavyHittersAgg].getCanonicalName, null, "graft_heavy_hitters",
+        "graft_heavy_hitters(v, k, capacity) - aggregate: SpaceSaving " +
+          "top-k frequent strings as array<struct<item,count,err>>; true " +
+          "count in [count-err, count], anything with frequency > " +
+          "n/capacity guaranteed present.",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_heavy_hitters takes exactly 3 arguments, got ${children.length}")
+        HeavyHittersAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          children(0), org.apache.spark.sql.types.StringType),
+          intLitArg(children(1), "graft_heavy_hitters", "k"),
+          intLitArg(children(2), "graft_heavy_hitters", "capacity"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(

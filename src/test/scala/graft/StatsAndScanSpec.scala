@@ -230,4 +230,17 @@ class StatsAndScanSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === Seq("alpha", "beta", "delta")) // delta ties gamma at 10, item-asc breaks it
     assert(got.head._2 == 100L) // exact when distinct << capacity
   }
+
+  test("SQL surface: graft_topk / graft_bottomk / graft_heavy_hitters resolve through the extension") {
+    Seq(("g", 1.0), ("g", 5.0), ("g", 3.0), ("g", 5.0)).toDF("k", "v")
+      .createOrReplaceTempView("sql_agg_t")
+    val r = spark.sql(
+      """SELECT graft_topk(v, 2) AS t, graft_bottomk(v, 2) AS b,
+        |       graft_heavy_hitters(CAST(v AS STRING), 2, 8) AS h
+        |FROM sql_agg_t GROUP BY k""".stripMargin).head()
+    assert(r.getSeq[Double](0) === Seq(5.0, 5.0))
+    assert(r.getSeq[Double](1) === Seq(1.0, 3.0))
+    val hh = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(hh.head.getString(0) == "5.0" && hh.head.getLong(1) == 2L)
+  }
 }
