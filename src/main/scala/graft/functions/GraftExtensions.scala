@@ -19,14 +19,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+
+  /** Non-deprecated 11-arg ExpressionInfo (the short forms are deprecated
+    * since 3.0). */
+  private def info(className: String, name: String, usage: String) =
+    new ExpressionInfo(className, null, name, usage,
+      "", "", "", "", "", "", "")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(
-        classOf[DotProduct].getCanonicalName, null, "graft_dot",
+      info(classOf[DotProduct].getCanonicalName, "graft_dot",
         "graft_dot(a, b) - sequential-fold dot product of two array<double> " +
-          "columns; null on null input, null element, or length mismatch.",
-        ""),
+          "columns; null on null input, null element, or length mismatch."),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"graft_dot takes exactly 2 arguments, got ${children.length}")
@@ -34,13 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
-      new ExpressionInfo(
-        classOf[SortedIntersectCount].getCanonicalName, null,
-        "graft_sorted_intersect",
+      info(classOf[SortedIntersectCount].getCanonicalName, "graft_sorted_intersect",
         "graft_sorted_intersect(a, b) - common-element count of two " +
           "sorted, distinct array<string> columns (two-pointer merge); " +
-          "null on null input.",
-        ""),
+          "null on null input."),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"graft_sorted_intersect takes exactly 2 arguments, got ${children.length}")
@@ -48,11 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_word_shingles"),
-      new ExpressionInfo(
-        classOf[WordShingles].getCanonicalName, null, "graft_word_shingles",
+      info(classOf[WordShingles].getCanonicalName, "graft_word_shingles",
         "graft_word_shingles(text, n) - word n-gram shingles of a " +
-          "whitespace-tokenized string; fewer than n tokens yields [].",
-        ""),
+          "whitespace-tokenized string; fewer than n tokens yields []."),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"graft_word_shingles takes exactly 2 arguments, got ${children.length}")
@@ -65,12 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(
-        classOf[MinHashSigs].getCanonicalName, null, "graft_minhash",
+      info(classOf[MinHashSigs].getCanonicalName, "graft_minhash",
         "graft_minhash(text, n, h) - array<long> of h MinHash signature " +
           "mins over word n-gram shingles (60-bit md5 hashes); null when " +
-          "the text has fewer than n tokens.",
-        ""),
+          "the text has fewer than n tokens."),
       (children: Seq[Expression]) => {
         require(children.length == 3,
           s"graft_minhash takes exactly 3 arguments, got ${children.length}")
@@ -88,11 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
-      new ExpressionInfo(
-        classOf[TopKAgg].getCanonicalName, null, "graft_topk",
+      info(classOf[TopKAgg].getCanonicalName, "graft_topk",
         "graft_topk(v, k) - aggregate: array<double> of the k largest " +
-          "non-null values, descending; O(k) state per group.",
-        ""),
+          "non-null values, descending; O(k) state per group."),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"graft_topk takes exactly 2 arguments, got ${children.length}")
@@ -102,11 +98,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_bottomk"),
-      new ExpressionInfo(
-        classOf[TopKAgg].getCanonicalName, null, "graft_bottomk",
+      info(classOf[TopKAgg].getCanonicalName, "graft_bottomk",
         "graft_bottomk(v, k) - aggregate: array<double> of the k smallest " +
-          "non-null values, ascending; O(k) state per group.",
-        ""),
+          "non-null values, ascending; O(k) state per group."),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           s"graft_bottomk takes exactly 2 arguments, got ${children.length}")
@@ -116,13 +110,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
-      new ExpressionInfo(
-        classOf[HeavyHittersAgg].getCanonicalName, null, "graft_heavy_hitters",
+      info(classOf[HeavyHittersAgg].getCanonicalName, "graft_heavy_hitters",
         "graft_heavy_hitters(v, k, capacity) - aggregate: SpaceSaving " +
           "top-k frequent strings as array<struct<item,count,err>>; true " +
           "count in [count-err, count], anything with frequency > " +
-          "n/capacity guaranteed present.",
-        ""),
+          "n/capacity guaranteed present."),
       (children: Seq[Expression]) => {
         require(children.length == 3,
           s"graft_heavy_hitters takes exactly 3 arguments, got ${children.length}")
@@ -133,11 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(
-        classOf[SimHash64].getCanonicalName, null, "graft_simhash",
+      info(classOf[SimHash64].getCanonicalName, "graft_simhash",
         "graft_simhash(text) - 60-bit SimHash long over whitespace tokens " +
-          "(60-bit md5 token hashes, ±1 votes per bit).",
-        ""),
+          "(60-bit md5 token hashes, ±1 votes per bit)."),
       (children: Seq[Expression]) => {
         require(children.length == 1,
           s"graft_simhash takes exactly 1 argument, got ${children.length}")

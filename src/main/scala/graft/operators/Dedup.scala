@@ -227,7 +227,7 @@ object Dedup {
               expr("__cnt * (__cnt - 1) DIV 2")).otherwise(lit(0L))),
               lit(0L)).as("__est"),
             count(when(col("__cnt") > maxPerShingle, lit(1))).as("__overCnt"))
-            .head
+            .head()
           val est = g.getLong(0)
           val overCnt = g.getLong(1)
           if (est > maxCandidatePairs)
