@@ -224,6 +224,80 @@ object TemporalQueries {
         .orderBy("cohort", "event_type")
     }),
 
+    // ── time-weighted daily average: each sample holds until the next
+    //    one in its (type, day) bucket — the TSDB aggregation plain avg
+    //    gets wrong on irregular sampling
+    "q_twa" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("sec", expr("ts_nanos div 1000000000"))
+      Temporal.timeWeightedAvg(e, Seq("event_type"), "sec", "value",
+          bucketSec = 86400L, tieCols = Seq("event_id"))
+        .select(col("event_type"), col("bucket"),
+          round(col("twa") + lit(1e-9), 6).as("twa"),
+          col("covered"), col("n"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ── multi-grain cube: every subset of (type, cohort) in ONE scan —
+    //    the grouping-sets sibling of q_rollup
+    "q_cube" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      e.cube(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("n"),
+          // scaled-integer sum (see q_sessionize): exact in both engines
+          sum(round(col("value") * 10000).cast("long")).as("sum_v4"),
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("cohort")).cast("long").as("g_cohort"))
+        .orderBy(col("g_type"), col("g_cohort"), col("event_type"),
+          col("cohort"))
+    }),
+
+    // ── §2.7 set operations: the click-audience vs purchase-audience
+    //    user sets through INTERSECT / EXCEPT (distinct semantics on
+    //    both engines)
+    "q_set_ops" -> ((s, dir) => {
+      val e = ev(s, dir)
+      def audience(t: String) =
+        e.filter(col("event_type") === t).select("user_id").distinct()
+      val clicks = audience("click")
+      val buys = audience("purchase")
+      def shape(d: DataFrame, label: String) =
+        d.agg(count(lit(1)).as("n"), min(col("user_id")).as("lo"),
+            max(col("user_id")).as("hi"))
+          .select(lit(label).as("op"), col("n"), col("lo"), col("hi"))
+      shape(clicks.intersect(buys), "both")
+        .unionAll(shape(clicks.except(buys), "click_only"))
+        .unionAll(shape(buys.except(clicks), "purchase_only"))
+        .orderBy("op")
+    }),
+
+    // ── exact rolling median (24-bucket window) of the hourly per-type
+    //    series, on scaled-integer values so the even-count midpoint is
+    //    the same exact double in both engines; full windows only
+    "q_rolling_median" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("bucket",
+        (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+      val series = e.groupBy("event_type", "bucket")
+        .agg(round(exactAvg(col("value")) * 10000).cast("long").as("v4"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+      series
+        // Spark refuses percentile/median over a bounded frame
+        // (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) — for the fixed
+        // 24-row frame the sorted-array midpoint IS the exact median,
+        // and on scaled integers ≤ 2^53 every intermediate double is
+        // exact, so it equals DuckDB's interpolated quantile bit-for-bit
+        .withColumn("arr",
+          sort_array(collect_list(col("v4")).over(w.rowsBetween(-23, 0))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") >= 24)
+        .withColumn("med4",
+          (element_at(col("arr"), 12) + element_at(col("arr"), 13)) / 2.0)
+        .select(col("event_type"), col("bucket"),
+          round(col("med4") / 10000.0, 6).as("roll_med"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // ── rolling correlation between the click and purchase hourly series
     //    (full 24-bucket windows only: partial windows can have zero
     //    variance → NaN-vs-NULL divergence between engines)
@@ -401,6 +475,84 @@ object TemporalQueries {
         |FROM e
         |GROUP BY ROLLUP (event_type, day)
         |ORDER BY g_type, g_day, event_type, day""".stripMargin,
+
+    "q_twa" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |         epoch_ns(ts) // 1000000000 AS sec,
+        |         CAST(epoch_ns(ts) // 1000000000 // 86400 * 86400 AS BIGINT)
+        |           AS bucket
+        |  FROM events
+        |), h AS (
+        |  SELECT event_type, bucket, value,
+        |         coalesce(lead(sec) OVER (PARTITION BY event_type, bucket
+        |             ORDER BY sec, event_id), bucket + 86400) - sec AS hold
+        |  FROM e
+        |)
+        |SELECT event_type, bucket,
+        |       round(CAST(sum(CAST(value * hold AS DECIMAL(30,12)))
+        |               AS DOUBLE) / sum(hold) + 1e-9, 6) AS twa,
+        |       CAST(sum(hold) AS BIGINT) AS covered,
+        |       count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_cube" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 10 AS cohort, value FROM events
+        |)
+        |SELECT event_type, cohort, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |         AS sum_v4,
+        |       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |       CAST(GROUPING(cohort) AS BIGINT) AS g_cohort
+        |FROM e
+        |GROUP BY CUBE (event_type, cohort)
+        |ORDER BY g_type, g_cohort, event_type, cohort""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH clicks AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |), buys AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |), both_u AS (
+        |  SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys
+        |), click_only AS (
+        |  SELECT user_id FROM clicks EXCEPT SELECT user_id FROM buys
+        |), purchase_only AS (
+        |  SELECT user_id FROM buys EXCEPT SELECT user_id FROM clicks
+        |)
+        |SELECT 'both' AS op, count(*) AS n, min(user_id) AS lo,
+        |       max(user_id) AS hi FROM both_u
+        |UNION ALL
+        |SELECT 'click_only', count(*), min(user_id), max(user_id)
+        |FROM click_only
+        |UNION ALL
+        |SELECT 'purchase_only', count(*), min(user_id), max(user_id)
+        |FROM purchase_only
+        |ORDER BY op""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), series AS (
+        |  SELECT event_type, bucket,
+        |         CAST(round(CAST(sum(CAST(value AS DECIMAL(30,12)))
+        |             AS DOUBLE) / count(value) * 10000) AS BIGINT) AS v4
+        |  FROM e GROUP BY 1, 2
+        |), rolled AS (
+        |  SELECT event_type, bucket,
+        |         median(v4) OVER (PARTITION BY event_type ORDER BY bucket
+        |           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS med4,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM series
+        |)
+        |SELECT event_type, bucket, round(med4 / 10000.0, 6) AS roll_med
+        |FROM rolled WHERE rn >= 24 ORDER BY event_type, bucket""".stripMargin,
 
     "q_rate" ->
       """WITH e AS (

@@ -366,6 +366,59 @@ object Temporal {
       .drop("__detr", "__slot", "__slot_mean", "__rep", "__grand")
   }
 
+  /** Time-weighted average per (key, bucket) over IRREGULARLY-sampled
+    * values — the TSDB aggregation that `avg` silently gets wrong on
+    * uneven sampling (a sensor reporting 1× per hour and 60× in one hot
+    * minute should not weight the hot minute 60×). Each sample's value
+    * "holds" from its timestamp until the next sample in the same
+    * bucket; the last sample holds to bucket end; the span before the
+    * first sample has no value and is excluded from the denominator
+    * (`covered` reports the seconds actually attributed). The reference
+    * reads pre-shaped bucket aggregations from its TSDBs
+    * (/root/reference/loudml/influx.py:62-68 normalizes per-connector
+    * time units; InfluxQL's own `integral()` is this weighting) — this
+    * is the engine-side equivalent for raw event streams.
+    *
+    * Determinism: the per-row product value·hold is ONE double op
+    * (identical in any engine), and the sum runs in DECIMAL(30,12) —
+    * exact, order-independent — before the final divide, so aggregation
+    * order can never wiggle a low bit (house exact-mean pattern).
+    *
+    * Scale shape: one shuffle keyed by (keys, bucket) serves BOTH the
+    * lead() window and the final aggregation (same partitioning —
+    * Catalyst reuses the exchange), and a window partition holds one
+    * key's samples within ONE bucket, so partition size is bounded by
+    * per-bucket density, not series length.
+    *
+    * @param tsCol   integer epoch time (seconds or any uniform tick)
+    * @param tieCols extra ordering columns for duplicated-instant rows
+    *                (the earlier duplicate gets hold = 0 — deterministic)
+    */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, bucketSec: Long, tieCols: Seq[String] = Nil)
+      : DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    // exact integer floor-to-bucket (Spark `/` on longs is TRUE division
+    // through double — fine at these magnitudes, but integers remove the
+    // question; ts is non-negative epoch time so pmod ≡ %)
+    val bucket = col(tsCol).cast("long") -
+      pmod(col(tsCol).cast("long"), lit(bucketSec))
+    val part = keys.map(col) :+ col("__bucket")
+    val w = Window.partitionBy(part: _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    val hold = coalesce(lead(col(tsCol), 1).over(w),
+      col("__bucket") + bucketSec) - col(tsCol)
+    df.withColumn("__bucket", bucket)
+      .withColumn("__hold", hold.cast("long"))
+      .groupBy(keys.map(col) :+ col("__bucket").as("bucket"): _*)
+      .agg(
+        (sum((col(valueCol) * col("__hold")).cast(DecimalType(30, 12)))
+          .cast("double") / sum(col("__hold"))).as("twa"),
+        sum(col("__hold")).as("covered"),
+        count(lit(1)).as("n"))
+  }
+
   def interpolate(series: DataFrame, keys: Seq[String], bucketCol: String,
       valueCol: String): DataFrame = {
     val base = (if (keys.isEmpty) Window.orderBy(col(bucketCol))

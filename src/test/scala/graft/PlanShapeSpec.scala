@@ -49,6 +49,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Sort") == 1, p)
   }
 
+  test("timeWeightedAvg: lead window and final agg share ONE exchange") {
+    val df = Seq(("a", 10L, 1.0), ("a", 20L, 3.0), ("b", 5L, 2.0))
+      .toDF("k", "t", "v")
+    val p = plan(Temporal.timeWeightedAvg(df, Seq("k"), "t", "v", 100L))
+    // the window partitions by (k, bucket) and the aggregation groups by
+    // the same columns — the agg must reuse the window's partitioning
+    assert(shuffles(p) == 1, p)
+    assert(count(p, "Window") == 1, p)
+  }
+
   test("lshDedupAgainst: zero-shuffle signatures below the candidate join") {
     // range-based inputs: a Seq-backed LocalRelation would be constant-
     // folded through the whole pipeline, erasing the projections the

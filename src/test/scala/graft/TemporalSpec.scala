@@ -230,6 +230,37 @@ class TemporalSpec extends SparkSpec {
       ("a", 40L, 50L, 2L), ("b", 0L, 5L, 1L)))
   }
 
+  test("timeWeightedAvg: hold-until-next weighting, bucket-end close, head gap excluded, uniform ≡ plain avg") {
+    // key "a", bucket [0,100): samples at t=10 (v=1), t=20 (v=3), t=90
+    // (v=5). Holds: 10s@1, 70s@3, 10s@5 → twa = (10+210+50)/90 = 3.0;
+    // the [0,10) head gap is excluded (covered = 90, not 100).
+    val df = Seq(("a", 10L, 1.0), ("a", 20L, 3.0), ("a", 90L, 5.0),
+      ("b", 0L, 2.0), ("b", 50L, 4.0)) // b: 50s@2 + 50s@4 → 3.0, covered 100
+      .toDF("k", "t", "v")
+    val out = Temporal.timeWeightedAvg(df, Seq("k"), "t", "v", 100L)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(("a", 0L, 3.0, 90L, 3L),
+      ("b", 0L, 3.0, 100L, 2L)))
+
+    // evenly-spaced samples make twa coincide with the plain mean
+    val even = (0 until 10).map(i => ("u", i * 10L, (i % 4).toDouble))
+      .toDF("k", "t", "v")
+    val twa = Temporal.timeWeightedAvg(even, Seq("k"), "t", "v", 100L)
+      .head().getDouble(2)
+    val mean = even.agg(avg("v")).head().getDouble(0)
+    assert(math.abs(twa - mean) < 1e-12)
+
+    // duplicated instant: the earlier duplicate (by tie order) holds 0s
+    val dup = Seq(("d", 0L, 100.0, 1L), ("d", 0L, 2.0, 2L),
+      ("d", 50L, 4.0, 3L)).toDF("k", "t", "v", "id")
+    val dOut = Temporal.timeWeightedAvg(dup, Seq("k"), "t", "v", 100L,
+        tieCols = Seq("id")).head()
+    assert(dOut.getDouble(2) === 3.0) // 50s@2 + 50s@4; the 100.0 holds 0s
+    assert(dOut.getLong(3) === 100L)
+  }
+
   test("saltedJoin: row-identical to the plain join (inner + left), hot key spread over salts") {
     import graft.operators.Skew
     val hot = (1 to 500).map(i => ("hot", i.toLong)) ++
