@@ -532,6 +532,17 @@ object DataPipelineQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // ── bounded edit-distance join on 24-char document keys: Ed-Join
+    //    prefix filtering (rarest q-gram candidates + length filter),
+    //    exact threshold-levenshtein verify — the string-metric sibling
+    //    of q_jaccard_join for short fields
+    "q_edit_join" -> ((s, dir) =>
+      Dedup.editDistanceJoin(
+          docs(s, dir).select(col("doc_id"),
+            substring(col("text"), 1, 24).as("key24")),
+          "doc_id", "key24", maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
     // ── exact top-k most-similar pairs via the τ-descending PPJoin
     //    ladder — the scale answer to ngramJaccardPairs' all-pairs term
     "q_jaccard_topk" -> ((s, dir) =>
@@ -1775,6 +1786,26 @@ object DataPipelineQueries {
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    // exact pair set via PassJoin's pigeonhole prefilter (a string within
+    // edit distance 3 must CONTAIN one of the other's 4 disjoint segments
+    // verbatim — empty trailing segments pass trivially, still sound),
+    // then full levenshtein — the prefilter only buys oracle speed
+    "q_edit_join" ->
+      """WITH n AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM n a JOIN n b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.t) - length(b.t)) <= 3
+        |  AND (position(substr(a.t, 1, 6) IN b.t) > 0
+        |    OR position(substr(a.t, 7, 6) IN b.t) > 0
+        |    OR position(substr(a.t, 13, 6) IN b.t) > 0
+        |    OR position(substr(a.t, 19, 6) IN b.t) > 0)
+        |WHERE levenshtein(a.t, b.t) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // ranks by the UNROUNDED jaccard (like the engine), rounds only the
     // output; floor 0.15 = the engine ladder's last τ

@@ -172,6 +172,69 @@ class PipelineOpsSpec extends SparkSpec {
       .collect()(0).isNullAt(0)) // < n tokens → null signature
   }
 
+  test("editDistanceJoin ≡ brute-force levenshtein join; short-string band sound; multiset grams honest") {
+    // mixed corpus: near pairs, a far pair, repeated-gram strings, and
+    // short strings below the prefix-filter soundness bound
+    val rows = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fx"),   // d=1
+      (3L, "the quick brown cat"),                               // d=3 of 1
+      (4L, "completely different!"),
+      (5L, "aaaaaaaa"), (6L, "aaaaabaa"),                        // d=1, gram multiset
+      (7L, "ab"), (8L, "b"), (9L, "abcd"),                       // shorts
+      (10L, "zzzz")
+    ).toDF("id", "s")
+    val d = 3
+    val got = graft.operators.Dedup.editDistanceJoin(rows, "id", "s", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows.as("a").join(rows.as("b"),
+        col("a.id") < col("b.id") &&
+          levenshtein(col("a.s"), col("b.s")) <= d)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute, s"got ${got.toSeq.sorted} vs ${brute.toSeq.sorted}")
+    // the short pairs (7,8) d=1 and (7,9) d=2 must be present — they are
+    // reachable ONLY through the catch-all length-band tokens
+    assert(got.contains((7L, 8L, 1)) && got.contains((7L, 9L, 2)))
+  }
+
+  test("editDistanceJoin property: random mutated corpora ≡ brute force (filter completeness under ins/del/sub)") {
+    val rnd = new scala.util.Random(17)
+    val alpha = "abcde"
+    def mutate(s: String, ops: Int): String = {
+      var cur = s
+      for (_ <- 0 until ops) {
+        val i = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur.take(i) + cur.drop(i + 1)  // del
+          case 1 => cur.take(i) + alpha(rnd.nextInt(5)) + cur.drop(i) // ins
+          case _ if cur.nonEmpty =>
+            cur.take(i) + alpha(rnd.nextInt(5)) + cur.drop(i + 1)  // sub
+          case _ => cur + alpha(rnd.nextInt(5))
+        }
+      }
+      cur
+    }
+    for (trial <- 1 to 3) {
+      val seeds = (0 until 8).map(_ =>
+        (0 until (4 + rnd.nextInt(16))).map(_ => alpha(rnd.nextInt(5))).mkString)
+      val corpus = seeds.zipWithIndex.flatMap { case (s, i) =>
+        Seq((i * 10L, s), (i * 10L + 1, mutate(s, rnd.nextInt(4))))
+      }
+      val df = corpus.toDF("id", "s")
+      val d = 2
+      val got = graft.operators.Dedup.editDistanceJoin(df, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = df.as("a").join(df.as("b"),
+          col("a.id") < col("b.id") &&
+            levenshtein(col("a.s"), col("b.s")) <= d)
+        .select(col("a.id"), col("b.id"), levenshtein(col("a.s"), col("b.s")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === brute,
+        s"trial $trial: corpus=$corpus got=${got.toSeq.sorted} brute=${brute.toSeq.sorted}")
+    }
+  }
+
   test("contamination: leaked doc ≈ 1, fresh doc = 0, short doc guarded") {
     import graft.operators.Dedup
     val corpus = Seq(

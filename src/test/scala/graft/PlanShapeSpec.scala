@@ -59,6 +59,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window") == 1, p)
   }
 
+  test("editDistanceJoin: candidate join is equi on prefix tokens — no nested-loop/cartesian anywhere") {
+    val p = plan(Dedup.editDistanceJoin(docs, "doc_id", "text", 2))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("lshDedupAgainst: zero-shuffle signatures below the candidate join") {
     // range-based inputs: a Seq-backed LocalRelation would be constant-
     // folded through the whole pipeline, erasing the projections the
