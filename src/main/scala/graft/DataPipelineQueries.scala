@@ -155,6 +155,23 @@ object DataPipelineQueries {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
+    // ── scalar string-function battery (§2.8): case, slice, search,
+    //    pad, replace, split, translate, concat — one narrow codegen'd
+    //    projection, every output byte-deterministic in both engines
+    "q_string_fns" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("upper10"),
+        length(col("text")).as("len"),
+        instr(col("text"), "data").as("pos_data"),
+        reverse(substring(col("text"), 1, 8)).as("rev8"),
+        lpad(col("source"), 8, "_").as("pad_src"),
+        translate(substring(col("text"), 1, 20), " ", "_").as("snake20"),
+        size(split(col("text"), " ")).as("n_words"),
+        translate(col("lang"), "aeiou", "AEIOU").as("lang_t"),
+        concat_ws("|", col("source"), col("lang")).as("src_lang"))
+      .orderBy("doc_id")),
+
     // ── token counting
     "q_token_count" -> ((s, dir) =>
       docs(s, dir)
@@ -1018,6 +1035,19 @@ object DataPipelineQueries {
          |)
          |SELECT doc_id, $langCase AS lang_guess
          |FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT doc_id,
+        |       upper(substr(text, 1, 10)) AS upper10,
+        |       length(text) AS len,
+        |       strpos(text, 'data') AS pos_data,
+        |       reverse(substr(text, 1, 8)) AS rev8,
+        |       lpad(source, 8, '_') AS pad_src,
+        |       replace(substr(text, 1, 20), ' ', '_') AS snake20,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       translate(lang, 'aeiou', 'AEIOU') AS lang_t,
+        |       concat_ws('|', source, lang) AS src_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

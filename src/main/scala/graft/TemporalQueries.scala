@@ -151,6 +151,43 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // ── forward as-of: each purchase gets the user's NEXT view at-or-
+    //    after it (the lead-time direction backtests need); ties at one
+    //    instant resolve to the smallest view id
+    "q_asof_fwd" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts_nanos").as("pts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_nanos").as("vts"),
+          col("event_id").as("vid"))
+      Temporal.asofJoin(purchases, views, Seq("user_id"), "pts", "vts",
+          payload = Seq("vid"), forward = true, rightTieCols = Seq("vid"))
+        .select(col("event_id"), col("user_id"), col("r_vid").as("view_id"))
+        .orderBy("event_id")
+    }),
+
+    // ── analytic-function battery (§2.5): rank family over a tie-heavy
+    //    key, ntile/lag/lead over the fully-determined order — every
+    //    value either integer or an exact two-integer quotient, so both
+    //    engines agree bit-for-bit with no rounding epsilon
+    "q_analytic" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("v1", round(col("value"), 1))
+        .select("event_type", "event_id", "v1")
+      val tied = Window.partitionBy("event_type").orderBy("v1")
+      val full = Window.partitionBy("event_type").orderBy("v1", "event_id")
+      e.withColumn("rnk", rank().over(tied))
+        .withColumn("drnk", dense_rank().over(tied))
+        .withColumn("prnk", percent_rank().over(tied))
+        .withColumn("cd", cume_dist().over(tied))
+        .withColumn("nt", ntile(4).over(full))
+        .withColumn("prev_v1", lag(col("v1"), 1).over(full))
+        .withColumn("next_v1", lead(col("v1"), 1).over(full))
+        .orderBy("event_type", "v1", "event_id")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -623,6 +660,37 @@ object TemporalQueries {
         |                         AND v2.vts >= p.pts - 3600000000000))
         |         AS view_id
         |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_asof_fwd" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, epoch_ns(ts) AS vts, event_id AS vid
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |       (SELECT v.vid FROM v
+        |        WHERE v.user_id = p.user_id AND v.vts >= p.pts
+        |        ORDER BY v.vts, v.vid LIMIT 1) AS view_id
+        |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_analytic" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, round(value, 1) AS v1 FROM events
+        |)
+        |SELECT event_type, event_id, v1,
+        |       rank() OVER tied AS rnk,
+        |       dense_rank() OVER tied AS drnk,
+        |       percent_rank() OVER tied AS prnk,
+        |       cume_dist() OVER tied AS cd,
+        |       ntile(4) OVER fullw AS nt,
+        |       lag(v1) OVER fullw AS prev_v1,
+        |       lead(v1) OVER fullw AS next_v1
+        |FROM e
+        |WINDOW tied AS (PARTITION BY event_type ORDER BY v1),
+        |       fullw AS (PARTITION BY event_type ORDER BY v1, event_id)
+        |ORDER BY event_type, v1, event_id""".stripMargin,
 
     // core-SQL JSON mimic (regexp extraction) — the driver's DuckDB may
     // not have the json extension loadable offline
