@@ -188,6 +188,21 @@ object TemporalQueries {
         .orderBy("event_type", "v1", "event_id")
     }),
 
+    // ── RANGE-frame window (§2.5): per-user trailing-1h event count and
+    //    scaled sum at every event — value-based frames over gappy time,
+    //    where ROWS frames silently count the wrong span
+    "q_window_range" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("sec", expr("ts_nanos div 1000000000"))
+        .withColumn("v4", round(col("value") * 10000).cast("long"))
+        .select("user_id", "event_id", "sec", "v4")
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-3599L, 0L)
+      e.withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(col("v4")).over(w))
+        .orderBy("user_id", "sec", "event_id")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -660,6 +675,21 @@ object TemporalQueries {
         |                         AND v2.vts >= p.pts - 3600000000000))
         |         AS view_id
         |FROM p ORDER BY event_id""".stripMargin,
+
+    "q_window_range" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         epoch_ns(ts) // 1000000000 AS sec,
+        |         CAST(round(value * 10000) AS BIGINT) AS v4
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, sec, v4,
+        |       count(*) OVER w AS n_1h,
+        |       CAST(sum(v4) OVER w AS BIGINT) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, sec, event_id""".stripMargin,
 
     "q_asof_fwd" ->
       """WITH p AS (
