@@ -60,4 +60,40 @@ object CorpusStats {
       .agg(graft.functions.FreqSketch.heavyHitters(col("tok"), k, capacity)
         .as("hh"))
       .selectExpr("inline(hh)")
+
+  /** Per-key distinct-count sketches as a PERSISTED binary column
+    * (Apache DataSketches HLL via Spark's built-in `hll_sketch_agg`) —
+    * the incremental tier above [[approxDistinct]]: write one sketch row
+    * per (key, day-batch), and profiling N days of a 100 TB corpus
+    * becomes a merge of N·|keys| kilobyte-sized sketches instead of a
+    * rescan of the history. The union is exact over the sketch state
+    * (same library both sides), so estimate(merge(A, B)) ≡
+    * estimate(sketch(A ∪ B)) deterministically — unit-pinned, not just
+    * error-bounded. */
+  def distinctSketch(df: DataFrame, keys: Seq[String], c: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(c, lit(lgK)).as("sketch"))
+
+  /** Merge two per-key sketch frames (FULL OUTER on keys — a key seen in
+    * only one batch keeps its sketch; `hll_union` merges where both
+    * exist). Keyed equi-join: broadcastable when one side is a daily
+    * delta, shuffle-keyed otherwise — never data-sized. */
+  def mergeSketches(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val l = keys.foldLeft(a)((d, k) => d.withColumnRenamed(k, s"__l_$k"))
+      .withColumnRenamed("sketch", "__l_sketch")
+    val cond = keys.map(k => col(s"__l_$k") <=> col(k)).reduce(_ && _)
+    l.join(b, cond, "full_outer")
+      .select(keys.map(k =>
+          coalesce(col(s"__l_$k"), col(k)).as(k)) :+
+        (when(col("__l_sketch").isNull, col("sketch"))
+          .when(col("sketch").isNull, col("__l_sketch"))
+          .otherwise(hll_union(col("__l_sketch"), col("sketch"))))
+          .as("sketch"): _*)
+  }
+
+  /** Read a sketch column back to an estimated distinct count. */
+  def estimateDistinct(sketch: Column): Column =
+    hll_sketch_estimate(sketch)
 }

@@ -226,6 +226,33 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(math.abs(prof("en") - 200L) <= 30)
   }
 
+  test("distinctSketch: incremental day-batch merge ≡ one full-corpus sketch, exactly; outer keys survive") {
+    import graft.operators.CorpusStats
+    // two "days" with overlapping user populations per key, plus a key
+    // seen only on day 2
+    val day1 = (0 until 4000).map(i => (s"t${i % 2}", (i % 900).toLong))
+      .toDF("k", "u")
+    val day2 = ((0 until 4000).map(i => (s"t${i % 2}", (i % 1100 + 500).toLong))
+      ++ Seq(("t9", 1L), ("t9", 2L))).toDF("k", "u")
+    val merged = CorpusStats.mergeSketches(
+      CorpusStats.distinctSketch(day1, Seq("k"), col("u")),
+      CorpusStats.distinctSketch(day2, Seq("k"), col("u")), Seq("k"))
+    val full = CorpusStats.distinctSketch(day1.unionAll(day2), Seq("k"),
+      col("u"))
+    def ests(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), CorpusStats.estimateDistinct(col("sketch")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (em, ef) = (ests(merged), ests(full))
+    // same sketch library both paths — the union is exact over the
+    // sketch state, so estimates agree EXACTLY, not just within rsd
+    assert(em === ef, s"merged=$em full=$ef")
+    assert(em.contains("t9") && em("t9") == 2L) // day-2-only key survives
+    // and the estimates are near truth: k = i%2 makes u share i's
+    // parity (900 and 1100 are even), so t0 sees the evens of
+    // [0,900) ∪ [500,1599] → 800 true distinct
+    assert(math.abs(em("t0") - 800L) <= 800 * 0.06, em.toString)
+  }
+
   // ── z-order layout ─────────────────────────────────────────────
 
   test("zValue interleaves bits (golden + inverse-locality property)") {
