@@ -608,35 +608,39 @@ object Dedup {
     * is too coarse. Ed-Join-style count filtering (Gravano et al. 2001;
     * Xiao et al. Ed-Join 2008 — public literature):
     *
-    *  - each edit operation disturbs at most `q` of a string's positional
-    *    q-grams, so ed(a,b) ≤ d ⟹ gram-multiset overlap ≥
-    *    max(|Ga|,|Gb|) − q·d; by the prefix-filtering lemma the q·d + 1
-    *    RAREST grams (global document-frequency order, the same
-    *    df-ascending construction as [[ppjoinRanked]]) of both strings
-    *    must intersect — candidates come from an equi-join on those
-    *    prefix tokens, never from a cross product;
-    *  - multiset semantics survive tokenization because a gram's
-    *    occurrence index is folded into its token (`gram#occ`);
-    *  - the length filter |len(a) − len(b)| ≤ d prunes inside the join
-    *    condition;
+    *  - positional q-gram filtering (Gravano et al. 2001): ed(a,b) ≤ d
+    *    requires an injective matching of ≥ max(|Ga|,|Gb|) − q·d
+    *    positional grams where matched grams are EQUAL and their
+    *    positions differ by at most d (unedited regions shift by ≤ d);
+    *  - by Ed-Join's prefix lemma the q·d + 1 RAREST positional grams
+    *    (global document-frequency order, the same df-ascending
+    *    construction as [[ppjoinRanked]]) of both strings must contain
+    *    such a proximate matched pair — candidates come from an
+    *    equi-join on the gram with |pos_a − pos_b| ≤ d and the length
+    *    filter |len(a) − len(b)| ≤ d in the join condition, never from
+    *    a cross product;
     *  - SHORT strings (gram count ≤ q·d, where the required overlap
     *    bound degenerates to 0 and prefix filtering is unsound) instead
-    *    emit catch-all length-band tokens `S<l>` for l ∈ [len, len+d]:
-    *    two short strings within d of each other always share one, and a
-    *    short×long pair still needs a real shared gram (the bound uses
-    *    max of the sizes). Real tokens always contain `#`, band tokens
-    *    never do — the token spaces cannot collide.
+    *    emit catch-all length-band grams `S<l>` for l ∈ [len, len+d]:
+    *    two short strings within d of each other always share one, and
+    *    a short×long pair still needs a real shared gram (the bound
+    *    uses max of the sizes). Real grams are exactly q characters of
+    *    input text; band grams are longer than q — no collision.
     *
     * Verification is the codegen'd `levenshtein(a, b, maxDist)` with
     * Spark's built-in early-exit threshold (returns −1 past the bound —
-    * O(len·d), not O(len²)).
+    * O(len·d), not O(len²)); pair dedup happens AFTER it, where the
+    * survivor set is match-density-sized, not candidate-sized.
     *
-    * Scale shape: tokens shuffle by gram (vocabulary-keyed agg for df;
-    * hot stop-grams never form candidate buckets because prefixes keep
-    * each string's RAREST grams — the same skew-by-design-out argument
-    * as the PPJoin prefix); the candidate join is equi on prefix tokens;
-    * verify joins are keyed by id with two short strings as payload.
-    * Never corpus². */
+    * Scale shape: gram df is a vocabulary-keyed agg broadcast back; the
+    * candidate join is equi on the gram with the position/length bands
+    * pruning in-condition (a hot gram is an AQE-skew-splittable join
+    * key, and prefixes keep each string's RAREST grams — the PPJoin
+    * skew-by-design-out argument); the strings ride in the prefix
+    * payload, so there are NO verify-side joins. Designed for SHORT
+    * string keys (titles, names, URLs, fixed-width document keys) —
+    * for long texts use [[jaccardJoin]], where payload-in-join would
+    * be wrong. Never corpus². */
   def editDistanceJoin(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, q: Int = 3): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
@@ -645,44 +649,41 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(col("s").isNotNull)
       .withColumn("len", length(col("s")))
-    val grams = base.select(col("id"), col("len"),
+    val grams = base.select(col("id"), col("len"), col("s"),
       posexplode(expr(
         s"transform(sequence(1, greatest(len - $q + 1, 0)), " +
           s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
-    // occurrence index within the string keeps MULTISET overlap honest
-    // ("aaaa" has two "aaa" grams, not one)
-    val toks = grams
-      .withColumn("occ",
-        row_number().over(Window.partitionBy("id", "g").orderBy("pos")))
-      .withColumn("tok", concat_ws("#", col("g"), col("occ")))
-    // document frequency via agg+join (a tok-partitioned window would
-    // funnel a stop-gram through one task); rank per id, rarest first
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-    val ranked = toks.join(freq, "tok")
+    // document frequency via agg+join (a g-partitioned window would
+    // funnel a stop-gram through one task); rank per id, rarest first,
+    // (g, pos) tie-break for a per-string total order
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("tf"))
+    val prefix = grams.join(freq, "g")
       .withColumn("rank", row_number().over(
-        Window.partitionBy("id").orderBy(col("tf"), col("tok"))))
-    val prefix = ranked.filter(col("rank") <= prefixLen)
-      .select("id", "len", "tok")
+        Window.partitionBy("id").orderBy(col("tf"), col("g"), col("pos"))))
+      .filter(col("rank") <= prefixLen)
+      .select("id", "len", "s", "g", "pos")
     val shortLen = q * (maxDist + 1) - 1
     val shorts = base.filter(col("len") <= shortLen)
-      .select(col("id"), col("len"),
+      .select(col("id"), col("len"), col("s"),
         explode(expr(s"transform(sequence(0, $maxDist), " +
-          "i -> concat('S', len + i))")).as("tok"))
+          "i -> concat('S', len + i))")).as("g"),
+        lit(0).as("pos"))
+    // persisted: the prefix frame feeds BOTH sides of the candidate
+    // self-join, and Spark does not reuse the exchange across the
+    // desymmetrized branches (the jaccardJoin lesson) — without this the
+    // gram-explode → df-join → window subtree executes twice.
+    // O(docs · prefixLen) short rows, released by the ContextCleaner
+    // when the returned frame goes out of scope.
     val keyed = prefix.unionByName(shorts)
-    val cands = keyed.as("a").join(keyed.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(col("a.pos") - col("b.pos")) <= maxDist &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val strings = base.select(col("id"), col("s"))
-    cands
-      .join(strings.select(col("id").as("id_a"), col("s").as("s_a")),
-        "id_a")
-      .join(strings.select(col("id").as("id_b"), col("s").as("s_b")),
-        "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+      .distinct()
   }
 
   /** Exact top-k most-similar pairs WITHOUT the all-pairs term —

@@ -215,7 +215,7 @@ class PipelineOpsSpec extends SparkSpec {
       }
       cur
     }
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 6) {
       val seeds = (0 until 8).map(_ =>
         (0 until (4 + rnd.nextInt(16))).map(_ => alpha(rnd.nextInt(5))).mkString)
       val corpus = seeds.zipWithIndex.flatMap { case (s, i) =>
