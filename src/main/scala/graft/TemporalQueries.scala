@@ -203,6 +203,69 @@ object TemporalQueries {
         .orderBy("user_id", "sec", "event_id")
     }),
 
+    // ── argmin/argmax with a TOTAL-ORDER tie-break (§2.4): max_by/min_by
+    //    over (value, event_id) structs — plain max_by(id, value) is
+    //    nondeterministic under duplicated values
+    "q_arg_minmax" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.groupBy("event_type").agg(
+          max_by(col("event_id"), struct(col("value"), col("event_id")))
+            .as("id_at_max"),
+          min_by(col("event_id"), struct(col("value"), col("event_id")))
+            .as("id_at_min"),
+          round(max(col("value")), 4).as("max_v"),
+          round(min(col("value")), 4).as("min_v"))
+        .orderBy("event_type")
+    }),
+
+    // ── correlation / covariance / regression aggregates (§2.4) from
+    //    DECIMAL-exact component sums — the engines' own corr()
+    //    accumulates doubles in partition order and can wobble a low
+    //    bit; the five exact sums make every downstream double op
+    //    identical on both sides
+    "q_corr_stats" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("x", col("value"))
+        .withColumn("y",
+          (pmod(expr("ts_nanos div 1000000000"), lit(86400L)))
+            .cast("double") / 3600.0)
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(30, 12))).cast("double")
+      val agged = e.groupBy("event_type").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"))
+      agged.select(
+          col("event_type"),
+          col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))) + lit(1e-9),
+            6).as("corr_xy"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")
+            + lit(1e-9), 6).as("covar_pop"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) + lit(1e-9), 6)
+            .as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n") + lit(1e-9), 6).as("intercept"))
+        .orderBy("event_type")
+    }),
+
+    // ── fixed-bin histogram (§2.4): value binned at width 10, top bin
+    //    clamped — the profile shape a quality dashboard reads
+    "q_histogram" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("bin",
+          least(floor(col("value") / 10.0), lit(19.0)).cast("long"))
+      e.groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -690,6 +753,55 @@ object TemporalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, sec, event_id""".stripMargin,
+
+    "q_arg_minmax" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |         rank() OVER (PARTITION BY event_type
+        |           ORDER BY value DESC, event_id DESC) AS r_max,
+        |         rank() OVER (PARTITION BY event_type
+        |           ORDER BY value ASC, event_id ASC) AS r_min
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       max(CASE WHEN r_max = 1 THEN event_id END) AS id_at_max,
+        |       max(CASE WHEN r_min = 1 THEN event_id END) AS id_at_min,
+        |       round(max(value), 4) AS max_v,
+        |       round(min(value), 4) AS min_v
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_corr_stats" ->
+      """WITH e AS (
+        |  SELECT event_type, value AS x,
+        |         CAST(epoch_ns(ts) // 1000000000 % 86400 AS DOUBLE)
+        |           / 3600.0 AS y
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       round((n * sxy - sx * sy) /
+        |         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 6)
+        |         AS corr_xy,
+        |       round((sxy - sx * sy / n) / n + 1e-9, 6) AS covar_pop,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 6)
+        |         AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |         / n + 1e-9, 6) AS intercept
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT event_type,
+        |       CAST(least(floor(value / 10.0), 19.0) AS BIGINT) AS bin,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_asof_fwd" ->
       """WITH p AS (
