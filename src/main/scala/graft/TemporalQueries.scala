@@ -300,12 +300,17 @@ object TemporalQueries {
     }),
 
     // ── interval coalescing: each error event opens a 30-minute incident
-    //    window; overlapping/touching windows merge per type
+    //    window; overlapping/touching windows merge per type. DISTINCT
+    //    intervals: duplicated (s, e) rows (clone-dense corpora) would
+    //    leave the oracle's split-window island numbering tie-ordered —
+    //    DuckDB resolves ties differently across window invocations —
+    //    while distinct rows make every ordering total (sf1 lesson)
     "q_merge_intervals" -> ((s, dir) => {
       val iv = ev(s, dir).filter(col("event_type") === "error")
         .select(col("event_type"),
           expr("ts_nanos div 1000000000").as("s"),
           (expr("ts_nanos div 1000000000") + lit(1800L)).as("e"))
+        .distinct()
       Temporal.mergeIntervals(iv, Seq("event_type"), "s", "e")
         .select(col("event_type"), col("s").as("start_sec"),
           col("e").as("end_sec"), col("n_merged"))
@@ -891,7 +896,7 @@ object TemporalQueries {
 
     "q_merge_intervals" ->
       """WITH iv AS (
-        |  SELECT event_type,
+        |  SELECT DISTINCT event_type,
         |         epoch_ns(ts) // 1000000000 AS s,
         |         epoch_ns(ts) // 1000000000 + 1800 AS e
         |  FROM events WHERE event_type = 'error'
