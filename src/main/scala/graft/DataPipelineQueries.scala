@@ -172,6 +172,19 @@ object DataPipelineQueries {
         concat_ws("|", col("source"), col("lang")).as("src_lang"))
       .orderBy("doc_id")),
 
+    // ── learned-BPE tokenization: train 64 merges on the corpus's own
+    //    word-frequency table, segment every doc with them (rows-only
+    //    driver check — BPE learning is not SQL-expressible; the merge
+    //    table and segmenter are unit-pinned in BpeTrainerSpec)
+    "q_bpe_learned" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = graft.operators.BpeTrainer.learnMerges(d, "text", 64)
+      graft.operators.BpeTrainer.tokenize(d, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          element_at(col("bpe_tokens"), 1).as("first_tok"))
+        .orderBy("doc_id")
+    }),
+
     // ── token counting
     "q_token_count" -> ((s, dir) =>
       docs(s, dir)
