@@ -59,8 +59,35 @@ object Tables {
         "lang" -> StringType, "source" -> StringType,
         "n_chars" -> LongType),
       "embeddings" -> Seq("vec_id" -> LongType,
-        "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+      // TPC-H tables, pinned to the layout the query surface was written
+      // against — a pandas/pyarrow regeneration that re-types a key
+      // (int32↔int64) or narrows a price (double↔float32) is absorbed
+      // here instead of surfacing as N red queries (the r7 lesson,
+      // widened before it happens to this family)
+      "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType),
+      "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_totalprice" -> DoubleType),
+      "customer" -> Seq("c_custkey" -> LongType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType),
+      "supplier" -> Seq("s_suppkey" -> LongType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq("p_partkey" -> LongType, "p_size" -> IntegerType,
+        "p_retailprice" -> DoubleType),
+      "nation" -> Seq("n_nationkey" -> IntegerType,
+        "n_regionkey" -> IntegerType),
+      "region" -> Seq("r_regionkey" -> IntegerType))
   }
+
+  /** Date-typed columns that have the same dual-layout hazard as
+    * `events.ts` (TIMESTAMP(NANOS) reads as int64 nanos under the
+    * legacy conf; `timestamp[us]` reads as timestamp): normalize either
+    * physical form to a timestamp so date functions keep working. */
+  private val timestampCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_shipdate"), "orders" -> Seq("o_orderdate"))
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -73,7 +100,7 @@ object Tables {
           case _ => d
         }
     }
-    df.schema.fields.foldLeft(df) {
+    normalizeDates(name, df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         // legacy layout: raw nanos long is the file column — keep it so
         // literal predicates on it push to the scan (row-group pruning).
@@ -95,8 +122,20 @@ object Tables {
         d.withColumn("ts_nanos",
           expr("unix_micros(cast(ts as timestamp)) * 1000L"))
       case (d, _) => d
-    }
+    })
   }
+
+  /** Fold run inside [[load]] after the canonical casts: normalize the
+    * per-table [[timestampCols]] from either physical layout. */
+  private def normalizeDates(name: String, df0: DataFrame): DataFrame =
+    timestampCols.getOrElse(name, Nil).foldLeft(df0) { (d, c) =>
+      d.schema.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) =>
+          // nanos-as-long layout → microsecond timestamp
+          d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case _ => d // timestamp layouts need no change
+      }
+    }
 
   /** CSV ingest mirroring the reference's CSV bucket loader
     * (/root/reference/loudml/membucket.py:90-112): header row, configurable

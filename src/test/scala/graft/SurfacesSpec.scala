@@ -302,4 +302,32 @@ class SurfacesSpec extends SparkSpec {
     assert(d.select("doc_id").as[Long].head() == 1L)
     assert(e.select(element_at(col("embedding"), 1)).as[Float].head() == 0.25f)
   }
+
+  test("Tables.load absorbs TPC-H drift: re-typed keys/prices and a " +
+      "nanos-as-long shipdate all land at the canonical layout") {
+    val dir = java.nio.file.Files.createTempDirectory("drift_tpch")
+    // lineitem with int32 keys, float32 prices, and l_shipdate written
+    // as int64 NANOS (the events.ts r7 hazard, on the date column)
+    val nanos = 1704067200L * 1000000000L
+    Seq((7, 3, 2, 1L, 4.0f, 100.5f, 0.1f, 0.02f, "N", "O", nanos))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .select(col("l_orderkey").cast("int"), col("l_partkey").cast("int"),
+        col("l_suppkey").cast("int"), col("l_linenumber").cast("long"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val li = Tables.load(spark, dir.toString, "lineitem")
+    assert(li.schema("l_orderkey").dataType.typeName == "long")
+    assert(li.schema("l_linenumber").dataType.typeName == "integer")
+    assert(li.schema("l_quantity").dataType.typeName == "double")
+    assert(li.schema("l_shipdate").dataType.typeName == "timestamp")
+    val r = li.select(col("l_orderkey"), col("l_quantity"),
+      unix_micros(col("l_shipdate"))).head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getDouble(1) == 4.0)
+    assert(r.getLong(2) == 1704067200L * 1000000L)
+  }
 }
