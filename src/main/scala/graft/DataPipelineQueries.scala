@@ -570,7 +570,9 @@ object DataPipelineQueries {
       Dedup.editDistanceJoin(
           docs(s, dir).select(col("doc_id"),
             substring(col("text"), 1, 24).as("key24")),
-          "doc_id", "key24", maxDist = 3)
+          // q=4: the word-salad corpus has a tiny trigram vocabulary, so
+          // longer grams buy bucket diversity (output is q-invariant)
+          "doc_id", "key24", maxDist = 3, q = 4)
         .orderBy("id_a", "id_b")),
 
     // ── exact top-k most-similar pairs via the τ-descending PPJoin

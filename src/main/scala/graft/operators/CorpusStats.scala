@@ -96,4 +96,42 @@ object CorpusStats {
   /** Read a sketch column back to an estimated distinct count. */
   def estimateDistinct(sketch: Column): Column =
     hll_sketch_estimate(sketch)
+
+  /** Per-key QUANTILE sketches as a persisted binary column (Apache
+    * DataSketches KLL over doubles) — the [[distinctSketch]] pattern for
+    * p50/p95/p99: write one sketch per (key, day-batch); reading a
+    * quantile over N days is a merge of kilobyte sketches with a
+    * one-sided rank error bound (~1.7% at the default k), never a
+    * rescan. */
+  def quantileSketch(df: DataFrame, keys: Seq[String],
+      c: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"kll_sketch_agg_double(${c.toString})").as("qsketch"))
+
+  /** Merge a frame of quantile sketches down to one sketch per key
+    * (e.g. day-batch rows → one all-time sketch). */
+  def mergeQuantileSketches(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr("kll_merge_agg_double(qsketch)").as("qsketch"))
+
+  /** Read a quantile out of a sketch column. */
+  def sketchQuantile(sketch: Column, q: Double): Column =
+    expr(s"kll_sketch_get_quantile_double(${sketch.toString}, $q)")
+
+  /** Per-key Theta sketches — distinct sketches that support SET
+    * ALGEBRA in sketch space: audience overlap/difference between
+    * arbitrary batches WITHOUT re-shuffling the raw ids. HLL can only
+    * union; Theta intersects and subtracts, which is what overlap
+    * analyses actually need at 100 TB. */
+  def thetaSketch(df: DataFrame, keys: Seq[String], c: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(expr(s"theta_sketch_agg(${c.toString})").as("tsketch"))
+
+  /** Estimated |A ∩ B| and |A ∖ B| from two theta sketch COLUMNS. */
+  def thetaIntersectEstimate(a: Column, b: Column): Column =
+    expr(s"theta_sketch_estimate(theta_intersection(${a.toString}, " +
+      s"${b.toString}))")
+  def thetaDifferenceEstimate(a: Column, b: Column): Column =
+    expr(s"theta_sketch_estimate(theta_difference(${a.toString}, " +
+      s"${b.toString}))")
 }

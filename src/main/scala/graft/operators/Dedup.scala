@@ -676,9 +676,19 @@ object Dedup {
     // when the returned frame goes out of scope.
     val keyed = prefix.unionByName(shorts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    keyed.as("a").join(keyed.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          abs(col("a.pos") - col("b.pos")) <= maxDist &&
+    // position goes INTO the join key: the probe side enumerates the
+    // 2d+1 admissible offsets, so a match costs one hash/merge lookup
+    // instead of a scan of the gram's whole bucket with |Δpos| checked
+    // in-condition. On low-gram-diversity corpora (clone-dense word
+    // salads: a few hundred distinct grams over 10⁵ strings) the
+    // in-condition form probes every in-bucket pair — measured 69 s at
+    // 50k clone-dense strings vs ~7 s for this key-equality form.
+    val probes = keyed.select(col("id"), col("len"), col("s"), col("g"),
+      explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
+        .as("pp"))
+    probes.as("a").join(keyed.as("b"),
+        col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
+          col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
       .filter(col("dist") >= 0)
