@@ -106,17 +106,18 @@ object CorpusStats {
   def quantileSketch(df: DataFrame, keys: Seq[String],
       c: Column): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(expr(s"kll_sketch_agg_double(${c.toString})").as("qsketch"))
+      .agg(call_function("kll_sketch_agg_double", c).as("qsketch"))
 
   /** Merge a frame of quantile sketches down to one sketch per key
     * (e.g. day-batch rows → one all-time sketch). */
   def mergeQuantileSketches(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(expr("kll_merge_agg_double(qsketch)").as("qsketch"))
+      .agg(call_function("kll_merge_agg_double", col("qsketch"))
+        .as("qsketch"))
 
   /** Read a quantile out of a sketch column. */
   def sketchQuantile(sketch: Column, q: Double): Column =
-    expr(s"kll_sketch_get_quantile_double(${sketch.toString}, $q)")
+    call_function("kll_sketch_get_quantile_double", sketch, lit(q))
 
   /** Per-key Theta sketches — distinct sketches that support SET
     * ALGEBRA in sketch space: audience overlap/difference between
@@ -125,13 +126,15 @@ object CorpusStats {
     * analyses actually need at 100 TB. */
   def thetaSketch(df: DataFrame, keys: Seq[String], c: Column): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(expr(s"theta_sketch_agg(${c.toString})").as("tsketch"))
+      .agg(call_function("theta_sketch_agg", c).as("tsketch"))
 
-  /** Estimated |A ∩ B| and |A ∖ B| from two theta sketch COLUMNS. */
+  /** Estimated |A ∩ B| and |A ∖ B| from two theta sketch COLUMNS —
+    * EXACT while the sketches stay under their entry budget (default
+    * 2^12), within the documented relative error beyond it. */
   def thetaIntersectEstimate(a: Column, b: Column): Column =
-    expr(s"theta_sketch_estimate(theta_intersection(${a.toString}, " +
-      s"${b.toString}))")
+    call_function("theta_sketch_estimate",
+      call_function("theta_intersection", a, b))
   def thetaDifferenceEstimate(a: Column, b: Column): Column =
-    expr(s"theta_sketch_estimate(theta_difference(${a.toString}, " +
-      s"${b.toString}))")
+    call_function("theta_sketch_estimate",
+      call_function("theta_difference", a, b))
 }

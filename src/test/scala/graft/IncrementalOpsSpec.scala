@@ -253,6 +253,49 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(math.abs(em("t0") - 800L) <= 800 * 0.06, em.toString)
   }
 
+  test("quantileSketch: merged day-batches read quantiles within the KLL rank bound; exact on small sketches") {
+    import graft.operators.CorpusStats
+    val day1 = (0 until 20000).map(i => ("k", (i % 10000).toDouble))
+      .toDF("k", "v")
+    val day2 = (0 until 20000).map(i => ("k", (i % 10000 + 5000).toDouble))
+      .toDF("k", "v")
+    val merged = CorpusStats.mergeQuantileSketches(
+      CorpusStats.quantileSketch(day1, Seq("k"), col("v"))
+        .unionAll(CorpusStats.quantileSketch(day2, Seq("k"), col("v"))),
+      Seq("k"))
+    val p = merged.select(
+      CorpusStats.sketchQuantile(col("qsketch"), 0.5),
+      CorpusStats.sketchQuantile(col("qsketch"), 0.99)).head()
+    // union of [0,10000)×2 and [5000,15000)×2: true p50 = 7500,
+    // p99 = 14800; default-k KLL rank error ~1.7% → generous bounds
+    assert(math.abs(p.getDouble(0) - 7500.0) < 600.0, p.toString)
+    assert(math.abs(p.getDouble(1) - 14800.0) < 600.0, p.toString)
+
+    // tiny input: the sketch holds everything — quantiles are EXACT
+    val tiny = (1 to 100).map(i => ("t", i.toDouble)).toDF("k", "v")
+    val q = CorpusStats.quantileSketch(tiny, Seq("k"), col("v"))
+      .select(CorpusStats.sketchQuantile(col("qsketch"), 0.5)).head()
+    assert(q.getDouble(0) === 50.0)
+  }
+
+  test("thetaSketch set algebra: exact intersection/difference under the entry budget") {
+    import graft.operators.CorpusStats
+    val a = (0 until 3000).map(i => ("s", i.toLong)).toDF("k", "u")
+    val b = (2000 until 3500).map(i => ("s", i.toLong)).toDF("k", "u")
+    val sa = CorpusStats.thetaSketch(a, Seq("k"), col("u"))
+      .withColumnRenamed("tsketch", "ta")
+    val sb = CorpusStats.thetaSketch(b, Seq("k"), col("u"))
+      .withColumnRenamed("tsketch", "tb")
+    val r = sa.join(sb, "k").select(
+      CorpusStats.thetaIntersectEstimate(col("ta"), col("tb")),
+      CorpusStats.thetaDifferenceEstimate(col("ta"), col("tb"))).head()
+    // |A∩B| = [2000,3000) = 1000; |A∖B| = [0,2000) = 2000 — both sets
+    // under 2^12 distinct, so the sketches are in exact mode (estimate
+    // returns a LONG count)
+    assert(r.getLong(0) === 1000L, r.toString)
+    assert(r.getLong(1) === 2000L, r.toString)
+  }
+
   // ── z-order layout ─────────────────────────────────────────────
 
   test("zValue interleaves bits (golden + inverse-locality property)") {
