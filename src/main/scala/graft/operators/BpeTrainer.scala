@@ -132,12 +132,18 @@ object BpeTrainer {
       StructField("n_bpe_tokens", IntegerType, nullable = false)))
     in.mapPartitions { it =>
       val re = "[^a-z0-9]+".r
+      // per-partition memo: segmentation is a pure function of the word,
+      // and corpus word streams are Zipfian — the distinct-word set a
+      // partition sees is tiny next to its token count, so caching turns
+      // O(tokens · merges) segmenter work into O(vocab · merges)
+      val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
       it.map { r =>
         val t = r.getAs[String](1)
         val toks =
           if (t == null) Seq.empty[String]
           else re.split(t.toLowerCase).toSeq.filter(_.nonEmpty)
-            .flatMap(w => segmentWord(w, bc.value))
+            .flatMap(w =>
+              memo.getOrElseUpdate(w, segmentWord(w, bc.value)))
         Row.fromSeq(r.toSeq :+ toks :+ toks.length)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
