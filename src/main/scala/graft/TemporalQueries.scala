@@ -266,6 +266,83 @@ object TemporalQueries {
         .orderBy("event_type", "bin")
     }),
 
+    // ── funnel analysis: signup → view → click → purchase, strictly
+    //    ordered first-occurrence times per user; one keyed aggregation,
+    //    no joins, no per-step scans
+    "q_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("tns", col("ts_nanos"))
+      def firstOf(t: String) =
+        min(when(col("event_type") === t, col("tns"))).as(s"t_$t")
+      val perUser = e.groupBy("user_id")
+        .agg(firstOf("signup"), firstOf("view"), firstOf("click"),
+          firstOf("purchase"))
+      perUser.agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_signup")).as("stage_signup"),
+          count(when(col("t_signup") < col("t_view"), 1))
+            .as("stage_view"),
+          count(when(col("t_signup") < col("t_view") &&
+            col("t_view") < col("t_click"), 1)).as("stage_click"),
+          count(when(col("t_signup") < col("t_view") &&
+            col("t_view") < col("t_click") &&
+            col("t_click") < col("t_purchase"), 1)).as("stage_purchase"))
+    }),
+
+    // ── weekly retention cohorts: users grouped by first-seen week,
+    //    counted per week-offset they return in — the (cohort, offset)
+    //    triangle every growth dashboard draws
+    "q_retention" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("week", expr("ts_nanos div 1000000000 div 604800"))
+      val firstWeek = e.groupBy("user_id")
+        .agg(min(col("week")).as("cohort"))
+      e.select("user_id", "week").distinct()
+        .join(firstWeek, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "offset")
+    }),
+
+    // ── robust outliers: MAD-based z-score per type on scaled integers
+    //    (two exact medians per group — mean/stddev outlier rules break
+    //    under the heavy tail this flags)
+    "q_mad_outliers" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("v4", round(col("value") * 10000).cast("long"))
+      val med = e.groupBy("event_type")
+        .agg(median(col("v4")).as("med4"))
+      val mad = e.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(first(col("med4")).as("med4"),
+          median(abs(col("v4") - col("med4"))).as("mad4"))
+      e.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med4")) / 10000.0, 6).as("med"),
+          round(first(col("mad4")) / 10000.0, 6).as("mad"),
+          count(when(abs(col("v4") - col("med4")) >
+            lit(3.0 * 1.4826) * col("mad4"), 1)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+    // ── Shannon entropy of the event-type mix per cohort, from exact
+    //    counts (a uniformity probe for mixture monitoring)
+    "q_entropy" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      val counts = e.groupBy("cohort", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = Window.partitionBy("cohort")
+      counts
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(totals).cast("double"))
+        .groupBy("cohort")
+        .agg(round((-sum(col("p") * log2(col("p")))) + lit(1e-9), 6)
+          .as("entropy_bits"),
+          count(lit(1)).as("n_types"))
+        .orderBy("cohort")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -758,6 +835,78 @@ object TemporalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, sec, event_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup'
+        |             THEN epoch_ns(ts) END) AS t_signup,
+        |         min(CASE WHEN event_type = 'view'
+        |             THEN epoch_ns(ts) END) AS t_view,
+        |         min(CASE WHEN event_type = 'click'
+        |             THEN epoch_ns(ts) END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_ns(ts) END) AS t_purchase
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT count(*) AS n_users,
+        |       count(t_signup) AS stage_signup,
+        |       count(CASE WHEN t_signup < t_view THEN 1 END)
+        |         AS stage_view,
+        |       count(CASE WHEN t_signup < t_view AND t_view < t_click
+        |         THEN 1 END) AS stage_click,
+        |       count(CASE WHEN t_signup < t_view AND t_view < t_click
+        |         AND t_click < t_purchase THEN 1 END) AS stage_purchase
+        |FROM per_user""".stripMargin,
+
+    "q_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |         epoch_ns(ts) // 1000000000 // 604800 AS week
+        |  FROM events
+        |), fw AS (
+        |  SELECT user_id, min(week) AS cohort FROM w GROUP BY 1
+        |)
+        |SELECT fw.cohort, w.week - fw.cohort AS "offset",
+        |       count(*) AS n_users
+        |FROM w JOIN fw ON w.user_id = fw.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(round(value * 10000) AS BIGINT) AS v4
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, median(v4) AS med4 FROM e GROUP BY 1
+        |), mad AS (
+        |  SELECT e.event_type, any_value(med.med4) AS med4,
+        |         median(abs(e.v4 - med.med4)) AS mad4
+        |  FROM e JOIN med ON e.event_type = med.event_type
+        |  GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |       round(any_value(mad.med4) / 10000.0, 6) AS med,
+        |       round(any_value(mad.mad4) / 10000.0, 6) AS mad,
+        |       count(CASE WHEN abs(e.v4 - mad.med4) >
+        |         3.0 * 1.4826 * mad.mad4 THEN 1 END) AS n_outliers
+        |FROM e JOIN mad ON e.event_type = mad.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id % 10 AS cohort, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT cohort,
+        |         CAST(n AS DOUBLE) / CAST(sum(n) OVER
+        |           (PARTITION BY cohort) AS DOUBLE) AS p
+        |  FROM c
+        |)
+        |SELECT cohort,
+        |       round(-sum(p * log2(p)) + 1e-9, 6) AS entropy_bits,
+        |       count(*) AS n_types
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_arg_minmax" ->
       """WITH r AS (
