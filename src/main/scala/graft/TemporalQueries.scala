@@ -343,6 +343,27 @@ object TemporalQueries {
         .orderBy("cohort")
     }),
 
+    // ── scalar math battery (§2.8): rounding family on exact values,
+    //    transcendentals behind the house round+epsilon guard (libm
+    //    last-ulp differences between engines are real)
+    "q_math_fns" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("v", col("value"))
+      e.select(
+          col("event_id"),
+          abs(col("v") - lit(100.0)).as("dist100"),
+          ceil(col("v")).cast("long").as("ceil_v"),
+          floor(col("v")).cast("long").as("floor_v"),
+          signum(col("v") - lit(100.0)).cast("long").as("sign_v"),
+          greatest(col("v"), lit(50.0)).as("hi50"),
+          least(col("v"), lit(50.0)).as("lo50"),
+          pmod(round(col("v") * 100).cast("long"), lit(7L)).as("mod7"),
+          round(sqrt(col("v")) + lit(1e-9), 6).as("sqrt_v"),
+          round(log1p(col("v")) + lit(1e-9), 6).as("ln1p_v"),
+          round(exp(-col("v") / 1000.0) + lit(1e-9), 6).as("exp_v"),
+          round(pow(col("v"), 1.5) + lit(1e-9), 4).as("pow_v"))
+        .orderBy("event_id")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -835,6 +856,21 @@ object TemporalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, sec, event_id""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT event_id,
+        |       abs(value - 100.0) AS dist100,
+        |       CAST(ceil(value) AS BIGINT) AS ceil_v,
+        |       CAST(floor(value) AS BIGINT) AS floor_v,
+        |       CAST(sign(value - 100.0) AS BIGINT) AS sign_v,
+        |       greatest(value, 50.0) AS hi50,
+        |       least(value, 50.0) AS lo50,
+        |       CAST(round(value * 100) AS BIGINT) % 7 AS mod7,
+        |       round(sqrt(value) + 1e-9, 6) AS sqrt_v,
+        |       round(ln(1 + value) + 1e-9, 6) AS ln1p_v,
+        |       round(exp(-value / 1000.0) + 1e-9, 6) AS exp_v,
+        |       round(pow(value, 1.5) + 1e-9, 4) AS pow_v
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_funnel" ->
       """WITH per_user AS (
