@@ -523,20 +523,75 @@ object Dedup {
     * intersection; every shuffle is keyed by doc id or shingle.
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      tau: Double, shingleN: Int = 3): DataFrame = {
-    // materialize the ranked frame ONCE: it feeds BOTH sides of the
-    // candidate self-join AND the verify-side set collection, and Spark
-    // does not reuse the exchange across those consumers (runtime-filter
-    // injection desymmetrizes the join branches) — without this the
-    // scan→shingle→freq-join→two-window subtree executes three times
-    // (measured: 6 FileScans on the sf0.1 corpus). The persist stores
-    // O(total shingles) rows MEMORY_AND_DISK — the same volume the
-    // sh-keyed exchange already wrote, paid once; blocks are released by
-    // the ContextCleaner when the returned frame goes out of scope.
-    ppjoinFromRanked(
-      ppjoinRanked(df, idCol, textCol, shingleN)
+      tau: Double, shingleN: Int = 3, maxDupGroup: Int = 100000)
+      : DataFrame = {
+    // EXACT-DUPLICATE PRE-COLLAPSE: real crawls (and the 10×-clone sf1
+    // corpus) are full of byte-identical texts, and running the PPJoin
+    // over every copy verifies each clone clique pairwise — quadratic
+    // work for pairs whose jaccard is 1.0 by construction. Collapse to
+    // one representative per distinct text, PPJoin the representatives,
+    // then expand pairs back through the duplicate groups with keyed
+    // joins — the expansion is OUTPUT-sized, never candidate-sized.
+    // Identical texts have identical shingle sets, so a member pair's
+    // true jaccard equals its representatives' — the expansion is
+    // exact, not an approximation. Measured: 52.6 s → ~7 s on the
+    // clone-dense sf1 corpus; no-dup corpora pay one md5 + one
+    // hash-keyed agg.
+    val hashed = df
+      .select(col(idCol).as("__jid"), col(textCol).as("__jtext"))
+      .filter(col("__jtext").isNotNull)
+      .withColumn("__h", md5(col("__jtext")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = hashed.groupBy("__h")
+      .agg(min(col("__jid")).as("__jid"),
+        first(col("__jtext")).as("__jtext"), count(lit(1)).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // within-group output is C(m, 2) — quadratic in duplicity, so a
+    // pathological corpus (10⁶ copies of one text) must fail fast with
+    // the remedy, not emit 5·10¹¹ rows (one tiny job over the persisted
+    // reps agg)
+    val maxM = reps.agg(max(col("__m"))).head().getLong(0)
+    if (maxM > maxDupGroup)
+      throw new IllegalArgumentException(
+        s"a text has $maxM exact copies (> maxDupGroup=$maxDupGroup): " +
+          "the within-group pair output alone is quadratic — run " +
+          "Dedup.exact first, or raise maxDupGroup deliberately")
+    // the ranked frame still materializes ONCE for both candidate-join
+    // sides + verify sets (the exchange-reuse lesson documented at
+    // ppjoinFromRanked); it is now representative-sized
+    val repPairs = ppjoinFromRanked(
+      ppjoinRanked(reps, "__jid", "__jtext", shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       tau)
+    val members = hashed.select(col("__h"), col("__jid"))
+    val repToH = reps.select(col("__jid").as("__rid"), col("__h"))
+    // cross-group expansion: rep pair → both groups' member lists via
+    // hash-keyed joins; least/greatest restores the id_a < id_b contract
+    // (group ids interleave)
+    val crossPairs = repPairs
+      .join(repToH.select(col("__rid").as("id_a"), col("__h").as("__ha")),
+        "id_a")
+      .join(repToH.select(col("__rid").as("id_b"), col("__h").as("__hb")),
+        "id_b")
+      .join(members.select(col("__h").as("__ha"), col("__jid").as("__ma")),
+        "__ha")
+      .join(members.select(col("__h").as("__hb"), col("__jid").as("__mb")),
+        "__hb")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    // within-group pairs: jaccard 1.0 by identity — but ONLY for texts
+    // that shingle at all (sub-n-token docs have empty sets and never
+    // pair in the uncollapsed plan or the oracle)
+    val shingled = reps
+      .filter(size(array_distinct(wordShingles(col("__jtext"), shingleN)))
+        > 0)
+      .select("__h")
+    val withins = members.join(shingled, "__h")
+    val withinPairs = withins.as("a").join(withins.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__jid") < col("b.__jid"))
+      .select(col("a.__jid").as("id_a"), col("b.__jid").as("id_b"),
+        lit(1.0).as("jaccard"))
+    crossPairs.unionByName(withinPairs)
   }
 
   /** The τ-INDEPENDENT half of the PPJoin: `(id, sh, df, sz, rank)` —

@@ -145,13 +145,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p0, "Exchange hashpartitioning(sh") == 2, p0.take(4000))
   }
 
-  test("jaccardJoin: sz window shares the rank window's exchange") {
+  test("jaccardJoin: bounded exchanges, no cartesian (collapse + PPJoin + expansion)") {
     val p = plan(Dedup.jaccardJoin(docs, "doc_id", "text", 0.5))
-    // prefix side appears twice (self-join); each side: freq exchange +
-    // id window exchange; verify side: two set joins + distinct — bound
-    // the total so an agg+join-back regression (2 extra exchanges per
-    // side) trips the assertion
-    assert(shuffles(p) <= 14, p)
+    // the exact-dup collapse wraps the PPJoin core (≤14 exchanges, the
+    // old bound) with the hash agg, four hash-keyed expansion joins and
+    // the within-group self-join — every added exchange carries
+    // representative- or OUTPUT-sized rows, and the persisted frames
+    // appear once per plan consumer while executing once. Bound the
+    // total so a data-sized regression (an extra shingle explosion: +4
+    // per side) still trips.
+    assert(shuffles(p) <= 36, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("seasonalDecompose: ONE pass over the series — no self-join, " +
