@@ -370,6 +370,59 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
       tau: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
+    if (maxBucket != Int.MaxValue)
+      // capped path: the bucket cap deliberately trades recall on hot
+      // buckets, and a duplicate group of size m occupies every one of
+      // its band buckets m-fold — collapsing first would resurrect
+      // pairs the cap contract drops, so the capped path stays
+      // collapse-free (specs pin the cap behavior)
+      return rawVerifiedPairs(df, idCol, textCol, numHashes, bands,
+        shingleN, tau, maxBucket)
+    // EXACT-DUP PRE-COLLAPSE (the jaccardJoin argument, sig-tier):
+    // identical texts have identical signatures, so clone cliques make
+    // every band bucket quadratic in duplicity. Band one representative
+    // per distinct text, expand pairs back through the groups —
+    // output-sized keyed joins, exact (agreement(identical) = 1 ≥ τ).
+    val hashed = df.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull)
+      .withColumn("__h", md5(col(textCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = hashed.groupBy("__h")
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = rawVerifiedPairs(reps, idCol, textCol, numHashes,
+      bands, shingleN, tau, maxBucket)
+    val members = hashed.select(col("__h"), col(idCol))
+    val repToH = reps.select(col(idCol).as("__rid"), col("__h"))
+    val crossPairs = repPairs
+      .join(repToH.select(col("__rid").as("id_a"), col("__h").as("__ha")),
+        "id_a")
+      .join(repToH.select(col("__rid").as("id_b"), col("__h").as("__hb")),
+        "id_b")
+      .join(members.select(col("__h").as("__ha"), col(idCol).as("__ma")),
+        "__ha")
+      .join(members.select(col("__h").as("__hb"), col(idCol).as("__mb")),
+        "__hb")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"))
+    // within-group pairs: only texts that SIGN at all (sub-n-token docs
+    // have no signature and never pair in the uncollapsed plan)
+    val signed = reps
+      .filter(size(array_distinct(wordShingles(col(textCol), shingleN)))
+        > 0)
+      .select("__h")
+    val withins = members.join(signed, "__h")
+    val withinPairs = withins.as("a").join(withins.as("b"),
+        col("a.__h") === col("b.__h") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    crossPairs.unionByName(withinPairs)
+  }
+
+  private def rawVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleN: Int,
+      tau: Double, maxBucket: Int): DataFrame = {
     val allKeyed = bandKeyedSigs(df, idCol, textCol, numHashes, bands, shingleN)
     val keyed =
       if (maxBucket == Int.MaxValue) allKeyed
