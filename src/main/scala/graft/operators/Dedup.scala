@@ -362,10 +362,12 @@ object Dedup {
 
   /** Verified near-dup pairs `(id_a < id_b)` from the banded-LSH pipeline
     * — the shared candidate stage of [[lshDedup]] (keep-min survivor set)
-    * and [[nearDupClusters]] (connected components). A pair appears once
-    * PER AGREEING BAND (multiplicity ≤ bands); consumers dedupe on the
-    * projection they need — keep-min needs only `distinct(id_b)`, which
-    * is cheaper than deduping full pairs first. */
+    * and [[nearDupClusters]] (connected components). Multiplicity: the
+    * capped path emits a pair once PER AGREEING BAND (≤ bands); the
+    * uncapped (collapsed) path emits expansion pairs once, with rep
+    * pairs still band-multiplied. Consumers dedupe on the projection
+    * they need — keep-min needs only `distinct(id_b)`, cheaper than
+    * deduping full pairs first. */
   def lshVerifiedPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
