@@ -752,9 +752,53 @@ object Dedup {
     * for long texts use [[jaccardJoin]], where payload-in-join would
     * be wrong. Never corpus². */
   def editDistanceJoin(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, q: Int = 3): DataFrame = {
+      maxDist: Int, q: Int = 3, maxDupGroup: Int = 100000): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     require(q >= 2, "q must be >= 2")
+    // EXACT-DUP PRE-COLLAPSE (the jaccardJoin/lshVerifiedPairs
+    // argument): identical strings share every gram, so clone groups
+    // make the positional buckets quadratic in duplicity. Join one
+    // representative per distinct string, expand back output-sized;
+    // within-group pairs have dist 0 by identity, cross pairs inherit
+    // their representatives' distance exactly.
+    val hashed = df.select(col(idCol).as("__eid"),
+        col(textCol).as("__es"))
+      .filter(col("__es").isNotNull)
+      .withColumn("__h", md5(col("__es")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = hashed.groupBy("__h")
+      .agg(min(col("__eid")).as("__eid"), first(col("__es")).as("__es"),
+        count(lit(1)).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxM = reps.agg(max(col("__m"))).head().getLong(0)
+    if (maxM > maxDupGroup)
+      throw new IllegalArgumentException(
+        s"a string has $maxM exact copies (> maxDupGroup=$maxDupGroup):" +
+          " the within-group pair output alone is quadratic — run " +
+          "Dedup.exact first, or raise maxDupGroup deliberately")
+    val repPairs = editPairsUncollapsed(reps, "__eid", "__es", maxDist, q)
+    val members = hashed.select(col("__h"), col("__eid"))
+    val repToH = reps.select(col("__eid").as("__rid"), col("__h"))
+    val crossPairs = repPairs
+      .join(repToH.select(col("__rid").as("id_a"), col("__h").as("__ha")),
+        "id_a")
+      .join(repToH.select(col("__rid").as("id_b"), col("__h").as("__hb")),
+        "id_b")
+      .join(members.select(col("__h").as("__ha"), col("__eid").as("__ma")),
+        "__ha")
+      .join(members.select(col("__h").as("__hb"), col("__eid").as("__mb")),
+        "__hb")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("dist"))
+    val withinPairs = members.as("a").join(members.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__eid") < col("b.__eid"))
+      .select(col("a.__eid").as("id_a"), col("b.__eid").as("id_b"),
+        lit(0).as("dist"))
+    crossPairs.unionByName(withinPairs)
+  }
+
+  private def editPairsUncollapsed(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int, q: Int): DataFrame = {
     val prefixLen = q * maxDist + 1
     val base = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(col("s").isNotNull)
