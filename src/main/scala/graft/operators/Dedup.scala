@@ -597,6 +597,9 @@ object Dedup {
       .filter(col("__jtext").isNotNull)
       .withColumn("__h", md5(col("__jtext")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // first(text) under a groupBy on md5(text) is deterministic BY VALUE:
+    // every row in the group carries the identical string (md5 collision
+    // would be needed to break this — same assumption as contentKey)
     val reps = hashed.groupBy("__h")
       .agg(min(col("__jid")).as("__jid"),
         first(col("__jtext")).as("__jtext"), count(lit(1)).as("__m"))
