@@ -364,6 +364,28 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // ── rolling-origin backtest of the fleet forecaster on the hourly
+    //    per-type series (rows-only driver check — Holt-Winters isn't
+    //    SQL-expressible; accuracy/calibration/leak-freedom are
+    //    spec-pinned in HoltWintersSpec)
+    "q_backtest" -> ((s, dir) => {
+      val p = graft.ml.HoltWintersParams(bucketInterval = HOUR,
+        period = 86400L, alpha = 0.3, beta = 0.01, gamma = 0.3)
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * HOUR).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      val origins = Seq(20L, 22L, 24L).map(FROM + _ * 86400L)
+      graft.ml.Backtest.rollingOrigin(series, "v", Seq("event_type"), p,
+          origins, horizon = 86400L)
+        .select(col("event_type"), col("origin"), col("n_buckets"),
+          round(col("mae") + lit(1e-9), 4).as("mae"),
+          round(col("mape") + lit(1e-9), 6).as("mape"),
+          round(col("coverage") + lit(1e-9), 4).as("coverage"))
+        .orderBy("event_type", "origin")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
