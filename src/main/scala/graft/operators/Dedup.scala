@@ -389,6 +389,8 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .withColumn("__h", md5(col(textCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // first(text) grouped on md5(text) is deterministic BY VALUE —
+    // every row in the group carries the identical string
     val reps = hashed.groupBy("__h")
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -769,6 +771,8 @@ object Dedup {
       .filter(col("__es").isNotNull)
       .withColumn("__h", md5(col("__es")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // first(s) grouped on md5(s) is deterministic by value (see
+    // jaccardJoin)
     val reps = hashed.groupBy("__h")
       .agg(min(col("__eid")).as("__eid"), first(col("__es")).as("__es"),
         count(lit(1)).as("__m"))
