@@ -386,6 +386,23 @@ object TemporalQueries {
         .orderBy("event_type", "origin")
     }),
 
+    // ── navigation window functions (§2.5): first/last/nth value over
+    //    the full partition frame on a total order — constant per
+    //    partition, collapsed to one row per key
+    "q_window_nav" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("v1", round(col("value"), 1))
+        .select("event_type", "event_id", "v1")
+      val w = Window.partitionBy("event_type").orderBy("v1", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.select(col("event_type"),
+          first(col("event_id")).over(w).as("first_id"),
+          last(col("event_id")).over(w).as("last_id"),
+          nth_value(col("event_id"), 3).over(w).as("third_id"))
+        .distinct()
+        .orderBy("event_type")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -893,6 +910,20 @@ object TemporalQueries {
         |       round(exp(-value / 1000.0) + 1e-9, 6) AS exp_v,
         |       round(pow(value, 1.5) + 1e-9, 4) AS pow_v
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_nav" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, round(value, 1) AS v1 FROM events
+        |)
+        |SELECT DISTINCT event_type,
+        |       first_value(event_id) OVER w AS first_id,
+        |       last_value(event_id) OVER w AS last_id,
+        |       nth_value(event_id, 3) OVER w AS third_id
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY v1, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_type""".stripMargin,
 
     "q_funnel" ->
       """WITH per_user AS (
