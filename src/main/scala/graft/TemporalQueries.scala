@@ -403,6 +403,24 @@ object TemporalQueries {
         .orderBy("event_type")
     }),
 
+    // ── explicit GROUPING SETS (§2.4, the third grouping construct
+    //    beside rollup/cube): (type), (cohort), and () — NOT the cross
+    //    grain, which only the explicit form can express
+    "q_grouping_sets" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("cohort", pmod(col("user_id"), lit(10L)))
+      e.createOrReplaceTempView("__gs_events")
+      s.sql("""
+        SELECT event_type, cohort, count(*) AS n,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                 AS sum_v4,
+               CAST(grouping(event_type) AS BIGINT) AS g_type,
+               CAST(grouping(cohort) AS BIGINT) AS g_cohort
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        ORDER BY g_type, g_cohort, event_type, cohort""")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -910,6 +928,19 @@ object TemporalQueries {
         |       round(exp(-value / 1000.0) + 1e-9, 6) AS exp_v,
         |       round(pow(value, 1.5) + 1e-9, 4) AS pow_v
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 10 AS cohort, value FROM events
+        |)
+        |SELECT event_type, cohort, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+        |         AS sum_v4,
+        |       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        |       CAST(GROUPING(cohort) AS BIGINT) AS g_cohort
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        |ORDER BY g_type, g_cohort, event_type, cohort""".stripMargin,
 
     "q_window_nav" ->
       """WITH e AS (

@@ -261,6 +261,38 @@ class TemporalSpec extends SparkSpec {
     assert(dOut.getLong(3) === 100L)
   }
 
+  test("sessionize ≡ Spark's native session_window on timestamped data (gap semantics cross-check)") {
+    val rnd = new scala.util.Random(23)
+    val evs = Seq.tabulate(200) { _ =>
+      (s"u${rnd.nextInt(4)}", (1 + rnd.nextInt(5000)).toLong)
+    }.distinct
+    val df = evs.toDF("k", "sec")
+    val gap = 300L
+    // custom operator: per-key 0-based session ids over integer ticks
+    val custom = Temporal.sessionize(df, Seq("k"), "sec", gapTicks = gap)
+      .groupBy("k", "session_id")
+      .agg(min("sec").as("start_s"), max("sec").as("end_s"),
+        count(lit(1)).as("n"))
+      .select("k", "start_s", "end_s", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // Spark built-in: session_window closes after `gap` of silence; its
+    // window END is last-event + gap, so start/count must match and
+    // end = our end + gap
+    val native = df
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .groupBy(col("k"), session_window(col("ts"), s"$gap seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        (unix_timestamp(col("session_window.end")) - gap).as("end_s"),
+        col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(custom === native,
+      s"custom ${custom.size} sessions vs native ${native.size}")
+  }
+
   test("saltedJoin: row-identical to the plain join (inner + left), hot key spread over salts") {
     import graft.operators.Skew
     val hot = (1 to 500).map(i => ("hot", i.toLong)) ++
