@@ -305,6 +305,45 @@ object SparkEntry {
         .orderBy("n_name", "rank")
     }),
 
+    // ── §2.3 semi/anti joins: customers WITH any high-value order vs
+    //    customers with NONE — left_semi/left_anti plan as build-side
+    //    joins that never widen rows (the EXISTS/NOT EXISTS shapes)
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      def shape(d: DataFrame, label: String) =
+        d.agg(count(lit(1)).as("n"),
+            min(col("c_custkey")).as("lo"), max(col("c_custkey")).as("hi"))
+          .select(lit(label).as("op"), col("n"), col("lo"), col("hi"))
+      shape(c.join(bigOrders, Seq("c_custkey"), "left_semi"), "has_big")
+        .unionAll(
+          shape(c.join(bigOrders, Seq("c_custkey"), "left_anti"), "no_big"))
+        .orderBy("op")
+    }),
+
+    // ── TPC-H Q6 analog: revenue delta from a band of discounts in one
+    //    scan — every predicate must reach the parquet scan
+    "q_filtered_revenue" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      // typed NTZ literals so the date RANGE pushes to the scan
+      // (a cast chain on the column would demote it to a post-scan
+      // DataFilter and forfeit row-group pruning); session TZ is UTC,
+      // so the naive literals equal the oracle's epoch() bounds
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(30, 6))).cast("double"), 2).as("revenue"))
+        .select(col("n"), col("revenue"))
+    }),
+
     // ── §2.4 derivative (influx DERIVATIVE(MEAN(f)), per-second)
     "q_derivative" -> ((s, dir) =>
       TimesQuery.run(s, t(s, dir, "events"), "ts", HOUR, FROM, TO,
@@ -902,6 +941,34 @@ object SparkEntry {
       s"""$seasonalSql
          |SELECT round(avg((observed - predicted)*(observed - predicted)), 4) AS mse
          |FROM scored""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH big AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_totalprice > 200000.0
+        |), has_big AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM big)
+        |), no_big AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
+        |)
+        |SELECT 'has_big' AS op, count(*) AS n, min(c_custkey) AS lo,
+        |       max(c_custkey) AS hi FROM has_big
+        |UNION ALL
+        |SELECT 'no_big', count(*), min(c_custkey), max(c_custkey)
+        |FROM no_big
+        |ORDER BY op""".stripMargin,
+
+    "q_filtered_revenue" ->
+      """SELECT count(*) AS n,
+        |       round(CAST(sum(CAST(l_extendedprice * l_discount
+        |               AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE epoch(l_shipdate) >= 788918400
+        |  AND epoch(l_shipdate) < 820454400
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
 
     "q_star_join" ->
       """SELECT n_name,

@@ -65,6 +65,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q_filtered_revenue: the date RANGE reaches PushedFilters (typed NTZ literals, no cast chain)") {
+    val p = plan(graft.SparkEntry.queries("q_filtered_revenue")(
+      spark, "/root/testdata/sf0.001"))
+    val scan = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(fail("no FileScan with PushedFilters in plan"))
+    assert(scan.contains("GreaterThanOrEqual(l_shipdate") ||
+      scan.contains("GreaterThanOrEqual(l_shipda"), scan.take(500))
+  }
+
   test("lshDedupAgainst: zero-shuffle signatures below the candidate join") {
     // range-based inputs: a Seq-backed LocalRelation would be constant-
     // folded through the whole pipeline, erasing the projections the
