@@ -421,6 +421,21 @@ object TemporalQueries {
         ORDER BY g_type, g_cohort, event_type, cohort""")
     }),
 
+    // ── FULL OUTER join (§2.3): per-user click vs purchase activity,
+    //    keeping users who only ever did one of the two
+    "q_full_outer" -> ((s, dir) => {
+      val e = ev(s, dir)
+      def side(ty: String, out: String) =
+        e.filter(col("event_type") === ty).groupBy("user_id")
+          .agg(count(lit(1)).as(out))
+      side("click", "n_clicks")
+        .join(side("purchase", "n_buys"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+        .orderBy("user_id")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -928,6 +943,20 @@ object TemporalQueries {
         |       round(exp(-value / 1000.0) + 1e-9, 6) AS exp_v,
         |       round(pow(value, 1.5) + 1e-9, 4) AS pow_v
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks FROM events
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), b AS (
+        |  SELECT user_id, count(*) AS n_buys FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT coalesce(c.user_id, b.user_id) AS user_id,
+        |       coalesce(c.n_clicks, 0) AS n_clicks,
+        |       coalesce(b.n_buys, 0) AS n_buys
+        |FROM c FULL OUTER JOIN b ON c.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_grouping_sets" ->
       """WITH e AS (
