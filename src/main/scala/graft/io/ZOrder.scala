@@ -35,6 +35,26 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** N-dimensional Morton interleave: bit i of column j lands at
+    * position i·k + j (k = number of columns). `bits` per column
+    * defaults so the z-value stays signed-long-safe (k·bits ≤ 62);
+    * [[zValue]] is the k = 2 special case with the same bit layout.
+    * Same contract: non-negative integer columns, masked to `bits` —
+    * bin/rank wider domains first ([[binned]]). One codegen'd
+    * expression (k·bits shift/mask/or terms), no UDF. */
+  def zValueN(cols: Seq[Column], bits: Int = 20): Column = {
+    val k = cols.size
+    require(k >= 2, "need at least 2 columns")
+    require(bits >= 1 && k * bits <= 62,
+      s"k*bits must fit a signed long: $k*$bits > 62")
+    val longs = cols.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Equal-width binning of a numeric column onto [0, 2^bits) for
     * z-ordering continuous domains. (lo, hi) are the domain bounds —
     * pass dataset min/max or fixed business bounds. */

@@ -308,6 +308,42 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(z == Seq(0L, 1L, 2L, 3L, 63L, 64L))
   }
 
+  test("zValueN: 3-D golden values; k=2 layout identical to zValue; 3-D box locality beats 1-D sort") {
+    import graft.io.ZOrder
+    // golden: (x,y,z) bit i of col j lands at i*3+j
+    val df = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (1L, 1L, 1L),
+      (2L, 0L, 0L), (3L, 3L, 3L)).toDF("x", "y", "z")
+    val got = df.select(ZOrder.zValueN(
+      Seq(col("x"), col("y"), col("z"))).as("v")).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 4L, 7L, 8L, 63L))
+    // k = 2 degenerates to exactly zValue's layout
+    val pairs = Seq((5L, 9L), (1023L, 0L), (0L, 1023L), (77L, 41L))
+      .toDF("x", "y")
+    val a = pairs.select(ZOrder.zValueN(Seq(col("x"), col("y")), 21).as("v"))
+      .as[Long].collect().toSeq
+    val b = pairs.select(ZOrder.zValue(col("x"), col("y")).as("v"))
+      .as[Long].collect().toSeq
+    assert(a == b)
+    // locality: sort 16^3 grid by 3-D z-value; an axis-aligned 3-D box
+    // touches fewer sort-order "files" (contiguous chunks) than a 1-D
+    // sort's worst dimension
+    val grid = spark.range(16L * 16L * 16L).select(
+      pmod(col("id"), lit(16)).as("x"),
+      pmod((col("id") / 16).cast("long"), lit(16)).as("y"),
+      (col("id") / 256).cast("long").as("z"))
+    def worstChunks(key: org.apache.spark.sql.Column): Long = {
+      val ranked = grid.withColumn("__k", key)
+        .withColumn("__chunk", ntile(16).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__k"))))
+      Seq(col("x") < 4, col("y") < 4, col("z") < 4).map(p =>
+        ranked.filter(p).select("__chunk").distinct().count()).max
+    }
+    val zw = worstChunks(ZOrder.zValueN(
+      Seq(col("x"), col("y"), col("z")), bits = 4))
+    val xw = worstChunks(col("x") * 256 + col("y") * 16 + col("z"))
+    assert(zw < xw, s"z-order worst=$zw vs lexicographic worst=$xw")
+  }
+
   test("z-ordered files bound the worst query dimension; 1-D sort does not") {
     import graft.io.ZOrder
     val grid = spark.range(64L * 64L).select(
