@@ -436,6 +436,19 @@ object TemporalQueries {
         .orderBy("user_id")
     }),
 
+    // ── 3-D Morton layout key over (user, hour-of-range, value bin) —
+    //    the N-dim generalization q_zorder's 2-D key special-cases
+    "q_zorder3" -> ((s, dir) => {
+      val e = ev(s, dir)
+      e.select(col("event_id"),
+          graft.io.ZOrder.zValueN(Seq(
+            pmod(col("user_id"), lit(1024L)),
+            pmod(expr("ts_nanos div 1000000000 div 3600"), lit(1024L)),
+            pmod(round(col("value")).cast("long"), lit(1024L))),
+            bits = 10).as("zval3"))
+        .orderBy("event_id")
+    }),
+
     // ── typed JSON extraction from the props payload: ONE from_json parse
     //    per row (not n get_json_object re-parses), then a keyed agg
     "q_json_extract" -> ((s, dir) => {
@@ -943,6 +956,20 @@ object TemporalQueries {
         |       round(exp(-value / 1000.0) + 1e-9, 6) AS exp_v,
         |       round(pow(value, 1.5) + 1e-9, 4) AS pow_v
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_zorder3" -> {
+      // generated 30-term bit interleave, mirroring ZOrder.zValueN's
+      // layout (bit i of column j at position i*3 + j)
+      val cols = Seq("user_id % 1024",
+        "epoch_ns(ts) // 1000000000 // 3600 % 1024",
+        "CAST(round(value) AS BIGINT) % 1024")
+      val terms = for {
+        i <- 0 until 10
+        (c, j) <- cols.zipWithIndex
+      } yield s"((($c >> $i) & 1) << ${i * 3 + j})"
+      s"""SELECT event_id, ${terms.mkString(" | ")} AS zval3
+         |FROM events ORDER BY event_id""".stripMargin
+    },
 
     "q_full_outer" ->
       """WITH c AS (
