@@ -218,13 +218,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // ── §2.2 predicates: time range + tag equality (match_all)
+    // ── §2.2 predicates: time range + tag equality (match_all). The
+    //    time range goes through TimesQuery.rangeFilter: typed ts
+    //    literals reach PushedFilters and prune row groups (a
+    //    unix_timestamp(ts) >= F function-of-column never pushes) —
+    //    plan-asserted in PlanShapeSpec. Equivalent for integer epoch
+    //    bounds: floor(ts) >= F ⟺ ts >= F and floor(ts) < T ⟺ ts < T.
     "q_filter_tags" -> ((s, dir) =>
-      t(s, dir, "events")
+      operators.TimesQuery.rangeFilter(
+          t(s, dir, "events"), "ts", FROM, FROM + 7 * 86400)
         .filter(col("event_type") === "purchase" &&
-          col("user_id") % 2 === 0 &&
-          unix_timestamp(col("ts").cast("timestamp")) >= lit(FROM) &&
-          unix_timestamp(col("ts").cast("timestamp")) < lit(FROM + 7 * 86400))
+          col("user_id") % 2 === 0)
         .select("event_id", "user_id", "value")
         .orderBy("event_id")),
 

@@ -959,10 +959,15 @@ object TemporalQueries {
 
     "q_zorder3" -> {
       // generated 30-term bit interleave, mirroring ZOrder.zValueN's
-      // layout (bit i of column j at position i*3 + j)
-      val cols = Seq("user_id % 1024",
-        "epoch_ns(ts) // 1000000000 // 3600 % 1024",
-        "CAST(round(value) AS BIGINT) % 1024")
+      // layout (bit i of column j at position i*3 + j). Each modulus is
+      // normalized ((x % m) + m) % m: the engine uses pmod (always
+      // non-negative) while DuckDB's % keeps the dividend's sign, so a
+      // future corpus with negative values would otherwise silently
+      // diverge the oracle.
+      val cols = Seq(
+        "(((user_id % 1024) + 1024) % 1024)",
+        "(((epoch_ns(ts) // 1000000000 // 3600 % 1024) + 1024) % 1024)",
+        "(((CAST(round(value) AS BIGINT) % 1024) + 1024) % 1024)")
       val terms = for {
         i <- 0 until 10
         (c, j) <- cols.zipWithIndex

@@ -66,10 +66,13 @@ object CorpusStats {
     * the incremental tier above [[approxDistinct]]: write one sketch row
     * per (key, day-batch), and profiling N days of a 100 TB corpus
     * becomes a merge of N·|keys| kilobyte-sized sketches instead of a
-    * rescan of the history. The union is exact over the sketch state
-    * (same library both sides), so estimate(merge(A, B)) ≡
-    * estimate(sketch(A ∪ B)) deterministically — unit-pinned, not just
-    * error-bounded. */
+    * rescan of the history. Merge semantics: in the small-cardinality
+    * coupon regime the union is lossless, so estimate(merge(A, B)) ≡
+    * estimate(sketch(A ∪ B)) exactly; at HLL-array scale a direct
+    * sketch reads through the HIP estimator while a unioned sketch
+    * falls back to the composite estimator, so the two paths can
+    * legitimately differ — both stay within the lgK rsd bound
+    * (≈1.04/√2^lgK), which is what the spec pins. */
   def distinctSketch(df: DataFrame, keys: Seq[String], c: Column,
       lgK: Int = 12): DataFrame =
     df.groupBy(keys.map(col): _*)

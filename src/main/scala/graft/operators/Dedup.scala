@@ -385,15 +385,22 @@ object Dedup {
     // every band bucket quadratic in duplicity. Band one representative
     // per distinct text, expand pairs back through the groups —
     // output-sized keyed joins, exact (agreement(identical) = 1 ≥ τ).
+    // localCheckpoint, NOT persist: both frames feed several consumers
+    // (both candidate-join sides + the expansion joins), and a
+    // Dataset.persist registers an app-lifetime CacheManager entry a
+    // library call can never release (repeated calls accumulate cached
+    // corpora). The eager checkpoint computes each frame exactly once
+    // and the ContextCleaner frees its blocks when the returned plan is
+    // GC'd — no explicit unpersist protocol to get wrong.
     val hashed = df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
       .withColumn("__h", md5(col(textCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // first(text) grouped on md5(text) is deterministic BY VALUE —
     // every row in the group carries the identical string
     val reps = hashed.groupBy("__h")
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val repPairs = rawVerifiedPairs(reps, idCol, textCol, numHashes,
       bands, shingleN, tau, maxBucket)
     val members = hashed.select(col("__h"), col(idCol))
@@ -594,23 +601,29 @@ object Dedup {
     // exact, not an approximation. Measured: 52.6 s → ~7 s on the
     // clone-dense sf1 corpus; no-dup corpora pay one md5 + one
     // hash-keyed agg.
+    // localCheckpoint, NOT persist (see lshVerifiedPairs): app-lifetime
+    // CacheManager entries would accumulate across repeated library
+    // calls; the eager checkpoint is computed once, shared by every
+    // consumer, and released by the ContextCleaner when the returned
+    // frame is GC'd.
     val hashed = df
       .select(col(idCol).as("__jid"), col(textCol).as("__jtext"))
       .filter(col("__jtext").isNotNull)
       .withColumn("__h", md5(col("__jtext")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // first(text) under a groupBy on md5(text) is deterministic BY VALUE:
     // every row in the group carries the identical string (md5 collision
     // would be needed to break this — same assumption as contentKey)
     val reps = hashed.groupBy("__h")
       .agg(min(col("__jid")).as("__jid"),
         first(col("__jtext")).as("__jtext"), count(lit(1)).as("__m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // within-group output is C(m, 2) — quadratic in duplicity, so a
     // pathological corpus (10⁶ copies of one text) must fail fast with
     // the remedy, not emit 5·10¹¹ rows (one tiny job over the persisted
-    // reps agg)
-    val maxM = reps.agg(max(col("__m"))).head().getLong(0)
+    // reps agg). max over zero rows is NULL — an empty/all-null-text
+    // input flows through as the empty frame, not an NPE.
+    val maxM = maxGroupSize(reps)
     if (maxM > maxDupGroup)
       throw new IllegalArgumentException(
         s"a text has $maxM exact copies (> maxDupGroup=$maxDupGroup): " +
@@ -621,7 +634,7 @@ object Dedup {
     // ppjoinFromRanked); it is now representative-sized
     val repPairs = ppjoinFromRanked(
       ppjoinRanked(reps, "__jid", "__jtext", shingleN)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        .localCheckpoint(true),
       tau)
     val members = hashed.select(col("__h"), col("__jid"))
     val repToH = reps.select(col("__jid").as("__rid"), col("__h"))
@@ -770,14 +783,15 @@ object Dedup {
         col(textCol).as("__es"))
       .filter(col("__es").isNotNull)
       .withColumn("__h", md5(col("__es")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // first(s) grouped on md5(s) is deterministic by value (see
-    // jaccardJoin)
+    // jaccardJoin); localCheckpoint not persist — same cache-lifetime
+    // argument as there
     val reps = hashed.groupBy("__h")
       .agg(min(col("__eid")).as("__eid"), first(col("__es")).as("__es"),
         count(lit(1)).as("__m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxM = reps.agg(max(col("__m"))).head().getLong(0)
+      .localCheckpoint(true)
+    val maxM = maxGroupSize(reps)
     if (maxM > maxDupGroup)
       throw new IllegalArgumentException(
         s"a string has $maxM exact copies (> maxDupGroup=$maxDupGroup):" +
@@ -804,16 +818,33 @@ object Dedup {
     crossPairs.unionByName(withinPairs)
   }
 
+  /** Largest exact-duplicate group size from a persisted reps agg —
+    * `max` over zero rows is SQL NULL, so an empty (or all-null-text)
+    * input reads as 0 and the collapse guard passes through to the
+    * empty pipeline instead of NPE-ing on `getLong`. */
+  private def maxGroupSize(reps: DataFrame): Long = {
+    val r = reps.agg(max(col("__m"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   private def editPairsUncollapsed(df: DataFrame, idCol: String,
       textCol: String, maxDist: Int, q: Int): DataFrame = {
     val prefixLen = q * maxDist + 1
     val base = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(col("s").isNotNull)
       .withColumn("len", length(col("s")))
-    val grams = base.select(col("id"), col("len"), col("s"),
-      posexplode(expr(
-        s"transform(sequence(1, greatest(len - $q + 1, 0)), " +
-          s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
+    // strings shorter than q yield NO positional grams: Spark's
+    // sequence(1, 0) steps DOWNWARD to [1, 0], so the old
+    // greatest(·, 0) bound emitted two junk grams per sub-q string that
+    // polluted the gram document-frequency table (correctness survived
+    // only because the levenshtein verify discards the candidates).
+    // Sub-q strings are fully covered by the `shorts` length-key tier
+    // below (len <= q-1 <= q·(maxDist+1)-1 for maxDist >= 0).
+    val grams = base.filter(col("len") >= q)
+      .select(col("id"), col("len"), col("s"),
+        posexplode(expr(
+          s"transform(sequence(1, len - $q + 1), " +
+            s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
     // document frequency via agg+join (a g-partitioned window would
     // funnel a stop-gram through one task); rank per id, rarest first,
     // (g, pos) tie-break for a per-string total order
@@ -829,14 +860,15 @@ object Dedup {
         explode(expr(s"transform(sequence(0, $maxDist), " +
           "i -> concat('S', len + i))")).as("g"),
         lit(0).as("pos"))
-    // persisted: the prefix frame feeds BOTH sides of the candidate
-    // self-join, and Spark does not reuse the exchange across the
-    // desymmetrized branches (the jaccardJoin lesson) — without this the
-    // gram-explode → df-join → window subtree executes twice.
-    // O(docs · prefixLen) short rows, released by the ContextCleaner
-    // when the returned frame goes out of scope.
+    // localCheckpoint: the prefix frame feeds BOTH sides of the
+    // candidate self-join, and Spark does not reuse the exchange across
+    // the desymmetrized branches (the jaccardJoin lesson) — without
+    // this the gram-explode → df-join → window subtree executes twice.
+    // A Dataset.persist would be an app-lifetime CacheManager entry
+    // nothing releases; the checkpoint's O(docs · prefixLen) blocks are
+    // freed by the ContextCleaner when the returned frame is GC'd.
     val keyed = prefix.unionByName(shorts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // position goes INTO the join key: the probe side enumerates the
     // 2d+1 admissible offsets, so a match costs one hash/merge lookup
     // instead of a scan of the gram's whole bucket with |Δpos| checked
@@ -935,11 +967,13 @@ object Dedup {
     // candidate pipeline) must run ONCE, not once per round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    val init = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
       .persist()
+    var labels: DataFrame = init
     var iter = 0
     var done = false
-    while (!done && iter < maxIter) {
+    try {
+      while (!done && iter < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy("src").agg(min("dlabel").as("nmin"))
@@ -958,12 +992,17 @@ object Dedup {
       done = next.filter(col("label") =!= col("old")).limit(1).count() == 0L
       labels = next
       iter += 1
+      }
+    } finally {
+      // both are app-lifetime CacheManager entries if left behind —
+      // release them whether the iteration converges or throws (the
+      // rounds only ever read them through the per-round checkpoints)
+      sym.unpersist(false)
+      init.unpersist(false)
     }
-    sym.unpersist()
-    // the final label table STAYS persisted: it is two longs per node
-    // (index-sized, not corpus-sized), and unpersisting here would make
-    // every downstream action replay the whole iteration lineage. If the
-    // cache is evicted the lineage still reproduces the result.
+    // the final label table is a localCheckpoint: two longs per node
+    // (index-sized, not corpus-sized), materialized once, released by
+    // the ContextCleaner when the caller drops the frame.
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -154,6 +154,38 @@ class IncrementalOpsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup joins leave no app-lifetime cache behind across repeated calls") {
+    // the r8 audit found jaccardJoin persisting its collapse frames
+    // (Dataset.persist = a CacheManager entry nothing ever releases);
+    // they are now eager localCheckpoints owned by the ContextCleaner.
+    // Repeated library calls must return the block store to baseline
+    // once the returned frames are dropped.
+    val sc = spark.sparkContext
+    def persisted: Int = sc.getPersistentRDDs.size
+    val docsData = (0 until 40).map { i =>
+      val body = if (i % 4 == 0) "the quick brown fox jumps over the lazy dog"
+        else s"document body number $i with shared words alpha beta gamma"
+      (i.toLong, s"$body tail ${i % 7}")
+    }.toDF("doc_id", "text")
+    val before = persisted
+    (1 to 2).foreach { _ =>
+      assert(Dedup.jaccardJoin(docsData, "doc_id", "text", 0.5).count() >= 0)
+      assert(Dedup.editDistanceJoin(docsData, "doc_id", "text", 2).count() >= 0)
+      assert(Dedup.lshVerifiedPairs(docsData, "doc_id", "text").count() >= 0)
+      assert(Dedup.connectedComponents(
+        docsData.select(col("doc_id").as("id")),
+        Seq((0L, 4L), (4L, 8L)).toDF("id_a", "id_b"), "id").count() >= 0)
+    }
+    // checkpointed intermediates drain via GC + ContextCleaner — poll
+    val deadline = System.currentTimeMillis + 30000
+    var now = persisted
+    while (now > before && System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(250); now = persisted
+    }
+    assert(now <= before,
+      s"cache entries leaked across calls: $now persisted RDDs > baseline $before")
+  }
+
   test("topKJaccardPairs: equals the naive top-k above the floor; " +
       "early-exits at a high tau when matches are dense") {
     val base = "the quick brown fox jumps over the lazy dog"
@@ -226,7 +258,7 @@ class IncrementalOpsSpec extends SparkSpec {
     assert(math.abs(prof("en") - 200L) <= 30)
   }
 
-  test("distinctSketch: incremental day-batch merge ≡ one full-corpus sketch, exactly; outer keys survive") {
+  test("distinctSketch: incremental day-batch merge tracks the full-corpus sketch within the rsd bound; outer keys survive") {
     import graft.operators.CorpusStats
     // two "days" with overlapping user populations per key, plus a key
     // seen only on day 2
@@ -243,9 +275,19 @@ class IncrementalOpsSpec extends SparkSpec {
       df.select(col("k"), CorpusStats.estimateDistinct(col("sketch")))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val (em, ef) = (ests(merged), ests(full))
-    // same sketch library both paths — the union is exact over the
-    // sketch state, so estimates agree EXACTLY, not just within rsd
-    assert(em === ef, s"merged=$em full=$ef")
+    // merged-vs-direct is EXACT only in the coupon regime; at HLL-array
+    // scale the direct path uses the HIP estimator while the unioned
+    // path reads the composite estimator, so the estimates may
+    // legitimately differ — pin agreement to 3× the lgK=12 rsd
+    // (1.04/√4096 ≈ 1.63%) instead of bit-identity
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    ef.foreach { case (k, fv) =>
+      val mv = em(k)
+      val tol = math.max(3 * rsd * math.max(fv, mv), 1.0)
+      assert(math.abs(mv - fv) <= tol,
+        s"key $k merged=$mv full=$fv beyond 3·rsd=$tol")
+    }
+    // tiny cardinalities stay in the coupon regime, where merge IS exact
     assert(em.contains("t9") && em("t9") == 2L) // day-2-only key survives
     // and the estimates are near truth: k = i%2 makes u share i's
     // parity (900 and 1100 are even), so t0 sees the evens of

@@ -74,6 +74,18 @@ class PlanShapeSpec extends SparkSpec {
       scan.contains("GreaterThanOrEqual(l_shipda"), scan.take(500))
   }
 
+  test("q_filter_tags: the time range reaches PushedFilters via rangeFilter (no unix_timestamp cast chain)") {
+    val p = plan(graft.SparkEntry.queries("q_filter_tags")(
+      spark, "/root/testdata/sf0.001"))
+    val scan = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse(fail("no FileScan with PushedFilters in plan"))
+    // the time bound reaches the scan as a typed literal comparison
+    // (explain truncates the PushedFilters list, so pin the range
+    // predicate — the one the old unix_timestamp(cast) form lost)
+    assert(scan.contains("GreaterThanOrEqual(ts"), scan.take(500))
+    assert(!p.contains("unix_timestamp"), "cast chain survived in the plan")
+  }
+
   test("lshDedupAgainst: zero-shuffle signatures below the candidate join") {
     // range-based inputs: a Seq-backed LocalRelation would be constant-
     // folded through the whole pipeline, erasing the projections the
