@@ -173,9 +173,10 @@ object DataPipelineQueries {
       .orderBy("doc_id")),
 
     // ── learned-BPE tokenization: train 64 merges on the corpus's own
-    //    word-frequency table, segment every doc with them (rows-only
-    //    driver check — BPE learning is not SQL-expressible; the merge
-    //    table and segmenter are unit-pinned in BpeTrainerSpec)
+    //    word-frequency table, segment every doc with them. Oracle:
+    //    the merge loop replays as a DuckDB recursive CTE (see
+    //    oracleSql) — BPE learning IS SQL-expressible once each word's
+    //    symbol sequence is encoded as a delimited string.
     "q_bpe_learned" -> ((s, dir) => {
       val d = docs(s, dir)
       val merges = graft.operators.BpeTrainer.learnMerges(d, "text", 64)
@@ -815,6 +816,74 @@ object DataPipelineQueries {
        |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // BPE learning replayed as a recursive CTE: each word's symbol
+    // sequence is encoded as a delimited string (single space at the
+    // ends, DOUBLE space between symbols — symbols are [a-z0-9</w>]+ so
+    // spaces never occur inside one), which makes one merge application
+    // exactly one replace(' a  b ', ' ab '): every pattern occurrence is
+    // symbol-aligned (a match needs a boundary space followed by a full
+    // symbol), consecutive occurrences each own a boundary char (the
+    // double separator donates one space to each neighbor), and SQL
+    // replace scans left-to-right non-overlapping — precisely the BPE
+    // merge rule. Each CTE iteration counts weighted adjacent pairs over
+    // the previous iteration's working table (argmax with the trainer's
+    // (-count, a, b) tie-break) and rewrites every word; 64 iterations
+    // = the learned merge table; the final working table IS the
+    // segmentation of every corpus word (learning applies merges in
+    // rank order, same as the segmenter). Validated bit-identical to
+    // BpeTrainer on the sf0.01 corpus before wiring.
+    "q_bpe_learned" -> {
+      def bestPair(field: Int): String =
+        s"""(SELECT z[$field] FROM (
+           |    SELECT z, sum(cnt) AS c
+           |    FROM (SELECT unnest(list_zip(syms, syms[2:])) AS z, cnt FROM
+           |          (SELECT string_split(trim(enc), '  ') AS syms, cnt FROM bpe))
+           |    WHERE z[2] IS NOT NULL
+           |    GROUP BY z ORDER BY c DESC, z[1], z[2] LIMIT 1))""".stripMargin
+      s"""WITH RECURSIVE
+         |wc AS (
+         |  SELECT word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents
+         |  ) WHERE word <> '' GROUP BY word
+         |),
+         |bpe(step, word, enc, cnt) AS (
+         |  SELECT 0, word,
+         |         ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), '  ') || ' ',
+         |         cnt
+         |  FROM wc
+         |  UNION ALL
+         |  SELECT step + 1, word,
+         |         replace(enc, ' ' || ${bestPair(1)} || '  ' || ${bestPair(2)} || ' ',
+         |                      ' ' || ${bestPair(1)} || ${bestPair(2)} || ' '),
+         |         cnt
+         |  FROM bpe
+         |  WHERE step < 64 AND EXISTS (
+         |    SELECT 1 FROM (SELECT unnest(list_zip(syms, syms[2:])) AS z FROM
+         |      (SELECT string_split(trim(enc), '  ') AS syms FROM bpe)) WHERE z[2] IS NOT NULL)
+         |),
+         |final AS (
+         |  SELECT word, string_split(trim(enc), '  ') AS syms
+         |  FROM bpe WHERE step = (SELECT max(step) FROM bpe)
+         |),
+         |doc_words AS (
+         |  SELECT doc_id, unnest(l) AS word, unnest(generate_series(1, len(l))) AS pos
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+         |        FROM documents)
+         |),
+         |agg AS (
+         |  SELECT w.doc_id,
+         |         CAST(sum(len(f.syms)) AS INTEGER) AS n_bpe_tokens,
+         |         first(f.syms[1] ORDER BY w.pos) AS first_tok
+         |  FROM doc_words w JOIN final f USING (word)
+         |  GROUP BY w.doc_id
+         |)
+         |SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens, a.first_tok
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "q_dedup_exact" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,

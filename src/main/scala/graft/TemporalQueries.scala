@@ -365,9 +365,11 @@ object TemporalQueries {
     }),
 
     // ── rolling-origin backtest of the fleet forecaster on the hourly
-    //    per-type series (rows-only driver check — Holt-Winters isn't
-    //    SQL-expressible; accuracy/calibration/leak-freedom are
-    //    spec-pinned in HoltWintersSpec)
+    //    per-type series. Oracle: the q_fleet_hw lockstep fold CTE
+    //    generalized with an origin dimension — every per-origin fit,
+    //    forecast, and metric is differentially verified (the
+    //    leak-freedom/calibration floors stay spec-pinned in
+    //    HoltWintersSpec)
     "q_backtest" -> ((s, dir) => {
       val p = graft.ml.HoltWintersParams(bucketInterval = HOUR,
         period = 86400L, alpha = 0.3, beta = 0.01, gamma = 0.3)
@@ -1407,6 +1409,100 @@ object TemporalQueries {
          |       round($predExpr - $z * st.sigma, 4) AS lower,
          |       round($predExpr + $z * st.sigma, 4) AS upper
          |FROM fspine f JOIN st USING (event_type) ORDER BY 1, 2""".stripMargin
+    },
+
+    // the q_fleet_hw fold generalized with an ORIGIN dimension: all three
+    // rolling origins advance in the SAME lockstep recursive CTE (keys =
+    // (origin, event_type)), then forecast spine + actuals join + metric
+    // aggregation replay Backtest.rollingOrigin term-by-term. Closes the
+    // last rows-only gap on the temporal surface: the backtest is now
+    // differentially verified end-to-end, not just spec-pinned.
+    "q_backtest" -> {
+      val alpha = 0.3; val beta = 0.01; val gamma = 0.3; val m = 24
+      val z = 3.0
+      val origins = Seq(20L, 22L, 24L).map(FROM + _ * 86400L)
+      val roll = s"(CASE WHEN (o.bucket - f.prev_bucket) // $HOUR > 1 " +
+        s"THEN f.lvl + CAST((o.bucket - f.prev_bucket) // $HOUR - 1 AS DOUBLE) * f.tr " +
+        "ELSE f.lvl END)"
+      val sj = "f.season[CAST(o.slot AS INT) + 1]"
+      val pred = "(st.lvl + CAST((sp.bucket - st.last_bucket) // " +
+        s"$HOUR AS DOUBLE) * st.tr + " +
+        s"st.season[CAST((sp.bucket % 86400) // $HOUR AS INT) + 1])"
+      val originVals = origins.map(o => s"($o)").mkString(", ")
+      s"""WITH RECURSIVE agg AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events GROUP BY 1, 2
+         |), origins(origin) AS (VALUES $originVals),
+         |obs AS (
+         |  SELECT g.origin, a.event_type, a.bucket, a.v,
+         |         (a.bucket % 86400) // $HOUR AS slot,
+         |         row_number() OVER (PARTITION BY g.origin, a.event_type ORDER BY a.bucket) AS rn
+         |  FROM agg a CROSS JOIN origins g
+         |  WHERE a.v IS NOT NULL AND a.bucket < g.origin
+         |), nobs AS (SELECT origin, event_type, max(rn) AS n FROM obs GROUP BY 1, 2),
+         |s1 AS (
+         |  SELECT origin, event_type, list_reduce(list(v ORDER BY rn), (a, b) -> a + b) AS sum1,
+         |         count(*) AS n1
+         |  FROM obs WHERE rn <= $m GROUP BY 1, 2
+         |), s2 AS (
+         |  SELECT origin, event_type,
+         |         CASE WHEN count(*) > 0
+         |              THEN list_reduce(list(v ORDER BY rn), (a, b) -> a + b) END AS sum2,
+         |         count(*) AS n2
+         |  FROM obs WHERE rn > $m AND rn <= ${2 * m} GROUP BY 1, 2
+         |), init AS (
+         |  SELECT s1.origin, s1.event_type, sum1/n1 AS mean1,
+         |         CASE WHEN coalesce(n2, 0) > 0 THEN (sum2/n2 - sum1/n1) / $m ELSE 0.0 END AS trend0
+         |  FROM s1 LEFT JOIN s2 USING (origin, event_type)
+         |), slot_last AS (
+         |  SELECT origin, event_type, slot, v FROM (
+         |    SELECT origin, event_type, slot, v,
+         |           row_number() OVER (PARTITION BY origin, event_type, slot ORDER BY rn DESC) AS rr
+         |    FROM obs WHERE rn <= $m) t WHERE rr = 1
+         |), season0 AS (
+         |  SELECT i.origin, i.event_type, list(coalesce(sl.v - i.mean1, 0.0) ORDER BY g.j) AS season
+         |  FROM init i
+         |  CROSS JOIN generate_series(0, ${m - 1}) g(j)
+         |  LEFT JOIN slot_last sl ON sl.origin = i.origin AND sl.event_type = i.event_type AND sl.slot = g.j
+         |  GROUP BY i.origin, i.event_type
+         |), first_b AS (
+         |  SELECT origin, event_type, bucket FROM obs WHERE rn = 1
+         |), fold AS (
+         |  SELECT i.origin, i.event_type, CAST(0 AS BIGINT) AS rn, i.mean1 AS lvl, i.trend0 AS tr,
+         |         s0.season AS season, fb.bucket AS prev_bucket, CAST(0.0 AS DOUBLE) AS sse
+         |  FROM init i JOIN season0 s0 USING (origin, event_type) JOIN first_b fb USING (origin, event_type)
+         |  UNION ALL
+         |  SELECT o.origin, o.event_type, o.rn,
+         |         $alpha * (o.v - $sj) + (1 - $alpha) * ($roll + f.tr) AS newlvl,
+         |         $beta * (newlvl - $roll) + (1 - $beta) * f.tr AS newtr,
+         |         list_transform(range(1, ${m + 1}), i -> CASE WHEN i - 1 = o.slot
+         |             THEN $gamma * (o.v - newlvl) + (1 - $gamma) * $sj
+         |             ELSE f.season[CAST(i AS INT)] END) AS season,
+         |         o.bucket AS prev_bucket,
+         |         f.sse + (o.v - ($roll + f.tr + $sj)) * (o.v - ($roll + f.tr + $sj)) AS sse
+         |  FROM fold f JOIN obs o ON o.origin = f.origin AND o.event_type = f.event_type AND o.rn = f.rn + 1
+         |), st AS (
+         |  SELECT f.origin, f.event_type, f.lvl, f.tr, f.season, f.prev_bucket AS last_bucket,
+         |         greatest(sqrt(f.sse / nb.n), 1e-9) AS sigma
+         |  FROM fold f JOIN nobs nb ON nb.origin = f.origin AND nb.event_type = f.event_type AND f.rn = nb.n
+         |), sp AS (
+         |  SELECT st.origin, st.event_type,
+         |         unnest(generate_series(st.origin, st.origin + 86400 - $HOUR, $HOUR)) AS bucket
+         |  FROM st
+         |), fc AS (
+         |  SELECT sp.origin, sp.event_type, sp.bucket,
+         |         $pred AS predicted,
+         |         $pred - $z * st.sigma AS lower,
+         |         $pred + $z * st.sigma AS upper
+         |  FROM sp JOIN st ON st.origin = sp.origin AND st.event_type = sp.event_type
+         |)
+         |SELECT fc.event_type, fc.origin, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       round(avg(abs(a.v - fc.predicted)) + 1e-9, 4) AS mae,
+         |       round(avg(CASE WHEN abs(a.v) > 1e-12 THEN abs(a.v - fc.predicted) / abs(a.v) END) + 1e-9, 6) AS mape,
+         |       round(avg(CASE WHEN a.v >= fc.lower AND a.v <= fc.upper THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS coverage
+         |FROM fc JOIN agg a ON a.event_type = fc.event_type AND a.bucket = fc.bucket
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "q_interpolate" ->
