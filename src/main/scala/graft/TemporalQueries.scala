@@ -659,6 +659,63 @@ object TemporalQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // ── keyed times-query (§2.2 seriesKeys fan-out): ONE fused
+    //    conditional aggregation + spine×series gap materialization for
+    //    the whole fleet — the multi-series form every TSDB request with
+    //    group_by tags compiles to. Previously unit-only; now
+    //    driver-gated.
+    "q_times_keyed" -> ((s, dir) => {
+      import graft.operators.{ConstFill, Feature, TimesQuery}
+      TimesQuery.run(s, ev(s, dir), "ts", HOUR, FROM, FROM + 30L * 86400L,
+          Seq(
+            Feature("avg_v", "avg", "value", fill = ConstFill(0.0)),
+            Feature("n", "count", "value", fill = ConstFill(0.0))),
+          seriesKeys = Seq("event_type"))
+        .withColumn("avg_v", round(col("avg_v") + lit(1e-9), 4))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ── fleet anomaly scan (§2.9 keyed): per-key seasonal profile →
+    //    score → keyed hysteresis with grace, run as TWO eval windows
+    //    through FleetScan.scanWithState (empty state → resume) — the
+    //    oracle is ONE continuous per-key recursive CTE, so the state
+    //    handoff itself is differentially verified: any resume defect
+    //    diverges window 2 from the continuous scan.
+    "q_fleet_scan" -> ((s, dir) => {
+      import graft.operators.{Feature, TimesQuery}
+      val TO = FROM + 30L * 86400L
+      val keys = Seq("event_type")
+      def series(from: Long, to: Long) =
+        TimesQuery.run(s, ev(s, dir), "ts", HOUR, from, to,
+          Seq(Feature("observed", "avg", "value")), seriesKeys = keys)
+      val slotC = (pmod(col("bucket"), lit(86400L)) / lit(HOUR)).cast("long")
+      val profile = series(FROM, SPLIT)
+        .groupBy(col("event_type"), slotC.as("slot"))
+        .agg(avg(col("observed")).as("mu"),
+          coalesce(when(stddev_pop(col("observed")) === 0.0, 1.0)
+            .otherwise(stddev_pop(col("observed"))), lit(1.0)).as("sigma"))
+      def scored(from: Long, to: Long) = series(from, to)
+        .withColumn("slot", slotC)
+        .join(broadcast(profile), Seq("event_type", "slot"))
+        .withColumn("score", coalesce(graft.functions.Stats.anomalyScore(
+          col("observed"), col("mu"), col("mu") + lit(3.0) * col("sigma"),
+          "low_high"), lit(0.0)))
+        .select(col("event_type"), col("bucket"), col("score"))
+      val mid = SPLIT + 5L * 86400L
+      val (scan1, st1) = graft.ml.FleetScan.scanWithState(
+        scored(SPLIT, mid), graft.ml.FleetScan.emptyState(s, keys), keys,
+        maxThreshold = 90.0, minThreshold = 60.0, gracePeriodSec = 21600L)
+      val (scan2, _) = graft.ml.FleetScan.scanWithState(
+        scored(mid, TO), st1, keys,
+        maxThreshold = 90.0, minThreshold = 60.0, gracePeriodSec = 21600L)
+      scan1.unionByName(scan2)
+        .select(col("event_type"), col("bucket"),
+          round(col("score"), 4).as("score"),
+          col("is_anomaly"), col("anomaly"),
+          round(col("episode_max"), 4).as("episode_max"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // ── linear interpolation of gap hours in the sparse 'error' series
     "q_interpolate" -> ((s, dir) => {
       val from = 1704067200L // 2024-01-01T00:00:00Z (events table range)
@@ -1503,6 +1560,123 @@ object TemporalQueries {
          |       round(avg(CASE WHEN a.v >= fc.lower AND a.v <= fc.upper THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS coverage
          |FROM fc JOIN agg a ON a.event_type = fc.event_type AND a.bucket = fc.bucket
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // keyed times-query: spine × distinct series, keyed fused agg
+    "q_times_keyed" -> {
+      val TO = FROM + 30L * 86400L
+      s"""WITH keys AS (SELECT DISTINCT event_type FROM events),
+         |spine AS (
+         |  SELECT k.event_type,
+         |         unnest(generate_series($FROM, ${TO - HOUR}, $HOUR)) AS bucket
+         |  FROM keys k
+         |), agg AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS avg_v,
+         |         CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $TO
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.bucket, s.event_type,
+         |       round(coalesce(a.avg_v, 0.0) + 1e-9, 4) AS avg_v,
+         |       coalesce(a.n, 0.0) AS n
+         |FROM spine s LEFT JOIN agg a USING (event_type, bucket)
+         |ORDER BY s.event_type, s.bucket""".stripMargin
+    },
+
+    // fleet scan: the q_anomaly_scan_grace recursive state machine with
+    // an event_type dimension, over a PER-KEY seasonal profile — ONE
+    // continuous CTE; the engine runs two eval windows through
+    // FleetScan.scanWithState, so matching this oracle proves the state
+    // handoff (open episode, grace anchor, episode max) is exact.
+    "q_fleet_scan" -> {
+      val TO = FROM + 30L * 86400L
+      val det = "(sm.last_end IS NULL OR o.bucket - sm.last_end >= 21600) " +
+        "AND o.score >= 90.0"
+      s"""WITH RECURSIVE keys AS (SELECT DISTINCT event_type FROM events),
+         |train_agg AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $SPLIT GROUP BY 1, 2
+         |), train_spine AS (
+         |  SELECT k.event_type,
+         |         unnest(generate_series($FROM, ${SPLIT - HOUR}, $HOUR)) AS bucket
+         |  FROM keys k
+         |), train_series AS (
+         |  SELECT s.event_type, s.bucket, a.v
+         |  FROM train_spine s LEFT JOIN train_agg a USING (event_type, bucket)
+         |), profile AS (
+         |  SELECT event_type, CAST((bucket % 86400) / $HOUR AS BIGINT) AS slot,
+         |         avg(v) AS mu,
+         |         CASE WHEN stddev_pop(v) = 0 OR stddev_pop(v) IS NULL THEN 1.0
+         |              ELSE stddev_pop(v) END AS sigma
+         |  FROM train_series GROUP BY 1, 2
+         |), test_agg AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events WHERE epoch(ts) >= $SPLIT AND epoch(ts) < $TO GROUP BY 1, 2
+         |), test_spine AS (
+         |  SELECT k.event_type,
+         |         unnest(generate_series($SPLIT, ${TO - HOUR}, $HOUR)) AS bucket
+         |  FROM keys k
+         |), test_series AS (
+         |  SELECT s.event_type, s.bucket, a.v
+         |  FROM test_spine s LEFT JOIN test_agg a USING (event_type, bucket)
+         |), banded AS (
+         |  SELECT t.event_type, t.bucket, t.v AS observed, p.mu AS predicted,
+         |         p.mu + 3*p.sigma AS upper
+         |  FROM test_series t
+         |  JOIN profile p ON p.event_type = t.event_type
+         |    AND p.slot = CAST((t.bucket % 86400) / $HOUR AS BIGINT)
+         |), xed AS (
+         |  SELECT *,
+         |    abs((observed - predicted) / greatest((upper - predicted)/3.0, 1e-9)) / sqrt(2) AS x
+         |  FROM banded
+         |), ted AS (
+         |  SELECT *, 1/(1 + 0.3275911*x) AS tp FROM xed
+         |), raw_scored AS (
+         |  SELECT event_type, bucket,
+         |    100 * least(greatest(
+         |      2*(0.5*(1 + (1 - ((((1.061405429*tp - 1.453152027)*tp + 1.421413741)*tp
+         |                          - 0.284496736)*tp + 0.254829592)*tp * exp(-x*x)))) - 1,
+         |      0), 1) AS score
+         |  FROM ted
+         |), ordered AS (
+         |  SELECT event_type,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn,
+         |         bucket, coalesce(score, 0.0) AS score
+         |  FROM raw_scored
+         |), sm AS (
+         |  SELECT event_type, rn, bucket, score,
+         |         score >= 90.0 AS detected,
+         |         score >= 90.0 AS open_after,
+         |         CAST(NULL AS BIGINT) AS last_end,
+         |         CASE WHEN score >= 90.0 THEN score ELSE 0.0 END AS epi_max,
+         |         CASE WHEN score >= 90.0 THEN 'start' END AS anomaly
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.rn, o.bucket, o.score,
+         |         $det AS detected,
+         |         CASE WHEN NOT sm.open_after THEN $det
+         |              ELSE NOT (NOT ($det) AND o.score < 60.0) END AS open_after,
+         |         CASE WHEN sm.open_after AND NOT ($det) AND o.score < 60.0
+         |              THEN o.bucket ELSE sm.last_end END AS last_end,
+         |         CASE WHEN NOT sm.open_after AND ($det) THEN o.score
+         |              WHEN sm.open_after AND ($det)
+         |              THEN greatest(sm.epi_max, o.score)
+         |              ELSE sm.epi_max END AS epi_max,
+         |         CASE WHEN NOT sm.open_after AND ($det) THEN 'start'
+         |              WHEN sm.open_after AND NOT ($det) AND o.score < 60.0
+         |              THEN 'end'
+         |              WHEN sm.open_after THEN 'ongoing' END AS anomaly
+         |  FROM sm JOIN ordered o
+         |    ON o.event_type = sm.event_type AND o.rn = sm.rn + 1
+         |)
+         |SELECT event_type, bucket, round(score, 4) AS score,
+         |       detected AS is_anomaly, anomaly,
+         |       round(CASE WHEN anomaly IS NOT NULL THEN epi_max END, 4)
+         |         AS episode_max
+         |FROM sm ORDER BY event_type, bucket""".stripMargin
     },
 
     "q_interpolate" ->
