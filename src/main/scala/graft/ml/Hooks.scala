@@ -35,21 +35,26 @@ object Hooks {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Dispatch start/end events from [[AnomalyScan.scan]] output to hooks,
-    * in bucket order. Only marker rows are collected — O(episodes), not
-    * O(buckets): the frame is filtered to `anomaly IN ('start','end')`
-    * before it reaches the driver. `feature` names the scored feature for
-    * the anomalies dict; direction = low when observed < predicted
-    * (donut.py:1509). For fleet scans pass `keyCols`: each event's
-    * anomalies-dict key is suffixed `[k1=v1,…]` so alerts identify the
-    * series. */
+    * in (key, bucket) order. Only marker rows reach the driver —
+    * O(episodes), not O(buckets) — and they STREAM through
+    * `toLocalIterator`, one range partition at a time: a fleet scan over
+    * millions of series in a bad hour never materializes every alert in
+    * one driver array (the r8 audit's finding). The `orderBy` range-
+    * partitions the events, so iterating partitions in order preserves
+    * the global (key, bucket) order hooks rely on. `feature` names the
+    * scored feature for the anomalies dict; direction = low when
+    * observed < predicted (donut.py:1509). For fleet scans pass
+    * `keyCols`: each event's anomalies-dict key is suffixed `[k1=v1,…]`
+    * so alerts identify the series. */
   def dispatch(scanned: DataFrame, hooks: Seq[Hook],
       feature: String = "value", keyCols: Seq[String] = Nil): Unit = {
     if (hooks.isEmpty) return
     val cols = scanned.columns.toSet
     val events = scanned
       .filter(col("anomaly").isin("start", "end"))
-      .orderBy((keyCols.map(col) :+ col("bucket")): _*).collect()
-    events.foreach { r =>
+      .orderBy((keyCols.map(col) :+ col("bucket")): _*)
+      .toLocalIterator()
+    events.forEachRemaining { r =>
       val ts = r.getLong(r.fieldIndex("bucket"))
       val score = r.getDouble(r.fieldIndex("score"))
       val label =

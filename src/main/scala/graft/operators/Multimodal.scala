@@ -629,6 +629,37 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(frameSchema))
   }
 
+  /** Decode-budget gate — the 100 TB cost knob for the media family.
+    * Codec CPU is this pipeline's honest dominant cost (q_video_features
+    * is a linear narrow map: ~42 s at sf1 with zero shuffles), and it is
+    * linear in decoded BLOBS × frames-per-blob — so the budget caps the
+    * blob count BEFORE any decode runs, deterministically:
+    * `rowFraction` of rows survive by id-hash ([[Sampling.hashUniform]]
+    * — append- and partitioning-stable, so re-running a crawl stage
+    * decodes the SAME subset, and a grown corpus keeps its previously
+    * decoded ids). The frames-per-blob half of the budget is the `n`
+    * the samplers already take ([[sampleGifFrames]]/[[sampleAviFrames]]
+    * decode only the picked indices — `pickIndices` seeks, it never
+    * decodes the rest). Compose: `decodeMedia(decodeBudget(df, "media_id",
+    * 0.01))` costs 1% of the full crawl's codec CPU. */
+  def decodeBudget(df: DataFrame, idCol: String, rowFraction: Double,
+      salt: String = "decode-budget"): DataFrame =
+    Sampling.hashSample(df, idCol, rowFraction, salt)
+
+  /** Absolute-count form of [[decodeBudget]]: decode at most ~`maxRows`
+    * blobs. One metadata-only count (parquet row counts, no blob reads)
+    * converts the cap to a hash fraction; the kept count is binomial
+    * around `maxRows` (exact quota would need a global top-k by hash —
+    * a sort the budget exists to avoid). `df` is returned unchanged when
+    * it already fits the budget. */
+  def decodeBudgetRows(df: DataFrame, idCol: String, maxRows: Long,
+      salt: String = "decode-budget"): DataFrame = {
+    require(maxRows >= 0, "maxRows must be >= 0")
+    val total = df.count()
+    if (total <= maxRows) df
+    else decodeBudget(df, idCol, maxRows.toDouble / total, salt)
+  }
+
   /** Frame sampling: cut `n` evenly-spaced fixed-width byte windows from
     * the blob (video-frame-sampling shape; windows of real codecs would
     * be keyframes). Pure Column ops — `substring` on binary is codegen'd. */

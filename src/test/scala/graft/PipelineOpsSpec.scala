@@ -1148,6 +1148,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
   }
 
+  test("decodeBudget: deterministic blob cap before any decode (the 100 TB codec-CPU knob)") {
+    val docs = (0 until 400)
+      .map(i => (i.toLong, s"payload body $i ${"x" * (i % 9)}"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachBlob(docs, "doc_id", "text")
+    val kept = Multimodal.decodeBudget(media, "media_id", 0.25)
+    val ids1 = kept.select("media_id").collect().map(_.getLong(0)).toSet
+    // deterministic: same subset every run, stable under repartitioning
+    val ids2 = Multimodal.decodeBudget(media.repartition(7), "media_id", 0.25)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // binomial around 100 of 400
+    assert(ids1.size > 55 && ids1.size < 160, ids1.size.toString)
+    // downstream decode sees only the budgeted blobs
+    assert(Multimodal.decodeStub(kept).count() == ids1.size)
+    // absolute form: a frame already under budget passes through intact
+    assert(Multimodal.decodeBudgetRows(media, "media_id", 1000L)
+      .count() == 400)
+    val capped = Multimodal.decodeBudgetRows(media, "media_id", 50L)
+    val n = capped.count()
+    assert(n > 20 && n < 90, n.toString)
+  }
+
   test("sampleAviFrames: MJPEG frames demux from a RIFF/AVI container " +
       "and decode; RIFF/WAVE and non-RIFF blobs yield zero rows") {
     import org.apache.spark.sql.Row
