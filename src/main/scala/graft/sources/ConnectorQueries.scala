@@ -9,15 +9,17 @@ import graft.operators.Feature
   * /root/reference/loudml/influx.py:307-694, Elasticsearch
   * /root/reference/loudml/elastic.py:133-608, OpenTSDB
   * /root/reference/loudml/opentsdb.py, Prometheus
-  * /root/reference/loudml/prometheus.py) are network clients and cannot
+  * /root/reference/loudml/prometheus.py, Warp10
+  * /root/reference/loudml/warp10.py, MongoDB
+  * /root/reference/loudml/mongo.py) are network clients and cannot
   * be built or exercised in this zero-egress environment — but their
   * QUERY-BUILDER half is pure string/dict generation, golden-tested in
   * the reference (tests/test_influx.py:184-263, tests/test_opentsdb.py:
-  * 169-189, tests/test_prometheus.py:78-98) — so that half is built and
-  * pinned here, byte-for-byte against the reference's own expected
-  * strings. A future network-enabled [[Bucket]] impl composes one of
-  * these builders with an HTTP client; everything testable offline is
-  * tested offline.
+  * 169-189, tests/test_prometheus.py:78-98, tests/test_warp10.py:
+  * 75-146) — so that half is built and pinned here, byte-for-byte
+  * against the reference's own expected strings. A future
+  * network-enabled [[Bucket]] impl composes one of these builders with
+  * an HTTP client; everything testable offline is tested offline.
   *
   * Scale note: these builders run on the DRIVER once per query (string
   * assembly over a handful of features) — nothing here touches data.
@@ -238,6 +240,7 @@ object ConnectorQueries {
     final case class JBool(b: Boolean) extends J {
       def render: String = if (b) "true" else "false"
     }
+    case object JNull extends J { def render: String = "null" }
 
     /** `_date_range_to_ms` (elastic.py:63-70). */
     def dateRangeToMs(fromDate: Option[Any], toDate: Option[Any])
@@ -291,7 +294,8 @@ object ConnectorQueries {
 
     /** `_build_times_query` (elastic.py:471-530): the date_histogram
       * body with extended_bounds, UTC keys, per-feature sub-aggs, and
-      * the bool/must filter when a date range or match_all exists. */
+      * the bool/must filter when a date range or match_all exists.
+      * (the [[J]] AST above is shared by [[Mongo]]'s pipeline builder) */
     def timesQuery(
         bucketInterval: Long,
         features: Seq[Feature],
@@ -321,6 +325,113 @@ object ConnectorQueries {
               "must" -> JArr(must))))): J))
           else Nil))
       body.render
+    }
+  }
+
+  /** WarpScript generation (/root/reference/loudml/warp10.py:28-50,
+    * 86-94, 147-189): the `[FETCH] BUCKETIZE` script per feature,
+    * concatenated into one multi-fetch. */
+  object Warp10 {
+
+    /** `check_tag` (warp10.py:28-30): Warp10 tags must be strings. */
+    private def checkTag(k: String, v: Any): (String, String) = v match {
+      case s: String => (k, s)
+      case _ => throw new IllegalArgumentException(
+        "warp10: tags key/value must be strings")
+    }
+
+    /** `build_tags` (warp10.py:38-42): `{ 'k' 'v',... }` — note the
+      * double space when empty, exactly as `"{{ {} }}".format('')`. */
+    def buildTags(tags: Seq[(String, String)]): String =
+      "{ " + tags.map { case (k, v) => s"'$k' '$v'" }.mkString(",") + " }"
+
+    /** `metric_to_bucketizer` (warp10.py:45-50). */
+    def metricToBucketizer(metric: String): String =
+      "bucketizer." + (if (metric == "avg") "mean" else metric)
+
+    /** `build_name` / `build_selector` (warp10.py:86-94). */
+    def buildSelector(globalPrefix: Option[String], name: String,
+        isRegexp: Boolean = false): String = {
+      val n = globalPrefix.fold(name)(p => s"$p.$name")
+      if (isRegexp) "~" + n else n
+    }
+
+    /** `build_fetch` (warp10.py:147-164). */
+    def buildFetch(readToken: String, globalPrefix: Option[String],
+        feature: Feature, fromStr: String, toStr: String,
+        tags: Seq[(String, String)] = Nil): String = {
+      val allTags = tags ++ feature.matchAll.map {
+        case (k, v) => checkTag(k, v)
+      }
+      s"[\n'$readToken'\n'${buildSelector(globalPrefix, feature.field)}'\n" +
+        s"${buildTags(allTags)}\n'$fromStr'\n'$toStr'\n]\nFETCH"
+    }
+
+    /** `build_multi_fetch` (warp10.py:166-189): one BUCKETIZE block per
+      * feature; bucket span in µs. */
+    def buildMultiFetch(readToken: String, globalPrefix: Option[String],
+        bucketInterval: Double, features: Seq[Feature],
+        fromStr: String, toStr: String,
+        tags: Seq[(String, String)] = Nil): String = {
+      val span = (bucketInterval * 1e6).toLong
+      val scripts = features.map { f =>
+        s"[\n${buildFetch(readToken, globalPrefix, f, fromStr, toStr, tags)}\n" +
+          s"${metricToBucketizer(f.metric)}\n0\n$span\n0\n]\nBUCKETIZE"
+      }
+      s"[\n${scripts.mkString("\n")}\n]"
+    }
+  }
+
+  /** MongoDB aggregation-pipeline generation
+    * (/root/reference/loudml/mongo.py:29-73): `$match`/`$bucket` stages
+    * per feature, rendered with [[ElasticDsl]]'s ordered JSON AST. */
+  object Mongo {
+    import ElasticDsl.{J, JArr, JBool, JNull, JNum, JObj, JStr}
+
+    private def tk(key: String): String = "$" + key
+
+    private def jVal(v: Any): J = v match {
+      case s: String  => JStr(s)
+      case i: Int     => JNum(i.toLong)
+      case l: Long    => JNum(l)
+      case b: Boolean => JBool(b)
+      case other      => JStr(other.toString)
+    }
+
+    /** `_build_query` (mongo.py:33-73): optional `$or` tag match, the
+      * count form with its `$exists` guard, otherwise one `$bucket`
+      * stage with the metric accumulator (mean→avg). Returns the
+      * rendered pipeline (a JSON array of stages). */
+    def timesPipeline(feature: Feature, timestampField: String,
+        boundaries: Seq[Long]): String = {
+      val groupBy = JStr(tk(timestampField))
+      val bounds = JArr(boundaries.map(b => JNum(b): J))
+      val matchStage: Seq[J] =
+        if (feature.matchAll.isEmpty) Nil
+        else Seq(JObj(Seq("$match" -> JObj(Seq("$or" -> JArr(
+          feature.matchAll.map { case (k, v) =>
+            JObj(Seq(k -> jVal(v))): J }))))))
+      val stages: Seq[J] =
+        if (feature.metric == "count")
+          matchStage ++ Seq(
+            JObj(Seq("$match" -> JObj(Seq(
+              feature.field -> JObj(Seq("$exists" -> JBool(true))))))),
+            JObj(Seq("$bucket" -> JObj(Seq(
+              "groupBy" -> groupBy,
+              "boundaries" -> bounds,
+              "default" -> JNull,
+              "output" -> JObj(Seq(
+                feature.name -> JObj(Seq("$sum" -> JNum(1))))))))))
+        else {
+          val metric = if (feature.metric == "mean") "avg" else feature.metric
+          matchStage ++ Seq(JObj(Seq("$bucket" -> JObj(Seq(
+            "groupBy" -> groupBy,
+            "boundaries" -> bounds,
+            "default" -> JNull,
+            "output" -> JObj(Seq(feature.name -> JObj(Seq(
+              tk(metric) -> JStr(tk(feature.field)))))))))))
+        }
+      JArr(stages).render
     }
   }
 }

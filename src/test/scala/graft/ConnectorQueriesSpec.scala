@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Feature
 import graft.sources.ConnectorQueries
-import graft.sources.ConnectorQueries.{ElasticDsl, InfluxQL, OpenTsdb, Prometheus}
+import graft.sources.ConnectorQueries.{ElasticDsl, InfluxQL, Mongo, OpenTsdb, Prometheus, Warp10}
 
 /** Golden query-builder parity with the reference's network connectors:
   * every expected string below is copied VERBATIM from the reference's
@@ -174,5 +174,76 @@ class ConnectorQueriesSpec extends AnyFunSuite {
     // no query clause at all when nothing filters
     assert(!ElasticDsl.timesQuery(30, Seq(Feature("a", "avg", "f")),
       None, None).contains("query"))
+  }
+
+  test("warp10: multi-fetch WarpScript golden (test_warp10.py:75-146)") {
+    val fs = Seq(
+      Feature("avg_foo", "avg", "foo", matchAll = Seq("a" -> "b")),
+      Feature("count_bar", "count", "bar"))
+    val script = Warp10.buildMultiFetch("my_read_token", Some("loudml"),
+      bucketInterval = 3600, features = fs,
+      fromStr = "2018-07-21T00:00:00Z", toStr = "2018-07-22T00:00:00Z")
+    assert(script ==
+      """[
+        |[
+        |[
+        |'my_read_token'
+        |'loudml.foo'
+        |{ 'a' 'b' }
+        |'2018-07-21T00:00:00Z'
+        |'2018-07-22T00:00:00Z'
+        |]
+        |FETCH
+        |bucketizer.mean
+        |0
+        |3600000000
+        |0
+        |]
+        |BUCKETIZE
+        |[
+        |[
+        |'my_read_token'
+        |'loudml.bar'
+        |{  }
+        |'2018-07-21T00:00:00Z'
+        |'2018-07-22T00:00:00Z'
+        |]
+        |FETCH
+        |bucketizer.count
+        |0
+        |3600000000
+        |0
+        |]
+        |BUCKETIZE
+        |]""".stripMargin)
+    // non-string tag values refuse like check_tag (warp10.py:28-30)
+    intercept[IllegalArgumentException](Warp10.buildMultiFetch(
+      "t", None, 3600, Seq(Feature("x", "avg", "f",
+        matchAll = Seq("n" -> 7))), "a", "b"))
+    // no prefix → bare selector; regexp selector gets ~ (warp10.py:90-94)
+    assert(Warp10.buildSelector(None, "foo") == "foo")
+    assert(Warp10.buildSelector(Some("p"), ".*", isRegexp = true) == "~p..*")
+  }
+
+  test("mongo: $bucket pipeline incl. count's $exists guard and $or match (mongo.py:33-73)") {
+    val bounds = Seq(0L, 3L, 6L)
+    assert(Mongo.timesPipeline(
+      Feature("avg_foo", "avg", "foo"), "timestamp", bounds) ==
+      """[{"$bucket": {"groupBy": "$timestamp", "boundaries": [0, 3, 6], """ +
+      """"default": null, "output": {"avg_foo": {"$avg": "$foo"}}}}]""")
+    // mean normalizes to avg (mongo.py:61-62)
+    assert(Mongo.timesPipeline(
+      Feature("m", "mean", "foo"), "ts", Seq(0L)).contains("\"$avg\""))
+    // count: $exists guard + $sum 1 (mongo.py:51-59)
+    assert(Mongo.timesPipeline(
+      Feature("count_bar", "count", "bar"), "timestamp", bounds) ==
+      """[{"$match": {"bar": {"$exists": true}}}, """ +
+      """{"$bucket": {"groupBy": "$timestamp", "boundaries": [0, 3, 6], """ +
+      """"default": null, "output": {"count_bar": {"$sum": 1}}}}]""")
+    // match_all → leading $or stage (mongo.py:42-49)
+    assert(Mongo.timesPipeline(
+      Feature("avg_foo", "avg", "foo",
+        matchAll = Seq("tag_1" -> "tag_A", "n" -> 7)), "ts", Seq(0L, 3L))
+      .startsWith("""[{"$match": {"$or": [{"tag_1": "tag_A"}, {"n": 7}]}}, """))
   }
 }
