@@ -716,6 +716,57 @@ object TemporalQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // ── annotation-window flagging (§2.15, previously unit-only): hourly
+    //    'error' buckets left-range-joined against a broadcast windows
+    //    frame (human-labeled anomaly periods are O(100) rows → the
+    //    bucketed side streams through a BroadcastNestedLoopJoin, no
+    //    shuffle added at any corpus size)
+    "q_annotations" -> ((s, dir) => {
+      val TO = FROM + 30L * 86400L
+      val buckets = ev(s, dir).filter(col("event_type") === "error")
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * HOUR).cast("long"))
+        .filter(col("bucket") >= FROM && col("bucket") < TO)
+        .groupBy("bucket")
+        .agg(round(exactAvg(col("value")) + lit(1e-9), 4).as("v"))
+      val windows = s.createDataFrame(Seq(
+          (FROM + 2L * 86400L, FROM + 2L * 86400L + 6L * HOUR),
+          (FROM + 10L * 86400L + 12L * HOUR, FROM + 11L * 86400L),
+          (FROM + 25L * 86400L, FROM + 26L * 86400L)))
+        .toDF("start_ts", "end_ts")
+      graft.ml.Annotations.flagWindows(buckets, windows).orderBy("bucket")
+    }),
+
+    // ── sequential train/validation split (§2.54, previously unit-only):
+    //    row-count split of the spine-complete hourly series — two
+    //    bucket-threshold filters off one 1-row aggregate, no sort/limit
+    "q_split" -> ((s, dir) => {
+      import graft.operators.{ConstFill, Feature, TimesQuery}
+      val TO = FROM + 30L * 86400L
+      val series = TimesQuery.run(s, ev(s, dir), "ts", HOUR, FROM, TO,
+          Seq(Feature("v", "avg", "value", fill = ConstFill(0.0))))
+        .withColumn("v", round(col("v") + lit(1e-9), 4))
+      val (tr, va) = TimesQuery.sequentialSplit(series, 0.67)
+      tr.withColumn("part", lit("train"))
+        .unionByName(va.withColumn("part", lit("valid")))
+        .orderBy("bucket")
+    }),
+
+    // ── per-series time offset vs first bucket (§2.28, previously
+    //    unit-only): keyed min as an aggregate broadcast back — never an
+    //    unpartitioned window
+    "q_time_offset" -> ((s, dir) => {
+      val TO = FROM + 30L * 86400L
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * HOUR).cast("long"))
+        .filter(col("bucket") >= FROM && col("bucket") < TO)
+        .groupBy("event_type", "bucket")
+        .agg(round(exactAvg(col("value")) + lit(1e-9), 4).as("v"))
+      graft.operators.TimesQuery.withTimeOffset(series, Seq("event_type"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // ── linear interpolation of gap hours in the sparse 'error' series
     "q_interpolate" -> ((s, dir) => {
       val from = 1704067200L // 2024-01-01T00:00:00Z (events table range)
@@ -1677,6 +1728,70 @@ object TemporalQueries {
          |       round(CASE WHEN anomaly IS NOT NULL THEN epi_max END, 4)
          |         AS episode_max
          |FROM sm ORDER BY event_type, bucket""".stripMargin
+    },
+
+    // annotation flagging: same literal windows, overlap as a range join
+    "q_annotations" -> {
+      val TO = FROM + 30L * 86400L
+      val w1s = FROM + 2L * 86400L; val w1e = w1s + 6L * HOUR
+      val w2s = FROM + 10L * 86400L + 12L * HOUR; val w2e = FROM + 11L * 86400L
+      val w3s = FROM + 25L * 86400L; val w3e = FROM + 26L * 86400L
+      s"""WITH buckets AS (
+         |  SELECT CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) AS bucket,
+         |         round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+         |               / count(value) + 1e-9, 4) AS v
+         |  FROM events
+         |  WHERE event_type = 'error' AND epoch(ts) >= $FROM AND epoch(ts) < $TO
+         |  GROUP BY 1
+         |), win(ws, we) AS (
+         |  VALUES ($w1s, $w1e), ($w2s, $w2e), ($w3s, $w3e)
+         |)
+         |SELECT b.bucket, b.v, count(w.ws) > 0 AS is_abnormal
+         |FROM buckets b
+         |LEFT JOIN win w ON b.bucket >= w.ws AND b.bucket < w.we
+         |GROUP BY 1, 2 ORDER BY b.bucket""".stripMargin
+    },
+
+    // sequential split: same ntrn = round(n*0.67) threshold arithmetic
+    // ('//' = Scala Long division in sequentialSplit's step computation)
+    "q_split" -> {
+      val TO = FROM + 30L * 86400L
+      s"""WITH spine AS (
+         |  SELECT unnest(generate_series($FROM, ${TO - HOUR}, $HOUR)) AS bucket
+         |), agg AS (
+         |  SELECT CAST(floor(epoch(ts)/$HOUR) AS BIGINT)*$HOUR AS bucket,
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $TO
+         |  GROUP BY 1
+         |), series AS (
+         |  SELECT s.bucket, round(coalesce(a.v, 0.0) + 1e-9, 4) AS v
+         |  FROM spine s LEFT JOIN agg a USING (bucket)
+         |), m AS (
+         |  SELECT min(bucket) AS lo, max(bucket) AS hi, count(*) AS n FROM series
+         |), c AS (
+         |  SELECT lo + CAST(round(n*0.67) AS BIGINT)
+         |           * (CASE WHEN n > 1 THEN (hi - lo) // (n - 1) ELSE 1 END) AS cut
+         |  FROM m
+         |)
+         |SELECT s.bucket, s.v,
+         |       CASE WHEN s.bucket < c.cut THEN 'train' ELSE 'valid' END AS part
+         |FROM series s, c ORDER BY s.bucket""".stripMargin
+    },
+
+    // keyed time offset: bucket − per-key min
+    "q_time_offset" -> {
+      val TO = FROM + 30L * 86400L
+      s"""WITH agg AS (
+         |  SELECT event_type,
+         |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) AS bucket,
+         |         round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+         |               / count(value) + 1e-9, 4) AS v
+         |  FROM events WHERE epoch(ts) >= $FROM AND epoch(ts) < $TO
+         |  GROUP BY 1, 2
+         |)
+         |SELECT event_type, bucket, v,
+         |       bucket - min(bucket) OVER (PARTITION BY event_type) AS time_offset
+         |FROM agg ORDER BY event_type, bucket""".stripMargin
     },
 
     "q_interpolate" ->
