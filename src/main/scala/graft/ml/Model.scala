@@ -88,9 +88,10 @@ object ModelRegistry {
   // built-in types (the reference ships 'donut'; we ship the seasonal
   // baseline + the windowed reconstructor targeting donut's quality
   // floors + additive Holt-Winters for trending seasonal series + the
-  // low-rank tied-weights autoencoder, the closest no-TF Donut analog)
+  // low-rank tied-weights autoencoder + the true Donut VAE)
   register(SeasonalModelType)
   register(WindowReconstructor)
   register(HoltWintersType)
   register(AutoencoderReconstructor)
+  register(DonutVae)
 }
