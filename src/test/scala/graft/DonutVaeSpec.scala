@@ -114,6 +114,38 @@ class DonutVaeSpec extends SparkSpec {
       !p.isNaN && lo <= p && p <= hi && hi > lo })
   }
 
+  test("fleet VAE: per-key state and scores bit-identical to the solo " +
+      "fit of each series alone; degenerate keys skip; untrained keys " +
+      "emit nothing") {
+    val p = DonutVae.Params(bucketInterval = HOUR, epochs = 15)
+    val fleet = Seq(
+      "web1" -> sinSeries(240, HOUR, seed = 11),
+      "web2" -> sinSeries(240, HOUR, seed = 29).map(t => (t._1, t._2 * 3)))
+    val df = (fleet.flatMap { case (h, s) => s.map(x => (h, x._1, x._2)) } ++
+        Seq(("shorty", 0L, 1.0), ("shorty", HOUR, 2.0))) // < span buckets
+      .toDF("host", "bucket", "value")
+    val states = FleetDonutVae.train(df, "value", Seq("host"), p)
+    assert(states.select("host").as[String].collect().sorted.toSeq ==
+      Seq("web1", "web2")) // shorty skipped, not fatal
+    val scoredAll = FleetDonutVae.predict(df, states, "value", Seq("host"), p)
+    assert(scoredAll.filter(col("host") === "shorty").count() == 0)
+    for ((h, s) <- fleet) {
+      val solo = DonutVae.train(s.toDF("bucket", "value"), "value", p)
+      val st = states.filter(col("host") === h).head()
+      assert(st.getAs[Double]("sigma") == solo.sigma)
+      assert(st.getAs[Double]("mu") == solo.mu)
+      val soloPred = solo.predict(s.toDF("bucket", "value"), "value")
+        .orderBy("bucket")
+        .select("predicted", "score").as[(Double, Double)].collect()
+      val fleetPred = scoredAll.filter(col("host") === h)
+        .orderBy("bucket")
+        .select("predicted", "score").as[(Double, Double)].collect()
+      assert(fleetPred.length == s.length)
+      assert(soloPred.zip(fleetPred).forall { case ((p1, s1), (p2, s2)) =>
+        p1 == p2 && s1 == s2 })
+    }
+  }
+
   test("M-ELBO beta: windows with more missing entries pull less " +
       "toward the prior (training still converges with 20% nulls)") {
     val rnd = new scala.util.Random(9)
