@@ -298,7 +298,8 @@ object DonutVae extends ModelType {
   }
 
   private[ml] final case class Fit(net: Net, sigma: Double, mu: Double,
-      sd: Double, slotMean: Array[Double], slotSig: Array[Double])
+      sd: Double, slotMean: Array[Double], slotSig: Array[Double],
+      valLoss: Double)
 
   /** Stride-1 windows + missing flags over a standardized series —
     * `_format_dataset` (donut.py:945-987): missing entries zero. */
@@ -536,7 +537,46 @@ object DonutVae extends ModelType {
     val sigma = math.max(
       if (cnt == 0) 0.0 else sd * math.sqrt(sse / cnt), p.sigmaFloor)
 
-    Fit(net, sigma, mu, sd, slotMean, slotSig)
+    Fit(net, sigma, mu, sd, slotMean, slotSig,
+      valLoss = valLoss(net, p,
+        if (valX.nonEmpty) valX else trainX,
+        if (valX.nonEmpty) valM else trainM))
+  }
+
+  /** Budgeted hyperparameter search over the reference's donut space
+    * (donut.py:800-855): latent_dim ∈ {3,5,8}; intermediate_dim from
+    * the Fibonacci neurons ladder {21,34,55,89,144,233} when the
+    * budget exceeds the latent choices, else the fixed 100 — selected
+    * by the deterministic validation loss (the reference's
+    * cross_val_model score), TPE replaced by a seeded draw without
+    * replacement over the grid (the space is small enough to need no
+    * surrogate). Each eval is one full driver-side fit of a
+    * model-sized series; the winning fit is retained, not refit. */
+  def fitBest(bucketed: DataFrame, valueCol: String, p: Params,
+      maxEvals: Int = 3): (Params, Trained) = {
+    require(maxEvals >= 1, "maxEvals must be >= 1")
+    val spark = bucketed.sparkSession
+    val series = HoltWinters.collectSeries(bucketed, valueCol)
+    val latents = Seq(3, 5, 8)
+    val neurons =
+      if (maxEvals > latents.size) Seq(21, 34, 55, 89, 144, 233)
+      else Seq(100)
+    val rnd = new scala.util.Random(p.seed)
+    val grid = rnd.shuffle(
+      for (l <- latents; i <- neurons) yield (l, i))
+    var best: (Params, Fit) = null
+    grid.take(maxEvals).foreach { case (l, i) =>
+      val cand = p.copy(latent = l, intermediate = i)
+      val f = fitSeries(series, cand)
+      if (best == null || f.valLoss < best._2.valLoss) best = (cand, f)
+    }
+    val (bp, f) = best
+    import spark.implicits._
+    val profile = (0 until bp.periodBuckets)
+      .map(s => (s.toLong, f.slotMean(s), f.slotSig(s)))
+      .toDF("slot", "mu", "sigma")
+    (bp, new Trained(profile, bp, f.net, f.sigma, f.mu, f.sd,
+      f.slotMean, f.slotSig))
   }
 
   /** One-step prediction for the window ending at `endBucket` —

@@ -114,6 +114,23 @@ class DonutVaeSpec extends SparkSpec {
       !p.isNaN && lo <= p && p <= hi && hi > lo })
   }
 
+  test("hyperparameter search (donut.py:800-855): explores the " +
+      "reference grid within max_evals, picks by validation loss, " +
+      "deterministic by seed") {
+    val series = sinSeries(360, HOUR, seed = 8).toDF("bucket", "value")
+    val base = DonutVae.Params(bucketInterval = HOUR, epochs = 8)
+    val (p1, m1) = DonutVae.fitBest(series, "value", base, maxEvals = 2)
+    // small budget → the reference pins intermediate_dim to 100
+    assert(Seq(3, 5, 8).contains(p1.latent) && p1.intermediate == 100)
+    val (p2, _) = DonutVae.fitBest(series, "value", base, maxEvals = 2)
+    assert(p1 == p2) // seeded draw → same winner
+    val (p3, _) = DonutVae.fitBest(series, "value", base, maxEvals = 4)
+    assert(Seq(21, 34, 55, 89, 144, 233).contains(p3.intermediate))
+    val preds = m1.predict(series, "value")
+      .select("predicted").as[Double].collect()
+    assert(preds.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("fleet VAE: per-key state and scores bit-identical to the solo " +
       "fit of each series alone; degenerate keys skip; untrained keys " +
       "emit nothing") {
