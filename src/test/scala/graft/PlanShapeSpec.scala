@@ -86,6 +86,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("unix_timestamp"), "cast chain survived in the plan")
   }
 
+  test("Annotations.flagWindows: windows side broadcasts (nested-loop " +
+      "on the BROADCAST side only), bucketed side never shuffles " +
+      "before the join") {
+    val buckets = spark.range(100)
+      .select((col("id") * 3600L).as("bucket"), rand(7).as("v"))
+    val windows = Seq((3600L, 7200L), (36000L, 72000L))
+      .toDF("start_ts", "end_ts")
+    val p = plan(graft.ml.Annotations.flagWindows(buckets, windows))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only exchange is the post-join groupBy (and none below it)
+    val pre = p.substring(p.indexOf("BroadcastNestedLoopJoin"))
+    assert(shuffles(pre) == 0,
+      s"bucketed side shuffled below the range join:\n$p")
+  }
+
   test("lshDedupAgainst: zero-shuffle signatures below the candidate join") {
     // range-based inputs: a Seq-backed LocalRelation would be constant-
     // folded through the whole pipeline, erasing the projections the
