@@ -7,9 +7,13 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Stats
 
-/** Low-rank tied-weights autoencoder — the closest no-TF restatement of
-  * the reference's Donut VAE (/root/reference/loudml/donut.py:102-163,
-  * 700-798): each span-window of the standardized series is projected
+/** Low-rank tied-weights autoencoder — the fast linear-subspace
+  * restatement of the reference's Donut VAE
+  * (/root/reference/loudml/donut.py:102-163, 700-798); the faithful
+  * generative model (reparameterized encoder/decoder, modified ELBO,
+  * MC bands) is [[DonutVae]] — this one stays as the cheaper
+  * same-floors alternative: each span-window of the standardized
+  * series is projected
   * onto a learned low-dimensional subspace and reconstructed, x̂ = WᵀWx
   * (W: hidden×span, decoder tied to the encoder like Donut's symmetric
   * architecture); anomalies score by how far the observed window sits
