@@ -533,6 +533,26 @@ object DataPipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ── linear-probe sufficient statistics (the quality-classifier
+    //    training pass): upper-triangle XᵀX + per-class XᵀY of the
+    //    bias-augmented embeddings, exact decimal sums — ONE corpus
+    //    pass each, shuffle carries only the (d+1)(d+2)/2 + (d+1)·C
+    //    partials. The downstream solve/score are spec-pinned
+    //    (fitProbe/scoreProbe); the distributed half is oracle-gated
+    //    here.
+    "q_probe_stats" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val gram = Similarity.probeGram(e, "embedding")
+        .select(lit("xtx").as("part"), col("i").cast("long").as("a"),
+          col("j").cast("long").as("b"),
+          round(col("xtx") + lit(1e-9), 6).as("v"))
+      val mom = Similarity.probeMoments(e, "embedding", "label")
+        .select(lit("xty").as("part"), col("label").as("a"),
+          col("i").cast("long").as("b"),
+          round(col("xty") + lit(1e-9), 6).as("v"))
+      gram.unionByName(mom).orderBy("part", "a", "b")
+    }),
+
     // ── incremental LSH dedup: today's crawl (20% of docs) against the
     //    standing corpus (the other 80%) — survivors of the new batch
     "q_dedup_incremental" -> ((s, dir) => {
@@ -1840,6 +1860,31 @@ object DataPipelineQueries {
         |)
         |SELECT query_id, rank, match_id, round(qcos_raw + 1e-9, 4) AS qcos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // probe sufficient stats: same bias-augmented vectors, same exact
+    // decimal sums (per-row double products are IEEE-identical in both
+    // engines; only the sum needs the exact type)
+    "q_probe_stats" ->
+      """WITH aug AS (
+        |  SELECT label, list_append(CAST(embedding AS DOUBLE[]), 1.0) AS v
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT unnest(range((SELECT len(v) FROM aug LIMIT 1))) AS i
+        |), xtx AS (
+        |  SELECT a.i AS a, b.i AS b,
+        |         round(CAST(sum(CAST(aug.v[CAST(a.i AS INT) + 1]
+        |                            * aug.v[CAST(b.i AS INT) + 1]
+        |                          AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) AS v
+        |  FROM aug, dims a, dims b WHERE a.i <= b.i GROUP BY 1, 2
+        |), xty AS (
+        |  SELECT CAST(label AS BIGINT) AS a, i.i AS b,
+        |         round(CAST(sum(CAST(aug.v[CAST(i.i AS INT) + 1]
+        |                          AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) AS v
+        |  FROM aug, dims i GROUP BY 1, 2
+        |)
+        |SELECT 'xtx' AS part, a, b, v FROM xtx
+        |UNION ALL SELECT 'xty' AS part, a, b, v FROM xty
+        |ORDER BY part, a, b""".stripMargin,
 
     // mirrors Dedup.lshDedupAgainst: incoming (doc_id%5=0) band keys
     // joined against corpus (doc_id%5≠0) band keys, verified at sig

@@ -653,4 +653,149 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "match_id", "cosine")
   }
+
+  // ──────────────── supervised linear probe (quality classifier) ────────────────
+  //
+  // The standard curation move a labeled slice enables: fit a linear
+  // probe on embeddings (one-vs-rest ridge), then score the WHOLE
+  // corpus with it to filter/stratify — the fastText-style quality
+  // classifier of the big-crawl pipelines, with the embedding model as
+  // the featurizer. Training reduces to sufficient statistics
+  // (XᵀX, XᵀY over bias-augmented vectors): ONE distributed pass with
+  // map-side combine, then a (d+1)×(d+1) solve on the driver.
+  // Statistics accumulate as DECIMAL(30,12) — partition-order-
+  // independent, so the fit is bit-deterministic and the stats frame
+  // is DuckDB-oracle-matchable (the per-row float→double products are
+  // IEEE-exact in both engines; only the SUM needs the exact type).
+  // Swap the decimal sums for per-partition BLAS + treeAggregate if
+  // raw throughput ever matters more than exactness — same plan shape.
+
+  /** Upper-triangle XᵀX of the bias-augmented embedding, as
+    * `(i, j, xtx)` rows with i ≤ j (d+1 choose 2 + d+1 entries): one
+    * explode of literal index pairs per row, hash-aggregated on the
+    * pair key — the shuffle carries only the (d+1)(d+2)/2 partial
+    * sums per partition, never data. */
+  def probeGram(df: DataFrame, vecCol: String): DataFrame = {
+    val d1 = dimOf(df, vecCol) + 1
+    val pairs = typedlit((for {
+      i <- 0 until d1; j <- i until d1
+    } yield i * d1 + j).toArray)
+    df.select(concat(asDouble(col(vecCol)), array(lit(1.0))).as("__aug"))
+      .select(explode(transform(pairs, p => struct(p.as("k"),
+        (element_at(col("__aug"), (p / d1).cast("int") + 1) *
+          element_at(col("__aug"), pmod(p, lit(d1)).cast("int") + 1))
+          .cast("decimal(30,12)").as("v")))).as("__e"))
+      .groupBy(col("__e.k").as("k"))
+      .agg(sum(col("__e.v")).cast("double").as("xtx"))
+      .select((col("k") / d1).cast("int").as("i"),
+        pmod(col("k"), lit(d1)).cast("int").as("j"), col("xtx"))
+  }
+
+  /** Per-class XᵀY (one-vs-rest targets) plus class counts:
+    * `(label, i, xty, n)` — one explode of the d+1 augmented entries
+    * per row, keyed by (label, position). */
+  def probeMoments(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val d1 = dimOf(df, vecCol) + 1
+    df.select(col(labelCol).cast("long").as("label"),
+        concat(asDouble(col(vecCol)), array(lit(1.0))).as("__aug"))
+      .select(col("label"), posexplode(col("__aug")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(col("x").cast("decimal(30,12)")).cast("double").as("xty"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Trained probe: class list (sorted) and per-class weight rows
+    * (bias last). Model-sized — (d+1)·C doubles. */
+  final case class ProbeModel(classes: Seq[Long],
+      weights: Map[Long, Array[Double]]) {
+    def dim: Int = weights.head._2.length - 1
+  }
+
+  /** Fit the one-vs-rest ridge probe: W_c = (XᵀX + λR)⁻¹ XᵀY_c with R
+    * the identity minus the bias slot (the intercept is never
+    * regularized). XᵀY_c for the 0/1 one-vs-rest target is the sum of
+    * augmented vectors over class-c rows — exactly [[probeMoments]]'s
+    * per-class sums. Gaussian elimination with partial pivoting on the
+    * driver: (d+1)³ flops on a model-sized matrix. */
+  def fitProbe(df: DataFrame, vecCol: String, labelCol: String,
+      lambda: Double = 1e-3): ProbeModel = {
+    val d1 = dimOf(df, vecCol) + 1
+    val gram = Array.ofDim[Double](d1, d1)
+    probeGram(df, vecCol).collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      gram(i)(j) = v; gram(j)(i) = v
+    }
+    var i = 0
+    while (i < d1 - 1) { gram(i)(i) += lambda; i += 1 } // bias unregularized
+    val moments = probeMoments(df, vecCol, labelCol).collect()
+      .groupBy(_.getLong(0))
+    val classes = moments.keys.toSeq.sorted
+    val weights = classes.map { c =>
+      val b = new Array[Double](d1)
+      moments(c).foreach(r => b(r.getInt(1)) = r.getDouble(2))
+      c -> solve(gram.map(_.clone()), b.clone())
+    }.toMap
+    ProbeModel(classes, weights)
+  }
+
+  /** Score every row with the probe: adds `probe_scores`
+    * (per-class w·x, class order = model.classes) and `probe_label`
+    * (argmax, ties to the lower class id). Weights ride as plan
+    * literals — a narrow codegen'd map, zero shuffles. */
+  def scoreProbe(df: DataFrame, vecCol: String,
+      model: ProbeModel): DataFrame = {
+    val aug = concat(asDouble(col(vecCol)), array(lit(1.0)))
+    val scores = array(model.classes.map { c =>
+      val w = typedlit(model.weights(c).toSeq)
+      graft.functions.VectorExprs.dot(aug, w)
+    }: _*)
+    val best = aggregate(
+      zip_with(scores, typedlit(model.classes), (s, c) =>
+        struct(s.as("s"), c.as("c"))),
+      struct(lit(Double.NegativeInfinity).as("s"),
+        lit(Long.MinValue).as("c")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+    df.withColumn("probe_scores", scores)
+      .withColumn("probe_label", best.getField("c"))
+  }
+
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** In-place Gaussian elimination with partial pivoting (A x = b). */
+  private def solve(a: Array[Array[Double]], b: Array[Double])
+      : Array[Double] = {
+    val n = b.length
+    var col0 = 0
+    while (col0 < n) {
+      var p = col0; var r = col0 + 1
+      while (r < n) { if (math.abs(a(r)(col0)) > math.abs(a(p)(col0))) p = r; r += 1 }
+      require(math.abs(a(p)(col0)) > 1e-12, "singular gram matrix")
+      if (p != col0) {
+        val t = a(p); a(p) = a(col0); a(col0) = t
+        val tb = b(p); b(p) = b(col0); b(col0) = tb
+      }
+      r = col0 + 1
+      while (r < n) {
+        val f = a(r)(col0) / a(col0)(col0)
+        if (f != 0.0) {
+          var c = col0
+          while (c < n) { a(r)(c) -= f * a(col0)(c); c += 1 }
+          b(r) -= f * b(col0)
+        }
+        r += 1
+      }
+      col0 += 1
+    }
+    val x = new Array[Double](n)
+    var r = n - 1
+    while (r >= 0) {
+      var s = b(r); var c = r + 1
+      while (c < n) { s -= a(r)(c) * x(c); c += 1 }
+      x(r) = s / a(r)(r)
+      r -= 1
+    }
+    x
+  }
 }
