@@ -462,6 +462,18 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── add-k bigram-LM coherence score (the conditional upgrade of
+    //    q_lm_score: scrambled text passes a unigram filter, fails
+    //    this one) — corpus scored against its own bigram model
+    "q_bigram_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.bigramBitsPerToken(d, "doc_id", "text",
+          TextAnalysis.bigramLm(d, "text"))
+        .withColumn("bits_per_token",
+          round(col("bits_per_token") + lit(1e-9), 4))
+        .orderBy("doc_id")
+    }),
+
     // ── overlapping token chunks (chunk-then-embed prep)
     "q_chunks" -> ((s, dir) =>
       Packing.chunkDocs(docs(s, dir), "doc_id", "text",
@@ -1696,6 +1708,36 @@ object DataPipelineQueries {
         |       round(avg(-l.logp) + 1e-9, 4) AS bits_per_token
         |FROM tok t JOIN lm l USING (token)
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // bigram pairs by positional double-unnest of the two shifted list
+    // slices (DuckDB zips parallel unnests); same add-0.5 smoothing,
+    // corpus-on-corpus so no OOV branch fires; avg order absorbed by
+    // round(4)+epsilon like q_lm_score
+    "q_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id,
+        |         unnest(ts[1:len(ts)-1]) AS w1,
+        |         unnest(ts[2:len(ts)]) AS w2
+        |  FROM tok WHERE len(ts) >= 2
+        |), c12 AS (
+        |  SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS c FROM big GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(ts) AS t FROM tok)
+        |), lm AS (
+        |  SELECT c12.w1, c12.w2,
+        |         log2((c12.c + 0.5) / (c1.c + 0.5 * v.v)) AS logp
+        |  FROM c12 JOIN c1 USING (w1), v
+        |)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       round(avg(-l.logp) + 1e-9, 4) AS bits_per_token
+        |FROM big b JOIN lm l USING (w1, w2)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     // range(m) is empty at m=0, so list_append handles the
     // right-aligned tail start uniformly; list_slice end is 1-based

@@ -146,6 +146,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         avg(-coalesce(col("logp"), lit(-oovBits))).as("bits_per_token"))
 
+  /** Per-row bigram pairs from the token array — ZERO-shuffle (array
+    * slice + zip, no window/self-join): `(w1, w2)` structs. */
+  private def bigramsCol(textCol: String): Column = {
+    val ts = lmTokens(textCol)
+    filter(
+      zip_with(
+        slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+        slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+  }
+
+  /** Train an add-k-smoothed bigram language model: `(w1, w2, logp)`
+    * with `logp = log2((c(w1,w2)+k) / (c(w1)+k·V))`, `c(w1)` the
+    * count of w1 as a bigram CONTEXT and V the corpus vocabulary —
+    * the conditional-probability upgrade of [[unigramLm]] (the CCNet
+    * perplexity filter uses a 5-gram KenLM; the bigram captures the
+    * local-coherence signal the unigram cannot: scrambled text scores
+    * like clean text under a unigram model, high-bits under this
+    * one). Three vocabulary-bounded aggregations, one model-sized
+    * scalar (V) to the driver, no window. */
+  def bigramLm(corpus: DataFrame, textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val pairs = corpus.select(explode(bigramsCol(textCol)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = corpus.select(explode(lmTokens(textCol)).as("t"))
+      .agg(countDistinct("t")).head().getLong(0)
+    c12.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        log2((col("c12") + lit(addK)) / (col("c1") + lit(addK * v)))
+          .as("logp"))
+  }
+
+  /** Score documents by mean negative log2 bigram probability — the
+    * conditional-coherence variant of [[lmBitsPerToken]]. Unseen
+    * bigrams cost `oovBits`; docs with fewer than two tokens have no
+    * bigram stream and are omitted. Same two-linear-shuffle plan. */
+  def bigramBitsPerToken(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, oovBits: Double = 30.0): DataFrame =
+    df.select(col(idCol), explode(bigramsCol(textCol)).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(lm, Seq("w1", "w2"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-coalesce(col("logp"), lit(-oovBits))).as("bits_per_token"))
+
   /** Cross-document duplicate n-gram coverage: per doc, the fraction of
     * its word-n-gram OCCURRENCES whose n-gram also appears in at least
     * one OTHER document — the corpus-level complement of the per-doc

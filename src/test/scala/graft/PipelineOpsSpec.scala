@@ -563,6 +563,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(s(10L) - (-math.log(7.0 / 8.0) / math.log(2.0))) < 1e-12)
   }
 
+  test("bigram LM: detects scrambled text a unigram filter passes; " +
+      "conditional probabilities well-formed; sub-2-token docs omitted") {
+    // clean corpus: strong bigram structure ("aa bb" always adjacent)
+    val corpus = (1L to 40L)
+      .map(i => (i, "aa bb cc dd " * 3)).toDF("doc_id", "text")
+    val lm = TextAnalysis.bigramLm(corpus, "text")
+    // same unigram distribution, scrambled order
+    val probe = Seq((100L, "aa bb cc dd aa bb cc dd"),
+        (101L, "dd aa cc bb dd aa cc bb"),
+        (102L, "solo")) // 1 token → no bigrams
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.bigramBitsPerToken(probe, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(100L) < s(101L),
+      s"in-order ${s(100L)} should beat scrambled ${s(101L)}")
+    assert(!s.contains(102L))
+    // p(bb|aa) near 1 in this corpus → ~0 bits for the (aa,bb) step
+    val pAaBb = lm.filter(col("w1") === "aa" && col("w2") === "bb")
+      .select("logp").as[Double].head()
+    assert(pAaBb > -0.2 && pAaBb <= 0.0)
+  }
+
   test("redactPii: emails, IPv4s, long digit runs scrubbed; short " +
       "numbers and plain text untouched") {
     val df = Seq(
