@@ -322,8 +322,10 @@ object DonutVae extends ModelType {
 
   /** Per-sample forward + backward; returns the sample loss and
     * accumulates gradients into the net. Scratch arrays owned by the
-    * caller loop (one allocation set per batch, not per sample). */
-  private def step(net: Net, p: Params, x: Array[Double],
+    * caller loop (one allocation set per batch, not per sample).
+    * (private[ml] so the finite-difference gradient check can drive
+    * it directly.) */
+  private[ml] def step(net: Net, p: Params, x: Array[Double],
       miss: Array[Boolean], eps: Array[Double]): Double = {
     val I = p.intermediate; val L = p.latent; val W = p.span
     val h1 = new Array[Double](I); val h2 = new Array[Double](I)
