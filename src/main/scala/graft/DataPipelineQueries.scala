@@ -489,6 +489,16 @@ object DataPipelineQueries {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // ── multi-epoch mixture: budgets 4000(k+1) tokens per srcK — low
+    //    sources subsample, high sources repeat for several epochs
+    "q_epoch_mix" -> ((s, dir) => {
+      val budgets = (0 until 20).map(k => s"src$k" -> (4000L * (k + 1))).toMap
+      Sampling.epochMix(docs(s, dir), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), budgets)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // ── materialized packed sequences: md5 pins the gathered text
     "q_pack_text" -> ((s, dir) =>
       Packing.packSequences(docs(s, dir), "doc_id", "text", seqLen = 512)
@@ -563,6 +573,26 @@ object DataPipelineQueries {
           col("i").cast("long").as("b"),
           round(col("xty") + lit(1e-9), 6).as("v"))
       gram.unionByName(mom).orderBy("part", "a", "b")
+    }),
+
+    // ── PCA first stage: exact population covariance of the embedding
+    //    corpus from one decimal-summed gram pass (upper triangle);
+    //    the bias row of the augmented gram supplies sums and n
+    "q_embed_cov" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val d = e.select(size(col("embedding"))).head().getInt(0)
+      val g = Similarity.probeGram(e, "embedding")
+      val bias = g.filter(col("j") === lit(d)).collect()
+        .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      val n = bias(d)
+      val sLit = typedlit((0 until d).map(bias).toSeq)
+      g.filter(col("j") < d)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          round((col("xtx") -
+              element_at(sLit, col("i").cast("int") + 1) *
+              element_at(sLit, col("j").cast("int") + 1) / lit(n)) / lit(n)
+            + lit(1e-9), 6).as("cov"))
+        .orderBy("i", "j")
     }),
 
     // ── incremental LSH dedup: today's crawl (20% of docs) against the
@@ -1787,6 +1817,36 @@ object DataPipelineQueries {
         |        AS BIGINT) / 4294967296.0 < r
         |ORDER BY t.doc_id""".stripMargin,
 
+    // repeat factor floor(r) + one fractional epoch by the same
+    // md5-uniform; generate_series(1, 0) is empty in DuckDB (ascending
+    // inclusive), mirroring the engine's m >= 1 pre-filter
+    "q_epoch_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |           AS n
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, sum(n) AS tot FROM tok GROUP BY 1
+        |), rate AS (
+        |  SELECT source,
+        |         (4000.0 * (CAST(substr(source, 4) AS INT) + 1))
+        |           / greatest(tot, 1) AS r
+        |  FROM tot
+        |), reps AS (
+        |  SELECT t.doc_id, t.source,
+        |         CAST(floor(r) AS BIGINT) +
+        |         CASE WHEN CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),
+        |                  1, 8) AS BIGINT) / 4294967296.0 < r - floor(r)
+        |              THEN 1 ELSE 0 END AS m
+        |  FROM tok t JOIN rate USING (source)
+        |)
+        |SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+        |FROM (SELECT doc_id, source,
+        |             unnest(generate_series(1, m)) AS epoch
+        |      FROM reps WHERE m >= 1)
+        |ORDER BY doc_id, epoch""".stripMargin,
+
     // slices joined back to token arrays; string_agg ORDER BY doc_id
     // mirrors the engine's sort-within-row gather
     "q_pack_text" ->
@@ -1927,6 +1987,37 @@ object DataPipelineQueries {
         |SELECT 'xtx' AS part, a, b, v FROM xtx
         |UNION ALL SELECT 'xty' AS part, a, b, v FROM xty
         |ORDER BY part, a, b""".stripMargin,
+
+    // covariance from the same augmented gram: the bias row holds the
+    // per-dimension sums and n; the double arithmetic mirrors the
+    // engine's (xtx - s_i*s_j/n)/n exactly (same IEEE operation order)
+    "q_embed_cov" ->
+      """WITH aug AS (
+        |  SELECT list_append(CAST(embedding AS DOUBLE[]), 1.0) AS v
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT unnest(range((SELECT len(v) FROM aug LIMIT 1))) AS i
+        |), g AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |         CAST(sum(CAST(aug.v[CAST(a.i AS INT) + 1]
+        |                     * aug.v[CAST(b.i AS INT) + 1]
+        |                   AS DECIMAL(30,12))) AS DOUBLE) AS xtx
+        |  FROM aug, dims a, dims b WHERE a.i <= b.i GROUP BY 1, 2
+        |), dd AS (
+        |  SELECT max(i) AS d FROM dims
+        |), bias AS (
+        |  SELECT i, xtx FROM g WHERE j = (SELECT d FROM dd)
+        |), nn AS (
+        |  SELECT xtx AS n FROM bias WHERE i = (SELECT d FROM dd)
+        |)
+        |SELECT g.i AS i, g.j AS j,
+        |       round((g.xtx - si.xtx * sj.xtx / nn.n) / nn.n + 1e-9, 6)
+        |         + 0.0 AS cov
+        |FROM g JOIN bias si ON si.i = g.i
+        |       JOIN bias sj ON sj.i = g.j
+        |       CROSS JOIN nn
+        |WHERE g.j < (SELECT d FROM dd)
+        |ORDER BY i, j""".stripMargin,
 
     // mirrors Dedup.lshDedupAgainst: incoming (doc_id%5=0) band keys
     // joined against corpus (doc_id%5≠0) band keys, verified at sig

@@ -146,4 +146,48 @@ object Sampling {
       .limit(k)
       .drop("__wk")
   }
+
+  /** Multi-epoch mixture assembly: per-stratum token budgets that may
+    * EXCEED the stratum's corpus size. Where `tokenBudgetSample` clamps
+    * the rate at 1 (subsample-only), here the repeat factor
+    * r = budget / stratum_tokens is allowed to be > 1 and each row is
+    * emitted `floor(r)` times plus once more iff its id-hash uniform
+    * < frac(r) — the standard "2.7 epochs of source X" corpus mixture
+    * (DoReMi / Llama-style sampling weights realized as explicit
+    * repeats). The output carries a 1-based `epoch` ordinal so a
+    * downstream shuffler can salt repeats apart.
+    *
+    * Determinism: membership of the fractional epoch is a pure function
+    * of (id, salt) — the same md5-uniform as every sampler here — so the
+    * mixture is stable across partitionings and appends of other rows.
+    *
+    * Scale shape: one stratum-keyed aggregate whose result is
+    * strata-sized (collected, broadcast back as a literal frame), then a
+    * narrow `explode(sequence(...))` — output-sized work, the corpus is
+    * never shuffled. `sequence(1, 0)` steps DOWN in Spark (yields
+    * [1, 0]), so rows whose repeat count is 0 are filtered BEFORE the
+    * explode rather than relying on an empty sequence.
+    */
+  def epochMix(df: DataFrame, strataCol: String, idCol: String,
+      sizeExpr: Column, budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "at least one stratum budget")
+    val totals = df.groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(sum(sizeExpr.cast("long")).as("__tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val rates = totals.map { case (s, tot) =>
+      (s, budgets.getOrElse(s, 0L).toDouble / math.max(tot, 1L))
+    }.toSeq
+    val ratesDf = df.sparkSession.createDataFrame(rates).toDF("__s", "__rate")
+    val r = col("__rate")
+    val reps = (floor(r) +
+      when(hashUniform(col(idCol), salt) < r - floor(r), 1).otherwise(0))
+      .cast("int")
+    df.withColumn("__s", col(strataCol).cast("string"))
+      .join(broadcast(ratesDf), "__s")
+      .withColumn("__m", reps)
+      .filter(col("__m") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col("__m"))))
+      .drop("__s", "__rate", "__m")
+  }
 }

@@ -760,6 +760,137 @@ object Similarity {
       .withColumn("probe_label", best.getField("c"))
   }
 
+  // ── PCA / whitening ───────────────────────────────────────────────
+  // The standard embedding pre-transform before quantization (FAISS's
+  // PCAR/OPQ practice): rotate onto the top-k principal directions and
+  // optionally divide by √eigenvalue so each retained component has
+  // unit variance. One distributed pass builds the d×d covariance; the
+  // eigensolve is a driver-side model-sized computation; projection is
+  // a narrow codegen'd map with the components as plan literals.
+
+  /** Population covariance entries `(i, j, cov)` for the upper triangle
+    * (i ≤ j), exactly: Cov = (XᵀX − s sᵀ/n) / n, all moments read from
+    * ONE [[probeGram]] pass — the augmented gram's bias row IS the
+    * per-dimension sum vector and its corner IS n. The gram's
+    * decimal(30,12) summation makes every entry a pure function of the
+    * data (no float reorder drift), so the result is oracle-matchable.
+    * The gram is model-sized (d²/2 rows), so the driver round-trip is
+    * legitimate; the corpus itself is never collected or shuffled. */
+  def covarianceMatrix(df: DataFrame, vecCol: String)
+      : (Array[Array[Double]], Long) = {
+    val (g, d) = gramMoments(df, vecCol)
+    val n = g(d)(d)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      (g(i)(j) - g(i)(d) * g(j)(d) / n) / n
+    }
+    (cov, n.toLong)
+  }
+
+  /** Augmented-gram collect shared by the PCA entry points: returns the
+    * symmetric (d+1)×(d+1) matrix and d. */
+  private def gramMoments(df: DataFrame, vecCol: String)
+      : (Array[Array[Double]], Int) = {
+    val d1 = dimOf(df, vecCol) + 1
+    val g = Array.ofDim[Double](d1, d1)
+    probeGram(df, vecCol).collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      g(i)(j) = v; g(j)(i) = v
+    }
+    (g, d1 - 1)
+  }
+
+  /** Trained PCA: per-dimension mean, row-major components (k×d, unit
+    * L2) and their eigenvalues (descending). Model-sized. */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double]) {
+    def k: Int = components.length
+    def dim: Int = mean.length
+  }
+
+  /** Fit the top-k principal components: covariance via
+    * [[covarianceMatrix]], then power iteration with deflation on the
+    * driver (d×d, model-sized; fixed iteration budget, deterministic
+    * start vector, sign fixed so each component's largest-|coordinate|
+    * entry is positive — runs are bit-reproducible). */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int,
+      iters: Int = 200): PcaModel = {
+    require(k >= 1, "k must be >= 1")
+    val (g, d) = gramMoments(df, vecCol)
+    require(k <= d, s"k=$k exceeds dim=$d")
+    val n = g(d)(d)
+    val mean = Array.tabulate(d)(i => g(i)(d) / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      (g(i)(j) - g(i)(d) * g(j)(d) / n) / n
+    }
+    val comps = new Array[Array[Double]](k)
+    val evals = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      // deterministic start: e_c + a small ramp (never orthogonal to
+      // the dominant eigenvector of a deflated PSD matrix in practice;
+      // the fixed budget keeps the fit reproducible regardless)
+      val v = Array.tabulate(d)(i => if (i == c % d) 1.0 else 1e-3 * (i + 1))
+      var it = 0
+      while (it < iters) {
+        val w = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var s = 0.0; var j = 0
+          while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+          w(i) = s; i += 1
+        }
+        var nrm = 0.0; i = 0
+        while (i < d) { nrm += w(i) * w(i); i += 1 }
+        nrm = math.sqrt(nrm)
+        require(nrm > 1e-300, "power iteration collapsed (rank < k?)")
+        i = 0
+        while (i < d) { v(i) = w(i) / nrm; i += 1 }
+        it += 1
+      }
+      // sign convention: largest-|coordinate| entry positive
+      var am = 0; var i = 0
+      while (i < d) { if (math.abs(v(i)) > math.abs(v(am))) am = i; i += 1 }
+      if (v(am) < 0) { i = 0; while (i < d) { v(i) = -v(i); i += 1 } }
+      // Rayleigh quotient = eigenvalue for a unit eigenvector
+      var lam = 0.0
+      i = 0
+      while (i < d) {
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+        lam += v(i) * s; i += 1
+      }
+      comps(c) = v; evals(c) = lam
+      // deflate: cov ← cov − λ v vᵀ
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { cov(i)(j) -= lam * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c += 1
+    }
+    PcaModel(mean, comps, evals)
+  }
+
+  /** Project every row onto the model's components (centered), appended
+    * as `outCol: Array[Double]` of length k; `whiten = true` divides
+    * each coordinate by √eigenvalue (unit component variance). The
+    * mean and components ride as plan literals through the native
+    * [[graft.functions.VectorExprs.dot]] kernel — a zero-shuffle narrow
+    * map, exactly the shape a 100 TB corpus rotation needs. */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
+      whiten: Boolean = false, outCol: String = "pca"): DataFrame = {
+    val centered = zip_with(asDouble(col(vecCol)),
+      typedlit(model.mean.toSeq), (x, m) => x - m)
+    val proj = array(model.components.zip(model.eigenvalues).map {
+      case (comp, lam) =>
+        val p = graft.functions.VectorExprs.dot(centered,
+          typedlit(comp.toSeq))
+        if (whiten) p / lit(math.sqrt(math.max(lam, 1e-12))) else p
+    }: _*)
+    df.withColumn(outCol, proj)
+  }
+
   private def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 

@@ -527,6 +527,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == kept.values.map(_._1).sum)
   }
 
+  test("epochMix: over-budget strata repeat for multiple epochs, " +
+      "under-budget strata subsample, epochs are dense 1..m") {
+    val df = Seq.tabulate(300) { i =>
+      (i.toLong, s"s${i % 3}", Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // s0 holds 1000 tokens -> r=2.5; s1 -> r=0.4; s2 unbudgeted -> dropped
+    val budgets = Map("s0" -> 2500L, "s1" -> 400L)
+    val out = Sampling.epochMix(df, "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), budgets)
+      .select("doc_id", "source", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(!out.exists(_._2 == "s2"))
+    // every s0 doc appears at least floor(2.5)=2 times; ~half get a 3rd
+    val s0Counts = out.filter(_._2 == "s0").groupBy(_._1).map(_._2.length)
+    assert(s0Counts.forall(c => c == 2 || c == 3))
+    val total0 = s0Counts.sum
+    assert(total0 > 200 && total0 < 300, s"s0 emitted $total0 rows, want ~250")
+    // epochs per doc are exactly 1..m (dense, 1-based)
+    out.groupBy(r => (r._1, r._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // s1 subsamples: every kept doc appears exactly once
+    val s1Counts = out.filter(_._2 == "s1").groupBy(_._1).map(_._2.length)
+    assert(s1Counts.forall(_ == 1))
+    assert(s1Counts.sum > 15 && s1Counts.sum < 65)
+    // determinism across partitionings
+    val again = Sampling.epochMix(df.repartition(7), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), budgets).count()
+    assert(again == out.length)
+  }
+
   test("dedupLines: repeated sentence keeps exactly its first " +
       "(id, pos) occurrence; duplicate within one doc also collapses") {
     val df = Seq(

@@ -87,4 +87,80 @@ class ProbeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
+
+  // ── PCA / whitening ────────────────────────────────────────────────
+
+  /** Anisotropic cloud in R^6: σ = (5, 2, 0.5, 0.1, 0.1, 0.1) along the
+    * axes, plus a constant offset — the principal directions are the
+    * first two axes by construction. */
+  private def aniso(n: Int, seed: Long): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    val sig = Array(5.0, 2.0, 0.5, 0.1, 0.1, 0.1)
+    (0 until n).map { k =>
+      val v = sig.zipWithIndex.map { case (s, i) =>
+        (i + 1.0 + rnd.nextGaussian() * s).toFloat
+      }
+      (k.toLong, v.toSeq)
+    }
+  }
+
+  test("covarianceMatrix equals the locally computed population " +
+      "covariance and is partition-order invariant") {
+    val rows = aniso(200, seed = 21)
+    val df = rows.toDF("vec_id", "embedding")
+    val (cov, n) = Similarity.covarianceMatrix(df, "embedding")
+    assert(n == 200L)
+    val x = rows.map(_._2.map(_.toDouble).toArray).toArray
+    val mean = Array.tabulate(6)(i => x.map(_(i)).sum / 200)
+    for (i <- 0 until 6; j <- 0 until 6) {
+      val local = x.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / 200
+      assert(math.abs(cov(i)(j) - local) < 1e-9,
+        s"cov($i,$j)=${cov(i)(j)} vs local=$local")
+    }
+    // decimal gram sums → bit-identical under any partitioning
+    val (cov2, _) = Similarity.covarianceMatrix(df.repartition(13),
+      "embedding")
+    for (i <- 0 until 6; j <- 0 until 6) assert(cov(i)(j) == cov2(i)(j))
+  }
+
+  test("pcaFit recovers the dominant axes, eigenvalues descend, " +
+      "components are orthonormal; fit is deterministic") {
+    val df = aniso(500, seed = 22).toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, "embedding", k = 3)
+    assert(m.k == 3 && m.dim == 6)
+    // dominant component ≈ e_0 (σ=5 axis), second ≈ e_1 (σ=2 axis)
+    assert(math.abs(m.components(0)(0)) > 0.99, m.components(0).toSeq)
+    assert(math.abs(m.components(1)(1)) > 0.99, m.components(1).toSeq)
+    // sign convention: largest-|coordinate| entry positive
+    assert(m.components(0).maxBy(math.abs) > 0)
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    assert(m.eigenvalues(1) > m.eigenvalues(2))
+    // λ1 ≈ σ1² = 25 within sampling noise
+    assert(m.eigenvalues(0) > 18 && m.eigenvalues(0) < 33, m.eigenvalues(0))
+    // orthonormal
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = (0 until 6).map(i => m.components(a)(i) * m.components(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9)
+    }
+    val m2 = Similarity.pcaFit(df, "embedding", k = 3)
+    assert(m.components.map(_.toSeq).toSeq == m2.components.map(_.toSeq).toSeq)
+    assert(m.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+  }
+
+  test("pcaProject: centered coordinates (zero mean), whitened " +
+      "coordinates have unit variance; zero-shuffle plan") {
+    val df = aniso(500, seed = 23).toDF("vec_id", "embedding")
+    val m = Similarity.pcaFit(df, "embedding", k = 2)
+    val proj = Similarity.pcaProject(df, "embedding", m, whiten = true)
+    val p = proj.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    val coords = proj.select(col("pca")).as[Seq[Double]].collect()
+    for (c <- 0 until 2) {
+      val xs = coords.map(_(c))
+      val mu = xs.sum / xs.length
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(mu) < 1e-6, s"component $c mean=$mu")
+      assert(math.abs(va - 1.0) < 1e-6, s"component $c variance=$va")
+    }
+  }
 }
