@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, SemiStructured, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Dsir, Multimodal, Packing, Sampling, SemiStructured, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Queries + DuckDB oracles for the training-data-pipeline operators
@@ -498,6 +498,17 @@ object DataPipelineQueries {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")
     }),
+
+    // ── DSIR importance resampling: 100 non-English docs whose hashed-
+    //    bigram distribution best matches the English slice, drawn
+    //    Gumbel-top-n ∝ importance weight (Xie et al. 2023 recipe)
+    "q_dsir" -> ((s, dir) =>
+      Dsir.select(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", n = 100, buckets = 1024)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("log_ratio") + lit(1e-9), 6).as("log_ratio"),
+          round(col("sel_key") + lit(1e-9), 6).as("sel_key"))
+        .orderBy(col("sel_key").desc, col("doc_id"))),
 
     // ── materialized packed sequences: md5 pins the gathered text
     "q_pack_text" -> ((s, dir) =>
@@ -1846,6 +1857,54 @@ object DataPipelineQueries {
         |             unnest(generate_series(1, m)) AS epoch
         |      FROM reps WHERE m >= 1)
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // DSIR replay: same md5 bigram buckets, same add-1 smoothed log2
+    // ratio, decimal-summed per-doc weights, same md5-uniform Gumbel
+    // key; top-100 taken on the UNROUNDED key (as the engine does),
+    // rounding applied after
+    "q_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5(w1 || ' ' || w2), 1, 8) AS BIGINT)
+        |           % 1024 AS bucket
+        |  FROM (SELECT doc_id, lang,
+        |               unnest(ts[1:len(ts)-1]) AS w1,
+        |               unnest(ts[2:len(ts)]) AS w2
+        |        FROM tok WHERE len(ts) >= 2)
+        |), tc AS (
+        |  SELECT bucket, count(*) AS c FROM big WHERE lang = 'en' GROUP BY 1
+        |), rc AS (
+        |  SELECT bucket, count(*) AS c FROM big WHERE lang <> 'en' GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT sum(c) FROM tc) AS tt, (SELECT sum(c) FROM rc) AS rt
+        |), lr AS (
+        |  SELECT b.bucket,
+        |         log2((coalesce(tc.c, 0) + 1.0) / (tot.tt + 1.0 * 1024)) -
+        |         log2((coalesce(rc.c, 0) + 1.0) / (tot.rt + 1.0 * 1024)) AS lr
+        |  FROM (SELECT unnest(range(1024)) AS bucket) b
+        |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot
+        |), scored AS (
+        |  SELECT big.doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(CAST(lr.lr AS DECIMAL(30,12))) AS DOUBLE)
+        |           AS log_ratio
+        |  FROM big JOIN lr USING (bucket)
+        |  WHERE big.lang <> 'en'
+        |  GROUP BY 1
+        |), keyed AS (
+        |  SELECT doc_id, n_bigrams, log_ratio,
+        |         log_ratio - ln(-ln(
+        |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |             AS BIGINT) / 4294967296.0 + 1e-12)) AS sel_key
+        |  FROM scored
+        |), sel AS (
+        |  SELECT * FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 100
+        |)
+        |SELECT doc_id, n_bigrams, round(log_ratio + 1e-9, 6) AS log_ratio,
+        |       round(sel_key + 1e-9, 6) AS sel_key
+        |FROM sel ORDER BY round(sel_key + 1e-9, 6) DESC, doc_id""".stripMargin,
 
     // slices joined back to token arrays; string_agg ORDER BY doc_id
     // mirrors the engine's sort-within-row gather

@@ -148,7 +148,7 @@ object TextAnalysis {
 
   /** Per-row bigram pairs from the token array — ZERO-shuffle (array
     * slice + zip, no window/self-join): `(w1, w2)` structs. */
-  private def bigramsCol(textCol: String): Column = {
+  private[operators] def bigramsCol(textCol: String): Column = {
     val ts = lmTokens(textCol)
     filter(
       zip_with(

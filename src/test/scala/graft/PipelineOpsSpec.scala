@@ -558,6 +558,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.length)
   }
 
+  test("dsir: selection prefers raw docs that look like the target " +
+      "domain; deterministic across partitionings; pool-capped") {
+    val vocabA = Array("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val vocabB = Array("zero", "one", "two", "three", "four", "five",
+      "six", "seven")
+    val rnd = new scala.util.Random(31)
+    def doc(v: Array[String]) =
+      Seq.fill(40)(v(rnd.nextInt(v.length))).mkString(" ")
+    // 50 target docs (vocab A), raw pool: 50 A-like + 50 B-like
+    val rows =
+      (0 until 50).map(i => (i.toLong, "tgt", doc(vocabA))) ++
+      (100 until 150).map(i => (i.toLong, "rawA", doc(vocabA))) ++
+      (200 until 250).map(i => (i.toLong, "rawB", doc(vocabB)))
+    val df = rows.toDF("doc_id", "grp", "text")
+    val sel = graft.operators.Dsir.select(df, "doc_id", "text",
+        col("grp") === "tgt", n = 40, buckets = 512)
+    val got = sel.join(df.select("doc_id", "grp"), "doc_id")
+      .select("doc_id", "grp").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 40)
+    assert(!got.exists(_._2 == "tgt"), "target docs must never be selected")
+    val aShare = got.count(_._2 == "rawA").toDouble / got.length
+    info(s"A-like share of selection = $aShare")
+    assert(aShare >= 0.9, s"importance resampling should prefer " +
+      s"target-like docs, got A-share $aShare")
+    // determinism across partitionings (decimal sums + id-keyed gumbel)
+    val again = graft.operators.Dsir.select(df.repartition(11), "doc_id",
+        "text", col("grp") === "tgt", n = 40, buckets = 512)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.map(_._1).toSet)
+    // n beyond the pool returns every scoreable raw doc
+    val all = graft.operators.Dsir.select(df, "doc_id", "text",
+      col("grp") === "tgt", n = 1000, buckets = 512)
+    assert(all.count() == 100)
+  }
+
   test("dedupLines: repeated sentence keeps exactly its first " +
       "(id, pos) occurrence; duplicate within one doc also collapses") {
     val df = Seq(
