@@ -90,6 +90,19 @@ object DataPipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ── triplet mining: hardest positive + 4 hardest negatives per
+    //    anchor, semi-hard band flagged (contrastive training prep)
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 30), e,
+          "vec_id", "embedding", "label", k = 4, margin = 0.05)
+        .select(col("query_id"), col("pos_id"),
+          round(col("pos_cos"), 4).as("pos_cos"), col("rank"),
+          col("neg_id"), round(col("neg_cos"), 4).as("neg_cos"),
+          col("semi_hard"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ── embedding near-dup: top-20 cosine pairs among first 100 vectors
     "q_embed_neardup" -> ((s, dir) => {
       val e = embs(s, dir).filter(col("vec_id") < 100)
@@ -1095,6 +1108,44 @@ object DataPipelineQueries {
         |)
         |SELECT query_id, rank, match_id, round(cosine_raw, 4) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // same brute-force cosine as q_embed_topk, ranked within
+    // (anchor, same-label); semi-hard band compared on UNROUNDED
+    // doubles (bitwise-identical dot products in both engines)
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |         label AS qlab
+        |  FROM embeddings WHERE vec_id < 30
+        |), c AS (
+        |  SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv,
+        |         label AS clab
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT query_id, match_id,
+        |         list_dot_product(qv, cv) /
+        |           (sqrt(list_dot_product(qv, qv)) *
+        |            sqrt(list_dot_product(cv, cv))) AS cos_raw,
+        |         (qlab = clab) AS same
+        |  FROM q CROSS JOIN c WHERE query_id != match_id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, same
+        |              ORDER BY cos_raw DESC, match_id ASC) AS rank
+        |  FROM scored
+        |), pos AS (
+        |  SELECT query_id, match_id AS pos_id, cos_raw AS pos_cos
+        |  FROM ranked WHERE same AND rank = 1
+        |), negs AS (
+        |  SELECT query_id, rank, match_id AS neg_id, cos_raw AS neg_cos
+        |  FROM ranked WHERE NOT same AND rank <= 4
+        |)
+        |SELECT n.query_id, p.pos_id, round(p.pos_cos, 4) AS pos_cos,
+        |       CAST(n.rank AS INT) AS rank, n.neg_id,
+        |       round(n.neg_cos, 4) AS neg_cos,
+        |       coalesce(n.neg_cos < p.pos_cos
+        |                AND n.neg_cos > p.pos_cos - 0.05, FALSE) AS semi_hard
+        |FROM negs n LEFT JOIN pos p USING (query_id)
+        |ORDER BY n.query_id, n.rank""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (

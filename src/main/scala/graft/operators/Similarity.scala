@@ -760,6 +760,60 @@ object Similarity {
       .withColumn("probe_label", best.getField("c"))
   }
 
+  // ── hard-negative mining ──────────────────────────────────────────
+
+  /** Triplet mining for contrastive/metric training (the FaceNet
+    * recipe): for each labeled anchor, the hardest POSITIVE (most
+    * similar same-label row) and the `k` hardest NEGATIVES (most
+    * similar other-label rows), with the semi-hard flag
+    * `pos_cos − margin < neg_cos < pos_cos` — the band the triplet
+    * loss actually trains on (harder negatives collapse, easier ones
+    * carry no gradient).
+    *
+    * Output: `(query_id, pos_id, pos_cos, rank, neg_id, neg_cos,
+    * semi_hard)` — one row per (anchor, negative-rank). Anchors whose
+    * label appears nowhere else keep null pos columns and
+    * `semi_hard = false` (no positive ⇒ no band).
+    *
+    * Scale shape: anchors are a training batch (thousands), broadcast
+    * against the streamed corpus — one narrow scored pass, then ONE
+    * window shuffle partitioned by (anchor, same-label) ranking
+    * positives and negatives in the same pass. For corpus×corpus
+    * mining at 100 TB, generate candidates with [[ivfTopK]] /
+    * [[lshTopK]] first and rank the bucketed candidates the same way —
+    * this exact kernel is the per-batch tier. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      margin: Double = 0.1): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = anchors.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"), col(labelCol).as("qlab"))
+      .withColumn("__qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("match_id"),
+        asDouble(col(vecCol)).as("cv"), col(labelCol).as("clab"))
+      .withColumn("__cn", norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("match_id"))
+      .withColumn("cosine",
+        pairCosine(col("qv"), col("cv"), col("__qn"), col("__cn")))
+      .withColumn("same", col("qlab") === col("clab"))
+    val w = Window.partitionBy("query_id", "same")
+      .orderBy(col("cosine").desc, col("match_id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    val pos = ranked.filter(col("same") && col("rank") === 1)
+      .select(col("query_id"), col("match_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val negs = ranked.filter(!col("same") && col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("match_id").as("neg_id"),
+        col("cosine").as("neg_cos"))
+    negs.join(pos, Seq("query_id"), "left")
+      .withColumn("semi_hard",
+        coalesce(col("neg_cos") < col("pos_cos") &&
+          col("neg_cos") > col("pos_cos") - lit(margin), lit(false)))
+      .select("query_id", "pos_id", "pos_cos", "rank", "neg_id",
+        "neg_cos", "semi_hard")
+  }
+
   // ── PCA / whitening ───────────────────────────────────────────────
   // The standard embedding pre-transform before quantization (FAISS's
   // PCAR/OPQ practice): rotate onto the top-k principal directions and

@@ -558,6 +558,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.length)
   }
 
+  test("hardNegatives: positive is the nearest same-label row, " +
+      "negatives are other-label ranked by cosine, semi-hard band " +
+      "flags correctly, lone-label anchors keep null pos") {
+    // 2-D vectors on known angles: label 0 near 0°, label 1 near 90°,
+    // one anchor with a unique label 9
+    def vec(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val rows = Seq(
+      (0L, vec(0), 0), (1L, vec(5), 0), (2L, vec(20), 0),
+      (10L, vec(90), 1), (11L, vec(80), 1), (12L, vec(60), 1),
+      (99L, vec(45), 9))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.hardNegatives(
+        df.filter(col("vec_id").isin(0L, 99L)), df,
+        "vec_id", "embedding", "label", k = 2, margin = 0.2)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+        r.getLong(4), r.getInt(3), r.getBoolean(6))).toSeq
+    // anchor 0: positive = id 1 (5° is nearer than 20°); hardest
+    // negatives by cosine: 45° (id 99) then 60° (id 12)
+    val a0 = out.filter(_._1 == 0L).sortBy(_._4)
+    assert(a0.map(_._2).distinct == Seq(Some("1")))
+    assert(a0.map(_._3) == Seq(99L, 12L))
+    // cos(45°)≈0.707 vs pos_cos≈0.996: below the band → not semi-hard
+    assert(a0.forall(!_._5))
+    // anchor 99 (unique label): no positive, semi_hard false, but both
+    // negative ranks still mined
+    val a99 = out.filter(_._1 == 99L)
+    assert(a99.length == 2 && a99.forall(_._2.isEmpty) && a99.forall(!_._5))
+    // anchor 2 (20°): positive 1 (15° apart, cos≈0.966), negative 99
+    // (25° apart, cos≈0.906 ∈ (0.766, 0.966)) → semi-hard fires
+    val out2 = graft.operators.Similarity.hardNegatives(
+        df.filter(col("vec_id") === 2L),
+        df.filter(col("label") =!= 1), "vec_id", "embedding", "label",
+        k = 1, margin = 0.2).collect()
+    assert(out2.length == 1 && out2(0).getLong(4) == 99L &&
+      out2(0).getBoolean(6))
+  }
+
   test("dsir: selection prefers raw docs that look like the target " +
       "domain; deterministic across partitionings; pool-capped") {
     val vocabA = Array("alpha", "beta", "gamma", "delta", "epsilon",
