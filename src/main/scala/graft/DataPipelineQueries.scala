@@ -512,6 +512,13 @@ object DataPipelineQueries {
         .orderBy("doc_id", "epoch")
     }),
 
+    // ── deterministic corpus shuffle: 8 dataloader shards, hash-order
+    //    position within each — reproducible, append-stable layout
+    "q_shuffle_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(docs(s, dir), "doc_id", shards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")),
+
     // ── DSIR importance resampling: 100 non-English docs whose hashed-
     //    bigram distribution best matches the English slice, drawn
     //    Gumbel-top-n ∝ importance weight (Xie et al. 2023 recipe)
@@ -1908,6 +1915,20 @@ object DataPipelineQueries {
         |             unnest(generate_series(1, m)) AS epoch
         |      FROM reps WHERE m >= 1)
         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // same md5 shard + within-shard hash rank (doc_id breaks the
+    // theoretical hash tie)
+    "q_shuffle_shards" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) % 8 AS shard
+        |  FROM documents
+        |)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |         ORDER BY k, doc_id) - 1 AS INT) AS pos
+        |FROM keyed ORDER BY shard, pos""".stripMargin,
 
     // DSIR replay: same md5 bigram buckets, same add-1 smoothed log2
     // ratio, decimal-summed per-doc weights, same md5-uniform Gumbel

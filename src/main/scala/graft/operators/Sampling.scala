@@ -147,6 +147,35 @@ object Sampling {
       .drop("__wk")
   }
 
+  /** Deterministic global shuffle into `shards` dataloader shards —
+    * the corpus-assembly step after curation: training rows must be
+    * read in an order uncorrelated with crawl/source order, shards
+    * must be balanced, and a re-run (or a resumed run) must produce
+    * the SAME order bit-for-bit. `df.orderBy(rand(seed))` fails all
+    * three at 100 TB (partition-dependent, and a total sort). Here
+    * each row's shard is the id md5-hash mod `shards` and its
+    * `pos` is the hash-order rank WITHIN the shard — a pure function
+    * of (id, salt), so appends never reorder existing shards'
+    * relative layout and different salts give independent shuffles.
+    *
+    * Scale shape: one narrow hash projection, then ONE exchange keyed
+    * by shard (uniform by construction — no skew) with a per-shard
+    * sort for `row_number`; each shard is a window partition sized
+    * corpus/shards, so `shards` is the knob that bounds per-task
+    * state. No global total order is ever built. */
+  def shuffleShards(df: DataFrame, idCol: String, shards: Int,
+      salt: String = ""): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast("long"),
+      lit(shards.toLong))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy(col("__k").asc, col(idCol).asc)
+    df.withColumn("__k", key).withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("__k")
+  }
+
   /** Multi-epoch mixture assembly: per-stratum token budgets that may
     * EXCEED the stratum's corpus size. Where `tokenBudgetSample` clamps
     * the rate at 1 (subsample-only), here the repeat factor

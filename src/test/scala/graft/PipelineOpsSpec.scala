@@ -558,6 +558,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.length)
   }
 
+  test("shuffleShards: dense per-shard positions, balanced shards, " +
+      "partitioning-invariant, append preserves relative order") {
+    val df = (0L until 800L).toDF("doc_id")
+    val out = Sampling.shuffleShards(df, "doc_id", shards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 800)
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // uniform hash → no shard more than 2x off the mean at n=800
+    assert(byShard.values.forall(s => s.length > 50 && s.length < 200))
+    // positions are exactly 0..m-1 within each shard
+    byShard.values.foreach(s =>
+      assert(s.map(_._3).sorted.toSeq == (0 until s.length)))
+    // shuffled: shard-0 order is not doc_id order
+    val s0 = byShard(0L).sortBy(_._3).map(_._1).toSeq
+    assert(s0 != s0.sorted)
+    // partitioning-invariant
+    val again = Sampling.shuffleShards(df.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(again.toSeq == out.sorted.toSeq)
+    // append-stability: with 400 more docs, surviving rows keep their
+    // RELATIVE order within each shard (positions shift, order doesn't)
+    val grown = Sampling.shuffleShards((0L until 1200L).toDF("doc_id"),
+        "doc_id", 8).select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    (0L until 8L).foreach { sh =>
+      val oldOrder = byShard(sh).sortBy(_._3).map(_._1).toSeq
+      val newOrder = grown.filter(g => g._2 == sh && g._1 < 800)
+        .sortBy(_._3).map(_._1).toSeq
+      assert(newOrder == oldOrder, s"shard $sh relative order changed")
+    }
+  }
+
   test("hardNegatives: positive is the nearest same-label row, " +
       "negatives are other-label ranked by cosine, semi-hard band " +
       "flags correctly, lone-label anchors keep null pos") {
