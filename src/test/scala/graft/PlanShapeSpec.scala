@@ -214,6 +214,71 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("epochMix: rate table broadcasts (no shuffle join), explode is " +
+      "narrow — the corpus-side plan carries ZERO hash exchanges") {
+    val df = Seq((1L, "s0", "a b c"), (2L, "s1", "d e")).toDF(
+      "doc_id", "source", "text")
+    val p = plan(Sampling.epochMix(df, "source", "doc_id",
+      size(split(col("text"), " ")).cast("long"), Map("s0" -> 10L)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(p) == 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("shuffleShards: exactly ONE exchange (the shard key), no global " +
+      "sort, no join") {
+    val p = plan(Sampling.shuffleShards(
+      spark.range(100).toDF("doc_id"), "doc_id", 8))
+    assert(shuffles(p) == 1, p)
+    assert(!p.contains("Join"), p)
+    // the only Sort is the per-shard window sort, under the exchange
+    assert(count(p, "Sort") == 1, p)
+  }
+
+  test("dsir scoring: ratio table broadcasts; per-doc agg is the only " +
+      "corpus-keyed exchange after the model fit") {
+    val df = Seq((1L, "t", "a b c d"), (2L, "r", "a b x y"),
+      (3L, "r", "p q r s")).toDF("doc_id", "grp", "text")
+    val p = plan(graft.operators.Dsir.select(df, "doc_id", "text",
+      col("grp") === "t", n = 2, buckets = 16))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // top-n is TakeOrdered (no global sort); the hash exchanges are the
+    // two bucket-BOUNDED fit aggs + exactly one doc-keyed scoring agg
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(count(p, "Exchange hashpartitioning(doc_id") == 1, p)
+    assert(shuffles(p) <= 3, p)
+  }
+
+  test("hardNegatives: anchors broadcast; ONE window exchange ranks " +
+      "positives and negatives; pos-join stays broadcast") {
+    val df = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val p = plan(graft.operators.Similarity.hardNegatives(
+      df.filter(col("vec_id") === 1L), df, "vec_id", "embedding",
+      "label", k = 2))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the rank<=k / rank==1 filters push into the window sort as
+    // group-limits (the ranked subtree appears in both join branches;
+    // ReuseExchange dedupes the shuffle at runtime)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("pcaProject/scoreProbe-family: literal-weight projection is a " +
+      "pure narrow map over the scan") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val m = graft.operators.Similarity.PcaModel(
+      Array(0.0, 0.0, 0.0),
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      Array(2.0, 1.0))
+    val p = plan(graft.operators.Similarity.pcaProject(
+      df, "embedding", m, whiten = true))
+    assert(shuffles(p) == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("SemiStructured.extract: one from_json evaluation feeding all " +
       "fields; scan prunes to the referenced columns") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
