@@ -199,6 +199,20 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── the learned merge TABLE itself (rank-ordered vocabulary
+    //    artifact a tokenizer ships): q_bpe_learned pins segmentations,
+    //    this pins the merges — the same recursive-CTE oracle surfaces
+    //    the chosen pair per step
+    "q_bpe_vocab" -> ((s, dir) => {
+      val merges = graft.operators.BpeTrainer.learnMerges(
+        docs(s, dir), "text", 64)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "a", "b")
+        .orderBy("rank")
+    }),
+
     // ── token counting
     "q_token_count" -> ((s, dir) =>
       docs(s, dir)
@@ -975,6 +989,43 @@ object DataPipelineQueries {
          |SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens, a.first_tok
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the merge-table view of the same recursive replay: the recursive
+    // term additionally EMITS the pair it chose (bestPair over the
+    // previous iteration's working table), so the learned vocabulary
+    // reads straight off the CTE as (step, a, b)
+    "q_bpe_vocab" -> {
+      def bestPair(field: Int): String =
+        s"""(SELECT z[$field] FROM (
+           |    SELECT z, sum(cnt) AS c
+           |    FROM (SELECT unnest(list_zip(syms, syms[2:])) AS z, cnt FROM
+           |          (SELECT string_split(trim(enc), '  ') AS syms, cnt FROM bpe))
+           |    WHERE z[2] IS NOT NULL
+           |    GROUP BY z ORDER BY c DESC, z[1], z[2] LIMIT 1))""".stripMargin
+      s"""WITH RECURSIVE
+         |wc AS (
+         |  SELECT word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents
+         |  ) WHERE word <> '' GROUP BY word
+         |),
+         |bpe(step, word, enc, cnt, ma, mb) AS (
+         |  SELECT 0, word,
+         |         ' ' || array_to_string(list_append(string_split(word, ''), '</w>'), '  ') || ' ',
+         |         cnt, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+         |  FROM wc
+         |  UNION ALL
+         |  SELECT step + 1, word,
+         |         replace(enc, ' ' || ${bestPair(1)} || '  ' || ${bestPair(2)} || ' ',
+         |                      ' ' || ${bestPair(1)} || ${bestPair(2)} || ' '),
+         |         cnt, ${bestPair(1)}, ${bestPair(2)}
+         |  FROM bpe
+         |  WHERE step < 64 AND EXISTS (
+         |    SELECT 1 FROM (SELECT unnest(list_zip(syms, syms[2:])) AS z FROM
+         |      (SELECT string_split(trim(enc), '  ') AS syms FROM bpe)) WHERE z[2] IS NOT NULL)
+         |)
+         |SELECT DISTINCT CAST(step AS INT) AS rank, ma AS a, mb AS b
+         |FROM bpe WHERE step >= 1 ORDER BY rank""".stripMargin
     },
 
     "q_dedup_exact" ->
