@@ -417,6 +417,17 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── leakage-safe split: train/val draw keyed by the near-dup
+    //    CLUSTER, so no duplicate family straddles the boundary
+    "q_split_leak_safe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.nearDupClusters(d, "doc_id", "text",
+        numHashes = H, bands = 4, tau = 0.5)
+      Sampling.leakSafeSplit(d, "doc_id", clusters, "cluster_id",
+          valFraction = 0.2)
+        .select("doc_id", "cluster_id", "split").orderBy("doc_id")
+    }),
+
     // ── repetition / boilerplate signals (Gopher-style quality rules)
     "q_repetition" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1648,6 +1659,17 @@ object DataPipelineQueries {
     // contraction variant must produce the SAME labels — same oracle.
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_cluster_star" -> dedupClusterSql,
+
+    // same cluster labels; the split draw hashes the CLUSTER id
+    "q_split_leak_safe" ->
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT d.doc_id, c.cluster_id,
+         |       CASE WHEN CAST('0x' ||
+         |              substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 8)
+         |              AS BIGINT) / 4294967296.0 < 0.2
+         |            THEN 'val' ELSE 'train' END AS split
+         |FROM documents d JOIN clusters c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // repetition signals: max-multiplicity over the token / 2-gram
     // multisets ≡ Spark's longest-equal-run fold over the sorted arrays

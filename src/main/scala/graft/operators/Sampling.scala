@@ -147,6 +147,33 @@ object Sampling {
       .drop("__wk")
   }
 
+  /** Leakage-safe train/validation split: the split draw is keyed by
+    * the NEAR-DUP CLUSTER id, not the document id, so a family of
+    * near-duplicates can never straddle the boundary — the standard
+    * fix for eval contamination where doc-keyed splits put one copy of
+    * a template in train and its sibling in validation (the model then
+    * "generalizes" to text it has effectively seen). `clusters` is a
+    * `(idCol, clusterCol)` frame, e.g. [[Dedup.nearDupClusters]]'s
+    * output; rows missing from it keep their own id as a singleton
+    * cluster key.
+    *
+    * Scale shape: one id-keyed equi join (AQE picks broadcast vs
+    * shuffle by the cluster frame's size) plus a narrow hash
+    * projection. Same md5-uniform as every sampler here: the split is
+    * a pure function of (cluster, salt) — append-stable, so late-
+    * arriving members of an existing cluster land on the SAME side. */
+  def leakSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      clusterCol: String, valFraction: Double,
+      salt: String = ""): DataFrame = {
+    require(valFraction >= 0.0 && valFraction <= 1.0,
+      "valFraction must be in [0,1]")
+    val key = coalesce(col(clusterCol), col(idCol)).cast("string")
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("split",
+        when(hashUniform(key, salt) < valFraction, lit("val"))
+          .otherwise(lit("train")))
+  }
+
   /** Deterministic global shuffle into `shards` dataloader shards —
     * the corpus-assembly step after curation: training rows must be
     * read in an order uncorrelated with crawl/source order, shards

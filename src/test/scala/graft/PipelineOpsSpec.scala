@@ -558,6 +558,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.length)
   }
 
+  test("leakSafeSplit: a cluster never straddles the boundary; " +
+      "missing rows fall back to singleton id keys; fraction holds") {
+    val df = (0L until 600L).toDF("doc_id")
+    // 100 clusters of 5 (ids 0..499 -> cluster id/5*5), ids 500+ absent
+    val clusters = (0L until 500L).map(i => (i, i / 5 * 5))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.leakSafeSplit(df, "doc_id", clusters,
+        "cluster_id", valFraction = 0.25)
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong),
+        r.getString(2)))
+    assert(out.length == 600)
+    // atomic clusters: one split value per cluster
+    out.filter(_._2.isDefined).groupBy(_._2.get).foreach {
+      case (c, rows) =>
+        assert(rows.map(_._3).distinct.length == 1,
+          s"cluster $c straddles the split")
+    }
+    val valFrac = out.count(_._3 == "val").toDouble / out.length
+    info(s"val fraction = $valFrac")
+    assert(valFrac > 0.1 && valFrac < 0.4)
+    // unclustered tail present, keyed per-id (both sides appear)
+    val tail = out.filter(_._1 >= 500).map(_._3).distinct
+    assert(tail.sorted.toSeq == Seq("train", "val"))
+    // append-stability: same rows keep their side when the corpus grows
+    val grown = Sampling.leakSafeSplit((0L until 900L).toDF("doc_id"),
+        "doc_id", clusters, "cluster_id", 0.25)
+      .filter(col("doc_id") < 600)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.forall { case (id, _, s) => grown(id) == s })
+  }
+
   test("shuffleShards: dense per-shard positions, balanced shards, " +
       "partitioning-invariant, append preserves relative order") {
     val df = (0L until 800L).toDF("doc_id")
