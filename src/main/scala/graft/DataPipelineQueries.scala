@@ -417,6 +417,16 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── curriculum deciles over the quality score: exact-percentile
+    //    bin edges as plan literals, no ntile/global sort
+    "q_curriculum" -> ((s, dir) => {
+      val q = round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+      Sampling.curriculumBins(docs(s, dir), q, bins = 10,
+          edgeDecimals = 4)
+        .select(col("doc_id"), q.as("quality"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // ── leakage-safe split: train/val draw keyed by the near-dup
     //    CLUSTER, so no duplicate family straddles the boundary
     "q_split_leak_safe" -> ((s, dir) => {
@@ -1407,6 +1417,25 @@ object DataPipelineQueries {
     "q_quality" ->
       s"""SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same quality expression, 4-dp quantized BEFORE the percentile and
+    // on each edge (+1e-9 half-up both sides): interpolated edges are
+    // formula-sensitive in the last ulp across engines (a(1−f)+bf vs
+    // a+f(b−a)), and deciles of a tie-heavy score land ON data values
+    "q_curriculum" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality
+         |  FROM documents
+         |), e AS (
+         |  SELECT list_transform(quantile_cont(quality,
+         |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+         |    x -> round(x + 1e-9, 4)) AS edges
+         |  FROM q
+         |)
+         |SELECT q.doc_id, q.quality,
+         |       CAST(len(list_filter(e.edges, x -> q.quality > x)) AS INT)
+         |         AS bin
+         |FROM q, e ORDER BY q.doc_id""".stripMargin,
 
     // mirrors TextAnalysis.gopherRules term by term; every fraction is a
     // double quotient of exact integers so comparisons are engine-exact

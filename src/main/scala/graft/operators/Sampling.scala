@@ -147,6 +147,39 @@ object Sampling {
       .drop("__wk")
   }
 
+  /** Curriculum binning: assign each row a difficulty bin by EXACT
+    * score quantile (bin 0 = lowest `1/bins` of scores … bin `bins−1`
+    * = highest), the easy→hard ordering key for curriculum training
+    * schedules. Ties land in the LOWER bin (strict `>` against each
+    * edge), so the assignment is a pure function of the score.
+    *
+    * Scale shape: the naive `ntile(bins)` windows over a GLOBAL sort —
+    * the whole corpus through one task. Here the bin edges are one
+    * exact-percentile aggregate (model-sized: `bins−1` doubles to the
+    * driver) and assignment is a narrow codegen'd comparison fold with
+    * the edges as plan literals — no window, no global sort, no
+    * shuffle beyond the percentile agg's single-row exchange. */
+  def curriculumBins(df: DataFrame, score: Column, bins: Int,
+      edgeDecimals: Int = -1): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val raw = df.agg(percentile(score, typedlit(qs)).as("e"))
+      .head().getSeq[Double](0)
+    // edgeDecimals >= 0 quantizes each edge (half-up, +1e-9 nudge) —
+    // interpolated percentiles are formula-sensitive in the last ulp
+    // (a(1−f)+bf here vs a+f(b−a) elsewhere), and an edge that lands ON
+    // a heavy tie value would otherwise flip strict-> across engines;
+    // pass the SAME quantization the score column carries
+    val edges =
+      if (edgeDecimals < 0) raw
+      else raw.map(e => BigDecimal(e + 1e-9)
+        .setScale(edgeDecimals, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(score > lit(e), 1).otherwise(0)
+    }
+    df.withColumn("bin", bin)
+  }
+
   /** Leakage-safe train/validation split: the split draw is keyed by
     * the NEAR-DUP CLUSTER id, not the document id, so a family of
     * near-duplicates can never straddle the boundary — the standard

@@ -558,6 +558,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.length)
   }
 
+  test("curriculumBins: bins are monotone in score, near-equal-sized " +
+      "on a uniform score, ties land in the lower bin") {
+    val df = (0 until 1000).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "s")
+    val out = Sampling.curriculumBins(df, col("s"), bins = 10)
+      .select("id", "s", "bin").collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    assert(out.map(_._2).distinct.sorted.toSeq == (0 until 10))
+    // monotone: sorting by score never decreases the bin
+    val sorted = out.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // near-equal sizes on a uniform distribution
+    val sizes = out.groupBy(_._2).values.map(_.size)
+    assert(sizes.forall(s => s >= 90 && s <= 110), sizes.toSeq.sorted)
+    // a mass of ties AT an edge stays in the lower bin
+    val ties = (0 until 100).map(i => (i.toLong, if (i < 50) 1.0 else 2.0))
+      .toDF("id", "s")
+    val tb = Sampling.curriculumBins(ties, col("s"), bins = 2)
+      .select("s", "bin").distinct().collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).toMap
+    assert(tb(1.0) == 0 && tb(2.0) == 1)
+  }
+
   test("leakSafeSplit: a cluster never straddles the boundary; " +
       "missing rows fall back to singleton id keys; fraction holds") {
     val df = (0L until 600L).toDF("doc_id")
