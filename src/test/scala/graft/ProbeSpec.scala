@@ -147,6 +147,51 @@ class ProbeSpec extends SparkSpec {
     assert(m.eigenvalues.toSeq == m2.eigenvalues.toSeq)
   }
 
+  test("pcaProject at k=dim is an isometry; truncated projection " +
+      "(half the dims) keeps L2 top-10 recall >= 0.9 on a " +
+      "signal+noise corpus — the ANN compression tier") {
+    // 16-dim: 4 signal axes (sigma 4..1), 12 noise axes (sigma 0.05)
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 300).map { i =>
+      val v = Array.tabulate(16)(d =>
+        (if (d < 4) rnd.nextGaussian() * (4.0 - d) else
+          rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val full = Similarity.pcaFit(df, "embedding", k = 16)
+    val proj = Similarity.pcaProject(df, "embedding", full)
+      .select("vec_id", "pca").as[(Long, Seq[Double])].collect().toMap
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val centered = {
+      val m = full.mean
+      rows.map { case (id, v) =>
+        id -> v.zipWithIndex.map { case (x, i) => x - m(i) } }.toMap
+    }
+    // isometry: rotation preserves pairwise distance (1e-6 — the
+    // deflated power iteration leaves ~1e-8 residual non-orthogonality
+    // in the near-degenerate noise subspace)
+    for (a <- 0L until 20L; b <- (a + 1) until 20L)
+      assert(math.abs(l2(proj(a), proj(b)) -
+        l2(centered(a), centered(b))) < 1e-6)
+    // truncation: 8 of 16 dims, neighbor recall against exact
+    val half = Similarity.PcaModel(full.mean, full.components.take(8),
+      full.eigenvalues.take(8))
+    val hproj = Similarity.pcaProject(df, "embedding", half)
+      .select("vec_id", "pca").as[(Long, Seq[Double])].collect().toMap
+    val ids = rows.map(_._1)
+    val recalls = (0L until 30L).map { q =>
+      def top10(space: Map[Long, Seq[Double]]) =
+        ids.filter(_ != q).sortBy(o => (l2(space(q), space(o)), o))
+          .take(10).toSet
+      top10(centered).intersect(top10(hproj)).size / 10.0
+    }
+    val meanRecall = recalls.sum / recalls.length
+    info(s"half-dim recall@10 = $meanRecall")
+    assert(meanRecall >= 0.9, s"recall $meanRecall")
+  }
+
   test("pcaProject: centered coordinates (zero mean), whitened " +
       "coordinates have unit variance; zero-shuffle plan") {
     val df = aniso(500, seed = 23).toDF("vec_id", "embedding")
