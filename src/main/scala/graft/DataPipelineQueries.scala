@@ -417,6 +417,21 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── PageRank centrality over the verified near-dup graph: the
+    //    authority score for canonical-doc choice / link-graph curation;
+    //    10 damped rounds, decimal-summed contributions, dangling mass
+    "q_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+          numHashes = H, bands = 4, tau = 0.5)
+        .dropDuplicates("id_a", "id_b")
+      Dedup.pageRank(d.select(col("doc_id")), pairs, "doc_id",
+          iters = 10, damping = 0.85)
+        .select(col("doc_id"),
+          round(col("pagerank") + lit(1e-12), 9).as("pagerank"))
+        .orderBy("doc_id")
+    }),
+
     // ── curriculum deciles over the quality score: exact-percentile
     //    bin edges as plan literals, no ntile/global sort
     "q_curriculum" -> ((s, dir) => {
@@ -1688,6 +1703,39 @@ object DataPipelineQueries {
     // contraction variant must produce the SAME labels — same oracle.
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_cluster_star" -> dedupClusterSql,
+
+    // lockstep PageRank replay: the recursive term re-derives each
+    // round's full rank table from the previous working table —
+    // contributions decimal-summed per target, dangling mass from the
+    // zero-degree nodes, formula parenthesized exactly as the engine's
+    // (base + d·(contrib + dangling/N))
+    "q_pagerank" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |pr(step, id, r) AS (
+         |  SELECT 0, doc_id, 1.0 / (SELECT n FROM nn) FROM documents
+         |  UNION ALL
+         |  SELECT (SELECT max(step) FROM pr) + 1, d.doc_id,
+         |         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (
+         |           coalesce(c.cs, 0.0) +
+         |           (SELECT coalesce(CAST(sum(CAST(p.r AS DECIMAL(30,15)))
+         |                     AS DOUBLE), 0.0)
+         |            FROM pr p WHERE p.id NOT IN (SELECT src FROM deg))
+         |             / (SELECT n FROM nn))
+         |  FROM documents d
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |           CAST(sum(CAST(p.r / dg.deg AS DECIMAL(30,15)))
+         |             AS DOUBLE) AS cs
+         |    FROM pr p JOIN edges e ON e.src = p.id
+         |              JOIN deg dg ON dg.src = p.id
+         |    GROUP BY e.dst
+         |  ) c ON c.id = d.doc_id
+         |  WHERE (SELECT max(step) FROM pr) < 10
+         |)
+         |SELECT id AS doc_id, round(r + 1e-12, 9) AS pagerank
+         |FROM pr WHERE step = 10 ORDER BY doc_id""".stripMargin,
 
     // same cluster labels; the split draw hashes the CLUSTER id
     "q_split_leak_safe" ->

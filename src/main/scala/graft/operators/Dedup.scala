@@ -1181,4 +1181,63 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     connectedComponents(df.select(col(idCol)), pairs, idCol, maxIter)
   }
+
+  /** PageRank over an undirected pair graph (e.g. the near-dup /
+    * similarity graph): the centrality signal that ranks a cluster's
+    * CANONICAL document by how connected it is, and more generally the
+    * "authority" score link-graph curation uses (page-level quality in
+    * the big-crawl pipelines). Standard damped iteration with the
+    * dangling-mass term:
+    * `r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/deg(u) + dangling/N)`,
+    * `iters` fixed (no convergence probe — a fixed budget keeps the
+    * result a pure function of the graph, bit-reproducible and
+    * oracle-replayable step for step).
+    *
+    * Determinism: per-target contribution sums accumulate as
+    * decimal(30,15) (partition-order-independent); every other op is a
+    * deterministic scalar double, so ranks are bit-identical across
+    * runs, partitionings, and engines.
+    *
+    * Scale shape: per round, one edge-keyed join of the rank frame
+    * (index-sized: id + double) against the static symmetrized edge
+    * frame (persisted once), one target-keyed aggregation, one left
+    * join back to nodes — all AQE-managed equi-joins, no windows. The
+    * dangling sum is a one-row aggregate per round. Each round's rank
+    * frame is eagerly `localCheckpoint`ed (the [[connectedComponents]]
+    * lineage lesson); blocks are index-sized and released by the
+    * ContextCleaner. */
+  def pageRank(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val n = nodes.count().toDouble
+    require(n > 0, "empty node set")
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = sym.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
+    val degIds = deg.select(col("src").as("id")).localCheckpoint(true)
+    var ranks = nodes.select(col(idCol).as("id"), lit(1.0 / n).as("r"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val contrib = edges
+        .join(ranks.select(col("id").as("src"), col("r")), "src")
+        .select(col("dst"),
+          (col("r") / col("deg")).cast("decimal(30,15)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).cast("double").as("cs"))
+      val dangRow = ranks.join(degIds, Seq("id"), "left_anti")
+        .agg(sum(col("r").cast("decimal(30,15)")).cast("double")).head()
+      val dangling = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
+      ranks = nodes.select(col(idCol).as("id"))
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("cs"), lit(0.0)) + lit(dangling / n))).as("r"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    ranks.select(col("id").as(idCol), col("r").as("pagerank"))
+  }
 }

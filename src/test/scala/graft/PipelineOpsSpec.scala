@@ -558,6 +558,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.length)
   }
 
+  test("pageRank: mass conserves, hubs outrank leaves, isolated nodes " +
+      "get base+dangling share, bit-deterministic across partitionings") {
+    // star a<->{b,c,d} plus an isolated node e
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val pr = graft.operators.Dedup.pageRank(nodes, pairs, "doc_id",
+        iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.values.sum)
+    // hub holds more mass than each leaf; leaves are symmetric
+    assert(pr(1L) > pr(2L))
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L))
+    // the isolated node keeps less than a leaf (no incoming edges,
+    // only base + dangling share) but more than the bare base
+    assert(pr(5L) < pr(2L) && pr(5L) > 0.15 / 5)
+    val again = graft.operators.Dedup.pageRank(nodes.repartition(7),
+        pairs.repartition(5), "doc_id", iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr == again) // decimal sums → bit-identical
+  }
+
   test("curriculumBins: bins are monotone in score, near-equal-sized " +
       "on a uniform score, ties land in the lower bin") {
     val df = (0 until 1000).map(i => (i.toLong, i.toDouble))
