@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Dsir, Multimodal, Packing, Sampling, SemiStructured, Similarity, TextAnalysis}
+import graft.operators.{CorpusStats, Dedup, Dsir, Multimodal, Packing, Sampling, SemiStructured, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Queries + DuckDB oracles for the training-data-pipeline operators
@@ -414,6 +414,18 @@ object DataPipelineQueries {
       val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
         numHashes = H, bands = 4, tau = 0.5).dropDuplicates("id_a", "id_b")
       Dedup.connectedComponentsStar(d.select(col("doc_id")), pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ── snapshot diff between two corpus versions (the ingest delta:
+    //    %7==0 added, ==1 removed, ==2 text-revised, rest unchanged)
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val before = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val after = d.filter(pmod(col("doc_id"), lit(7)) =!= 1)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      CorpusStats.corpusDiff(before, after, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1703,6 +1715,24 @@ object DataPipelineQueries {
     // contraction variant must produce the SAME labels — same oracle.
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_cluster_star" -> dedupClusterSql,
+
+    // md5 content keys per side, full-outer on the id (USING coalesces)
+    "q_corpus_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+        |), a AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]'
+        |                  ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 7 <> 1
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN b.h IS NULL THEN 'added'
+        |            WHEN a.h IS NULL THEN 'removed'
+        |            WHEN a.h = b.h THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM b FULL OUTER JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // lockstep PageRank replay: the recursive term re-derives each
     // round's full rank table from the previous working table —

@@ -140,4 +140,27 @@ object CorpusStats {
   def thetaDifferenceEstimate(a: Column, b: Column): Column =
     call_function("theta_sketch_estimate",
       call_function("theta_difference", a, b))
+
+  /** Snapshot diff between two corpus versions: per id, `added` /
+    * `removed` / `changed` / `unchanged` by content hash — the ingest
+    * delta report every versioned-corpus pipeline prints before
+    * reprocessing (and the input to incremental recompute: only
+    * `added`+`changed` need re-curation; `removed` ids invalidate
+    * downstream artifacts).
+    *
+    * Scale shape: each side reduces to `(id, md5)` on its scan (narrow
+    * — 2 small columns through the join, never the payloads), then ONE
+    * id-keyed full-outer equi-join; AQE broadcasts a small delta side.
+    * Output: `(idCol, status)`. */
+  def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def keyed(df: DataFrame, h: String) =
+      df.select(col(idCol), md5(col(textCol)).as(h))
+    keyed(before, "__hb").join(keyed(after, "__ha"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__hb").isNull, lit("added"))
+          .when(col("__ha").isNull, lit("removed"))
+          .when(col("__ha") === col("__hb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }
