@@ -674,7 +674,9 @@ object DataPipelineQueries {
     "q_embed_cov" -> ((s, dir) => {
       val e = embs(s, dir)
       val d = e.select(size(col("embedding"))).head().getInt(0)
-      val g = Similarity.probeGram(e, "embedding")
+      // eager checkpoint: the bias-row collect AND the main projection
+      // both read the gram — without it the corpus-sized pass runs twice
+      val g = Similarity.probeGram(e, "embedding").localCheckpoint(true)
       val bias = g.filter(col("j") === lit(d)).collect()
         .map(r => r.getInt(0) -> r.getDouble(2)).toMap
       val n = bias(d)

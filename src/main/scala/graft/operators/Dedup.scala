@@ -1212,8 +1212,11 @@ object Dedup {
     val n = nodes.count().toDouble
     require(n > 0, "empty node set")
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // ONE eager checkpoint of the symmetrized edge set: the pair
+    // pipeline (for near-dup graphs, the whole LSH verify) runs once;
+    // deg/edges/degIds all derive from the materialized blocks
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val edges = sym.join(deg, "src")
       .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
