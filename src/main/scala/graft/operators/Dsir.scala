@@ -84,9 +84,29 @@ object Dsir {
       alpha: Double = 1.0, salt: String = ""): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(buckets >= 2, "buckets must be >= 2")
-    val target = df.filter(targetPred)
     val raw = df.filter(!targetPred)
-    val lr = logRatios(target, raw, textCol, buckets, alpha)
+    // fused fit: ONE corpus scan counts both distributions (flagged by
+    // the predicate), collected model-sized (≤ 2·buckets rows) and
+    // rebuilt as a literal frame — the log2 arithmetic stays in Spark
+    // expressions so the ratio doubles are the documented ones
+    val cnts = df
+      .select(coalesce(targetPred, lit(false)).as("__t"),
+        explode(bucketsCol(textCol, buckets)).as("bucket"))
+      .groupBy("__t", "bucket").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val tTot = cnts.collect { case ((true, _), c) => c }.sum
+    val rTot = cnts.collect { case ((false, _), c) => c }.sum
+    val dense = (0 until buckets).map { b =>
+      (b.toLong, cnts.getOrElse((true, b.toLong), 0L),
+        cnts.getOrElse((false, b.toLong), 0L))
+    }
+    val lr = df.sparkSession.createDataFrame(dense)
+      .toDF("bucket", "tc", "rc")
+      .select(col("bucket"),
+        (log2((col("tc") + lit(alpha)) / lit(tTot + alpha * buckets)) -
+          log2((col("rc") + lit(alpha)) / lit(rTot + alpha * buckets)))
+          .as("lr"))
     val scored = raw
       .select(col(idCol), explode(bucketsCol(textCol, buckets)).as("bucket"))
       .join(broadcast(lr), "bucket")
