@@ -385,22 +385,20 @@ object Dedup {
     // every band bucket quadratic in duplicity. Band one representative
     // per distinct text, expand pairs back through the groups —
     // output-sized keyed joins, exact (agreement(identical) = 1 ≥ τ).
-    // localCheckpoint, NOT persist: both frames feed several consumers
-    // (both candidate-join sides + the expansion joins), and a
-    // Dataset.persist registers an app-lifetime CacheManager entry a
-    // library call can never release (repeated calls accumulate cached
-    // corpora). The eager checkpoint computes each frame exactly once
-    // and the ContextCleaner frees its blocks when the returned plan is
-    // GC'd — no explicit unpersist protocol to get wrong.
+    // columnar persist + eager result checkpoint + finally-release
+    // (see the cache-protocol note in jaccardJoin): the persisted
+    // frames feed several consumers with PRUNED scans, and no
+    // CacheManager entry outlives the call.
     val hashed = df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
       .withColumn("__h", md5(col(textCol)))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first(text) grouped on md5(text) is deterministic BY VALUE —
     // every row in the group carries the identical string
     val reps = hashed.groupBy("__h")
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val repPairs = rawVerifiedPairs(reps, idCol, textCol, numHashes,
       bands, shingleN, tau, maxBucket)
     val members = hashed.select(col("__h"), col(idCol))
@@ -427,7 +425,10 @@ object Dedup {
         col("a.__h") === col("b.__h") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    crossPairs.unionByName(withinPairs)
+    crossPairs.unionByName(withinPairs).localCheckpoint(true)
+    } finally {
+      reps.unpersist(false); hashed.unpersist(false)
+    }
   }
 
   private def rawVerifiedPairs(
@@ -601,23 +602,34 @@ object Dedup {
     // exact, not an approximation. Measured: 52.6 s → ~7 s on the
     // clone-dense sf1 corpus; no-dup corpora pay one md5 + one
     // hash-keyed agg.
-    // localCheckpoint, NOT persist (see lshVerifiedPairs): app-lifetime
-    // CacheManager entries would accumulate across repeated library
-    // calls; the eager checkpoint is computed once, shared by every
-    // consumer, and released by the ContextCleaner when the returned
-    // frame is GC'd.
+    // Cache protocol (the r9 lesson, measured at sf0.1): Dataset.persist
+    // keeps these multi-consumer intermediates as a COLUMNAR cache that
+    // downstream scans prune (consumers of `hashed` that only read
+    // (__h, id) never deserialize the text payload), where a
+    // localCheckpoint stores full row blocks and walls off Catalyst —
+    // swapping persist for checkpoints here cost 4.9× on q_edit_join.
+    // The app-lifetime CacheManager leak is closed differently: the
+    // RESULT (pair-sized) is eagerly checkpointed while the caches are
+    // alive, and every intermediate is unpersisted in the finally — no
+    // entry outlives the call.
     val hashed = df
       .select(col(idCol).as("__jid"), col(textCol).as("__jtext"))
       .filter(col("__jtext").isNotNull)
       .withColumn("__h", md5(col("__jtext")))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first(text) under a groupBy on md5(text) is deterministic BY VALUE:
     // every row in the group carries the identical string (md5 collision
     // would be needed to break this — same assumption as contentKey)
     val reps = hashed.groupBy("__h")
       .agg(min(col("__jid")).as("__jid"),
         first(col("__jtext")).as("__jtext"), count(lit(1)).as("__m"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the ranked frame still materializes ONCE for both candidate-join
+    // sides + verify sets (the exchange-reuse lesson documented at
+    // ppjoinFromRanked); it is representative-sized
+    val ranked = ppjoinRanked(reps, "__jid", "__jtext", shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // within-group output is C(m, 2) — quadratic in duplicity, so a
     // pathological corpus (10⁶ copies of one text) must fail fast with
     // the remedy, not emit 5·10¹¹ rows (one tiny job over the persisted
@@ -629,13 +641,7 @@ object Dedup {
         s"a text has $maxM exact copies (> maxDupGroup=$maxDupGroup): " +
           "the within-group pair output alone is quadratic — run " +
           "Dedup.exact first, or raise maxDupGroup deliberately")
-    // the ranked frame still materializes ONCE for both candidate-join
-    // sides + verify sets (the exchange-reuse lesson documented at
-    // ppjoinFromRanked); it is now representative-sized
-    val repPairs = ppjoinFromRanked(
-      ppjoinRanked(reps, "__jid", "__jtext", shingleN)
-        .localCheckpoint(true),
-      tau)
+    val repPairs = ppjoinFromRanked(ranked, tau)
     val members = hashed.select(col("__h"), col("__jid"))
     val repToH = reps.select(col("__jid").as("__rid"), col("__h"))
     // cross-group expansion: rep pair → both groups' member lists via
@@ -664,7 +670,13 @@ object Dedup {
         col("a.__h") === col("b.__h") && col("a.__jid") < col("b.__jid"))
       .select(col("a.__jid").as("id_a"), col("b.__jid").as("id_b"),
         lit(1.0).as("jaccard"))
-    crossPairs.unionByName(withinPairs)
+    // eager: the whole pipeline runs NOW, while the caches above are
+    // alive; the returned frame reads its own pair-sized blocks
+    crossPairs.unionByName(withinPairs).localCheckpoint(true)
+    } finally {
+      ranked.unpersist(false); reps.unpersist(false)
+      hashed.unpersist(false)
+    }
   }
 
   /** The τ-INDEPENDENT half of the PPJoin: `(id, sh, df, sz, rank)` —
@@ -779,25 +791,28 @@ object Dedup {
     // representative per distinct string, expand back output-sized;
     // within-group pairs have dist 0 by identity, cross pairs inherit
     // their representatives' distance exactly.
+    // columnar persist + result checkpoint + finally-release (see the
+    // cache-protocol note in jaccardJoin — the same 4.9× measurement)
     val hashed = df.select(col(idCol).as("__eid"),
         col(textCol).as("__es"))
       .filter(col("__es").isNotNull)
       .withColumn("__h", md5(col("__es")))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first(s) grouped on md5(s) is deterministic by value (see
-    // jaccardJoin); localCheckpoint not persist — same cache-lifetime
-    // argument as there
+    // jaccardJoin)
     val reps = hashed.groupBy("__h")
       .agg(min(col("__eid")).as("__eid"), first(col("__es")).as("__es"),
         count(lit(1)).as("__m"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (repPairs, keyed) =
+      editPairsUncollapsed(reps, "__eid", "__es", maxDist, q)
+    try {
     val maxM = maxGroupSize(reps)
     if (maxM > maxDupGroup)
       throw new IllegalArgumentException(
         s"a string has $maxM exact copies (> maxDupGroup=$maxDupGroup):" +
           " the within-group pair output alone is quadratic — run " +
           "Dedup.exact first, or raise maxDupGroup deliberately")
-    val repPairs = editPairsUncollapsed(reps, "__eid", "__es", maxDist, q)
     val members = hashed.select(col("__h"), col("__eid"))
     val repToH = reps.select(col("__eid").as("__rid"), col("__h"))
     val crossPairs = repPairs
@@ -815,7 +830,11 @@ object Dedup {
         col("a.__h") === col("b.__h") && col("a.__eid") < col("b.__eid"))
       .select(col("a.__eid").as("id_a"), col("b.__eid").as("id_b"),
         lit(0).as("dist"))
-    crossPairs.unionByName(withinPairs)
+    crossPairs.unionByName(withinPairs).localCheckpoint(true)
+    } finally {
+      keyed.unpersist(false); reps.unpersist(false)
+      hashed.unpersist(false)
+    }
   }
 
   /** Largest exact-duplicate group size from a persisted reps agg —
@@ -827,8 +846,10 @@ object Dedup {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** Returns the pair frame plus the persisted `keyed` gram frame so
+    * the caller can release it once the result is materialized. */
   private def editPairsUncollapsed(df: DataFrame, idCol: String,
-      textCol: String, maxDist: Int, q: Int): DataFrame = {
+      textCol: String, maxDist: Int, q: Int): (DataFrame, DataFrame) = {
     val prefixLen = q * maxDist + 1
     val base = df.select(col(idCol).as("id"), col(textCol).as("s"))
       .filter(col("s").isNotNull)
@@ -860,15 +881,14 @@ object Dedup {
         explode(expr(s"transform(sequence(0, $maxDist), " +
           "i -> concat('S', len + i))")).as("g"),
         lit(0).as("pos"))
-    // localCheckpoint: the prefix frame feeds BOTH sides of the
-    // candidate self-join, and Spark does not reuse the exchange across
-    // the desymmetrized branches (the jaccardJoin lesson) — without
-    // this the gram-explode → df-join → window subtree executes twice.
-    // A Dataset.persist would be an app-lifetime CacheManager entry
-    // nothing releases; the checkpoint's O(docs · prefixLen) blocks are
-    // freed by the ContextCleaner when the returned frame is GC'd.
+    // persisted: the prefix frame feeds BOTH sides of the candidate
+    // self-join, and Spark does not reuse the exchange across the
+    // desymmetrized branches (the jaccardJoin lesson) — without this
+    // the gram-explode → df-join → window subtree executes twice. The
+    // handle is returned to the caller, which releases it in its
+    // finally once the (checkpointed) result is materialized.
     val keyed = prefix.unionByName(shorts)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // position goes INTO the join key: the probe side enumerates the
     // 2d+1 admissible offsets, so a match costs one hash/merge lookup
     // instead of a scan of the gram's whole bucket with |Δpos| checked
@@ -879,7 +899,7 @@ object Dedup {
     val probes = keyed.select(col("id"), col("len"), col("s"), col("g"),
       explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
         .as("pp"))
-    probes.as("a").join(keyed.as("b"),
+    val pairs = probes.as("a").join(keyed.as("b"),
         col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
           col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
@@ -887,6 +907,7 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
       .distinct()
+    (pairs, keyed)
   }
 
   /** Exact top-k most-similar pairs WITHOUT the all-pairs term —
