@@ -417,6 +417,21 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ── semi-supervised label propagation: ratings seeded on 1-in-25
+    //    docs spread through the verified near-dup graph (5 rounds,
+    //    majority vote, ties to the smallest label, seeds clamped)
+    "q_label_prop" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+          numHashes = H, bands = 4, tau = 0.5)
+        .dropDuplicates("id_a", "id_b")
+      val seeds = d.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3)).as("rating"))
+      Dedup.labelPropagation(d.select(col("doc_id")), pairs, "doc_id",
+          seeds, "rating", iters = 5)
+        .orderBy("doc_id")
+    }),
+
     // ── snapshot diff between two corpus versions (the ingest delta:
     //    %7==0 added, ==1 removed, ==2 text-revised, rest unchanged)
     "q_corpus_diff" -> ((s, dir) => {
@@ -1735,6 +1750,40 @@ object DataPipelineQueries {
         |            ELSE 'changed' END AS status
         |FROM b FULL OUTER JOIN a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // lockstep label-propagation replay: all-integer state, majority
+    // via plain aggregates (count → per-node max → min(label) among
+    // the tied), seeds clamped by the coalesce order
+    "q_label_prop" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |seeds AS (
+         |  SELECT doc_id AS id, doc_id % 3 AS s
+         |  FROM documents WHERE doc_id % 25 = 0
+         |),
+         |lp(step, id, seed, lab) AS (
+         |  SELECT 0, d.doc_id, s.s, s.s
+         |  FROM documents d LEFT JOIN seeds s ON s.id = d.doc_id
+         |  UNION ALL
+         |  SELECT l.step + 1, l.id, l.seed, coalesce(l.seed, m.maj, l.lab)
+         |  FROM lp l
+         |  LEFT JOIN (
+         |    SELECT n.id, min(n.lab) AS maj
+         |    FROM (SELECT e.src AS id, p.lab, count(*) AS c
+         |          FROM edges e JOIN lp p
+         |            ON p.id = e.dst AND p.lab IS NOT NULL
+         |          GROUP BY 1, 2) n
+         |    JOIN (SELECT id, max(c) AS mc FROM (
+         |            SELECT e.src AS id, p.lab, count(*) AS c
+         |            FROM edges e JOIN lp p
+         |              ON p.id = e.dst AND p.lab IS NOT NULL
+         |            GROUP BY 1, 2) GROUP BY 1) mx
+         |      ON mx.id = n.id AND n.c = mx.mc
+         |    GROUP BY 1
+         |  ) m ON m.id = l.id
+         |  WHERE l.step < 5
+         |)
+         |SELECT id AS doc_id, lab AS label
+         |FROM lp WHERE step = 5 ORDER BY doc_id""".stripMargin,
 
     // lockstep PageRank replay: the recursive term re-derives each
     // round's full rank table from the previous working table —

@@ -1227,6 +1227,58 @@ object Dedup {
     * frame is eagerly `localCheckpoint`ed (the [[connectedComponents]]
     * lineage lesson); blocks are index-sized and released by the
     * ContextCleaner. */
+  /** Semi-supervised label propagation over an undirected pair graph:
+    * spread a sparse set of seed labels (e.g. human quality/toxicity
+    * ratings on a few documents) to every connected node through the
+    * near-dup/similarity edges — the standard cheap-labeling move when
+    * a corpus has manual labels for a sliver and graph structure for
+    * the rest. Synchronous iterations: each unlabeled-at-seed node
+    * takes the majority label among its labeled neighbors (ties to the
+    * SMALLEST label — deterministic); seeds are clamped. `iters` fixed
+    * so the result is a pure function of (graph, seeds) and replays
+    * step for step in SQL.
+    *
+    * All-integer state (labels + neighbor counts) — no FP anywhere, so
+    * determinism needs no decimal machinery. Scale shape per round:
+    * one edge-keyed join of the index-sized label frame against the
+    * once-checkpointed symmetrized edges, one (node, label) count
+    * aggregation, one argmax via max(struct) (no window), one left
+    * join back — localCheckpoint per round (the iterative-lineage
+    * rule). Unreached nodes keep null. */
+  def labelPropagation(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      seeds: DataFrame, labelCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val seed = seeds.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("__seed"))
+    var labels = nodes.select(col(idCol).as("id"))
+      .join(seed, Seq("id"), "left")
+      .select(col("id"), col("__seed"), col("__seed").as("__lab"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      // majority label among labeled neighbors; (count, -label) argmax
+      // via max(struct) keeps the whole round window-free
+      val nbr = sym
+        .join(labels.select(col("id").as("dst"), col("__lab")), "dst")
+        .filter(col("__lab").isNotNull)
+        .groupBy(col("src"), col("__lab"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("__c"), (-col("__lab")).as("__nl")))
+          .as("__best"))
+        .select(col("src").as("id"), (-col("__best.__nl")).as("__maj"))
+      labels = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("__seed"),
+          coalesce(col("__seed"), col("__maj"), col("__lab")).as("__lab"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("__lab").as("label"))
+  }
+
   def pageRank(nodes: DataFrame, pairs: DataFrame, idCol: String,
       iters: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

@@ -558,6 +558,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.length)
   }
 
+  test("labelPropagation: labels reach connected nodes, seeds clamp, " +
+      "ties go to the smallest label, unreached nodes stay null") {
+    // chain 1-2-3-4 seeded 7 at node 1; node 10 seeded 9 and wired to 2
+    // (2's neighbors then vote 7 vs 9 -> tie -> smaller label 7);
+    // node 99 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 10L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq((1L, 7), (10L, 9)).toDF("doc_id", "rating")
+    val out = graft.operators.Dedup.labelPropagation(nodes, pairs,
+        "doc_id", seeds, "rating", iters = 5).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L).contains(7L) && out(10L).contains(9L)) // clamped
+    assert(out(2L).contains(7L), out(2L)) // tie 7-vs-9 -> smaller
+    assert(out(3L).isDefined && out(4L).isDefined) // chain reached
+    assert(out(99L).isEmpty) // isolated: never labeled
+    val again = graft.operators.Dedup.labelPropagation(
+        nodes.repartition(5), pairs.repartition(3), "doc_id", seeds,
+        "rating", iters = 5).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(again == out)
+  }
+
   test("pageRank: mass conserves, hubs outrank leaves, isolated nodes " +
       "get base+dangling share, bit-deterministic across partitionings") {
     // star a<->{b,c,d} plus an isolated node e
