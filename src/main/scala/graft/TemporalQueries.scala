@@ -440,6 +440,16 @@ object TemporalQueries {
 
     // ── 3-D Morton layout key over (user, hour-of-range, value bin) —
     //    the N-dim generalization q_zorder's 2-D key special-cases
+    // ── per-type winsorization: clip value to the exact [p05, p95]
+    //    band (edges quantized at 6dp — the cross-engine percentile
+    //    ulp rule), the robust cap the MAD flagger complements
+    "q_winsorize" -> ((s, dir) =>
+      graft.functions.Stats.winsorize(ev(s, dir), Seq("event_type"),
+          "value", pLo = 0.05, pHi = 0.95, edgeDecimals = 6)
+        .select(col("event_id"),
+          round(col("value_w") + lit(1e-9), 6).as("value_w"))
+        .orderBy("event_id")),
+
     "q_zorder3" -> ((s, dir) => {
       val e = ev(s, dir)
       e.select(col("event_id"),
@@ -1066,6 +1076,22 @@ object TemporalQueries {
         |       round(exp(-value / 1000.0) + 1e-9, 6) AS exp_v,
         |       round(pow(value, 1.5) + 1e-9, 4) AS pow_v
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // edges quantized at 6dp half-up on BOTH engines before the clip
+    // compares raw values against them (the curriculumBins rule:
+    // interpolated percentiles are formula-sensitive in the last ulp)
+    "q_winsorize" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(value, 0.05) + 1e-9, 6) AS lo,
+        |         round(quantile_cont(value, 0.95) + 1e-9, 6) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT ev.event_id,
+        |       round(least(greatest(ev.value, e.lo), e.hi) + 1e-9, 6)
+        |         AS value_w
+        |FROM events ev JOIN e USING (event_type)
+        |ORDER BY ev.event_id""".stripMargin,
 
     "q_zorder3" -> {
       // generated 30-term bit interleave, mirroring ZOrder.zValueN's

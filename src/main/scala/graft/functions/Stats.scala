@@ -138,4 +138,37 @@ object Stats {
     joined.withColumn(outCol, scaled)
       .drop("__mn", "__mx", "__mu", "__sd", "__l2")
   }
+
+  /** Per-group winsorization: clip `valueCol` to its group's exact
+    * [pLo, pHi] percentile band — the robust outlier-capping
+    * preprocessing step (complement of the MAD flagger: cap instead of
+    * flag). One group-bounded percentile aggregate broadcast back onto
+    * a narrow clip projection — no window, no second scan of the data
+    * per group.
+    *
+    * `edgeDecimals >= 0` quantizes the band edges half-up (+1e-9) —
+    * interpolated percentiles are formula-sensitive in the last ulp
+    * across engines (the curriculumBins lesson), and a clip compares
+    * raw values against the edges. Output column: `<valueCol>_w`. */
+  def winsorize(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      valueCol: String, pLo: Double = 0.05, pHi: Double = 0.95,
+      edgeDecimals: Int = -1): org.apache.spark.sql.DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val aggs = Seq(percentile(col(valueCol), lit(pLo)).as("__lo"),
+      percentile(col(valueCol), lit(pHi)).as("__hi"))
+    val raw =
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val q = (c: Column) =>
+      if (edgeDecimals < 0) c else round(c + lit(1e-9), edgeDecimals)
+    val edges = raw.select((keys.map(col) ++
+      Seq(q(col("__lo")).as("__lo"), q(col("__hi")).as("__hi"))): _*)
+    val joined =
+      if (keys.isEmpty) df.crossJoin(broadcast(edges))
+      else df.join(broadcast(edges), keys)
+    joined
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -231,6 +231,25 @@ class StatsAndScanSpec extends SparkSpec {
     assert(got.head._2 == 100L) // exact when distinct << capacity
   }
 
+  test("winsorize: clips to per-group percentile band, interior values untouched, nulls preserved") {
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 0.0), ("b", 1000.0), ("b", 500.0))).toDF("g", "v")
+    val w = Stats.winsorize(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // group a: p05/p95 of 1..100 (linear interp) = 5.95 / 95.05
+    val a = w.filter(_._1 == "a")
+    assert(a.forall { case (_, _, c) => c >= 5.95 - 1e-9 && c <= 95.05 + 1e-9 })
+    assert(a.count { case (_, v, c) => v == c } == 90) // 6..95 interior
+    assert(math.abs(a.find(_._2 == 1.0).get._3 - 5.95) < 1e-9)
+    assert(math.abs(a.find(_._2 == 100.0).get._3 - 95.05) < 1e-9)
+    // degenerate 3-row group still brackets correctly
+    val b = w.filter(_._1 == "b")
+    assert(b.forall { case (_, _, c) => c >= 50.0 - 1e-9 && c <= 950.0 + 1e-9 })
+    // global (no keys) variant and empty-input safety
+    assert(Stats.winsorize(df, Nil, "v").columns.contains("v_w"))
+    assert(Stats.winsorize(df.limit(0), Seq("g"), "v").count() == 0L)
+  }
+
   test("SQL surface: graft_topk / graft_bottomk / graft_heavy_hitters resolve through the extension") {
     Seq(("g", 1.0), ("g", 5.0), ("g", 3.0), ("g", 5.0)).toDF("k", "v")
       .createOrReplaceTempView("sql_agg_t")
