@@ -617,6 +617,18 @@ object DataPipelineQueries {
     // ── PII redaction: the corpus has no PII, so append deterministic
     //    synthetic spans (email, IPv4, account number) per doc and
     //    verify both engines scrub them identically
+    // ── Unicode normalization (native one-pass expression). Raw docs
+    //    are clean ASCII, so (the q_redact trick) append a denormalized
+    //    tail exercising every rule: NFC composition (e + U+0301),
+    //    NBSP, dropped control, VT-as-whitespace, DEL, edge whitespace
+    "q_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.NormalizeText(concat(
+          lit("\t "), col("text"),
+          lit(" Cafe\u0301 \u00A0 a\u0007b\u000Bz\u007F end  ")))
+          .as("norm_text"))
+        .orderBy("doc_id")),
+
     "q_redact" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(concat(
@@ -2243,6 +2255,23 @@ object DataPipelineQueries {
         |FROM pieces GROUP BY seq_id ORDER BY seq_id""".stripMargin,
 
     // 'g' flag: replace ALL matches (Spark regexp_replace default)
+    // mirrors TextNormKernel step by step: NFC, NBSP→space, control
+    // strip (C0 minus ASCII whitespace, DEL), whitespace collapse+trim.
+    // chr(769) = U+0301 combining acute: the tail enters DEcomposed and
+    // must leave composed through both engines' NFC.
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      replace(nfc_normalize(
+        |        chr(9) || ' ' || text || ' Cafe' || chr(769) || ' '
+        |        || chr(160) || ' a' || chr(7) || 'b' || chr(11) || 'z'
+        |        || chr(127) || ' end  '),
+        |        chr(160), ' '),
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+        |    '[\x09-\x0D ]+', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -124,6 +124,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLitArg(children(2), "graft_heavy_hitters", "capacity"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      info(classOf[NormalizeText].getCanonicalName, "graft_normalize",
+        "graft_normalize(text) - Unicode NFC + NBSP-as-space + " +
+          "control-char strip (C0 minus ASCII whitespace, DEL) + " +
+          "whitespace collapse/trim, in one pass."),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_normalize takes exactly 1 argument, got ${children.length}")
+        NormalizeText(children(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info(classOf[SimHash64].getCanonicalName, "graft_simhash",
         "graft_simhash(text) - 60-bit SimHash long over whitespace tokens " +

@@ -172,6 +172,37 @@ class PipelineOpsSpec extends SparkSpec {
       .collect()(0).isNullAt(0)) // < n tokens → null signature
   }
 
+  test("NormalizeText: NFC composition, NBSP/control handling, collapse/trim, " +
+      "idempotence, nulls, SQL-surface registration") {
+    import graft.functions.NormalizeText
+    val in = Seq(
+      "Cafe\u0301 du Parc",          // decomposed -> composed
+      "Café du Parc",           // already NFC: unchanged
+      "a\u0007b",                    // dropped control joins the chars
+      "a \u0007 b",                  // dropped control inside a ws run
+      "a\u000B\u000C\rb",            // ws-class controls collapse
+      "x\u007Fy",                    // DEL dropped
+      "\t  hi\u00A0\u00A0world  \n", // NBSP + edge ws
+      " \t \r\n \u0007 ",            // nothing survives
+      "",
+      null)
+    val got = in.toDF("t").select(NormalizeText(col("t")).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(
+      Some("Café du Parc"), Some("Café du Parc"), Some("ab"),
+      Some("a b"), Some("a b"), Some("xy"), Some("hi world"),
+      Some(""), Some(""), None))
+    // idempotent: a normalized string is a fixed point
+    val twice = in.toDF("t")
+      .select(NormalizeText(NormalizeText(col("t"))).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(twice.toSeq === got.toSeq)
+    // SQL surface through the extension
+    Seq("Cafe\u0301\t x").toDF("t").createOrReplaceTempView("norm_t")
+    assert(spark.sql("SELECT graft_normalize(t) FROM norm_t")
+      .head().getString(0) === "Café x")
+  }
+
   test("editDistanceJoin ≡ brute-force levenshtein join; short-string band sound; multiset grams honest") {
     // mixed corpus: near pairs, a far pair, repeated-gram strings, and
     // short strings below the prefix-filter soundness bound
