@@ -629,6 +629,26 @@ object DataPipelineQueries {
           .as("norm_text"))
         .orderBy("doc_id")),
 
+    // ── HTML extraction: docs are plain text, so (the q_redact trick)
+    //    wrap each in a deterministic HTML skeleton exercising every
+    //    rule — script with a stray `<` inside, style, a multi-line
+    //    comment, attribute-laden tags, entities incl. the
+    //    &amp;amp; no-rescan case — and both engines must strip to the
+    //    same visible text
+    "q_html_extract" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.htmlExtract(concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style type=\"text/css\">p { margin: 0; }</style>" +
+            "<script>var n = 1 < 2 && 3 > 2;</script></head>\n<body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1>\n<p>"), col("text"),
+          lit("</p><!-- crawl artifact\nid="), col("doc_id").cast("string"),
+          lit(" --><div class=\"foot\">tail &amp;amp; &lt;raw&gt;" +
+            "&nbsp;&quot;q&quot; &#39;s&#39;</div>\n</body></html>")))
+          .as("extracted_text"))
+        .orderBy("doc_id")),
+
     "q_redact" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(concat(
@@ -745,6 +765,14 @@ object DataPipelineQueries {
       Dedup.jaccardJoin(docs(s, dir), "doc_id", "text", tau = 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // ── directional containment join (|A∩B|/|A| ≥ τ, ORDERED pairs):
+    //    the quote/partial-scrape detector symmetric jaccard misses
+    "q_containment_join" -> ((s, dir) =>
+      Dedup.containmentJoin(docs(s, dir), "doc_id", "text", tau = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
         .orderBy("id_a", "id_b")),
 
     // ── bounded edit-distance join on 24-char document keys: Ed-Join
@@ -2272,6 +2300,34 @@ object DataPipelineQueries {
         |    '[\x09-\x0D ]+', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // mirrors TextAnalysis.htmlExtract step by step; explicit
+    // [\x09-\x0D ] classes because Java \s counts \x0B and RE2 \s does
+    // not; entity decode order fixed with &amp; LAST (replace never
+    // rescans its output, so &amp;amp; -> literal '&amp;' in both)
+    "q_html_extract" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |          || '</title><style type="text/css">p { margin: 0; }</style>'
+        |          || '<script>var n = 1 < 2 && 3 > 2;</script></head>' || chr(10)
+        |          || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |          || '</h1>' || chr(10) || '<p>' || text
+        |          || '</p><!-- crawl artifact' || chr(10)
+        |          || 'id=' || CAST(doc_id AS VARCHAR)
+        |          || ' --><div class="foot">tail &amp;amp; &lt;raw&gt;'
+        |          || '&nbsp;&quot;q&quot; &#39;s&#39;</div>' || chr(10)
+        |          || '</body></html>',
+        |        '(?is)<script\b[^>]*>.*?</script[\x09-\x0D ]*>', ' ', 'g'),
+        |        '(?is)<style\b[^>]*>.*?</style[\x09-\x0D ]*>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[\x09-\x0D ]+', ' ', 'g')) AS extracted_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(
@@ -2468,6 +2524,23 @@ object DataPipelineQueries {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
+    // ordered pairs, containment normalized by the CONTAINED side's size
+    "q_containment_join" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
          |ORDER BY 1, 2""".stripMargin,
 
     // exact pair set via PassJoin's pigeonhole prefilter (a string within

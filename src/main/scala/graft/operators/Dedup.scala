@@ -679,6 +679,125 @@ object Dedup {
     }
   }
 
+  /** Directional set-containment self-join: every ORDERED pair
+    * `(id_a, id_b)`, a ≠ b, with `|Sa ∩ Sb| / |Sa| ≥ τ` over the same
+    * word-shingle sets as [[jaccardJoin]] — the asymmetric sibling the
+    * symmetric join structurally misses: a short doc fully quoted
+    * inside a long page has containment 1.0 but Jaccard ≈ |Sa|/|Sb|
+    * (arbitrarily small), which is exactly the partial-scrape /
+    * quotation / template-embedding case a crawl dedup needs.
+    *
+    * Scale shape (prefix filtering adapted to containment — the
+    * SSJoin/ProbeCount line, Chaudhuri et al. ICDE'06, public
+    * literature):
+    *  - only the CONTAINED side carries a prefix: if containment ≥ τ
+    *    then B misses at most |A| − ⌈τ|A|⌉ of A's shingles, so A's
+    *    |A| − ⌈τ|A|⌉ + 1 rarest (global df-ascending — [[ppjoinRanked]]
+    *    order) must hit B — candidates come from A.prefix ⋈ B.ALL
+    *    postings; the container side has no prefix bound by nature of
+    *    the predicate, but the probing side's tokens are rare by
+    *    construction so posting lists stay short;
+    *  - join-condition pruning: size bound |B| ≥ ⌈τ|A|⌉ (overlap can't
+    *    exceed |B|) and the positional bound
+    *    1 + min(|A|−rank_a, |B|−rank_b) ≥ ⌈τ|A|⌉ (canonical global
+    *    order is shared, so the first common token's tail bounds the
+    *    overlap — any-row-passes semantics keep it sound);
+    *  - exact-duplicate pre-collapse exactly as [[jaccardJoin]]
+    *    (identical texts ⇒ identical sets ⇒ member containment equals
+    *    representative containment; expansion is DIRECTIONAL — no
+    *    least/greatest canonicalization);
+    *  - verify: exact codegen'd two-pointer intersect over sorted sets.
+    * Cache protocol identical to [[jaccardJoin]] (persist columnar
+    * intermediates, eager-checkpoint the pair-sized result, release in
+    * `finally`). */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, shingleN: Int = 3, maxDupGroup: Int = 100000)
+      : DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("__jid"), col(textCol).as("__jtext"))
+      .filter(col("__jtext").isNotNull)
+      .withColumn("__h", md5(col("__jtext")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = hashed.groupBy("__h")
+      .agg(min(col("__jid")).as("__jid"),
+        first(col("__jtext")).as("__jtext"), count(lit(1)).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = ppjoinRanked(reps, "__jid", "__jtext", shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxM = maxGroupSize(reps)
+      if (maxM > maxDupGroup)
+        throw new IllegalArgumentException(
+          s"a text has $maxM exact copies (> maxDupGroup=$maxDupGroup): " +
+            "the within-group ORDERED pair output alone is quadratic — " +
+            "run Dedup.exact first, or raise maxDupGroup deliberately")
+      val repPairs = containmentFromRanked(ranked, tau)
+      val members = hashed.select(col("__h"), col("__jid"))
+      val repToH = reps.select(col("__jid").as("__rid"), col("__h"))
+      // directional expansion: (every member of A's group) contained in
+      // (every member of B's group); groups are disjoint so ids differ
+      val crossPairs = repPairs
+        .join(repToH.select(col("__rid").as("id_a"), col("__h").as("__ha")),
+          "id_a")
+        .join(repToH.select(col("__rid").as("id_b"), col("__h").as("__hb")),
+          "id_b")
+        .join(members.select(col("__h").as("__ha"), col("__jid").as("__ma")),
+          "__ha")
+        .join(members.select(col("__h").as("__hb"), col("__jid").as("__mb")),
+          "__hb")
+        .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
+          col("containment"))
+      // within-group: identical nonempty sets contain each other both
+      // ways — m(m−1) ordered pairs at containment 1.0
+      val shingled = reps
+        .filter(size(array_distinct(wordShingles(col("__jtext"), shingleN)))
+          > 0)
+        .select("__h")
+      val withins = members.join(shingled, "__h")
+      val withinPairs = withins.as("a").join(withins.as("b"),
+          col("a.__h") === col("b.__h") && col("a.__jid") =!= col("b.__jid"))
+        .select(col("a.__jid").as("id_a"), col("b.__jid").as("id_b"),
+          lit(1.0).as("containment"))
+      crossPairs.unionByName(withinPairs).localCheckpoint(true)
+    } finally {
+      ranked.unpersist(false); reps.unpersist(false)
+      hashed.unpersist(false)
+    }
+  }
+
+  /** The τ-dependent half of the containment join over a (persisted)
+    * [[ppjoinRanked]] frame: contained-side prefix probe into full
+    * postings, size + positional pruning in the join condition, exact
+    * verify. Ordered output `(id_a contained-in id_b, containment)`. */
+  private[operators] def containmentFromRanked(ranked: DataFrame,
+      tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, "tau must be in (0,1]")
+    val prefix = ranked
+      .filter(col("rank") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+    val need = ceil(lit(tau) * col("a.sz"))
+    val cands = prefix.as("a").join(ranked.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
+          col("b.sz") >= need &&
+          (least(col("a.sz") - col("a.rank"), col("b.sz") - col("b.rank")) +
+            lit(1)) >= need)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = ranked.groupBy("id")
+      .agg(sort_array(collect_list(col("sh"))).as("set"),
+        count(lit(1)).as("sz"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")),
+        "id_b")
+      .withColumn("inter", graft.functions.ArrayExprs
+        .sortedIntersectCount(col("set_a"), col("set_b")))
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz_a"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** The τ-INDEPENDENT half of the PPJoin: `(id, sh, df, sz, rank)` —
     * shingles with document frequency, doc size, and ascending-df prefix
     * rank. [[topKJaccardPairs]] persists this ONCE and runs its whole

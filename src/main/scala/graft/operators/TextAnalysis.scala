@@ -87,6 +87,38 @@ object TextAnalysis {
       regexp_replace(c, re, tag)
     }
 
+  /** HTML → visible text (the crawl-extraction step upstream of every
+    * other text operator; the jusText/trafilatura slot, rule-tier).
+    * Deterministic chain, each step mirrored 1:1 by the q_html_extract
+    * DuckDB oracle:
+    *   1. `<script…>…</script>` and `<style…>…</style>` blocks removed
+    *      wholly (case-insensitive, dot-matches-newline, non-greedy);
+    *   2. HTML comments `<!-- … -->` removed;
+    *   3. every remaining tag `<[^>]*>` → one space (block/inline
+    *      distinction is irrelevant once whitespace collapses);
+    *   4. the five XML entities + `&nbsp;` decoded (`&amp;` LAST, and
+    *      replace() never rescans its own output, so `&amp;lt;`
+    *      correctly yields literal text `&lt;` — both engines'
+    *      replace share that left-to-right-over-input contract);
+    *   5. whitespace runs `[\x09-\x0D ]+` collapsed to one space, trim.
+    * Explicit `[\x09-\x0D ]` classes instead of `\s` throughout: Java
+    * regex counts `\x0B` as `\s`, RE2 does not — the one place the two
+    * engines' shorthand classes diverge.
+    * Pure chained regexp_replace: codegen'd, zero exchanges — rides
+    * the ingest scan at 100 TB like [[redactPii]]. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script[\\x09-\\x0D ]*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style[\\x09-\\x0D ]*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "[\\x09-\\x0D ]+", " "))
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))

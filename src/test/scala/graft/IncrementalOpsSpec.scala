@@ -170,6 +170,7 @@ class IncrementalOpsSpec extends SparkSpec {
     val before = persisted
     (1 to 2).foreach { _ =>
       assert(Dedup.jaccardJoin(docsData, "doc_id", "text", 0.5).count() >= 0)
+      assert(Dedup.containmentJoin(docsData, "doc_id", "text", 0.8).count() >= 0)
       assert(Dedup.editDistanceJoin(docsData, "doc_id", "text", 2).count() >= 0)
       assert(Dedup.lshVerifiedPairs(docsData, "doc_id", "text").count() >= 0)
       assert(Dedup.connectedComponents(

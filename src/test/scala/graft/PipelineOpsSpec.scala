@@ -203,6 +203,84 @@ class PipelineOpsSpec extends SparkSpec {
       .head().getString(0) === "Café x")
   }
 
+  test("htmlExtract: script/style/comment strip, tag strip, entity decode " +
+      "incl. no-rescan, whitespace collapse, nulls") {
+    import graft.operators.TextAnalysis
+    val in = Seq(
+      "<p>Hello <b>world</b></p>",
+      // script body with stray < > and a fake closing tag inside a string
+      "<script type=\"x\">if (a<b && c>d) s='</scr'+'ipt>';</script>after",
+      "<style>p{a:b}</style><STYLE media=\"x\">q{c:d}</STYLE >kept",
+      "a<!-- multi\nline -->b",
+      // entity decode order: &amp; last, never rescanned
+      "x &amp;lt; y &amp;amp; z",
+      "1 &lt; 2 &gt; 0 &quot;q&quot; &#39;s&#39;&nbsp;end",
+      "  <div \n class='x'>\t spaced \n</div>  ",
+      "<unclosed attr=1",   // no '>' -> stays literal
+      "",
+      null)
+    val got = in.toDF("h")
+      .select(TextAnalysis.htmlExtract(col("h")).as("t"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(
+      Some("Hello world"),
+      Some("after"),
+      Some("kept"),
+      Some("a b"),
+      Some("x &lt; y &amp; z"),
+      Some("1 < 2 > 0 \"q\" 's' end"),
+      Some("spaced"),
+      Some("<unclosed attr=1"),
+      Some(""),
+      None))
+  }
+
+  test("containmentJoin ≡ brute-force directional containment; quote case " +
+      "invisible to jaccard; clones both ways; sub-shingle docs excluded") {
+    import graft.operators.Dedup
+    val page = (1 to 60).map(i => s"w$i").mkString(" ") // 58 shingles
+    val quote = (21 to 30).map(i => s"w$i").mkString(" ") // 8 shingles ⊂ page
+    val partial = (1 to 6).map(i => s"w$i").mkString(" ") + " zz qq" // some overlap
+    val corpus = Seq(
+      (1L, page), (2L, quote), (3L, partial),
+      (4L, "alpha beta"),          // < 3 tokens: no shingles, never pairs
+      (5L, quote), (6L, quote),    // clone group with 2
+      (7L, "x1 x2 x3 x4"))         // unrelated
+      .toDF("doc_id", "text")
+    val tau = 0.8
+    val got = Dedup.containmentJoin(corpus, "doc_id", "text", tau)
+      .select("id_a", "id_b", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // brute force over the same shingle sets
+    val sets = corpus.select(col("doc_id"),
+        array_distinct(Dedup.wordShingles(col("text"), 3)).as("s"))
+      .filter(size(col("s")) > 0)
+    val brute = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(col("a.s"))).as("c"))
+      .filter(col("c") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === brute)
+    // the quote is contained in the page…
+    assert(got.contains((2L, 1L, 1.0)))
+    // …directionally: the page is NOT contained in the quote
+    assert(!got.exists(p => p._1 == 1L && p._2 == 2L))
+    // and jaccard at the same τ misses the pair entirely
+    val jac = Dedup.jaccardJoin(corpus, "doc_id", "text", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+    // clone group {2,5,6}: all 6 ordered pairs at 1.0
+    val cloneIds = Set(2L, 5L, 6L)
+    val clonePairs = got.filter(p => cloneIds(p._1) && cloneIds(p._2))
+    assert(clonePairs.size === 6 && clonePairs.forall(_._3 === 1.0))
+    // cache-release contract is asserted in IncrementalOpsSpec's
+    // repeated-call leak test (checkpoint blocks drain via GC there)
+  }
+
   test("editDistanceJoin ≡ brute-force levenshtein join; short-string band sound; multiset grams honest") {
     // mixed corpus: near pairs, a far pair, repeated-gram strings, and
     // short strings below the prefix-filter soundness bound
