@@ -249,6 +249,14 @@ object DataPipelineQueries {
         .orderBy("doc_id")),
 
     // ── quality scoring
+    // ── domain-level quality gate: drop SOURCES whose mean quality is
+    //    low (CCNet/RefinedWeb granularity; exact-integer sums make the
+    //    per-source mean bit-deterministic across engines)
+    "q_domain_filter" -> ((s, dir) =>
+      TextAnalysis.domainQualityFilter(
+          docs(s, dir), "doc_id", "source", "text", minMean = 0.79)
+        .orderBy("doc_id")),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir)
         // +1e-9 before rounding: quality is a sum of small rationals that
@@ -1501,6 +1509,27 @@ object DataPipelineQueries {
     "q_quality" ->
       s"""SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-source mean over EXACT integer sums (x1e4 -> BIGINT, the
+    // q_mean_pool pattern) so both engines divide the same integers;
+    // CAST around sum() because DuckDB widens integer sums to HUGEINT
+    "q_domain_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, round(($qualityExpr) + 1e-9, 4) AS quality
+         |  FROM documents
+         |), s AS (
+         |  SELECT source,
+         |         CAST(sum(CAST(round(quality * 1e4) AS BIGINT)) AS BIGINT)
+         |           AS sq,
+         |         count(*) AS n
+         |  FROM q GROUP BY 1
+         |)
+         |SELECT q.doc_id, q.source, q.quality,
+         |       round(CAST(sq AS DOUBLE) / n / 1e4 + 1e-9, 6)
+         |         AS src_mean_quality
+         |FROM q JOIN s USING (source)
+         |WHERE CAST(sq AS DOUBLE) / n / 1e4 >= 0.79
+         |ORDER BY q.doc_id""".stripMargin,
 
     // same quality expression, 4-dp quantized BEFORE the percentile and
     // on each edge (+1e-9 half-up both sides): interpolated edges are

@@ -140,6 +140,45 @@ object TextAnalysis {
       lit(0.3) * least(avgTokLen / lit(8.0), lit(1.0))
   }
 
+  /** Domain-level quality gate — curation at SOURCE granularity (the
+    * CCNet/RefinedWeb move: a domain whose AVERAGE document quality is
+    * low is dropped wholesale, catching boilerplate farms whose
+    * individual pages each sneak past a per-doc threshold).
+    *
+    * Output: surviving docs as (idCol, srcCol, quality,
+    * src_mean_quality), quality = [[qualityScore]] rounded half-up at
+    * 4dp (+1e-9 tie-break, the q_quality convention).
+    *
+    * Cross-engine determinism of the MEAN: a float avg() is
+    * summation-order-dependent, so the per-source mean is computed as
+    * an EXACT integer sum of the 4dp-quantized scores (×10⁴ → long —
+    * the q_mean_pool pattern) divided by the exact count; both engines
+    * then perform the identical two FP divisions. The threshold
+    * compares against that unrounded deterministic double.
+    *
+    * Scale shape: one vocabulary-bounded agg (exchange carries one row
+    * per SOURCE, not per doc) + a broadcast of the surviving-source
+    * stats back onto the corpus — zero corpus-side shuffles. At
+    * web-crawl domain cardinality (~10⁷) the broadcast is ~100 MB of
+    * (domain, mean) rows — still broadcast-viable; past that, drop the
+    * broadcast hint and let the join shuffle on the source key. */
+  def domainQualityFilter(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, minMean: Double): DataFrame = {
+    val perDoc = df.select(col(idCol), col(srcCol),
+      round(qualityScore(col(textCol)) + lit(1e-9), 4).as("quality"))
+    val qi = round(col("quality") * lit(1e4)).cast("long")
+    val srcStats = perDoc.groupBy(col(srcCol))
+      .agg(sum(qi).as("__sq"), count(lit(1)).as("__n"))
+      .withColumn("__mean",
+        col("__sq").cast("double") / col("__n") / lit(1e4))
+      .filter(col("__mean") >= lit(minMean))
+      .select(col(srcCol),
+        round(col("__mean") + lit(1e-9), 6).as("src_mean_quality"))
+    perDoc.join(broadcast(srcStats), Seq(srcCol))
+      .select(col(idCol), col(srcCol), col("quality"),
+        col("src_mean_quality"))
+  }
+
   /** Lowercased `[a-z0-9]+` token stream (the [[tokenCount]] tokens,
     * case-folded) — shared by the unigram-LM scorer. */
   def lmTokens(textCol: String): Column =

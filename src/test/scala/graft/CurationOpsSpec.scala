@@ -130,6 +130,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(rules(fiftyGoodWords)("r_ellipsis"))
   }
 
+  test("domainQualityFilter: low-mean source dropped wholesale, mean is " +
+      "exact-integer-deterministic, per-doc quality matches qualityScore") {
+    // srcA: two high-quality docs; srcB: high + terrible (mean drags
+    // below threshold → BOTH dropped, including the good doc — the
+    // domain-granularity semantic)
+    val good = (1 to 50).map(i => s"word$i").mkString(" ")
+    val junk = "!!!;;;... ,,, ." // punctuation soup, near-zero quality
+    val df = Seq(
+      (1L, "srcA", good), (2L, "srcA", good + " extra tail words here"),
+      (3L, "srcB", good), (4L, "srcB", junk))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis
+      .domainQualityFilter(df, "doc_id", "source", "text", minMean = 0.7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "srcA"), (2L, "srcA")))
+    // the surviving mean equals the exact integer arithmetic replay
+    val q = df.filter(col("source") === "srcA")
+      .select(round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4))
+      .collect().map(_.getDouble(0))
+    val expMean = math.round(
+      q.map(x => math.round(x * 1e4)).sum.toDouble / q.length / 1e4 * 1e6
+        + 1e-9 * 1e6).toDouble / 1e6
+    val gotMean = TextAnalysis
+      .domainQualityFilter(df, "doc_id", "source", "text", minMean = 0.7)
+      .select("src_mean_quality").head().getDouble(0)
+    assert(math.abs(gotMean - expMean) < 1e-12)
+  }
+
   test("gopher: alpha-word fraction counts digit-only words against") {
     val numeric = (1 to 30).map(i => s"$i ${i * 7}").mkString(" ")
     assert(!rules(numeric)("r_alpha"))

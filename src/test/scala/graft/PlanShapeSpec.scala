@@ -225,6 +225,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("domainQualityFilter: source stats broadcast back (no shuffle " +
+      "join); the source agg is the ONLY exchange; htmlExtract and " +
+      "graft_normalize stay pure narrow maps") {
+    val df = Seq((1L, "s0", "a b c"), (2L, "s1", "d e")).toDF(
+      "doc_id", "source", "text")
+    val p = plan(graft.operators.TextAnalysis
+      .domainQualityFilter(df, "doc_id", "source", "text", 0.5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(p) == 1, p) // the per-source partial-agg exchange
+    // spark.range keeps the projection in the executed plan (a Seq-based
+    // local frame constant-folds to LocalTableScan)
+    val pn = plan(spark.range(10)
+      .select(concat(lit("<p>"), col("id"), lit("</p>")).as("h"))
+      .select(graft.operators.TextAnalysis.htmlExtract(col("h")),
+        graft.functions.NormalizeText(col("h"))))
+    assert(shuffles(pn) == 0, pn)
+    // "*(1)" = the whole-stage-codegen stage marker: one fused stage,
+    // both kernels inside it
+    assert(pn.contains("*(1) Project"), pn)
+  }
+
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +
       "sort, no join") {
     val p = plan(Sampling.shuffleShards(
