@@ -312,6 +312,42 @@ object Dedup {
   /** LSH band keys from a signature frame: one row per (doc, band), key =
     * md5 of the concatenated band slice. GroupBy bandKey gives candidate
     * buckets; docs sharing any band key are near-dup candidates. */
+  /** Band-count planner for the LSH tier: choose `(bands, rowsPerBand)`
+    * with bands·rows = `numHashes` so the S-curve
+    * `P(match | similarity s) = 1 − (1 − s^rows)^bands` steps as close
+    * to the target τ as possible (the MMDS ch.3 tuning recipe, public).
+    *
+    * The error integrates the curve's miss mass ABOVE τ (false
+    * negatives — a missed near-dup stays in the corpus forever) and its
+    * catch mass BELOW τ (false positives — only wasted verify work,
+    * since the verify step is exact), with FNs weighted `fnWeight`×
+    * because the two costs are not symmetric. Deterministic midpoint
+    * quadrature; ties prefer fewer rows per band (cheaper band keys).
+    *
+    * Driver-side pure math over ≤ numHashes divisor pairs — nothing
+    * distributed; feed the result straight to [[lshBandKeys]] /
+    * [[lshDedup]]. */
+  def lshPlan(numHashes: Int, tau: Double,
+      fnWeight: Double = 10.0): (Int, Int) = {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    require(tau > 0.0 && tau < 1.0, "tau must be in (0,1)")
+    val pairs = (1 to numHashes)
+      .filter(numHashes % _ == 0).map(r => (numHashes / r, r))
+    def err(b: Int, r: Int): Double = {
+      val n = 400
+      var e = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        e += (if (s >= tau) fnWeight * (1.0 - p) else p)
+        i += 1
+      }
+      e / n
+    }
+    pairs.minBy { case (b, r) => (err(b, r), r) }
+  }
+
   def lshBandKeys(sigs: DataFrame, idCol: String, numHashes: Int,
       bands: Int): DataFrame = {
     val rowsPer = numHashes / bands

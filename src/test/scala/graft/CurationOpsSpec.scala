@@ -71,7 +71,10 @@ class CurationOpsSpec extends SparkSpec {
     def shape(df: org.apache.spark.sql.DataFrame) =
       SemiStructured.extract(df, "props", kSchema)
         .withColumn("keep", TextAnalysis.gopherRules(col("text"))("r_stopwords"))
-        .select("id", "k", "tag", "keep")
+        .withColumn("norm", graft.functions.NormalizeText(
+          TextAnalysis.htmlExtract(concat(lit("<p> "), col("text"),
+            lit(" \t</p><script>x()</script>")))))
+        .select("id", "k", "tag", "keep", "norm")
     val batch = shape(rows.toDF("id", "props", "text"))
       .collect().map(_.toSeq).toSet
     val ms = MemoryStream[(Long, String, String)]

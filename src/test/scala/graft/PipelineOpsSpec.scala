@@ -344,6 +344,71 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin property: random subset/superset corpora ≡ brute " +
+      "force at several τ (prefix+size+positional filter completeness)") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(41)
+    val vocab = (1 to 40).map(i => s"t$i")
+    for (trial <- 1 to 4) {
+      // base docs + random contiguous quotes of them + noise docs; word
+      // sampling with replacement makes duplicate tokens / clone texts
+      val bases = (0 until 5).map(_ =>
+        (0 until (8 + rnd.nextInt(20))).map(_ =>
+          vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val corpus = bases.zipWithIndex.flatMap { case (s, i) =>
+        val w = s.split(" ")
+        val from = rnd.nextInt(math.max(1, w.length - 4))
+        val quote = w.slice(from, from + 4 + rnd.nextInt(w.length)).mkString(" ")
+        Seq((i * 10L, s), (i * 10L + 1, quote),
+          (i * 10L + 2, if (rnd.nextBoolean()) s else quote)) // clones
+      }
+      val df = corpus.toDF("id", "s")
+      val tau = Seq(0.5, 0.8, 1.0)(trial % 3)
+      val got = Dedup.containmentJoin(df, "id", "s", tau)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 9))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val sets = df.select(col("id"),
+          array_distinct(Dedup.wordShingles(col("s"), 3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val brute = sets.as("a").join(sets.as("b"),
+          col("a.id") =!= col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          round(size(array_intersect(col("a.sh"), col("b.sh")))
+            .cast("double") / size(col("a.sh")), 9).as("c"))
+        .filter(col("c") >= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === brute, s"trial $trial tau=$tau corpus=$corpus")
+    }
+  }
+
+  test("lshPlan: divisor-exact, τ-monotone in rows, S-curve threshold " +
+      "lands near τ, and the planned bands drive lshBandKeys") {
+    import graft.operators.Dedup
+    // every plan multiplies back to numHashes
+    for (h <- Seq(16, 64, 128); t <- Seq(0.3, 0.5, 0.8, 0.9)) {
+      val (b, r) = Dedup.lshPlan(h, t)
+      assert(b * r === h, s"h=$h tau=$t -> ($b,$r)")
+      // the S-curve's step point (1/b)^(1/r) tracks τ within a band
+      val step = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(step - t) < 0.35, s"h=$h tau=$t step=$step")
+    }
+    // a higher τ never wants FEWER rows per band (sharper curve, moved
+    // right); fnWeight > 1 biases the step left of τ (completeness)
+    val rowsAt = (t: Double) => Dedup.lshPlan(128, t)._2
+    assert(rowsAt(0.3) <= rowsAt(0.5) && rowsAt(0.5) <= rowsAt(0.9))
+    val (b5, r5) = Dedup.lshPlan(128, 0.5)
+    assert(math.pow(1.0 / b5, 1.0 / r5) <= 0.5 + 1e-9)
+    // planner output slots into lshBandKeys without the divisibility trap
+    val sigs = Dedup.minHashSignatures(
+      Seq((1L, "a b c d e f g"), (2L, "a b c d e f h")).toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 16)
+    val (bands, _) = Dedup.lshPlan(16, 0.7)
+    val keys = Dedup.lshBandKeys(sigs, "doc_id", 16, bands)
+    assert(keys.count() === 2L * bands)
+  }
+
   test("contamination: leaked doc ≈ 1, fresh doc = 0, short doc guarded") {
     import graft.operators.Dedup
     val corpus = Seq(
