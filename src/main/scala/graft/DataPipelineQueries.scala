@@ -783,6 +783,14 @@ object DataPipelineQueries {
           round(col("containment"), 6).as("containment"))
         .orderBy("id_a", "id_b")),
 
+    // ── keep-maximal filter on top of the containment join: subset
+    //    docs collapse into their containers (equal-size ties keep the
+    //    smaller id)
+    "q_drop_contained" -> ((s, dir) =>
+      Dedup.dropContained(docs(s, dir), "doc_id", "text", tau = 0.8)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // ── bounded edit-distance join on 24-char document keys: Ed-Join
     //    prefix filtering (rarest q-gram candidates + length filter),
     //    exact threshold-levenshtein verify — the string-metric sibling
@@ -2571,6 +2579,26 @@ object DataPipelineQueries {
          |JOIN sizes sa ON sa.doc_id = id_a
          |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
          |ORDER BY 1, 2""".stripMargin,
+
+    // survivors of the keep-maximal containment filter
+    "q_drop_contained" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2
+         |), dropped AS (
+         |  SELECT DISTINCT id_a FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+         |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND id_b < id_a))
+         |)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id_a FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     // exact pair set via PassJoin's pigeonhole prefilter (a string within
     // edit distance 3 must CONTAIN one of the other's 4 disjoint segments

@@ -801,6 +801,38 @@ object Dedup {
     }
   }
 
+  /** Subset-document removal: drop every doc whose shingle set is
+    * τ-contained in a STRICTLY LARGER doc's (or an equal-sized doc's
+    * with a smaller id — the deterministic tie-break that keeps exactly
+    * one of a mutually-contained pair, e.g. exact clones). The
+    * keep-maximal filter a crawl runs after [[containmentJoin]]: quotes,
+    * partial scrapes, and template-embedded copies collapse into their
+    * containers while the containers survive.
+    *
+    * One containment join + one id-keyed anti-join — pair-sized work on
+    * top of the join itself. Docs with no shingles (sub-n-token) never
+    * pair, hence always survive, matching the join's semantics. */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, shingleN: Int = 3, maxDupGroup: Int = 100000)
+      : DataFrame = {
+    val pairs = containmentJoin(df, idCol, textCol, tau, shingleN,
+      maxDupGroup)
+    val sizes = df
+      .select(col(idCol).as("__id"),
+        size(array_distinct(wordShingles(col(textCol), shingleN)))
+          .as("__sz"))
+    val dropped = pairs
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sza")),
+        "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__szb")),
+        "id_b")
+      .filter(col("__szb") > col("__sza") ||
+        (col("__szb") === col("__sza") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("__drop"))
+      .distinct()
+    df.join(dropped, col(idCol) === col("__drop"), "left_anti")
+  }
+
   /** The τ-dependent half of the containment join over a (persisted)
     * [[ppjoinRanked]] frame: contained-side prefix probe into full
     * postings, size + positional pruning in the join condition, exact

@@ -279,6 +279,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(clonePairs.size === 6 && clonePairs.forall(_._3 === 1.0))
     // cache-release contract is asserted in IncrementalOpsSpec's
     // repeated-call leak test (checkpoint blocks drain via GC there)
+
+    // keep-maximal filter over the same corpus: the quote (2) and its
+    // clones (5, 6) all collapse into the strictly-larger page (1);
+    // sub-shingle doc 4 and the sub-τ / unrelated 3, 7 survive
+    val kept = Dedup.dropContained(corpus, "doc_id", "text", tau)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 7L))
+    // without the page, the clone group keeps exactly its smallest id
+    val keptNoPage = Dedup.dropContained(
+        corpus.filter(col("doc_id") =!= 1L), "doc_id", "text", tau)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNoPage === Set(2L, 3L, 4L, 7L))
   }
 
   test("editDistanceJoin ≡ brute-force levenshtein join; short-string band sound; multiset grams honest") {
