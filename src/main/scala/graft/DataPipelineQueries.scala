@@ -257,6 +257,19 @@ object DataPipelineQueries {
           docs(s, dir), "doc_id", "source", "text", minMean = 0.79)
         .orderBy("doc_id")),
 
+    // ── thresholdless scorer evaluation: rank-AUC (Mann–Whitney) of
+    //    the quality score against a document-length label; all-integer
+    //    U arithmetic → bit-deterministic across engines
+    "q_score_auc" -> ((s, dir) =>
+      graft.functions.Stats.rocAuc(
+          docs(s, dir).select(
+            round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+              .as("score"),
+            (col("n_chars") >= 300).as("y")),
+          "score", "y")
+        .select(col("n_pos"), col("n_neg"),
+          round(col("auc") + lit(1e-9), 6).as("auc"))),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir)
         // +1e-9 before rounding: quality is a sum of small rationals that
@@ -1517,6 +1530,30 @@ object DataPipelineQueries {
     "q_quality" ->
       s"""SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // integer Mann-Whitney: per-score counts, cumulative negatives
+    // below, 2U = sum(p*(2*nb+n)); the single FP op is the final divide
+    "q_score_auc" ->
+      s"""WITH q AS (
+         |  SELECT round(($qualityExpr) + 1e-9, 4) AS s,
+         |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |), per AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+         |         CAST(sum(1 - y) AS BIGINT) AS n
+         |  FROM q GROUP BY 1
+         |), cum AS (
+         |  SELECT p, n, CAST(coalesce(sum(n) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS nb
+         |  FROM per
+         |)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |       CAST(sum(n) AS BIGINT) AS n_neg,
+         |       round(CAST(CAST(sum(p * (2 * nb + n)) AS BIGINT) AS DOUBLE)
+         |         / (2.0 * CAST(sum(p) AS BIGINT) * CAST(sum(n) AS BIGINT))
+         |         + 1e-9, 6) AS auc
+         |FROM cum""".stripMargin,
 
     // per-source mean over EXACT integer sums (x1e4 -> BIGINT, the
     // q_mean_pool pattern) so both engines divide the same integers;

@@ -171,4 +171,44 @@ object Stats {
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Rank-based ROC-AUC (Mann–Whitney U) of a score against a boolean
+    * label — the standard evaluation of any scalar quality/relevance
+    * scorer (probe, LM score, heuristic) without choosing a threshold.
+    * Ties take the conventional half credit.
+    *
+    * Returns one row: (n_pos, n_neg, auc).
+    *
+    * Determinism: every intermediate is an INTEGER — per-score
+    * (pos, neg) counts, cumulative negatives below, and
+    * 2U = Σ pos·(2·negBelow + neg) — so engines agree bit-for-bit
+    * regardless of summation order; the only FP op is the final
+    * division 2U / (2·P·N). (A float dot-product rank would instead
+    * hinge on last-ulp score ordering.)
+    *
+    * Scale shape: one groupBy(score) with map-side partials (the
+    * exchange carries DISTINCT scores), then the cumulative window runs
+    * over that distinct-score frame — single-partition, but bounded by
+    * score cardinality, not corpus size (a 4-6dp-quantized score in
+    * [0,1] caps it at 10⁴-10⁶ rows; quantize upstream for exactly this
+    * reason). Final agg is a 1-row reduce. */
+  def rocAuc(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+      labelCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val nb = coalesce(sum(col("__n")).over(Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val cum = per.withColumn("__nb", nb)
+    cum
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        sum(col("__p") * (lit(2L) * col("__nb") + col("__n"))).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).as("auc"))
+  }
 }

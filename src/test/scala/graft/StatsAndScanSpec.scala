@@ -22,6 +22,34 @@ class StatsAndScanSpec extends SparkSpec {
     assert(math.abs(eval1(Stats.normCdf(lit(3.0))) - 0.99865) < 1e-4)
   }
 
+  test("rocAuc: perfect ranking = 1, inverted = 0, random-tie = 0.5, " +
+      "hand case with ties, degenerate single-class = null") {
+    import graft.functions.Stats
+    def auc(rows: Seq[(Double, Boolean)]): Option[Double] = {
+      val r = Stats.rocAuc(rows.toDF("s", "y"), "s", "y").head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    // all positives score above all negatives
+    assert(auc(Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false)))
+      === Some(1.0))
+    assert(auc(Seq((0.1, true), (0.2, false))) === Some(0.0))
+    // every row the same score: pure tie → 0.5
+    assert(auc(Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false)))
+      === Some(0.5))
+    // hand-computed with one tie: scores pos {0.3, 0.5}, neg {0.3, 0.1}
+    // pairs: (0.3 vs 0.1)=1, (0.3 vs 0.3)=0.5, (0.5 vs 0.1)=1,
+    // (0.5 vs 0.3)=1 → U=3.5, AUC=3.5/4
+    assert(auc(Seq((0.3, true), (0.5, true), (0.3, false), (0.1, false)))
+      === Some(0.875))
+    // single-class inputs are undefined, not a crash
+    assert(auc(Seq((0.3, true), (0.5, true))) === None)
+    // counts surface
+    val r = Stats.rocAuc(
+      Seq((0.9, true), (0.1, false), (0.2, false)).toDF("s", "y"), "s", "y")
+      .head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+  }
+
   test("anomaly score: 3σ deviation ≈ 99.7, at-prediction = 0") {
     // predicted 10, upper 13 → σ̂=1; observed 13 = 3σ high
     val hi = eval1(Stats.anomalyScore(lit(13.0), lit(10.0), lit(13.0)))
