@@ -817,6 +817,18 @@ object DataPipelineQueries {
           "doc_id", "key24", maxDist = 3, q = 4)
         .orderBy("id_a", "id_b")),
 
+    // ── two-table edit join: a 5% "crawl" of 24-char keys fuzzy-matched
+    //    against the standing corpus (the incremental-family edit tier)
+    "q_edit_join_incr" -> ((s, dir) => {
+      val keys = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 24).as("key24"))
+      Dedup.editDistanceJoinAgainst(
+          keys.filter(pmod(col("doc_id"), lit(20)) === 0),
+          keys.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          "doc_id", "key24", maxDist = 3, q = 4)
+        .orderBy("probe_id", "corpus_id")
+    }),
+
     // ── exact top-k most-similar pairs via the τ-descending PPJoin
     //    ladder — the scale answer to ngramJaccardPairs' all-pairs term
     "q_jaccard_topk" -> ((s, dir) =>
@@ -2656,6 +2668,25 @@ object DataPipelineQueries {
         |    OR position(substr(a.t, 19, 6) IN b.t) > 0)
         |WHERE levenshtein(a.t, b.t) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same PassJoin pigeonhole prefilter as q_edit_join, across the
+    // crawl/corpus split
+    "q_edit_join_incr" ->
+      """WITH n AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+        |       CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |FROM (SELECT * FROM n WHERE doc_id % 20 = 0) a
+        |JOIN (SELECT * FROM n WHERE doc_id % 20 <> 0) b
+        |  ON abs(length(a.t) - length(b.t)) <= 3
+        |  AND (position(substr(a.t, 1, 6) IN b.t) > 0
+        |    OR position(substr(a.t, 7, 6) IN b.t) > 0
+        |    OR position(substr(a.t, 13, 6) IN b.t) > 0
+        |    OR position(substr(a.t, 19, 6) IN b.t) > 0)
+        |WHERE levenshtein(a.t, b.t) <= 3
+        |ORDER BY probe_id, corpus_id""".stripMargin,
 
     // ranks by the UNROUNDED jaccard (like the engine), rounds only the
     // output; floor 0.15 = the engine ladder's last τ

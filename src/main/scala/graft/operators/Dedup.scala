@@ -1024,6 +1024,83 @@ object Dedup {
     }
   }
 
+  /** Two-table bounded edit-distance join: every (probe, corpus) pair
+    * with `levenshtein ≤ maxDist` — the crawl-vs-blocklist /
+    * crawl-vs-standing-corpus fuzzy matcher completing the incremental
+    * family ([[lshDedupAgainst]], [[exactDedupAgainst]]) for short
+    * keys where token sets are too coarse. Output:
+    * `(probe_id, corpus_id, dist)`.
+    *
+    * Same Ed-Join machinery as [[editDistanceJoin]] — positional
+    * q-grams, rarest-first prefixes, position-in-key probing, length
+    * band, short-string length-key tier — with ONE cross-table
+    * requirement: the prefix lemma needs both strings' prefixes taken
+    * under a SINGLE total gram order, so document frequency is counted
+    * over the UNION of both sides' gram streams (per-side df would
+    * rank the same gram differently on each side and break
+    * completeness). No dedup collapse: probe batches are
+    * crawl-sized and the corpus side is read once.
+    *
+    * Scale: candidates come from gram-key equality (never probe ×
+    * corpus); the df-union agg's exchange carries distinct grams. */
+  def editDistanceJoinAgainst(probe: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, maxDist: Int, q: Int = 2)
+      : DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 1, "q must be >= 1")
+    val prefixLen = q * maxDist + 1
+    def baseOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(textCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    def gramsOf(b: DataFrame) = b.filter(col("len") >= q)
+      .select(col("id"), col("len"), col("s"),
+        posexplode(expr(
+          s"transform(sequence(1, len - $q + 1), " +
+            s"i -> substring(s, i, $q))")).as(Seq("pos", "g")))
+    val bp = baseOf(probe)
+    val bc = baseOf(corpus)
+    val gp = gramsOf(bp)
+    val gc = gramsOf(bc)
+    val freq = gp.select("g").unionAll(gc.select("g"))
+      .groupBy("g").agg(count(lit(1)).as("tf"))
+    val shortLen = q * (maxDist + 1) - 1
+    def keyedOf(g: DataFrame, b: DataFrame) = {
+      val prefix = g.join(freq, "g")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("id").orderBy(col("tf"), col("g"), col("pos"))))
+        .filter(col("rank") <= prefixLen)
+        .select("id", "len", "s", "g", "pos")
+      val shorts = b.filter(col("len") <= shortLen)
+        .select(col("id"), col("len"), col("s"),
+          explode(expr(s"transform(sequence(0, $maxDist), " +
+            "i -> concat('S', len + i))")).as("g"),
+          lit(0).as("pos"))
+      prefix.unionByName(shorts)
+    }
+    val keyedC = keyedOf(gc, bc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyedP = keyedOf(gp, bp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probes = keyedP.select(col("id"), col("len"), col("s"),
+        col("g"),
+        explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
+          .as("pp"))
+      probes.as("a").join(keyedC.as("b"),
+          col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
+            abs(col("a.len") - col("b.len")) <= maxDist)
+        .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
+        .filter(col("dist") >= 0)
+        .select(col("a.id").as("probe_id"), col("b.id").as("corpus_id"),
+          col("dist"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally {
+      keyedP.unpersist(false); keyedC.unpersist(false)
+    }
+  }
+
   /** Largest exact-duplicate group size from a persisted reps agg —
     * `max` over zero rows is SQL NULL, so an empty (or all-null-text)
     * input reads as 0 and the collapse guard passes through to the

@@ -421,6 +421,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keys.count() === 2L * bands)
   }
 
+  test("editDistanceJoinAgainst property: random crawl-vs-corpus ≡ brute " +
+      "force (union-df prefix order, shorts tier, cross-table)") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(29)
+    val alpha = "abcde"
+    def mutate(s: String, ops: Int): String = {
+      var cur = s
+      for (_ <- 0 until ops) {
+        val i = if (cur.isEmpty) 0 else rnd.nextInt(cur.length)
+        cur = rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur.take(i) + cur.drop(i + 1)
+          case 1 => cur.take(i) + alpha(rnd.nextInt(5)) + cur.drop(i)
+          case _ if cur.nonEmpty =>
+            cur.take(i) + alpha(rnd.nextInt(5)) + cur.drop(i + 1)
+          case _ => cur + alpha(rnd.nextInt(5))
+        }
+      }
+      cur
+    }
+    for (trial <- 1 to 5) {
+      val seeds = (0 until 6).map(_ =>
+        (0 until (1 + rnd.nextInt(18))).map(_ => alpha(rnd.nextInt(5))).mkString)
+      // corpus = seeds + mutations; probe = fresh mutations of the same
+      // seeds (some matches, some misses) + one unrelated string
+      val corpus = seeds.zipWithIndex.flatMap { case (s, i) =>
+        Seq((i * 10L, s), (i * 10L + 1, mutate(s, rnd.nextInt(3))))
+      }.toDF("id", "s")
+      val probe = (seeds.zipWithIndex.map { case (s, i) =>
+        (1000L + i, mutate(s, rnd.nextInt(5)))
+      } :+ (1999L, "zzzzzzzz")).toDF("id", "s")
+      val d = 2
+      val got = Dedup.editDistanceJoinAgainst(probe, corpus, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = probe.as("a").join(corpus.as("b"),
+          levenshtein(col("a.s"), col("b.s")) <= d)
+        .select(col("a.id"), col("b.id"),
+          levenshtein(col("a.s"), col("b.s")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === brute, s"trial $trial")
+    }
+  }
+
   test("contamination: leaked doc ≈ 1, fresh doc = 0, short doc guarded") {
     import graft.operators.Dedup
     val corpus = Seq(
