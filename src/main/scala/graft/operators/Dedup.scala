@@ -837,7 +837,7 @@ object Dedup {
     * [[ppjoinRanked]] frame: contained-side prefix probe into full
     * postings, size + positional pruning in the join condition, exact
     * verify. Ordered output `(id_a contained-in id_b, containment)`. */
-  private[operators] def containmentFromRanked(ranked: DataFrame,
+  private[graft] def containmentFromRanked(ranked: DataFrame,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0,1]")
     val prefix = ranked
@@ -873,7 +873,7 @@ object Dedup {
     * Document frequency via agg+join (map-side partials — a window
     * partitioned by shingle would funnel a stop-phrase to one task);
     * sz as a window sharing the rank window's id exchange+sort. */
-  private[operators] def ppjoinRanked(df: DataFrame, idCol: String,
+  private[graft] def ppjoinRanked(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
@@ -886,7 +886,7 @@ object Dedup {
 
   /** The τ-dependent half: prefix filter → pruned candidate self-join →
     * exact verify, all reading the (ideally persisted) `ranked` frame. */
-  private[operators] def ppjoinFromRanked(ranked: DataFrame,
+  private[graft] def ppjoinFromRanked(ranked: DataFrame,
       tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, "tau must be in (0,1]")
     val prefix = ranked
@@ -1046,6 +1046,19 @@ object Dedup {
   def editDistanceJoinAgainst(probe: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, maxDist: Int, q: Int = 2)
       : DataFrame = {
+    val (pairs, keyedP, keyedC) =
+      editAgainstUnchecked(probe, corpus, idCol, textCol, maxDist, q)
+    try pairs.localCheckpoint(true)
+    finally { keyedP.unpersist(false); keyedC.unpersist(false) }
+  }
+
+  /** [[editDistanceJoinAgainst]] minus the eager checkpoint/release —
+    * returns (pairs, keyedProbe, keyedCorpus) with the keyed frames
+    * still persisted so the caller (the public wrapper; plan tests)
+    * controls materialization and release. */
+  private[graft] def editAgainstUnchecked(probe: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String, maxDist: Int,
+      q: Int): (DataFrame, DataFrame, DataFrame) = {
     require(maxDist >= 1, "maxDist must be >= 1")
     require(q >= 1, "q must be >= 1")
     val prefixLen = q * maxDist + 1
@@ -1082,23 +1095,19 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyedP = keyedOf(gp, bp)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val probes = keyedP.select(col("id"), col("len"), col("s"),
-        col("g"),
-        explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
-          .as("pp"))
-      probes.as("a").join(keyedC.as("b"),
-          col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
-            abs(col("a.len") - col("b.len")) <= maxDist)
-        .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
-        .filter(col("dist") >= 0)
-        .select(col("a.id").as("probe_id"), col("b.id").as("corpus_id"),
-          col("dist"))
-        .distinct()
-        .localCheckpoint(true)
-    } finally {
-      keyedP.unpersist(false); keyedC.unpersist(false)
-    }
+    val probes = keyedP.select(col("id"), col("len"), col("s"),
+      col("g"),
+      explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
+        .as("pp"))
+    val pairs = probes.as("a").join(keyedC.as("b"),
+        col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a.id").as("probe_id"), col("b.id").as("corpus_id"),
+        col("dist"))
+      .distinct()
+    (pairs, keyedP, keyedC)
   }
 
   /** Largest exact-duplicate group size from a persisted reps agg —

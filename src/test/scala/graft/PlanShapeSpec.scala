@@ -181,17 +181,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p0, "Exchange hashpartitioning(sh") == 2, p0.take(4000))
   }
 
-  test("jaccardJoin: bounded exchanges, no cartesian (collapse + PPJoin + expansion)") {
-    val p = plan(Dedup.jaccardJoin(docs, "doc_id", "text", 0.5))
-    // the exact-dup collapse wraps the PPJoin core (≤14 exchanges, the
-    // old bound) with the hash agg, four hash-keyed expansion joins and
-    // the within-group self-join — every added exchange carries
-    // representative- or OUTPUT-sized rows, and the persisted frames
-    // appear once per plan consumer while executing once. Bound the
-    // total so a data-sized regression (an extra shingle explosion: +4
-    // per side) still trips.
+  test("jaccardJoin PPJoin core: bounded exchanges, no cartesian " +
+      "(asserted on the pre-checkpoint composition — the public " +
+      "jaccardJoin returns a checkpointed frame whose plan is a block " +
+      "scan, so asserting on IT proves nothing)") {
+    val p = plan(Dedup.ppjoinFromRanked(
+      Dedup.ppjoinRanked(docs, "doc_id", "text", 3), 0.5))
+    // the un-persisted core re-derives the ranked frame per consumer in
+    // THIS plan (prod persists it once); bound the exchange count so a
+    // data-sized regression (an extra shingle explosion: +4 per side)
+    // still trips, and keep the candidate join key-equality
     assert(shuffles(p) <= 36, p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
   test("seasonalDecompose: ONE pass over the series — no self-join, " +
@@ -244,6 +246,26 @@ class PlanShapeSpec extends SparkSpec {
     // "*(1)" = the whole-stage-codegen stage marker: one fused stage,
     // both kernels inside it
     assert(pn.contains("*(1) Project"), pn)
+  }
+
+  test("containmentJoin / editDistanceJoinAgainst: candidate generation " +
+      "is key-equality joins — no CartesianProduct, no NLJ (asserted on " +
+      "the PRE-checkpoint frames; a checkpointed result's plan is just " +
+      "a block scan and proves nothing)") {
+    val corpus = Seq((1L, "aa bb cc dd ee ff"), (2L, "aa bb cc"),
+      (3L, "zz yy xx ww")).toDF("doc_id", "text")
+    val pc = plan(Dedup.containmentFromRanked(
+      Dedup.ppjoinRanked(corpus, "doc_id", "text", 3), 0.8))
+    assert(!pc.contains("CartesianProduct"), pc)
+    assert(!pc.contains("BroadcastNestedLoopJoin"), pc)
+    val (pairs, kp, kc) = Dedup.editAgainstUnchecked(
+      Seq((10L, "aabbcc")).toDF("doc_id", "text"), corpus,
+      "doc_id", "text", 2, 2)
+    try {
+      val pe = plan(pairs)
+      assert(!pe.contains("CartesianProduct"), pe)
+      assert(!pe.contains("BroadcastNestedLoopJoin"), pe)
+    } finally { kp.unpersist(false); kc.unpersist(false) }
   }
 
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +
