@@ -257,6 +257,20 @@ object DataPipelineQueries {
           docs(s, dir), "doc_id", "source", "text", minMean = 0.79)
         .orderBy("doc_id")),
 
+    // ── calibration table of the quality score vs the length label:
+    //    per-bin exact integer counts + quantized-sum mean
+    "q_calibration" -> ((s, dir) =>
+      graft.functions.Stats.calibrationBins(
+          docs(s, dir).select(
+            round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+              .as("score"),
+            (col("n_chars") >= 300).as("y")),
+          "score", "y", bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("frac_pos") + lit(1e-9), 6).as("frac_pos"),
+          round(col("mean_score") + lit(1e-9), 6).as("mean_score"))
+        .orderBy("bin")),
+
     // ── thresholdless scorer evaluation: rank-AUC (Mann–Whitney) of
     //    the quality score against a document-length label; all-integer
     //    U arithmetic → bit-deterministic across engines
@@ -1542,6 +1556,25 @@ object DataPipelineQueries {
     "q_quality" ->
       s"""SELECT doc_id, round(($qualityExpr) + 1e-9, 4) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-bin: exact counts; frac_pos one exact-int division; mean from
+    // x1e6 long sums (CASTs around sum() defeat DuckDB's HUGEINT widening)
+    "q_calibration" ->
+      s"""WITH q AS (
+         |  SELECT round(($qualityExpr) + 1e-9, 4) AS s,
+         |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |), b AS (
+         |  SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+         |         CAST(round(round(s + 1e-9, 6) * 1e6) AS BIGINT) AS si, y
+         |  FROM q
+         |)
+         |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |       round(CAST(sum(y) AS BIGINT) / CAST(count(*) AS DOUBLE)
+         |         + 1e-9, 6) AS frac_pos,
+         |       round(CAST(sum(si) AS BIGINT) / CAST(count(*) AS DOUBLE)
+         |         / 1e6 + 1e-9, 6) AS mean_score
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // integer Mann-Whitney: per-score counts, cumulative negatives
     // below, 2U = sum(p*(2*nb+n)); the single FP op is the final divide

@@ -192,6 +192,36 @@ object Stats {
     * score cardinality, not corpus size (a 4-6dp-quantized score in
     * [0,1] caps it at 10⁴-10⁶ rows; quantize upstream for exactly this
     * reason). Final agg is a 1-row reduce. */
+  /** Calibration (reliability) table for a [0,1] score: equal-width
+    * bins, each with row count, positive count, the empirical positive
+    * rate, and the mean score — "is a 0.8 really 80% positive?". The
+    * companion diagnostic to [[rocAuc]]: AUC checks RANKING,
+    * calibration checks the score's face value.
+    *
+    * Determinism: bin = floor(score·bins) clamped (pure int),
+    * counts are exact, frac_pos is one division of exact integers,
+    * and mean_score sums ×10⁶-quantized scores as exact longs (the
+    * q_mean_pool pattern) before its single division — engines agree
+    * bit-for-bit. One groupBy(bin) with map-side partials; the
+    * exchange carries ≤ `bins` rows. */
+  def calibrationBins(df: org.apache.spark.sql.DataFrame, scoreCol: String,
+      labelCol: String, bins: Int): org.apache.spark.sql.DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val bin = least(floor(col(scoreCol) * lit(bins)), lit(bins - 1))
+      .cast("int")
+    val si = round(round(col(scoreCol) + lit(1e-9), 6) * lit(1e6))
+      .cast("long")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(si).as("__ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("frac_pos"),
+        (col("__ss").cast("double") / col("n").cast("double") / lit(1e6))
+          .as("mean_score"))
+  }
+
   def rocAuc(df: org.apache.spark.sql.DataFrame, scoreCol: String,
       labelCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -50,6 +50,25 @@ class StatsAndScanSpec extends SparkSpec {
     assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
   }
 
+  test("calibrationBins: bin edges clamp, counts/rates exact, " +
+      "mean from quantized longs, empty bins absent") {
+    import graft.functions.Stats
+    val rows = Seq(
+      (0.05, false), (0.05, false),      // bin 0: 0/2
+      (0.55, true), (0.58, false),       // bin 5: 1/2
+      (1.0, true))                       // score 1.0 clamps to bin 9
+      .toDF("s", "y")
+    val got = Stats.calibrationBins(rows, "s", "y", 10)
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        math.round(r.getDouble(4) * 1e6) / 1e6))
+    assert(got.toSeq === Seq(
+      (0, 2L, 0L, 0.0, 0.05),
+      (5, 2L, 1L, 0.5, 0.565),
+      (9, 1L, 1L, 1.0, 1.0)))
+  }
+
   test("anomaly score: 3σ deviation ≈ 99.7, at-prediction = 0") {
     // predicted 10, upper 13 → σ̂=1; observed 13 = 3σ high
     val hi = eval1(Stats.anomalyScore(lit(13.0), lit(10.0), lit(13.0)))
