@@ -134,6 +134,25 @@ object TemporalQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // ── two-sided CUSUM drift detector on the hourly series, target =
+    //    per-key exact decimal mean, k=5 slack, h=100 decision interval;
+    //    the sequential fold replays bit-identically as a recursive CTE
+    "q_cusum" -> ((s, dir) => {
+      val e = ev(s, dir).withColumn("bucket",
+        (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+      val series = e.groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      val targets = e.groupBy("event_type")
+        .agg(exactAvg(col("value")).as("__target"))
+      Temporal.cusum(series.join(broadcast(targets), "event_type"),
+          Seq("event_type"), "bucket", "v", col("__target"), k = 5.0,
+          h = 100.0)
+        .select(col("event_type"), col("bucket"), round(col("v"), 6).as("v"),
+          round(col("cusum_up"), 6).as("cusum_up"),
+          round(col("cusum_dn"), 6).as("cusum_dn"), col("alarm"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // ── as-of with a tolerance horizon: the view must be within 1 h
     //    before the purchase, else null (stale context is worse than none)
     "q_asof_tol" -> ((s, dir) => {
@@ -1023,6 +1042,43 @@ object TemporalQueries {
         |)
         |SELECT event_type, bucket, round(e, 6) AS ewma
         |FROM r ORDER BY 1, 2""".stripMargin,
+
+    // lockstep CUSUM fold; arithmetic parenthesized exactly as the
+    // engine's aggregate lambda so every double op matches bit-for-bit
+    "q_cusum" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS tgt
+        |  FROM events GROUP BY 1
+        |), nb AS (
+        |  SELECT b.event_type, b.bucket, b.v, t.tgt,
+        |         row_number() OVER (PARTITION BY b.event_type
+        |           ORDER BY b.bucket) AS rn
+        |  FROM b JOIN t ON b.event_type = t.event_type
+        |), r AS (
+        |  SELECT event_type, rn, bucket, v, tgt,
+        |         greatest(CAST(0.0 AS DOUBLE), 0.0 + (v - tgt - 5.0)) AS up,
+        |         greatest(CAST(0.0 AS DOUBLE), 0.0 + (tgt - v - 5.0)) AS dn
+        |  FROM nb WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nb.event_type, nb.rn, nb.bucket, nb.v, nb.tgt,
+        |         greatest(CAST(0.0 AS DOUBLE), r.up + (nb.v - nb.tgt - 5.0)),
+        |         greatest(CAST(0.0 AS DOUBLE), r.dn + (nb.tgt - nb.v - 5.0))
+        |  FROM nb JOIN r ON nb.event_type = r.event_type
+        |    AND nb.rn = r.rn + 1
+        |)
+        |SELECT event_type, bucket, round(v, 6) AS v,
+        |       round(up, 6) AS cusum_up, round(dn, 6) AS cusum_dn,
+        |       (up > 100.0 OR dn > 100.0) AS alarm
+        |FROM r ORDER BY event_type, bucket""".stripMargin,
 
     // correlated-window mirror (DuckDB ASOF JOIN has no tolerance knob):
     // the window max over [pts-1h, pts] picks the same row the engine's

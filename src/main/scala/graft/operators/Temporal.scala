@@ -243,6 +243,57 @@ object Temporal {
         col("__x.e").as("ewma"))): _*)
   }
 
+  /** Two-sided CUSUM changepoint detection over a bucketized series —
+    * the classic sequential drift detector (Page 1954, public): per key,
+    *   up_n = max(0, up_{n−1} + (v_n − target − k))
+    *   dn_n = max(0, dn_{n−1} + (target − v_n − k))
+    * with an alarm when either sum exceeds `h`. Catches sustained small
+    * shifts the per-point z-score/MAD flaggers miss, and resets itself
+    * after the alarm condition clears — the standard monitor for "this
+    * metric has drifted", not "this point is an outlier".
+    *
+    * `target` is a per-row Column (typically a per-key mean joined on,
+    * or a literal SLA level); `k` the slack (half the shift magnitude
+    * worth detecting), `h` the decision interval.
+    *
+    * Scale shape: the fold is honestly sequential per key, so it runs
+    * as one `aggregate` over the key's collected bucket list (the ewma
+    * idiom) — per-key state is O(buckets in range), bounded by the
+    * query window, never raw-event-sized; keys parallelize freely.
+    * Output: (keys…, bucketCol, v, cusum_up, cusum_dn, alarm). */
+  def cusum(series: DataFrame, keys: Seq[String], bucketCol: String,
+      valueCol: String, target: Column, k: Double, h: Double)
+      : DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(h > 0, "h must be > 0")
+    val g = series.withColumn("__t", target)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(bucketCol).as("b"),
+        col(valueCol).as("v"), col("__t").as("t")))).as("__s"))
+    val folded = g.withColumn("__c", expr(
+      s"""aggregate(__s,
+         |  named_struct(
+         |    'out', cast(array() as
+         |      array<struct<b:bigint,v:double,up:double,dn:double>>),
+         |    'up', cast(0.0 as double), 'dn', cast(0.0 as double)),
+         |  (acc, x) -> named_struct(
+         |    'out', acc.out || array(named_struct('b', x.b, 'v', x.v,
+         |      'up', greatest(cast(0.0 as double),
+         |        acc.up + (x.v - x.t - $k)),
+         |      'dn', greatest(cast(0.0 as double),
+         |        acc.dn + (x.t - x.v - $k)))),
+         |    'up', greatest(cast(0.0 as double),
+         |      acc.up + (x.v - x.t - $k)),
+         |    'dn', greatest(cast(0.0 as double),
+         |      acc.dn + (x.t - x.v - $k))),
+         |  acc -> acc.out)""".stripMargin))
+    folded.select((keys.map(col) :+ explode(col("__c")).as("__x")): _*)
+      .select((keys.map(col) ++ Seq(col("__x.b").as(bucketCol),
+        col("__x.v").as("v"), col("__x.up").as("cusum_up"),
+        col("__x.dn").as("cusum_dn"),
+        (col("__x.up") > h || col("__x.dn") > h).as("alarm"))): _*)
+  }
+
   /** Linear interpolation of null gaps in a bucketized series — the gap
     * fill BETWEEN the reference's constant/`previous` modes (the
     * interpolation its ES connector sketches but never enables,

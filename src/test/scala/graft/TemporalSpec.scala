@@ -26,6 +26,27 @@ class TemporalSpec extends SparkSpec {
     ("b", 99L, 400.0)
   ).toDF("k", "rts", "rval")
 
+  test("cusum: hand-computed two-sided trace, reset after drift clears, " +
+      "alarm thresholding, keys independent") {
+    // target 10, k=1, h=11; shift up then crash down
+    val vs = Seq(10.0, 10.0, 15.0, 15.0, 15.0, 9.0, 3.0, 3.0)
+    val df = (vs.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) } ++
+      Seq(("b", 0L, 25.0)))  // a second key must not share state
+      .toDF("key", "bucket", "v")
+    val out = Temporal.cusum(df, Seq("key"), "bucket", "v", lit(10.0),
+        k = 1.0, h = 11.0)
+      .orderBy("key", "bucket")
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    val expA = Seq(
+      (0.0, 0.0, false), (0.0, 0.0, false), (4.0, 0.0, false),
+      (8.0, 0.0, false), (12.0, 0.0, true),   // sustained up-shift alarms
+      (10.0, 0.0, false),                     // decays below h: resets
+      (2.0, 6.0, false), (0.0, 12.0, true))   // down-crash alarms
+    assert(out.take(8).toSeq === expA.map { case (u, d, a) => ("a", u, d, a) })
+    assert(out(8) === (("b", 14.0, 0.0, true))) // 25−10−1, independent
+  }
+
   test("asofJoin backward: greatest right ts <= left ts, else null") {
     val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
         payload = Seq("rval"))
