@@ -147,9 +147,14 @@ object TemporalQueries {
       Temporal.cusum(series.join(broadcast(targets), "event_type"),
           Seq("event_type"), "bucket", "v", col("__target"), k = 5.0,
           h = 100.0)
-        .select(col("event_type"), col("bucket"), round(col("v"), 6).as("v"),
-          round(col("cusum_up"), 6).as("cusum_up"),
-          round(col("cusum_dn"), 6).as("cusum_dn"), col("alarm"))
+        // +1e-9 before rounding: the 10x-clone corpus makes bucket means
+        // land exactly on .5 at the 7th decimal, where the two engines'
+        // half-up disagree by 1 ulp (hit at sf1)
+        .select(col("event_type"), col("bucket"),
+          round(col("v") + lit(1e-9), 6).as("v"),
+          round(col("cusum_up") + lit(1e-9), 6).as("cusum_up"),
+          round(col("cusum_dn") + lit(1e-9), 6).as("cusum_dn"),
+          col("alarm"))
         .orderBy("event_type", "bucket")
     }),
 
@@ -1075,8 +1080,9 @@ object TemporalQueries {
         |  FROM nb JOIN r ON nb.event_type = r.event_type
         |    AND nb.rn = r.rn + 1
         |)
-        |SELECT event_type, bucket, round(v, 6) AS v,
-        |       round(up, 6) AS cusum_up, round(dn, 6) AS cusum_dn,
+        |SELECT event_type, bucket, round(v + 1e-9, 6) AS v,
+        |       round(up + 1e-9, 6) AS cusum_up,
+        |       round(dn + 1e-9, 6) AS cusum_dn,
         |       (up > 100.0 OR dn > 100.0) AS alarm
         |FROM r ORDER BY event_type, bucket""".stripMargin,
 
