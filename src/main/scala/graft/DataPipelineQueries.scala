@@ -831,6 +831,20 @@ object DataPipelineQueries {
           "doc_id", "key24", maxDist = 3, q = 4)
         .orderBy("id_a", "id_b")),
 
+    // ── Jaro-Winkler over consecutive doc keys: gates the native
+    //    expression against DuckDB's builtin (floored half-transposition
+    //    semantics, 0.7 boost threshold)
+    "q_jaro_winkler" -> ((s, dir) => {
+      val keys = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 24).as("k"))
+      keys.as("a").join(keys.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          round(graft.functions.JaroWinkler(col("a.k"), col("b.k")), 6)
+            .as("jw"))
+        .orderBy("doc_id")
+    }),
+
     // ── two-table edit join: a 5% "crawl" of 24-char keys fuzzy-matched
     //    against the standing corpus (the incremental-family edit tier)
     "q_edit_join_incr" -> ((s, dir) => {
@@ -2701,6 +2715,15 @@ object DataPipelineQueries {
         |    OR position(substr(a.t, 19, 6) IN b.t) > 0)
         |WHERE levenshtein(a.t, b.t) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_jaro_winkler" ->
+      """WITH n AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS k FROM documents
+        |)
+        |SELECT a.doc_id AS doc_id,
+        |       round(jaro_winkler_similarity(a.k, b.k), 6) AS jw
+        |FROM n a JOIN n b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_id""".stripMargin,
 
     // same PassJoin pigeonhole prefilter as q_edit_join, across the
     // crawl/corpus split

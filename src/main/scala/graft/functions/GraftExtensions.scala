@@ -135,6 +135,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NormalizeText(children(0))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info(classOf[JaroWinkler].getCanonicalName, "graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] " +
+          "(DuckDB-compatible: floored half-transpositions, 0.7 boost " +
+          "threshold, empty -> 0)."),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_jaro_winkler takes exactly 2 arguments, got ${children.length}")
+        JaroWinkler(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       info(classOf[SimHash64].getCanonicalName, "graft_simhash",
         "graft_simhash(text) - 60-bit SimHash long over whitespace tokens " +

@@ -293,6 +293,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keptNoPage === Set(2L, 3L, 4L, 7L))
   }
 
+  test("JaroWinkler: textbook pairs, floored half-transpositions " +
+      "(the DuckDB convention), boost threshold, empties, nulls, SQL " +
+      "surface") {
+    import graft.functions.{JaroWinkler, JaroWinklerKernel}
+    def k(a: String, b: String) = JaroWinklerKernel.jwStr(a, b)
+    assert(math.abs(k("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(k("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(k("dwayne", "duane") - 0.84) < 1e-12)
+    // floored half-transpositions: 'cbe'/'aecdbbdddc' has 3 mismatched
+    // matches -> t = 1 (not 1.5) -> 0.6555…, the DuckDB/rapidfuzz value
+    assert(math.abs(k("cbe", "aecdbbdddc") - (1.0/3) * (1.0 + 0.3 + 2.0/3))
+      < 1e-12)
+    // boost only above 0.7: crate/trace sits at 0.7333 with NO prefix
+    assert(math.abs(k("crate", "trace") - 0.7333333333333333) < 1e-12)
+    assert(k("", "") === 0.0 && k("a", "") === 0.0) // DuckDB's convention
+    assert(k("abc", "abc") === 1.0 && k("ab", "ba") === 0.0)
+    val r = Seq(("martha", "marhta"), (null, "x"))
+      .toDF("a", "b")
+      .select(JaroWinkler(col("a"), col("b"))).collect()
+    assert(math.abs(r(0).getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(r(1).isNullAt(0))
+    assert(math.abs(spark.sql(
+      "SELECT graft_jaro_winkler('jellyfish', 'smellyfish')")
+      .head().getDouble(0) - 0.8962962962962964) < 1e-12)
+  }
+
   test("editDistanceJoin ≡ brute-force levenshtein join; short-string band sound; multiset grams honest") {
     // mixed corpus: near pairs, a far pair, repeated-gram strings, and
     // short strings below the prefix-filter soundness bound
