@@ -831,6 +831,13 @@ object DataPipelineQueries {
           "doc_id", "key24", maxDist = 3, q = 4)
         .orderBy("id_a", "id_b")),
 
+    // ── per-shard publishing manifest: counts + order-independent
+    //    decimal-summed content checksum over the shuffleShards scheme
+    "q_manifest" -> ((s, dir) =>
+      graft.operators.CorpusStats.manifest(
+          docs(s, dir), "doc_id", "text", shards = 8)
+        .orderBy("shard")),
+
     // ── Jaro-Winkler over consecutive doc keys: gates the native
     //    expression against DuckDB's builtin (floored half-transposition
     //    semantics, 0.7 boost threshold)
@@ -2715,6 +2722,24 @@ object DataPipelineQueries {
         |    OR position(substr(a.t, 19, 6) IN b.t) > 0)
         |WHERE levenshtein(a.t, b.t) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // shard = md5(id) first-8-hex mod 8; checksum = 60-bit row hashes
+    // summed as DECIMAL(38,0) (exact, order-free) mod 1e18; CASTs keep
+    // n_chars/checksum out of HUGEINT
+    "q_manifest" ->
+      """WITH r AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) % 8 AS shard,
+        |         CAST(length(text) AS BIGINT) AS c,
+        |         CAST(CAST('0x' || substr(md5(
+        |             CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15)
+        |           AS BIGINT) AS DECIMAL(38,0)) AS h
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(c) AS BIGINT) AS n_chars,
+        |       CAST(sum(h) % 1000000000000000000 AS BIGINT) AS checksum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_jaro_winkler" ->
       """WITH n AS (

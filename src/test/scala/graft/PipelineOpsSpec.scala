@@ -293,6 +293,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keptNoPage === Set(2L, 3L, 4L, 7L))
   }
 
+  test("manifest: partitioning/order-invariant checksum, any content " +
+      "change flips it, shards cover and counts add up") {
+    import graft.operators.CorpusStats
+    val docsDf = (1L to 200L).map(i => (i, s"doc body $i " * 3))
+      .toDF("doc_id", "text")
+    val m1 = CorpusStats.manifest(docsDf, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // same rows, different order and partitioning → identical manifest
+    val m2 = CorpusStats.manifest(
+        docsDf.orderBy(col("doc_id").desc).repartition(7), "doc_id",
+        "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(m1 === m2)
+    assert(m1.map(_._1) === (0L to 7L).toSet)
+    assert(m1.toSeq.map(_._2).sum === 200L)
+    // flip ONE character of ONE doc: exactly that shard's checksum moves
+    val tampered = docsDf.withColumn("text",
+      when(col("doc_id") === 57L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val m3 = CorpusStats.manifest(tampered, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val base = m1.map(r => (r._1, r._4)).toMap
+    assert(m3.count { case (s, c) => base(s) != c } === 1)
+  }
+
   test("JaroWinkler: textbook pairs, floored half-transpositions " +
       "(the DuckDB convention), boost threshold, empties, nulls, SQL " +
       "surface") {
