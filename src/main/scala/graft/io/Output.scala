@@ -98,6 +98,53 @@ object WriteBack {
       .write.mode("append").partitionBy("date").parquet(path)
 }
 
+/** Dataset publishing: shard-partitioned parquet plus the
+  * [[graft.operators.CorpusStats.manifest]] verification artifact, and
+  * the consumer-side integrity check — the "same shards, same bytes"
+  * release workflow. Shard assignment is
+  * [[graft.operators.Sampling.shuffleShards]]'s hash scheme, so layout
+  * is append-stable and reproducible across writers. */
+object Publish {
+
+  /** Write `df` as shard-partitioned parquet under `dir/data` (+
+    * within-shard `pos` for a reproducible read order) and
+    * `dir/manifest` (per-shard counts + order-independent checksums).
+    * Returns the manifest. */
+  def writeShards(df: DataFrame, idCol: String, textCol: String,
+      dir: String, shards: Int, salt: String = ""): DataFrame = {
+    graft.operators.Sampling.shuffleShards(df, idCol, shards, salt)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
+    val m = graft.operators.CorpusStats
+      .manifest(df, idCol, textCol, shards, salt)
+    m.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    m
+  }
+
+  /** Recompute the manifest from `dir/data` and diff it against the
+    * stored one: per-shard status `ok` / `corrupt` (counts or checksum
+    * moved) / `missing` (in manifest, absent in data) / `unexpected`
+    * (in data, absent in manifest). Empty-diff ⇔ intact. */
+  def verifyShards(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, textCol: String, salt: String = ""): DataFrame = {
+    val stored = spark.read.parquet(s"$dir/manifest")
+    val shards = stored.agg(max(col("shard"))).head().getLong(0).toInt + 1
+    val actual = graft.operators.CorpusStats.manifest(
+      spark.read.parquet(s"$dir/data").drop("shard", "pos"),
+      idCol, textCol, shards, salt)
+    stored.select(col("shard"), col("n_docs").as("m_docs"),
+        col("n_chars").as("m_chars"), col("checksum").as("m_sum"))
+      .join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("m_docs").isNull, lit("unexpected"))
+          .when(col("n_docs").isNull, lit("missing"))
+          .when(col("m_docs") === col("n_docs") &&
+            col("m_chars") === col("n_chars") &&
+            col("m_sum") === col("checksum"), lit("ok"))
+          .otherwise(lit("corrupt")).as("status"))
+      .filter(col("status") =!= "ok")
+  }
+}
+
 /** Versioned model storage — /root/reference/loudml/filestorage.py:57-236:
   * numbered checkpoints, `state.json`-style active pointer, `_restore`.
   * Profiles persist as parquet; settings as JSON.

@@ -320,6 +320,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m3.count { case (s, c) => base(s) != c } === 1)
   }
 
+  test("Publish.writeShards/verifyShards: round-trip verifies clean; a " +
+      "deleted shard reports missing; a tampered shard reports corrupt") {
+    import graft.io.Publish
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_publish").toString
+    val docsDf = (1L to 120L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    Publish.writeShards(docsDf, "doc_id", "text", dir, shards = 4)
+    assert(Publish.verifyShards(spark, dir, "doc_id", "text").count() === 0L)
+    // tamper: drop one shard's rows and rewrite the data (manifest kept)
+    val kept = spark.read.parquet(s"$dir/data")
+      .filter(col("shard") =!= 2)
+    kept.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dir/data2")
+    // point verification at the tampered layout via a copied manifest
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_publish2").toString
+    spark.read.parquet(s"$dir/manifest").write.parquet(s"$dir2/manifest")
+    kept.write.partitionBy("shard").parquet(s"$dir2/data")
+    val bad = Publish.verifyShards(spark, dir2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(bad === Map(2L -> "missing"))
+  }
+
   test("JaroWinkler: textbook pairs, floored half-transpositions " +
       "(the DuckDB convention), boost threshold, empties, nulls, SQL " +
       "surface") {
