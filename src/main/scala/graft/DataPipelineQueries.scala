@@ -271,6 +271,18 @@ object DataPipelineQueries {
           round(col("mean_score") + lit(1e-9), 6).as("mean_score"))
         .orderBy("bin")),
 
+    // ── per-source AUC: does the scorer rank well inside EVERY domain?
+    "q_auc_by_source" -> ((s, dir) =>
+      graft.functions.Stats.rocAucBy(
+          docs(s, dir).select(col("source"),
+            round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+              .as("score"),
+            (col("n_chars") >= 300).as("y")),
+          Seq("source"), "score", "y")
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          round(col("auc") + lit(1e-9), 6).as("auc"))
+        .orderBy("source")),
+
     // ── thresholdless scorer evaluation: rank-AUC (Mann–Whitney) of
     //    the quality score against a document-length label; all-integer
     //    U arithmetic → bit-deterministic across engines
@@ -1596,6 +1608,31 @@ object DataPipelineQueries {
          |       round(CAST(sum(si) AS BIGINT) / CAST(count(*) AS DOUBLE)
          |         / 1e6 + 1e-9, 6) AS mean_score
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_auc_by_source" ->
+      s"""WITH q AS (
+         |  SELECT source, round(($qualityExpr) + 1e-9, 4) AS s,
+         |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+         |  FROM documents
+         |), per AS (
+         |  SELECT source, s, CAST(sum(y) AS BIGINT) AS p,
+         |         CAST(sum(1 - y) AS BIGINT) AS n
+         |  FROM q GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, p, n,
+         |         CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS nb
+         |  FROM per
+         |)
+         |SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+         |       CAST(sum(n) AS BIGINT) AS n_neg,
+         |       CASE WHEN sum(p) = 0 OR sum(n) = 0 THEN NULL
+         |            ELSE round(
+         |              CAST(CAST(sum(p * (2 * nb + n)) AS BIGINT) AS DOUBLE)
+         |              / (2.0 * CAST(sum(p) AS BIGINT)
+         |                 * CAST(sum(n) AS BIGINT)) + 1e-9, 6) END AS auc
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
 
     // integer Mann-Whitney: per-score counts, cumulative negatives
     // below, 2U = sum(p*(2*nb+n)); the single FP op is the final divide

@@ -223,22 +223,39 @@ object Stats {
   }
 
   def rocAuc(df: org.apache.spark.sql.DataFrame, scoreCol: String,
-      labelCol: String): org.apache.spark.sql.DataFrame = {
+      labelCol: String): org.apache.spark.sql.DataFrame =
+    rocAucBy(df, Nil, scoreCol, labelCol)
+
+  /** Per-group [[rocAuc]] — one (keys…, n_pos, n_neg, auc) row per
+    * group (e.g. per source/language: does the scorer rank well inside
+    * EVERY domain, or only on the easy ones?). Same all-integer U
+    * arithmetic; the cumulative window partitions by the keys, so its
+    * per-partition size is the GROUP's distinct-score count and the
+    * global-ordering bottleneck of the ungrouped case disappears
+    * entirely. */
+  def rocAucBy(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      scoreCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = df
-      .groupBy(col(scoreCol).as("__s"))
+      .groupBy((keys.map(col) :+ col(scoreCol).as("__s")): _*)
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
-    val nb = coalesce(sum(col("__n")).over(Window.orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val w =
+      if (keys.isEmpty) Window.orderBy("__s")
+      else Window.partitionBy(keys.map(col): _*).orderBy("__s")
+    val nb = coalesce(sum(col("__n")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
     val cum = per.withColumn("__nb", nb)
-    cum
-      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
-        sum(col("__p") * (lit(2L) * col("__nb") + col("__n"))).as("__u2"))
-      .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
-          col("__u2").cast("double") /
-            (lit(2.0) * col("n_pos").cast("double") *
-              col("n_neg").cast("double"))).as("auc"))
+    val aggs = Seq(sum(col("__p")).as("n_pos"),
+      sum(col("__n")).as("n_neg"),
+      sum(col("__p") * (lit(2L) * col("__nb") + col("__n"))).as("__u2"))
+    val g =
+      if (keys.isEmpty) cum.agg(aggs.head, aggs.tail: _*)
+      else cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    g.select((keys.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("__u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))): _*)
   }
 }

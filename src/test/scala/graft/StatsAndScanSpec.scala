@@ -48,6 +48,16 @@ class StatsAndScanSpec extends SparkSpec {
       Seq((0.9, true), (0.1, false), (0.2, false)).toDF("s", "y"), "s", "y")
       .head()
     assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    // grouped: each key scored independently; degenerate key -> null
+    val g = Stats.rocAucBy(
+      Seq(("a", 0.9, true), ("a", 0.1, false),   // perfect within a
+        ("b", 0.1, true), ("b", 0.9, false),     // inverted within b
+        ("c", 0.5, true)).toDF("k", "s", "y"),   // single-class
+      Seq("k"), "s", "y")
+      .orderBy("k").collect()
+      .map(r2 => (r2.getString(0),
+        if (r2.isNullAt(3)) None else Some(r2.getDouble(3))))
+    assert(g.toSeq === Seq(("a", Some(1.0)), ("b", Some(0.0)), ("c", None)))
   }
 
   test("calibrationBins: bin edges clamp, counts/rates exact, " +
