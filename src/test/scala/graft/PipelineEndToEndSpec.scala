@@ -78,4 +78,57 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(full.filter(col("n_tokens") =!= 64).count() == 0,
       "every non-final sequence holds exactly seqLen tokens")
   }
+
+  test("ingest-to-release composes: extract → normalize → domain gate → " +
+      "keep-maximal containment → scorer eval → sharded publish+verify") {
+    val raw = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val n0 = raw.count()
+    // 0. pretend the crawl delivered HTML: wrap, then extract+normalize
+    //    must round-trip the visible text byte-for-byte
+    val textual = raw.withColumn("extracted",
+      graft.functions.NormalizeText(graft.operators.TextAnalysis
+        .htmlExtract(concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>x()</script></body></html>")))))
+    assert(textual.filter(col("extracted") =!= col("text")).count() === 0L)
+
+    // 1. domain-granularity gate: survivors' sources all meet the bar,
+    //    and membership is all-or-nothing per source
+    val gated = graft.operators.TextAnalysis.domainQualityFilter(
+      textual, "doc_id", "source", "text", minMean = 0.5)
+    val perSrc = gated.groupBy("source").count()
+      .join(textual.groupBy("source").count()
+        .withColumnRenamed("count", "total"), "source")
+    assert(perSrc.filter(col("count") =!= col("total")).count() === 0L,
+      "a gated source must keep ALL its docs")
+
+    // 2. keep-maximal containment on the gated corpus (the gate returns
+    //    id+quality columns — join the text back in, the composition
+    //    contract this spec exists to check)
+    val maximal = graft.operators.Dedup.dropContained(
+      gated.select("doc_id")
+        .join(textual.select("doc_id", "text"), "doc_id"),
+      "doc_id", "text", tau = 0.8)
+    val nMax = maximal.count()
+    assert(nMax > 0 && nMax <= gated.count())
+
+    // 3. scorer sanity on the release set: AUC well-defined, bins cover
+    val scored = maximal.select(
+      round(graft.operators.TextAnalysis.qualityScore(col("text")), 4)
+        .as("score"),
+      (length(col("text")) >= lit(300)).as("y"))
+    val auc = graft.functions.Stats.rocAuc(scored, "score", "y").head()
+    assert(!auc.isNullAt(2) && auc.getDouble(2) >= 0.0 &&
+      auc.getDouble(2) <= 1.0)
+
+    // 4. publish + integrity check round-trips clean
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_e2e_release").toString
+    graft.io.Publish.writeShards(maximal, "doc_id", "text", dir, shards = 4)
+    assert(graft.io.Publish.verifyShards(spark, dir, "doc_id", "text")
+      .count() === 0L)
+    // release manifest accounts for every surviving doc
+    val m = spark.read.parquet(s"$dir/manifest")
+    assert(m.agg(sum("n_docs")).head().getLong(0) === nMax)
+  }
 }
