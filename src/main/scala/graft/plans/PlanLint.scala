@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan linter: the scale anti-patterns this repo's plan
+  * audits check by hand, packaged as a library call so a user can gate
+  * THEIR compositions the same way ("would this survive 100×?").
+  *
+  * Rules (each finding = (rule, node) pair):
+  *  - `cartesian-product` — CartesianProductExec: O(n·m) pairs; at
+  *    corpus scale this is the job that never finishes.
+  *  - `nested-loop-join` — BroadcastNestedLoopJoinExec: a non-equi
+  *    join condition scanning the broadcast side per row.
+  *  - `global-window` — WindowExec with an EMPTY partition spec: every
+  *    row funnels through ONE task (Spark's own WindowExec warning,
+  *    surfaced as data instead of a log line).
+  *  - `single-partition-exchange` — any Exchange SinglePartition: a
+  *    serialization point that caps throughput at one core (legitimate
+  *    under a final limit/collect of a small frame — the question to
+  *    ask is whether the frame is small).
+  *  - `unpushed-scan-filter` — a parquet scan carrying data filters
+  *    none of which reached PushedFilters: row groups can't prune, the
+  *    scan reads everything and filters after decode.
+  *
+  * Inspection only — it never changes the plan. Heuristic by design:
+  * a flagged node is a question to answer ("is this frame tiny?"),
+  * not always a bug; a clean report over a plan that composes only
+  * keyed exchanges, equi-joins and pushed scans is the posture every
+  * operator in this library plan-asserts. */
+object PlanLint {
+
+  case class Finding(rule: String, node: String)
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val plan = df.queryExecution.executedPlan
+    collectAll(unwrap(plan)).distinct
+  }
+
+  /** AQE wraps the real plan; lint what will actually execute. */
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  private def short(p: SparkPlan): String =
+    p.simpleStringWithNodeId().linesIterator.next().take(160)
+
+  private def collectAll(root: SparkPlan): Seq[Finding] = {
+    val out = Seq.newBuilder[Finding]
+    root.foreach {
+      case c: CartesianProductExec =>
+        out += Finding("cartesian-product", short(c))
+      case j: BroadcastNestedLoopJoinExec =>
+        out += Finding("nested-loop-join", short(j))
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        out += Finding("global-window", short(w))
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 =>
+        out += Finding("single-partition-exchange", short(e))
+      case s: FileSourceScanExec
+          if s.dataFilters.exists(f => !f.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.IsNotNull]) &&
+            s.metadata.get("PushedFilters").exists(m =>
+              m.replaceAll("IsNotNull\\([^)]*\\)", "")
+                .replaceAll("[\\[\\], ]", "").isEmpty) =>
+        // real predicates on the scan, but nothing beyond the implicit
+        // null checks reached the reader — row groups cannot prune
+        out += Finding("unpushed-scan-filter", short(s))
+      case _ => ()
+    }
+    out.result()
+  }
+}

@@ -268,6 +268,41 @@ class PlanShapeSpec extends SparkSpec {
     } finally { kp.unpersist(false); kc.unpersist(false) }
   }
 
+  test("PlanLint: flags cartesian, NLJ, global window, unpushed scan " +
+      "filter; clean on a keyed/pushed plan") {
+    import graft.plans.PlanLint
+    val a = spark.range(10).toDF("x")
+    val b = spark.range(10).toDF("y")
+    val rules = (df: org.apache.spark.sql.DataFrame) =>
+      PlanLint.lint(df).map(_.rule).toSet
+    // a small crossJoin plans as Broadcast NLJ; with broadcast disabled
+    // it degrades to the true cartesian — both shapes must flag
+    assert(rules(a.crossJoin(b))
+      .intersect(Set("cartesian-product", "nested-loop-join")).nonEmpty)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(rules(a.crossJoin(b)).contains("cartesian-product"))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    assert(rules(a.join(b, col("x") < col("y")))
+      .contains("nested-loop-join"))
+    assert(rules(a.withColumn("r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("x"))))
+      .contains("global-window"))
+    // unpushed scan filter: a function of the column defeats pushdown
+    // (the q_filter_tags r8 defect, now detectable as data)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lint").toString
+    spark.range(100).toDF("v").write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    assert(rules(scan.filter(expr("v % 7") === 0))
+      .contains("unpushed-scan-filter"))
+    // the pushed form of the same predicate is clean
+    assert(rules(scan.filter(col("v") >= 50)) === Set.empty)
+    // a healthy keyed aggregation is clean
+    assert(rules(a.groupBy(pmod(col("x"), lit(3))).count()) === Set.empty)
+  }
+
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +
       "sort, no join") {
     val p = plan(Sampling.shuffleShards(
