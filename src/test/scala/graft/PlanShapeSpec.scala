@@ -303,6 +303,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(rules(a.groupBy(pmod(col("x"), lit(3))).count()) === Set.empty)
   }
 
+  test("PlanLint dogfood: representative suite queries carry none of " +
+      "the flagged anti-patterns at sf0.001") {
+    import graft.plans.PlanLint
+    val sf = "/root/testdata/sf0.001"
+    val names = Seq("q_filtered_revenue", "q_agg_basic", "q_domain_filter",
+      "q_top_customers", "q_quality", "q_score_auc", "q_manifest")
+    // single-partition-exchange is excluded here: at sf0.001 AQE
+    // legitimately coalesces the final verify-shaped orderBy to one
+    // partition, and q_score_auc's 1-row agg single-partitions by
+    // nature — exactly the "is the frame small?" question the rule's
+    // doc tells the reader to ask. The hard rules must stay silent.
+    val hard = Set("cartesian-product", "nested-loop-join",
+      "unpushed-scan-filter")
+    names.foreach { n =>
+      val findings = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
+        .filter(f => hard(f.rule) ||
+          (f.rule == "global-window" && n != "q_score_auc"))
+      assert(findings.isEmpty, s"$n: $findings")
+    }
+  }
+
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +
       "sort, no join") {
     val p = plan(Sampling.shuffleShards(
