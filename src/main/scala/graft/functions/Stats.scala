@@ -232,7 +232,11 @@ object Stats {
     * arithmetic; the cumulative window partitions by the keys, so its
     * per-partition size is the GROUP's distinct-score count and the
     * global-ordering bottleneck of the ungrouped case disappears
-    * entirely. */
+    * entirely.
+    *
+    * NULL labels count as negatives (the `otherwise` branch), and a
+    * NULL score forms its own rank group — filter either out upstream
+    * if they should be excluded rather than scored. */
   def rocAucBy(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
       scoreCol: String, labelCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

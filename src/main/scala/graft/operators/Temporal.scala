@@ -260,7 +260,11 @@ object Temporal {
     * as one `aggregate` over the key's collected bucket list (the ewma
     * idiom) — per-key state is O(buckets in range), bounded by the
     * query window, never raw-event-sized; keys parallelize freely.
-    * Output: (keys…, bucketCol, v, cusum_up, cusum_dn, alarm). */
+    * Output: (keys…, bucketCol, v, cusum_up, cusum_dn, alarm).
+    *
+    * Precondition: `valueCol`/`target` non-null on every row — a null
+    * poisons the fold from that bucket on (fill or drop gaps first;
+    * [[ewma]]/interpolate have the same contract). */
   def cusum(series: DataFrame, keys: Seq[String], bucketCol: String,
       valueCol: String, target: Column, k: Double, h: Double)
       : DataFrame = {
