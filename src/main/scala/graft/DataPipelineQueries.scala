@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusStats, Dedup, Dsir, Multimodal, Packing, Sampling, SemiStructured, Similarity, TextAnalysis}
+import graft.operators.{CorpusStats, Dedup, Drift, Dsir, Multimodal, Packing, Retrieval, Sampling, SemiStructured, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Queries + DuckDB oracles for the training-data-pipeline operators
@@ -549,6 +549,15 @@ object DataPipelineQueries {
         .withColumn("tfidf", round(col("tfidf") + lit(1e-9), 4))
         .orderBy("doc_id", "rank")),
 
+    // ── BM25 ranked retrieval: 3 probe queries, top-10 docs each
+    //    (k1=1.5, b=0.75 — see Retrieval.bm25TopK's determinism notes)
+    "q_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq(1 -> "hash join merge", 2 -> "window batch stream",
+            3 -> "vector scan filter slow"), k = 10)
+        .withColumn("score", round(col("score") + lit(1e-9), 4))
+        .orderBy("query_id", "rank")),
+
     // ── C4-style boilerplate removal, token unit (the synthetic corpus
     //    has no sentence structure): drop tokens present in ≥ 390 docs,
     //    rebuild each doc from survivors in original order
@@ -894,6 +903,36 @@ object DataPipelineQueries {
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 40)
         .orderBy(col("cnt").desc, col("ngram"))),
+
+    // ── PMI collocations: top-30 over-represented adjacent pairs
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), "text", k = 30,
+        minCount = 5)),
+
+    // ── Zipf rank-frequency audit: one-row OLS fit in log-log space
+    "q_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir), "text")),
+
+    // ── KS drift: each source's n_chars distribution vs the rest
+    "q_ks_drift" -> ((s, dir) =>
+      Drift.ksDrift(docs(s, dir), "source", "n_chars")
+        .select(col("source"), col("n_slice"), col("n_rest"),
+          round(col("ks") + lit(1e-9), 6).as("ks"))
+        .orderBy("source")),
+
+    // ── PSI drift: binned slice-vs-corpus stability index per source
+    "q_psi" -> ((s, dir) =>
+      Drift.psi(docs(s, dir), "source", "n_chars", bins = 10)
+        .select(col("source"), col("n_slice"),
+          round(col("psi") + lit(1e-9), 6).as("psi"))
+        .orderBy("source")),
+
+    // ── association audit: is lang independent of source? (MI + χ²)
+    "q_mutual_info" -> ((s, dir) =>
+      Drift.mutualInfo(docs(s, dir), "lang", "source")
+        .select(col("n"), col("cells"),
+          round(col("mi") + lit(1e-9), 6).as("mi"),
+          round(col("chi2") + lit(1e-9), 4).as("chi2"))),
 
     // ── dirty media: crawled blobs arrive truncated and corrupted; the
     //    decoders must salvage what is complete and refuse to emit
@@ -2121,6 +2160,54 @@ object DataPipelineQueries {
         |SELECT doc_id, rank, term, round(s + 1e-9, 4) AS tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // BM25 with exactly-representable k1=1.5, b=0.75; avgdl from an
+    // exact integer sum; per-(query,doc) sum routed through
+    // decimal(30,12) in both engines → scores bit-identical, rank on
+    // the unrounded double
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |), postings AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(arr) AS dl, unnest(arr) AS term FROM toks
+        |  ) WHERE length(term) > 0 GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM (
+        |      SELECT doc_id, unnest(arr) AS term FROM toks)
+        |    WHERE length(term) > 0
+        |  ) GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(arr)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           AS avgdl
+        |  FROM toks
+        |), qterms AS (
+        |  SELECT * FROM (VALUES (1,'hash'),(1,'join'),(1,'merge'),
+        |    (2,'window'),(2,'batch'),(2,'stream'),
+        |    (3,'vector'),(3,'scan'),(3,'filter'),(3,'slow'))
+        |    AS t(query_id, term)
+        |), scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(CAST(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |        (p.tf * CAST(2.5 AS DOUBLE)) /
+        |        (p.tf + CAST(1.5 AS DOUBLE) *
+        |          (1.0 - CAST(0.75 AS DOUBLE) +
+        |           CAST(0.75 AS DOUBLE) * p.dl / s.avgdl))
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS score
+        |  FROM postings p JOIN qterms q USING (term)
+        |  JOIN dfreq d USING (term) CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, doc_id, round(score + 1e-9, 4) + 0.0 AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // parallel unnests zip by position in DuckDB → (pos, token) rows;
     // string_agg(… ORDER BY i) rebuilds the doc in original order
     "q_boilerplate" ->
@@ -2849,6 +2936,160 @@ object DataPipelineQueries {
         |)
         |SELECT ngram, count(*) AS cnt FROM g
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 40""".stripMargin,
+
+    // PMI inputs are all exact integers and the multiply/divide order is
+    // mirrored, so the unrounded score is bit-identical; rank on it
+    "q_pmi" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), uni AS (
+        |  SELECT term, count(*) AS c1 FROM (
+        |    SELECT unnest(toks) AS term FROM t
+        |  ) WHERE length(term) > 0 GROUP BY 1
+        |), big AS (
+        |  SELECT ngram, count(*) AS c2 FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i+1]) END) AS ngram
+        |    FROM t
+        |  ) GROUP BY 1
+        |), t1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS total1 FROM uni),
+        |t2 AS (SELECT CAST(sum(c2) AS DOUBLE) AS total2 FROM big),
+        |scored AS (
+        |  SELECT b.ngram, b.c2,
+        |    ln((CAST(b.c2 AS DOUBLE) * t1.total1 * t1.total1) /
+        |       (t2.total2 * ua.c1 * ub.c1)) AS praw
+        |  FROM big b
+        |  JOIN uni ua ON ua.term = string_split(b.ngram, ' ')[1]
+        |  JOIN uni ub ON ub.term = string_split(b.ngram, ' ')[2]
+        |  CROSS JOIN t1 CROSS JOIN t2
+        |  WHERE b.c2 >= 5
+        |)
+        |SELECT ngram, c2 AS cnt, round(praw + 1e-9, 6) + 0.0 AS pmi
+        |FROM scored ORDER BY praw DESC, ngram LIMIT 30""".stripMargin,
+
+    // OLS moments route through decimal(30,12) in both engines
+    "q_zipf" ->
+      """WITH uni AS (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |  ) WHERE length(term) > 0 GROUP BY 1
+        |), pts AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term ASC)
+        |              AS DOUBLE)) AS x,
+        |         ln(CAST(c AS DOUBLE)) AS y
+        |  FROM uni
+        |), m AS (
+        |  SELECT count(*) AS n_terms,
+        |    CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+        |  FROM pts
+        |), s AS (
+        |  SELECT n_terms, sx, sy,
+        |    (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) AS slope
+        |  FROM m
+        |)
+        |SELECT n_terms, round(-slope + 1e-9, 6) + 0.0 AS alpha,
+        |  round((sy - slope * sx) / CAST(n_terms AS DOUBLE) + 1e-9, 6) + 0.0
+        |    AS intercept
+        |FROM s""".stripMargin,
+
+    // KS: cumulative fractions are exact-integer ratios; max (not sum)
+    // over per-value D is order-independent
+    "q_ks_drift" ->
+      """WITH s AS (
+        |  SELECT source AS sl, count(*) AS ns FROM documents GROUP BY 1
+        |), v AS (SELECT DISTINCT n_chars AS vv FROM documents),
+        |c AS (
+        |  SELECT source AS sl, n_chars AS vv, count(*) AS cc
+        |  FROM documents GROUP BY 1, 2
+        |), n AS (SELECT count(*) AS nn FROM documents),
+        |grid AS (
+        |  SELECT s.sl, v.vv, s.ns, coalesce(c.cc, 0) AS cc
+        |  FROM s CROSS JOIN v
+        |  LEFT JOIN c ON c.sl = s.sl AND c.vv = v.vv
+        |), g2 AS (
+        |  SELECT sl, vv, ns, cc,
+        |         sum(cc) OVER (PARTITION BY vv) AS cv
+        |  FROM grid
+        |), g3 AS (
+        |  SELECT sl, ns, nn,
+        |         sum(cc) OVER (PARTITION BY sl ORDER BY vv) AS cumS,
+        |         sum(cv) OVER (PARTITION BY sl ORDER BY vv) AS cumAll
+        |  FROM g2 CROSS JOIN n
+        |)
+        |SELECT sl AS source, ns AS n_slice, nn - ns AS n_rest,
+        |  round(max(abs(CAST(cumS AS DOUBLE) / CAST(ns AS DOUBLE) -
+        |    CAST(cumAll - cumS AS DOUBLE) / CAST(nn - ns AS DOUBLE)))
+        |    + 1e-9, 6) + 0.0 AS ks
+        |FROM g3 GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // PSI: integer equal-width bins over the global [min,max] (no
+    // percentile edges), add-one smoothing, decimal-routed sum; the
+    // explicit 0..9 spine keeps corpus-empty bins in the formula
+    "q_psi" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+        |         CAST(max(n_chars) AS DOUBLE) AS hi
+        |  FROM documents
+        |), b AS (
+        |  SELECT source AS sl,
+        |    least(9, greatest(0, CAST(floor(
+        |      (CAST(n_chars AS DOUBLE) - mm.lo) * 10 / (mm.hi - mm.lo + 1.0)
+        |    ) AS INT))) AS bb
+        |  FROM documents CROSS JOIN mm
+        |), sb AS (SELECT sl, bb, count(*) AS cc FROM b GROUP BY 1, 2),
+        |st AS (SELECT sl, count(*) AS ns FROM b GROUP BY 1),
+        |cb AS (SELECT bb, count(*) AS ct FROM b GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM b),
+        |spine AS (SELECT unnest(range(0, 10)) AS bb),
+        |grid AS (
+        |  SELECT st.sl, st.ns, sp.bb, coalesce(cb.ct, 0) AS ct, n.nn
+        |  FROM st CROSS JOIN spine sp
+        |  LEFT JOIN cb USING (bb) CROSS JOIN n
+        |), g2 AS (
+        |  SELECT g.sl, g.ns, g.ct, g.nn, coalesce(sb.cc, 0) AS cc
+        |  FROM grid g LEFT JOIN sb ON sb.sl = g.sl AND sb.bb = g.bb
+        |)
+        |SELECT sl AS source, ns AS n_slice,
+        |  round(CAST(sum(CAST(
+        |    (CAST(cc + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE) -
+        |     CAST(ct + 1 AS DOUBLE) / CAST(nn + 10 AS DOUBLE)) *
+        |    ln((CAST(cc + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE)) /
+        |       (CAST(ct + 1 AS DOUBLE) / CAST(nn + 10 AS DOUBLE)))
+        |    AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) + 0.0 AS psi
+        |FROM g2 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // MI over observed cells + χ² over ALL cells (marginal cross grid);
+    // count products cast to double before multiplying, like the engine
+    "q_mutual_info" ->
+      """WITH c AS (
+        |  SELECT lang AS x, source AS y, count(*) AS cxy
+        |  FROM documents GROUP BY 1, 2
+        |), mx AS (SELECT lang AS x, count(*) AS cx FROM documents GROUP BY 1),
+        |my AS (SELECT source AS y, count(*) AS cy FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM documents),
+        |grid AS (
+        |  SELECT mx.x, my.y, mx.cx, my.cy, n.nn,
+        |         coalesce(c.cxy, 0) AS cxy,
+        |         (CAST(mx.cx AS DOUBLE) * CAST(my.cy AS DOUBLE)) /
+        |           CAST(n.nn AS DOUBLE) AS ex
+        |  FROM mx CROSS JOIN my CROSS JOIN n
+        |  LEFT JOIN c ON c.x = mx.x AND c.y = my.y
+        |)
+        |SELECT max(nn) AS n, count(*) AS cells,
+        |  round(CAST(sum(CAST(CASE WHEN cxy > 0 THEN
+        |      (CAST(cxy AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |      ln((CAST(nn AS DOUBLE) * CAST(cxy AS DOUBLE)) /
+        |         (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+        |    ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) + 0.0
+        |    AS mi,
+        |  round(CAST(sum(CAST(
+        |      ((CAST(cxy AS DOUBLE) - ex) * (CAST(cxy AS DOUBLE) - ex)) / ex
+        |    AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 4) + 0.0 AS chi2
+        |FROM grid""".stripMargin,
 
     // Mirrors the dirty-media salvage contract. avi_cut: the one
     // complete frame is byte slice [0, L//3) (every doc is ≥ 3 bytes,

@@ -671,6 +671,71 @@ object TemporalQueries {
         .orderBy("lag")
     }),
 
+    // ── Theil–Sen robust trend per event_type (median pairwise slope
+    //    over hourly buckets, reported per hour)
+    "q_theilsen" -> ((s, dir) => {
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      Temporal.theilSen(series, Seq("event_type"), "bucket", "v")
+        .select(col("event_type"), col("n_pairs"),
+          round(col("slope") * lit(3600.0) + lit(1e-9), 6)
+            .as("slope_per_hour"))
+        .orderBy("event_type")
+    }),
+
+    // ── OLS trend per event_type (x = hours since FROM: centered small
+    //    integers, per trendOls's numerical contract)
+    "q_trend_ols" -> ((s, dir) => {
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+        .withColumn("xh",
+          ((col("bucket") - lit(FROM)) / lit(HOUR)).cast("long"))
+      Temporal.trendOls(series, Seq("event_type"), "xh", "v")
+        .select(col("event_type"), col("n"),
+          round(col("slope") + lit(1e-9), 6).as("slope"),
+          round(col("intercept") + lit(1e-9), 4).as("intercept"),
+          round(col("r2") + lit(1e-9), 6).as("r2"))
+        .orderBy("event_type")
+    }),
+
+    // ── seasonal-naive baseline eval: ŷ(t)=y(t−24h), scored on the
+    //    same post-SPLIT window the HW forecasts use
+    "q_forecast_eval" -> ((s, dir) => {
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      Temporal.seasonalNaiveEval(series, Seq("event_type"), "bucket", "v",
+          period = 86400L, evalFrom = SPLIT)
+        .select(col("event_type"), col("n_eval"),
+          round(col("mae") + lit(1e-9), 4).as("mae"),
+          round(col("rmse") + lit(1e-9), 4).as("rmse"),
+          round(col("smape") + lit(1e-9), 6).as("smape"))
+        .orderBy("event_type")
+    }),
+
+    // ── autocorrelation per event_type at lags 1..30h (the seasonality
+    //    audit: hourly series peak at lag 24)
+    "q_acf" -> ((s, dir) => {
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      Temporal.acf(series, Seq("event_type"), "bucket", "v",
+          maxLag = 30, step = HOUR)
+        .select(col("event_type"), col("lag"), col("n_pairs"),
+          round(col("acf") + lit(1e-9), 6).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
     // ── fleet Holt-Winters: one state per event_type trained in ONE
     //    distributed job, 24h forecast per key
     "q_fleet_hw" -> ((s, dir) => {
@@ -1528,6 +1593,149 @@ object TemporalQueries {
         |SELECT lag, round(corr(x, y), 6) AS xcorr,
         |       count(*) AS n_overlap
         |FROM shifted GROUP BY lag ORDER BY lag""".stripMargin,
+
+    // median over bit-identical slope multisets; cross-engine median
+    // interpolation wobbles an ulp at even counts → round(…,6) + nudge,
+    // +0.0 absorbs a signed-zero round
+    "q_theilsen" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), ser AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM e GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.event_type,
+        |         (b.v - a.v) / CAST(b.bucket - a.bucket AS DOUBLE) AS s
+        |  FROM ser a JOIN ser b
+        |    ON a.event_type = b.event_type AND b.bucket > a.bucket
+        |)
+        |SELECT event_type, count(*) AS n_pairs,
+        |       round(median(s) * 3600.0 + 1e-9, 6) + 0.0 AS slope_per_hour
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x = (bucket-FROM)/3600: exact small integers, so every OLS moment
+    // sum is exact in the decimal routing (no cancellation wobble)
+    "q_trend_ols" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), ser AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM e GROUP BY 1, 2
+        |), pts AS (
+        |  SELECT event_type,
+        |         CAST((bucket - 1704067200) // 3600 AS BIGINT) AS xh, v
+        |  FROM ser
+        |), m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(CAST(xh AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+        |      AS sx,
+        |    CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(xh AS DOUBLE) * v AS DECIMAL(30,12)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(xh AS DOUBLE) * CAST(xh AS DOUBLE)
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        |  FROM pts GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n,
+        |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+        |    n * sxy - sx * sy AS cov, sx, sy
+        |  FROM m
+        |), r AS (
+        |  SELECT event_type, n, cov / vx AS slope, sx, sy, vx, vy, cov
+        |  FROM f
+        |)
+        |SELECT event_type, n,
+        |  round(slope + 1e-9, 6) + 0.0 AS slope,
+        |  round((sy - slope * sx) / CAST(n AS DOUBLE) + 1e-9, 4) + 0.0
+        |    AS intercept,
+        |  round(CASE WHEN vy > 0 THEN (cov * cov) / (vx * vy) END
+        |    + 1e-9, 6) + 0.0 AS r2
+        |FROM r ORDER BY 1""".stripMargin,
+
+    // error moments via decimal(30,12); sqrt is correctly rounded IEEE
+    // so rmse matches bitwise given identical means
+    "q_forecast_eval" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), ser AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM e GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.event_type, a.v AS y, b.v AS yhat, a.v - b.v AS err
+        |  FROM ser a JOIN ser b
+        |    ON a.event_type = b.event_type
+        |   AND b.bucket = a.bucket - 86400
+        |  WHERE a.bucket >= 1705795200
+        |)
+        |SELECT event_type, count(*) AS n_eval,
+        |  round(CAST(sum(CAST(abs(err) AS DECIMAL(30,12))) AS DOUBLE)
+        |    / count(*) + 1e-9, 4) + 0.0 AS mae,
+        |  round(sqrt(CAST(sum(CAST(err * err AS DECIMAL(30,12))) AS DOUBLE)
+        |    / count(*)) + 1e-9, 4) + 0.0 AS rmse,
+        |  round(CAST(sum(CAST(2.0 * abs(err) / (abs(y) + abs(yhat))
+        |    AS DECIMAL(30,12))) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0
+        |    AS smape
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mean / denominator / per-lag numerators all via decimal(30,12)
+    // sums (order-independent in both engines)
+    "q_acf" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), ser AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / count(v)
+        |           AS mean
+        |  FROM ser GROUP BY 1
+        |), c AS (
+        |  SELECT s.event_type, s.bucket AS t, s.v - m.mean AS d
+        |  FROM ser s JOIN m USING (event_type)
+        |), den AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(d * d AS DECIMAL(30,12))) AS DOUBLE) AS ss
+        |  FROM c GROUP BY 1
+        |), p AS (
+        |  SELECT a.event_type, CAST((b.t - a.t) // 3600 AS INT) AS lag,
+        |         a.d AS da, b.d AS db
+        |  FROM c a JOIN c b ON a.event_type = b.event_type
+        |    AND b.t > a.t AND b.t <= a.t + 30 * 3600
+        |    AND (b.t - a.t) % 3600 = 0
+        |), n AS (
+        |  SELECT event_type, lag, count(*) AS n_pairs,
+        |         CAST(sum(CAST(da * db AS DECIMAL(30,12))) AS DOUBLE) AS num
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT n.event_type, lag, n_pairs,
+        |       round(num / ss + 1e-9, 6) + 0.0 AS acf
+        |FROM n JOIN den USING (event_type) ORDER BY 1, 2""".stripMargin,
 
     // the keyed generalization of SparkEntry's q_holtwinters oracle: the
     // per-key fold replayed as ONE recursive CTE whose rows advance every

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift and association audits over corpus slices — the
+  * "did this crawl batch change under me" checks a 100 TB ingest
+  * pipeline runs between batches, and the slice-vs-slice comparisons a
+  * curation report is built from. Extends the reference's per-series
+  * anomaly surface (loudml/model.py threshold scans) with the
+  * corpus-level statistical tests that operate on DISTRIBUTIONS, not
+  * points.
+  *
+  * All three are exact, one-to-two-aggregation plans whose exchanges are
+  * bounded by CARDINALITY (distinct values, bins, contingency cells) —
+  * never by corpus size — and every mean/sum routes through
+  * decimal(30,12) (house rule: order-independent, engine-reproducible).
+  */
+object Drift {
+
+  /** Two-sample Kolmogorov–Smirnov distance of `vCol`, each `sliceCol`
+    * group vs THE REST of the corpus: `D = max_v |F_g(v) − F_rest(v)|`
+    * over the observed value grid. Returns `(slice, n_slice, n_rest,
+    * ks)` — the standard "is this source/shard drawn from the same
+    * distribution as everything else" audit.
+    *
+    * Exactness bound: the plan materializes the slice × distinct-value
+    * grid, so this is for NUMERIC-BUT-DISCRETE columns (lengths, scores
+    * rounded to fixed precision, counts) where |grid| = slices ×
+    * distinct values stays table-shaped. For continuous high-cardinality
+    * values at 100 TB, bin first and use [[psi]] — that's the scale
+    * path, stated contract, same decision as exact-vs-LSH dedup. */
+  def ksDrift(df: DataFrame, sliceCol: String, vCol: String): DataFrame = {
+    val cnt = df.groupBy(col(sliceCol).as("__s"), col(vCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    // full slice × value grid (missing cells = 0) via cross of the two
+    // marginal dictionaries — both cardinality-bounded
+    val slices = df.groupBy(col(sliceCol).as("__s"))
+      .agg(count(lit(1)).as("__ns"))
+    val values = df.select(col(vCol).as("__v")).distinct()
+    val total = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("__s").orderBy("__v")
+    slices.crossJoin(values)
+      .join(cnt, Seq("__s", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(total))
+      // per-value total count rides in via a value-keyed window over the
+      // grid itself (grid has every (slice, value) cell, so a sum over
+      // the value partition = the marginal count)
+      .withColumn("__cv", sum(col("__c")).over(Window.partitionBy("__v")))
+      .withColumn("__cumS", sum(col("__c")).over(w))
+      .withColumn("__cumAll", sum(col("__cv")).over(w))
+      .withColumn("__d",
+        abs(col("__cumS").cast("double") / col("__ns").cast("double") -
+          (col("__cumAll") - col("__cumS")).cast("double") /
+            (col("__n") - col("__ns")).cast("double")))
+      .groupBy(col("__s").as(sliceCol))
+      .agg(first(col("__ns")).as("n_slice"),
+        first(col("__n") - col("__ns")).as("n_rest"),
+        max(col("__d")).as("ks"))
+  }
+
+  /** Population Stability Index of `vCol` per `sliceCol` group vs the
+    * whole corpus, over `bins` equal-WIDTH bins of the global
+    * [min, max] range (integer bin arithmetic — no percentile-edge
+    * interpolation to disagree across engines), add-one smoothed so
+    * empty bins stay finite:
+    *
+    *   psi = Σ_b (a_b − e_b) · ln(a_b / e_b),
+    *   a_b = (c_slice,b + 1)/(n_slice + bins),  e_b analogously corpus-wide.
+    *
+    * The binned, streaming-friendly drift score (industry rule of thumb:
+    * < 0.1 stable, > 0.25 shifted). This is the 100 TB path: two
+    * cardinality-bounded aggs (slice × bins cells), no value grid. */
+  def psi(df: DataFrame, sliceCol: String, vCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val mm = df.agg(min(col(vCol)).cast("double").as("__lo"),
+      max(col(vCol)).cast("double").as("__hi"))
+    val binned = df.crossJoin(broadcast(mm))
+      .withColumn("__b",
+        least(lit(bins - 1), greatest(lit(0),
+          floor((col(vCol).cast("double") - col("__lo")) * bins /
+            (col("__hi") - col("__lo") + lit(1.0))).cast("int"))))
+    val sliceBins = binned
+      .groupBy(col(sliceCol).as("__s"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val sliceTot = binned.groupBy(col(sliceCol).as("__s"))
+      .agg(count(lit(1)).as("__ns"))
+    val corpusBins = binned.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    val total = binned.agg(count(lit(1)).as("__n"))
+    // explicit 0..bins-1 spine: a bin with zero corpus-wide mass must
+    // still contribute its smoothed term on both sides of the formula
+    val spine = total.select(col("__n"),
+      explode(sequence(lit(0), lit(bins - 1))).as("__b"))
+    // full slice × bin grid so empty bins contribute their smoothed term
+    val grid = sliceTot.crossJoin(broadcast(
+      spine.join(corpusBins, Seq("__b"), "left").na.fill(0L, Seq("__ct"))))
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    grid.join(sliceBins, Seq("__s", "__b"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__a",
+        (col("__c") + 1).cast("double") / (col("__ns") + bins).cast("double"))
+      .withColumn("__e",
+        (col("__ct") + 1).cast("double") / (col("__n") + bins).cast("double"))
+      .groupBy(col("__s").as(sliceCol))
+      .agg(first(col("__ns")).as("n_slice"),
+        dsum((col("__a") - col("__e")) * log(col("__a") / col("__e")))
+          .as("psi"))
+  }
+
+  /** Mutual information (nats) and Pearson χ² between two categorical
+    * columns, one row out: `(n, cells, mi, chi2)` — "is lang independent
+    * of source" style association audits over contingency tables.
+    *
+    *   mi  = Σ_xy (c_xy/n) · ln(n·c_xy / (c_x·c_y))   (observed cells)
+    *   χ²  = Σ_xy (c_xy − E_xy)² / E_xy, E_xy = c_x·c_y/n  (ALL cells —
+    *         zero-observation cells contribute E_xy, via the marginal
+    *         cross grid)
+    *
+    * Everything inside ln is a ratio of exact integers; sums route
+    * through decimal(30,12). Exchanges bounded by |X|·|Y| cells. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__cxy"))
+    val mx = df.groupBy(col(xCol).as("__x")).agg(count(lit(1)).as("__cx"))
+    val my = df.groupBy(col(yCol).as("__y")).agg(count(lit(1)).as("__cy"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val grid = mx.crossJoin(my).crossJoin(broadcast(total))
+      .join(cells, Seq("__x", "__y"), "left")
+      .na.fill(0L, Seq("__cxy"))
+      .withColumn("__exp", // counts cast to double BEFORE multiplying —
+        // long·long overflows at 100 TB marginal sizes
+        (col("__cx").cast("double") * col("__cy").cast("double")) /
+          col("__n").cast("double"))
+    grid.agg(
+      first(col("__n")).as("n"),
+      count(lit(1)).as("cells"),
+      dsum(when(col("__cxy") > 0,
+        (col("__cxy").cast("double") / col("__n").cast("double")) *
+          log((col("__n").cast("double") * col("__cxy").cast("double")) /
+            (col("__cx").cast("double") * col("__cy").cast("double"))))
+        .otherwise(lit(0.0))).as("mi"),
+      dsum(((col("__cxy").cast("double") - col("__exp")) *
+        (col("__cxy").cast("double") - col("__exp"))) / col("__exp"))
+        .as("chi2"))
+  }
+}

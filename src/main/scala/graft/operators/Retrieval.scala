@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over a document corpus — the "find training docs
+  * relevant to this probe set" primitive that backs decontamination
+  * audits, targeted curation pulls, and eval-set neighborhood checks.
+  * The reference engine's query surface stops at per-bucket aggregates
+  * (loudml/model.py:makeFeatures); ranked retrieval is part of the
+  * data-pipeline surface this library adds on top.
+  *
+  * Scale shape (the part that matters at 100 TB): the corpus is NEVER
+  * shuffled by anything query-dependent —
+  *  - postings `(doc, term, tf)` and doc lengths come from one explode +
+  *    one (doc,term)-keyed aggregation (map-side partials; a doc bounds
+  *    its own terms, so no hot keys);
+  *  - document frequency is a VOCABULARY-bounded aggregation;
+  *  - the query set rides in as a BROADCAST frame, so matching is a
+  *    broadcast hash join against the postings — the corpus-sized side
+  *    never moves;
+  *  - per-(query, doc) scores aggregate on keys bounded by matched
+  *    postings, and the final top-k window partitions by query id
+  *    (|queries| partitions, each ranked independently).
+  * Corpus growth only widens the narrow stages; the only all-corpus
+  * exchange is the (doc,term) tf aggregation any inverted index build
+  * pays once.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-`k` documents per query (Lucene's non-negative IDF
+    * variant): for each query term t present in doc d,
+    *
+    *   idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    *   w(t, d)  = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b*dl/avgdl))
+    *
+    * and score(q, d) sums w over the query's DISTINCT terms (duplicate
+    * terms in a query string count once — stated contract, matching
+    * Lucene's default query parsing). Docs sharing no term with the
+    * query are absent from the result (score 0 rows are not emitted).
+    *
+    * Determinism contract (the property that makes the score
+    * reproducible across partitionings AND bit-comparable to another
+    * engine): the per-(query, doc) sum routes through decimal(30,12);
+    * avgdl is an exact integer token-count sum divided once as double
+    * (never an order-dependent double mean); and the DEFAULT k1/b are
+    * exactly binary-representable (1.5, 0.75 — legitimate BM25
+    * settings), so k1+1 and 1-b fold without a round-to-even tie.
+    *
+    * Ties: score desc, then `idCol` asc, dense ranking via row_number.
+    *
+    * @param queries (query_id, query_text) pairs; whitespace-tokenized
+    *                with the same trivial tokenizer as the corpus side.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int,
+      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = docs.select(col(idCol),
+      split(col(textCol), " ").as("__toks"))
+    // doc length = raw token count (empty-string tokens kept: both
+    // engines' split produce them symmetrically on "a  b", and the
+    // synthetic corpus is single-spaced anyway)
+    val postings = toks
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    val dfreq = toks
+      .select(explode(array_distinct(col("__toks"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+    // N and avgdl in ONE corpus pass, broadcast as a 1-row frame.
+    // avgdl = exact integer sum / N (a double mean of doubles would be
+    // partial-aggregation-order dependent in the last ulp)
+    val stats = toks
+      .agg(count(lit(1)).as("__N"),
+        sum(size(col("__toks")).cast("long")).as("__sumdl"))
+      .select(col("__N"),
+        (col("__sumdl").cast("double") / col("__N").cast("double"))
+          .as("__avgdl"))
+
+    val qterms = queries
+      .flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+      }
+      .toDF("query_id", "term")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol).asc)
+
+    postings
+      .join(broadcast(qterms), "term")
+      .join(dfreq, "term") // term-keyed; build side is vocabulary-sized
+      .crossJoin(broadcast(stats))
+      .withColumn("__w",
+        log(lit(1.0) + (col("__N") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__w").cast("decimal(30,12)")).cast("double")
+        .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+}

@@ -492,4 +492,167 @@ object Temporal {
           prevV + (nextV - prevV) *
             ((b - prevB).cast("double") / (nextB - prevB).cast("double"))))
   }
+
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * `(v_j − v_i) / (t_j − t_i)`, i < j — the breakdown-resistant slope
+    * estimator (up to ~29% outliers can't move it, unlike OLS where one
+    * spike owns the fit). Returns `(keys…, n_pairs, slope)`.
+    *
+    * Scale: the self-join is keyed (series id), so the quadratic blowup
+    * is bounded per SERIES by its bucket count — a bucketized series is
+    * hundreds-to-thousands of points regardless of corpus size, and
+    * series are independent (embarrassingly parallel across the key
+    * space, one keyed shuffle each side). Never call this on raw
+    * un-bucketized events: bucketize first, that's the contract.
+    *
+    * Determinism: each slope is one double division of exact inputs;
+    * the median is Spark's exact `percentile` (interpolation at even
+    * counts differs from other engines in the last ulp — callers
+    * comparing cross-engine round the output, house rule). */
+  def theilSen(series: DataFrame, keys: Seq[String], bucketCol: String,
+      valueCol: String): DataFrame = {
+    val a = series.select(
+      keys.map(col) :+ col(bucketCol).as("__ta") :+
+        col(valueCol).as("__va"): _*)
+    val b = series.select(
+      keys.map(col) :+ col(bucketCol).as("__tb") :+
+        col(valueCol).as("__vb"): _*)
+    val joined =
+      if (keys.isEmpty) a.crossJoin(b).filter(col("__tb") > col("__ta"))
+      else a.join(b, keys).filter(col("__tb") > col("__ta"))
+    val grouped =
+      if (keys.isEmpty) joined.groupBy()
+      else joined.groupBy(keys.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_pairs"),
+        percentile(
+          (col("__vb") - col("__va")) /
+            (col("__tb") - col("__ta")).cast("double"),
+          lit(0.5)).as("slope"))
+  }
+
+  /** OLS trend per key: slope, intercept and R² of `vCol` on `xCol` —
+    * the parametric companion to [[theilSen]] (cheap, one keyed agg, but
+    * outlier-sensitive; run both and compare when the series is dirty).
+    *
+    * Numerical contract: callers should pass an `xCol` CENTERED near
+    * zero (e.g. hours since the range start, not raw epoch seconds) —
+    * the moment formulation `n·Σxy − Σx·Σy` cancels catastrophically
+    * when |x| ≫ spread(x). With small-integer x every moment sum is
+    * exact in the decimal(30,12) routing and the fit is
+    * order-independent and engine-reproducible. R² is NULL (not NaN)
+    * for a constant series (zero y-variance). */
+  def trendOls(series: DataFrame, keys: Seq[String], xCol: String,
+      vCol: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    val x = col(xCol).cast("double")
+    val y = col(vCol).cast("double")
+    val g = if (keys.isEmpty) series.groupBy()
+      else series.groupBy(keys.map(col): _*)
+    g.agg(count(lit(1)).as("n"), dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * y).as("sxy"), dsum(x * x).as("sxx"),
+        dsum(y * y).as("syy"))
+      .withColumn("__vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("__cov", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope", col("__cov") / col("__vx"))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n").cast("double"))
+      .withColumn("r2",
+        when(col("__vy") > 0,
+          (col("__cov") * col("__cov")) / (col("__vx") * col("__vy"))))
+      .select((keys.map(col) ++
+        Seq(col("n"), col("slope"), col("intercept"), col("r2"))): _*)
+  }
+
+  /** Seasonal-naive forecast evaluation per key: predict
+    * `ŷ(t) = y(t − period)`, score on buckets ≥ `evalFrom` where both
+    * endpoints exist, report `(n_eval, mae, rmse, smape)`. The honest
+    * BASELINE every real forecaster must beat (a model whose MAE is
+    * above seasonal-naive's is worse than no model) — run it next to
+    * q_forecast/q_holtwinters to contextualize their errors.
+    *
+    * sMAPE uses the symmetric `2|e| / (|y| + |ŷ|)` form, mean over
+    * eval points. Scale: one keyed self-equi-join on
+    * `(keys, bucket − period)` + one keyed agg; error moments route
+    * through decimal(30,12) (order-independent). */
+  def seasonalNaiveEval(series: DataFrame, keys: Seq[String],
+      bucketCol: String, vCol: String, period: Long,
+      evalFrom: Long): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    val kc = keys.map(col)
+    val actual = series.select(
+      kc :+ col(bucketCol).as("__t") :+ col(vCol).as("__y"): _*)
+      .filter(col("__t") >= evalFrom)
+    val base = series.select(
+      kc :+ (col(bucketCol) + period).as("__t") :+
+        col(vCol).as("__yhat"): _*)
+    val joined = actual.join(base, keys :+ "__t")
+      .withColumn("__e", col("__y") - col("__yhat"))
+    val g = if (keys.isEmpty) joined.groupBy()
+      else joined.groupBy(kc: _*)
+    g.agg(count(lit(1)).as("n_eval"),
+        (dsum(abs(col("__e"))) / count(lit(1))).as("mae"),
+        sqrt(dsum(col("__e") * col("__e")) / count(lit(1))).as("rmse"),
+        (dsum(lit(2.0) * abs(col("__e")) /
+            (abs(col("__y")) + abs(col("__yhat")))) / count(lit(1)))
+          .as("smape"))
+  }
+
+  /** Sample autocorrelation per key at lags `1..maxLag` (lag unit =
+    * `step` in the bucket column's time base):
+    *
+    *   acf(l) = Σ (y_t − ȳ)(y_{t+l} − ȳ) / Σ (y_t − ȳ)²
+    *
+    * over the bucketized series AS IS (pairs where both endpoints exist;
+    * missing buckets contribute nothing — interpolate/ffill first if
+    * gap-filled semantics are wanted). The periodicity audit behind
+    * seasonal-model configuration (a daily cycle shows as a peak at
+    * lag 24 on hourly buckets). Returns `(keys…, lag, n_pairs, acf)`.
+    *
+    * Scale: the lag join is keyed and RANGE-BOUNDED (`0 < Δt ≤
+    * maxLag·step`), so each row meets ≤ maxLag partners — linear in the
+    * series, not quadratic; moments are per-key aggs. Determinism: ȳ,
+    * the denominator, and each lag's numerator all route through
+    * decimal(30,12) sums (house rule for order-independent doubles). */
+  def acf(series: DataFrame, keys: Seq[String], bucketCol: String,
+      valueCol: String, maxLag: Int, step: Long): DataFrame = {
+    require(maxLag >= 1 && step > 0, "maxLag >= 1, step > 0")
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    val kc = keys.map(col)
+    val moments = {
+      val g = if (keys.isEmpty) series.groupBy() else series.groupBy(kc: _*)
+      g.agg((dsum(col(valueCol)) / count(col(valueCol))).as("__mean"))
+    }
+    val centered = (if (keys.isEmpty) series.crossJoin(broadcast(moments))
+      else series.join(moments, keys))
+      .select(kc :+ col(bucketCol).as("__t") :+
+        (col(valueCol) - col("__mean")).as("__d"): _*)
+    val denom = {
+      val g = if (keys.isEmpty) centered.groupBy()
+        else centered.groupBy(kc: _*)
+      g.agg(dsum(col("__d") * col("__d")).as("__ss"))
+    }
+    val a = centered.select(
+      kc :+ col("__t").as("__ta") :+ col("__d").as("__da"): _*)
+    val b = centered.select(
+      kc :+ col("__t").as("__tb") :+ col("__d").as("__db"): _*)
+    val pairs =
+      (if (keys.isEmpty) a.crossJoin(b) else a.join(b, keys))
+        .filter(col("__tb") > col("__ta") &&
+          col("__tb") <= col("__ta") + lit(maxLag) * lit(step) &&
+          (col("__tb") - col("__ta")) % lit(step) === 0)
+        .withColumn("lag",
+          ((col("__tb") - col("__ta")) / lit(step)).cast("int"))
+    val grouped =
+      if (keys.isEmpty) pairs.groupBy(col("lag"))
+      else pairs.groupBy(kc :+ col("lag"): _*)
+    val nums = grouped
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum(col("__da") * col("__db")).as("__num"))
+    (if (keys.isEmpty) nums.crossJoin(broadcast(denom))
+     else nums.join(denom, keys))
+      .select(kc ++ Seq(col("lag"), col("n_pairs"),
+        (col("__num") / col("__ss")).as("acf")): _*)
+  }
 }

@@ -519,4 +519,85 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("ngram").asc)
       .limit(k)
   }
+
+  /** PMI collocations: the `k` adjacent word pairs whose observed
+    * bigram frequency most exceeds the independence expectation,
+    *
+    *   pmi(w1 w2) = ln( (c2 · T1 · T1) / (T2 · c1(w1) · c1(w2)) )
+    *
+    * (c2 = bigram count, c1 = unigram counts, T1/T2 = corpus totals) —
+    * the Church-Hanks collocation measure that feeds stop-phrase lists
+    * and tokenizer-merge audits. `minCount` suppresses the classic PMI
+    * pathology (hapax pairs score highest); rank on the UNROUNDED score,
+    * bigram asc tie-break.
+    *
+    * Scale: both count tables are VOCABULARY-bounded aggregations of one
+    * narrow explode each; the scoring joins are keyed on single terms
+    * (vocab-sized build sides); totals ride in as broadcast 1-row
+    * frames. Determinism: every input to the score is an exact integer,
+    * and the product/division order is fixed, so the double is
+    * bit-identical across partitionings and engines. */
+  def pmiCollocations(df: DataFrame, textCol: String, k: Int,
+      minCount: Long = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val uni = df
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val big = df
+      .select(explode(Dedup.wordShingles(col(textCol), 2)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("c2"))
+    val t1 = uni.agg(sum(col("c1")).cast("double").as("__T1"))
+    val t2 = big.agg(sum(col("c2")).cast("double").as("__T2"))
+    val ua = uni.select(col("term").as("__w1"), col("c1").as("__c1a"))
+    val ub = uni.select(col("term").as("__w2"), col("c1").as("__c1b"))
+    big.filter(col("c2") >= minCount)
+      .withColumn("__w1", split(col("ngram"), " ").getItem(0))
+      .withColumn("__w2", split(col("ngram"), " ").getItem(1))
+      .join(ua, "__w1").join(ub, "__w2")
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .withColumn("__praw",
+        log((col("c2").cast("double") * col("__T1") * col("__T1")) /
+          (col("__T2") * col("__c1a") * col("__c1b"))))
+      .orderBy(col("__praw").desc, col("ngram").asc)
+      .limit(k)
+      .select(col("ngram"), col("c2").as("cnt"),
+        round(col("__praw") + lit(1e-9), 6).as("pmi"))
+  }
+
+  /** Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    * ln(count) on ln(rank) (rank = 1-based frequency rank, count-desc /
+    * term-asc). Returns ONE row `(n_terms, alpha, intercept)` with
+    * `alpha = -slope` — the "does this crawl look like natural
+    * language" corpus audit (natural text ≈ 1.0; a template farm or
+    * synthetic corpus shows up as a flat or cliffed curve).
+    *
+    * Scale: a vocabulary-bounded count agg, one vocabulary-sized global
+    * rank (sorting a term dictionary, not the corpus), and a 1-row
+    * moment aggregation. Determinism: all four moment sums route
+    * through decimal(30,12) (an order-dependent double sum would wobble
+    * in the last ulp across partitionings); ln of identical doubles is
+    * bit-stable. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val ranked = df
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("c").desc, col("term").asc)))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    ranked
+      .agg(count(lit(1)).as("n_terms"), dsum(col("x")).as("sx"),
+        dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"))
+      .withColumn("__slope",
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n_terms"),
+        round(-col("__slope") + lit(1e-9), 6).as("alpha"),
+        round((col("sy") - col("__slope") * col("sx")) /
+          col("n_terms").cast("double") + lit(1e-9), 6).as("intercept"))
+  }
 }

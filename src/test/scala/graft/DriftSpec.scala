@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Drift, Temporal}
+
+/** Unit coverage for the drift/association/eval audits: KS distance,
+  * PSI, mutual information + χ², OLS trend, and the seasonal-naive
+  * forecast baseline. Each test pins a case with a hand-derivable
+  * closed-form answer. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── KS ───────────────────────────────────────────────────────────────
+
+  test("ksDrift: identical slices → 0; disjoint supports → 1") {
+    val same = Seq.tabulate(40)(i => (if (i % 2 == 0) "a" else "b", i % 5))
+      .toDF("src", "v") // both slices hold each value 0..4 exactly 4×
+    val ks0 = Drift.ksDrift(same, "src", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ks0("a") === 0.0 && ks0("b") === 0.0)
+    val split = (Seq.fill(10)(("lo", 1)) ++ Seq.fill(10)(("hi", 9)))
+      .toDF("src", "v") // disjoint: every lo value < every hi value
+    val ks1 = Drift.ksDrift(split, "src", "v").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(ks1("lo") === ((10L, 10L, 1.0)))
+    assert(ks1("hi") === ((10L, 10L, 1.0)))
+  }
+
+  // ── PSI ──────────────────────────────────────────────────────────────
+
+  test("psi: single slice ≡ corpus → exactly 0; a shifted slice scores high") {
+    val one = Seq.tabulate(50)(i => ("only", i)).toDF("src", "v")
+    val z = Drift.psi(one, "src", "v", bins = 10).collect().head
+    assert(z.getDouble(2) === 0.0) // a_b == e_b bin-for-bin
+    // slice 'x' lives in the low half, 'y' in the high half
+    val moved = (Seq.tabulate(30)(i => ("x", i % 10)) ++
+      Seq.tabulate(30)(i => ("y", 90 + i % 10))).toDF("src", "v")
+    val m = Drift.psi(moved, "src", "v", bins = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m("x") > 0.25 && m("y") > 0.25) // far past the 'shifted' bar
+  }
+
+  test("psi: corpus-empty middle bins still enter via the explicit spine") {
+    // all mass in bins 0 and 9 — bins 1..8 have zero corpus-wide count
+    val gap = (Seq.fill(20)(("a", 0)) ++ Seq.fill(20)(("b", 99)))
+      .toDF("src", "v")
+    val out = Drift.psi(gap, "src", "v", bins = 10).collect()
+    assert(out.length === 2 && out.forall(r => !r.getDouble(2).isNaN))
+  }
+
+  // ── MI / χ² ──────────────────────────────────────────────────────────
+
+  test("mutualInfo: independence → mi = 0, χ² = 0; identity → ln|X| and n(k−1)") {
+    // independent: all 4 combos equally likely
+    val ind = Seq(("a","p"),("a","q"),("b","p"),("b","q"))
+      .flatMap(Seq.fill(5)(_)).toDF("x", "y")
+    val ri = Drift.mutualInfo(ind, "x", "y").collect().head
+    assert(ri.getLong(0) === 20L && ri.getLong(1) === 4L)
+    assert(math.abs(ri.getDouble(2)) < 1e-12)
+    assert(math.abs(ri.getDouble(3)) < 1e-12)
+    // identity mapping, uniform: mi = ln 2, χ² = n·(k−1) = 20
+    val dep = Seq(("a","p"),("b","q")).flatMap(Seq.fill(10)(_)).toDF("x", "y")
+    val rd = Drift.mutualInfo(dep, "x", "y").collect().head
+    assert(math.abs(rd.getDouble(2) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(3) - 20.0) < 1e-9)
+  }
+
+  // ── OLS trend ────────────────────────────────────────────────────────
+
+  test("trendOls: exact fit on a perfect line; r2 NULL for constant y") {
+    val line = (0L to 9L).map(t => ("k", t, 3.0 * t + 7.0))
+      .toDF("g", "x", "y")
+    val r = Temporal.trendOls(line, Seq("g"), "x", "y").collect().head
+    assert(r.getLong(1) === 10L)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 7.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    val flat = (0L to 9L).map(t => ("k", t, 5.0)).toDF("g", "x", "y")
+    assert(Temporal.trendOls(flat, Seq("g"), "x", "y")
+      .collect().head.isNullAt(4))
+  }
+
+  // ── seasonal-naive eval ──────────────────────────────────────────────
+
+  test("seasonalNaiveEval: hand-computed MAE/RMSE/sMAPE; eval-window and " +
+      "missing-baseline filters") {
+    // period 10; history t=0,10,20 values 10,20,40; eval from t=20
+    // → only t=20 scores (ŷ=20, y=40): e=20; t=30 absent (no actual)
+    val s = Seq(("k", 0L, 10.0), ("k", 10L, 20.0), ("k", 20L, 40.0))
+      .toDF("g", "t", "v")
+    val r = Temporal.seasonalNaiveEval(s, Seq("g"), "t", "v",
+      period = 10L, evalFrom = 20L).collect().head
+    assert(r.getLong(1) === 1L)
+    assert(math.abs(r.getDouble(2) - 20.0) < 1e-12)        // mae
+    assert(math.abs(r.getDouble(3) - 20.0) < 1e-12)        // rmse
+    assert(math.abs(r.getDouble(4) - 2.0 * 20 / 60) < 1e-12) // smape
+    // a bucket whose t-period baseline is missing contributes nothing
+    val gappy = s.union(Seq(("k", 35L, 9.9)).toDF("g", "t", "v"))
+    assert(Temporal.seasonalNaiveEval(gappy, Seq("g"), "t", "v", 10L, 20L)
+      .collect().head.getLong(1) === 1L)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Retrieval, Temporal, TextAnalysis}
+
+/** Unit coverage for the retrieval/corpus-statistics wave: BM25 ranked
+  * retrieval, PMI collocations, the Zipf rank-frequency fit, Theil–Sen
+  * robust trend, and per-key autocorrelation. Expected values are
+  * recomputed in-test with the operators' documented formulas (same
+  * operand order), so these pin semantics, not snapshots. */
+class RetrievalStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── BM25 ─────────────────────────────────────────────────────────────
+
+  private def bm25Term(tf: Long, df: Long, n: Long, dl: Long,
+      avgdl: Double): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      (tf * 2.5) / (tf + 1.5 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+
+  test("bm25TopK: formula, distinct-query-term contract, no-match docs absent") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b b"))
+      .toDF("doc_id", "text")
+    // query has 'a' twice: scores once (distinct contract)
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(1 -> "a b a", 2 -> "c"), k = 10)
+      .collect().map(r => ((r.getInt(0), r.getLong(2)),
+        (r.getInt(1), r.getDouble(3)))).toMap
+    val avgdl = 3.0 // (3 + 2 + 4) / 3
+    val exp1 = Map( // query 1 = {a, b}; df(a)=2, df(b)=2, N=3
+      1L -> (bm25Term(2, 2, 3, 3, avgdl) + bm25Term(1, 2, 3, 3, avgdl)),
+      2L -> bm25Term(1, 2, 3, 2, avgdl),
+      3L -> bm25Term(4, 2, 3, 4, avgdl))
+    for ((id, s) <- exp1)
+      assert(math.abs(out((1, id))._2 - s) < 1e-9, s"doc $id")
+    // query 2 = {c}: only doc 2 contains it — docs 1,3 must be ABSENT
+    assert(!out.contains((2, 1L)) && !out.contains((2, 3L)))
+    assert(math.abs(out((2, 2L))._2 -
+      bm25Term(1, 1, 3, 2, avgdl)) < 1e-9)
+    // ranks: q1 ordering is score desc (doc1 has both terms and short dl)
+    val ranks = out.collect { case ((1, id), (rk, _)) => id -> rk }
+    assert(ranks.toMap.values.toSet === Set(1, 2, 3))
+  }
+
+  test("bm25TopK: identical docs tie-break by id asc; k caps output") {
+    val docs = Seq((10L, "x y"), (2L, "x y"), (7L, "x y"), (5L, "z"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(1 -> "x"), k = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, 2L), (2, 7L))) // equal scores → id asc, k=2
+  }
+
+  // ── PMI ──────────────────────────────────────────────────────────────
+
+  test("pmiCollocations: Church-Hanks score on known counts; minCount gate") {
+    // 5× "x y" docs + one lone "x": c1(x)=6, c1(y)=5, T1=11;
+    // bigram "x y" c2=5, T2=5
+    val docs = (Seq.fill(5)("x y") :+ "x").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "text", k = 10,
+      minCount = 1).collect()
+    assert(out.length === 1)
+    val exp = math.log((5.0 * 11.0 * 11.0) / (5.0 * 6.0 * 5.0))
+    assert(out.head.getString(0) === "x y")
+    assert(out.head.getLong(1) === 5L)
+    assert(math.abs(out.head.getDouble(2) - exp) < 1e-6)
+    // minCount = 6 filters the pair out entirely
+    assert(TextAnalysis.pmiCollocations(docs, "text", 10, minCount = 6)
+      .count() === 0L)
+  }
+
+  // ── Zipf ─────────────────────────────────────────────────────────────
+
+  test("zipfFit: two-point log-log fit is exact; rank ties break term-asc") {
+    // counts 8 and 2 → slope = (ln2 - ln8)/(ln2 - ln1) = -2 ⇒ alpha = 2
+    val docs = Seq((1L, (Seq.fill(8)("aa") ++ Seq.fill(2)("bb"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs, "text").collect().head
+    assert(r.getLong(0) === 2L)
+    assert(math.abs(r.getDouble(1) - 2.0) < 1e-6)            // alpha
+    assert(math.abs(r.getDouble(2) - math.log(8.0)) < 1e-6)  // intercept
+  }
+
+  // ── Theil–Sen ────────────────────────────────────────────────────────
+
+  test("theilSen: one wild outlier cannot move the median slope") {
+    // y = 2t on t=0..4 except y(4)=100: 6 of 10 pairwise slopes are
+    // exactly 2 → median 2 (OLS would report ~20)
+    val pts = Seq((0L, 0.0), (1L, 2.0), (2L, 4.0), (3L, 6.0),
+      (4L, 100.0)).map { case (t, v) => ("s", t, v) }
+      .toDF("k", "t", "v")
+    val r = Temporal.theilSen(pts, Seq("k"), "t", "v").collect().head
+    assert(r.getLong(1) === 10L)                 // n_pairs = C(5,2)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+    // keyed independence: a second key with slope -1 coexists
+    val two = pts.union(Seq(("z", 0L, 5.0), ("z", 1L, 4.0), ("z", 2L, 3.0))
+      .toDF("k", "t", "v"))
+    val m = Temporal.theilSen(two, Seq("k"), "t", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(m("s") - 2.0) < 1e-12)
+    assert(math.abs(m("z") - (-1.0)) < 1e-12)
+  }
+
+  // ── ACF ──────────────────────────────────────────────────────────────
+
+  test("acf: alternating series gives the textbook ±(n-l)/n ladder") {
+    // y = (-1)^t on t=0..7: mean 0, Σy² = 8; acf(l) = Σ y_t·y_{t+l} / 8
+    // = (8-l)/8 with sign (-1)^l
+    val pts = (0L to 7L).map(t =>
+      ("s", t, if (t % 2 == 0) 1.0 else -1.0)).toDF("k", "t", "v")
+    val out = Temporal.acf(pts, Seq("k"), "t", "v", maxLag = 3, step = 1L)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1) === ((7L, -7.0 / 8)))
+    assert(out(2) === ((6L, 6.0 / 8)))
+    assert(out(3) === ((5L, -5.0 / 8)))
+  }
+
+  test("acf: missing buckets pair only where both endpoints exist") {
+    val pts = Seq(("s", 0L, 1.0), ("s", 1L, 2.0), ("s", 3L, 4.0))
+      .toDF("k", "t", "v")
+    val out = Temporal.acf(pts, Seq("k"), "t", "v", maxLag = 2, step = 1L)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out(1) === 1L) // only (0,1); (3) has no t=2 partner
+    assert(out(2) === 1L) // only (1,3)
+    assert(!out.contains(3))
+  }
+
+  // ── plan shapes ──────────────────────────────────────────────────────
+
+  test("bm25TopK plan: query set broadcast — the corpus side never " +
+      "shuffles on anything query-dependent") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val p = Retrieval.bm25TopK(docs, "doc_id", "text", Seq(1 -> "a"), 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
