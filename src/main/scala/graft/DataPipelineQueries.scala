@@ -229,6 +229,15 @@ object DataPipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
         .orderBy("doc_id")),
 
+    // ── tokenizer fertility per language: chars/piece + pieces/word
+    "q_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(docs(s, dir), "lang", "text")
+        .withColumn("chars_per_piece",
+          round(col("chars_per_piece") + lit(1e-9), 6))
+        .withColumn("pieces_per_word",
+          round(col("pieces_per_word") + lit(1e-9), 6))
+        .orderBy("lang")),
+
     // ── cross-doc duplicate n-gram coverage: the near-template flag
     //    exact/LSH dedup misses (doc 80% boilerplate + 20% unique)
     "q_dup_coverage" -> ((s, dir) =>
@@ -1562,6 +1571,28 @@ object DataPipelineQueries {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
         |         AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact integer sums (CAST out of DuckDB's HUGEINT), two double
+    // divisions at the end — engine-reproducible
+    "q_fertility" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |      AS BIGINT) AS nb,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |      AS nw,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS chars,
+        |  CAST(sum(nb) AS BIGINT) AS pieces,
+        |  round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE)
+        |    + 1e-9, 6) + 0.0 AS chars_per_piece,
+        |  round(CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)
+        |    + 1e-9, 6) + 0.0 AS pieces_per_word
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // mirrors TextAnalysis.crossDocCoverage: per-(doc, gram)
     // multiplicities, docs-per-gram, shared-occurrence fraction

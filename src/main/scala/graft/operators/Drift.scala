@@ -111,6 +111,26 @@ object Drift {
           .as("psi"))
   }
 
+  /** Smoothed reference bin fractions for [[psi]]-style comparisons
+    * (and [[graft.streaming.StreamingDrift.psiStream]]'s `refFracs`):
+    * add-one-smoothed corpus-wide fractions `(c_b + 1) / (n + bins)`
+    * over the same equal-width binning, every bin present (empty bins
+    * carry their smoothed floor). The collect is `bins`-sized —
+    * index-scale, never data-scale. */
+  def binFractions(df: DataFrame, vCol: String, lo: Double, hi: Double,
+      bins: Int): Seq[Double] = {
+    require(bins >= 2, "bins must be >= 2")
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(vCol).cast("double") - lit(lo)) * bins /
+        lit(hi - lo + 1.0)).cast("int")))
+    val counts = df.select(bin.as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    (0 until bins).map(b =>
+      (counts.getOrElse(b, 0L) + 1).toDouble / (n + bins).toDouble)
+  }
+
   /** Mutual information (nats) and Pearson χ² between two categorical
     * columns, one row out: `(n, cells, mi, chi2)` — "is lang independent
     * of source" style association audits over contingency tables.

@@ -520,6 +520,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Tokenizer-fertility audit per group (typically language):
+    * `(n_docs, chars, pieces, chars_per_piece, pieces_per_word)` from
+    * the BPE-ish piece counter vs whitespace words — the multilingual
+    * curation table that exposes which languages a tokenizer fragments
+    * (low chars/piece, high pieces/word ⇒ that slice pays more compute
+    * per character; re-balance budgets or retrain the vocab).
+    *
+    * One narrow per-row count projection + one group-keyed agg of exact
+    * integer sums (exchange bounded by |groups|); the two ratios are
+    * single double divisions of exact sums — engine-reproducible. */
+  def tokenizerFertility(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol),
+        bpeTokenCount(col(textCol)).cast("long").as("__nb"),
+        tokenCount(col(textCol)).cast("long").as("__nw"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("chars"),
+        sum(col("__nb")).as("pieces"),
+        (sum(col("__nc")).cast("double") / sum(col("__nb")).cast("double"))
+          .as("chars_per_piece"),
+        (sum(col("__nb")).cast("double") / sum(col("__nw")).cast("double"))
+          .as("pieces_per_word"))
+
   /** PMI collocations: the `k` adjacent word pairs whose observed
     * bigram frequency most exceeds the independence expectation,
     *
