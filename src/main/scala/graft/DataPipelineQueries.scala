@@ -739,6 +739,15 @@ object DataPipelineQueries {
               .cast("string")), ",")).as("centroid_md5"))
         .orderBy("label")),
 
+    // ── embedding cluster health: scatter + simplified silhouette per
+    //    label (centroids as plan literals, zero-shuffle scoring)
+    "q_cluster_metrics" -> ((s, dir) =>
+      Similarity.clusterMetrics(embs(s, dir), "embedding", "label")
+        .select(col("label"), col("n"),
+          round(col("scatter") + lit(1e-9), 6).as("scatter"),
+          round(col("silhouette") + lit(1e-9), 6).as("silhouette"))
+        .orderBy("label")),
+
     // ── int8 symmetric quantization: per-vector scale + md5 over the
     //    exact int codes (pins every element)
     "q_quantize" -> ((s, dir) =>
@@ -2655,6 +2664,48 @@ object DataPipelineQueries {
         |                        AS BIGINT) AS VARCHAR)), ','))
         |         AS centroid_md5
         |FROM dims GROUP BY label ORDER BY label""".stripMargin,
+
+    // centroids decimal-exact per (label, dim); distances via the same
+    // dot identity sqrt(max(0, x·x − 2x·c + c·c)), left-to-right folds
+    // both sides (list_dot_product ≡ the engine's sequential dot)
+    "q_cluster_metrics" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings
+        |), expl AS (
+        |  SELECT label, unnest(x) AS xv, unnest(range(len(x))) AS p
+        |  FROM v
+        |), cent AS (
+        |  SELECT label AS cl, p,
+        |         CAST(sum(CAST(xv AS DECIMAL(30,12))) AS DOUBLE) / count(*)
+        |           AS m
+        |  FROM expl GROUP BY 1, 2
+        |), cvec AS (
+        |  SELECT cl, list(m ORDER BY p) AS c FROM cent GROUP BY 1
+        |), dists AS (
+        |  SELECT v.vec_id, v.label, cv.cl,
+        |    sqrt(greatest(0.0,
+        |      list_dot_product(v.x, v.x)
+        |      - 2.0 * list_dot_product(v.x, cv.c)
+        |      + list_dot_product(cv.c, cv.c))) AS d
+        |  FROM v CROSS JOIN cvec cv
+        |), ab AS (
+        |  SELECT vec_id, label,
+        |         max(CASE WHEN cl = label THEN d END) AS a,
+        |         min(CASE WHEN cl <> label THEN d END) AS b
+        |  FROM dists GROUP BY 1, 2
+        |), sil AS (
+        |  SELECT label, a,
+        |         CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+        |              ELSE (b - a) / greatest(a, b) END AS s
+        |  FROM ab
+        |)
+        |SELECT label, count(*) AS n,
+        |  round(CAST(sum(CAST(a AS DECIMAL(30,12))) AS DOUBLE) / count(*)
+        |    + 1e-9, 6) + 0.0 AS scatter,
+        |  round(CAST(sum(CAST(s AS DECIMAL(30,12))) AS DOUBLE) / count(*)
+        |    + 1e-9, 6) + 0.0 AS silhouette
+        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // int codes kept as exact-integer DOUBLEs for md5; scale math all
     // double, mirroring Similarity.quantize

@@ -987,6 +987,74 @@ object Similarity {
   private def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  // ── cluster-quality audit ─────────────────────────────────────────
+
+  /** Embedding cluster-quality metrics per label: size, scatter (mean
+    * distance to own centroid) and the SIMPLIFIED silhouette
+    * `s = (b − a)/max(a, b)` with `a` = distance to own centroid, `b` =
+    * distance to the nearest OTHER centroid — the O(n·k) variant
+    * (classic silhouette is O(n²) pairwise; at corpus scale only the
+    * centroid form survives, and it's the one sklearn large-scale
+    * guides recommend). The health check for [[semanticDedup]] cells
+    * and any labeled embedding corpus: collapsing silhouette ⇒ labels
+    * don't separate in embedding space.
+    *
+    * Scale shape: exact per-(label, dim) centroids from ONE
+    * dim-bounded decimal aggregation, collected k·d driver-side (index
+    * scale, the IVF-centroid precedent) and re-embedded as plan
+    * literals — the scoring pass is then a ZERO-shuffle narrow map
+    * (k dot products per row) into one label-keyed agg.
+    *
+    * Determinism: centroids are decimal-summed; d(x,c) uses the dot
+    * identity `√max(0, x·x − 2·x·c + c·c)` with the sequential-fold
+    * [[dot]] (bit-identical to list folds elsewhere); c·c folds
+    * left-to-right on the driver, same order. Degenerate a=b=0 → s=0. */
+  def clusterMetrics(df: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val xv = asDouble(col(vecCol))
+    val centRows = df
+      .select(col(labelCol).cast("long").as("__l"),
+        posexplode(xv).as(Seq("__p", "__xv")))
+      .groupBy("__l", "__p")
+      .agg((sum(col("__xv").cast("decimal(30,12)")).cast("double") /
+        count(lit(1))).as("__m"))
+      .collect()
+    val cents: Seq[(Long, Array[Double])] = centRows
+      .groupBy(_.getLong(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }.toSeq.sortBy(_._1)
+    require(cents.size >= 2,
+      s"clusterMetrics needs >= 2 labels (got ${cents.size})")
+    val base = df.withColumn("__x", xv)
+      .withColumn("__dxx", dot(col("__x"), col("__x")))
+    def dist(c: Array[Double]): Column = {
+      val dcc = c.foldLeft(0.0)((s, v) => s + v * v)
+      sqrt(greatest(lit(0.0),
+        col("__dxx") - lit(2.0) * dot(col("__x"), typedlit(c.toSeq)) +
+          lit(dcc)))
+    }
+    val own = cents.map { case (l, c) =>
+      when(col(labelCol).cast("long") === l, dist(c))
+    }.reduce(coalesce(_, _))
+    val other = least(cents.map { case (l, c) =>
+      when(col(labelCol).cast("long") === l,
+        lit(Double.PositiveInfinity)).otherwise(dist(c))
+    }: _*)
+    def dmean(c: Column) =
+      sum(c.cast("decimal(30,12)")).cast("double") / count(lit(1))
+    base
+      .withColumn("__a", own)
+      .withColumn("__b", other)
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+          .otherwise((col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b"))))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"), dmean(col("__a")).as("scatter"),
+        dmean(col("__s")).as("silhouette"))
+  }
+
   /** In-place Gaussian elimination with partial pivoting (A x = b). */
   private def solve(a: Array[Array[Double]], b: Array[Double])
       : Array[Double] = {

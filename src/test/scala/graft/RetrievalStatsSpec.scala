@@ -128,6 +128,31 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(!out.contains(3))
   }
 
+  // ── cluster metrics ──────────────────────────────────────────────────
+
+  test("clusterMetrics: hand-computed scatter + simplified silhouette; " +
+      "rejects a single label") {
+    import graft.operators.Similarity
+    // label 0 at x∈{0,2}, label 1 at x∈{10,12} → centroids x=1 and x=11;
+    // every point: a=1; b∈{9,11} → s ∈ {8/9, 10/11}, mean per label equal
+    val df = Seq((1L, Array(0f, 0f), 0), (2L, Array(2f, 0f), 0),
+      (3L, Array(10f, 0f), 1), (4L, Array(12f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterMetrics(df, "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val expSil = (8.0 / 9 + 10.0 / 11) / 2
+    for (l <- Seq(0, 1)) {
+      assert(out(l)._1 === 2L)
+      assert(math.abs(out(l)._2 - 1.0) < 1e-9, s"scatter $l")
+      assert(math.abs(out(l)._3 - expSil) < 1e-9, s"sil $l")
+    }
+    val one = df.filter(col("label") === 0)
+    intercept[IllegalArgumentException] {
+      Similarity.clusterMetrics(one, "embedding", "label").collect()
+    }
+  }
+
   // ── plan shapes ──────────────────────────────────────────────────────
 
   test("bm25TopK plan: query set broadcast — the corpus side never " +
