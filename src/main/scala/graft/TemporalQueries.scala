@@ -705,9 +705,14 @@ object TemporalQueries {
     }),
 
     // ── seasonal-naive baseline eval: ŷ(t)=y(t−24h), scored on the
-    //    same post-SPLIT window the HW forecasts use
+    //    same post-SPLIT window the HW forecasts use. The scan prunes
+    //    via a TYPED range (rangeFilter) at SPLIT−period — only buckets
+    //    that can reach the eval window are read; a bare bucket>=SPLIT
+    //    filter is a function of ts and pushes nothing (the
+    //    q_filter_tags lesson, PlanLint-dogfooded)
     "q_forecast_eval" -> ((s, dir) => {
-      val series = ev(s, dir)
+      val series = graft.operators.TimesQuery.rangeFilter(
+          ev(s, dir), "ts", SPLIT - 86400L, FROM + 30L * 86400L)
         .withColumn("bucket",
           (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
         .groupBy("event_type", "bucket")

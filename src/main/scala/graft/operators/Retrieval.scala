@@ -11,21 +11,21 @@ import org.apache.spark.sql.functions._
   * (loudml/model.py:makeFeatures); ranked retrieval is part of the
   * data-pipeline surface this library adds on top.
   *
-  * Scale shape (the part that matters at 100 TB): the corpus is NEVER
-  * shuffled by anything query-dependent —
-  *  - postings `(doc, term, tf)` and doc lengths come from one explode +
-  *    one (doc,term)-keyed aggregation (map-side partials; a doc bounds
+  * Scale shape (the part that matters at 100 TB): ONE corpus scan and
+  * one corpus exchange, and neither depends on the query set —
+  *  - postings `(doc, dl, term, tf)` come from one explode + one
+  *    (doc,term)-keyed aggregation (map-side partials; a doc bounds
   *    its own terms, so no hot keys);
-  *  - document frequency is a VOCABULARY-bounded aggregation;
+  *  - document frequency (vocabulary-bounded) and the corpus stats
+  *    (N, avgdl) both DERIVE FROM the postings aggregation — Spark's
+  *    ReuseExchange collapses the three consumers onto one scan +
+  *    one shuffle instead of three corpus passes;
   *  - the query set rides in as a BROADCAST frame, so matching is a
   *    broadcast hash join against the postings — the corpus-sized side
   *    never moves;
   *  - per-(query, doc) scores aggregate on keys bounded by matched
   *    postings, and the final top-k window partitions by query id
   *    (|queries| partitions, each ranked independently).
-  * Corpus growth only widens the narrow stages; the only all-corpus
-  * exchange is the (doc,term) tf aggregation any inverted index build
-  * pays once.
   */
 object Retrieval {
 
@@ -62,27 +62,29 @@ object Retrieval {
 
     val toks = docs.select(col(idCol),
       split(col(textCol), " ").as("__toks"))
-    // doc length = raw token count (empty-string tokens kept: both
-    // engines' split produce them symmetrically on "a  b", and the
-    // synthetic corpus is single-spaced anyway)
+    // doc length = raw token count. Empty-string tokens are KEPT
+    // through the aggregation (split("") = [""], so even an empty doc
+    // lands one postings row and survives to the stats branch) and
+    // filtered only where terms matter — that's what lets dfreq and
+    // stats derive from THIS exchange instead of rescanning the corpus.
     val postings = toks
       .select(col(idCol), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("term"))
-      .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-    val dfreq = toks
-      .select(explode(array_distinct(col("__toks"))).as("term"))
+    // postings is unique per (doc, term) ⇒ df = rows per term
+    val dfreq = postings
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("df"))
 
-    // N and avgdl in ONE corpus pass, broadcast as a 1-row frame.
-    // avgdl = exact integer sum / N (a double mean of doubles would be
-    // partial-aggregation-order dependent in the last ulp)
-    val stats = toks
-      .agg(count(lit(1)).as("__N"),
-        sum(size(col("__toks")).cast("long")).as("__sumdl"))
+    // N and avgdl from the per-doc lengths already in the postings
+    // exchange (dl is functionally determined by the doc id). avgdl =
+    // exact integer sum / N — a double mean of doubles would be
+    // partial-aggregation-order dependent in the last ulp.
+    val stats = postings
+      .select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("__N"), sum(col("dl").cast("long")).as("__sumdl"))
       .select(col("__N"),
         (col("__sumdl").cast("double") / col("__N").cast("double"))
           .as("__avgdl"))

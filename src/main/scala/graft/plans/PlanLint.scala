@@ -50,6 +50,21 @@ object PlanLint {
   private def short(p: SparkPlan): String =
     p.simpleStringWithNodeId().linesIterator.next().take(160)
 
+  /** Catalyst infers `size(<generator input>) > 0` on the scan under
+    * every explode — unpushABLE by construction (a function of the
+    * column), not an unpushed user predicate; counting it would flag
+    * every explode-over-parquet plan. The rule's actual target is a
+    * user predicate that COULD have pruned row groups had it been
+    * written attribute-vs-literal (the q_filter_tags class). */
+  private def isGeneratorConstraint(
+      f: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal, Size}
+    f match {
+      case GreaterThan(_: Size, Literal(v, _)) => v == 0
+      case _ => false
+    }
+  }
+
   private def collectAll(root: SparkPlan): Seq[Finding] = {
     val out = Seq.newBuilder[Finding]
     root.foreach {
@@ -63,8 +78,10 @@ object PlanLint {
           if e.outputPartitioning.numPartitions == 1 =>
         out += Finding("single-partition-exchange", short(e))
       case s: FileSourceScanExec
-          if s.dataFilters.exists(f => !f.isInstanceOf[
-              org.apache.spark.sql.catalyst.expressions.IsNotNull]) &&
+          if s.dataFilters.exists(f =>
+              !f.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.IsNotNull] &&
+              !isGeneratorConstraint(f)) &&
             s.metadata.get("PushedFilters").exists(m =>
               m.replaceAll("IsNotNull\\([^)]*\\)", "")
                 .replaceAll("[\\[\\], ]", "").isEmpty) =>

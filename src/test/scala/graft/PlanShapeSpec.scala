@@ -308,7 +308,13 @@ class PlanShapeSpec extends SparkSpec {
     import graft.plans.PlanLint
     val sf = "/root/testdata/sf0.001"
     val names = Seq("q_filtered_revenue", "q_agg_basic", "q_domain_filter",
-      "q_top_customers", "q_quality", "q_score_auc", "q_manifest")
+      "q_top_customers", "q_quality", "q_score_auc", "q_manifest",
+      // retrieval/audit wave: all keyed/broadcast/bounded by design;
+      // q_zipf is excluded from the window rule below (its one global
+      // window ranks the VOCABULARY — dictionary-sized, documented)
+      "q_bm25", "q_pmi", "q_zipf", "q_fertility", "q_mutual_info",
+      "q_psi", "q_ks_drift", "q_trend_ols", "q_forecast_eval",
+      "q_theilsen", "q_acf", "q_cluster_metrics")
     // single-partition-exchange is excluded here: at sf0.001 AQE
     // legitimately coalesces the final verify-shaped orderBy to one
     // partition, and q_score_auc's 1-row agg single-partitions by
@@ -317,9 +323,16 @@ class PlanShapeSpec extends SparkSpec {
     val hard = Set("cartesian-product", "nested-loop-join",
       "unpushed-scan-filter")
     names.foreach { n =>
+      val windowOk = Set("q_score_auc", "q_zipf")
+      // sanctioned broadcast-NLJ: a 1-row stats frame or a dictionary-
+      // sized grid cross-joined in (the "is the frame small?" question
+      // the rule's doc poses — answered yes by construction here)
+      val nljOk = Set("q_bm25", "q_pmi", "q_psi", "q_mutual_info",
+        "q_ks_drift")
       val findings = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
-        .filter(f => hard(f.rule) ||
-          (f.rule == "global-window" && n != "q_score_auc"))
+        .filter(f => (hard(f.rule) &&
+            !(f.rule == "nested-loop-join" && nljOk(n))) ||
+          (f.rule == "global-window" && !windowOk(n)))
       assert(findings.isEmpty, s"$n: $findings")
     }
   }
