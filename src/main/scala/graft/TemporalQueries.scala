@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
-import graft.operators.{SemiStructured, Similarity, Temporal}
+import graft.operators.{SemiStructured, Similarity, Skew, Temporal}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the [[graft.operators.Temporal]] family and
@@ -685,6 +685,13 @@ object TemporalQueries {
             .as("slope_per_hour"))
         .orderBy("event_type")
     }),
+
+    // ── join-key skew diagnostic: top-20 heaviest user_ids with share
+    //    and a salt-factor hint
+    "q_skew_report" -> ((s, dir) =>
+      Skew.skewReport(ev(s, dir), Seq("user_id"), topN = 20)
+        .withColumn("share", round(col("share") + lit(1e-9), 6))
+        .orderBy(col("cnt").desc, col("user_id"))),
 
     // ── OLS trend per event_type (x = hours since FROM: centered small
     //    integers, per trendOls's numerical contract)
@@ -1623,6 +1630,22 @@ object TemporalQueries {
         |SELECT event_type, count(*) AS n_pairs,
         |       round(median(s) * 3600.0 + 1e-9, 6) + 0.0 AS slope_per_hour
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deterministic top-N: cnt desc, key asc in both engines; ceil of
+    // an identically-ordered double product
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS dk FROM c
+        |)
+        |SELECT user_id, cnt,
+        |  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) + 1e-9, 6)
+        |    + 0.0 AS share,
+        |  CAST(ceil(CAST(cnt AS DOUBLE) * dk / total) AS BIGINT)
+        |    AS salts_hint
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
 
     // x = (bucket-FROM)/3600: exact small integers, so every OLS moment
     // sum is exact in the decimal routing (no cancellation wobble)

@@ -47,4 +47,33 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     sl.join(rep, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** The diagnostic that DECIDES between [[saltedJoin]], `broadcast()`
+    * and doing nothing: the `topN` heaviest keys with their row count,
+    * corpus share, and a salt-factor hint
+    * `ceil(cnt · distinct_keys / total)` — how many mean-sized keys the
+    * hot key weighs (1 ⇒ balanced, S ⇒ spread it over ~S sub-keys).
+    * Run it on the join key BEFORE shipping a 100 TB join; a top key
+    * holding >1% of the corpus is the straggler the plan must design
+    * around.
+    *
+    * One keyed count agg (exchange bounded by key cardinality) + a
+    * 1-row broadcast of the totals + TakeOrdered — never a global sort
+    * of data. */
+  def skewReport(df: DataFrame, keys: Seq[String], topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val counts = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__dk"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("cnt").cast("double") / col("__total").cast("double"))
+      .withColumn("salts_hint",
+        ceil(col("cnt").cast("double") * col("__dk") / col("__total")))
+      .orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
+      .limit(topN)
+      .select(keys.map(col) ++
+        Seq(col("cnt"), col("share"), col("salts_hint")): _*)
+  }
 }

@@ -82,6 +82,23 @@ class DriftSpec extends SparkSpec {
       .collect().head.isNullAt(4))
   }
 
+  // ── skew report ──────────────────────────────────────────────────────
+
+  test("skewReport: hot key surfaces with share and a mean-multiples " +
+      "salt hint; ties break key-asc at the top-N edge") {
+    import graft.operators.Skew
+    // key 7 holds 12 of 20 rows over 5 distinct keys: share 0.6,
+    // salts_hint = ceil(12·5/20) = 3; the other keys hold 2 each
+    val df = (Seq.fill(12)(7L) ++ Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L))
+      .toDF("k")
+    val rows = Skew.skewReport(df, Seq("k"), topN = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.head === ((7L, 12L, 0.6, 3L)))
+    // remaining slots: equal counts → smallest keys first
+    assert(rows.map(_._1).toSeq === Seq(7L, 1L, 2L))
+    assert(rows.tail.forall(r => r._2 == 2L && r._4 == 1L))
+  }
+
   // ── seasonal-naive eval ──────────────────────────────────────────────
 
   test("seasonalNaiveEval: hand-computed MAE/RMSE/sMAPE; eval-window and " +
