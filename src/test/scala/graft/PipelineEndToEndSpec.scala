@@ -131,4 +131,59 @@ class PipelineEndToEndSpec extends SparkSpec {
     val m = spark.read.parquet(s"$dir/manifest")
     assert(m.agg(sum("n_docs")).head().getLong(0) === nMax)
   }
+
+  test("audit loop composes: skew check → retrieval probe → slice drift " +
+      "→ batch-vs-reference PSI → cluster health") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val embs = graft.sources.Tables.load(spark, sf, "embeddings")
+
+    // 0. before any corpus-keyed join ships: the skew report answers
+    //    "is any source a straggler?" — the synthetic corpus is
+    //    near-uniform, so no source should weigh multiple mean keys
+    val skew = graft.operators.Skew.skewReport(docs, Seq("source"), 5)
+      .collect()
+    assert(skew.nonEmpty && skew.forall(_.getLong(3) <= 2L),
+      "uniform corpus must not suggest salting")
+
+    // 1. retrieval probe: every BM25 hit must actually contain at
+    //    least one query term (the join-structure invariant)
+    val hits = graft.operators.Retrieval.bm25TopK(
+      docs, "doc_id", "text", Seq(1 -> "hash join"), k = 5)
+    val bad = hits.join(docs, "doc_id")
+      .filter(!col("text").contains("hash") && !col("text").contains("join"))
+    assert(hits.count() === 5L && bad.count() === 0L)
+
+    // 2. slice drift: n_chars per source vs rest — KS must be
+    //    symmetric-bounded [0,1] and PSI finite for every source
+    val ks = graft.operators.Drift.ksDrift(docs, "source", "n_chars")
+      .collect()
+    assert(ks.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    val psi = graft.operators.Drift.psi(docs, "source", "n_chars")
+      .collect()
+    assert(psi.forall(r => !r.getDouble(2).isNaN &&
+      !r.getDouble(2).isInfinite))
+
+    // 3. batch PSI against a frozen reference ≡ the streaming monitor's
+    //    arithmetic (psiStream runs on a batch frame): same rows, same
+    //    bins → the release gate and the live monitor CANNOT disagree
+    val lo = 0.0
+    val hi = docs.agg(max(col("n_chars"))).head().getLong(0).toDouble
+    val ref = graft.operators.Drift.binFractions(docs, "n_chars", lo, hi, 10)
+    val windowed = graft.streaming.StreamingDrift.psiStream(
+      docs.withColumn("ts", timestamp_seconds(lit(0L))),
+      Nil, "ts", "n_chars", windowSec = 60, latenessSec = 0,
+      lo, hi, 10, ref).collect()
+    assert(windowed.length === 1)
+    // whole corpus vs its own reference: only smoothing-denominator
+    // slack remains — drift must read as negligible
+    assert(math.abs(windowed.head.getDouble(2)) < 1e-3)
+
+    // 4. embedding cluster health: silhouette defined for every label
+    val health = graft.operators.Similarity.clusterMetrics(
+      embs, "embedding", "label").collect()
+    assert(health.length >= 2 && health.forall(r =>
+      !r.getDouble(3).isNaN && r.getDouble(3) >= -1.0 &&
+        r.getDouble(3) <= 1.0))
+  }
 }
