@@ -693,6 +693,21 @@ object TemporalQueries {
         .withColumn("share", round(col("share") + lit(1e-9), 6))
         .orderBy(col("cnt").desc, col("user_id"))),
 
+    // ── iterative sigma-clip outlier flags per event_type (k=2.5,
+    //    3 passes — re-estimated σ catches spikes that mask themselves)
+    "q_sigma_clip" -> ((s, dir) => {
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      Temporal.sigmaClip(series, Seq("event_type"), "bucket", "v",
+          k = 2.5, maxIter = 3)
+        .select(col("event_type"), col("bucket"),
+          round(col("v") + lit(1e-9), 4).as("v"), col("is_outlier"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // ── OLS trend per event_type (x = hours since FROM: centered small
     //    integers, per trendOls's numerical contract)
     "q_trend_ols" -> ((s, dir) => {
@@ -1646,6 +1661,48 @@ object TemporalQueries {
         |    AS salts_hint
         |FROM c CROSS JOIN t
         |ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+
+    // the clip loop replays as a recursive CTE unrolled to exactly
+    // maxIter passes (no-op passes are identity, so the engine's
+    // early-stop and the full unroll agree); μ/σ via decimal sums
+    "q_sigma_clip" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), ser AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM e GROUP BY 1, 2
+        |), clip AS (
+        |  SELECT 0 AS iter, event_type, bucket, v FROM ser
+        |  UNION ALL
+        |  SELECT c.iter + 1, c.event_type, c.bucket, c.v
+        |  FROM clip c
+        |  JOIN (
+        |    SELECT iter, event_type,
+        |      CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / count(v)
+        |        AS mu,
+        |      sqrt(greatest(0.0,
+        |        CAST(sum(CAST(v * v AS DECIMAL(30,12))) AS DOUBLE)
+        |          / count(v)
+        |        - (CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE)
+        |             / count(v))
+        |          * (CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE)
+        |             / count(v)))) AS sigma
+        |    FROM clip GROUP BY 1, 2
+        |  ) s ON s.iter = c.iter AND s.event_type = c.event_type
+        |  WHERE c.iter < 3 AND abs(c.v - s.mu) <= 2.5 * s.sigma
+        |)
+        |SELECT s0.event_type, s0.bucket, round(s0.v + 1e-9, 4) + 0.0 AS v,
+        |       f.bucket IS NULL AS is_outlier
+        |FROM ser s0
+        |LEFT JOIN (SELECT event_type, bucket FROM clip WHERE iter = 3) f
+        |  ON f.event_type = s0.event_type AND f.bucket = s0.bucket
+        |ORDER BY 1, 2""".stripMargin,
 
     // x = (bucket-FROM)/3600: exact small integers, so every OLS moment
     // sum is exact in the decimal routing (no cancellation wobble)

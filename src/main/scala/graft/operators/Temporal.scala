@@ -599,6 +599,63 @@ object Temporal {
           .as("smape"))
   }
 
+  /** Iterative sigma-clipping per key (the astronomy-standard robust
+    * outlier flagger): repeatedly compute the per-key mean/population-σ
+    * over the SURVIVORS and drop points with `|v − μ| > k·σ`, until a
+    * pass removes nothing or `maxIter` passes ran. One spike inflates a
+    * plain z-threshold's own σ and hides itself — re-estimating after
+    * each removal is what catches it. Returns the INPUT rows with an
+    * `is_outlier` flag (non-destructive; filter downstream).
+    *
+    * Scale: each pass is one keyed agg + one broadcast-back join over a
+    * BUCKETIZED series (bucket-bounded rows, like [[theilSen]] —
+    * bucketize first, stated contract); survivors localCheckpoint each
+    * pass so the loop's lineage stays flat (the connected-components /
+    * pageRank protocol). Iterations are data-dependent but ≤ maxIter.
+    *
+    * Determinism: μ and σ from decimal(30,12) sums
+    * (σ = √max(0, Σv²/n − μ²), same expression both engines), so the
+    * removal set per pass — and therefore the fixed point — is
+    * engine-reproducible; the oracle replays the loop as a recursive
+    * CTE (always unrolled to exactly maxIter passes: extra no-op passes
+    * are identity, so early-stop and full-unroll agree). */
+  def sigmaClip(series: DataFrame, keys: Seq[String], bucketCol: String,
+      valueCol: String, k: Double, maxIter: Int): DataFrame = {
+    require(k > 0 && maxIter >= 1, "k > 0, maxIter >= 1")
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    val kc = keys.map(col)
+    val v = col(valueCol)
+    var survivors = series.select(
+      kc :+ col(bucketCol) :+ v.cast("double").as(valueCol): _*)
+      .localCheckpoint(true)
+    var it = 0
+    var changed = true
+    while (it < maxIter && changed) {
+      val g = if (keys.isEmpty) survivors.groupBy()
+        else survivors.groupBy(kc: _*)
+      val stats = g.agg((dsum(v) / count(v)).as("__mu"),
+        (dsum(v * v) / count(v)).as("__m2"))
+        .withColumn("__sigma",
+          sqrt(greatest(lit(0.0),
+            col("__m2") - col("__mu") * col("__mu"))))
+      val joined = (if (keys.isEmpty) survivors.crossJoin(broadcast(stats))
+        else survivors.join(broadcast(stats), keys))
+      val next = joined
+        .filter(abs(v - col("__mu")) <= lit(k) * col("__sigma"))
+        .select(kc :+ col(bucketCol) :+ v: _*)
+        .localCheckpoint(true)
+      val before = survivors.count()
+      val after = next.count()
+      changed = after != before
+      survivors = next
+      it += 1
+    }
+    series.join(
+      survivors.select(kc :+ col(bucketCol) :+ lit(false).as("is_outlier"): _*),
+      keys :+ bucketCol, "left")
+      .na.fill(true, Seq("is_outlier"))
+  }
+
   /** Sample autocorrelation per key at lags `1..maxLag` (lag unit =
     * `step` in the bucket column's time base):
     *

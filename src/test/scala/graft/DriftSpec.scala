@@ -82,6 +82,27 @@ class DriftSpec extends SparkSpec {
       .collect().head.isNullAt(4))
   }
 
+  // ── sigma clip ───────────────────────────────────────────────────────
+
+  test("sigmaClip: re-estimation unmasks the spike a one-shot z-test " +
+      "misses; maxIter truncates honestly") {
+    import graft.operators.Temporal
+    // 18 zeros + spikes 100 and 60: pass 1 removes only the 100 (the
+    // spikes inflate σ enough to shield the 60); pass 2 catches the 60
+    val pts = ((0 until 18).map(i => ("k", i.toLong, 0.0)) ++
+      Seq(("k", 18L, 100.0), ("k", 19L, 60.0))).toDF("g", "t", "v")
+    val flags = Temporal.sigmaClip(pts, Seq("g"), "t", "v",
+        k = 2.5, maxIter = 5)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(flags(18L) && flags(19L))
+    assert((0 until 18).forall(i => !flags(i.toLong)))
+    // with maxIter = 1 the masked spike survives — the truncation is real
+    val one = Temporal.sigmaClip(pts, Seq("g"), "t", "v",
+        k = 2.5, maxIter = 1)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(one(18L) && !one(19L))
+  }
+
   // ── skew report ──────────────────────────────────────────────────────
 
   test("skewReport: hot key surfaces with share and a mean-multiples " +

@@ -128,6 +128,77 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(!out.contains(3))
   }
 
+  // ── randomized ≡-brute-force (seeded, the house confidence pattern) ──
+
+  test("bm25TopK ≡ brute-force reference scorer on a random corpus") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val corpus = (0L until 60L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val docs = corpus.map { case (i, ts) => (i, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val qs = Seq(1 -> "aa cc", 2 -> "gg", 3 -> "bb ee ff")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 60)
+      .collect().map(r => (r.getInt(0), r.getLong(2)) ->
+        (r.getInt(1), r.getDouble(3))).toMap
+    // brute force, straight from the scaladoc formula
+    val n = corpus.size
+    val avgdl = corpus.map(_._2.size).sum.toDouble / n
+    val dfm = vocab.map(t =>
+      t -> corpus.count(_._2.contains(t)).toLong).toMap
+    def w(tf: Long, df: Long, dl: Int): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * 2.5) / (tf + 1.5 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    for ((qid, qt) <- qs; (id, toks) <- corpus) {
+      val terms = qt.split(" ").distinct.filter(t => toks.contains(t))
+      val exp = terms.map(t =>
+        w(toks.count(_ == t).toLong, dfm(t), toks.size)).sum
+      if (terms.isEmpty) assert(!got.contains((qid, id)), s"$qid/$id")
+      else assert(math.abs(got((qid, id))._2 - exp) < 1e-9, s"$qid/$id")
+    }
+    // ranks: per query, scores non-increasing with rank
+    for (q <- qs.map(_._1)) {
+      val byRank = got.collect { case ((`q`, _), (rk, s)) => rk -> s }
+        .toSeq.sortBy(_._1)
+      assert(byRank.zip(byRank.tail).forall { case ((_, a), (_, b)) =>
+        a >= b - 1e-12 })
+    }
+  }
+
+  test("theilSen ≡ brute-force pairwise-slope median on random series") {
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 40).map(i =>
+      ("k", i.toLong * 7, rnd.nextDouble() * 100 - 50))
+    val got = Temporal.theilSen(pts.toDF("g", "t", "v"), Seq("g"), "t", "v")
+      .collect().head
+    val slopes = (for {
+      i <- pts.indices; j <- pts.indices if j > i
+    } yield (pts(j)._3 - pts(i)._3) / (pts(j)._2 - pts(i)._2).toDouble)
+      .sorted
+    val m = slopes.size
+    val exp = // Spark percentile(0.5): index (m-1)/2 interpolated
+      if (m % 2 == 1) slopes(m / 2)
+      else slopes(m / 2 - 1) * 0.5 + slopes(m / 2) * 0.5
+    assert(got.getLong(1) === m.toLong)
+    assert(math.abs(got.getDouble(2) - exp) < 1e-9)
+  }
+
+  test("acf ≡ brute-force autocorrelation on a random series") {
+    val rnd = new scala.util.Random(31)
+    val ys = Vector.fill(50)(rnd.nextDouble() * 10)
+    val pts = ys.zipWithIndex.map { case (y, t) => ("k", t.toLong, y) }
+    val got = Temporal.acf(pts.toDF("g", "t", "v"), Seq("g"), "t", "v",
+        maxLag = 5, step = 1L)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val mean = ys.sum / ys.size
+    val d = ys.map(_ - mean)
+    val ss = d.map(x => x * x).sum
+    for (l <- 1 to 5) {
+      val num = (0 until ys.size - l).map(i => d(i) * d(i + l)).sum
+      assert(math.abs(got(l) - num / ss) < 1e-9, s"lag $l")
+    }
+  }
+
   // ── cluster metrics ──────────────────────────────────────────────────
 
   test("clusterMetrics: hand-computed scatter + simplified silhouette; " +
