@@ -552,6 +552,12 @@ object DataPipelineQueries {
       Sampling.stratifiedTopK(docs(s, dir), "source", "doc_id", k = 25)
         .select("source", "doc_id").orderBy("source", "doc_id")),
 
+    // ── class balancing: every lang downsampled to the minority count
+    //    (deterministic hash-rank draw, append-stable)
+    "q_balance_classes" -> ((s, dir) =>
+      Sampling.balanceClasses(docs(s, dir), "lang", "doc_id")
+        .select("lang", "doc_id").orderBy("lang", "doc_id")),
+
     // ── TF-IDF keyword extraction: top-3 terms per doc
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
@@ -2170,6 +2176,21 @@ object DataPipelineQueries {
         |               / 4294967296.0, doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin,
+
+    // same md5-uniform rank as q_stratified_sample; k = min class count
+    "q_balance_classes" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        |), k AS (SELECT min(n) AS k FROM c),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                 AS BIGINT) / 4294967296.0, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id FROM r CROSS JOIN k
+        |WHERE rn <= k.k ORDER BY lang, doc_id""".stripMargin,
 
     // smoothed tf-idf = tf * (ln((N+1)/(df+1)) + 1); rank on the
     // unrounded score, term asc tie-break (both engines)

@@ -69,6 +69,29 @@ object Sampling {
       .drop("__u", "__n", "__rn")
   }
 
+  /** Balance classes by DOWNSAMPLING every class to the minority
+    * class's count — the classifier-training-data equalizer (a quality
+    * scorer fit on 95:5 data learns the prior, not the signal).
+    * Selection is the [[stratifiedTopK]] hash-rank draw with
+    * k = min class count, so membership is deterministic,
+    * partition-stable and append-stable per `salt`. The min count is
+    * one class-cardinality aggregate collected driver-side (index
+    * scale); everything after is the stratified plan — broadcast
+    * counts, narrow pre-filter, class-keyed window.
+    *
+    * Degenerate guard: requires ≥ 2 classes (balancing one class is a
+    * no-op that silently truncates — refuse instead). */
+  def balanceClasses(df: DataFrame, classCol: String, idCol: String,
+      salt: String = ""): DataFrame = {
+    val counts = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
+      .collect()
+    require(counts.length >= 2,
+      s"balanceClasses needs >= 2 classes (got ${counts.length})")
+    val kMin = counts.map(_.getLong(1)).min
+    require(kMin <= Int.MaxValue, "minority class exceeds Int.MaxValue")
+    stratifiedTopK(df, classCol, idCol, kMin.toInt, salt)
+  }
+
   /** Sample each stratum down to ≈ a TOKEN budget — the data-mixing
     * step of corpus assembly ("200B tokens of web, 30B of code"):
     * stratum s keeps rows with probability `min(1, budget_s / tokens_s)`,

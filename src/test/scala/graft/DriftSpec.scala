@@ -82,6 +82,27 @@ class DriftSpec extends SparkSpec {
       .collect().head.isNullAt(4))
   }
 
+  // ── class balancing ──────────────────────────────────────────────────
+
+  test("balanceClasses: every class lands exactly at the minority " +
+      "count, deterministically; single class refused") {
+    import graft.operators.Sampling
+    val df = ((1L to 50L).map(i => ("big", i)) ++
+      (100L to 107L).map(i => ("small", i))).toDF("c", "id")
+    val out = Sampling.balanceClasses(df, "c", "id")
+    val sizes = out.groupBy("c").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes === Map("big" -> 8L, "small" -> 8L))
+    // deterministic: a re-run selects the identical ids
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.balanceClasses(df, "c", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Sampling.balanceClasses(df.filter(col("c") === "big"), "c", "id")
+    }
+  }
+
   // ── sigma clip ───────────────────────────────────────────────────────
 
   test("sigmaClip: re-estimation unmasks the spike a one-shot z-test " +
