@@ -30,7 +30,12 @@ object Drift {
     * rounded to fixed precision, counts) where |grid| = slices ×
     * distinct values stays table-shaped. For continuous high-cardinality
     * values at 100 TB, bin first and use [[psi]] — that's the scale
-    * path, stated contract, same decision as exact-vs-LSH dedup. */
+    * path, stated contract, same decision as exact-vs-LSH dedup.
+    *
+    * Needs ≥ 2 slices by construction: with one slice "the rest" is
+    * empty and its CDF is 0/0 — the slice's `ks` comes back NaN, the
+    * honest IEEE answer to an undefined comparison (kept rather than
+    * masked; filter or validate upstream). */
   def ksDrift(df: DataFrame, sliceCol: String, vCol: String): DataFrame = {
     val cnt = df.groupBy(col(sliceCol).as("__s"), col(vCol).as("__v"))
       .agg(count(lit(1)).as("__c"))

@@ -540,8 +540,10 @@ object Temporal {
     * the moment formulation `n·Σxy − Σx·Σy` cancels catastrophically
     * when |x| ≫ spread(x). With small-integer x every moment sum is
     * exact in the decimal(30,12) routing and the fit is
-    * order-independent and engine-reproducible. R² is NULL (not NaN)
-    * for a constant series (zero y-variance). */
+    * order-independent and engine-reproducible. Degenerate contracts:
+    * R² is NULL (not NaN) for a constant series (zero y-variance), and
+    * slope/intercept/R² are NULL for a degenerate x (single distinct
+    * point — zero x-variance), never a 0/0 NaN. */
   def trendOls(series: DataFrame, keys: Seq[String], xCol: String,
       vCol: String): DataFrame = {
     def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
@@ -555,11 +557,12 @@ object Temporal {
       .withColumn("__vx", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("__vy", col("n") * col("syy") - col("sy") * col("sy"))
       .withColumn("__cov", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("slope", col("__cov") / col("__vx"))
+      .withColumn("slope", when(col("__vx") > 0, col("__cov") / col("__vx")))
       .withColumn("intercept",
-        (col("sy") - col("slope") * col("sx")) / col("n").cast("double"))
+        when(col("__vx") > 0,
+          (col("sy") - col("slope") * col("sx")) / col("n").cast("double")))
       .withColumn("r2",
-        when(col("__vy") > 0,
+        when(col("__vx") > 0 && col("__vy") > 0,
           (col("__cov") * col("__cov")) / (col("__vx") * col("__vy"))))
       .select((keys.map(col) ++
         Seq(col("n"), col("slope"), col("intercept"), col("r2"))): _*)

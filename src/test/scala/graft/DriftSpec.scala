@@ -69,6 +69,27 @@ class DriftSpec extends SparkSpec {
 
   // ── OLS trend ────────────────────────────────────────────────────────
 
+  test("trendOls: degenerate x (one point) → NULL fit, never a 0/0 NaN") {
+    import graft.operators.Temporal
+    val one = Seq(("k", 5L, 3.0)).toDF("g", "x", "y")
+    val r = Temporal.trendOls(one, Seq("g"), "x", "y").collect().head
+    assert(r.getLong(1) === 1L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("theilSen / acf: a single-point series simply yields no row " +
+      "for that key (no pairs, no crash)") {
+    import graft.operators.Temporal
+    val mixed = Seq(("solo", 0L, 1.0), ("pair", 0L, 1.0),
+      ("pair", 1L, 2.0)).toDF("g", "t", "v")
+    val ts = Temporal.theilSen(mixed, Seq("g"), "t", "v").collect()
+      .map(_.getString(0)).toSet
+    assert(ts === Set("pair"))
+    val ac = Temporal.acf(mixed, Seq("g"), "t", "v", 2, 1L).collect()
+      .map(_.getString(0)).toSet
+    assert(ac === Set("pair"))
+  }
+
   test("trendOls: exact fit on a perfect line; r2 NULL for constant y") {
     val line = (0L to 9L).map(t => ("k", t, 3.0 * t + 7.0))
       .toDF("g", "x", "y")
