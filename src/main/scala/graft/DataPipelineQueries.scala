@@ -951,6 +951,23 @@ object DataPipelineQueries {
           round(col("psi") + lit(1e-9), 6).as("psi"))
         .orderBy("source")),
 
+    // ── bounded symmetric drift: JSD per source vs rest
+    "q_js_div" -> ((s, dir) =>
+      Drift.jsDivergence(docs(s, dir), "source", "n_chars", bins = 10)
+        .select(col("source"), col("n_slice"),
+          round(col("jsd") + lit(1e-9), 6).as("jsd"))
+        .orderBy("source")),
+
+    // ── two-corpus PSI: one source as the "incoming batch" against the
+    //    whole corpus as "expected"
+    "q_psi_between" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Drift.psiBetween(d.filter(col("source") === "src0"), d,
+          "n_chars", bins = 10)
+        .select(col("n_actual"), col("n_expected"),
+          round(col("psi") + lit(1e-9), 6).as("psi"))
+    }),
+
     // ── association audit: is lang independent of source? (MI + χ²)
     "q_mutual_info" -> ((s, dir) =>
       Drift.mutualInfo(docs(s, dir), "lang", "source")
@@ -3164,6 +3181,81 @@ object DataPipelineQueries {
         |       (CAST(ct + 1 AS DOUBLE) / CAST(nn + 10 AS DOUBLE)))
         |    AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) + 0.0 AS psi
         |FROM g2 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // same grid as q_psi; jsd = (Σa·ln(a/m) + Σr·ln(r/m))/2 with both
+    // sums decimal-routed, m recomputed from the same expressions
+    "q_js_div" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+        |         CAST(max(n_chars) AS DOUBLE) AS hi
+        |  FROM documents
+        |), b AS (
+        |  SELECT source AS sl,
+        |    least(9, greatest(0, CAST(floor(
+        |      (CAST(n_chars AS DOUBLE) - mm.lo) * 10 / (mm.hi - mm.lo + 1.0)
+        |    ) AS INT))) AS bb
+        |  FROM documents CROSS JOIN mm
+        |), sb AS (SELECT sl, bb, count(*) AS cc FROM b GROUP BY 1, 2),
+        |st AS (SELECT sl, count(*) AS ns FROM b GROUP BY 1),
+        |cb AS (SELECT bb, count(*) AS ct FROM b GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM b),
+        |spine AS (SELECT unnest(range(0, 10)) AS bb),
+        |grid AS (
+        |  SELECT st.sl, st.ns, sp.bb, coalesce(cb.ct, 0) AS ct, n.nn
+        |  FROM st CROSS JOIN spine sp
+        |  LEFT JOIN cb USING (bb) CROSS JOIN n
+        |), g2 AS (
+        |  SELECT g.sl, g.ns, g.ct, g.nn, coalesce(sb.cc, 0) AS cc
+        |  FROM grid g LEFT JOIN sb ON sb.sl = g.sl AND sb.bb = g.bb
+        |), f AS (
+        |  SELECT sl, ns,
+        |    CAST(cc + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE) AS a,
+        |    CAST(ct - cc + 1 AS DOUBLE) / CAST(nn - ns + 10 AS DOUBLE) AS r,
+        |    (CAST(cc + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE) +
+        |     CAST(ct - cc + 1 AS DOUBLE) / CAST(nn - ns + 10 AS DOUBLE)) / 2
+        |      AS m
+        |  FROM g2
+        |)
+        |SELECT sl AS source, ns AS n_slice,
+        |  round((CAST(sum(CAST(a * ln(a / m) AS DECIMAL(30,12))) AS DOUBLE)
+        |       + CAST(sum(CAST(r * ln(r / m) AS DECIMAL(30,12))) AS DOUBLE))
+        |       / 2 + 1e-9, 6) + 0.0 AS jsd
+        |FROM f GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // two-corpus PSI: the engine tags a union frame, so the oracle
+    // builds the identical union (bins over the UNION's min/max)
+    "q_psi_between" ->
+      """WITH u AS (
+        |  SELECT 'a' AS s, n_chars AS v FROM documents WHERE source = 'src0'
+        |  UNION ALL SELECT 'b' AS s, n_chars AS v FROM documents
+        |), mm AS (
+        |  SELECT CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+        |  FROM u
+        |), b AS (
+        |  SELECT s, least(9, greatest(0, CAST(floor(
+        |    (CAST(v AS DOUBLE) - mm.lo) * 10 / (mm.hi - mm.lo + 1.0)
+        |  ) AS INT))) AS bb
+        |  FROM u CROSS JOIN mm
+        |), sb AS (SELECT s, bb, count(*) AS c FROM b GROUP BY 1, 2),
+        |st AS (SELECT s, count(*) AS ns FROM b GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, 10)) AS bb),
+        |grid AS (
+        |  SELECT st.s, st.ns, sp.bb, coalesce(sb.c, 0) AS c
+        |  FROM st CROSS JOIN spine sp
+        |  LEFT JOIN sb ON sb.s = st.s AND sb.bb = sp.bb
+        |), fa AS (
+        |  SELECT bb, ns AS na,
+        |         CAST(c + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE) AS f
+        |  FROM grid WHERE s = 'a'
+        |), fb AS (
+        |  SELECT bb, ns AS nb,
+        |         CAST(c + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE) AS f
+        |  FROM grid WHERE s = 'b'
+        |)
+        |SELECT max(na) AS n_actual, max(nb) AS n_expected,
+        |  round(CAST(sum(CAST((fa.f - fb.f) * ln(fa.f / fb.f)
+        |    AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) + 0.0 AS psi
+        |FROM fa JOIN fb USING (bb)""".stripMargin,
 
     // MI over observed cells + χ² over ALL cells (marginal cross grid);
     // count products cast to double before multiplying, like the engine

@@ -81,6 +81,80 @@ object Drift {
   def psi(df: DataFrame, sliceCol: String, vCol: String,
       bins: Int = 10): DataFrame = {
     require(bins >= 2, "bins must be >= 2")
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    binGrid(df, sliceCol, vCol, bins)
+      .withColumn("__a",
+        (col("__c") + 1).cast("double") / (col("__ns") + bins).cast("double"))
+      .withColumn("__e",
+        (col("__ct") + 1).cast("double") / (col("__n") + bins).cast("double"))
+      .groupBy(col("__s").as(sliceCol))
+      .agg(first(col("__ns")).as("n_slice"),
+        dsum((col("__a") - col("__e")) * log(col("__a") / col("__e")))
+          .as("psi"))
+  }
+
+  /** Jensen–Shannon divergence (nats, bounded [0, ln 2]) of `vCol` per
+    * slice vs THE REST, over the same smoothed equal-width bins as
+    * [[psi]]:
+    *
+    *   jsd = ½·Σ a·ln(a/m) + ½·Σ r·ln(r/m),  m = (a + r)/2
+    *
+    * PSI is unbounded and blows up on near-empty reference bins; JSD is
+    * the bounded, symmetric companion a dashboard can threshold
+    * globally. Same plan shape: cardinality-bounded aggs + the explicit
+    * bin spine. */
+  def jsDivergence(df: DataFrame, sliceCol: String, vCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val g = binGrid(df, sliceCol, vCol, bins)
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    val a = (col("__c") + 1).cast("double") /
+      (col("__ns") + bins).cast("double")
+    val r = (col("__ct") - col("__c") + 1).cast("double") /
+      (col("__n") - col("__ns") + bins).cast("double")
+    val m = (a + r) / 2
+    g.groupBy(col("__s").as(sliceCol))
+      .agg(first(col("__ns")).as("n_slice"),
+        ((dsum(a * log(a / m)) + dsum(r * log(r / m))) / 2).as("jsd"))
+  }
+
+  /** PSI of corpus `a` ("actual": the incoming crawl batch) against
+    * corpus `b` ("expected": the standing corpus) — the TWO-FRAME form
+    * of [[psi]] for batch-over-batch ingest monitoring. Bins are
+    * equal-width over the UNION's [min, max] (both batches binned
+    * identically), add-one smoothed, explicit spine. One row:
+    * `(n_actual, n_expected, psi)`. */
+  def psiBetween(a: DataFrame, b: DataFrame, vCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val tagged = a.select(lit("a").as("__s"), col(vCol))
+      .unionByName(b.select(lit("b").as("__s"), col(vCol)))
+    val g = binGrid(tagged, "__s", vCol, bins)
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    // per (bin): actual = the 'a' row's smoothed slice fraction;
+    // expected = the 'b' row's. The grid carries both slices per bin.
+    val act = g.filter(col("__s") === "a").select(col("__b"),
+      col("__ns").as("__na"),
+      ((col("__c") + 1).cast("double") /
+        (col("__ns") + bins).cast("double")).as("__fa"))
+    val exp = g.filter(col("__s") === "b").select(col("__b"),
+      col("__ns").as("__nb"),
+      ((col("__c") + 1).cast("double") /
+        (col("__ns") + bins).cast("double")).as("__fb"))
+    act.join(exp, "__b")
+      .agg(first(col("__na")).as("n_actual"),
+        first(col("__nb")).as("n_expected"),
+        dsum((col("__fa") - col("__fb")) *
+          log(col("__fa") / col("__fb"))).as("psi"))
+  }
+
+  /** Shared slice × bin grid with smoothing inputs: one row per
+    * (slice, bin 0..bins-1) carrying `__c` (slice count in bin), `__ns`
+    * (slice total), `__ct` (corpus count in bin), `__n` (corpus total).
+    * Equal-width integer bins over the global [min, max]; explicit
+    * spine keeps corpus-empty bins present. */
+  private def binGrid(df: DataFrame, sliceCol: String, vCol: String,
+      bins: Int): DataFrame = {
     val mm = df.agg(min(col(vCol)).cast("double").as("__lo"),
       max(col(vCol)).cast("double").as("__hi"))
     val binned = df.crossJoin(broadcast(mm))
@@ -96,24 +170,12 @@ object Drift {
     val corpusBins = binned.groupBy(col("__b"))
       .agg(count(lit(1)).as("__ct"))
     val total = binned.agg(count(lit(1)).as("__n"))
-    // explicit 0..bins-1 spine: a bin with zero corpus-wide mass must
-    // still contribute its smoothed term on both sides of the formula
     val spine = total.select(col("__n"),
       explode(sequence(lit(0), lit(bins - 1))).as("__b"))
-    // full slice × bin grid so empty bins contribute their smoothed term
-    val grid = sliceTot.crossJoin(broadcast(
+    sliceTot.crossJoin(broadcast(
       spine.join(corpusBins, Seq("__b"), "left").na.fill(0L, Seq("__ct"))))
-    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
-    grid.join(sliceBins, Seq("__s", "__b"), "left")
+      .join(sliceBins, Seq("__s", "__b"), "left")
       .na.fill(0L, Seq("__c"))
-      .withColumn("__a",
-        (col("__c") + 1).cast("double") / (col("__ns") + bins).cast("double"))
-      .withColumn("__e",
-        (col("__ct") + 1).cast("double") / (col("__n") + bins).cast("double"))
-      .groupBy(col("__s").as(sliceCol))
-      .agg(first(col("__ns")).as("n_slice"),
-        dsum((col("__a") - col("__e")) * log(col("__a") / col("__e")))
-          .as("psi"))
   }
 
   /** Smoothed reference bin fractions for [[psi]]-style comparisons

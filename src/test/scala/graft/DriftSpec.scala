@@ -50,6 +50,30 @@ class DriftSpec extends SparkSpec {
     assert(out.length === 2 && out.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("jsDivergence: 0 for identical halves, near ln 2 for disjoint " +
+      "supports, always within the bound") {
+    val same = Seq.tabulate(40)(i => (if (i % 2 == 0) "a" else "b", i % 5))
+      .toDF("src", "v")
+    val j0 = Drift.jsDivergence(same, "src", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(j0.values.forall(v => math.abs(v) < 1e-12))
+    val split = (Seq.fill(50)(("lo", 1)) ++ Seq.fill(50)(("hi", 99)))
+      .toDF("src", "v")
+    val j1 = Drift.jsDivergence(split, "src", "v").collect()
+      .map(_.getDouble(2))
+    assert(j1.forall(v => v > 0.5 && v <= math.log(2.0) + 1e-12))
+  }
+
+  test("psiBetween: batch ≡ itself → 0; a shifted batch scores loud") {
+    val base = Seq.tabulate(60)(i => i % 100).toDF("v")
+    val self = Drift.psiBetween(base, base, "v").collect().head
+    assert(self.getLong(0) === 60L && self.getLong(1) === 60L)
+    assert(self.getDouble(2) === 0.0) // identical smoothed fractions
+    val shifted = Seq.tabulate(60)(i => 90 + i % 10).toDF("v")
+    assert(Drift.psiBetween(shifted, base, "v").collect()
+      .head.getDouble(2) > 0.25)
+  }
+
   // ── MI / χ² ──────────────────────────────────────────────────────────
 
   test("mutualInfo: independence → mi = 0, χ² = 0; identity → ln|X| and n(k−1)") {
