@@ -314,7 +314,9 @@ class PlanShapeSpec extends SparkSpec {
       // window ranks the VOCABULARY — dictionary-sized, documented)
       "q_bm25", "q_pmi", "q_zipf", "q_fertility", "q_mutual_info",
       "q_psi", "q_ks_drift", "q_trend_ols", "q_forecast_eval",
-      "q_theilsen", "q_acf", "q_cluster_metrics")
+      "q_theilsen", "q_acf", "q_cluster_metrics", "q_js_div",
+      "q_psi_between", "q_balance_classes", "q_skew_report",
+      "q_sigma_clip")
     // single-partition-exchange is excluded here: at sf0.001 AQE
     // legitimately coalesces the final verify-shaped orderBy to one
     // partition, and q_score_auc's 1-row agg single-partitions by
@@ -328,7 +330,7 @@ class PlanShapeSpec extends SparkSpec {
       // sized grid cross-joined in (the "is the frame small?" question
       // the rule's doc poses — answered yes by construction here)
       val nljOk = Set("q_bm25", "q_pmi", "q_psi", "q_mutual_info",
-        "q_ks_drift")
+        "q_ks_drift", "q_js_div", "q_psi_between", "q_skew_report")
       val findings = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
         .filter(f => (hard(f.rule) &&
             !(f.rule == "nested-loop-join" && nljOk(n))) ||
