@@ -176,6 +176,12 @@ class IncrementalOpsSpec extends SparkSpec {
       assert(Dedup.connectedComponents(
         docsData.select(col("doc_id").as("id")),
         Seq((0L, 4L), (4L, 8L)).toDF("id_a", "id_b"), "id").count() >= 0)
+      // sigmaClip localCheckpoints each pass — its intermediates must
+      // drain the same way once the returned flags are consumed
+      assert(Temporal.sigmaClip(
+        (0L to 20L).map(t => ("k", t, if (t == 20) 99.0 else 1.0))
+          .toDF("g", "t", "v"),
+        Seq("g"), "t", "v", k = 2.5, maxIter = 3).count() >= 0)
     }
     // checkpointed intermediates drain via GC + ContextCleaner — poll
     val deadline = System.currentTimeMillis + 30000
