@@ -33,6 +33,46 @@ object FeatureDsl {
     exprs.split(";").toSeq.filter(_.trim.nonEmpty).map(parse)
 }
 
+/** Config-coercion utilities — the reference's `misc.parse_addr` /
+  * `misc.make_bool` (/root/reference/loudml/misc.py:255-283), used by
+  * every connector config (`elastic.py:215`, `influx.py:378`) and by
+  * boolean-ish settings fields. Semantics golden-matched to
+  * `tests/test_misc.py:90-105`. */
+object ConfigCoerce {
+
+  /** "host[:port]" → (host, port). Empty host → "localhost"; missing
+    * port → `defaultPort` (the reference returns None there when no
+    * default is given — represented as Option). */
+  def parseAddr(addr: String, defaultPort: Option[Int] = None): (String, Option[Int]) = {
+    val parts = addr.split(":", -1)
+    val host = if (parts(0).isEmpty) "localhost" else parts(0)
+    val port = if (parts.length == 1) defaultPort else Some(parts(1).toInt)
+    (host, port)
+  }
+
+  /** Loose boolean coercion: null→false, bool→itself, numeric→(≠ 0),
+    * ""/"false"/"no"→false, "true"/"yes"→true (case-insensitive),
+    * anything else → IllegalArgumentException (the reference raises
+    * ValueError). */
+  def makeBool(mixed: Any): Boolean = mixed match {
+    case null => false
+    case b: Boolean => b
+    case i: Int => i != 0
+    case l: Long => l != 0L
+    case d: Double => d.toInt != 0
+    case s: String =>
+      val t = s.toLowerCase
+      scala.util.Try(t.toInt).toOption match {
+        case Some(i) => i != 0
+        case None =>
+          if (t.isEmpty || t == "false" || t == "no") false
+          else if (t == "true" || t == "yes") true
+          else throw new IllegalArgumentException(s"not a bool: $mixed")
+      }
+    case other => throw new IllegalArgumentException(s"not a bool: $other")
+  }
+}
+
 /** Date-math parsing — /root/reference/loudml/misc.py:66-190 and
   * docs/reference/api-conventions.asciidoc:28-83: inputs are epoch seconds
   * (int/float), ISO-8601, or relative `now±<delta>`; timedeltas accept bare

@@ -17,6 +17,27 @@ import graft.sources.Tables
 class SurfacesSpec extends SparkSpec {
   import spark.implicits._
 
+  // ── ConfigCoerce (tests/test_misc.py:90-105 + misc.py:263-283) ──────
+
+  test("parseAddr mirrors test_misc.test_parse_addr") {
+    import graft.api.ConfigCoerce.parseAddr
+    assert(parseAddr("localhost", Some(80)) === (("localhost", Some(80))))
+    assert(parseAddr("localhost:8080", Some(80)) ===
+      (("localhost", Some(8080))))
+    assert(parseAddr(":9200") === (("localhost", Some(9200))))
+    assert(parseAddr("10.0.0.1") === (("10.0.0.1", None)))
+  }
+
+  test("makeBool mirrors misc.make_bool's coercion table") {
+    import graft.api.ConfigCoerce.makeBool
+    assert(!makeBool(null))
+    assert(makeBool(true) && !makeBool(false))
+    assert(makeBool(1) && !makeBool(0) && makeBool("2"))
+    assert(!makeBool("") && !makeBool("false") && !makeBool("no"))
+    assert(makeBool("true") && makeBool("yes") && makeBool("YES"))
+    intercept[IllegalArgumentException] { makeBool("maybe") }
+  }
+
   // ── DateMath (tests/test_misc.py:22-48) ─────────────────────────────
 
   test("timedelta parse mirrors test_misc.test_timedelta") {
