@@ -17,6 +17,51 @@ import graft.sources.Tables
 class SurfacesSpec extends SparkSpec {
   import spark.implicits._
 
+  // ── GraftConfig (config.py:18-90, tests/test_config.py) ─────────────
+
+  test("empty config yields the reference's default table " +
+      "(test_config.test_default_config)") {
+    val c = graft.api.GraftConfig.fromJson("{}")
+    assert(c.metricsEnable)                   // the golden assertion
+    assert(c.nodeMaster && c.nodeCompute)
+    assert(c.training.numCpus === 1L && c.training.numGpus === 0L)
+    assert(c.training.nice === 5L && c.training.batchSize === 64L)
+    assert(c.training.epochs === 100L)
+    assert(c.inference.numCpus === 1L && c.inference.numGpus === 0L)
+    assert(c.server.listen === "localhost:8077")
+    assert(c.server.listenAddr === (("localhost", Some(8077))))
+    assert(c.server.maxTasksPerChild === 100L && c.server.jobsMaxTtl === 60L)
+    assert(!c.debug)
+    assert(c.buckets.isEmpty && c.scheduledJobs.isEmpty)
+  }
+
+  test("config merges buckets + legacy datasources (later shadows) and " +
+      "hydrates the registry through the POST /buckets factory") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cfg_bucket").toString
+    Seq((1L, 2.0)).toDF("ts", "value").write.mode("overwrite").parquet(dir)
+    val json = s"""{
+      "buckets": [
+        {"name": "a", "type": "parquet", "path": "$dir"},
+        {"name": "b", "type": "csv", "path": "/tmp/x.csv"}
+      ],
+      "datasources": [
+        {"name": "b", "type": "parquet", "path": "$dir"}
+      ],
+      "metrics": {"enable": false},
+      "debug": "yes"
+    }"""
+    val c = graft.api.GraftConfig.fromJson(json)
+    assert(!c.metricsEnable && c.debug)
+    assert(c.buckets.keySet === Set("a", "b"))
+    val reg = new graft.sources.BucketRegistry
+    val registered = c.registerBuckets(reg)
+    assert(registered.map(_.name).toSet === Set("a", "b"))
+    // the datasource shadowed the csv declaration: both read as parquet
+    assert(reg("b").readPoints(spark).count() === 1L)
+    assert(reg("a").readPoints(spark).count() === 1L)
+  }
+
   // ── ConfigCoerce (tests/test_misc.py:90-105 + misc.py:263-283) ──────
 
   test("parseAddr mirrors test_misc.test_parse_addr") {
