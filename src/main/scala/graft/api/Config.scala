@@ -113,4 +113,21 @@ object GraftConfig {
     * defaults (the `Config({})` golden case). */
   def fromJson(json: String): GraftConfig =
     new GraftConfig(JsonMethods.parse(json))
+
+  /** config → running service, the `loudmld -c config.yml` analog
+    * (/root/reference/loudml/server.py main): hydrate the bucket
+    * registry, build the engine over the configured storage path, and
+    * bind the HTTP facade on the configured listen port (port 0 for an
+    * ephemeral test bind). Returns (engine, api, boundAddress). */
+  def serve(spark: org.apache.spark.sql.SparkSession, config: GraftConfig,
+      portOverride: Option[Int] = None)
+      : (Engine, HttpApi, java.net.InetSocketAddress) = {
+    val reg = new BucketRegistry
+    config.registerBuckets(reg)
+    val engine = new Engine(spark, reg, config.storagePath)
+    val api = new HttpApi(engine)
+    val port = portOverride.orElse(config.server.listenAddr._2).getOrElse(8077)
+    val addr = api.start(port)
+    (engine, api, addr)
+  }
 }

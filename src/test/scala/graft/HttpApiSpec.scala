@@ -170,6 +170,29 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("config document boots the whole service: registry hydrated, " +
+      "engine storage pathed, HTTP bound (the loudmld -c analog)") {
+    import spark.implicits._
+    val dataDir = java.nio.file.Files
+      .createTempDirectory("graft_cfg_data").toString
+    Seq((1L, 2.0)).toDF("ts", "value").write.mode("overwrite")
+      .parquet(dataDir)
+    val storage = java.nio.file.Files
+      .createTempDirectory("graft_cfg_store").toString
+    val cfg = graft.api.GraftConfig.fromJson(s"""{
+      "storage": {"path": "$storage"},
+      "buckets": [{"name": "events_pq", "type": "parquet",
+                   "path": "$dataDir"}]
+    }""")
+    val (engine, api, addr) = graft.api.GraftConfig.serve(
+      spark, cfg, portOverride = Some(0))
+    try {
+      assert(engine.buckets.names === Seq("events_pq"))
+      val r = send("GET", s"http://127.0.0.1:${addr.getPort}/buckets")
+      assert(r.statusCode() == 200 && r.body().contains("events_pq"))
+    } finally api.stop()
+  }
+
   test("scheduled-jobs CRUD endpoints (server.py:1401-1402)") {
     withServer { (base, _) =>
       assert(send("GET", s"$base/scheduled_jobs").body() == "[]")
