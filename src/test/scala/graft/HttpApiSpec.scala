@@ -193,6 +193,19 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("GraftServer.startFromFile: the daemon boot path reads the " +
+      "document from disk and serves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv")
+    val cfgPath = dir.resolve("config.json")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""{"storage": {"path": "${dir.resolve("store")}"}}""")
+    val (_, api, addr) = graft.GraftServer.startFromFile(
+      spark, cfgPath.toString, portOverride = Some(0))
+    try assert(send("GET",
+      s"http://127.0.0.1:${addr.getPort}/buckets").statusCode() == 200)
+    finally api.stop()
+  }
+
   test("scheduled-jobs CRUD endpoints (server.py:1401-1402)") {
     withServer { (base, _) =>
       assert(send("GET", s"$base/scheduled_jobs").body() == "[]")
