@@ -22,6 +22,51 @@ object DataPipelineQueries {
 
   private val H = 8 // minhash signature length
 
+  private val Bm25Oracle =
+    """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |), postings AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(arr) AS dl, unnest(arr) AS term FROM toks
+        |  ) WHERE length(term) > 0 GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM (
+        |      SELECT doc_id, unnest(arr) AS term FROM toks)
+        |    WHERE length(term) > 0
+        |  ) GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(arr)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           AS avgdl
+        |  FROM toks
+        |), qterms AS (
+        |  SELECT * FROM (VALUES (1,'hash'),(1,'join'),(1,'merge'),
+        |    (2,'window'),(2,'batch'),(2,'stream'),
+        |    (3,'vector'),(3,'scan'),(3,'filter'),(3,'slow'))
+        |    AS t(query_id, term)
+        |), scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(CAST(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |        (p.tf * CAST(2.5 AS DOUBLE)) /
+        |        (p.tf + CAST(1.5 AS DOUBLE) *
+        |          (1.0 - CAST(0.75 AS DOUBLE) +
+        |           CAST(0.75 AS DOUBLE) * p.dl / s.avgdl))
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS score
+        |  FROM postings p JOIN qterms q USING (term)
+        |  JOIN dfreq d USING (term) CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, doc_id, round(score + 1e-9, 4) + 0.0 AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── exact dedup (content-hash, ES sha1-doc-id analog)
     "q_dedup_exact" -> ((s, dir) =>
@@ -572,6 +617,19 @@ object DataPipelineQueries {
             3 -> "vector scan filter slow"), k = 10)
         .withColumn("score", round(col("score") + lit(1e-9), 4))
         .orderBy("query_id", "rank")),
+
+    // ── BM25 against a PERSISTED inverted index (build once per corpus
+    //    version, probe per query batch) — same oracle as q_bm25: the
+    //    index must be a pure cost move, bit-identical scores
+    "q_bm25_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_bm25_idx_${math.abs(dir.hashCode)}"
+      Retrieval.buildIndex(docs(s, dir), "doc_id", "text", idx)
+      Retrieval.bm25TopKIndexed(s, idx, "doc_id",
+          Seq(1 -> "hash join merge", 2 -> "window batch stream",
+            3 -> "vector scan filter slow"), k = 10)
+        .withColumn("score", round(col("score") + lit(1e-9), 4))
+        .orderBy("query_id", "rank")
+    }),
 
     // ── C4-style boilerplate removal, token unit (the synthetic corpus
     //    has no sentence structure): drop tokens present in ≥ 390 docs,
@@ -2242,49 +2300,11 @@ object DataPipelineQueries {
     // exact integer sum; per-(query,doc) sum routed through
     // decimal(30,12) in both engines → scores bit-identical, rank on
     // the unrounded double
-    "q_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-        |), postings AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-        |    SELECT doc_id, len(arr) AS dl, unnest(arr) AS term FROM toks
-        |  ) WHERE length(term) > 0 GROUP BY 1, 2, 3
-        |), dfreq AS (
-        |  SELECT term, count(*) AS df FROM (
-        |    SELECT DISTINCT doc_id, term FROM (
-        |      SELECT doc_id, unnest(arr) AS term FROM toks)
-        |    WHERE length(term) > 0
-        |  ) GROUP BY 1
-        |), stats AS (
-        |  SELECT count(*) AS n,
-        |         CAST(sum(len(arr)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |           AS avgdl
-        |  FROM toks
-        |), qterms AS (
-        |  SELECT * FROM (VALUES (1,'hash'),(1,'join'),(1,'merge'),
-        |    (2,'window'),(2,'batch'),(2,'stream'),
-        |    (3,'vector'),(3,'scan'),(3,'filter'),(3,'slow'))
-        |    AS t(query_id, term)
-        |), scored AS (
-        |  SELECT q.query_id, p.doc_id,
-        |    CAST(sum(CAST(
-        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
-        |        (p.tf * CAST(2.5 AS DOUBLE)) /
-        |        (p.tf + CAST(1.5 AS DOUBLE) *
-        |          (1.0 - CAST(0.75 AS DOUBLE) +
-        |           CAST(0.75 AS DOUBLE) * p.dl / s.avgdl))
-        |      AS DECIMAL(30,12))) AS DOUBLE) AS score
-        |  FROM postings p JOIN qterms q USING (term)
-        |  JOIN dfreq d USING (term) CROSS JOIN stats s
-        |  GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT query_id, doc_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, rank, doc_id, round(score + 1e-9, 4) + 0.0 AS score
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_bm25" -> Bm25Oracle,
+
+    // the index path must reproduce the direct path bit-for-bit — the
+    // oracle IS q_bm25's
+    "q_bm25_indexed" -> Bm25Oracle,
 
     // parallel unnests zip by position in DuckDB → (pos, token) rows;
     // string_agg(… ORDER BY i) rebuilds the doc in original order

@@ -128,6 +128,30 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(!out.contains(3))
   }
 
+  test("bm25TopKIndexed ≡ bm25TopK bit-for-bit through the persisted " +
+      "index (the index is a pure cost move)") {
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (0L until 40L).map(i => (i,
+      Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val qs = Seq(1 -> "aa cc", 2 -> "ee bb")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val direct = rows(Retrieval.bm25TopK(docs, "doc_id", "text", qs, 40))
+    val indexed = rows(
+      Retrieval.bm25TopKIndexed(spark, dir, "doc_id", qs, 40))
+    assert(direct === indexed) // EXACT doubles, not approximate
+    // a second query batch probes the same index without a rebuild
+    val q2 = rows(Retrieval.bm25TopKIndexed(spark, dir, "doc_id",
+      Seq(7 -> "dd"), 40))
+    assert(q2.nonEmpty && q2.forall(_._1 == 7))
+  }
+
   // ── randomized ≡-brute-force (seeded, the house confidence pattern) ──
 
   test("bm25TopK ≡ brute-force reference scorer on a random corpus") {
