@@ -169,6 +169,35 @@ class DriftSpec extends SparkSpec {
     assert(one(18L) && !one(19L))
   }
 
+  test("sigmaClip ≡ a brute-force Scala replay of the loop on a " +
+      "random series") {
+    import graft.operators.Temporal
+    val rnd = new scala.util.Random(53)
+    val ys = Vector.fill(60)(
+      if (rnd.nextInt(10) == 0) rnd.nextDouble() * 500
+      else rnd.nextDouble() * 10)
+    val pts = ys.zipWithIndex.map { case (y, t) => ("k", t.toLong, y) }
+    val got = Temporal.sigmaClip(pts.toDF("g", "t", "v"), Seq("g"),
+        "t", "v", k = 2.0, maxIter = 10)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    // brute force (plain double math: removal decisions sit far from
+    // the decimal routing's 1e-12 quantization on this data)
+    var surv = ys.zipWithIndex.map { case (y, t) => t.toLong -> y }
+    var it = 0
+    var changed = true
+    while (it < 10 && changed) {
+      val mu = surv.map(_._2).sum / surv.size
+      val m2 = surv.map(p => p._2 * p._2).sum / surv.size
+      val sigma = math.sqrt(math.max(0.0, m2 - mu * mu))
+      val next = surv.filter(p => math.abs(p._2 - mu) <= 2.0 * sigma)
+      changed = next.size != surv.size
+      surv = next; it += 1
+    }
+    val kept = surv.map(_._1).toSet
+    ys.indices.foreach(t =>
+      assert(got(t.toLong) === !kept.contains(t.toLong), s"t=$t"))
+  }
+
   // ── skew report ──────────────────────────────────────────────────────
 
   test("skewReport: hot key surfaces with share and a mean-multiples " +
