@@ -1009,6 +1009,12 @@ object DataPipelineQueries {
           round(col("psi") + lit(1e-9), 6).as("psi"))
         .orderBy("source")),
 
+    // ── domain concentration: Gini of doc mass across sources
+    "q_gini" -> ((s, dir) =>
+      Drift.gini(docs(s, dir), "source")
+        .select(col("n_keys"), col("total"),
+          round(col("gini") + lit(1e-9), 6).as("gini"))),
+
     // ── bounded symmetric drift: JSD per source vs rest
     "q_js_div" -> ((s, dir) =>
       Drift.jsDivergence(docs(s, dir), "source", "n_chars", bins = 10)
@@ -3201,6 +3207,25 @@ object DataPipelineQueries {
         |       (CAST(ct + 1 AS DOUBLE) / CAST(nn + 10 AS DOUBLE)))
         |    AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) + 0.0 AS psi
         |FROM g2 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // rank formulation over exact integer sums; ties contribute
+    // identically under any order so the value is engine-stable
+    "q_gini" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS x FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT x, row_number() OVER (ORDER BY x ASC, source ASC) AS i
+        |  FROM c
+        |), m AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
+        |         CAST(sum(CAST(i * x AS DECIMAL(30,0))) AS DOUBLE) AS s1
+        |  FROM r
+        |)
+        |SELECT n AS n_keys, total,
+        |  round((2.0 * s1) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6) + 0.0
+        |    AS gini
+        |FROM m""".stripMargin,
 
     // same grid as q_psi; jsd = (Σa·ln(a/m) + Σr·ln(r/m))/2 with both
     // sums decimal-routed, m recomputed from the same expressions

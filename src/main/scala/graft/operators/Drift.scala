@@ -93,6 +93,35 @@ object Drift {
           .as("psi"))
   }
 
+  /** Gini concentration of row mass across `keyCol` groups (0 =
+    * perfectly even, → 1 = one group owns everything) — the
+    * domain-diversity audit a crawl report leads with (a corpus whose
+    * token mass is 0.9-Gini concentrated in a handful of domains is a
+    * memorization farm, whatever its size says). One row:
+    * `(n_keys, total, gini)` via the rank formulation
+    * `G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n` over counts sorted
+    * ascending (ties contribute identically under any order, so the
+    * key tie-break is for plan determinism, not the value).
+    *
+    * Scale: one keyed count agg + one KEY-CARDINALITY-bounded global
+    * rank (sorting the domain dictionary, not rows — the zipfFit
+    * posture); every sum is exact integers through decimal. */
+  def gini(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("__x").asc, col(keyCol).asc)))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__x")).as("total"),
+        sum((col("__i").cast("long") * col("__x"))
+          .cast("decimal(30,0)")).cast("double").as("__s1"))
+      .select(col("n_keys"), col("total"),
+        ((lit(2.0) * col("__s1")) /
+          (col("n_keys").cast("double") * col("total").cast("double")) -
+          (col("n_keys") + 1).cast("double") / col("n_keys").cast("double"))
+          .as("gini"))
+  }
+
   /** Jensen–Shannon divergence (nats, bounded [0, ln 2]) of `vCol` per
     * slice vs THE REST, over the same smoothed equal-width bins as
     * [[psi]]:

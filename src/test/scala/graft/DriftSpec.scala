@@ -50,6 +50,19 @@ class DriftSpec extends SparkSpec {
     assert(out.length === 2 && out.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("gini: 0 for a uniform corpus, → 1 as one key takes everything; " +
+      "textbook value on a known split") {
+    import graft.operators.Drift
+    val even = (1 to 4).flatMap(k => Seq.fill(10)(s"k$k")).toDF("k")
+    val g0 = Drift.gini(even, "k").collect().head
+    assert(g0.getLong(0) === 4L && g0.getLong(1) === 40L)
+    assert(math.abs(g0.getDouble(2)) < 1e-12)
+    // counts (1, 1, 1, 97): G = 2·(1+2+3+4·97)/(4·100) − 5/4 = 0.72
+    val skewed = (Seq.fill(97)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val g1 = Drift.gini(skewed, "k").collect().head
+    assert(math.abs(g1.getDouble(2) - 0.72) < 1e-12)
+  }
+
   test("jsDivergence: 0 for identical halves, near ln 2 for disjoint " +
       "supports, always within the bound") {
     val same = Seq.tabulate(40)(i => (if (i % 2 == 0) "a" else "b", i % 5))

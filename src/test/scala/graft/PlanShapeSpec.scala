@@ -316,7 +316,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_psi", "q_ks_drift", "q_trend_ols", "q_forecast_eval",
       "q_theilsen", "q_acf", "q_cluster_metrics", "q_js_div",
       "q_psi_between", "q_balance_classes", "q_skew_report",
-      "q_sigma_clip")
+      "q_sigma_clip", "q_gini", "q_bm25_indexed")
     // single-partition-exchange is excluded here: at sf0.001 AQE
     // legitimately coalesces the final verify-shaped orderBy to one
     // partition, and q_score_auc's 1-row agg single-partitions by
@@ -325,12 +325,15 @@ class PlanShapeSpec extends SparkSpec {
     val hard = Set("cartesian-product", "nested-loop-join",
       "unpushed-scan-filter")
     names.foreach { n =>
-      val windowOk = Set("q_score_auc", "q_zipf")
+      // q_gini's one global window ranks the KEY dictionary (zipf's
+      // posture); q_bm25_indexed ranks per query over a broadcast probe
+      val windowOk = Set("q_score_auc", "q_zipf", "q_gini")
       // sanctioned broadcast-NLJ: a 1-row stats frame or a dictionary-
       // sized grid cross-joined in (the "is the frame small?" question
       // the rule's doc poses — answered yes by construction here)
-      val nljOk = Set("q_bm25", "q_pmi", "q_psi", "q_mutual_info",
-        "q_ks_drift", "q_js_div", "q_psi_between", "q_skew_report")
+      val nljOk = Set("q_bm25", "q_bm25_indexed", "q_pmi", "q_psi",
+        "q_mutual_info", "q_ks_drift", "q_js_div", "q_psi_between",
+        "q_skew_report")
       val findings = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
         .filter(f => (hard(f.rule) &&
             !(f.rule == "nested-loop-join" && nljOk(n))) ||
