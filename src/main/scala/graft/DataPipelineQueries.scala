@@ -618,12 +618,26 @@ object DataPipelineQueries {
         .withColumn("score", round(col("score") + lit(1e-9), 4))
         .orderBy("query_id", "rank")),
 
-    // ── BM25 against a PERSISTED inverted index (build once per corpus
-    //    version, probe per query batch) — same oracle as q_bm25: the
-    //    index must be a pure cost move, bit-identical scores
-    "q_bm25_indexed" -> ((s, dir) => {
+    // ── BM25 index BUILD (forced, full cost measured: tokenize +
+    //    postings exchange + three artifacts); returns the index's
+    //    1-row corpus-stats audit. Sorts before q_bm25_indexed, so in
+    //    every bench pass the probe below finds a fresh index and
+    //    measures PROBE-ONLY cost — build and probe are separate rows,
+    //    which is what makes the build-once amortization claim a
+    //    measured number instead of a stated one
+    "q_bm25_index_build" -> ((s, dir) => {
       val idx = s"/tmp/graft_bm25_idx_${math.abs(dir.hashCode)}"
       Retrieval.buildIndex(docs(s, dir), "doc_id", "text", idx)
+      Retrieval.indexStats(s, idx)
+    }),
+
+    // ── BM25 against the PERSISTED inverted index (build once per
+    //    corpus version — skipped when the completion marker exists —
+    //    probe per query batch) — same oracle as q_bm25: the index must
+    //    be a pure cost move, bit-identical scores
+    "q_bm25_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_bm25_idx_${math.abs(dir.hashCode)}"
+      Retrieval.ensureIndex(docs(s, dir), "doc_id", "text", idx)
       Retrieval.bm25TopKIndexed(s, idx, "doc_id",
           Seq(1 -> "hash join merge", 2 -> "window batch stream",
             3 -> "vector scan filter slow"), k = 10)
@@ -1764,7 +1778,7 @@ object DataPipelineQueries {
          |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
          |  FROM documents
          |), b AS (
-         |  SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+         |  SELECT CAST(greatest(0, least(floor(s * 10), 9)) AS INT) AS bin,
          |         CAST(round(round(s + 1e-9, 6) * 1e6) AS BIGINT) AS si, y
          |  FROM q
          |)
@@ -2307,6 +2321,15 @@ object DataPipelineQueries {
     // decimal(30,12) in both engines → scores bit-identical, rank on
     // the unrounded double
     "q_bm25" -> Bm25Oracle,
+
+    // the index's stats artifact: N over all docs (an empty doc still
+    // lands one postings row — split('') = ['']), avgdl = exact integer
+    // token-count sum / N
+    "q_bm25_index_build" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS avgdl
+        |FROM documents""".stripMargin,
 
     // the index path must reproduce the direct path bit-for-bit — the
     // oracle IS q_bm25's

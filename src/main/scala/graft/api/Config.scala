@@ -44,14 +44,42 @@ final class GraftConfig(private val data: JValue) {
   lazy val scheduledJobs: Map[String, JValue] =
     entries("scheduled_jobs").map(j => nameOf(j) -> j).toMap
 
+  // accessors REPORT type mismatches instead of silently defaulting
+  // (the reference validates via a voluptuous schema — a typoed
+  // `workers: "abc"` must fail loud, not quietly become the default);
+  // unambiguous coercions (a whole 4.0, a numeric string) are accepted
+  private def bad(k: String, want: String, got: JValue): Nothing =
+    throw new IllegalArgumentException(
+      s"config key '$k' expects $want, got: " +
+        JsonMethods.compact(JsonMethods.render(got)))
+
   private def str(sec: Map[String, JValue], k: String, dflt: String): String =
-    sec.get(k) match { case Some(JString(s)) => s; case _ => dflt }
+    sec.get(k) match {
+      case None | Some(JNothing) | Some(JNull) => dflt
+      case Some(JString(s)) => s
+      case Some(JInt(i)) => i.toString
+      case Some(other) => bad(k, "a string", other)
+    }
 
   private def int(sec: Map[String, JValue], k: String, dflt: Long): Long =
-    sec.get(k) match { case Some(JInt(i)) => i.toLong; case _ => dflt }
+    sec.get(k) match {
+      case None | Some(JNothing) | Some(JNull) => dflt
+      case Some(JInt(i)) => i.toLong
+      case Some(JLong(i)) => i
+      case Some(JDouble(d)) if d.isWhole => d.toLong
+      case Some(JDecimal(d)) if d.isWhole => d.toLong
+      case Some(JString(s)) if s.matches("-?\\d+") => s.toLong
+      case Some(other) => bad(k, "an integer", other)
+    }
 
   private def bool(sec: Map[String, JValue], k: String, dflt: Boolean): Boolean =
-    sec.get(k) match { case Some(JBool(b)) => b; case _ => dflt }
+    sec.get(k) match {
+      case None | Some(JNothing) | Some(JNull) => dflt
+      case Some(JBool(b)) => b
+      case Some(JString(s)) => ConfigCoerce.makeBool(s)
+      case Some(JInt(i)) => i != 0
+      case Some(other) => bad(k, "a boolean", other)
+    }
 
   lazy val clusterName: String = str(section("cluster"), "name", "graft")
   lazy val nodeName: String = str(section("node"), "name", "graft")
@@ -125,7 +153,8 @@ object GraftConfig {
     val reg = new BucketRegistry
     config.registerBuckets(reg)
     val engine = new Engine(spark, reg, config.storagePath)
-    val api = new HttpApi(engine)
+    val api = new HttpApi(engine,
+      jobWorkers = config.server.workers.toInt.max(1).min(64))
     val port = portOverride.orElse(config.server.listenAddr._2).getOrElse(8077)
     val addr = api.start(port)
     (engine, api, addr)

@@ -14,13 +14,15 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * round-trips through job ids, bucket CRUD + `_read`).
   *
   * Jobs: the reference runs work async in a pool and returns a job id
-  * with HTTP 202; callers poll `/jobs/<id>`. Spark IS this library's
-  * async substrate, so job-shaped endpoints here execute synchronously
-  * and register a completed [[HttpApi.JobRecord]] before responding —
-  * the WIRE CONTRACT is identical (202 + quoted job id, `/jobs/<id>`
-  * shows `done`/`failed` with the result payload), which is what the
-  * reference's own tests poll for (`_wait_job`,
-  * tests/test_api.py:141-152).
+  * with HTTP 202; callers poll `/jobs/<id>` (`_wait_job`,
+  * tests/test_api.py:141-152). Job-shaped endpoints here submit the
+  * body to a BOUNDED executor (`jobWorkers` threads — the reference's
+  * `server.workers` pool) and respond 202 immediately with the job in
+  * state `waiting`; the record moves through `running` to
+  * `done`/`failed` as the work proceeds, so a long `_train` never
+  * blocks the HTTP exchange. A job still in `waiting` can be
+  * `_cancel`ed; past that, cancel reports the current state like the
+  * reference's already-terminal case.
   *
   * Scale note: the facade is a thin driver-side shim — every data path
   * is the same distributed plan the library call runs; nothing here
@@ -29,7 +31,8 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 class HttpApi(
     engine: Engine,
     scheduledJobs: Option[ScheduledJobs] = None,
-    version: String = "0.1.0") {
+    version: String = "0.1.0",
+    jobWorkers: Int = 2) {
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
@@ -39,25 +42,65 @@ class HttpApi(
 
   private val jobs =
     scala.collection.concurrent.TrieMap.empty[String, JobRecord]
+  private val jobFutures =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.Future[_]]
   private val jobSeq = new java.util.concurrent.atomic.AtomicLong()
   private var server: HttpServer = _
+
+  // the reference's worker pool (server.py:1846-1872, two
+  // pebble.ProcessPools + queue polling): a bounded thread pool — the
+  // heavy lifting inside each job is Spark's own distributed plan, so
+  // threads here only gate how many driver-side jobs are in flight
+  private val jobExec = java.util.concurrent.Executors.newFixedThreadPool(
+    jobWorkers.max(1),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-job-worker")
+      t.setDaemon(true)
+      t
+    })
 
   private val hostId =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "localhost" }
 
-  /** Run `body` as a reference-shaped job: the work happens now; the
-    * record (done or failed) is queryable at `/jobs/<id>`. */
+  /** Submit `body` as a reference-shaped ASYNC job: the 202 response
+    * carries the id while the record is still `waiting`; callers poll
+    * `/jobs/<id>` through `running` to `done`/`failed`. */
   private def runJob(tpe: String)(body: => Option[String]): JobRecord = {
     val id = s"job-${jobSeq.incrementAndGet()}"
-    val rec =
-      try JobRecord(id, tpe, "done", body, None)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          JobRecord(id, tpe, "failed", None, Some(e.getMessage))
+    val waiting = JobRecord(id, tpe, "waiting", None, None)
+    jobs.put(id, waiting)
+    val fut = jobExec.submit(new Runnable {
+      def run(): Unit = {
+        // a canceled-while-waiting job must not flip back to running
+        if (!jobs.get(id).exists(_.state == "canceled")) {
+          jobs.put(id, JobRecord(id, tpe, "running", None, None))
+          val rec =
+            try JobRecord(id, tpe, "done", body, None)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                JobRecord(id, tpe, "failed", None, Some(e.getMessage))
+            }
+          jobs.put(id, rec)
+        }
+        jobFutures.remove(id)
       }
-    jobs.put(id, rec)
-    rec
+    })
+    jobFutures.put(id, fut)
+    waiting
+  }
+
+  /** Block until `id` reaches a terminal state (tests; bounded). */
+  private[api] def awaitJob(id: String,
+      timeoutMs: Long = 120000): JobRecord = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var rec = jobs.get(id)
+    while (rec.exists(r => r.state == "waiting" || r.state == "running") &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      rec = jobs.get(id)
+    }
+    rec.getOrElse(throw new NoSuchElementException(s"job not found: $id"))
   }
 
   private def jobJson(r: JobRecord): String =
@@ -157,10 +200,17 @@ class HttpApi(
         jobs.get(id).map(r => (200, jobJson(r)))
           .getOrElse((404, jsonStr(s"job not found: $id")))
       case ("POST", "jobs" :: id :: "_cancel" :: Nil) =>
-        // synchronous jobs are always past cancellation, like a
-        // reference job that already reached a terminal state
-        jobs.get(id).map(r => (200, jsonStr(r.state)))
-          .getOrElse((404, jsonStr(s"job not found: $id")))
+        // a job still waiting in the pool queue is cancelable; one
+        // already running/terminal reports its state, like a reference
+        // job past cancellation
+        jobs.get(id).map { r =>
+          if (r.state == "waiting" &&
+              jobFutures.get(id).exists(_.cancel(false))) {
+            val c = JobRecord(id, r.tpe, "canceled", None, None)
+            jobs.put(id, c)
+            (200, jsonStr("canceled"))
+          } else (200, jsonStr(jobs.get(id).fold(r.state)(_.state)))
+        }.getOrElse((404, jsonStr(s"job not found: $id")))
 
       // ── models CRUD (server.py:885-887)
       case ("GET", "models" :: Nil) =>
@@ -274,5 +324,8 @@ class HttpApi(
     server.getAddress
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    jobExec.shutdownNow()
+  }
 }

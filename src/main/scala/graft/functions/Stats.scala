@@ -207,8 +207,11 @@ object Stats {
   def calibrationBins(df: org.apache.spark.sql.DataFrame, scoreCol: String,
       labelCol: String, bins: Int): org.apache.spark.sql.DataFrame = {
     require(bins >= 1, "bins must be >= 1")
-    val bin = least(floor(col(scoreCol) * lit(bins)), lit(bins - 1))
-      .cast("int")
+    // clamp BOTH ends: a score marginally outside [0,1] (an upstream
+    // 1e-16 rounding artifact) lands in the edge bin instead of
+    // silently creating a phantom bin -1 or `bins`
+    val bin = greatest(lit(0),
+      least(floor(col(scoreCol) * lit(bins)), lit(bins - 1))).cast("int")
     val si = round(round(col(scoreCol) + lit(1e-9), 6) * lit(1e6))
       .cast("long")
     df.groupBy(bin.as("bin"))

@@ -117,20 +117,39 @@ object Publish {
     val m = graft.operators.CorpusStats
       .manifest(df, idCol, textCol, shards, salt)
     m.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    // layout metadata rides WITH the artifact: the verifier must use
+    // the writer's modulus — inferring it as max(stored shard)+1 breaks
+    // when the highest-numbered shards got zero docs (small corpus,
+    // many shards) and every shard then diffs against a smaller-modulus
+    // reassignment
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shards, salt)).toDF("shards", "salt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/layout")
     m
   }
 
   /** Recompute the manifest from `dir/data` and diff it against the
     * stored one: per-shard status `ok` / `corrupt` (counts or checksum
     * moved) / `missing` (in manifest, absent in data) / `unexpected`
-    * (in data, absent in manifest). Empty-diff ⇔ intact. */
+    * (in data, absent in manifest). Empty-diff ⇔ intact. The shard
+    * modulus and salt come from the writer's `dir/layout` artifact
+    * (pre-layout publishes fall back to max(shard)+1 and the caller's
+    * salt). */
   def verifyShards(spark: org.apache.spark.sql.SparkSession, dir: String,
       idCol: String, textCol: String, salt: String = ""): DataFrame = {
     val stored = spark.read.parquet(s"$dir/manifest")
-    val shards = stored.agg(max(col("shard"))).head().getLong(0).toInt + 1
+    val layout =
+      try {
+        val r = spark.read.parquet(s"$dir/layout").head()
+        Some((r.getInt(0), r.getString(1)))
+      } catch { case _: Exception => None }
+    val shards = layout.map(_._1).getOrElse(
+      stored.agg(max(col("shard"))).head().getLong(0).toInt + 1)
+    val useSalt = layout.map(_._2).getOrElse(salt)
     val actual = graft.operators.CorpusStats.manifest(
       spark.read.parquet(s"$dir/data").drop("shard", "pos"),
-      idCol, textCol, shards, salt)
+      idCol, textCol, shards, useSalt)
     stored.select(col("shard"), col("n_docs").as("m_docs"),
         col("n_chars").as("m_chars"), col("checksum").as("m_sum"))
       .join(actual, Seq("shard"), "full_outer")

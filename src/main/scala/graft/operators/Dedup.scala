@@ -991,9 +991,17 @@ object Dedup {
       .agg(min(col("__eid")).as("__eid"), first(col("__es")).as("__es"),
         count(lit(1)).as("__m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (repPairs, keyed) =
-      editPairsUncollapsed(reps, "__eid", "__es", maxDist, q)
+    // pair-plan construction happens INSIDE the try: an analysis error
+    // raised while building it must still release hashed/reps, or the
+    // CacheManager entries outlive the call (the leak class the
+    // persist-release protocol exists to prevent)
+    var keyed: DataFrame = null
     try {
+    val repPairs = {
+      val (p, k) = editPairsUncollapsed(reps, "__eid", "__es", maxDist, q)
+      keyed = k
+      p
+    }
     val maxM = maxGroupSize(reps)
     if (maxM > maxDupGroup)
       throw new IllegalArgumentException(
@@ -1019,7 +1027,8 @@ object Dedup {
         lit(0).as("dist"))
     crossPairs.unionByName(withinPairs).localCheckpoint(true)
     } finally {
-      keyed.unpersist(false); reps.unpersist(false)
+      if (keyed != null) keyed.unpersist(false)
+      reps.unpersist(false)
       hashed.unpersist(false)
     }
   }
@@ -1567,8 +1576,17 @@ object Dedup {
     val edges = sym.join(deg, "src")
       .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
     val degIds = deg.select(col("src").as("id")).localCheckpoint(true)
-    var ranks = nodes.select(col(idCol).as("id"), lit(1.0 / n).as("r"))
+    // the dangling flag (no out-edges) is attached ONCE and rides the
+    // rank frame, so each iteration's dangling mass is an aggregation
+    // over the already-checkpointed ranks folded into the update plan
+    // as a 1-row broadcast — ONE action per iteration, not an extra
+    // driver-side head() per round (2× the job count at fixed
+    // per-round overhead)
+    val base = nodes.select(col(idCol).as("id"))
+      .join(degIds.withColumn("__nd", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__nd"), lit(false)).as("__nd"))
       .localCheckpoint(true)
+    var ranks = base.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
     var it = 0
     while (it < iters) {
       val contrib = edges
@@ -1576,14 +1594,19 @@ object Dedup {
         .select(col("dst"),
           (col("r") / col("deg")).cast("decimal(30,15)").as("c"))
         .groupBy("dst").agg(sum(col("c")).cast("double").as("cs"))
-      val dangRow = ranks.join(degIds, Seq("id"), "left_anti")
-        .agg(sum(col("r").cast("decimal(30,15)")).cast("double")).head()
-      val dangling = if (dangRow.isNullAt(0)) 0.0 else dangRow.getDouble(0)
-      ranks = nodes.select(col(idCol).as("id"))
+      // same decimal(30,15) sum over the same dangling-row set as the
+      // old anti-join + head(), so the mass — and every downstream
+      // rank — is bit-identical
+      val dang = ranks.agg(coalesce(
+        sum(when(!col("__nd"), col("r")).cast("decimal(30,15)"))
+          .cast("double"), lit(0.0)).as("__dang"))
+      ranks = base
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .crossJoin(broadcast(dang))
+        .select(col("id"), col("__nd"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("cs"), lit(0.0)) + lit(dangling / n))).as("r"))
+            (coalesce(col("cs"), lit(0.0)) + col("__dang") / lit(n)))
+            .as("r"))
         .localCheckpoint(true)
       it += 1
     }

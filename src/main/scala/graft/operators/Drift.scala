@@ -103,18 +103,32 @@ object Drift {
     * ascending (ties contribute identically under any order, so the
     * key tie-break is for plan determinism, not the value).
     *
-    * Scale: one keyed count agg + one KEY-CARDINALITY-bounded global
-    * rank (sorting the domain dictionary, not rows — the zipfFit
-    * posture); every sum is exact integers through decimal. */
+    * Scale: one keyed count agg, then the rank window runs over the
+    * FREQUENCY-OF-FREQUENCY frame (one row per DISTINCT count value) —
+    * ties all share a count, and Σ rank·x over a tie block has the
+    * closed form x·(m·off + m(m+1)/2), so per-key ranking never
+    * happens. Real count distributions have O(√tokens) distinct values;
+    * the degenerate every-key-count-1 case (doc_id) — which used to
+    * funnel the whole dictionary through one rank partition — is ONE
+    * row. Every sum is exact integers through decimal, and the result
+    * is bit-identical to the per-key rank formulation (ties contribute
+    * identically under any order). */
   def gini(df: DataFrame, keyCol: String): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__x"))
-      .withColumn("__i", row_number().over(
-        Window.orderBy(col("__x").asc, col(keyCol).asc)))
-    counts.agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("__x")).as("total"),
-        sum((col("__i").cast("long") * col("__x"))
-          .cast("decimal(30,0)")).cast("double").as("__s1"))
+    val fof = counts.groupBy(col("__x")).agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col("__x").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ranks off+1 .. off+m inside a tie block: Σ i·x = x·(m·off + T(m)),
+    // T(m) = m(m+1)/2 — exact through decimal (m(m+1) is even, so the
+    // division by 2 is lossless at any scale)
+    val md = col("__m").cast("decimal(19,0)")
+    val term = col("__x").cast("decimal(30,0)") *
+      (md * col("__off").cast("decimal(19,0)") + md * (md + 1) / 2)
+    fof.withColumn("__off", coalesce(sum(col("__m")).over(w), lit(0L)))
+      .agg(
+        sum(col("__m")).as("n_keys"),
+        sum(col("__x") * col("__m")).as("total"),
+        sum(term).cast("double").as("__s1"))
       .select(col("n_keys"), col("total"),
         ((lit(2.0) * col("__s1")) /
           (col("n_keys").cast("double") * col("total").cast("double")) -

@@ -174,7 +174,12 @@ object Temporal {
     * sees). Runs AFTER bucketization, so partition size is O(buckets) —
     * bounded by the query range, not data volume; `corr` is a built-in
     * declarative aggregate, fully codegen-compatible over the frame.
-    */
+    *
+    * Keyless-shape audit (vs [[theilSen]]'s guarded cartesian): the
+    * keyless form is a GLOBAL ordered window — one sort partition, but
+    * O(n log n) with spill, never quadratic, and the input is a single
+    * bucketized series bounded by the query range; the keyed form
+    * partitions by series and has no bottleneck. */
   def rollingCorr(series: DataFrame, keys: Seq[String], bucketCol: String,
       xCol: String, yCol: String, windowBuckets: Int): DataFrame = {
     val w = (if (keys.isEmpty) Window.orderBy(col(bucketCol))
@@ -508,15 +513,30 @@ object Temporal {
     * Determinism: each slope is one double division of exact inputs;
     * the median is Spark's exact `percentile` (interpolation at even
     * counts differs from other engines in the last ulp — callers
-    * comparing cross-engine round the output, house rule). */
+    * comparing cross-engine round the output, house rule).
+    *
+    * The KEYLESS form is fail-fast guarded: it must build a genuine
+    * cartesian (there is no join key), so past `maxKeylessPoints`
+    * bucketized points it refuses with a pair-budget error instead of
+    * silently launching an unbounded n²/2 plan — bucketize coarser, key
+    * the series, or use [[trendOls]] (one agg, any scale). The keyed
+    * form is unguarded by contract: per-series bucket counts bound it. */
   def theilSen(series: DataFrame, keys: Seq[String], bucketCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxKeylessPoints: Int = 10000): DataFrame = {
     val a = series.select(
       keys.map(col) :+ col(bucketCol).as("__ta") :+
         col(valueCol).as("__va"): _*)
     val b = series.select(
       keys.map(col) :+ col(bucketCol).as("__tb") :+
         col(valueCol).as("__vb"): _*)
+    if (keys.isEmpty) {
+      val n = series.count()
+      if (n > maxKeylessPoints) throw new IllegalArgumentException(
+        s"keyless theilSen on $n points would enumerate ${n * (n - 1) / 2} " +
+          s"pairs (> budget for maxKeylessPoints=$maxKeylessPoints): " +
+          "bucketize coarser, pass series keys, or use trendOls (one " +
+          "aggregation at any scale)")
+    }
     val joined =
       if (keys.isEmpty) a.crossJoin(b).filter(col("__tb") > col("__ta"))
       else a.join(b, keys).filter(col("__tb") > col("__ta"))
@@ -670,10 +690,11 @@ object Temporal {
     * seasonal-model configuration (a daily cycle shows as a peak at
     * lag 24 on hourly buckets). Returns `(keys…, lag, n_pairs, acf)`.
     *
-    * Scale: the lag join is keyed and RANGE-BOUNDED (`0 < Δt ≤
-    * maxLag·step`), so each row meets ≤ maxLag partners — linear in the
-    * series, not quadratic; moments are per-key aggs. Determinism: ȳ,
-    * the denominator, and each lag's numerator all route through
+    * Scale: the lag axis explodes from a literal array and a single
+    * EQUI-join aligns the shifted series (the [[crossCorr]] shape) —
+    * n·maxLag rows, linear in the series, never a pairwise join, keyed
+    * or keyless; moments are per-key aggs. Determinism: ȳ, the
+    * denominator, and each lag's numerator all route through
     * decimal(30,12) sums (house rule for order-independent doubles). */
   def acf(series: DataFrame, keys: Seq[String], bucketCol: String,
       valueCol: String, maxLag: Int, step: Long): DataFrame = {
@@ -695,15 +716,11 @@ object Temporal {
     }
     val a = centered.select(
       kc :+ col("__t").as("__ta") :+ col("__d").as("__da"): _*)
+      .withColumn("lag", explode(typedlit((1 to maxLag).toList)))
+      .withColumn("__tb", col("__ta") + col("lag").cast("long") * lit(step))
     val b = centered.select(
       kc :+ col("__t").as("__tb") :+ col("__d").as("__db"): _*)
-    val pairs =
-      (if (keys.isEmpty) a.crossJoin(b) else a.join(b, keys))
-        .filter(col("__tb") > col("__ta") &&
-          col("__tb") <= col("__ta") + lit(maxLag) * lit(step) &&
-          (col("__tb") - col("__ta")) % lit(step) === 0)
-        .withColumn("lag",
-          ((col("__tb") - col("__ta")) / lit(step)).cast("int"))
+    val pairs = a.join(b, keys :+ "__tb")
     val grouped =
       if (keys.isEmpty) pairs.groupBy(col("lag"))
       else pairs.groupBy(kc :+ col("lag"): _*)

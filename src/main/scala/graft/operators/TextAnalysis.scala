@@ -599,30 +599,48 @@ object TextAnalysis {
     *
     * Scale: a vocabulary-bounded count agg, one vocabulary-sized global
     * rank (sorting a term dictionary, not the corpus), and a 1-row
-    * moment aggregation. Determinism: all four moment sums route
-    * through decimal(30,12) (an order-dependent double sum would wobble
-    * in the last ulp across partitionings); ln of identical doubles is
-    * bit-stable. */
-  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
-    val ranked = df
+    * moment aggregation. The rank needs exact per-term positions (ln of
+    * the rank — unlike [[graft.operators.Drift.gini]] no tie closed
+    * form exists), so the window is inherently single-partition over
+    * the dictionary: the vocabulary is counted FIRST (on the persisted
+    * counts, no second corpus scan) and the fit fails fast past
+    * `maxTerms` instead of silently funneling an unbounded dictionary
+    * through one sort partition. Determinism: all four moment sums
+    * route through decimal(30,12) (an order-dependent double sum would
+    * wobble in the last ulp across partitionings); ln of identical
+    * doubles is bit-stable. */
+  def zipfFit(df: DataFrame, textCol: String,
+      maxTerms: Long = 5000000L): DataFrame = {
+    val counts = df
       .select(explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("c"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("c").desc, col("term").asc)))
-      .select(log(col("rank").cast("double")).as("x"),
-        log(col("c").cast("double")).as("y"))
-    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
-    ranked
-      .agg(count(lit(1)).as("n_terms"), dsum(col("x")).as("sx"),
-        dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
-        dsum(col("x") * col("x")).as("sxx"))
-      .withColumn("__slope",
-        (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_terms") * col("sxx") - col("sx") * col("sx")))
-      .select(col("n_terms"),
-        round(-col("__slope") + lit(1e-9), 6).as("alpha"),
-        round((col("sy") - col("__slope") * col("sx")) /
-          col("n_terms").cast("double") + lit(1e-9), 6).as("intercept"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nv = counts.count()
+      if (nv > maxTerms) throw new IllegalArgumentException(
+        s"zipfFit vocabulary has $nv distinct terms (> maxTerms=" +
+          s"$maxTerms): the exact rank is a single-partition sort of " +
+          "the dictionary — pre-filter the vocabulary (min count, " +
+          "frequency floor) or raise maxTerms deliberately")
+      val ranked = counts
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("term").asc)))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+      ranked
+        .agg(count(lit(1)).as("n_terms"), dsum(col("x")).as("sx"),
+          dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("x")).as("sxx"))
+        .withColumn("__slope",
+          (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n_terms"),
+          round(-col("__slope") + lit(1e-9), 6).as("alpha"),
+          round((col("sy") - col("__slope") * col("sx")) /
+            col("n_terms").cast("double") + lit(1e-9), 6).as("intercept"))
+        .localCheckpoint(true)
+    } finally counts.unpersist(false)
   }
 }

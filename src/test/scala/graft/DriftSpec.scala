@@ -63,6 +63,48 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(g1.getDouble(2) - 0.72) < 1e-12)
   }
 
+  test("gini: frequency-of-frequency rank ≡ per-key brute-force rank " +
+      "on a ragged multiset; every-key-count-1 degenerate is exactly 0") {
+    import graft.operators.Drift
+    // ragged counts with heavy ties: 7×1, 3×2, 2×5, 1×11
+    val counts = Seq.fill(7)(1) ++ Seq.fill(3)(2) ++ Seq.fill(2)(5) ++ Seq(11)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)(f"k$i%02d")
+    }
+    val g = Drift.gini(rows.toDF("k").repartition(7), "k").collect().head
+    // brute force: ranks over counts sorted asc (tie order irrelevant)
+    val sorted = counts.sorted
+    val n = sorted.length.toDouble
+    val tot = sorted.sum.toDouble
+    val s1 = sorted.zipWithIndex.map { case (x, i) => (i + 1.0) * x }.sum
+    val want = 2.0 * s1 / (n * tot) - (n + 1.0) / n
+    assert(g.getLong(0) === counts.length.toLong)
+    assert(g.getLong(1) === counts.sum.toLong)
+    assert(math.abs(g.getDouble(2) - want) < 1e-12)
+    // doc_id shape (the old one-partition funnel case): every key once
+    val ids = (1 to 100).map(i => f"d$i%03d").toDF("k")
+    assert(Drift.gini(ids, "k").collect().head.getDouble(2) === 0.0)
+  }
+
+  test("theilSen: the keyless form fail-fasts past the point budget " +
+      "with a message pointing at trendOls; keyed is unguarded") {
+    import graft.operators.Temporal
+    val long = (0L until 50L).map(t => (t, t * 2.0)).toDF("t", "v")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.theilSen(long, Nil, "t", "v", maxKeylessPoints = 49)
+    }
+    assert(e.getMessage.contains("trendOls"))
+    // under the budget the keyless slope is exact
+    val ok = Temporal.theilSen(long, Nil, "t", "v", maxKeylessPoints = 50)
+      .collect().head
+    assert(ok.getDouble(1) === 2.0)
+    // the keyed form never counts — per-series bucket bounds are the
+    // stated contract
+    val keyed = (0L until 50L).map(t => ("k", t, t * 2.0)).toDF("g", "t", "v")
+    assert(Temporal.theilSen(keyed, Seq("g"), "t", "v",
+      maxKeylessPoints = 1).collect().head.getDouble(2) === 2.0)
+  }
+
   test("jsDivergence: 0 for identical halves, near ln 2 for disjoint " +
       "supports, always within the bound") {
     val same = Seq.tabulate(40)(i => (if (i % 2 == 0) "a" else "b", i % 5))

@@ -46,16 +46,28 @@ class HttpApiSpec extends SparkSpec {
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
 
-  /** `_wait_job` analog (tests/test_api.py:141-152) — jobs here are
-    * synchronous, so one poll suffices; the wire contract is the same. */
+  /** `_wait_job` analog (tests/test_api.py:141-152): jobs run async on
+    * the bounded pool, so poll `/jobs/<id>` until a terminal state. */
+  private def awaitJob(base: String, id: String): org.json4s.JValue = {
+    val deadline = System.nanoTime() + 120e9.toLong
+    var j = json(send("GET", s"$base/jobs/$id").body())
+    while (((j \ "state") == org.json4s.JString("waiting") ||
+        (j \ "state") == org.json4s.JString("running")) &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(20)
+      j = json(send("GET", s"$base/jobs/$id").body())
+    }
+    j
+  }
+
   private def jobResult(base: String, idResponse: HttpResponse[String])
       : org.json4s.JValue = {
     assert(idResponse.statusCode() == 202, idResponse.body())
     val id = idResponse.body().replace("\"", "").trim
-    val job = send("GET", s"$base/jobs/$id")
-    assert(job.statusCode() == 200)
-    val j = json(job.body())
-    assert((j \ "state") == org.json4s.JString("done"), job.body())
+    val j = awaitJob(base, id)
+    assert((j \ "state") == org.json4s.JString("done"),
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(j)))
     j \ "result"
   }
 
@@ -159,7 +171,7 @@ class HttpApiSpec extends SparkSpec {
       val bad = send("POST", s"$base/models/ghost/_eval?from=0&to=1")
       assert(bad.statusCode() == 202)
       val badId = bad.body().replace("\"", "").trim
-      val badJob = json(send("GET", s"$base/jobs/$badId").body())
+      val badJob = awaitJob(base, badId)
       assert((badJob \ "state") == org.json4s.JString("failed"))
 
       // delete + 404 afterwards
@@ -167,6 +179,48 @@ class HttpApiSpec extends SparkSpec {
       assert(send("GET", s"$base/models/m1").statusCode() == 404)
       assert(send("GET", s"$base/jobs/job-unknown").statusCode() == 404)
       assert(engine.listModels().isEmpty)
+    }
+  }
+
+  test("async job contract: _train returns 202 while the job is " +
+      "genuinely in flight, then polls through to done " +
+      "(server.py:1846-1872 pool semantics)") {
+    withServer { (base, _) =>
+      val dir = java.nio.file.Files.createTempDirectory("httpasync")
+        .toString + "/pts"
+      (0 until 744).map(t => (t * HOUR, 10.0)).toDF("epoch", "value")
+        .select(timestamp_seconds(col("epoch")).as("ts"), col("value"))
+        .write.parquet(dir)
+      assert(send("POST", s"$base/buckets",
+        s"""{"name": "pts", "type": "parquet", "path": "$dir"}""")
+        .statusCode() == 201)
+      assert(send("POST", s"$base/models",
+        """{"name": "ma", "type": "seasonal",
+          |  "features": [{"name": "avg_v", "metric": "avg",
+          |                "field": "value", "default": 0}],
+          |  "bucket_interval": "1h", "interval": "6h", "offset": "0s",
+          |  "max_threshold": 99.7, "min_threshold": 68.0,
+          |  "default_bucket": "pts"}""".stripMargin).statusCode() == 201)
+
+      val train = send("POST",
+        s"$base/models/ma/_train?from=0&to=${720L * HOUR}")
+      assert(train.statusCode() == 202, train.body())
+      val id = train.body().replace("\"", "").trim
+      // the POST came back BEFORE the work finished: the immediate poll
+      // sees a non-terminal state (a Spark train is orders of magnitude
+      // slower than the local HTTP round trip)
+      val first = json(send("GET", s"$base/jobs/$id").body())
+      assert((first \ "state") == org.json4s.JString("waiting") ||
+        (first \ "state") == org.json4s.JString("running"),
+        send("GET", s"$base/jobs/$id").body())
+      // ... and polling reaches done with the result payload
+      val j = awaitJob(base, id)
+      assert((j \ "state") == org.json4s.JString("done"))
+      assert((j \ "result" \ "trained_buckets") != org.json4s.JNothing)
+      // cancel past the terminal state reports the state, like the
+      // reference's already-finished case
+      assert(send("POST", s"$base/jobs/$id/_cancel").body()
+        .contains("done"))
     }
   }
 

@@ -343,6 +343,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bad === Map(2L -> "missing"))
   }
 
+  test("Publish.verifyShards: the modulus comes from the layout " +
+      "artifact, so empty top-numbered shards (tiny corpus, many " +
+      "shards) verify clean instead of spuriously corrupt") {
+    import graft.io.Publish
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_publish_small").toString
+    // 3 docs into 16 shards: the highest-numbered shards are empty, so
+    // max(stored shard)+1 would infer a smaller modulus and reassign
+    // every doc
+    val tiny = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    Publish.writeShards(tiny, "doc_id", "text", dir, shards = 64)
+    assert(spark.read.parquet(s"$dir/manifest").agg(max(col("shard")))
+      .head().getLong(0) < 63L) // the premise: top shards really empty
+    assert(Publish.verifyShards(spark, dir, "doc_id", "text")
+      .count() === 0L)
+  }
+
   test("JaroWinkler: textbook pairs, floored half-transpositions " +
       "(the DuckDB convention), boost threshold, empties, nulls, SQL " +
       "surface") {

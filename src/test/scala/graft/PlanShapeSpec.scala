@@ -325,8 +325,10 @@ class PlanShapeSpec extends SparkSpec {
     val hard = Set("cartesian-product", "nested-loop-join",
       "unpushed-scan-filter")
     names.foreach { n =>
-      // q_gini's one global window ranks the KEY dictionary (zipf's
-      // posture); q_bm25_indexed ranks per query over a broadcast probe
+      // q_gini's one global window runs over the FREQUENCY-OF-FREQUENCY
+      // frame (distinct count values — one row in the doc_id degenerate
+      // case); q_zipf's ranks the vocabulary behind a counted fail-fast;
+      // q_bm25_indexed ranks per query over a broadcast probe
       val windowOk = Set("q_score_auc", "q_zipf", "q_gini")
       // sanctioned broadcast-NLJ: a 1-row stats frame or a dictionary-
       // sized grid cross-joined in (the "is the frame small?" question

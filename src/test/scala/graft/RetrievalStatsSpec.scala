@@ -83,6 +83,18 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - math.log(8.0)) < 1e-6)  // intercept
   }
 
+  test("zipfFit: vocabulary past maxTerms fail-fasts instead of " +
+      "funneling the dictionary through one sort partition") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.zipfFit(docs, "text", maxTerms = 5)
+    }
+    assert(e.getMessage.contains("maxTerms"))
+    // at the bound it runs
+    assert(TextAnalysis.zipfFit(docs, "text", maxTerms = 6)
+      .collect().head.getLong(0) === 6L)
+  }
+
   // ── Theil–Sen ────────────────────────────────────────────────────────
 
   test("theilSen: one wild outlier cannot move the median slope") {

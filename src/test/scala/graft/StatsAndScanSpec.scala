@@ -79,6 +79,16 @@ class StatsAndScanSpec extends SparkSpec {
       (9, 1L, 1L, 1.0, 1.0)))
   }
 
+  test("calibrationBins: out-of-range scores clamp to the edge bins — " +
+      "no phantom bin -1 or `bins`") {
+    import graft.functions.Stats
+    val rows = Seq((-1e-9, false), (-0.5, true), (1.3, true), (0.5, false))
+      .toDF("s", "y")
+    val bins = Stats.calibrationBins(rows, "s", "y", 10)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(bins.toSeq === Seq((0, 2L), (5, 1L), (9, 1L)))
+  }
+
   test("anomaly score: 3σ deviation ≈ 99.7, at-prediction = 0") {
     // predicted 10, upper 13 → σ̂=1; observed 13 = 3σ high
     val hi = eval1(Stats.anomalyScore(lit(13.0), lit(10.0), lit(13.0)))

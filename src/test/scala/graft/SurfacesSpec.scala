@@ -62,6 +62,31 @@ class SurfacesSpec extends SparkSpec {
     assert(reg("a").readPoints(spark).count() === 1L)
   }
 
+  test("config accessors coerce unambiguous types and REPORT genuine " +
+      "mismatches instead of silently defaulting (voluptuous posture)") {
+    // whole double + numeric string coerce; numeric listen stringifies
+    val ok = graft.api.GraftConfig.fromJson(
+      """{"training": {"num_cpus": 4.0, "epochs": "250"},
+        |"server": {"listen": 8099},
+        |"node": {"master": "yes", "compute": 0}}""".stripMargin)
+    assert(ok.training.numCpus === 4L && ok.training.epochs === 250L)
+    assert(ok.server.listen === "8099")
+    assert(ok.nodeMaster && !ok.nodeCompute)
+    // genuine mismatches throw, naming the key
+    val badInt = graft.api.GraftConfig.fromJson(
+      """{"server": {"workers": "abc"}}""")
+    val e1 = intercept[IllegalArgumentException](badInt.server.workers)
+    assert(e1.getMessage.contains("workers"))
+    val badFrac = graft.api.GraftConfig.fromJson(
+      """{"training": {"num_cpus": 2.5}}""")
+    assert(intercept[IllegalArgumentException](badFrac.training.numCpus)
+      .getMessage.contains("num_cpus"))
+    val badBool = graft.api.GraftConfig.fromJson(
+      """{"metrics": {"enable": [1]}}""")
+    assert(intercept[IllegalArgumentException](badBool.metricsEnable)
+      .getMessage.contains("enable"))
+  }
+
   // ── ConfigCoerce (tests/test_misc.py:90-105 + misc.py:263-283) ──────
 
   test("parseAddr mirrors test_misc.test_parse_addr") {
