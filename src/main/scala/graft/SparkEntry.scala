@@ -489,6 +489,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ── §2.11 Donut-VAE deterministic scoring (donut.py:1257-1276):
+    //    the PINNED net (real trained weights, PinnedDonut) through the
+    //    real load()→predict() path — standardize, z = z_mean encode/
+    //    decode, MCMC-impute, de-standardize, band, erf score. The
+    //    oracle replays the dense forward pass with bit-exact
+    //    left-to-right folds (DonutOracle)
+    "q_donut_score" -> ((s, dir) =>
+      graft.ml.PinnedDonut.model(s)
+        .predict(hourlyAvg(s, dir, SPLIT, TO), "observed")
+        .select(
+          col("bucket"),
+          round(col("observed"), 4).as("observed"),
+          round(col("predicted"), 6).as("predicted"),
+          round(col("lower"), 6).as("lower"),
+          round(col("upper"), 6).as("upper"),
+          round(col("score"), 4).as("score"))
+        .orderBy("bucket")),
+
     // ── §2.11 forecast at a requested confidence with horizon noise
     //    (percent_interval/percent_noise, loudml/donut.py:1338-1339,1415,
     //    1423): z = Φ⁻¹(1−(1−0.68)/2) ≈ 0.9945, half-band grows by
@@ -844,6 +862,12 @@ object SparkEntry {
       s"""$seasonalSql
          |SELECT bucket, round(observed, 4) AS observed, round(score, 4) AS score
          |FROM scored ORDER BY bucket""".stripMargin,
+
+    // the pinned-VAE forward replay: weights as a VALUES dictionary,
+    // dot products as bias-seeded ordered list folds (bit-identical to
+    // Lin.fwd), MCMC unrolled — generated from the SAME pinned JSON the
+    // query loads
+    "q_donut_score" -> graft.ml.DonutOracle.sql(SPLIT, TO),
 
     // latch recurrence open_t = det_t OR (open_{t-1} AND s_t≥min),
     // closed-form (grace=0): open iff the latest ≥max bucket is more

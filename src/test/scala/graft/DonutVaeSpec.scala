@@ -208,4 +208,22 @@ class DonutVaeSpec extends SparkSpec {
     info(s"MAE with 20% missing = $mae (signal sd $sd)")
     assert(mae < 0.5 * sd)
   }
+
+  test("PinnedDonut: the frozen artifact loads through the checkpoint " +
+      "path, round-trips its settings, and scores finite bands") {
+    val m = PinnedDonut.model(spark)
+    // settingsJson round-trips bit-exactly through save→load (the
+    // weights are the identity test: 442 doubles)
+    assert(m.settingsJson === PinnedDonut.settingsJson)
+    val series = (0 until 48).map { t =>
+      (t * HOUR, 50.0 + 20.0 * math.sin(2 * math.Pi * t / 24.0))
+    }.toDF("bucket", "value")
+    val scored = m.predict(series, "value").collect()
+    assert(scored.length === 48)
+    assert(scored.forall { r =>
+      val p = r.getAs[Double]("predicted")
+      !p.isNaN && !p.isInfinite &&
+        r.getAs[Double]("lower") < r.getAs[Double]("upper")
+    })
+  }
 }
