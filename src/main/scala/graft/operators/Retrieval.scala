@@ -160,13 +160,28 @@ object Retrieval {
     * BIT-IDENTICAL to [[bm25TopK]] on the same corpus (exact longs and
     * one exact double round-trip through parquet), so the index is a
     * pure cost move — the correctness gate runs the same oracle against
-    * both paths. */
+    * both paths.
+    *
+    * The probe's query terms are known driver-side, so they push into
+    * the postings/dfreq scans as an IN filter (`PushedFilters:
+    * In(term, …)`, plan-asserted): the postings were written
+    * TERM-SORTED exactly so parquet row-group min/max stats prune
+    * everything outside the probed terms — the probe reads
+    * O(matched postings), not O(corpus), which is the whole point of a
+    * persisted index at 100 TB. (Inside [[bm25TopK]] the same filter
+    * would break the single-exchange reuse that feeds dfreq/stats, so
+    * it lives only on the indexed path.) */
   def bm25TopKIndexed(spark: SparkSession, dir: String, idCol: String,
       queries: Seq[(Int, String)], k: Int,
-      k1: Double = 1.5, b: Double = 0.75): DataFrame =
-    score(spark, spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/dfreq"),
+      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val terms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    score(spark,
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("term").isin(terms: _*)),
+      spark.read.parquet(s"$dir/dfreq")
+        .filter(col("term").isin(terms: _*)),
       spark.read.parquet(s"$dir/stats"), idCol, queries, k, k1, b)
+  }
 
   /** Shared scoring stage: broadcast the query terms into the postings,
     * attach df + stats, fold the BM25 weight, rank per query. */

@@ -316,7 +316,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_psi", "q_ks_drift", "q_trend_ols", "q_forecast_eval",
       "q_theilsen", "q_acf", "q_cluster_metrics", "q_js_div",
       "q_psi_between", "q_balance_classes", "q_skew_report",
-      "q_sigma_clip", "q_gini", "q_bm25_indexed")
+      "q_sigma_clip", "q_gini", "q_bm25_indexed", "q_bm25_index_build",
+      "q_donut_score")
     // single-partition-exchange is excluded here: at sf0.001 AQE
     // legitimately coalesces the final verify-shaped orderBy to one
     // partition, and q_score_auc's 1-row agg single-partitions by
@@ -329,7 +330,10 @@ class PlanShapeSpec extends SparkSpec {
       // frame (distinct count values — one row in the doc_id degenerate
       // case); q_zipf's ranks the vocabulary behind a counted fail-fast;
       // q_bm25_indexed ranks per query over a broadcast probe
-      val windowOk = Set("q_score_auc", "q_zipf", "q_gini")
+      // q_donut_score's global window packs the MODEL-SIZED single
+      // series (reference semantics: one bucketized series per model)
+      val windowOk = Set("q_score_auc", "q_zipf", "q_gini",
+        "q_donut_score")
       // sanctioned broadcast-NLJ: a 1-row stats frame or a dictionary-
       // sized grid cross-joined in (the "is the frame small?" question
       // the rule's doc poses — answered yes by construction here)
@@ -342,6 +346,23 @@ class PlanShapeSpec extends SparkSpec {
           (f.rule == "global-window" && !windowOk(n)))
       assert(findings.isEmpty, s"$n: $findings")
     }
+  }
+
+  test("bm25TopKIndexed probe: the query-term IN filter reaches the " +
+      "postings scan (PushedFilters), so term-sorted row groups prune") {
+    import graft.operators.Retrieval
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_plan").toString
+    Retrieval.buildIndex(docs, "doc_id", "text", dir)
+    val p = plan(Retrieval.bm25TopKIndexed(spark, dir, "doc_id",
+      Seq(1 -> "aa zz"), k = 2))
+    assert(p.contains("PushedFilters: [In(term"), p)
+    // and the result is identical to the direct path
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(1 -> "aa zz"), k = 2).collect().map(_.toSeq).toSet
+    val probed = Retrieval.bm25TopKIndexed(spark, dir, "doc_id",
+      Seq(1 -> "aa zz"), k = 2).collect().map(_.toSeq).toSet
+    assert(probed === direct)
   }
 
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +
