@@ -67,6 +67,73 @@ object DataPipelineQueries {
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
 
+  /** Shared recursion for the q_quality_lr pair: featurize (the exact
+    * [[graft.ml.TextClassifier.features]] formulas), then fold 12
+    * full-batch GD steps of the Elliott-sigmoid rule — the working
+    * table is ONE row (the weight vector); each step's gradient is a
+    * correlated list-subquery aggregating over `feats` with every
+    * per-row term routed through decimal(30,12) (order-free), and the
+    * update chain `w − 0.5·g/n` is the same fixed-order double
+    * arithmetic the engine's driver loop performs. `finalSelect` reads
+    * `gd` (iter, w0..w5) and `feats`. */
+  private def QualityLrRecursion(finalSelect: String): String =
+    """WITH RECURSIVE feats AS (
+      |  SELECT doc_id, lang, 1.0 AS f0,
+      |    least(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+      |            AS DOUBLE) / 50.0, 1.0) AS f1,
+      |    CAST(length(text) -
+      |           length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+      |         AS DOUBLE)
+      |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS f2,
+      |    least((CAST(length(text) AS DOUBLE)
+      |           - CAST(length(text) - length(replace(text, ' ', ''))
+      |                  AS DOUBLE))
+      |          / greatest(CAST(len(regexp_extract_all(text,
+      |                       '[A-Za-z0-9]+')) AS DOUBLE), 1.0)
+      |          / 8.0, 1.0) AS f3,
+      |    CAST(length(text) -
+      |           length(regexp_replace(text, '[0-9]', '', 'g'))
+      |         AS DOUBLE)
+      |      / greatest(CAST(length(text) AS DOUBLE), 1.0) AS f4,
+      |    CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+      |           t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is',
+      |                      'it'))) AS DOUBLE)
+      |      / greatest(CAST(len(regexp_extract_all(text,
+      |                   '[A-Za-z0-9]+')) AS DOUBLE), 1.0) AS f5,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents
+      |), gd(iter, w0, w1, w2, w3, w4, w5) AS (
+      |  -- CAST to DOUBLE: a bare 0.0 anchor types the column
+      |  -- DECIMAL(2,1) and the recursion ROUNDS every update to one
+      |  -- decimal place (silently — the trajectory pins to 0.0)
+      |  SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+      |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+      |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+      |  UNION ALL
+      |  SELECT iter + 1,
+      |         w0 - 0.5 * g[1] / g[7], w1 - 0.5 * g[2] / g[7],
+      |         w2 - 0.5 * g[3] / g[7], w3 - 0.5 * g[4] / g[7],
+      |         w4 - 0.5 * g[5] / g[7], w5 - 0.5 * g[6] / g[7]
+      |  FROM (
+      |    SELECT iter, w0, w1, w2, w3, w4, w5,
+      |      (SELECT [
+      |         CAST(sum(CAST(r * f0 AS DECIMAL(30,12))) AS DOUBLE),
+      |         CAST(sum(CAST(r * f1 AS DECIMAL(30,12))) AS DOUBLE),
+      |         CAST(sum(CAST(r * f2 AS DECIMAL(30,12))) AS DOUBLE),
+      |         CAST(sum(CAST(r * f3 AS DECIMAL(30,12))) AS DOUBLE),
+      |         CAST(sum(CAST(r * f4 AS DECIMAL(30,12))) AS DOUBLE),
+      |         CAST(sum(CAST(r * f5 AS DECIMAL(30,12))) AS DOUBLE),
+      |         CAST(count(*) AS DOUBLE)]
+      |       FROM (SELECT f0, f1, f2, f3, f4, f5,
+      |               (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS r
+      |             FROM (SELECT *,
+      |                     w0 * f0 + w1 * f1 + w2 * f2 + w3 * f3
+      |                       + w4 * f4 + w5 * f5 AS z
+      |                   FROM feats))) AS g
+      |    FROM gd) WHERE iter < 12
+      |)
+      |""".stripMargin + finalSelect
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── exact dedup (content-hash, ES sha1-doc-id analog)
     "q_dedup_exact" -> ((s, dir) =>
@@ -188,6 +255,21 @@ object DataPipelineQueries {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
         .withColumn("cosine", round(col("cosine"), 4))
         .orderBy("query_id", "rank")
+    }),
+
+    // ── diversity-preserving subsample: at most 8 docs per semantic
+    //    cell (centroids pinned to the 16 lowest-id vectors, the
+    //    q_ann_ivf/q_semantic_dedup convention), md5-uniform draw
+    //    within each cell — dense clusters capped, rare regions kept
+    "q_diversity_sample" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(Similarity.asDouble(col("embedding"))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.diversitySample(e, "vec_id", "embedding", cents,
+          quota = 8)
+        .select("vec_id", "cell", "pos")
+        .orderBy("vec_id")
     }),
 
     // ── benchmark-contamination audit: probe = docs 0-19, corpus = rest;
@@ -359,6 +441,33 @@ object DataPipelineQueries {
         .select(col("doc_id"),
           round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4).as("quality"))
         .orderBy("doc_id")),
+
+    // ── trained quality classifier (graft.ml.TextClassifier): 12
+    //    full-batch GD steps of the Elliott-sigmoid linear model over 5
+    //    deterministic text features, label = (lang = 'en'); result is
+    //    the full WEIGHT TRAJECTORY (iter 0 = zero init .. iter 12),
+    //    which the oracle replays step-for-step as a recursive CTE
+    "q_quality_lr" -> ((s, dir) => {
+      val m = graft.ml.TextClassifier.fit(docs(s, dir), "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0))
+      graft.ml.TextClassifier.trajectoryDf(s, m)
+        .withColumn("weight", round(col("weight") + lit(1e-9), 7))
+        .orderBy("iter", "i")
+    }),
+
+    // ── the trained model applied back to the corpus: per-doc Elliott
+    //    score with the final weights as plan literals (narrow
+    //    codegen'd scan-rider), predicted label from the ROUNDED score
+    "q_quality_lr_score" -> ((s, dir) => {
+      val m = graft.ml.TextClassifier.fit(docs(s, dir), "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0))
+      docs(s, dir).select(col("doc_id"),
+          round(graft.ml.TextClassifier.score(col("text"), m.weights)
+            + lit(1e-9), 6).as("score"),
+          when(col("lang") === "en", 1).otherwise(0).as("y"))
+        .withColumn("pred", when(col("score") > 0.5, 1).otherwise(0))
+        .orderBy("doc_id")
+    }),
 
     // ── Gopher rule battery (Rae et al. 2021 §A1.1): auditable per-rule
     //    booleans + their conjunction, all codegen'd per-row folds
@@ -645,6 +754,30 @@ object DataPipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ── hybrid retrieval: per anchor doc, BM25 more-like-this (its own
+    //    text as the query, self-match excluded before ranking) and
+    //    dense cosine neighbors, each top-20, fused by reciprocal rank
+    //    (RRF, Cormack et al. SIGIR'09). rank_0 = sparse rank, rank_1 =
+    //    dense rank, 0 = absent from that list
+    "q_rrf_fusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val anchorIds = Seq(3L, 7L, 11L)
+      // anchor texts are query-sized (3 rows) — driver-side by design
+      val anchors = d.filter(col("doc_id").isin(anchorIds: _*))
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0).toInt, r.getString(1))).toSeq.sortBy(_._1)
+      val sparse = Retrieval.bm25TopK(d, "doc_id", "text", anchors,
+          k = 20, excludeSelf = true)
+        .select("query_id", "doc_id", "rank")
+      val dense = Similarity.bruteForceTopK(
+          embs(s, dir).filter(col("vec_id").isin(anchorIds: _*)),
+          embs(s, dir), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("match_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+        .withColumn("score", round(col("score") + lit(1e-9), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     // ── C4-style boilerplate removal, token unit (the synthetic corpus
     //    has no sentence structure): drop tokens present in ≥ 390 docs,
     //    rebuild each doc from survivors in original order
@@ -731,6 +864,15 @@ object DataPipelineQueries {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy("doc_id", "epoch")
     }),
+
+    // ── temperature mixture (α = 0.5, the XLM-R/mT5 rebalance): LANG
+    //    strata sampled ∝ √(token count) toward a 40k-token budget —
+    //    low-resource langs upweighted, epochs mark repeats
+    "q_mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureMix(docs(s, dir), "lang", "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 40000L)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
 
     // ── deterministic corpus shuffle: 8 dataloader shards, hash-order
     //    position within each — reproducible, append-stable layout
@@ -1644,6 +1786,34 @@ object DataPipelineQueries {
         |SELECT query_id, rank, match_id, round(cr, 4) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // assignment CTE mirrors q_ann_ivf/q_semantic_dedup (pinned 16
+    // lowest-id centroids, argmax-cosine, ties → lowest cell); the
+    // within-cell draw is the house md5-uniform with vec_id tiebreak
+    "q_diversity_sample" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 16
+        |), sims AS (
+        |  SELECT e.vec_id, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) *
+        |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
+        |           c.cell ASC) AS rn
+        |  FROM e CROSS JOIN cents c
+        |), cells AS (
+        |  SELECT vec_id, cell FROM sims WHERE rn = 1
+        |), pos AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY cell ORDER BY
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+        |        AS BIGINT) / 4294967296.0 ASC, vec_id ASC) AS pos
+        |  FROM cells
+        |)
+        |SELECT vec_id, cell, CAST(pos AS INT) AS pos
+        |FROM pos WHERE pos <= 8 ORDER BY vec_id""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH hits AS (
          |  SELECT doc_id,
@@ -1670,6 +1840,41 @@ object DataPipelineQueries {
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // temperature rebalance replay: Σ√n routes through decimal(30,12)
+    // (the engine's BigDecimal accumulation), then the same fixed-order
+    // rate chain budget·(√n/Z)/n and the q_epoch_mix repeat draw
+    "q_mix_temperature" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        |           AS BIGINT) AS n
+        |  FROM documents
+        |), tot AS (
+        |  SELECT lang, greatest(CAST(sum(n) AS BIGINT), 1) AS tot
+        |  FROM tok GROUP BY 1
+        |), z AS (
+        |  SELECT CAST(sum(CAST(sqrt(CAST(tot AS DOUBLE))
+        |           AS DECIMAL(30,12))) AS DOUBLE) AS z
+        |  FROM tot
+        |), rate AS (
+        |  SELECT lang,
+        |         40000.0 * (sqrt(CAST(tot AS DOUBLE)) / z.z)
+        |           / CAST(tot AS DOUBLE) AS r
+        |  FROM tot CROSS JOIN z
+        |), reps AS (
+        |  SELECT t.doc_id, t.lang,
+        |         CAST(floor(r) AS BIGINT) +
+        |         CASE WHEN CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)),
+        |                  1, 8) AS BIGINT) / 4294967296.0 < r - floor(r)
+        |              THEN 1 ELSE 0 END AS m
+        |  FROM tok t JOIN rate USING (lang)
+        |)
+        |SELECT doc_id, lang, CAST(epoch AS INT) AS epoch
+        |FROM (SELECT doc_id, lang,
+        |             unnest(generate_series(1, m)) AS epoch
+        |      FROM reps WHERE m >= 1)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // the contraction alternative's quote is doubled for the SQL literal;
     // the pattern itself is TextAnalysis.bpePattern verbatim
@@ -2334,6 +2539,115 @@ object DataPipelineQueries {
     // the index path must reproduce the direct path bit-for-bit — the
     // oracle IS q_bm25's
     "q_bm25_indexed" -> Bm25Oracle,
+
+    // hybrid fusion: the sparse leg replays Bm25Oracle's scoring with
+    // anchor-doc texts as the queries (self-match excluded BEFORE
+    // ranking), the dense leg replays q_embed_topk's cosine ranking;
+    // fused score = two exact IEEE divisions added in fixed list order
+    // (sparse + dense) — bit-identical to rrfFuse's pivoted add chain
+    "q_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        |), postings AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, len(arr) AS dl, unnest(arr) AS term FROM toks
+        |  ) WHERE length(term) > 0 GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM (
+        |      SELECT doc_id, unnest(arr) AS term FROM toks)
+        |    WHERE length(term) > 0
+        |  ) GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(arr)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |           AS avgdl
+        |  FROM toks
+        |), qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM (
+        |    SELECT doc_id, unnest(arr) AS term FROM toks
+        |    WHERE doc_id IN (3, 7, 11))
+        |  WHERE length(term) > 0
+        |), sp_scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    CAST(sum(CAST(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+        |        (p.tf * CAST(2.5 AS DOUBLE)) /
+        |        (p.tf + CAST(1.5 AS DOUBLE) *
+        |          (1.0 - CAST(0.75 AS DOUBLE) +
+        |           CAST(0.75 AS DOUBLE) * p.dl / s.avgdl))
+        |      AS DECIMAL(30,12))) AS DOUBLE) AS score
+        |  FROM postings p JOIN qterms q USING (term)
+        |  JOIN dfreq d USING (term) CROSS JOIN stats s
+        |  WHERE p.doc_id != q.query_id
+        |  GROUP BY 1, 2
+        |), sp AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id ASC) AS r
+        |    FROM sp_scored) WHERE r <= 20
+        |), dn AS (
+        |  SELECT * FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cr DESC, doc_id ASC) AS r
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |             list_dot_product(q.qv, c.cv) /
+        |               (sqrt(list_dot_product(q.qv, q.qv)) *
+        |                sqrt(list_dot_product(c.cv, c.cv))) AS cr
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id IN (3, 7, 11)) q
+        |      CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |                  FROM embeddings) c
+        |      WHERE q.vec_id != c.vec_id)
+        |  ) WHERE r <= 20
+        |), fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |         coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |         coalesce(1.0 / (60 + s.r), 0.0)
+        |           + coalesce(1.0 / (60 + d.r), 0.0) AS score,
+        |         coalesce(s.r, 0) AS rank_0, coalesce(d.r, 0) AS rank_1
+        |  FROM sp s FULL OUTER JOIN dn d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score, rank_0, rank_1,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, rank, doc_id,
+        |       round(score + 1e-9, 6) + 0.0 AS score, rank_0, rank_1
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // GD trajectory replay: the recursive CTE folds the SAME update
+    // rule bit-for-bit — Elliott sigmoid (add/divide/abs only, no libm
+    // exp), per-row terms routed through decimal(30,12), fixed-order
+    // weight update chain. Step 0 = zero init, step 12 = final.
+    "q_quality_lr" -> QualityLrRecursion(
+      """SELECT CAST(iter AS INT) AS iter, CAST(i AS INT) AS i,
+        |       round(w + 1e-9, 7) + 0.0 AS weight
+        |FROM (SELECT iter, unnest([0, 1, 2, 3, 4, 5]) AS i,
+        |             unnest([w0, w1, w2, w3, w4, w5]) AS w FROM gd)
+        |ORDER BY iter, i""".stripMargin),
+
+    // same recursion to the final weights, then the forward pass over
+    // every doc; pred compares the ROUNDED score (both engines)
+    "q_quality_lr_score" -> QualityLrRecursion(
+      """SELECT doc_id,
+        |       round((0.5 + 0.5 * (z / (1.0 + abs(z)))) + 1e-9, 6) + 0.0
+        |         AS score,
+        |       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |       CASE WHEN round((0.5 + 0.5 * (z / (1.0 + abs(z))))
+        |                    + 1e-9, 6) > 0.5
+        |            THEN 1 ELSE 0 END AS pred
+        |FROM (
+        |  SELECT f.doc_id, f.lang,
+        |         g.w0 * f.f0 + g.w1 * f.f1 + g.w2 * f.f2 + g.w3 * f.f3
+        |           + g.w4 * f.f4 + g.w5 * f.f5 AS z
+        |  FROM feats f CROSS JOIN (SELECT * FROM gd WHERE iter = 12) g)
+        |ORDER BY doc_id""".stripMargin),
 
     // parallel unnests zip by position in DuckDB → (pos, token) rows;
     // string_agg(… ORDER BY i) rebuilds the doc in original order

@@ -55,7 +55,8 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)], k: Int,
-      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.5, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -89,7 +90,8 @@ object Retrieval {
         (col("__sumdl").cast("double") / col("__N").cast("double"))
           .as("__avgdl"))
 
-    score(spark, postings, dfreq, stats, idCol, queries, k, k1, b)
+    score(spark, postings, dfreq, stats, idCol, queries, k, k1, b,
+      excludeSelf)
   }
 
   /** Build a PERSISTED inverted index under `dir` — the shape retrieval
@@ -188,7 +190,7 @@ object Retrieval {
   private def score(spark: SparkSession, postings: DataFrame,
       dfreq: DataFrame, stats: DataFrame, idCol: String,
       queries: Seq[(Int, String)], k: Int, k1: Double,
-      b: Double): DataFrame = {
+      b: Double, excludeSelf: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import spark.implicits._
     val qterms = queries
@@ -200,8 +202,15 @@ object Retrieval {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col(idCol).asc)
 
-    postings
+    val matched0 = postings
       .join(broadcast(qterms), "term")
+    // more-like-this mode: the query IS a corpus document (query_id =
+    // its doc id) — drop its self-match BEFORE ranking so ranks stay
+    // dense over the genuine neighbors
+    val matched = if (excludeSelf)
+      matched0.filter(col("query_id").cast("long") =!= col(idCol).cast("long"))
+    else matched0
+    matched
       .join(dfreq, "term") // term-keyed; build side is vocabulary-sized
       .crossJoin(broadcast(stats))
       .withColumn("__w",
@@ -215,5 +224,62 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    * ranked retrieval lists — the standard hybrid-retrieval combiner
+    * (sparse BM25 + dense embedding ANN) for RAG corpus assembly and
+    * curation pulls: rank positions are commensurable where raw scores
+    * (BM25 vs cosine) are not.
+    *
+    *   fused(q, d) = Σ_lists 1 / (rrfK + rank_list(q, d))
+    *
+    * with a list contributing 0 where the doc is absent. Inputs must
+    * carry `(query_id, doc_id, rank)`; ranks are taken as given (dense,
+    * 1-based, per query). Output: `(query_id, rank, doc_id, score,
+    * rank_0, rank_1, …)` — one source-rank column per input list,
+    * 0 = absent from that list. Ties: score desc, then doc_id asc.
+    *
+    * Determinism contract: each contribution is ONE IEEE division of
+    * exact integers and the fusion sum adds the per-list terms in
+    * FIXED list order (a pivoted left-associated add chain, not a
+    * float `sum()` whose partial-aggregation order floats) — so the
+    * fused score is bit-identical across partitionings and engines.
+    *
+    * Scale shape: the inputs are top-k-per-query frames (output-sized,
+    * never corpus-sized), so the union + one (query, doc)-keyed
+    * aggregation + per-query ranking window all run on
+    * O(|queries|·k·lists) rows — the fusion itself is free at any
+    * corpus scale; the cost lives in the upstream retrieval lists. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "at least one ranked list")
+    require(k >= 1, "k must be >= 1")
+    require(rrfK >= 0, "rrfK must be >= 0")
+    val tagged = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("int").as("rank"),
+        lit(i).as("__list"))
+    }.reduce(_.unionByName(_))
+    val contrib = lit(1.0) / (lit(rrfK) + col("rank")).cast("double")
+    val perList = lists.indices.map { i =>
+      max(when(col("__list") === i, contrib)).as(s"__c$i") +:
+        Seq(max(when(col("__list") === i, col("rank"))).as(s"__r$i"))
+    }.flatten
+    val fusedScore = lists.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduceLeft(_ + _) // fixed-order add chain — see determinism note
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tagged
+      .groupBy("query_id", "doc_id")
+      .agg(perList.head, perList.tail: _*)
+      .withColumn("score", fusedScore)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(Seq(col("query_id"), col("rank"), col("doc_id"),
+        col("score")) ++
+        lists.indices.map(i =>
+          coalesce(col(s"__r$i"), lit(0)).as(s"rank_$i")): _*)
   }
 }

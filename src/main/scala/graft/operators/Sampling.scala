@@ -302,4 +302,60 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1), col("__m"))))
       .drop("__s", "__rate", "__m")
   }
+
+  /** Temperature-based mixture sampling — the multilingual-pretraining
+    * rebalance (XLM-R, mT5: sample stratum d with probability
+    * ∝ n_d^α, α < 1), which upweights low-resource strata without the
+    * per-stratum budget bookkeeping of [[epochMix]]:
+    *
+    *   p_d = √n_d / Σ_d √n_d        (α = 0.5)
+    *   rate_d = budget · p_d / n_d   (repeats > 1 ⇒ epoch upsampling)
+    *
+    * α is FIXED at 0.5: √ is a correctly-rounded IEEE-754 primitive in
+    * every engine, while a general `pow(n, α)` is libm-implementation-
+    * defined in its last ulp — the same engine-parity reasoning that
+    * picks the Elliott sigmoid in [[graft.ml.TextClassifier]]. The
+    * share normalizer Σ√n routes through decimal(30,12) per stratum
+    * (order-free exact accumulation), so every rate — and therefore
+    * the exact sampled multiset — is bit-reproducible across
+    * partitionings and engines.
+    *
+    * Rows repeat ⌊rate⌋ times plus one more when the row's md5-uniform
+    * (keyed by id — append-stable, partitioning-free) falls under the
+    * fractional part; output gains an `epoch` column, 1-based, exactly
+    * like [[epochMix]].
+    *
+    * Scale shape: one stratum-keyed exact-integer aggregate (result is
+    * strata-sized, collected driver-side like [[epochMix]]'s budgets),
+    * a broadcast of (stratum, rate) back onto the corpus, and a narrow
+    * explode — the corpus never shuffles. */
+  def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
+      sizeExpr: Column, budget: Long, salt: String = ""): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val totals = df.groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(sum(sizeExpr.cast("long")).as("__tot")).collect()
+      .map(r => r.getString(0) -> math.max(r.getLong(1), 1L))
+    // Σ√n as exact decimal accumulation of 12-dp-quantized terms: the
+    // one place a naive float sum would be iteration-order-dependent
+    val z = totals
+      .map { case (_, n) =>
+        BigDecimal(math.sqrt(n.toDouble))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      .sum.toDouble
+    val rates = totals.map { case (s, n) =>
+      (s, budget.toDouble * (math.sqrt(n.toDouble) / z) / n.toDouble)
+    }.toSeq
+    val ratesDf = df.sparkSession.createDataFrame(rates).toDF("__s", "__rate")
+    val r = col("__rate")
+    val reps = (floor(r) +
+      when(hashUniform(col(idCol), salt) < r - floor(r), 1).otherwise(0))
+      .cast("int")
+    df.withColumn("__s", col(strataCol).cast("string"))
+      .join(broadcast(ratesDf), "__s")
+      .withColumn("__m", reps)
+      .filter(col("__m") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col("__m"))))
+      .drop("__s", "__rate", "__m")
+  }
 }

@@ -580,6 +580,48 @@ object Similarity {
     corpus.join(removed, Seq(idCol), "left_anti")
   }
 
+  /** Diversity-preserving subsample — per-cluster quota sampling over
+    * the embedding space (the D4/SemDeDup-adjacent curation move:
+    * instead of keeping a uniform `fraction` of the corpus, keep at
+    * most `quota` docs from each semantic cell, so dense semantic
+    * clusters — boilerplate farms, templated pages — can't dominate the
+    * sampled set and rare regions survive whole).
+    *
+    * Cell assignment is the [[ivfTopK]] argmax-cosine against
+    * `centroids` (plan literals, zero-shuffle narrow map; zero-norm
+    * vectors land in cell −1 and are kept outside any quota). Within a
+    * cell, the kept rows are the `quota` smallest
+    * (md5-uniform(id, salt), id) — the deterministic, append-stable
+    * draw every sampler here uses.
+    *
+    * Scale shape: the ranking window partitions by cell; cells are
+    * capacity-bounded by the centroid count (corpus/nlist expected),
+    * so no single window partition sees the corpus. For web-scale
+    * corpora size `nlist` so corpus/nlist fits a task (the same knob
+    * as IVF), or pre-filter with [[Sampling.hashSample]] to a
+    * manageable superset first.
+    *
+    * Output: the kept rows with `cell` and `pos` (1-based rank within
+    * the cell's draw). */
+  def diversitySample(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], quota: Int,
+      salt: String = ""): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    val centLit = centroidLit(centroids)
+    val keyed = corpus
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("cell",
+        when(col("__n") > 0, bestCell(centLit, col("__v"), col("__n")))
+          .otherwise(lit(-1L)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(Sampling.hashUniform(col(idCol), salt).asc, col(idCol).asc)
+    keyed
+      .withColumn("pos", row_number().over(w))
+      .filter(col("cell") === -1L || col("pos") <= quota)
+      .drop("__v", "__n")
+  }
+
   /** LSH-bucketed ANN, BANDED like [[cosineDedup]]: the `planes`
     * hyperplanes split into `bands` independent sets of planes/bands
     * bits; a corpus vector is a candidate for a query iff they agree on

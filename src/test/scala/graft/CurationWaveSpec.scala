@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ml.TextClassifier
+import graft.operators.{Retrieval, Sampling, Similarity}
+
+/** Unit coverage for the curation wave: RRF hybrid fusion, the trained
+  * Elliott-sigmoid quality classifier, temperature mixture sampling,
+  * and diversity-preserving per-cell subsampling. Expected values are
+  * recomputed in-test with the operators' documented formulas (same
+  * operand order), so these pin semantics, not snapshots. */
+class CurationWaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ── rrfFuse ──────────────────────────────────────────────────────────
+
+  test("rrfFuse: score formula, absent-list contribution 0, tie order") {
+    val sparse = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 20L, 1), (1L, 40L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+      .collect().map(r => r.getLong(2) ->
+        (r.getInt(1), r.getDouble(3), r.getInt(4), r.getInt(5))).toMap
+    // doc 20 is in both lists: 1/(60+2) + 1/(60+1)
+    assert(out(20L)._2 === 1.0 / 62 + 1.0 / 61)
+    assert(out(20L)._3 === 2 && out(20L)._4 === 1)
+    // doc 10 sparse-only, doc 40 dense-only: single term + 0.0
+    assert(out(10L)._2 === 1.0 / 61 + 0.0)
+    assert(out(10L)._4 === 0) // absent from dense
+    assert(out(40L)._2 === 0.0 + 1.0 / 62)
+    assert(out(40L)._3 === 0) // absent from sparse
+    // fused order: 20 (two terms) first, then 10 and 40 — 10 and 40
+    // tie EXACTLY only if 1/61 == 1/62 (they don't): 10 outranks 40
+    assert(out(20L)._1 === 1 && out(10L)._1 === 2 && out(40L)._1 === 3)
+  }
+
+  test("rrfFuse: equal-rank-set ties break by doc_id asc") {
+    val a = Seq((1L, 5L, 1), (1L, 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 3L, 1), (1L, 5L, 2)).toDF("query_id", "doc_id", "rank")
+    // both docs score 1/61 + 1/62 — the tie resolves to the lower id
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 2)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(2) === 3L && out(1).getLong(2) === 5L)
+    assert(out(0).getDouble(3) === out(1).getDouble(3))
+  }
+
+  // ── TextClassifier ───────────────────────────────────────────────────
+
+  private val labeled = Seq(
+    // "good" docs: long, stopword-rich, spaced — label 1
+    (1L, "the quick brown fox jumps over the lazy dog and runs to the hills in a bright morning", 1.0),
+    (2L, "a tale of two cities is a novel and it is set in london and paris during the revolution", 1.0),
+    (3L, "the history of science is full of wonder and the joy of discovery is open to all of us", 1.0),
+    // "bad" docs: short / punct-heavy / digit-heavy — label 0
+    (4L, "x!!!;;;...", 0.0),
+    (5L, "1234567890 000111", 0.0),
+    (6L, "??!!..;;::", 0.0)).toDF("doc_id", "text", "label")
+
+  test("fit: loss direction — separable toy corpus classifies correctly after training") {
+    val m = TextClassifier.fit(labeled, "text", col("label"),
+      iters = 40, lr = 1.0)
+    val scored = labeled.select(col("doc_id"), col("label"),
+        TextClassifier.score(col("text"), m.weights).as("p"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    for ((id, y, p) <- scored)
+      assert((p > 0.5) === (y > 0.5), s"doc $id: p=$p y=$y")
+    // trajectory bookkeeping: zero init, iters+1 snapshots
+    assert(m.trajectory.head.forall(_ == 0.0))
+    assert(m.trajectory.size === 41 && m.iters === 40)
+  }
+
+  test("fit: weight trajectory is bit-identical across partitionings (decimal-routed gradient)") {
+    val a = TextClassifier.fit(labeled.repartition(1), "text",
+      col("label"), iters = 7)
+    val b = TextClassifier.fit(labeled.repartition(5), "text",
+      col("label"), iters = 7)
+    for (t <- a.trajectory.indices)
+      assert(a.trajectory(t).toSeq === b.trajectory(t).toSeq, s"step $t")
+  }
+
+  test("fit: one hand-folded GD step matches (formula pin)") {
+    // two docs, all-zero init: p = 0.5, r = 0.5 - y; features exact
+    val df = Seq((1L, "the the", 1.0), (2L, "zz", 0.0))
+      .toDF("doc_id", "text", "label")
+    val m = TextClassifier.fit(df, "text", col("label"),
+      iters = 1, lr = 0.5)
+    // f(doc1): toks=2 f1=2/50; punct=0 f2=0; chars=7,spaces=1 ⇒
+    //   avgTok=(7-1)/2=3 f3=3/8; digits=0 f4=0; stops=2 f5=1
+    // f(doc2): toks=1 f1=1/50; f2=0; chars=2,spaces=0 avgTok=2 f3=2/8;
+    //   f4=0; f5=0
+    val g = Array(
+      0.0, // r1·1 + r2·1 = -0.5 + 0.5
+      -0.5 * (2.0 / 50) + 0.5 * (1.0 / 50),
+      0.0,
+      -0.5 * (3.0 / 8) + 0.5 * (2.0 / 8),
+      0.0,
+      -0.5 * 1.0 + 0.5 * 0.0)
+    val exp = g.map(gj => -0.5 * gj / 2.0)
+    assert(m.weights.toSeq === exp.toSeq)
+  }
+
+  // ── temperatureMix ───────────────────────────────────────────────────
+
+  test("temperatureMix: α=0.5 rates — rare stratum upweighted √-proportionally") {
+    // stratum A: 400 tokens over 4 docs; B: 4 tokens over 4 docs
+    val df = (1 to 4).map(i => (i.toLong, "A", 100L)) ++
+      (5 to 8).map(i => (i.toLong, "B", 1L))
+    val in = df.toDF("id", "s", "n")
+    val out = Sampling.temperatureMix(in, "s", "id", col("n"),
+      budget = 100L)
+    // expected rates: √400=20, √4=2, Z=22 ⇒
+    //   A: 100·(20/22)/400 ≈ 0.227 ⇒ 0 or 1 epochs per doc
+    //   B: 100·(2/22)/4 ≈ 2.27 ⇒ 2 or 3 epochs per doc
+    val byStratum = out.groupBy("s").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every B doc repeats ≥2: count ≥ 8; A contributes ≤ 4 rows
+    assert(byStratum.getOrElse("B", 0L) >= 8L)
+    assert(byStratum.getOrElse("A", 0L) <= 4L)
+    // weighted: B's per-doc rate exceeds A's though B is 100× smaller
+    val epochsB = out.filter(col("s") === "B").groupBy("id")
+      .agg(max("epoch")).collect().map(_.getInt(1))
+    assert(epochsB.forall(e => e == 2 || e == 3))
+  }
+
+  test("temperatureMix: deterministic across partitionings") {
+    val df = (1 to 50).map(i =>
+      (i.toLong, if (i % 10 == 0) "rare" else "base", (i % 7 + 1).toLong))
+    val a = Sampling.temperatureMix(df.toDF("id", "s", "n")
+        .repartition(1), "s", "id", col("n"), budget = 60L)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sorted.toSeq
+    val b = Sampling.temperatureMix(df.toDF("id", "s", "n")
+        .repartition(7), "s", "id", col("n"), budget = 60L)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  // ── diversitySample ──────────────────────────────────────────────────
+
+  test("diversitySample: per-cell quota enforced, deterministic, zero-norm kept in cell -1") {
+    // two well-separated centroids; 10 points near each; 1 zero vector
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val rows =
+      (1 to 10).map(i => (i.toLong, Seq(1.0f, 0.01f * i))) ++
+      (11 to 20).map(i => (i.toLong, Seq(0.01f * (i - 10), 1.0f))) ++
+      Seq((21L, Seq(0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.diversitySample(df, "vec_id", "embedding",
+      cents, quota = 3)
+    val byCell = out.groupBy("cell").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCell(0L) === 3L && byCell(1L) === 3L)
+    assert(byCell(-1L) === 1L) // zero-norm row survives outside quotas
+    assert(out.filter(col("cell") >= 0 && col("pos") > 3).count() === 0L)
+    val again = Similarity.diversitySample(df.repartition(5), "vec_id",
+      "embedding", cents, quota = 3)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again ===
+      out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}

@@ -317,7 +317,13 @@ class PlanShapeSpec extends SparkSpec {
       "q_theilsen", "q_acf", "q_cluster_metrics", "q_js_div",
       "q_psi_between", "q_balance_classes", "q_skew_report",
       "q_sigma_clip", "q_gini", "q_bm25_indexed", "q_bm25_index_build",
-      "q_donut_score")
+      "q_donut_score",
+      // curation wave: rrf fuses output-sized ranked lists (its bm25 +
+      // brute-force legs carry the sanctioned 1-row-stats / broadcast-
+      // probe NLJs); the classifier score is a narrow scan-rider; the
+      // mixers broadcast strata-sized rate frames
+      "q_rrf_fusion", "q_quality_lr_score", "q_mix_temperature",
+      "q_diversity_sample")
     // single-partition-exchange is excluded here: at sf0.001 AQE
     // legitimately coalesces the final verify-shaped orderBy to one
     // partition, and q_score_auc's 1-row agg single-partitions by
@@ -339,7 +345,7 @@ class PlanShapeSpec extends SparkSpec {
       // the rule's doc poses — answered yes by construction here)
       val nljOk = Set("q_bm25", "q_bm25_indexed", "q_pmi", "q_psi",
         "q_mutual_info", "q_ks_drift", "q_js_div", "q_psi_between",
-        "q_skew_report")
+        "q_skew_report", "q_rrf_fusion")
       val findings = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
         .filter(f => (hard(f.rule) &&
             !(f.rule == "nested-loop-join" && nljOk(n))) ||
