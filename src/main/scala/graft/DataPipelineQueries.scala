@@ -272,6 +272,36 @@ object DataPipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // ── MMR re-ranking (Carbonell-Goldstein SIGIR'98): top-20 cosine
+    //    candidates per anchor, greedily re-picked for diversity
+    //    (λ=0.7, k=8); the oracle replays the greedy trajectory as a
+    //    recursive CTE selecting one row per query per step
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cand = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("match_id").as("doc_id"),
+          col("cosine").as("rel"))
+        .join(e.select(col("vec_id").as("doc_id"),
+          col("embedding").as("v")), "doc_id")
+      Similarity.mmrRerank(cand, k = 8)
+        .withColumn("mmr", round(col("mmr") + lit(1e-9), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ── per-cell embedding outliers: the 3 least-typical members of
+    //    each semantic cell (lowest cosine to the winning centroid) —
+    //    the mislabeled/garbage-vector audit
+    "q_embed_outliers" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(Similarity.asDouble(col("embedding"))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Similarity.cellOutliers(e, "vec_id", "embedding", cents, m = 3)
+        .withColumn("cos_centroid", round(col("cos_centroid"), 4))
+        .orderBy("cell", "pos")
+    }),
+
     // ── benchmark-contamination audit: probe = docs 0-19, corpus = rest;
     //    containment = share of a probe doc's shingles present in corpus
     "q_contamination" -> ((s, dir) => {
@@ -283,6 +313,23 @@ object DataPipelineQueries {
           round(col("containment"), 4).as("containment"))
         .orderBy("probe_id")
     }),
+
+    // ── per-source exact-duplication audit: docs, distinct contents,
+    //    dup ratio, worst single content's copy count — "which domain
+    //    is a mirror farm" before paying for a near-dup pass
+    "q_dedup_report" -> ((s, dir) =>
+      Dedup.dedupReport(docs(s, dir), "text", "source")
+        .withColumn("dup_ratio", round(col("dup_ratio") + lit(1e-9), 6))
+        .orderBy("source")),
+
+    // ── word-trigram novelty vs the English slice: fraction of each
+    //    doc's trigrams absent from the reference n-gram set (en docs
+    //    score 0 by construction; short docs → null)
+    "q_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", n = 3)
+        .withColumn("novelty", round(col("novelty") + lit(1e-9), 6))
+        .orderBy("doc_id")),
 
     // ── deterministic hash sampling (partitioning-stable 10%)
     "q_hash_sample" -> ((s, dir) =>
@@ -1632,6 +1679,51 @@ object DataPipelineQueries {
          |LEFT JOIN hits h USING (doc_id)
          |ORDER BY probe_id""".stripMargin,
 
+    // exact-integer counts (CASTs defeat HUGEINT widening), one exact
+    // division for the ratio
+    "q_dedup_report" ->
+      """WITH h AS (
+        |  SELECT source, md5(text) AS ck, count(*) AS copies
+        |  FROM documents GROUP BY 1, 2
+        |)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |       count(*) AS n_unique,
+        |       CAST(max(copies) AS BIGINT) AS max_copies,
+        |       round(CAST(CAST(sum(copies) AS BIGINT) - count(*) AS DOUBLE)
+        |           / CAST(CAST(sum(copies) AS BIGINT) AS DOUBLE)
+        |         + 1e-9, 6) AS dup_ratio
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // word trigrams 1-based (toks[i..i+2], generate_series inclusive —
+    // Spark's sequence/element_at semantics); novelty = one exact-int
+    // division, null for docs under 3 tokens
+    "q_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+        |  FROM (SELECT doc_id, lang, toks,
+        |          unnest(generate_series(1, len(toks) - 2)) AS i
+        |        FROM t WHERE len(toks) >= 3)
+        |), ref AS (
+        |  SELECT DISTINCT gram FROM g WHERE lang = 'en'
+        |), agg AS (
+        |  SELECT g.doc_id, count(*) AS n_ngrams,
+        |         CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_unseen
+        |  FROM g LEFT JOIN ref r ON g.gram = r.gram
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(a.n_ngrams, 0) AS n_ngrams,
+        |       coalesce(a.n_unseen, 0) AS n_unseen,
+        |       round(CAST(a.n_unseen AS DOUBLE)
+        |           / CAST(a.n_ngrams AS DOUBLE) + 1e-9, 6) AS novelty
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_hash_sample" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
@@ -1813,6 +1905,89 @@ object DataPipelineQueries {
         |)
         |SELECT vec_id, cell, CAST(pos AS INT) AS pos
         |FROM pos WHERE pos <= 8 ORDER BY vec_id""".stripMargin,
+
+    // greedy MMR replay: candidates = q_embed_topk's cosine ranking
+    // (top-20, anchors vec_id < 10); each recursion step joins the
+    // working row (one per query) against the unpicked candidates,
+    // scores 0.7·rel − 0.3·max-sim-to-selected, and keeps the argmax
+    // (ties → lowest doc_id, the engine's strict-> scan order)
+    "q_mmr_rerank" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT query_id, doc_id, cr AS rel, cv AS v FROM (
+        |    SELECT query_id, doc_id, cr, cv,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cr DESC, doc_id ASC) AS r
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS doc_id, c.cv AS cv,
+        |             list_dot_product(q.qv, c.cv) /
+        |               (sqrt(list_dot_product(q.qv, q.qv)) *
+        |                sqrt(list_dot_product(c.cv, c.cv))) AS cr
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+        |            FROM embeddings WHERE vec_id < 10) q
+        |      CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |                  FROM embeddings) c
+        |      WHERE q.vec_id != c.vec_id)
+        |  ) WHERE r <= 20
+        |), sel(step, query_id, doc_id, mmr, ids) AS (
+        |  SELECT 1, query_id, doc_id, 0.7 * rel - (1.0 - 0.7) * 0.0,
+        |         [doc_id]
+        |  FROM (SELECT query_id, doc_id, rel,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY 0.7 * rel DESC, doc_id ASC) AS rn
+        |        FROM cand) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT step + 1, query_id, doc_id, mmr,
+        |         list_append(ids, doc_id)
+        |  FROM (
+        |    SELECT step, query_id, doc_id, mmr, ids,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY mmr DESC, doc_id ASC) AS rn
+        |    FROM (
+        |      SELECT s.step, s.query_id, c.doc_id, s.ids,
+        |        0.7 * c.rel - (1.0 - 0.7) *
+        |          (SELECT max(list_dot_product(c.v, c2.v) /
+        |               (sqrt(list_dot_product(c.v, c.v)) *
+        |                sqrt(list_dot_product(c2.v, c2.v))))
+        |           FROM cand c2 WHERE c2.query_id = s.query_id
+        |             AND list_contains(s.ids, c2.doc_id)) AS mmr
+        |      FROM sel s JOIN cand c ON c.query_id = s.query_id
+        |        AND NOT list_contains(s.ids, c.doc_id)
+        |      WHERE s.step < 8)
+        |  ) WHERE rn = 1
+        |)
+        |SELECT query_id, CAST(step AS INT) AS rank, doc_id,
+        |       round(mmr + 1e-9, 6) + 0.0 AS mmr
+        |FROM sel ORDER BY query_id, rank""".stripMargin,
+
+    // assignment mirrors q_ann_ivf (the winning cell's cosine IS the
+    // argmax sim); bottom-3 per cell by that cosine, vec_id tiebreak
+    "q_embed_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 16
+        |), sims AS (
+        |  SELECT e.vec_id, c.cell,
+        |         list_dot_product(e.v, c.centv) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.centv, c.centv))) AS cr,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) *
+        |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
+        |           c.cell ASC) AS rn
+        |  FROM e CROSS JOIN cents c
+        |), assigned AS (
+        |  SELECT vec_id, cell, cr FROM sims WHERE rn = 1
+        |), ranked AS (
+        |  SELECT cell, vec_id, cr,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY cr ASC, vec_id ASC) AS pos
+        |  FROM assigned
+        |)
+        |SELECT cell, vec_id, round(cr, 4) AS cos_centroid,
+        |       CAST(pos AS INT) AS pos
+        |FROM ranked WHERE pos <= 3 ORDER BY cell, pos""".stripMargin,
 
     "q_lang_id" ->
       s"""WITH hits AS (

@@ -36,6 +36,34 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Per-group exact-duplication audit — the dedup REPORT a curation
+    * run ships alongside its dedup pass: for each `groupCol` (source /
+    * domain / shard), how many docs, how many distinct contents, the
+    * duplicate ratio, and the worst single content's copy count.
+    * Reading it answers "which domain is a mirror farm" before anyone
+    * pays for a near-dup pass there.
+    *
+    * `dup_ratio = (n_docs − n_unique) / n_docs` — one exact-integer
+    * division (engine-reproducible by construction).
+    *
+    * Scale shape: two stacked aggregations — (group, content-hash)
+    * counts (map-side partials; a hash bounds its own copies), then a
+    * group-keyed rollup whose exchange carries one row per DISTINCT
+    * CONTENT, never per doc. No windows, no joins. */
+  def dedupReport(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val perHash = df
+      .groupBy(col(groupCol), contentKey(col(textCol)).as("__ck"))
+      .agg(count(lit(1)).as("__copies"))
+    perHash.groupBy(col(groupCol))
+      .agg(sum(col("__copies")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        max(col("__copies")).cast("long").as("max_copies"))
+      .withColumn("dup_ratio",
+        (col("n_docs") - col("n_unique")).cast("double") /
+          col("n_docs").cast("double"))
+  }
+
   /** Canonical-document selection: keep ONE representative per cluster,
     * chosen by the caller's preference order (e.g. quality DESC, id ASC —
     * always end with a unique column so the choice is total). The exact

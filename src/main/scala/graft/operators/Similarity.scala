@@ -622,6 +622,129 @@ object Similarity {
       .drop("__v", "__n")
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — diversity-aware selection over a retrieval candidate
+    * list: greedily pick the candidate maximizing
+    *
+    *   mmr(d) = λ·rel(d) − (1−λ)·max_{s ∈ S} cos(d, s)
+    *
+    * (max term 0 while S is empty, so the first pick is the most
+    * relevant candidate), repeating k times. The RAG-assembly step
+    * after [[graft.operators.Retrieval.rrfFuse]]: relevance alone
+    * returns near-duplicate passages; MMR trades it off against
+    * redundancy with what's already selected.
+    *
+    * Input must carry `(query_id, doc_id, rel, v)` — rel is the
+    * retrieval score, `v` the candidate's embedding (double array).
+    * Output: `(query_id, rank, doc_id, mmr)` — mmr as at selection
+    * time. Ties in the greedy argmax resolve to the LOWEST doc_id
+    * (candidates are scanned in doc_id order with a strict `>`).
+    *
+    * Determinism: every mmr term is a fixed-order chain of IEEE ops —
+    * cosine folds left-to-right over dimensions (the list_dot_product
+    * order), the pairwise max is order-free exact, and λ/(1−λ) are
+    * computed once the same way in any engine — so the greedy
+    * trajectory replays bit-exact (oracle: a recursive CTE selecting
+    * one row per query per step).
+    *
+    * Scale shape: greedy MMR is inherently sequential in k, so it runs
+    * per query group via `flatMapGroups` — the sanctioned pattern for
+    * honestly-sequential per-key recurrences. Candidate lists are
+    * top-N retrieval outputs (bounded, ≤ hundreds per query); groups
+    * are independent and parallel across queries. The corpus never
+    * enters — only the candidate frame. */
+  def mmrRerank(candidates: DataFrame, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val mu = 1.0 - lambda
+    val ds = candidates.select(col("query_id").cast("long"),
+        col("doc_id").cast("long"), col("rel").cast("double"),
+        asDouble(col("v")))
+      .as[(Long, Long, Double, Seq[Double])]
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { // left-to-right: the list_dot_product fold
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i)
+        i += 1
+      }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+
+    ds.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cand = it.toArray.sortBy(_._2) // doc_id asc: the scan order
+      val vecs = cand.map(_._4.toArray)
+      val n = cand.length
+      val picked = new Array[Boolean](n)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Int, Long, Double)]
+      var step = 1
+      var done = false
+      while (step <= k && !done) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            var ms = 0.0
+            if (sel.nonEmpty) {
+              ms = Double.NegativeInfinity
+              sel.foreach(s => ms = math.max(ms, cos(vecs(i), vecs(s))))
+            }
+            val score = lambda * cand(i)._3 - mu * ms
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          picked(bestIdx) = true
+          sel += bestIdx
+          out += ((qid, step, cand(bestIdx)._2, bestScore))
+          step += 1
+        }
+      }
+      out.iterator
+    }.toDF("query_id", "rank", "doc_id", "mmr")
+  }
+
+  /** Per-cell embedding outliers — the `m` LEAST-typical members of
+    * each semantic cell (lowest cosine to the cell's own centroid):
+    * the corpus-audit view that surfaces mislabeled/garbage vectors
+    * cell by cell. Assignment is the [[ivfTopK]] argmax-cosine against
+    * `centroids` (plan literals, narrow codegen'd map — the cosine to
+    * the WINNING cell is exactly the argmax's sim, one pass); zero-norm
+    * vectors are excluded (no angle). The ranking window partitions by
+    * cell (capacity-bounded by the centroid count, never global).
+    * Output: `(cell, idCol, cos_centroid, pos)` with pos 1 = most
+    * atypical. */
+  def cellOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], m: Int): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val centLit = centroidLit(centroids)
+    val best = array_max(transform(centLit, c =>
+      struct(
+        (dot(col("__v"), c.getField("centv")) /
+          (col("__n") * c.getField("cnorm"))).as("sim"),
+        (-c.getField("cell")).as("negcell"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(col("cos_centroid").asc, col(idCol).asc)
+    corpus
+      .withColumn("__v", asDouble(col(vecCol)))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+      .withColumn("__best", best)
+      .withColumn("cell", -col("__best").getField("negcell"))
+      .withColumn("cos_centroid", col("__best").getField("sim"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= m)
+      .select(col("cell"), col(idCol), col("cos_centroid"), col("pos"))
+  }
+
   /** LSH-bucketed ANN, BANDED like [[cosineDedup]]: the `planes`
     * hyperplanes split into `bands` independent sets of planes/bands
     * bits; a corpus vector is a candidate for a query iff they agree on

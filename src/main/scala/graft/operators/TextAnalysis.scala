@@ -643,4 +643,54 @@ object TextAnalysis {
         .localCheckpoint(true)
     } finally counts.unpersist(false)
   }
+
+  /** Word n-gram novelty vs a reference slice — the "how much of this
+    * document is NEW text" audit (the complement of
+    * [[crossDocDupCoverage]]'s duplication view): for each doc, the
+    * fraction of its word `n`-grams absent from the n-gram set of the
+    * `refPred` docs. Low novelty against a known-clean reference means
+    * templated/recycled text; near-1 novelty against the training
+    * corpus is what an eval set should score (the q_contamination
+    * check, inverted to a per-doc ratio).
+    *
+    *   novelty = n_unseen / n_ngrams   (null when the doc has no
+    *   n-grams — fewer than n tokens)
+    *
+    * — one exact-integer division, engine-reproducible.
+    *
+    * Tokens are the house `[A-Za-z0-9]+` extraction; n-grams join on
+    * space. Docs shorter than `n` tokens get an EMPTY n-gram array
+    * explicitly (`sequence(1, 0)` steps DOWN in Spark — the epochMix
+    * lesson — so the guard is a `when`, not an empty sequence).
+    *
+    * Scale shape: the reference n-gram set is distinct-aggregated once
+    * (vocabulary-bounded exchange) and met with an n-gram-keyed LEFT
+    * join — both sides hash on the n-gram, no single hot partition (a
+    * doc bounds its own n-grams). At 100 TB reference scale, swap the
+    * equi-join for a bloom pre-filter ([[Dedup.exactDedupAgainst]]'s
+    * move); the exact join here is the recall-lossless tier. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      refPred: Column, n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array())
+    val exploded = df.select(col(idCol), col(textCol), refPred.as("__isref"))
+      .withColumn("__g", explode_outer(grams))
+    val ref = exploded.filter(col("__isref"))
+      .select(col("__g")).where(col("__g").isNotNull).distinct()
+      .withColumn("__seen", lit(1))
+    exploded
+      .join(ref, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__g")).as("n_ngrams"),
+        sum(when(col("__g").isNotNull && col("__seen").isNull, 1L)
+          .otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty",
+        when(col("n_ngrams") > 0,
+          col("n_unseen").cast("double") / col("n_ngrams").cast("double")))
+  }
 }

@@ -161,4 +161,87 @@ class CurationWaveSpec extends SparkSpec {
     assert(again ===
       out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  // ── mmrRerank ────────────────────────────────────────────────────────
+
+  test("mmrRerank: first pick = max rel; near-duplicate of the pick is demoted; formula pin") {
+    // docs 1 and 2 are near-identical vectors; doc 3 orthogonal-ish.
+    // rel: 1 > 2 > 3. Pure relevance keeps 2 second; MMR must not.
+    val cand = Seq(
+      (1L, 1L, 0.90, Seq(1.0, 0.0)),
+      (1L, 2L, 0.89, Seq(1.0, 0.001)),
+      (1L, 3L, 0.50, Seq(0.0, 1.0)))
+      .toDF("query_id", "doc_id", "rel", "v")
+    val out = Similarity.mmrRerank(cand, k = 3, lambda = 0.7)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1, 1L, 0.7 * 0.90 - (1.0 - 0.7) * 0.0)))
+    // step 2: doc 2's sim-to-selected ≈ 1 crushes its mmr; doc 3 wins
+    assert(out(1)._2 === 3L)
+    assert(out(2)._2 === 2L)
+    // formula pin for step 2: cos(v3, v1) = 0 exactly
+    assert(out(1)._3 === 0.7 * 0.50 - (1.0 - 0.7) * 0.0)
+  }
+
+  test("mmrRerank: deterministic across partitionings, stops when candidates exhaust") {
+    val cand = (1 to 9).map(i => (i.toLong % 3, i.toLong,
+      1.0 / i, Seq(math.cos(i.toDouble), math.sin(i.toDouble))))
+      .toDF("query_id", "doc_id", "rel", "v")
+    val a = Similarity.mmrRerank(cand.repartition(1), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val b = Similarity.mmrRerank(cand.repartition(7), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(a === b)
+    // 3 candidates per query, k=5: exactly 3 picks per query
+    assert(a.groupBy(_._1).forall(_._2.size == 3))
+  }
+
+  // ── cellOutliers ─────────────────────────────────────────────────────
+
+  test("cellOutliers: winning-cell cosine, bottom-m order, cap") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cell 0 members at increasing angles from the centroid
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.2f)), (3L, Seq(1.0f, 0.4f)),
+      (4L, Seq(1.0f, 0.6f)), (10L, Seq(0.0f, 1.0f)))
+    val out = Similarity.cellOutliers(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // cell 0: most atypical = largest angle = ids 4 then 3; cap at 2
+    assert(out.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq ===
+      Seq(4L, 3L))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq === Seq(10L))
+  }
+
+  // ── dedupReport / ngramNovelty ───────────────────────────────────────
+
+  test("dedupReport: counts, ratio, worst-copy pin") {
+    import graft.operators.Dedup
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "z")).toDF("source", "text")
+    val out = Dedup.dedupReport(df, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a") === ((4L, 2L, 3L, 2.0 / 4.0)))
+    assert(out("b") === ((1L, 1L, 1L, 0.0)))
+  }
+
+  test("ngramNovelty: exact ratios, ref docs score 0, short docs null") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d", true),    // ref: grams {a b c, b c d}
+      (2L, "a b c x y", false), // grams: a b c (seen), b c x, c x y → 2/3
+      (3L, "a b", false))       // < 3 tokens → null
+      .toDF("doc_id", "text", "is_ref")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text",
+      col("is_ref"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 0L, Some(0.0))))
+    assert(out(2L) === ((3L, 2L, Some(2.0 / 3.0))))
+    assert(out(3L) === ((0L, 0L, None)))
+  }
 }

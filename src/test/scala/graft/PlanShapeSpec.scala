@@ -323,7 +323,8 @@ class PlanShapeSpec extends SparkSpec {
       // probe NLJs); the classifier score is a narrow scan-rider; the
       // mixers broadcast strata-sized rate frames
       "q_rrf_fusion", "q_quality_lr_score", "q_mix_temperature",
-      "q_diversity_sample")
+      "q_diversity_sample", "q_mmr_rerank", "q_embed_outliers",
+      "q_dedup_report", "q_novelty")
     // single-partition-exchange is excluded here: at sf0.001 AQE
     // legitimately coalesces the final verify-shaped orderBy to one
     // partition, and q_score_auc's 1-row agg single-partitions by
@@ -345,10 +346,15 @@ class PlanShapeSpec extends SparkSpec {
       // the rule's doc poses — answered yes by construction here)
       val nljOk = Set("q_bm25", "q_bm25_indexed", "q_pmi", "q_psi",
         "q_mutual_info", "q_ks_drift", "q_js_div", "q_psi_between",
-        "q_skew_report", "q_rrf_fusion")
+        "q_skew_report", "q_rrf_fusion", "q_mmr_rerank")
+      // sanctioned unpushed filter: cellOutliers' zero-norm guard is a
+      // predicate over a COMPUTED vector norm — there is no stored
+      // column to push; the scan-adjacent filter is the correct shape
+      val scanFilterOk = Set("q_embed_outliers")
       val findings = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
         .filter(f => (hard(f.rule) &&
-            !(f.rule == "nested-loop-join" && nljOk(n))) ||
+            !(f.rule == "nested-loop-join" && nljOk(n)) &&
+            !(f.rule == "unpushed-scan-filter" && scanFilterOk(n))) ||
           (f.rule == "global-window" && !windowOk(n)))
       assert(findings.isEmpty, s"$n: $findings")
     }
