@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,8 +17,34 @@ import graft.sources.Tables
   */
 object DataPipelineQueries {
 
-  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
-  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  /** Deterministic presentation order for a SMALL final result.
+    *
+    * A global `orderBy` range-samples its input, and the sampling job
+    * RE-EXECUTES everything below the sort that is not already behind
+    * a shuffle — for the narrow kernel pipelines of this file
+    * (signatures, text quality, codec decode) that means the whole
+    * expensive upstream runs twice per action (measured: two full
+    * codec stages on q_video_features, 29.7 s vs 20.9 s at sf1). One
+    * SinglePartition exchange + a local sort of the already-small
+    * result produces the identical rows in the identical order with
+    * the upstream executed exactly once. Queries that end in
+    * `orderBy(...).limit(k)` keep the plain form — Spark plans those
+    * as TakeOrderedAndProject, which never range-samples. */
+  private implicit class OrderedSmall(df: DataFrame) {
+    def orderedSmall(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    def orderedSmall(c: String, cs: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(c, cs: _*)
+  }
+
+  // fanOut: the testdata tables are single-row-group parquet, so the
+  // scan — and every narrow kernel riding it — is ONE task; one hash
+  // exchange buys machine-wide parallelism for the whole documents/
+  // embeddings workload (identity once the source has real splits)
+  private def docs(s: SparkSession, dir: String) =
+    Tables.fanOut(Tables.load(s, dir, "documents"), "doc_id")
+  private def embs(s: SparkSession, dir: String) =
+    Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
 
   private val H = 8 // minhash signature length
 
@@ -138,23 +164,33 @@ object DataPipelineQueries {
     // ── exact dedup (content-hash, ES sha1-doc-id analog)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "text", "doc_id")
-        .select("doc_id", "n_chars").orderBy("doc_id")),
+        .select("doc_id", "n_chars").orderedSmall("doc_id")),
 
     // ── MinHash signatures (8 × 60-bit, word 3-gram shingles)
     "q_minhash" -> ((s, dir) =>
       Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", H)
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── MinHash-estimated Jaccard: probe docs × corpus, top-20
     "q_minhash_pairs" -> ((s, dir) => {
+      // eager checkpoint: whole-stage codegen inlines a nested-loop
+      // join's streamed-side projections into the per-build-row loop,
+      // so unmaterialized the H-hash signature recomputes once per
+      // PAIR (measured 12.5 s → ~2 s at sf1); the checkpointed frame
+      // is corpus × (H+1) longs — MBs, ContextCleaner-reclaimed
       val sigs = Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", H)
+        .localCheckpoint(true)
       val a = sigs.filter(col("doc_id") < 20)
         .select(sigs.columns.map(c => col(c).as(s"a_$c")): _*)
       val b = sigs.select(sigs.columns.map(c => col(c).as(s"b_$c")): _*)
       val est = (0 until H)
         .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
         .reduce(_ + _).cast("double") / lit(H.toDouble)
-      a.crossJoin(b)
+      // broadcast the 20-row probe side: an unhinted crossJoin builds
+      // the RIGHT side, which here would collect the FULL corpus through
+      // the broadcast exchange and compute every signature serially on
+      // the driver (measured 12.5 s at sf1 vs ~2 s streamed)
+      broadcast(a).crossJoin(b)
         .filter(col("a_doc_id") =!= col("b_doc_id"))
         .select(col("a_doc_id").as("id_a"), col("b_doc_id").as("id_b"),
           est.as("est_jaccard"))
@@ -166,19 +202,25 @@ object DataPipelineQueries {
     "q_dedup_lsh" -> ((s, dir) =>
       Dedup.lshDedup(docs(s, dir), "doc_id", "text",
           numHashes = H, bands = 4, tau = 0.5)
-        .select("doc_id", "n_chars").orderBy("doc_id")),
+        .select("doc_id", "n_chars").orderedSmall("doc_id")),
 
     // ── SimHash 60-bit signatures
     "q_simhash" -> ((s, dir) =>
-      Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+      Dedup.simHash(docs(s, dir), "doc_id", "text").orderedSmall("doc_id")),
 
     // ── SimHash near-dup: probe docs × corpus, 20 smallest Hamming
     "q_simhash_pairs" -> ((s, dir) => {
+      // eager checkpoint — same per-pair recompute hazard as
+      // q_minhash_pairs (measured 17.5 s direct vs 0.4 s on the
+      // materialized 2-long-per-doc frame at sf1)
       val sh = Dedup.simHash(docs(s, dir), "doc_id", "text")
+        .localCheckpoint(true)
       val a = sh.filter(col("doc_id") < 20)
         .select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-      a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      // broadcast the probe side — see q_minhash_pairs; unhinted the full
+      // corpus simhash ran inside the broadcast collect (20 s → 2 s at sf1)
+      broadcast(a).crossJoin(b).filter(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
         .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
@@ -199,7 +241,7 @@ object DataPipelineQueries {
       Similarity.bruteForceTopK(
         e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
         .withColumn("cosine", round(col("cosine"), 4))
-        .orderBy("query_id", "rank")
+        .orderedSmall("query_id", "rank")
     }),
 
     // ── triplet mining: hardest positive + 4 hardest negatives per
@@ -212,7 +254,7 @@ object DataPipelineQueries {
           round(col("pos_cos"), 4).as("pos_cos"), col("rank"),
           col("neg_id"), round(col("neg_cos"), 4).as("neg_cos"),
           col("semi_hard"))
-        .orderBy("query_id", "rank")
+        .orderedSmall("query_id", "rank")
     }),
 
     // ── embedding near-dup: top-20 cosine pairs among first 100 vectors
@@ -222,7 +264,7 @@ object DataPipelineQueries {
         .withColumn("n", Similarity.norm(col("v"))) // once per row, pre-join
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      broadcast(a).crossJoin(b).filter(col("id_a") < col("id_b"))
         .withColumn("cosine",
           Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
@@ -237,7 +279,7 @@ object DataPipelineQueries {
       Similarity.lshTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 5, planes = 16, dim = 64, bands = 4)
         .withColumn("cosine", round(col("cosine"), 4))
-        .orderBy("query_id", "rank")
+        .orderedSmall("query_id", "rank")
     }),
 
     // ── embedding-cosine near-dup dedup (banded SRP buckets → verify →
@@ -246,7 +288,7 @@ object DataPipelineQueries {
       Similarity.cosineDedup(embs(s, dir), "vec_id", "embedding",
           tau = 0.45, bands = 4, planesPerBand = 8, dim = 64,
           maxBucket = 1000)
-        .select("vec_id").orderBy("vec_id")),
+        .select("vec_id").orderedSmall("vec_id")),
 
     // ── IVF-bucketed ANN (inverted lists over sampled centroids)
     "q_ann_ivf" -> ((s, dir) => {
@@ -254,7 +296,7 @@ object DataPipelineQueries {
       Similarity.ivfTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
         .withColumn("cosine", round(col("cosine"), 4))
-        .orderBy("query_id", "rank")
+        .orderedSmall("query_id", "rank")
     }),
 
     // ── diversity-preserving subsample: at most 8 docs per semantic
@@ -269,7 +311,7 @@ object DataPipelineQueries {
       Similarity.diversitySample(e, "vec_id", "embedding", cents,
           quota = 8)
         .select("vec_id", "cell", "pos")
-        .orderBy("vec_id")
+        .orderedSmall("vec_id")
     }),
 
     // ── MMR re-ranking (Carbonell-Goldstein SIGIR'98): top-20 cosine
@@ -286,7 +328,7 @@ object DataPipelineQueries {
           col("embedding").as("v")), "doc_id")
       Similarity.mmrRerank(cand, k = 8)
         .withColumn("mmr", round(col("mmr") + lit(1e-9), 6))
-        .orderBy("query_id", "rank")
+        .orderedSmall("query_id", "rank")
     }),
 
     // ── per-cell embedding outliers: the 3 least-typical members of
@@ -299,7 +341,7 @@ object DataPipelineQueries {
         .map(_.getSeq[Double](0).toArray)
       Similarity.cellOutliers(e, "vec_id", "embedding", cents, m = 3)
         .withColumn("cos_centroid", round(col("cos_centroid"), 4))
-        .orderBy("cell", "pos")
+        .orderedSmall("cell", "pos")
     }),
 
     // ── benchmark-contamination audit: probe = docs 0-19, corpus = rest;
@@ -311,7 +353,7 @@ object DataPipelineQueries {
         "doc_id", "text")
         .select(col("probe_id"), col("n_sh"), col("n_hit"),
           round(col("containment"), 4).as("containment"))
-        .orderBy("probe_id")
+        .orderedSmall("probe_id")
     }),
 
     // ── per-source exact-duplication audit: docs, distinct contents,
@@ -320,7 +362,7 @@ object DataPipelineQueries {
     "q_dedup_report" -> ((s, dir) =>
       Dedup.dedupReport(docs(s, dir), "text", "source")
         .withColumn("dup_ratio", round(col("dup_ratio") + lit(1e-9), 6))
-        .orderBy("source")),
+        .orderedSmall("source")),
 
     // ── word-trigram novelty vs the English slice: fraction of each
     //    doc's trigrams absent from the reference n-gram set (en docs
@@ -329,18 +371,18 @@ object DataPipelineQueries {
       TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text",
           col("lang") === "en", n = 3)
         .withColumn("novelty", round(col("novelty") + lit(1e-9), 6))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── deterministic hash sampling (partitioning-stable 10%)
     "q_hash_sample" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), "doc_id", 0.1)
-        .select("doc_id", "n_chars").orderBy("doc_id")),
+        .select("doc_id", "n_chars").orderedSmall("doc_id")),
 
     // ── language ID heuristic
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── scalar string-function battery (§2.8): case, slice, search,
     //    pad, replace, split, translate, concat — one narrow codegen'd
@@ -357,7 +399,7 @@ object DataPipelineQueries {
         size(split(col("text"), " ")).as("n_words"),
         translate(col("lang"), "aeiou", "AEIOU").as("lang_t"),
         concat_ws("|", col("source"), col("lang")).as("src_lang"))
-      .orderBy("doc_id")),
+      .orderedSmall("doc_id")),
 
     // ── learned-BPE tokenization: train 64 merges on the corpus's own
     //    word-frequency table, segment every doc with them. Oracle:
@@ -370,7 +412,7 @@ object DataPipelineQueries {
       graft.operators.BpeTrainer.tokenize(d, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_bpe_tokens"),
           element_at(col("bpe_tokens"), 1).as("first_tok"))
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── the learned merge TABLE itself (rank-ordered vocabulary
@@ -384,7 +426,7 @@ object DataPipelineQueries {
       merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "a", "b")
-        .orderBy("rank")
+        .orderedSmall("rank")
     }),
 
     // ── token counting
@@ -392,7 +434,7 @@ object DataPipelineQueries {
       docs(s, dir)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── BPE-ish token-budget estimator (GPT-2 pre-tokenizer split in
     //    the Java∩RE2 regex subset) beside the whitespace-word count
@@ -401,7 +443,7 @@ object DataPipelineQueries {
         .select(col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── tokenizer fertility per language: chars/piece + pieces/word
     "q_fertility" -> ((s, dir) =>
@@ -410,7 +452,7 @@ object DataPipelineQueries {
           round(col("chars_per_piece") + lit(1e-9), 6))
         .withColumn("pieces_per_word",
           round(col("pieces_per_word") + lit(1e-9), 6))
-        .orderBy("lang")),
+        .orderedSmall("lang")),
 
     // ── cross-doc duplicate n-gram coverage: the near-template flag
     //    exact/LSH dedup misses (doc 80% boilerplate + 20% unique)
@@ -418,18 +460,18 @@ object DataPipelineQueries {
       TextAnalysis.crossDocCoverage(docs(s, dir), "doc_id", "text")
         .withColumn("dup_coverage",
           round(col("dup_coverage") + lit(1e-9), 6))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── exact-substring-dedup analog (Lee et al. 2021): merged spans of
     //    corpus-duplicated word 3-grams, and the destructive strip
     "q_dup_spans" -> ((s, dir) =>
       TextAnalysis.duplicateSpans(docs(s, dir), "doc_id", "text", n = 3)
-        .orderBy("doc_id", "span_start")),
+        .orderedSmall("doc_id", "span_start")),
 
     "q_strip_spans" -> ((s, dir) =>
       TextAnalysis.stripDuplicateSpans(docs(s, dir), "doc_id", "text", n = 3)
         .select(col("doc_id"), col("clean_text"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── quality scoring
     // ── domain-level quality gate: drop SOURCES whose mean quality is
@@ -438,7 +480,7 @@ object DataPipelineQueries {
     "q_domain_filter" -> ((s, dir) =>
       TextAnalysis.domainQualityFilter(
           docs(s, dir), "doc_id", "source", "text", minMean = 0.79)
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── calibration table of the quality score vs the length label:
     //    per-bin exact integer counts + quantized-sum mean
@@ -452,7 +494,7 @@ object DataPipelineQueries {
         .select(col("bin"), col("n"), col("n_pos"),
           round(col("frac_pos") + lit(1e-9), 6).as("frac_pos"),
           round(col("mean_score") + lit(1e-9), 6).as("mean_score"))
-        .orderBy("bin")),
+        .orderedSmall("bin")),
 
     // ── per-source AUC: does the scorer rank well inside EVERY domain?
     "q_auc_by_source" -> ((s, dir) =>
@@ -464,7 +506,7 @@ object DataPipelineQueries {
           Seq("source"), "score", "y")
         .select(col("source"), col("n_pos"), col("n_neg"),
           round(col("auc") + lit(1e-9), 6).as("auc"))
-        .orderBy("source")),
+        .orderedSmall("source")),
 
     // ── thresholdless scorer evaluation: rank-AUC (Mann–Whitney) of
     //    the quality score against a document-length label; all-integer
@@ -487,7 +529,7 @@ object DataPipelineQueries {
         // the epsilon (mirrored in the oracle) moves ties off the boundary
         .select(col("doc_id"),
           round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4).as("quality"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── trained quality classifier (graft.ml.TextClassifier): 12
     //    full-batch GD steps of the Elliott-sigmoid linear model over 5
@@ -499,7 +541,7 @@ object DataPipelineQueries {
         when(col("lang") === "en", 1.0).otherwise(0.0))
       graft.ml.TextClassifier.trajectoryDf(s, m)
         .withColumn("weight", round(col("weight") + lit(1e-9), 7))
-        .orderBy("iter", "i")
+        .orderedSmall("iter", "i")
     }),
 
     // ── the trained model applied back to the corpus: per-doc Elliott
@@ -513,7 +555,7 @@ object DataPipelineQueries {
             + lit(1e-9), 6).as("score"),
           when(col("lang") === "en", 1).otherwise(0).as("y"))
         .withColumn("pred", when(col("score") > 0.5, 1).otherwise(0))
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── Gopher rule battery (Rae et al. 2021 §A1.1): auditable per-rule
@@ -524,7 +566,7 @@ object DataPipelineQueries {
         "r_bullet", "r_ellipsis", "r_alpha", "r_stopwords")
       val cols = col("doc_id") +: names.map(n => r.getField(n).as(n)) :+
         names.map(r.getField).reduce(_ && _).as("keep")
-      docs(s, dir).select(cols: _*).orderBy("doc_id")
+      docs(s, dir).select(cols: _*).orderedSmall("doc_id")
     }),
 
     // ── canonical-document selection: near-dup clusters keep their
@@ -540,7 +582,7 @@ object DataPipelineQueries {
         .select(col("cluster_id"), col("doc_id").as("keep_id"),
           col("cluster_size").cast("long").as("cluster_size"),
           round(col("__q") + lit(1e-9), 4).as("quality"))
-        .orderBy("cluster_id")
+        .orderedSmall("cluster_id")
     }),
 
     // ── JSONL shard round-trip: to_json(struct) → from_json, the exact
@@ -552,7 +594,7 @@ object DataPipelineQueries {
       rt.select(col("doc_id"), col("doc_id_rt"), col("lang_rt"),
           length(col("text_rt")).cast("long").as("n_chars_rt"),
           (col("text_rt") === col("text")).as("ok"))
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── top-k per group: the 3 highest-quality docs per source — a
@@ -568,21 +610,21 @@ object DataPipelineQueries {
         .filter(col("rank") <= 3)
         .select(col("source"), col("rank").cast("long").as("rank"),
           col("doc_id"), round(col("__q") + lit(1e-9), 4).as("quality"))
-        .orderBy("source", "rank")
+        .orderedSmall("source", "rank")
     }),
 
     // ── document fingerprint (canonical-form md5)
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── multimodal: blob + typed metadata projection
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.attachBlob(docs(s, dir), "doc_id", "text")
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.kind").as("kind"))
-        .orderBy("media_id")),
+        .orderedSmall("media_id")),
 
     // ── multimodal: stubbed decode → feature vectors, unrolled to one
     //    rounded double column per element (arrays aren't hashable by the
@@ -596,7 +638,7 @@ object DataPipelineQueries {
         Multimodal.attachBlob(docs(s, dir), "doc_id", "text"))
       val fs = (0 until 8).map(j =>
         round(coalesce(element_at(col("features"), j + 1), lit(0.0)), 6).as(s"f$j"))
-      decoded.select((col("media_id") +: fs): _*).orderBy("media_id")
+      decoded.select((col("media_id") +: fs): _*).orderedSmall("media_id")
     }),
 
     // ── multimodal audio: REAL JDK codec roundtrip — text bytes become
@@ -624,7 +666,7 @@ object DataPipelineQueries {
         element_at(col("features"), 5).as("mean_amp"),
         element_at(col("features"), 6).as("rms_amp"),
         element_at(col("features"), 7).as("peak_amp"))
-        .orderBy("media_id")
+        .orderedSmall("media_id")
     }),
 
     // ── multimodal video: REAL codec roundtrip — text bytes render as
@@ -642,7 +684,7 @@ object DataPipelineQueries {
           element_at(col("features"), 1).cast("int").as("width"),
           element_at(col("features"), 2).cast("int").as("height"),
           element_at(col("features"), 3).as("mean_r"))
-        .orderBy("media_id", "frame_no")
+        .orderedSmall("media_id", "frame_no")
     }),
 
     // ── multimodal video-shape: evenly-spaced byte-window frame cuts
@@ -654,7 +696,7 @@ object DataPipelineQueries {
           n = 4, frameBytes = 16)
         .select(col("media_id"), col("frame_no"),
           hex(col("frame")).as("frame_hex"))
-        .orderBy("media_id", "frame_no")),
+        .orderedSmall("media_id", "frame_no")),
 
     // ── near-dup clustering: connected components over verified LSH
     //    pairs — exact transitive cluster ids (vs lshDedup's one-pass
@@ -662,7 +704,7 @@ object DataPipelineQueries {
     "q_dedup_cluster" -> ((s, dir) =>
       Dedup.nearDupClusters(docs(s, dir), "doc_id", "text",
           numHashes = H, bands = 4, tau = 0.5)
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── same clusters via star contraction (O(log n) rounds — the
     //    unbounded-diameter path); labels must equal q_dedup_cluster's
@@ -671,7 +713,7 @@ object DataPipelineQueries {
       val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
         numHashes = H, bands = 4, tau = 0.5).dropDuplicates("id_a", "id_b")
       Dedup.connectedComponentsStar(d.select(col("doc_id")), pairs, "doc_id")
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── semi-supervised label propagation: ratings seeded on 1-in-25
@@ -686,7 +728,7 @@ object DataPipelineQueries {
         .select(col("doc_id"), pmod(col("doc_id"), lit(3)).as("rating"))
       Dedup.labelPropagation(d.select(col("doc_id")), pairs, "doc_id",
           seeds, "rating", iters = 5)
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── snapshot diff between two corpus versions (the ingest delta:
@@ -698,7 +740,7 @@ object DataPipelineQueries {
         .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 2,
           concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
       CorpusStats.corpusDiff(before, after, "doc_id", "text")
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── PageRank centrality over the verified near-dup graph: the
@@ -713,7 +755,7 @@ object DataPipelineQueries {
           iters = 10, damping = 0.85)
         .select(col("doc_id"),
           round(col("pagerank") + lit(1e-12), 9).as("pagerank"))
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── curriculum deciles over the quality score: exact-percentile
@@ -723,7 +765,7 @@ object DataPipelineQueries {
       Sampling.curriculumBins(docs(s, dir), q, bins = 10,
           edgeDecimals = 4)
         .select(col("doc_id"), q.as("quality"), col("bin"))
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── leakage-safe split: train/val draw keyed by the near-dup
@@ -734,7 +776,7 @@ object DataPipelineQueries {
         numHashes = H, bands = 4, tau = 0.5)
       Sampling.leakSafeSplit(d, "doc_id", clusters, "cluster_id",
           valFraction = 0.2)
-        .select("doc_id", "cluster_id", "split").orderBy("doc_id")
+        .select("doc_id", "cluster_id", "split").orderedSmall("doc_id")
     }),
 
     // ── repetition / boilerplate signals (Gopher-style quality rules)
@@ -746,24 +788,24 @@ object DataPipelineQueries {
           .as("top_bigram_frac"),
         round(TextAnalysis.dupSentFrac(col("text")) + lit(1e-9), 4)
           .as("dup_sent_frac"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── stratified sampling: 25 docs per source, smallest id-hash quota
     "q_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedTopK(docs(s, dir), "source", "doc_id", k = 25)
-        .select("source", "doc_id").orderBy("source", "doc_id")),
+        .select("source", "doc_id").orderedSmall("source", "doc_id")),
 
     // ── class balancing: every lang downsampled to the minority count
     //    (deterministic hash-rank draw, append-stable)
     "q_balance_classes" -> ((s, dir) =>
       Sampling.balanceClasses(docs(s, dir), "lang", "doc_id")
-        .select("lang", "doc_id").orderBy("lang", "doc_id")),
+        .select("lang", "doc_id").orderedSmall("lang", "doc_id")),
 
     // ── TF-IDF keyword extraction: top-3 terms per doc
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .withColumn("tfidf", round(col("tfidf") + lit(1e-9), 4))
-        .orderBy("doc_id", "rank")),
+        .orderedSmall("doc_id", "rank")),
 
     // ── BM25 ranked retrieval: 3 probe queries, top-10 docs each
     //    (k1=1.5, b=0.75 — see Retrieval.bm25TopK's determinism notes)
@@ -772,7 +814,7 @@ object DataPipelineQueries {
           Seq(1 -> "hash join merge", 2 -> "window batch stream",
             3 -> "vector scan filter slow"), k = 10)
         .withColumn("score", round(col("score") + lit(1e-9), 4))
-        .orderBy("query_id", "rank")),
+        .orderedSmall("query_id", "rank")),
 
     // ── BM25 index BUILD (forced, full cost measured: tokenize +
     //    postings exchange + three artifacts); returns the index's
@@ -798,7 +840,7 @@ object DataPipelineQueries {
           Seq(1 -> "hash join merge", 2 -> "window batch stream",
             3 -> "vector scan filter slow"), k = 10)
         .withColumn("score", round(col("score") + lit(1e-9), 4))
-        .orderBy("query_id", "rank")
+        .orderedSmall("query_id", "rank")
     }),
 
     // ── hybrid retrieval: per anchor doc, BM25 more-like-this (its own
@@ -822,7 +864,7 @@ object DataPipelineQueries {
         .select(col("query_id"), col("match_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
         .withColumn("score", round(col("score") + lit(1e-9), 6))
-        .orderBy("query_id", "rank")
+        .orderedSmall("query_id", "rank")
     }),
 
     // ── C4-style boilerplate removal, token unit (the synthetic corpus
@@ -831,7 +873,7 @@ object DataPipelineQueries {
     "q_boilerplate" -> ((s, dir) =>
       Dedup.removeBoilerplate(docs(s, dir), "doc_id", "text",
           minDocs = 390, sepRegex = " ", joinSep = " ")
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── sequence-packing manifest: global token offsets + sequence
     //    span per doc (two-level prefix sum, 512-token sequences)
@@ -842,27 +884,27 @@ object DataPipelineQueries {
         .withColumn("row_md5", md5(concat_ws("|",
           col("doc_id"), col("n_tokens"), col("start_token"),
           col("seq_first"), col("seq_last"))))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── packed-sequence slices: which token range of which doc fills
     //    each training sequence
     "q_pack_slices" -> ((s, dir) => {
       val m = Packing.packManifest(docs(s, dir), "doc_id", "text", 512)
-      Packing.packSlices(m, "doc_id", 512).orderBy("seq_id", "doc_id")
+      Packing.packSlices(m, "doc_id", 512).orderedSmall("seq_id", "doc_id")
     }),
 
     // ── grouped packing: per-source shards pack independently
     "q_pack_grouped" -> ((s, dir) =>
       Packing.packManifest(docs(s, dir), "doc_id", "text", seqLen = 512,
           groupCol = Some("source"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── C4 global line dedup, token unit: each token keeps exactly one
     //    occurrence corpus-wide (earliest (doc_id, pos))
     "q_line_dedup" -> ((s, dir) =>
       Dedup.dedupLines(docs(s, dir), "doc_id", "text",
           sepRegex = " ", joinSep = " ")
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── unigram-LM quality score (perplexity-filter shape): corpus
     //    scored against its own unigram model, bits per token
@@ -872,7 +914,7 @@ object DataPipelineQueries {
           TextAnalysis.unigramLm(d, "text"))
         .withColumn("bits_per_token",
           round(col("bits_per_token") + lit(1e-9), 4))
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── add-k bigram-LM coherence score (the conditional upgrade of
@@ -884,14 +926,14 @@ object DataPipelineQueries {
           TextAnalysis.bigramLm(d, "text"))
         .withColumn("bits_per_token",
           round(col("bits_per_token") + lit(1e-9), 4))
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── overlapping token chunks (chunk-then-embed prep)
     "q_chunks" -> ((s, dir) =>
       Packing.chunkDocs(docs(s, dir), "doc_id", "text",
           chunkLen = 64, stride = 48)
-        .orderBy("doc_id", "chunk_id")),
+        .orderedSmall("doc_id", "chunk_id")),
 
     // ── token-budget mixture sampling: per-source budgets 300+100k
     //    (low sources trim hard, high sources stay whole at sf0.01)
@@ -899,7 +941,7 @@ object DataPipelineQueries {
       val budgets = (0 until 20).map(k => s"src$k" -> (300L + 100L * k)).toMap
       Sampling.tokenBudgetSample(docs(s, dir), "source", "doc_id",
           TextAnalysis.tokenCount(col("text")), budgets)
-        .select("doc_id", "source").orderBy("doc_id")
+        .select("doc_id", "source").orderedSmall("doc_id")
     }),
 
     // ── multi-epoch mixture: budgets 4000(k+1) tokens per srcK — low
@@ -909,7 +951,7 @@ object DataPipelineQueries {
       Sampling.epochMix(docs(s, dir), "source", "doc_id",
           TextAnalysis.tokenCount(col("text")), budgets)
         .select(col("doc_id"), col("source"), col("epoch"))
-        .orderBy("doc_id", "epoch")
+        .orderedSmall("doc_id", "epoch")
     }),
 
     // ── temperature mixture (α = 0.5, the XLM-R/mT5 rebalance): LANG
@@ -919,14 +961,14 @@ object DataPipelineQueries {
       Sampling.temperatureMix(docs(s, dir), "lang", "doc_id",
           TextAnalysis.tokenCount(col("text")), budget = 40000L)
         .select(col("doc_id"), col("lang"), col("epoch"))
-        .orderBy("doc_id", "epoch")),
+        .orderedSmall("doc_id", "epoch")),
 
     // ── deterministic corpus shuffle: 8 dataloader shards, hash-order
     //    position within each — reproducible, append-stable layout
     "q_shuffle_shards" -> ((s, dir) =>
       Sampling.shuffleShards(docs(s, dir), "doc_id", shards = 8)
         .select("doc_id", "shard", "pos")
-        .orderBy("shard", "pos")),
+        .orderedSmall("shard", "pos")),
 
     // ── DSIR importance resampling: 100 non-English docs whose hashed-
     //    bigram distribution best matches the English slice, drawn
@@ -937,14 +979,14 @@ object DataPipelineQueries {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("log_ratio") + lit(1e-9), 6).as("log_ratio"),
           round(col("sel_key") + lit(1e-9), 6).as("sel_key"))
-        .orderBy(col("sel_key").desc, col("doc_id"))),
+        .orderedSmall(col("sel_key").desc, col("doc_id"))),
 
     // ── materialized packed sequences: md5 pins the gathered text
     "q_pack_text" -> ((s, dir) =>
       Packing.packSequences(docs(s, dir), "doc_id", "text", seqLen = 512)
         .select(col("seq_id"), col("n_tokens"),
           md5(col("seq_text")).as("seq_md5"))
-        .orderBy("seq_id")),
+        .orderedSmall("seq_id")),
 
     // ── PII redaction: the corpus has no PII, so append deterministic
     //    synthetic spans (email, IPv4, account number) per doc and
@@ -959,7 +1001,7 @@ object DataPipelineQueries {
           lit("\t "), col("text"),
           lit(" Cafe\u0301 \u00A0 a\u0007b\u000Bz\u007F end  ")))
           .as("norm_text"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── HTML extraction: docs are plain text, so (the q_redact trick)
     //    wrap each in a deterministic HTML skeleton exercising every
@@ -979,7 +1021,7 @@ object DataPipelineQueries {
           lit(" --><div class=\"foot\">tail &amp;amp; &lt;raw&gt;" +
             "&nbsp;&quot;q&quot; &#39;s&#39;</div>\n</body></html>")))
           .as("extracted_text"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     "q_redact" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -990,7 +1032,7 @@ object DataPipelineQueries {
           pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7 acct 90"),
           lpad(col("doc_id").cast("string"), 8, "0"))).as("redacted"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── mean-pool embeddings per label (class centroids / the pool
     //    step of chunk→embed→pool). The centroid is pinned as md5 over
@@ -1004,7 +1046,7 @@ object DataPipelineQueries {
           md5(array_join(transform(col("centroid"),
             x => round(round(x + lit(1e-9), 6) * 1e6).cast("long")
               .cast("string")), ",")).as("centroid_md5"))
-        .orderBy("label")),
+        .orderedSmall("label")),
 
     // ── embedding cluster health: scatter + simplified silhouette per
     //    label (centroids as plan literals, zero-shuffle scoring)
@@ -1013,7 +1055,7 @@ object DataPipelineQueries {
         .select(col("label"), col("n"),
           round(col("scatter") + lit(1e-9), 6).as("scatter"),
           round(col("silhouette") + lit(1e-9), 6).as("silhouette"))
-        .orderBy("label")),
+        .orderedSmall("label")),
 
     // ── int8 symmetric quantization: per-vector scale + md5 over the
     //    exact int codes (pins every element)
@@ -1024,7 +1066,7 @@ object DataPipelineQueries {
           round(col("__q.scale") + lit(1e-9), 6).as("scale"),
           md5(array_join(transform(col("__q.q"), _.cast("string")), ","))
             .as("q_md5"))
-        .orderBy("vec_id")),
+        .orderedSmall("vec_id")),
 
     // ── ANN over int8-quantized vectors (what a 4×-smaller embedding
     //    store serves): same probe set as q_embed_topk
@@ -1033,7 +1075,7 @@ object DataPipelineQueries {
       Similarity.quantizedTopK(
         e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
         .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
-        .orderBy("query_id", "rank")
+        .orderedSmall("query_id", "rank")
     }),
 
     // ── linear-probe sufficient statistics (the quality-classifier
@@ -1053,7 +1095,7 @@ object DataPipelineQueries {
         .select(lit("xty").as("part"), col("label").as("a"),
           col("i").cast("long").as("b"),
           round(col("xty") + lit(1e-9), 6).as("v"))
-      gram.unionByName(mom).orderBy("part", "a", "b")
+      gram.unionByName(mom).orderedSmall("part", "a", "b")
     }),
 
     // ── PCA first stage: exact population covariance of the embedding
@@ -1075,7 +1117,7 @@ object DataPipelineQueries {
               element_at(sLit, col("i").cast("int") + 1) *
               element_at(sLit, col("j").cast("int") + 1) / lit(n)) / lit(n)
             + lit(1e-9), 6).as("cov"))
-        .orderBy("i", "j")
+        .orderedSmall("i", "j")
     }),
 
     // ── incremental LSH dedup: today's crawl (20% of docs) against the
@@ -1086,7 +1128,7 @@ object DataPipelineQueries {
           d.filter(pmod(col("doc_id"), lit(5)) === 0),
           d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
           "doc_id", "text", numHashes = H, bands = 4, tau = 0.5)
-        .select("doc_id", "n_chars").orderBy("doc_id")
+        .select("doc_id", "n_chars").orderedSmall("doc_id")
     }),
 
     // ── incremental EXACT dedup via the Bloom-prefiltered anti-join
@@ -1097,7 +1139,7 @@ object DataPipelineQueries {
           d.filter(pmod(col("doc_id"), lit(5)) === 0),
           d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
           "text", expectedItems = 100000L)
-        .select("doc_id", "n_chars").orderBy("doc_id")
+        .select("doc_id", "n_chars").orderedSmall("doc_id")
     }),
 
     // ── exact Jaccard threshold self-join (PPJoin prefix filtering —
@@ -1106,7 +1148,7 @@ object DataPipelineQueries {
       Dedup.jaccardJoin(docs(s, dir), "doc_id", "text", tau = 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b")),
+        .orderedSmall("id_a", "id_b")),
 
     // ── directional containment join (|A∩B|/|A| ≥ τ, ORDERED pairs):
     //    the quote/partial-scrape detector symmetric jaccard misses
@@ -1114,7 +1156,7 @@ object DataPipelineQueries {
       Dedup.containmentJoin(docs(s, dir), "doc_id", "text", tau = 0.8)
         .select(col("id_a"), col("id_b"),
           round(col("containment"), 6).as("containment"))
-        .orderBy("id_a", "id_b")),
+        .orderedSmall("id_a", "id_b")),
 
     // ── keep-maximal filter on top of the containment join: subset
     //    docs collapse into their containers (equal-size ties keep the
@@ -1122,7 +1164,7 @@ object DataPipelineQueries {
     "q_drop_contained" -> ((s, dir) =>
       Dedup.dropContained(docs(s, dir), "doc_id", "text", tau = 0.8)
         .select(col("doc_id"), col("n_chars"))
-        .orderBy("doc_id")),
+        .orderedSmall("doc_id")),
 
     // ── bounded edit-distance join on 24-char document keys: Ed-Join
     //    prefix filtering (rarest q-gram candidates + length filter),
@@ -1135,14 +1177,14 @@ object DataPipelineQueries {
           // q=4: the word-salad corpus has a tiny trigram vocabulary, so
           // longer grams buy bucket diversity (output is q-invariant)
           "doc_id", "key24", maxDist = 3, q = 4)
-        .orderBy("id_a", "id_b")),
+        .orderedSmall("id_a", "id_b")),
 
     // ── per-shard publishing manifest: counts + order-independent
     //    decimal-summed content checksum over the shuffleShards scheme
     "q_manifest" -> ((s, dir) =>
       graft.operators.CorpusStats.manifest(
           docs(s, dir), "doc_id", "text", shards = 8)
-        .orderBy("shard")),
+        .orderedSmall("shard")),
 
     // ── Jaro-Winkler over consecutive doc keys: gates the native
     //    expression against DuckDB's builtin (floored half-transposition
@@ -1155,7 +1197,7 @@ object DataPipelineQueries {
         .select(col("a.doc_id").as("doc_id"),
           round(graft.functions.JaroWinkler(col("a.k"), col("b.k")), 6)
             .as("jw"))
-        .orderBy("doc_id")
+        .orderedSmall("doc_id")
     }),
 
     // ── two-table edit join: a 5% "crawl" of 24-char keys fuzzy-matched
@@ -1167,7 +1209,7 @@ object DataPipelineQueries {
           keys.filter(pmod(col("doc_id"), lit(20)) === 0),
           keys.filter(pmod(col("doc_id"), lit(20)) =!= 0),
           "doc_id", "key24", maxDist = 3, q = 4)
-        .orderBy("probe_id", "corpus_id")
+        .orderedSmall("probe_id", "corpus_id")
     }),
 
     // ── exact top-k most-similar pairs via the τ-descending PPJoin
@@ -1176,18 +1218,18 @@ object DataPipelineQueries {
       Dedup.topKJaccardPairs(docs(s, dir), "doc_id", "text", k = 20)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))),
+        .orderedSmall(col("jaccard").desc, col("id_a"), col("id_b"))),
 
     // ── weighted sample (Efraimidis–Spirakis, weight = n_chars)
     "q_weighted_sample" -> ((s, dir) =>
       Sampling.weightedTopK(docs(s, dir), "doc_id",
           col("n_chars").cast("double"), k = 60)
-        .select("doc_id", "n_chars").orderBy("doc_id")),
+        .select("doc_id", "n_chars").orderedSmall("doc_id")),
 
     // ── corpus heavy hitters: top word bigrams by occurrence count
     "q_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 40)
-        .orderBy(col("cnt").desc, col("ngram"))),
+        .orderedSmall(col("cnt").desc, col("ngram"))),
 
     // ── PMI collocations: top-30 over-represented adjacent pairs
     "q_pmi" -> ((s, dir) =>
@@ -1203,14 +1245,14 @@ object DataPipelineQueries {
       Drift.ksDrift(docs(s, dir), "source", "n_chars")
         .select(col("source"), col("n_slice"), col("n_rest"),
           round(col("ks") + lit(1e-9), 6).as("ks"))
-        .orderBy("source")),
+        .orderedSmall("source")),
 
     // ── PSI drift: binned slice-vs-corpus stability index per source
     "q_psi" -> ((s, dir) =>
       Drift.psi(docs(s, dir), "source", "n_chars", bins = 10)
         .select(col("source"), col("n_slice"),
           round(col("psi") + lit(1e-9), 6).as("psi"))
-        .orderBy("source")),
+        .orderedSmall("source")),
 
     // ── domain concentration: Gini of doc mass across sources
     "q_gini" -> ((s, dir) =>
@@ -1223,7 +1265,7 @@ object DataPipelineQueries {
       Drift.jsDivergence(docs(s, dir), "source", "n_chars", bins = 10)
         .select(col("source"), col("n_slice"),
           round(col("jsd") + lit(1e-9), 6).as("jsd"))
-        .orderBy("source")),
+        .orderedSmall("source")),
 
     // ── two-corpus PSI: one source as the "incoming batch" against the
     //    whole corpus as "expected"
@@ -1311,7 +1353,7 @@ object DataPipelineQueries {
           element_at(col("features"), 3).cast("long").as("n_units"),
           lit(0L).as("width"),
           element_at(col("features"), 6).as("stat"))
-      aviOut.unionByName(badOut).unionByName(cutOut).orderBy("media_id")
+      aviOut.unionByName(badOut).unionByName(cutOut).orderedSmall("media_id")
     }),
   )
 

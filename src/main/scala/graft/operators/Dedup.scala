@@ -130,7 +130,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
     val sigs = graft.functions.MinHashSigs(col(textCol), shingleN, numHashes)
-    df.select(col(idCol), sigs.as("__sigs"))
+    // Generate barrier (explode of a 1-element array): the null filter
+    // and the h element_at extracts must reference the kernel's OUTPUT
+    // attribute, not the kernel expression — a plain select+filter
+    // evaluates the kernel once in the Filter and once in the Project
+    // (codegen CSE does not span operators), doubling the md5 work of
+    // the whole signature family (measured ~2× per row at sf1)
+    df.select(col(idCol), explode(array(sigs)).as("__sigs"))
       .filter(col("__sigs").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)

@@ -861,7 +861,12 @@ object Similarity {
       StructField("v", DecimalType(30, 12), false)))
     val partials = df.select(asDouble(col(vecCol)).as("__v"))
       .mapPartitions { it =>
-        val acc = Array.fill(n)(java.math.BigDecimal.ZERO)
+        // same rule as Spark's double→decimal(30,12) cast (shortest
+        // decimal repr, HALF_UP at scale 12), but through the
+        // boundary-guarded long fast path — a per-term BigDecimal
+        // chain costs a Double.toString each and dominated this
+        // aggregate at rows×d² volume (measured ~10× on q_probe_stats)
+        val acc = Array.fill(n)(new graft.functions.Dec12Acc)
         val aug = new Array[Double](d1)
         aug(d1 - 1) = 1.0
         it.foreach { r => if (!r.isNullAt(0)) {
@@ -874,17 +879,13 @@ object Similarity {
             val ai = aug(i)
             var j = i
             while (j < d1) {
-              // same rule as Spark's double→decimal(30,12) cast:
-              // shortest decimal repr, then HALF_UP at scale 12
-              acc(k) = acc(k).add(java.math.BigDecimal
-                .valueOf(ai * aug(j))
-                .setScale(12, java.math.RoundingMode.HALF_UP))
+              acc(k).add(ai * aug(j))
               j += 1; k += 1
             }
             i += 1
           }
         } }
-        Iterator.tabulate(n)(k => Row(k, acc(k)))
+        Iterator.tabulate(n)(k => Row(k, acc(k).value))
       }(org.apache.spark.sql.Encoders.row(schema))
     // k indexes the upper triangle row-major: (i, j) as literal lookups
     val ks = for (i <- 0 until d1; j <- i until d1) yield (i, j)

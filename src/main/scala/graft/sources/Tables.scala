@@ -125,6 +125,26 @@ object Tables {
     })
   }
 
+  /** Scan-parallelism normalizer for CPU-heavy per-row pipelines.
+    *
+    * Parquet parallelism is bounded by row-group layout: a single-row-
+    * group file scans as ONE task no matter how many cores exist, so a
+    * narrow kernel pipeline (signatures, text quality, codec decode)
+    * runs serially while the rest of the machine idles — measured 2
+    * live tasks for the whole sf1 documents scan. At real scale the
+    * file layout supplies the splits and this helper is IDENTITY (it
+    * no-ops whenever the scan already yields at least half the default
+    * parallelism); on an under-split source it inserts one hash
+    * exchange on the row key — the exchange carries the raw rows once,
+    * which is orders of magnitude cheaper than serializing the kernel.
+    * Hash (not round-robin) partitioning: deterministic under retries
+    * with no sort-before-repartition pass, and unique ids can't skew. */
+  def fanOut(df: DataFrame, key: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par, col(key))
+    else df
+  }
+
   /** Fold run inside [[load]] after the canonical casts: normalize the
     * per-table [[timestampCols]] from either physical layout. */
   private def normalizeDates(name: String, df0: DataFrame): DataFrame =
