@@ -26,6 +26,21 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - `unpushed-scan-filter` — a parquet scan carrying data filters
   *    none of which reached PushedFilters: row groups can't prune, the
   *    scan reads everything and filters after decode.
+  *  - `nlj-streamed-eval` — an expensive projection on the STREAMED
+  *    side of a nested-loop join with no materialization boundary in
+  *    between: whole-stage codegen emits deferred expression code at
+  *    its first use site, which for a nested-loop join is INSIDE the
+  *    per-build-row loop — the expression re-executes once per PAIR,
+  *    not once per row (measured 20× on a signature kernel under a
+  *    20-row broadcast probe). Fix: localCheckpoint/persist the
+  *    computed side, or put any exchange between compute and join.
+  *  - `range-sort-resample` — a global sort (range exchange) whose
+  *    input pipeline contains expensive projections and no
+  *    materialization boundary: range partitioning SAMPLES its input
+  *    with a separate job first, so everything below the sort that is
+  *    not already behind a shuffle executes TWICE per action. Fix for
+  *    a small final result: one SinglePartition exchange + local sort;
+  *    or materialize before sorting.
   *
   * Inspection only — it never changes the plan. Heuristic by design:
   * a flagged node is a question to answer ("is this frame tiny?"),
@@ -65,13 +80,68 @@ object PlanLint {
     }
   }
 
+  /** Heuristic "this expression is worth not re-running": a custom
+    * kernel (graft package), a higher-order function (array folds —
+    * norms, dot products), regex, an object-call bridge, or simply a
+    * big tree. Cheap per-column plumbing (alias/cast/attr) stays cold. */
+  private def isExpensive(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    var n = 0
+    var hot = false
+    e.foreach { x =>
+      n += 1
+      val cn = x.getClass.getName
+      if (cn.startsWith("graft.") || x.isInstanceOf[HigherOrderFunction] ||
+          cn.contains("RegExp") || cn.contains("Invoke")) hot = true
+    }
+    hot || n >= 16
+  }
+
+  /** Walk down from `p` looking for a projection/filter with an
+    * expensive expression, STOPPING at any node that materializes rows
+    * (exchange, shuffle stage, cached/checkpointed scan, sort,
+    * aggregate, generate): expressions behind such a boundary evaluate
+    * once per row no matter what consumes them above. */
+  private def expensiveBelow(p: SparkPlan): Option[SparkPlan] = {
+    import org.apache.spark.sql.execution.{GenerateExec, ProjectExec, RDDScanExec, SortExec}
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    p match {
+      case _: Exchange | _: QueryStageExec | _: InMemoryTableScanExec |
+          _: RDDScanExec | _: SortExec | _: BaseAggregateExec |
+          _: GenerateExec => None
+      case pr: ProjectExec if pr.projectList.exists(isExpensive) => Some(pr)
+      case f: org.apache.spark.sql.execution.FilterExec
+          if isExpensive(f.condition) => Some(f)
+      case other => other.children.flatMap(expensiveBelow).headOption
+    }
+  }
+
   private def collectAll(root: SparkPlan): Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     val out = Seq.newBuilder[Finding]
     root.foreach {
       case c: CartesianProductExec =>
         out += Finding("cartesian-product", short(c))
+        expensiveBelow(c.left).orElse(expensiveBelow(c.right)).foreach(pr =>
+          out += Finding("nlj-streamed-eval", short(pr)))
       case j: BroadcastNestedLoopJoinExec =>
         out += Finding("nested-loop-join", short(j))
+        // only the streamed side loops per build row; the build side is
+        // collected once into the broadcast relation
+        val streamed = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+          case _ => j.left
+        }
+        expensiveBelow(streamed).foreach(pr =>
+          out += Finding("nlj-streamed-eval", short(pr)))
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] =>
+        expensiveBelow(e.child).foreach(pr =>
+          out += Finding("range-sort-resample", short(pr)))
       case w: WindowExec if w.partitionSpec.isEmpty =>
         out += Finding("global-window", short(w))
       case e: ShuffleExchangeExec

@@ -303,6 +303,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(rules(a.groupBy(pmod(col("x"), lit(3))).count()) === Set.empty)
   }
 
+  test("PlanLint: nlj-streamed-eval and range-sort-resample fire on the " +
+      "unmaterialized shapes and stay silent behind a boundary") {
+    import graft.plans.PlanLint
+    val rules = (df: org.apache.spark.sql.DataFrame) =>
+      PlanLint.lint(df).map(_.rule).toSet
+    // scrambled key: a plain range is already ordered by id, so Catalyst
+    // would eliminate the orderBy below and there'd be no sort to lint
+    val docs = spark.range(50).selectExpr("id * 37 % 50 AS doc_id",
+      "concat('alpha beta gamma delta epsilon ', id) AS text")
+    val sigs = graft.operators.Dedup.simHash(docs, "doc_id", "text")
+    val probe = sigs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    // kernel on the streamed side of a broadcast NLJ, no boundary:
+    // the per-pair recompute shape the q_simhash_pairs fix removed
+    val direct = broadcast(probe).crossJoin(
+      sigs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")))
+    assert(rules(direct).contains("nlj-streamed-eval"), rules(direct))
+    // materialized streamed side: boundary (RDD scan) silences it
+    val mat = sigs.localCheckpoint(true)
+    try {
+      val fixed = broadcast(
+        mat.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("id_a"), col("simhash").as("sh_a")))
+        .crossJoin(mat.select(col("doc_id").as("id_b"),
+          col("simhash").as("sh_b")))
+      assert(!rules(fixed).contains("nlj-streamed-eval"), rules(fixed))
+    } finally mat.unpersist(false)
+    // global sort directly over the kernel: the sampling job re-runs it
+    assert(rules(sigs.orderBy("doc_id")).contains("range-sort-resample"),
+      rules(sigs.orderBy("doc_id")))
+    // the orderedSmall shape (SinglePartition + local sort) is silent —
+    // single-partition-exchange remains, which is the rule's own
+    // "is the frame small?" question, answered yes for a final dump
+    val small = sigs.repartition(1).sortWithinPartitions("doc_id")
+    assert(!rules(small).contains("range-sort-resample"), rules(small))
+    // a sort whose child is an aggregation (behind a shuffle) is cheap
+    // to sample — must not flag
+    val agged = sigs.groupBy(pmod(col("simhash"), lit(7)).as("b")).count()
+      .orderBy("b")
+    assert(!rules(agged).contains("range-sort-resample"), rules(agged))
+  }
+
+  test("PlanLint dogfood: the fixed kernel queries carry neither " +
+      "nlj-streamed-eval nor range-sort-resample at sf0.001") {
+    import graft.plans.PlanLint
+    val sf = "/root/testdata/sf0.001"
+    // q_embed_topk / q_hard_negatives keep their per-pair norm folds by
+    // design: the per-pair cosine is O(d) regardless, so the streamed
+    // norm adds a bounded constant factor, not a ×buildRows multiplier
+    // — they are NOT pinned here, the brute-force contract documents it
+    Seq("q_simhash_pairs", "q_minhash_pairs", "q_minhash", "q_simhash",
+        "q_video_features", "q_media_dirty", "q_dedup_embed").foreach { n =>
+      val bad = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
+        .filter(f => f.rule == "nlj-streamed-eval" ||
+          f.rule == "range-sort-resample")
+      assert(bad.isEmpty, s"$n: $bad")
+    }
+  }
+
   test("PlanLint dogfood: representative suite queries carry none of " +
       "the flagged anti-patterns at sf0.001") {
     import graft.plans.PlanLint
