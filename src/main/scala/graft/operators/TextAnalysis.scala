@@ -672,11 +672,19 @@ object TextAnalysis {
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       refPred: Column, n: Int = 3): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val toks = regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array())
+    val toksRaw =
+      regexp_extract_all(col(textCol), lit("[A-Za-z0-9]+"), lit(0))
+    // bind the token array to a lambda variable before the per-gram
+    // lambda references it: higher-order lambdas evaluate interpreted
+    // and Catalyst does not CSE across lambda boundaries, so an
+    // unbound `toks` re-runs the FULL regexp extraction for every
+    // (gram, position) pair — n+2 extractions per gram instead of one
+    // per row (the Similarity.quantize lesson, same fix)
+    val grams = element_at(transform(array(toksRaw), tk =>
+      when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*)))
+        .otherwise(array())), 1)
     val exploded = df.select(col(idCol), col(textCol), refPred.as("__isref"))
       .withColumn("__g", explode_outer(grams))
     val ref = exploded.filter(col("__isref"))
