@@ -2108,4 +2108,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(single(0).getSeq[Double](4)(5) * 255.0 - 120.0) < 1e-6)
     assert(!out.exists(_.getLong(0) == 3L))            // junk → zero rows
   }
+
+  test("Tables.fanOut: under-split source redistributes to default " +
+      "parallelism; an already-split source passes through untouched") {
+    import org.apache.spark.sql.functions._
+    val par = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_fan").toString
+    spark.range(1000).selectExpr("id AS doc_id", "id % 7 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir)
+    assert(one.rdd.getNumPartitions < par) // premise: under-split
+    val fanned = graft.sources.Tables.fanOut(one, "doc_id")
+    assert(fanned.rdd.getNumPartitions == par, fanned.rdd.getNumPartitions)
+    // identical content (it is only a repartition)
+    assert(fanned.orderBy("doc_id").collect().toSeq ==
+      one.orderBy("doc_id").collect().toSeq)
+    // a source that already yields >= par/2 partitions is returned as-is
+    val wide = one.repartition(par, col("doc_id"))
+    val kept = graft.sources.Tables.fanOut(wide, "doc_id")
+    assert(kept.queryExecution.logical eq wide.queryExecution.logical)
+  }
 }
