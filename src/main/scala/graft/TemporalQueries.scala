@@ -33,10 +33,14 @@ object TemporalQueries {
   // fanOut: events ships as a single-row-group file, so every query's
   // map side (timestamp math, per-row transforms, partial aggregation)
   // ran as ONE task; the thin keyed exchange wins even for the
-  // agg-first shapes (measured 1.8->1.25 s on a 6-col agg at sf1) and
-  // is identity once the source has real splits
+  // agg-first shapes once the input is big enough (measured
+  // 1.8->1.25 s on a 6-col agg over the 121 MB sf1 file) but LOSES
+  // ~0.35 s fixed exchange cost per query at the 12 MB sf0.1 file —
+  // the 64 MB floor takes the win where it exists and skips the tax
+  // where it doesn't. Identity once the source has real splits.
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.load(s, dir, "events"), "event_id")
+    Tables.fanOut(Tables.load(s, dir, "events"), "event_id",
+      minBytes = 64L << 20)
 
   /** Exact hourly avg (house pattern: DECIMAL(30,12) sum / count). */
   private def exactAvg(c: org.apache.spark.sql.Column) =

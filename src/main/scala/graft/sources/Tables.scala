@@ -138,10 +138,20 @@ object Tables {
     * exchange on the row key — the exchange carries the raw rows once,
     * which is orders of magnitude cheaper than serializing the kernel.
     * Hash (not round-robin) partitioning: deterministic under retries
-    * with no sort-before-repartition pass, and unique ids can't skew. */
-  def fanOut(df: DataFrame, key: String): DataFrame = {
+    * with no sort-before-repartition pass, and unique ids can't skew.
+    *
+    * `minBytes` gates the trade for LIGHT per-row work: the exchange
+    * costs a fixed ~0.3 s locally, which only pays once the serialized
+    * map side is big enough (measured: the events family wins at the
+    * 121 MB sf1 file, loses ~0.35 s/query at the 12 MB sf0.1 file).
+    * Kernel-heavy pipelines (signatures, codecs — the documents/
+    * embeddings loaders) pass 0: their per-row CPU dwarfs the exchange
+    * at ANY input size. */
+  def fanOut(df: DataFrame, key: String, minBytes: Long = 0L): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par, col(key))
+    if (df.rdd.getNumPartitions * 2 < par &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
+      df.repartition(par, col(key))
     else df
   }
 

@@ -2127,5 +2127,10 @@ class PipelineOpsSpec extends SparkSpec {
     val wide = one.repartition(par, col("doc_id"))
     val kept = graft.sources.Tables.fanOut(wide, "doc_id")
     assert(kept.queryExecution.logical eq wide.queryExecution.logical)
+    // minBytes floor: an under-split but SMALL source stays untouched
+    // (the exchange's fixed cost exceeds any parallelism win there)
+    val small = graft.sources.Tables.fanOut(one, "doc_id",
+      minBytes = 1L << 40)
+    assert(small.queryExecution.logical eq one.queryExecution.logical)
   }
 }
