@@ -35,16 +35,49 @@ object DataPipelineQueries {
       df.repartition(1).sortWithinPartitions(cols: _*)
     def orderedSmall(c: String, cs: String*): DataFrame =
       df.repartition(1).sortWithinPartitions(c, cs: _*)
+    /** Deterministic presentation order for a CORPUS-SIZED dump (one
+      * row per document): orderedSmall's SinglePartition funnel would
+      * sort the whole result in one task, so materialize once
+      * (localCheckpoint — the kernel upstream executes exactly once,
+      * same as orderedSmall) and let a distributed range sort order
+      * the cheap materialized rows. Identical rows in identical order
+      * for a unique sort key. */
+    def orderedCorpus(c: String, cs: String*): DataFrame =
+      df.localCheckpoint(true).orderBy(c, cs: _*)
   }
 
   // fanOut: the testdata tables are single-row-group parquet, so the
   // scan — and every narrow kernel riding it — is ONE task; one hash
   // exchange buys machine-wide parallelism for the whole documents/
-  // embeddings workload (identity once the source has real splits)
+  // embeddings workload (identity once the source has real splits).
+  //
+  // Two tiers, chosen PER CALL SITE by the work the query rides on it:
+  //  - docs/embs (ungated): kernel-heavy pipelines — signatures,
+  //    codecs, regex quality scoring, dot-product ANN — whose per-row
+  //    CPU dwarfs the exchange at any input size (measured: q_minhash
+  //    0.14×, q_simhash_pairs 0.12×, q_lang_id 0.22× vs unfanned at
+  //    sf0.1; 10-30× at sf1).
+  //  - docsLight/embsLight (2 MB floor): light token/metadata aggs —
+  //    the drift family, exact-hash dedup, samplers, pack manifests —
+  //    where the fixed ~0.3 s exchange cost EXCEEDS the parallelism
+  //    win on a small file (measured: q_zipf 1.74×, q_gini 1.65×,
+  //    q_top_ngrams 1.60×, q_ks_drift 1.59× vs the unfanned r9 floor
+  //    at the 0.6 MB sf0.1 file) but still pays off once the serial
+  //    scan is the bottleneck (q_top_ngrams 0.62×, q_pmi 0.50×,
+  //    q_token_budget 0.41× at the 5.8 MB sf1 file). The floor sits
+  //    between the measured footprints: documents/embeddings are
+  //    0.6/0.8 MB at sf0.1 and 5.8/3.4 MB at sf1.
+  private val lightFloor = 2L << 20
   private def docs(s: SparkSession, dir: String) =
     Tables.fanOut(Tables.load(s, dir, "documents"), "doc_id")
   private def embs(s: SparkSession, dir: String) =
     Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
+  private def docsLight(s: SparkSession, dir: String) =
+    Tables.fanOut(Tables.load(s, dir, "documents"), "doc_id",
+      minBytes = lightFloor)
+  private def embsLight(s: SparkSession, dir: String) =
+    Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id",
+      minBytes = lightFloor)
 
   private val H = 8 // minhash signature length
 
@@ -163,13 +196,13 @@ object DataPipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── exact dedup (content-hash, ES sha1-doc-id analog)
     "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(docs(s, dir), "text", "doc_id")
+      Dedup.exact(docsLight(s, dir), "text", "doc_id")
         .select("doc_id", "n_chars").orderedSmall("doc_id")),
 
     // ── MinHash signatures (8 × 60-bit, word 3-gram shingles)
     "q_minhash" -> ((s, dir) =>
       Dedup.minHashSignatures(docs(s, dir), "doc_id", "text", H)
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── MinHash-estimated Jaccard: probe docs × corpus, top-20
     "q_minhash_pairs" -> ((s, dir) => {
@@ -247,7 +280,7 @@ object DataPipelineQueries {
     // ── triplet mining: hardest positive + 4 hardest negatives per
     //    anchor, semi-hard band flagged (contrastive training prep)
     "q_hard_negatives" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = embsLight(s, dir)
       Similarity.hardNegatives(e.filter(col("vec_id") < 30), e,
           "vec_id", "embedding", "label", k = 4, margin = 0.05)
         .select(col("query_id"), col("pos_id"),
@@ -327,7 +360,7 @@ object DataPipelineQueries {
         .join(e.select(col("vec_id").as("doc_id"),
           col("embedding").as("v")), "doc_id")
       Similarity.mmrRerank(cand, k = 8)
-        .withColumn("mmr", round(col("mmr") + lit(1e-9), 6))
+        .withColumn("mmr", round(col("mmr") + lit(1e-9), 6) + lit(0.0))
         .orderedSmall("query_id", "rank")
     }),
 
@@ -371,7 +404,7 @@ object DataPipelineQueries {
       TextAnalysis.ngramNovelty(docs(s, dir), "doc_id", "text",
           col("lang") === "en", n = 3)
         .withColumn("novelty", round(col("novelty") + lit(1e-9), 6))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── deterministic hash sampling (partitioning-stable 10%)
     "q_hash_sample" -> ((s, dir) =>
@@ -382,7 +415,7 @@ object DataPipelineQueries {
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── scalar string-function battery (§2.8): case, slice, search,
     //    pad, replace, split, translate, concat — one narrow codegen'd
@@ -421,7 +454,7 @@ object DataPipelineQueries {
     //    the chosen pair per step
     "q_bpe_vocab" -> ((s, dir) => {
       val merges = graft.operators.BpeTrainer.learnMerges(
-        docs(s, dir), "text", 64)
+        docsLight(s, dir), "text", 64)
       import s.implicits._
       merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
@@ -449,9 +482,9 @@ object DataPipelineQueries {
     "q_fertility" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(docs(s, dir), "lang", "text")
         .withColumn("chars_per_piece",
-          round(col("chars_per_piece") + lit(1e-9), 6))
+          round(col("chars_per_piece") + lit(1e-9), 6) + lit(0.0))
         .withColumn("pieces_per_word",
-          round(col("pieces_per_word") + lit(1e-9), 6))
+          round(col("pieces_per_word") + lit(1e-9), 6) + lit(0.0))
         .orderedSmall("lang")),
 
     // ── cross-doc duplicate n-gram coverage: the near-template flag
@@ -540,7 +573,7 @@ object DataPipelineQueries {
       val m = graft.ml.TextClassifier.fit(docs(s, dir), "text",
         when(col("lang") === "en", 1.0).otherwise(0.0))
       graft.ml.TextClassifier.trajectoryDf(s, m)
-        .withColumn("weight", round(col("weight") + lit(1e-9), 7))
+        .withColumn("weight", round(col("weight") + lit(1e-9), 7) + lit(0.0))
         .orderedSmall("iter", "i")
     }),
 
@@ -551,8 +584,8 @@ object DataPipelineQueries {
       val m = graft.ml.TextClassifier.fit(docs(s, dir), "text",
         when(col("lang") === "en", 1.0).otherwise(0.0))
       docs(s, dir).select(col("doc_id"),
-          round(graft.ml.TextClassifier.score(col("text"), m.weights)
-            + lit(1e-9), 6).as("score"),
+          (round(graft.ml.TextClassifier.score(col("text"), m.weights)
+            + lit(1e-9), 6) + lit(0.0)).as("score"),
           when(col("lang") === "en", 1).otherwise(0).as("y"))
         .withColumn("pred", when(col("score") > 0.5, 1).otherwise(0))
         .orderedSmall("doc_id")
@@ -813,7 +846,7 @@ object DataPipelineQueries {
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
           Seq(1 -> "hash join merge", 2 -> "window batch stream",
             3 -> "vector scan filter slow"), k = 10)
-        .withColumn("score", round(col("score") + lit(1e-9), 4))
+        .withColumn("score", round(col("score") + lit(1e-9), 4) + lit(0.0))
         .orderedSmall("query_id", "rank")),
 
     // ── BM25 index BUILD (forced, full cost measured: tokenize +
@@ -839,7 +872,7 @@ object DataPipelineQueries {
       Retrieval.bm25TopKIndexed(s, idx, "doc_id",
           Seq(1 -> "hash join merge", 2 -> "window batch stream",
             3 -> "vector scan filter slow"), k = 10)
-        .withColumn("score", round(col("score") + lit(1e-9), 4))
+        .withColumn("score", round(col("score") + lit(1e-9), 4) + lit(0.0))
         .orderedSmall("query_id", "rank")
     }),
 
@@ -863,7 +896,7 @@ object DataPipelineQueries {
           embs(s, dir), "vec_id", "embedding", k = 20)
         .select(col("query_id"), col("match_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
-        .withColumn("score", round(col("score") + lit(1e-9), 6))
+        .withColumn("score", round(col("score") + lit(1e-9), 6) + lit(0.0))
         .orderedSmall("query_id", "rank")
     }),
 
@@ -889,13 +922,13 @@ object DataPipelineQueries {
     // ── packed-sequence slices: which token range of which doc fills
     //    each training sequence
     "q_pack_slices" -> ((s, dir) => {
-      val m = Packing.packManifest(docs(s, dir), "doc_id", "text", 512)
+      val m = Packing.packManifest(docsLight(s, dir), "doc_id", "text", 512)
       Packing.packSlices(m, "doc_id", 512).orderedSmall("seq_id", "doc_id")
     }),
 
     // ── grouped packing: per-source shards pack independently
     "q_pack_grouped" -> ((s, dir) =>
-      Packing.packManifest(docs(s, dir), "doc_id", "text", seqLen = 512,
+      Packing.packManifest(docsLight(s, dir), "doc_id", "text", seqLen = 512,
           groupCol = Some("source"))
         .orderedSmall("doc_id")),
 
@@ -909,7 +942,7 @@ object DataPipelineQueries {
     // ── unigram-LM quality score (perplexity-filter shape): corpus
     //    scored against its own unigram model, bits per token
     "q_lm_score" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsLight(s, dir)
       TextAnalysis.lmBitsPerToken(d, "doc_id", "text",
           TextAnalysis.unigramLm(d, "text"))
         .withColumn("bits_per_token",
@@ -939,7 +972,7 @@ object DataPipelineQueries {
     //    (low sources trim hard, high sources stay whole at sf0.01)
     "q_token_budget" -> ((s, dir) => {
       val budgets = (0 until 20).map(k => s"src$k" -> (300L + 100L * k)).toMap
-      Sampling.tokenBudgetSample(docs(s, dir), "source", "doc_id",
+      Sampling.tokenBudgetSample(docsLight(s, dir), "source", "doc_id",
           TextAnalysis.tokenCount(col("text")), budgets)
         .select("doc_id", "source").orderedSmall("doc_id")
     }),
@@ -1053,8 +1086,8 @@ object DataPipelineQueries {
     "q_cluster_metrics" -> ((s, dir) =>
       Similarity.clusterMetrics(embs(s, dir), "embedding", "label")
         .select(col("label"), col("n"),
-          round(col("scatter") + lit(1e-9), 6).as("scatter"),
-          round(col("silhouette") + lit(1e-9), 6).as("silhouette"))
+          (round(col("scatter") + lit(1e-9), 6) + lit(0.0)).as("scatter"),
+          (round(col("silhouette") + lit(1e-9), 6) + lit(0.0)).as("silhouette"))
         .orderedSmall("label")),
 
     // ── int8 symmetric quantization: per-vector scale + md5 over the
@@ -1113,10 +1146,10 @@ object DataPipelineQueries {
       val sLit = typedlit((0 until d).map(bias).toSeq)
       g.filter(col("j") < d)
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          round((col("xtx") -
+          (round((col("xtx") -
               element_at(sLit, col("i").cast("int") + 1) *
               element_at(sLit, col("j").cast("int") + 1) / lit(n)) / lit(n)
-            + lit(1e-9), 6).as("cov"))
+            + lit(1e-9), 6) + lit(0.0)).as("cov"))
         .orderedSmall("i", "j")
     }),
 
@@ -1134,7 +1167,7 @@ object DataPipelineQueries {
     // ── incremental EXACT dedup via the Bloom-prefiltered anti-join
     //    (result identical to a plain anti-join on the content hash)
     "q_dedup_exact_incr" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsLight(s, dir)
       Dedup.exactDedupAgainst(
           d.filter(pmod(col("doc_id"), lit(5)) === 0),
           d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
@@ -1203,7 +1236,7 @@ object DataPipelineQueries {
     // ── two-table edit join: a 5% "crawl" of 24-char keys fuzzy-matched
     //    against the standing corpus (the incremental-family edit tier)
     "q_edit_join_incr" -> ((s, dir) => {
-      val keys = docs(s, dir).select(col("doc_id"),
+      val keys = docsLight(s, dir).select(col("doc_id"),
         substring(col("text"), 1, 24).as("key24"))
       Dedup.editDistanceJoinAgainst(
           keys.filter(pmod(col("doc_id"), lit(20)) === 0),
@@ -1228,41 +1261,41 @@ object DataPipelineQueries {
 
     // ── corpus heavy hitters: top word bigrams by occurrence count
     "q_top_ngrams" -> ((s, dir) =>
-      TextAnalysis.topNgrams(docs(s, dir), "text", n = 2, k = 40)
+      TextAnalysis.topNgrams(docsLight(s, dir), "text", n = 2, k = 40)
         .orderedSmall(col("cnt").desc, col("ngram"))),
 
     // ── PMI collocations: top-30 over-represented adjacent pairs
     "q_pmi" -> ((s, dir) =>
-      TextAnalysis.pmiCollocations(docs(s, dir), "text", k = 30,
+      TextAnalysis.pmiCollocations(docsLight(s, dir), "text", k = 30,
         minCount = 5)),
 
     // ── Zipf rank-frequency audit: one-row OLS fit in log-log space
     "q_zipf" -> ((s, dir) =>
-      TextAnalysis.zipfFit(docs(s, dir), "text")),
+      TextAnalysis.zipfFit(docsLight(s, dir), "text")),
 
     // ── KS drift: each source's n_chars distribution vs the rest
     "q_ks_drift" -> ((s, dir) =>
-      Drift.ksDrift(docs(s, dir), "source", "n_chars")
+      Drift.ksDrift(docsLight(s, dir), "source", "n_chars")
         .select(col("source"), col("n_slice"), col("n_rest"),
           round(col("ks") + lit(1e-9), 6).as("ks"))
         .orderedSmall("source")),
 
     // ── PSI drift: binned slice-vs-corpus stability index per source
     "q_psi" -> ((s, dir) =>
-      Drift.psi(docs(s, dir), "source", "n_chars", bins = 10)
+      Drift.psi(docsLight(s, dir), "source", "n_chars", bins = 10)
         .select(col("source"), col("n_slice"),
           round(col("psi") + lit(1e-9), 6).as("psi"))
         .orderedSmall("source")),
 
     // ── domain concentration: Gini of doc mass across sources
     "q_gini" -> ((s, dir) =>
-      Drift.gini(docs(s, dir), "source")
+      Drift.gini(docsLight(s, dir), "source")
         .select(col("n_keys"), col("total"),
           round(col("gini") + lit(1e-9), 6).as("gini"))),
 
     // ── bounded symmetric drift: JSD per source vs rest
     "q_js_div" -> ((s, dir) =>
-      Drift.jsDivergence(docs(s, dir), "source", "n_chars", bins = 10)
+      Drift.jsDivergence(docsLight(s, dir), "source", "n_chars", bins = 10)
         .select(col("source"), col("n_slice"),
           round(col("jsd") + lit(1e-9), 6).as("jsd"))
         .orderedSmall("source")),
@@ -1270,7 +1303,7 @@ object DataPipelineQueries {
     // ── two-corpus PSI: one source as the "incoming batch" against the
     //    whole corpus as "expected"
     "q_psi_between" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = docsLight(s, dir)
       Drift.psiBetween(d.filter(col("source") === "src0"), d,
           "n_chars", bins = 10)
         .select(col("n_actual"), col("n_expected"),
@@ -1279,7 +1312,7 @@ object DataPipelineQueries {
 
     // ── association audit: is lang independent of source? (MI + χ²)
     "q_mutual_info" -> ((s, dir) =>
-      Drift.mutualInfo(docs(s, dir), "lang", "source")
+      Drift.mutualInfo(docsLight(s, dir), "lang", "source")
         .select(col("n"), col("cells"),
           round(col("mi") + lit(1e-9), 6).as("mi"),
           round(col("chi2") + lit(1e-9), 4).as("chi2"))),

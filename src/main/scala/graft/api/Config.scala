@@ -154,7 +154,8 @@ object GraftConfig {
     config.registerBuckets(reg)
     val engine = new Engine(spark, reg, config.storagePath)
     val api = new HttpApi(engine,
-      jobWorkers = config.server.workers.toInt.max(1).min(64))
+      jobWorkers = config.server.workers.toInt.max(1).min(64),
+      jobsMaxTtlMs = config.server.jobsMaxTtl * 1000L)
     val port = portOverride.orElse(config.server.listenAddr._2).getOrElse(8077)
     val addr = api.start(port)
     (engine, api, addr)

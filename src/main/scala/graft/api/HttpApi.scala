@@ -32,19 +32,36 @@ class HttpApi(
     engine: Engine,
     scheduledJobs: Option[ScheduledJobs] = None,
     version: String = "0.1.0",
-    jobWorkers: Int = 2) {
+    jobWorkers: Int = 2,
+    jobsMaxTtlMs: Long = 60000L,
+    nowMs: () => Long = () => System.currentTimeMillis()) {
 
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
   final case class JobRecord(id: String, tpe: String, state: String,
-      result: Option[String], error: Option[String])
+      result: Option[String], error: Option[String],
+      endedAtMs: Option[Long] = None)
 
   private val jobs =
     scala.collection.concurrent.TrieMap.empty[String, JobRecord]
   private val jobFutures =
     scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.Future[_]]
   private val jobSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Reap TERMINAL job records older than `jobsMaxTtlMs` — the
+    * reference expires job records after `jobs_max_ttl` (default 60 s,
+    * /root/reference/loudml/config.py:85-86); without it a long-lived
+    * daemon's job map grows monotonically. In-flight records
+    * (waiting/running) never expire. Swept on every job submit and
+    * jobs-endpoint lookup; an expired id answers 404 like any unknown
+    * job. */
+  private def reapExpiredJobs(): Unit = {
+    val cut = nowMs() - jobsMaxTtlMs
+    jobs.foreach { case (id, r) =>
+      if (r.endedAtMs.exists(_ < cut)) jobs.remove(id)
+    }
+  }
   private var server: HttpServer = _
 
   // the reference's worker pool (server.py:1846-1872, two
@@ -67,6 +84,7 @@ class HttpApi(
     * carries the id while the record is still `waiting`; callers poll
     * `/jobs/<id>` through `running` to `done`/`failed`. */
   private def runJob(tpe: String)(body: => Option[String]): JobRecord = {
+    reapExpiredJobs()
     val id = s"job-${jobSeq.incrementAndGet()}"
     val waiting = JobRecord(id, tpe, "waiting", None, None)
     jobs.put(id, waiting)
@@ -76,10 +94,11 @@ class HttpApi(
         if (!jobs.get(id).exists(_.state == "canceled")) {
           jobs.put(id, JobRecord(id, tpe, "running", None, None))
           val rec =
-            try JobRecord(id, tpe, "done", body, None)
+            try JobRecord(id, tpe, "done", body, None, Some(nowMs()))
             catch {
               case scala.util.control.NonFatal(e) =>
-                JobRecord(id, tpe, "failed", None, Some(e.getMessage))
+                JobRecord(id, tpe, "failed", None, Some(e.getMessage),
+                  Some(nowMs()))
             }
           jobs.put(id, rec)
         }
@@ -197,6 +216,7 @@ class HttpApi(
 
       // ── jobs (server.py:1296-1297, 396-403)
       case ("GET", "jobs" :: id :: Nil) =>
+        reapExpiredJobs()
         jobs.get(id).map(r => (200, jobJson(r)))
           .getOrElse((404, jsonStr(s"job not found: $id")))
       case ("POST", "jobs" :: id :: "_cancel" :: Nil) =>
@@ -206,7 +226,8 @@ class HttpApi(
         jobs.get(id).map { r =>
           if (r.state == "waiting" &&
               jobFutures.get(id).exists(_.cancel(false))) {
-            val c = JobRecord(id, r.tpe, "canceled", None, None)
+            val c = JobRecord(id, r.tpe, "canceled", None, None,
+              Some(nowMs()))
             jobs.put(id, c)
             (200, jsonStr("canceled"))
           } else (200, jsonStr(jobs.get(id).fold(r.state)(_.state)))

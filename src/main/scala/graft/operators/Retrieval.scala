@@ -207,8 +207,12 @@ object Retrieval {
     // more-like-this mode: the query IS a corpus document (query_id =
     // its doc id) — drop its self-match BEFORE ranking so ranks stay
     // dense over the genuine neighbors
+    // null-safe: a non-numeric id casts to null, and a null =!= would
+    // drop EVERY posting for that doc instead of just the self-match;
+    // <=> makes null ids compare unequal to any query_id and survive
     val matched = if (excludeSelf)
-      matched0.filter(col("query_id").cast("long") =!= col(idCol).cast("long"))
+      matched0.filter(
+        !(col("query_id").cast("long") <=> col(idCol).cast("long")))
     else matched0
     matched
       .join(dfreq, "term") // term-keyed; build side is vocabulary-sized
@@ -236,7 +240,10 @@ object Retrieval {
     *
     * with a list contributing 0 where the doc is absent. Inputs must
     * carry `(query_id, doc_id, rank)`; ranks are taken as given (dense,
-    * 1-based, per query). Output: `(query_id, rank, doc_id, score,
+    * 1-based, per query). A duplicate `(query, doc)` row within one
+    * list collapses to its BEST (minimum) rank, and the contribution
+    * derives from that same rank — score and `rank_i` always agree.
+    * Output: `(query_id, rank, doc_id, score,
     * rank_0, rank_1, …)` — one source-rank column per input list,
     * 0 = absent from that list. Ties: score desc, then doc_id asc.
     *
@@ -261,13 +268,16 @@ object Retrieval {
         col("rank").cast("int").as("rank"),
         lit(i).as("__list"))
     }.reduce(_.unionByName(_))
-    val contrib = lit(1.0) / (lit(rrfK) + col("rank")).cast("double")
+    // one aggregate per list: the BEST (minimum) rank. The contribution
+    // derives from that same rank, so a duplicate (query, doc) row in
+    // one list can't make score and rank_i disagree (score used to take
+    // max(contrib) = best rank while rank_i reported max(rank) = worst)
     val perList = lists.indices.map { i =>
-      max(when(col("__list") === i, contrib)).as(s"__c$i") +:
-        Seq(max(when(col("__list") === i, col("rank"))).as(s"__r$i"))
-    }.flatten
+      min(when(col("__list") === i, col("rank"))).as(s"__r$i")
+    }
     val fusedScore = lists.indices
-      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .map(i => coalesce(
+        lit(1.0) / (lit(rrfK) + col(s"__r$i")).cast("double"), lit(0.0)))
       .reduceLeft(_ + _) // fixed-order add chain — see determinism note
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -589,23 +589,30 @@ object Similarity {
     *
     * Cell assignment is the [[ivfTopK]] argmax-cosine against
     * `centroids` (plan literals, zero-shuffle narrow map; zero-norm
-    * vectors land in cell −1 and are kept outside any quota). Within a
-    * cell, the kept rows are the `quota` smallest
+    * vectors land in cell −1 and are kept outside any quota, with
+    * `pos = 0`). Within a cell, the kept rows are the `quota` smallest
     * (md5-uniform(id, salt), id) — the deterministic, append-stable
     * draw every sampler here uses.
     *
-    * Scale shape: the ranking window partitions by cell; cells are
-    * capacity-bounded by the centroid count (corpus/nlist expected),
-    * so no single window partition sees the corpus. For web-scale
-    * corpora size `nlist` so corpus/nlist fits a task (the same knob
-    * as IVF), or pre-filter with [[Sampling.hashSample]] to a
-    * manageable superset first.
+    * Scale shape: argmax assignment bounds the NUMBER of cells, not a
+    * cell's POPULATION — a semantically hot cell (the boilerplate
+    * cluster every web crawl has) would funnel through one window
+    * partition. So the draw is two-pass (the [[Sampling.stratifiedTopK]]
+    * guard): per-cell counts broadcast back, each cell pre-filtered to
+    * an expected `margin·quota` survivors by the SAME hash the window
+    * orders on, and only survivors enter the `row_number` window —
+    * ~margin·quota rows per partition regardless of cell skew. The
+    * pre-filter keeps a superset of the winners (P[fewer than quota of
+    * n rows hash under margin·quota/n] is Chernoff-negligible at
+    * margin 8), so the kept set is identical to the unguarded draw.
+    * Zero-norm rows skip the window entirely (they were all kept
+    * anyway; ranking them bought nothing but a single hot partition).
     *
     * Output: the kept rows with `cell` and `pos` (1-based rank within
-    * the cell's draw). */
+    * the cell's draw; 0 for the unranked cell −1). */
   def diversitySample(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], quota: Int,
-      salt: String = ""): DataFrame = {
+      salt: String = "", margin: Double = 8.0): DataFrame = {
     require(quota >= 1, "quota must be >= 1")
     val centLit = centroidLit(centroids)
     val keyed = corpus
@@ -614,12 +621,21 @@ object Similarity {
       .withColumn("cell",
         when(col("__n") > 0, bestCell(centLit, col("__v"), col("__n")))
           .otherwise(lit(-1L)))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
-      .orderBy(Sampling.hashUniform(col(idCol), salt).asc, col(idCol).asc)
-    keyed
-      .withColumn("pos", row_number().over(w))
-      .filter(col("cell") === -1L || col("pos") <= quota)
       .drop("__v", "__n")
+    val zeroNorm = keyed.filter(col("cell") === -1L)
+      .withColumn("pos", lit(0))
+    val assigned = keyed.filter(col("cell") =!= -1L)
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    val pre = assigned.join(broadcast(counts), "cell")
+      .withColumn("__u", Sampling.hashUniform(col(idCol), salt))
+      .filter(col("__u") <
+        least(lit(1.0), lit(margin * quota) / col("__cn")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(col("__u").asc, col(idCol).asc)
+    pre.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= quota)
+      .drop("__u", "__cn")
+      .unionByName(zeroNorm)
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
@@ -636,6 +652,11 @@ object Similarity {
     *
     * Input must carry `(query_id, doc_id, rel, v)` — rel is the
     * retrieval score, `v` the candidate's embedding (double array).
+    * Zero-norm candidate vectors are dropped up front (the
+    * [[cellOutliers]] convention): their cosine is NaN, which would
+    * propagate through the max-sim term and make candidates silently
+    * unpickable — and NaN ordering is the one place the greedy
+    * trajectory could diverge from the recursive-CTE oracle.
     * Output: `(query_id, rank, doc_id, mmr)` — mmr as at selection
     * time. Ties in the greedy argmax resolve to the LOWEST doc_id
     * (candidates are scanned in doc_id order with a strict `>`).
@@ -662,7 +683,8 @@ object Similarity {
     val mu = 1.0 - lambda
     val ds = candidates.select(col("query_id").cast("long"),
         col("doc_id").cast("long"), col("rel").cast("double"),
-        asDouble(col("v")))
+        asDouble(col("v")).as("__v"))
+      .filter(norm(col("__v")) > 0) // NaN-cosine guard — see scaladoc
       .as[(Long, Long, Double, Seq[Double])]
 
     def cos(a: Array[Double], b: Array[Double]): Double = {

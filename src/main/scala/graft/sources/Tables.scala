@@ -144,9 +144,13 @@ object Tables {
     * costs a fixed ~0.3 s locally, which only pays once the serialized
     * map side is big enough (measured: the events family wins at the
     * 121 MB sf1 file, loses ~0.35 s/query at the 12 MB sf0.1 file).
-    * Kernel-heavy pipelines (signatures, codecs — the documents/
-    * embeddings loaders) pass 0: their per-row CPU dwarfs the exchange
-    * at ANY input size. */
+    * The gate is chosen PER CALL SITE by the work riding the scan, not
+    * per table: kernel-heavy pipelines (signatures, codecs, regex
+    * scoring) pass 0 — their per-row CPU dwarfs the exchange at any
+    * input size — while light token/metadata aggs on the same tables
+    * pass a floor sized between the measured footprints (see
+    * DataPipelineQueries.docsLight: 2 MB splits the 0.6 MB sf0.1 and
+    * 5.8 MB sf1 documents files). */
   def fanOut(df: DataFrame, key: String, minBytes: Long = 0L): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < par &&

@@ -36,6 +36,17 @@ class CurationWaveSpec extends SparkSpec {
     assert(out(20L)._1 === 1 && out(10L)._1 === 2 && out(40L)._1 === 3)
   }
 
+  test("rrfFuse: duplicate (query, doc) rows in one list collapse to " +
+      "the best rank, and score derives from that same rank") {
+    val a = Seq((1L, 10L, 3), (1L, 10L, 1), (1L, 20L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a), k = 10)
+      .collect().map(r => r.getLong(2) -> (r.getDouble(3), r.getInt(4)))
+      .toMap
+    assert(out(10L) === ((1.0 / 61, 1))) // min rank wins BOTH fields
+    assert(out(20L) === ((1.0 / 62, 2)))
+  }
+
   test("rrfFuse: equal-rank-set ties break by doc_id asc") {
     val a = Seq((1L, 5L, 1), (1L, 3L, 2)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 3L, 1), (1L, 5L, 2)).toDF("query_id", "doc_id", "rank")
@@ -160,6 +171,55 @@ class CurationWaveSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again ===
       out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("diversitySample: hot-cell guard — a 90%-one-cell corpus never " +
+      "ranks a corpus-sized window partition, kept set unchanged") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // the boilerplate-cluster shape: 9000 rows collapse into cell 0,
+    // 1000 into cell 1 (argmax bounds cell COUNT, not population)
+    val rows = (1 to 10000).map { i =>
+      if (i <= 9000) (i.toLong, Seq(1.0f, 0.0001f * (i % 50)))
+      else (i.toLong, Seq(0.0001f * (i % 50 + 1), 1.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(8)
+    val out = Similarity.diversitySample(df, "vec_id", "embedding",
+      cents, quota = 3)
+    val byCell = out.groupBy("cell").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCell(0L) === 3L && byCell(1L) === 3L)
+    // kept set identical to the unguarded draw: the 3 smallest
+    // (hashUniform, id) per cell, recomputed brute-force per cell
+    def expect(ids: Seq[Long]): Seq[Long] =
+      ids.toDF("vec_id")
+        .select(col("vec_id"), Sampling.hashUniform(col("vec_id"), "").as("u"))
+        .orderBy(col("u").asc, col("vec_id").asc).limit(3)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val kept0 = out.filter(col("cell") === 0L).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val kept1 = out.filter(col("cell") === 1L).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept0 === expect((1L to 9000L)))
+    assert(kept1 === expect((9001L to 10000L)))
+    // the guard is in the PLAN, not just the math: below the
+    // row_number window sits the margin·quota/count pre-filter (the
+    // optimizer merges it into the broadcast-count join's condition),
+    // so the hot cell's window partition sees ~margin·quota survivors
+    // (E=24 of 9000 here), never its full population
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wnode = out.queryExecution.optimizedPlan
+      .collectFirst { case w: LWindow => w }
+    assert(wnode.nonEmpty, "expected a Window node")
+    val guarded = wnode.get.child.collect {
+      case n if n.expressions.exists(_.toString.contains("__cn")) => n }
+    assert(guarded.nonEmpty,
+      "row_number window must sit above the per-cell-count pre-filter")
+    // and the survivor population the guard admits is two orders
+    // below the hot cell's size (binomial mean margin·quota = 24)
+    val thr = 8.0 * 3 / 9000
+    val survivors = (1L to 9000L).toDF("vec_id")
+      .filter(Sampling.hashUniform(col("vec_id"), "") < lit(thr)).count()
+    assert(survivors >= 3 && survivors < 200, s"survivors=$survivors")
   }
 
   // ── mmrRerank ────────────────────────────────────────────────────────

@@ -224,6 +224,45 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("job records expire after jobs_max_ttl once terminal; in-flight " +
+      "jobs survive the sweep (config.py:85-86 reaper semantics)") {
+    val root = java.nio.file.Files.createTempDirectory("httpttl").toString
+    val engine = new Engine(spark, new BucketRegistry, root)
+    @volatile var now = 1000000000L // injected clock, ms
+    val api = new HttpApi(engine, None, jobWorkers = 1,
+      jobsMaxTtlMs = 60000L, nowMs = () => now)
+    val addr = api.start(0)
+    val base = s"http://127.0.0.1:${addr.getPort}"
+    try {
+      assert(send("POST", s"$base/buckets",
+        """{"name": "events", "type": "testdata",
+          |"dir": "/root/testdata/sf0.001", "table": "events"}"""
+          .stripMargin).statusCode() == 201)
+      val read = send("POST", s"$base/buckets/events/_read" +
+        s"?from=${enc("2024-01-01T00:00:00.000Z")}" +
+        s"&to=${enc("2024-01-02T00:00:00.000Z")}" +
+        s"&bucket_interval=1h&features=${enc("avg(value)")}")
+      assert(read.statusCode() == 202)
+      val id = read.body().replace("\"", "").trim
+      assert((awaitJob(base, id) \ "state") == org.json4s.JString("done"))
+      // still inside the TTL: the terminal record answers
+      now += 59000L
+      assert(send("GET", s"$base/jobs/$id").statusCode() == 200)
+      // past the TTL: reaped — an expired id is an unknown id
+      now += 2000L
+      assert(send("GET", s"$base/jobs/$id").statusCode() == 404)
+      // an in-flight job has no endedAt and survives any sweep: the
+      // immediate poll (which itself runs the reaper) still finds it
+      val read2 = send("POST", s"$base/buckets/events/_read" +
+        s"?from=${enc("2024-01-01T00:00:00.000Z")}" +
+        s"&to=${enc("2024-01-02T00:00:00.000Z")}" +
+        s"&bucket_interval=1h&features=${enc("avg(value)")}")
+      val id2 = read2.body().replace("\"", "").trim
+      assert(send("GET", s"$base/jobs/$id2").statusCode() == 200)
+      assert((awaitJob(base, id2) \ "state") == org.json4s.JString("done"))
+    } finally api.stop()
+  }
+
   test("config document boots the whole service: registry hydrated, " +
       "engine storage pathed, HTTP bound (the loudmld -c analog)") {
     import spark.implicits._
