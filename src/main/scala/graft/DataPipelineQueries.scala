@@ -876,6 +876,29 @@ object DataPipelineQueries {
         .orderedSmall("query_id", "rank")
     }),
 
+    // ── incremental index maintenance: base index over the standing
+    //    80% corpus, today's 20% crawl merged via updateIndex (delta-
+    //    sized build cost), then probed — same oracle as q_bm25: the
+    //    incrementally-updated index must score the FULL corpus
+    //    bit-identically to a from-scratch build
+    "q_bm25_index_incr" -> ((s, dir) => {
+      val idx = s"/tmp/graft_bm25_incr_${math.abs(dir.hashCode)}"
+      // fresh every run: an append-based artifact must never double-add
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val d = docsLight(s, dir)
+      Retrieval.buildIndex(d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", idx)
+      Retrieval.updateIndex(d.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", idx)
+      Retrieval.bm25TopKIndexed(s, idx, "doc_id",
+          Seq(1 -> "hash join merge", 2 -> "window batch stream",
+            3 -> "vector scan filter slow"), k = 10)
+        .withColumn("score", round(col("score") + lit(1e-9), 4) + lit(0.0))
+        .orderedSmall("query_id", "rank")
+    }),
+
     // ── hybrid retrieval: per anchor doc, BM25 more-like-this (its own
     //    text as the query, self-match excluded before ranking) and
     //    dense cosine neighbors, each top-20, fused by reciprocal rank
@@ -1107,6 +1130,35 @@ object DataPipelineQueries {
       val e = embs(s, dir)
       Similarity.quantizedTopK(
         e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+        .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
+        .orderedSmall("query_id", "rank")
+    }),
+
+    // ── ANN index BUILD (forced, full cost measured: one corpus pass
+    //    of assignment + SQ8 quantization, three artifacts); returns
+    //    the 1-row audit whose n_cells replays the full corpus
+    //    assignment in the oracle. Sorts before q_ann_indexed (the
+    //    bm25_index pattern), so every bench pass finds a fresh index
+    //    below and measures PROBE-ONLY cost there
+    "q_ann_index_build" -> ((s, dir) => {
+      val idx = s"/tmp/graft_ann_idx_${math.abs(dir.hashCode)}"
+      Similarity.buildAnnIndex(embs(s, dir), "vec_id", "embedding",
+        idx, nlist = 16)
+      Similarity.annIndexStats(s, idx)
+    }),
+
+    // ── IVF-SQ8 against the PERSISTED index (build once per corpus
+    //    version — marker-skipped — probe per query batch): same cell
+    //    routing as q_ann_ivf (centroids = 16 lowest-id vectors), same
+    //    quantized cosine as q_ann_quant; the oracle replays both from
+    //    the raw embeddings, so the stored index must be a pure cost
+    //    move — probed cells push into the codes scan as In(cell, …)
+    "q_ann_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_ann_idx_${math.abs(dir.hashCode)}"
+      val e = embs(s, dir)
+      Similarity.ensureAnnIndex(e, "vec_id", "embedding", idx, nlist = 16)
+      Similarity.annTopKIndexed(s, idx, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nprobe = 4)
         .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
         .orderedSmall("query_id", "rank")
     }),
@@ -2790,6 +2842,10 @@ object DataPipelineQueries {
     // oracle IS q_bm25's
     "q_bm25_indexed" -> Bm25Oracle,
 
+    // incremental-update equivalence: the merged index scores the full
+    // corpus exactly like q_bm25's from-scratch ranking
+    "q_bm25_index_incr" -> Bm25Oracle,
+
     // hybrid fusion: the sparse leg replays Bm25Oracle's scoring with
     // anchor-doc texts as the queries (self-match excluded BEFORE
     // ranking), the dense leg replays q_embed_topk's cosine ranking;
@@ -3398,6 +3454,75 @@ object DataPipelineQueries {
         |         list_dot_product(a.q, b.q) / (a.n * b.n) AS qcos_raw
         |  FROM nz a CROSS JOIN nz b
         |  WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+        |), ranked AS (
+        |  SELECT query_id, match_id, qcos_raw,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qcos_raw DESC, match_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, match_id, round(qcos_raw + 1e-9, 4) AS qcos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the index-build audit: n_vectors/n_cells replay the FULL corpus
+    // assignment (cells = q_ann_ivf's pinned argmax routing)
+    "q_ann_index_build" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 16
+        |), sims AS (
+        |  SELECT e.vec_id, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) *
+        |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
+        |           c.cell ASC) AS rn
+        |  FROM e CROSS JOIN cents c
+        |), cells AS (
+        |  SELECT vec_id, cell FROM sims WHERE rn = 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+        |       CAST((SELECT max(len(v)) FROM e) AS BIGINT) AS dim,
+        |       CAST(16 AS BIGINT) AS nlist
+        |FROM cells""".stripMargin,
+
+    // the persisted-index probe must equal the in-query IVF-SQ8 path:
+    // q_ann_ivf's cell routing composed with q_ann_quant's quantized
+    // cosine, both replayed from the raw embeddings
+    "q_ann_indexed" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 16
+        |), sims AS (
+        |  SELECT e.vec_id, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) *
+        |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
+        |           c.cell ASC) AS rn
+        |  FROM e CROSS JOIN cents c
+        |), qz AS (
+        |  SELECT vec_id, list_transform(v, x -> round(x /
+        |           (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END))) AS q
+        |  FROM (SELECT vec_id, v,
+        |          list_aggregate(list_transform(v, x -> abs(x)), 'max')
+        |            AS m FROM e)
+        |), nz AS (
+        |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS n FROM qz
+        |), corpus_cells AS (
+        |  SELECT vec_id AS match_id, cell FROM sims WHERE rn = 1
+        |), query_probes AS (
+        |  SELECT vec_id AS query_id, cell
+        |  FROM sims WHERE vec_id < 20 AND rn <= 4
+        |), scored AS (
+        |  SELECT qp.query_id, cc.match_id,
+        |         list_dot_product(a.q, b.q) / (a.n * b.n) AS qcos_raw
+        |  FROM query_probes qp JOIN corpus_cells cc USING (cell)
+        |  JOIN nz a ON a.vec_id = qp.query_id
+        |  JOIN nz b ON b.vec_id = cc.match_id
+        |  WHERE qp.query_id != cc.match_id
         |), ranked AS (
         |  SELECT query_id, match_id, qcos_raw,
         |         row_number() OVER (PARTITION BY query_id

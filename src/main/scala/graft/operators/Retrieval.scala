@@ -128,7 +128,11 @@ object Retrieval {
       postings.select(col(idCol), col("dl")).distinct()
         .agg(count(lit(1)).as("__N"),
           sum(col("dl").cast("long")).as("__sumdl"))
-        .select(col("__N"),
+        // __sumdl rides along as the exact long so an incremental
+        // [[updateIndex]] can recompute __avgdl = (sumdl+Δ)/(N+Δ) from
+        // exact integers — recovering sumdl from the stored double
+        // avgdl would not be bit-equal to a full rebuild
+        .select(col("__N"), col("__sumdl"),
           (col("__sumdl").cast("double") / col("__N").cast("double"))
             .as("__avgdl"))
         .write.mode("overwrite").parquet(s"$dir/stats")
@@ -150,6 +154,71 @@ object Retrieval {
       docs.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"))) false
     else { buildIndex(docs, idCol, textCol, dir); true }
+  }
+
+  /** Incrementally merge `newDocs` into a completed [[buildIndex]]
+    * directory — the daily-crawl move: tokenization and the postings
+    * exchange run over the DELTA only (cost ∝ delta size), never the
+    * standing corpus. The resulting index is BIT-EQUAL to a full
+    * rebuild over old∪new for every probe:
+    *  - postings: the delta's postings APPEND as new parquet files
+    *    (term-sorted within the delta like the base build — row-group
+    *    pruning still holds per file); BM25 scoring sums are
+    *    decimal-routed and order-free, so file interleaving is
+    *    invisible;
+    *  - dfreq: old dfreq ⊕ delta df, a vocabulary-sized merge
+    *    aggregate (exact longs);
+    *  - stats: __N/__sumdl add exactly; __avgdl recomputes from the
+    *    merged exact longs — the same double a full rebuild computes.
+    *
+    * Contract: `newDocs` ids must be DISJOINT from the indexed docs
+    * (dedupe the delta first — [[graft.operators.CorpusStats.corpusDiff]]
+    * scopes it); re-adding an indexed id would double-count its
+    * postings. The completion marker drops before the first mutation
+    * and is rewritten last, so a crash mid-update leaves a visibly
+    * incomplete index, never a silently stale one. */
+  def updateIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK")),
+      s"updateIndex needs a completed index at $dir (run buildIndex)")
+    val toks = newDocs.select(col(idCol),
+      split(col(textCol), " ").as("__toks"))
+    val delta = toks
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // merged dfreq/stats MATERIALIZE (localCheckpoint) before their
+      // artifacts are overwritten — they read the files being replaced
+      val dfreq = spark.read.parquet(s"$dir/dfreq")
+        .unionByName(delta.filter(length(col("term")) > 0)
+          .groupBy("term").agg(count(lit(1)).as("df")))
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .localCheckpoint(true)
+      val stats = spark.read.parquet(s"$dir/stats")
+        .crossJoin(broadcast(
+          delta.select(col(idCol), col("dl")).distinct()
+            .agg(count(lit(1)).as("__dN"),
+              sum(col("dl").cast("long")).as("__dSum"))))
+        .select((col("__N") + col("__dN")).as("__N"),
+          (col("__sumdl") + col("__dSum")).as("__sumdl"))
+        .select(col("__N"), col("__sumdl"),
+          (col("__sumdl").cast("double") / col("__N").cast("double"))
+            .as("__avgdl"))
+        .localCheckpoint(true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), false)
+      delta.sortWithinPartitions("term")
+        .write.mode("append").parquet(s"$dir/postings")
+      dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+      stats.write.mode("overwrite").parquet(s"$dir/stats")
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), true)
+        .close()
+    } finally delta.unpersist(false)
   }
 
   /** The index's corpus-stats row (N, avgdl) read back from `dir` —

@@ -376,7 +376,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_theilsen", "q_acf", "q_cluster_metrics", "q_js_div",
       "q_psi_between", "q_balance_classes", "q_skew_report",
       "q_sigma_clip", "q_gini", "q_bm25_indexed", "q_bm25_index_build",
-      "q_donut_score",
+      "q_ann_indexed", "q_ann_index_build", "q_donut_score",
       // curation wave: rrf fuses output-sized ranked lists (its bm25 +
       // brute-force legs carry the sanctioned 1-row-stats / broadcast-
       // probe NLJs); the classifier score is a narrow scan-rider; the
@@ -406,10 +406,12 @@ class PlanShapeSpec extends SparkSpec {
       val nljOk = Set("q_bm25", "q_bm25_indexed", "q_pmi", "q_psi",
         "q_mutual_info", "q_ks_drift", "q_js_div", "q_psi_between",
         "q_skew_report", "q_rrf_fusion", "q_mmr_rerank")
-      // sanctioned unpushed filter: cellOutliers' zero-norm guard is a
-      // predicate over a COMPUTED vector norm — there is no stored
+      // sanctioned unpushed filter: cellOutliers' / mmrRerank's
+      // zero-norm guards and diversitySample's cell −1 split are
+      // predicates over a COMPUTED norm/cell — there is no stored
       // column to push; the scan-adjacent filter is the correct shape
-      val scanFilterOk = Set("q_embed_outliers")
+      val scanFilterOk = Set("q_embed_outliers", "q_diversity_sample",
+        "q_mmr_rerank")
       val findings = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
         .filter(f => (hard(f.rule) &&
             !(f.rule == "nested-loop-join" && nljOk(n)) &&
@@ -434,6 +436,32 @@ class PlanShapeSpec extends SparkSpec {
     val probed = Retrieval.bm25TopKIndexed(spark, dir, "doc_id",
       Seq(1 -> "aa zz"), k = 2).collect().map(_.toSeq).toSet
     assert(probed === direct)
+  }
+
+  test("annTopKIndexed probe: the probed-cell IN filter reaches the " +
+      "codes scan (PushedFilters), results bit-equal to the in-query " +
+      "IVF-SQ8 path, marker skips the rebuild") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_plan").toString
+    val e = (0 until 40).map(i => (i.toLong,
+      Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.ensureAnnIndex(e, "vec_id", "embedding", dir, 4))
+    // completed marker → the second ensure is a no-op
+    assert(!Similarity.ensureAnnIndex(e, "vec_id", "embedding", dir, 4))
+    val q = e.filter(col("vec_id") < 3)
+    val probe = Similarity.annTopKIndexed(spark, dir, q,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(plan(probe).contains("PushedFilters: [In(cell"), plan(probe))
+    val direct = Similarity.ivfTopKQuantized(q, e, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(probe.collect().map(_.toSeq).toSet === direct)
+    // audit row matches what the build actually wrote
+    val st = Similarity.annIndexStats(spark, dir).head()
+    assert(st.getLong(0) == 40L && st.getLong(2) == 4L &&
+      st.getLong(3) == 4L)
   }
 
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +

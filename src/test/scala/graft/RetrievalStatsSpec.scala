@@ -164,6 +164,46 @@ class RetrievalStatsSpec extends SparkSpec {
     assert(q2.nonEmpty && q2.forall(_._1 == 7))
   }
 
+  test("updateIndex: base ⊕ delta probes bit-equal to a full rebuild; " +
+      "postings append (delta-sized write); update needs a completed " +
+      "index") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val all = (0L until 50L).map(i => (i,
+      Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val base = all.filter(col("doc_id") % 5 =!= 0)
+    val delta = all.filter(col("doc_id") % 5 === 0)
+    val qs = Seq(1 -> "aa cc", 2 -> "ee bb dd")
+    val incrDir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_incr").toString
+    val fullDir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_full").toString
+    // update refuses an incomplete index (no marker yet)
+    intercept[IllegalArgumentException] {
+      Retrieval.updateIndex(delta, "doc_id", "text", incrDir)
+    }
+    Retrieval.buildIndex(base, "doc_id", "text", incrDir)
+    val baseFiles = new java.io.File(s"$incrDir/postings")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Retrieval.updateIndex(delta, "doc_id", "text", incrDir)
+    Retrieval.buildIndex(all, "doc_id", "text", fullDir)
+    def rows(dir: String) =
+      Retrieval.bm25TopKIndexed(spark, dir, "doc_id", qs, 50)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(rows(incrDir) === rows(fullDir)) // EXACT doubles
+    // stats merged from exact longs — identical to the rebuild's row
+    assert(Retrieval.indexStats(spark, incrDir).collect().toSeq ===
+      Retrieval.indexStats(spark, fullDir).collect().toSeq)
+    // the base postings files were APPENDED to, not rewritten: the
+    // delta-sized cost claim is structural, not incidental
+    val afterFiles = new java.io.File(s"$incrDir/postings")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(afterFiles > baseFiles,
+      s"expected appended postings files ($baseFiles -> $afterFiles)")
+  }
+
   // ── randomized ≡-brute-force (seeded, the house confidence pattern) ──
 
   test("bm25TopK ≡ brute-force reference scorer on a random corpus") {
