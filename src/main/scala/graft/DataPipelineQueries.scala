@@ -1271,6 +1271,29 @@ object DataPipelineQueries {
           docs(s, dir), "doc_id", "text", shards = 8)
         .orderedSmall("shard")),
 
+    // ── staged corpus build (PipelineRunner): gate → exact dedup →
+    //    hash sample, each stage checkpointed with its own manifest +
+    //    completion marker (resume-from-last-green is spec-pinned; this
+    //    row pins every stage's per-shard counts and content checksum
+    //    against the oracle's replay of the same chain)
+    "q_pipeline_stages" -> ((s, dir) => {
+      import graft.operators.{PipelineRunner, PipelineStage}
+      val root = s"/tmp/graft_pipe_${math.abs(dir.hashCode)}"
+      // fresh every run: the row measures the full staged build
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val stages = Seq(
+        PipelineStage("gate", df => df.filter(col("n_chars") >= 100)),
+        PipelineStage("dedup", df => Dedup.exact(df, "text", "doc_id")),
+        PipelineStage("sample",
+          df => Sampling.hashSample(df, "doc_id", 0.5)))
+      PipelineRunner.run(docsLight(s, dir), stages, root,
+        "doc_id", "text", shards = 8)
+      PipelineRunner.manifests(s, root, stages)
+        .orderedSmall("stage", "shard")
+    }),
+
     // ── Jaro-Winkler over consecutive doc keys: gates the native
     //    expression against DuckDB's builtin (floored half-transposition
     //    semantics, 0.7 boost threshold)
@@ -3722,6 +3745,42 @@ object DataPipelineQueries {
         |       CAST(sum(c) AS BIGINT) AS n_chars,
         |       CAST(sum(h) % 1000000000000000000 AS BIGINT) AS checksum
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the staged build replayed: each stage's survivor set (gate →
+    // keep-min-id exact dedup → id-hash sample), manifested with
+    // q_manifest's shard/checksum formulas
+    "q_pipeline_stages" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, text FROM documents WHERE n_chars >= 100
+        |), s1 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text)
+        |             ORDER BY doc_id) AS rn
+        |    FROM s0
+        |  ) WHERE rn = 1
+        |), s2 AS (
+        |  SELECT doc_id, text FROM s1
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |          AS BIGINT) / 4294967296.0 < 0.5
+        |), staged AS (
+        |  SELECT 'stage0_gate' AS stage, doc_id, text FROM s0
+        |  UNION ALL SELECT 'stage1_dedup', doc_id, text FROM s1
+        |  UNION ALL SELECT 'stage2_sample', doc_id, text FROM s2
+        |), r AS (
+        |  SELECT stage,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) % 8 AS shard,
+        |         CAST(length(text) AS BIGINT) AS c,
+        |         CAST(CAST('0x' || substr(md5(
+        |             CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15)
+        |           AS BIGINT) AS DECIMAL(38,0)) AS h
+        |  FROM staged
+        |)
+        |SELECT stage, shard, count(*) AS n_docs,
+        |       CAST(sum(c) AS BIGINT) AS n_chars,
+        |       CAST(sum(h) % 1000000000000000000 AS BIGINT) AS checksum
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_jaro_winkler" ->
       """WITH n AS (

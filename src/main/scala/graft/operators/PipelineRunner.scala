@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One stage of a staged corpus build: a name and a DataFrame
+  * transform. The runner materializes every stage, so `run` sees its
+  * input as a plain parquet scan — never a lineage chain back through
+  * earlier stages. */
+final case class PipelineStage(name: String, run: DataFrame => DataFrame)
+
+/** Staged corpus-build runner — the orchestration a real pipeline
+  * (normalize → dedup → quality → mix → pack → publish) needs when
+  * stage 5 of 7 dies at hour 30: every stage CHECKPOINTS to its own
+  * parquet directory with a publishing manifest
+  * ([[CorpusStats.manifest]]: per-shard doc/char counts + an
+  * order-independent content checksum) and a completion marker, and a
+  * rerun resumes from the last green stage instead of recomputing the
+  * corpus-sized prefix.
+  *
+  * Layout under `dir`, one subdirectory per stage (`stage<i>_<name>`):
+  *  - `data` — the stage's full output rows (the next stage's input);
+  *  - `manifest` — the stage's [[CorpusStats.manifest]] rows, tagged
+  *    with the stage label (what an auditor diffs between corpus
+  *    versions, and what the correctness gate pins);
+  *  - `_STAGE_OK` — completion marker, written LAST, so a stage killed
+  *    mid-write is visibly incomplete and reruns.
+  *
+  * Resume contract: the COMPLETED PREFIX is skipped (its last `data`
+  * artifact is read back); the first stage without a marker and
+  * everything after it run. Markers past the first gap are deleted
+  * up front — a downstream marker can only describe output computed
+  * from a stale upstream, and resuming "around" a hole would silently
+  * publish mixed corpus versions.
+  *
+  * Scale shape: the runner adds one parquet write + one
+  * manifest aggregate per stage — both distributed, both O(stage
+  * output); nothing collects. The write is the point: it is the
+  * restart boundary, and it breaks lineage so no stage's failure
+  * re-triggers earlier stages' work (the same reason the incremental
+  * dedup family checkpoints between rounds). */
+object PipelineRunner {
+
+  private def fs(spark: SparkSession, dir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def stageDir(dir: String, i: Int, s: PipelineStage): String =
+    s"$dir/stage${i}_${s.name}"
+
+  private def ok(spark: SparkSession, sd: String): Boolean =
+    fs(spark, sd).exists(new org.apache.hadoop.fs.Path(s"$sd/_STAGE_OK"))
+
+  /** Run `stages` over `input`, checkpoint + manifest each, resume
+    * from the last green stage. Returns the FINAL stage's output (read
+    * back from its own artifact — callers compose onto a scan, not a
+    * lineage chain). `idCol`/`textCol` feed the per-stage manifest;
+    * every stage's output must carry both. */
+  def run(input: DataFrame, stages: Seq[PipelineStage], dir: String,
+      idCol: String, textCol: String, shards: Int = 8): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val spark = input.sparkSession
+    // longest completed prefix; every marker past the first gap is
+    // stale by definition — drop it so those stages rerun
+    val firstGap = stages.indices
+      .find(i => !ok(spark, stageDir(dir, i, stages(i))))
+      .getOrElse(stages.length)
+    stages.indices.drop(firstGap).foreach { i =>
+      val sd = stageDir(dir, i, stages(i))
+      fs(spark, sd).delete(
+        new org.apache.hadoop.fs.Path(s"$sd/_STAGE_OK"), false)
+    }
+    var current =
+      if (firstGap == 0) input
+      else spark.read.parquet(
+        s"${stageDir(dir, firstGap - 1, stages(firstGap - 1))}/data")
+    for (i <- firstGap until stages.length) {
+      val sd = stageDir(dir, i, stages(i))
+      stages(i).run(current)
+        .write.mode("overwrite").parquet(s"$sd/data")
+      val data = spark.read.parquet(s"$sd/data")
+      CorpusStats.manifest(data, idCol, textCol, shards)
+        .select(lit(s"stage${i}_${stages(i).name}").as("stage"),
+          col("shard"), col("n_docs"), col("n_chars"), col("checksum"))
+        .write.mode("overwrite").parquet(s"$sd/manifest")
+      fs(spark, sd).create(
+        new org.apache.hadoop.fs.Path(s"$sd/_STAGE_OK"), true).close()
+      current = data
+    }
+    spark.read.parquet(
+      s"${stageDir(dir, stages.length - 1, stages.last)}/data")
+  }
+
+  /** Every completed stage's manifest rows under `dir`, one frame —
+    * the per-stage audit trail a corpus build publishes. */
+  def manifests(spark: SparkSession, dir: String,
+      stages: Seq[PipelineStage]): DataFrame =
+    stages.indices
+      .filter(i => ok(spark, stageDir(dir, i, stages(i))))
+      .map(i => spark.read.parquet(
+        s"${stageDir(dir, i, stages(i))}/manifest"))
+      .reduce(_.unionByName(_))
+}

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Packing, PipelineRunner, PipelineStage,
+  Sampling, TextAnalysis}
 
 /** End-to-end composition of the training-data pipeline on real
   * sf0.001 parquet: redact → keep-one line dedup → boilerplate drop →
@@ -185,5 +186,48 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(health.length >= 2 && health.forall(r =>
       !r.getDouble(3).isNaN && r.getDouble(3) >= -1.0 &&
         r.getDouble(3) <= 1.0))
+  }
+
+  test("PipelineRunner: a killed stage resumes from the last green " +
+      "stage — the prefix is never recomputed, the result matches an " +
+      "unstaged run, manifests cover every stage") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pipe_resume").toString
+    val calls = Array.fill(3)(
+      new java.util.concurrent.atomic.AtomicInteger)
+    @volatile var bomb = true
+    def stages = Seq(
+      PipelineStage("gate", df => { calls(0).incrementAndGet()
+        df.filter(col("n_chars") >= 100) }),
+      PipelineStage("dedup", df => { calls(1).incrementAndGet()
+        Dedup.exact(df, "text", "doc_id") }),
+      PipelineStage("sample", df => { calls(2).incrementAndGet()
+        if (bomb) throw new RuntimeException("killed at hour 30")
+        Sampling.hashSample(df, "doc_id", 0.5) }))
+    intercept[RuntimeException] {
+      PipelineRunner.run(docs, stages, dir, "doc_id", "text")
+    }
+    assert(calls.map(_.get).toSeq == Seq(1, 1, 1))
+    bomb = false
+    val out = PipelineRunner.run(docs, stages, dir, "doc_id", "text")
+    // stages 0-1 were green: skipped; only the killed stage re-ran
+    assert(calls.map(_.get).toSeq == Seq(1, 1, 2))
+    // staged ≡ unstaged composition of the same chain
+    val expect = Sampling.hashSample(
+        Dedup.exact(docs.filter(col("n_chars") >= 100), "text", "doc_id"),
+        "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === expect)
+    // one manifest per stage, every stage present
+    val man = PipelineRunner.manifests(spark, dir, stages)
+    assert(man.select("stage").distinct().count() === 3L)
+    // a fully-green rerun recomputes NOTHING and serves the artifact
+    val again = PipelineRunner.run(docs, stages, dir, "doc_id", "text")
+    assert(calls.map(_.get).toSeq == Seq(1, 1, 2))
+    assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === expect)
   }
 }
