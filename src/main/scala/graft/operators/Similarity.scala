@@ -741,15 +741,18 @@ object Similarity {
     * cell's POPULATION — a semantically hot cell (the boilerplate
     * cluster every web crawl has) would funnel through one window
     * partition. So the draw is two-pass (the [[Sampling.stratifiedTopK]]
-    * guard): per-cell counts broadcast back, each cell pre-filtered to
-    * an expected `margin·quota` survivors by the SAME hash the window
-    * orders on, and only survivors enter the `row_number` window —
+    * guard): per-cell counts broadcast back, each real cell
+    * pre-filtered to an expected `margin·quota` survivors by the SAME
+    * hash the window orders on, and only survivors are ranked —
     * ~margin·quota rows per partition regardless of cell skew. The
     * pre-filter keeps a superset of the winners (P[fewer than quota of
     * n rows hash under margin·quota/n] is Chernoff-negligible at
     * margin 8), so the kept set is identical to the unguarded draw.
-    * Zero-norm rows skip the window entirely (they were all kept
-    * anyway; ranking them bought nothing but a single hot partition).
+    * Zero-norm rows are never RANKED (pos is pinned to 0): the window
+    * partitions them by a per-row spread key instead of the shared −1,
+    * so they cannot funnel either — and the whole plan stays two
+    * kernel passes (counts + main; a union of separate −1/real
+    * branches would have scanned and re-assigned a third time).
     *
     * Output: the kept rows with `cell` and `pos` (1-based rank within
     * the cell's draw; 0 for the unranked cell −1). */
@@ -765,20 +768,25 @@ object Similarity {
         when(col("__n") > 0, bestCell(centLit, col("__v"), col("__n")))
           .otherwise(lit(-1L)))
       .drop("__v", "__n")
-    val zeroNorm = keyed.filter(col("cell") === -1L)
-      .withColumn("pos", lit(0))
-    val assigned = keyed.filter(col("cell") =!= -1L)
-    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
-    val pre = assigned.join(broadcast(counts), "cell")
+    val counts = keyed.filter(col("cell") =!= -1L)
+      .groupBy("cell").agg(count(lit(1)).as("__cn"))
+    // left join: cell −1 carries a null count and skips the pre-draw
+    val pre = keyed.join(broadcast(counts), Seq("cell"), "left")
       .withColumn("__u", Sampling.hashUniform(col(idCol), salt))
-      .filter(col("__u") <
+      .filter(col("cell") === -1L || col("__u") <
         least(lit(1.0), lit(margin * quota) / col("__cn")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    // zero-norm rows spread over per-row synthetic keys (all < 0, so
+    // they can't collide with a real cell); their row_number lands in
+    // singleton-ish partitions and is discarded by the `when` below
+    val wkey = when(col("cell") >= 0, col("cell"))
+      .otherwise(lit(-2L) - pmod(xxhash64(col(idCol)), lit(1024L)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(wkey)
       .orderBy(col("__u").asc, col(idCol).asc)
-    pre.withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= quota)
+    pre.withColumn("pos",
+        when(col("cell") === -1L, lit(0))
+          .otherwise(row_number().over(w)))
+      .filter(col("cell") === -1L || col("pos") <= quota)
       .drop("__u", "__cn")
-      .unionByName(zeroNorm)
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
