@@ -1271,6 +1271,35 @@ object DataPipelineQueries {
           docs(s, dir), "doc_id", "text", shards = 8)
         .orderedSmall("shard")),
 
+    // ── incremental publish + compaction round trip: base publish,
+    //    three appendShards batches (the small-file accretion pattern a
+    //    long-lived corpus accumulates), one compactShards rewrite, then
+    //    the manifest RECOMPUTED from the compacted bytes — equality
+    //    with the raw-corpus oracle proves the appends kept every row
+    //    and the compaction moved none (file-count reduction itself is
+    //    spec-pinned in CompactSpec; parquet physical sizes aren't
+    //    oracle-able)
+    "q_compact" -> ((s, dir) => {
+      val root = s"/tmp/graft_compact_${math.abs(dir.hashCode)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val d = docsLight(s, dir)
+      graft.io.Publish.writeShards(
+        d.filter(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
+        root, shards = 8)
+      (1 to 3).foreach { i =>
+        graft.io.Publish.appendShards(
+          d.filter(pmod(col("doc_id"), lit(4)) === i), "doc_id", "text",
+          root): Unit
+      }
+      graft.io.Compact.compactShards(s, root, targetBytes = 256L << 10)
+      graft.operators.CorpusStats.manifest(
+          s.read.parquet(s"$root/data").drop("shard", "pos"),
+          "doc_id", "text", shards = 8)
+        .orderedSmall("shard")
+    }),
+
     // ── staged corpus build (PipelineRunner): gate → exact dedup →
     //    hash sample, each stage checkpointed with its own manifest +
     //    completion marker (resume-from-last-green is spec-pinned; this
@@ -3732,6 +3761,25 @@ object DataPipelineQueries {
     // summed as DECIMAL(38,0) (exact, order-free) mod 1e18; CASTs keep
     // n_chars/checksum out of HUGEINT
     "q_manifest" ->
+      """WITH r AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |           AS BIGINT) % 8 AS shard,
+        |         CAST(length(text) AS BIGINT) AS c,
+        |         CAST(CAST('0x' || substr(md5(
+        |             CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15)
+        |           AS BIGINT) AS DECIMAL(38,0)) AS h
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(c) AS BIGINT) AS n_chars,
+        |       CAST(sum(h) % 1000000000000000000 AS BIGINT) AS checksum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // append × 3 + compact must land exactly where a single-writer
+    // publish would: the recomputed manifest of the compacted layout
+    // equals the raw-corpus manifest replay (same SQL as q_manifest —
+    // THAT is the preservation claim)
+    "q_compact" ->
       """WITH r AS (
         |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
         |           AS BIGINT) % 8 AS shard,

@@ -64,10 +64,12 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ DataPipelineQueries.queries ++ TemporalQueries.queries
+    coreQueries ++ DataPipelineQueries.queries ++ TemporalQueries.queries ++
+      StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ DataPipelineQueries.oracleSql ++ TemporalQueries.oracleSql
+    coreOracleSql ++ DataPipelineQueries.oracleSql ++
+      TemporalQueries.oracleSql ++ StreamingQueries.oracleSql
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── §2.1-2.4: the core times-query (scan+filter+bucket+agg+spine+fill)

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{StreamingDedup, StreamingTopTokens, StreamRun}
+
+/** Driver-gated rows for the Structured Streaming tier. Until now the
+  * streaming operators were unit-gated only (MemoryStream parity ≤1e-9
+  * in the specs); these run the REAL streaming path — file source →
+  * watermarked stateful operator → sink, via [[StreamRun]]'s
+  * AvailableNow replay — and land in the same DuckDB differential gate
+  * as every batch operator.
+  *
+  * Determinism (the reason these two and not, say, append-mode
+  * windowed aggs whose final windows hang on a timeout batch):
+  *  - q_stream_dedup: the dedup horizon (100 years) exceeds the data's
+  *    event-time span, so no fingerprint is ever evicted and the kept
+  *    set is exactly one row per distinct text under ANY micro-batch
+  *    split; the projection keeps only duplicate-invariant columns
+  *    (md5(text), length(text)) so WHICH copy survived is invisible.
+  *  - q_stream_tokens: Complete-mode windowed aggregation — the sink's
+  *    final table is the aggregate over all input regardless of batch
+  *    boundaries, and capacity (4096) ≥ the corpus vocabulary, where
+  *    SpaceSaving is exact (err = 0), so counts equal plain
+  *    count(*) and the (cnt desc, token asc) top-k is total-ordered.
+  *
+  * Event time is synthesized from doc_id (the corpus has no timestamp
+  * column): epoch second = doc_id + 10⁶, so a 1000-second window is a
+  * 1000-document ingest slice. The 10⁶ s shift keeps every event time
+  * strictly above the stream's INITIAL watermark (epoch 0) — a ts==0
+  * row sits exactly on the late boundary and
+  * dropDuplicatesWithinWatermark drops it (measured: doc_id 0 vanished
+  * from the kept set; StreamRunSpec would catch a regression).
+  */
+object StreamingQueries {
+
+  private val TsShift = 1000000L
+
+  private def docsPath(dir: String) = s"$dir/documents.parquet"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── streaming ingest dedup: dropDuplicatesWithinWatermark over the
+    //    md5 fingerprint, horizon >> data span (state bounded by the
+    //    horizon in production; global-distinct here so the replay is
+    //    batch-split-invariant). Output: one row per distinct text.
+    "q_stream_dedup" -> ((s, dir) => {
+      StreamRun.toTable(s, docsPath(dir), src =>
+          StreamingDedup.dedupStream(
+              src.withColumn("__ts",
+                timestamp_seconds(col("doc_id") + lit(TsShift))),
+              "__ts", latenessSec = 3155760000L)
+            .select(md5(col("text")).as("fp"),
+              length(col("text")).cast("long").as("n_chars")),
+          OutputMode.Append())
+        .orderBy("fp")
+    }),
+
+    // ── live heavy hitters: top-5 tokens per 1000-doc event-time
+    //    window through the mergeable SpaceSaving aggregate, Complete
+    //    mode (final table = full-input aggregate).
+    "q_stream_tokens" -> ((s, dir) => {
+      StreamRun.toTable(s, docsPath(dir), src =>
+          StreamingTopTokens.topTokensStream(
+            src.withColumn("__ts",
+              timestamp_seconds(col("doc_id") + lit(TsShift))),
+            Seq.empty, "__ts", "text", windowSec = 1000L,
+            latenessSec = 3155760000L, k = 5, capacity = 4096),
+          OutputMode.Complete())
+        // windows are epoch-aligned and TsShift is window-divisible, so
+        // subtracting it lands buckets back on doc_id // 1000 * 1000
+        .select((col("window_start").cast("long") - lit(TsShift))
+          .as("bucket"), col("token"), col("cnt"))
+        .orderBy("bucket", "token")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // one row per distinct text: fp is the dedup key, n_chars is
+    // constant within a fp group (same bytes), so min() = the value
+    "q_stream_dedup" ->
+      """SELECT md5(text) AS fp,
+        |       CAST(min(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // exact replay of the windowed top-5: tumbling 1000-second windows
+    // over epoch-second doc_id, count per token, (cnt desc, token asc)
+    // rank — the sketch is exact at this vocabulary (≤ capacity)
+    "q_stream_tokens" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id // 1000 * 1000 AS BIGINT) AS bucket,
+        |         unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT bucket, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks WHERE length(token) > 0 GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT bucket, token, cnt,
+        |         row_number() OVER (PARTITION BY bucket
+        |           ORDER BY cnt DESC, token) AS r
+        |  FROM cnt
+        |)
+        |SELECT bucket, token, cnt FROM rk WHERE r <= 5
+        |ORDER BY bucket, token""".stripMargin,
+  )
+}

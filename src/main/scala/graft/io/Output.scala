@@ -129,6 +129,57 @@ object Publish {
     m
   }
 
+  /** Incremental publish: append a delta batch into an existing
+    * [[writeShards]] layout and merge its manifest EXACTLY — the
+    * per-shard checksum is Σ hash mod 10¹⁸, so stored + delta sums
+    * mod 10¹⁸ equals the full-corpus recompute (counts and char
+    * totals are plainly additive). Delta rows shard under the stored
+    * layout's own modulus + salt (ids keep their shard across
+    * batches); within-shard `pos` continues from the stored count, so
+    * positions stay unique — read order is batch order then hash
+    * order, not the single-writer global hash order.
+    *
+    * Scale shape: the delta alone is tokenized/hashed (one shard-keyed
+    * agg of `shards` rows); data files APPEND (no rewrite of standing
+    * shards); the manifest merge joins two shards-sized frames. This
+    * is the batch-accretion pattern whose small-file debt
+    * [[graft.io.Compact.compactShards]] later repays. Returns the
+    * merged manifest. */
+  def appendShards(df: DataFrame, idCol: String, textCol: String,
+      dir: String): DataFrame = {
+    val spark = df.sparkSession
+    val layout = spark.read.parquet(s"$dir/layout").head()
+    val (shards, salt) = (layout.getInt(0), layout.getString(1))
+    // materialize the stored manifest BEFORE overwriting its path
+    val stored = spark.read.parquet(s"$dir/manifest").localCheckpoint(true)
+    val offsets = stored.select(col("shard"), col("n_docs").as("__off"))
+    graft.operators.Sampling.shuffleShards(df, idCol, shards, salt)
+      .join(broadcast(offsets), Seq("shard"), "left")
+      // keep pos int like the base writer — a mixed int32/int64 column
+      // across parquet files fails the vectorized reader; int caps a
+      // SHARD at 2^31 rows, which the shard modulus exists to prevent
+      .withColumn("pos",
+        (col("pos") + coalesce(col("__off"), lit(0L))).cast("int"))
+      .drop("__off")
+      .write.mode("append").partitionBy("shard").parquet(s"$dir/data")
+    val delta = graft.operators.CorpusStats
+      .manifest(df, idCol, textCol, shards, salt)
+    val merged = stored
+      .select(col("shard"), col("n_docs").as("__d"), col("n_chars").as("__c"),
+        col("checksum").as("__s"))
+      .join(delta, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("__d"), lit(0L)) + coalesce(col("n_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("__c"), lit(0L)) + coalesce(col("n_chars"), lit(0L)))
+          .as("n_chars"),
+        pmod(coalesce(col("__s"), lit(0L)) + coalesce(col("checksum"),
+          lit(0L)), lit(1000000000000000000L)).as("checksum"))
+      .localCheckpoint(true)
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    merged
+  }
+
   /** Recompute the manifest from `dir/data` and diff it against the
     * stored one: per-shard status `ok` / `corrupt` (counts or checksum
     * moved) / `missing` (in manifest, absent in data) / `unexpected`

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Run a Structured Streaming pipeline over a parquet source to
+  * completion and hand back its final result as a batch frame — the
+  * bridge that lets the streaming tier sit behind the same
+  * driver-oracle gate as every batch operator.
+  *
+  * Shape: `readStream` over the parquet path (file-source, schema from
+  * a batch footer read) → caller's transformation → memory sink with
+  * `Trigger.AvailableNow()` → await → snapshot the sink table and drop
+  * it. AvailableNow processes everything present at start and stops —
+  * the batch-bounded replay of the continuous pipeline, identical to
+  * what a backfill over the same files computes.
+  *
+  * The memory sink is the TEST/GATE harness only: it collects the
+  * result to the driver, which is fine for the gate's corpus sizes and
+  * wrong for production — a real deployment writes the same pipeline
+  * to a parquet/Kafka sink with the same trigger and never funnels
+  * through the driver ([[StreamingEval]] and the parity specs cover
+  * that path). Each invocation gets a fresh query name and checkpoint
+  * dir, so re-running the same query in one session (the bench's
+  * min-of-N passes) replays from scratch instead of resuming.
+  *
+  * Determinism contract for callers: the final table must be
+  * batch-split-invariant — either Complete-mode aggregation state
+  * (always equals the full-input aggregate) or Append-mode output
+  * whose rows don't depend on micro-batch boundaries (e.g. dedup with
+  * a horizon longer than the data's time span, projected to
+  * duplicate-invariant columns). StreamRunSpec forces a 4-batch split
+  * via maxFilesPerTrigger and pins output equality against the
+  * single-batch run.
+  */
+object StreamRun {
+
+  private val seq = new AtomicLong(0L)
+
+  /** @param path    parquet file/dir to stream (schema read from it)
+    * @param build   streaming transformation (input is unbounded)
+    * @param mode    sink output mode (Append / Complete / Update)
+    * @param options extra file-source options (e.g. maxFilesPerTrigger)
+    */
+  def toTable(spark: SparkSession, path: String,
+      build: DataFrame => DataFrame, mode: OutputMode,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val name = s"graft_stream_${seq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-ckpt-$name").toString
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource force-sets basePath to the source path itself
+    // whenever the path has no glob characters, and then requires it to
+    // be a DIRECTORY — streaming a single parquet file (the testdata
+    // layout) dies on that. An exact-match {name} glob defeats the
+    // override: it matches only this file, basePath auto-derives to the
+    // parent directory, and no partition columns are inferred.
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val isFile = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .isFile(hp)
+    val srcPath = if (isFile) s"${hp.getParent}/{${hp.getName}}" else path
+    val src = options.foldLeft(spark.readStream.schema(schema)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.parquet(srcPath)
+    val q = build(src).writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    // snapshot out of the sink's in-memory table so it can be dropped
+    // (bench passes re-run the stream; stale sink tables would leak)
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(new java.io.File(ckpt))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}
