@@ -424,46 +424,146 @@ object Similarity {
     spark.read.parquet(s"$dir/stats")
       .select("n_vectors", "n_cells", "dim", "nlist")
 
+  /** Stored routing table, cached per (dir, marker mtime): a probe
+    * service loads the centroids ONCE per index version and routes
+    * every batch against the in-memory copy — re-reading nlist·dim
+    * doubles per batch is a Spark job of pure latency. The completion
+    * marker's mtime keys the cache, so a rebuild (which rewrites the
+    * marker LAST) invalidates it; an incomplete index (no marker)
+    * never caches. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      Array[Array[Double]]]()
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK")
+    val key = if (fs.exists(marker))
+      Some((dir, fs.getFileStatus(marker).getModificationTime)) else None
+    key.flatMap(k => Option(centroidCache.get(k))).getOrElse {
+      val rows = spark.read.parquet(s"$dir/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+      key.foreach(k => centroidCache.put(k, rows))
+      rows
+    }
+  }
+
   /** IVF-SQ8 top-k against a [[buildAnnIndex]] directory: results are
     * BIT-IDENTICAL to [[ivfTopKQuantized]] on the same corpus and
     * centroids (codes and norms round-trip parquet exactly), so the
     * index is a pure cost move — the correctness gate runs the same
     * oracle against both paths.
     *
-    * Probe routing runs as one tiny job over the query batch (queries
-    * are probe-batch-sized by contract) against the STORED centroids;
-    * the probed cell ids then push into the codes scan as an
+    * Probe routing: a batch of up to `maxDriverRoutedQueries` routes on
+    * the DRIVER against the cached stored centroids — |Q|·nlist·dim
+    * flops of plain double math, zero Spark jobs — replicating the
+    * distributed kernels bit-for-bit (sequential-fold dot, Spark's
+    * double total order for the (sim desc, cell asc) tie-break,
+    * BigDecimal HALF_UP for the SQ8 rounding; the probe≡in-query
+    * equality spec and the driver oracle both re-verify every value).
+    * Bigger batches fall back to the distributed routing job. Either
+    * way the probed cell ids push into the codes scan as an
     * `In(cell, …)` filter — the cell-sorted layout prunes every row
     * group outside the probed cells, so the probe reads O(matched
-    * cells), never the corpus. */
+    * cells), never the corpus, and the small-batch path is ONE job:
+    * the pruned scan + broadcast probe join + rank. */
+  /** Driver-side probe routing for a SMALL query batch: |Q|·nlist·dim
+    * flops of plain double math replicating the distributed kernels
+    * bit-for-bit — sequential-fold dot ([[graft.functions.DotProduct]]'s
+    * loop order), `java.lang.Double.compare` for the (sim desc, cell
+    * asc) pick (Spark's double total order: NaN greatest, -0.0 < 0.0),
+    * and scala BigDecimal HALF_UP for the SQ8 rounding (what Catalyst's
+    * Round does for doubles). Returns the (query_id, cell, qq, __qn)
+    * probe frame (a local relation — no job) and the sorted distinct
+    * probed cells. */
+  private def driverRoutedProbes(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String,
+      rows: Array[org.apache.spark.sql.Row],
+      cents: Array[Array[Double]], nprobe: Int)
+      : (DataFrame, Array[Long]) = {
+    import org.apache.spark.sql.types._
+    def dotS(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cnorms = cents.map(v => math.sqrt(dotS(v, v)))
+    val probeRows = rows.toSeq.flatMap { r =>
+      val id = r.get(0)
+      val v = r.getSeq[Double](1).toArray
+      val n = math.sqrt(dotS(v, v))
+      val picked = cents.indices
+        .map(c => (dotS(v, cents(c)) / (n * cnorms(c)), c.toLong))
+        .sortWith { case ((s1, c1), (s2, c2)) =>
+          val cmp = java.lang.Double.compare(s2, s1)
+          if (cmp != 0) cmp < 0 else c1 < c2
+        }
+        .take(nprobe).map(_._2)
+      val maxAbs = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x)))
+      val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+      val qq = v.toSeq.map(x => BigDecimal(x / scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toInt)
+      val qn = math.sqrt(qq.foldLeft(0L)((acc, q) => acc + q.toLong * q)
+        .toDouble)
+      picked.map(cell => org.apache.spark.sql.Row(id, cell, qq, qn))
+    }
+    val idField = queries.select(col(idCol)).schema.fields(0)
+    val schema = StructType(Seq(
+      idField.copy(name = "query_id"),
+      StructField("cell", LongType, nullable = false),
+      StructField("qq", ArrayType(IntegerType, containsNull = false)),
+      StructField("__qn", DoubleType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(probeRows.asJava, schema)
+    (df, probeRows.map(_.getLong(1)).distinct.sorted.toArray)
+  }
+
+  /** Distributed probe routing — the big-batch fallback: one job scores
+    * every (query, centroid) pair, one window picks nprobe per query,
+    * localCheckpoint so the cells collect and the probe join execute
+    * the kernel exactly once. */
+  private def distributedProbes(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], nprobe: Int): (DataFrame, Array[Long]) = {
+    val centLit = centroidLit(cents)
+    val scored = queries
+      .select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .select(col(idCol), col("__v"), col("__n"),
+        explode(centLit).as("__c"))
+      .withColumn("__sim",
+        dot(col("__v"), col("__c.centv")) / (col("__n") * col("__c.cnorm")))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__sim").desc, col("__c.cell").asc)
+    val probes = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .select(col(idCol).as("query_id"), col("__c.cell").as("cell"),
+        quantize(col("__v")).getField("q").as("qq"))
+      .withColumn("__qn",
+        sqrt(intDotCol(col("qq"), col("qq")).cast("double")))
+      .localCheckpoint(true)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    (probes, cells)
+  }
+
   def annTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       dir: String, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, maxDriverRoutedQueries: Int = 4096): DataFrame = {
     require(k >= 1 && nprobe >= 1, "k and nprobe must be >= 1")
-    val centRows = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val centLit = centroidLit(centRows)
-    val queryProbes = {
-      val scored = queries
-        .select(col(idCol), asDouble(col(vecCol)).as("__v"))
-        .withColumn("__n", norm(col("__v")))
-        .select(col(idCol), col("__v"), col("__n"),
-          explode(centLit).as("__c"))
-        .withColumn("__sim",
-          dot(col("__v"), col("__c.centv")) / (col("__n") * col("__c.cnorm")))
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("__sim").desc, col("__c.cell").asc)
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= nprobe)
-        .select(col(idCol).as("query_id"), col("__c.cell").as("cell"),
-          quantize(col("__v")).getField("q").as("qq"))
-        .withColumn("__qn", sqrt(intDotCol(col("qq"), col("qq")).cast("double")))
-    }
-    // the probed cells, driver-side (|Q|·nprobe values) — this is the
-    // tiny action that buys the In(cell, …) scan pushdown
-    val probedCells = queryProbes.select("cell").distinct()
-      .collect().map(_.getLong(0)).sorted
+    val centRows = loadCentroids(spark, dir)
+    val qCollected = queries
+      .select(col(idCol), asDouble(col(vecCol)))
+      .limit(maxDriverRoutedQueries + 1).collect()
+    val (queryProbes, probedCells) =
+      if (qCollected.length <= maxDriverRoutedQueries)
+        driverRoutedProbes(spark, queries, idCol, qCollected, centRows,
+          nprobe)
+      else distributedProbes(spark, queries, idCol, vecCol, centRows,
+        nprobe)
     val scored = spark.read.parquet(s"$dir/codes")
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(queryProbes), "cell")
@@ -761,6 +861,13 @@ object Similarity {
       salt: String = "", margin: Double = 8.0): DataFrame = {
     require(quota >= 1, "quota must be >= 1")
     val centLit = centroidLit(centroids)
+    // materialize the assignment ONCE (checkpoint protocol): `cell` is
+    // referenced by the counts agg, the join key, the window key, and
+    // two filters — left lazy, the counts job re-runs the kernel AND
+    // project-collapse inlines it per use site (measured 4.6 s vs the
+    // 1.0 s single-pass kernel at sf1). One corpus materialization
+    // replaces 2+ kernel passes; at production shapes (nlist·dim flops
+    // per row ≫ row IO) that is the cheap side of the trade.
     val keyed = corpus
       .withColumn("__v", asDouble(col(vecCol)))
       .withColumn("__n", norm(col("__v")))
@@ -768,6 +875,7 @@ object Similarity {
         when(col("__n") > 0, bestCell(centLit, col("__v"), col("__n")))
           .otherwise(lit(-1L)))
       .drop("__v", "__n")
+      .localCheckpoint(true)
     val counts = keyed.filter(col("cell") =!= -1L)
       .groupBy("cell").agg(count(lit(1)).as("__cn"))
     // left join: cell −1 carries a null count and skips the pre-draw

@@ -462,6 +462,27 @@ class PlanShapeSpec extends SparkSpec {
     val st = Similarity.annIndexStats(spark, dir).head()
     assert(st.getLong(0) == 40L && st.getLong(2) == 4L &&
       st.getLong(3) == 4L)
+    // the big-batch fallback (distributed routing job) must produce the
+    // same rows as the driver-routed path — force it with a 1-query cap
+    val dist = Similarity.annTopKIndexed(spark, dir, q,
+      "vec_id", "embedding", k = 3, nprobe = 2, maxDriverRoutedQueries = 1)
+    assert(dist.collect().map(_.toSeq).toSet === direct)
+    // rebuild invalidates the centroid cache: a DIFFERENT corpus written
+    // to the same dir (marker rewritten → new mtime) must route against
+    // the NEW centroids, not the cached old ones
+    val e2 = (0 until 40).map(i => (i.toLong,
+      Seq(math.sin(i * 0.53).toFloat, math.cos(i * 0.29).toFloat,
+        math.sin(i * 0.19).toFloat, math.cos(i * 0.41).toFloat)))
+      .toDF("vec_id", "embedding")
+    Thread.sleep(1100) // marker mtime resolution is 1 s on some FS
+    Similarity.buildAnnIndex(e2, "vec_id", "embedding", dir, 4)
+    val probe2 = Similarity.annTopKIndexed(spark, dir,
+      e2.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
+      nprobe = 2).collect().map(_.toSeq).toSet
+    val direct2 = Similarity.ivfTopKQuantized(e2.filter(col("vec_id") < 3),
+      e2, "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(probe2 === direct2)
   }
 
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +
