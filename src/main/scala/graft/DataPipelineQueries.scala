@@ -825,13 +825,13 @@ object DataPipelineQueries {
 
     // ── stratified sampling: 25 docs per source, smallest id-hash quota
     "q_stratified_sample" -> ((s, dir) =>
-      Sampling.stratifiedTopK(docs(s, dir), "source", "doc_id", k = 25)
+      Sampling.stratifiedTopK(docsLight(s, dir), "source", "doc_id", k = 25)
         .select("source", "doc_id").orderedSmall("source", "doc_id")),
 
     // ── class balancing: every lang downsampled to the minority count
     //    (deterministic hash-rank draw, append-stable)
     "q_balance_classes" -> ((s, dir) =>
-      Sampling.balanceClasses(docs(s, dir), "lang", "doc_id")
+      Sampling.balanceClasses(docsLight(s, dir), "lang", "doc_id")
         .select("lang", "doc_id").orderedSmall("lang", "doc_id")),
 
     // ── TF-IDF keyword extraction: top-3 terms per doc
@@ -1097,7 +1097,7 @@ object DataPipelineQueries {
     //    absorbs summation-order fp differences, ×1e6→long makes every
     //    element an exact integer whose string form both engines agree on
     "q_mean_pool" -> ((s, dir) =>
-      Similarity.meanPool(embs(s, dir), "label", "embedding")
+      Similarity.meanPool(embsLight(s, dir), "label", "embedding")
         .select(col("label"), col("n"),
           md5(array_join(transform(col("centroid"),
             x => round(round(x + lit(1e-9), 6) * 1e6).cast("long")
