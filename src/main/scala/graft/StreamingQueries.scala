@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{StreamingDedup, StreamingTopTokens, StreamRun}
+import graft.streaming.{StreamingDedup, StreamingDrift, StreamingTopTokens,
+  StreamRun}
 
 /** Driver-gated rows for the Structured Streaming tier. Until now the
   * streaming operators were unit-gated only (MemoryStream parity ≤1e-9
@@ -74,6 +75,38 @@ object StreamingQueries {
           .as("bucket"), col("token"), col("cnt"))
         .orderBy("bucket", "token")
     }),
+
+    // ── streaming distribution drift: per-(type, day) PSI of the live
+    //    value histogram against the corpus baseline (binFractions),
+    //    Complete mode — the "is live traffic still shaped like what
+    //    we trained on" monitor over the real events stream. Baseline
+    //    lo/hi/fractions come from one batch pre-pass (a real monitor
+    //    freezes them from the training corpus the same way).
+    "q_stream_psi" -> ((s, dir) => {
+      val ev = graft.sources.Tables.load(s, dir, "events")
+      val mm = ev.agg(min(col("value").cast("double")),
+        max(col("value").cast("double"))).head()
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      val ref = graft.operators.Drift.binFractions(ev, "value", lo, hi,
+        bins = 10)
+      StreamRun.toTable(s, s"$dir/events.parquet", src => {
+          // the raw stream bypasses Tables.load's dual-layout absorber:
+          // normalize here (int64 = nanos generation, else timestamp)
+          val ts = src.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              timestamp_seconds(col("ts") / lit(1000000000L))
+            case _ => col("ts").cast("timestamp")
+          }
+          StreamingDrift.psiStream(src.withColumn("__t", ts),
+            Seq("event_type"), "__t", "value", windowSec = 86400L,
+            latenessSec = 3155760000L, lo = lo, hi = hi, bins = 10,
+            refFracs = ref)
+        }, OutputMode.Complete())
+        .select(col("event_type"),
+          col("window_start").cast("long").as("bucket"), col("n"),
+          (round(col("psi") + lit(1e-9), 6) + lit(0.0)).as("psi"))
+        .orderBy("event_type", "bucket")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -103,5 +136,47 @@ object StreamingQueries {
         |)
         |SELECT bucket, token, cnt FROM rk WHERE r <= 5
         |ORDER BY bucket, token""".stripMargin,
+
+    // windowed PSI replay: baseline bin fractions = smoothed corpus
+    // histogram ((c+1)/(n+bins), binFractions' formula); per-(type,
+    // day) smoothed window fractions against them; terms decimal-routed
+    // like q_psi so summation order can't move the 6-decimal rounding
+    "q_stream_psi" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(value) AS DOUBLE) AS lo,
+        |         CAST(max(value) AS DOUBLE) AS hi FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)/86400) AS BIGINT)*86400 AS bucket,
+        |         least(9, greatest(0, CAST(floor(
+        |           (CAST(value AS DOUBLE) - mm.lo) * 10 /
+        |           (mm.hi - mm.lo + 1.0)) AS INT))) AS bb
+        |  FROM events CROSS JOIN mm
+        |), refc AS (SELECT bb, count(*) AS c FROM b GROUP BY 1),
+        |nall AS (SELECT count(*) AS nn FROM b),
+        |spine AS (SELECT unnest(range(0, 10)) AS bb),
+        |ref AS (
+        |  SELECT sp.bb,
+        |         CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) /
+        |         CAST(nall.nn + 10 AS DOUBLE) AS e
+        |  FROM spine sp LEFT JOIN refc rc USING (bb) CROSS JOIN nall
+        |), wb AS (
+        |  SELECT event_type, bucket, bb, count(*) AS cc
+        |  FROM b GROUP BY 1, 2, 3
+        |), wn AS (
+        |  SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT wn.event_type, wn.bucket, wn.n, r.bb, r.e,
+        |         coalesce(wb.cc, 0) AS cc
+        |  FROM wn CROSS JOIN ref r
+        |  LEFT JOIN wb ON wb.event_type = wn.event_type
+        |    AND wb.bucket = wn.bucket AND wb.bb = r.bb
+        |)
+        |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(
+        |    (CAST(cc + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE) - e) *
+        |    ln((CAST(cc + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE)) / e)
+        |  AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) + 0.0 AS psi
+        |FROM grid GROUP BY 1, 2, n ORDER BY 1, 2""".stripMargin,
   )
 }

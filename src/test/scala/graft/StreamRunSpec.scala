@@ -71,4 +71,25 @@ class StreamRunSpec extends SparkSpec {
     assert(one.except(four).isEmpty && four.except(one).isEmpty)
     assert(one.except(batch).isEmpty && batch.except(one).isEmpty)
   }
+
+  test("stream PSI (Complete): 4-batch split == 1-batch == batch psiStream") {
+    val evDir = Files.createTempDirectory("streamrun-ev").toString
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_type", "ts", "value")
+      .repartition(4)
+      .write.mode("overwrite").parquet(evDir)
+    val ref = Seq.fill(10)(0.1)
+    def build(src: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingDrift.psiStream(src, Seq("event_type"),
+        "ts", "value", windowSec = 86400L, latenessSec = 3155760000L,
+        lo = 0.0, hi = 200.0, bins = 10, refFracs = ref)
+    val one = StreamRun.toTable(spark, evDir, build, OutputMode.Complete())
+    val four = StreamRun.toTable(spark, evDir, build,
+      OutputMode.Complete(), Map("maxFilesPerTrigger" -> "1"))
+    // psiStream runs unchanged on a batch frame — the parity lever
+    val batch = build(spark.read.parquet(evDir))
+    assert(one.count() > 0)
+    assert(one.except(four).isEmpty && four.except(one).isEmpty)
+    assert(one.except(batch).isEmpty && batch.except(one).isEmpty)
+  }
 }
