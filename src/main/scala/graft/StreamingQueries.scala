@@ -91,10 +91,13 @@ object StreamingQueries {
         bins = 10)
       StreamRun.toTable(s, s"$dir/events.parquet", src => {
           // the raw stream bypasses Tables.load's dual-layout absorber:
-          // normalize here (int64 = nanos generation, else timestamp)
+          // normalize here with Tables.load's OWN conversions — exact
+          // integer `ts div 1000` (double division of epoch nanos loses
+          // ~256 ns past 2^53 and ROUNDS, so a boundary row could land
+          // in the next window on the stream side only)
           val ts = src.schema("ts").dataType match {
             case org.apache.spark.sql.types.LongType =>
-              timestamp_seconds(col("ts") / lit(1000000000L))
+              expr("timestamp_micros(ts div 1000)")
             case _ => col("ts").cast("timestamp")
           }
           StreamingDrift.psiStream(src.withColumn("__t", ts),

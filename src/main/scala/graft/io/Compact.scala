@@ -43,6 +43,15 @@ object Compact {
     require(targetBytes >= 1L, "targetBytes must be >= 1")
     val data = new Path(s"$dir/data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery for the two-rename swap below: a death between
+    // rename(data, old) and rename(tmp, data) leaves the corpus solely
+    // at data_precompact — roll it back before doing anything, so a
+    // re-run self-heals instead of failing on the missing data dir
+    val oldP = new Path(s"$dir/data_precompact")
+    if (!fs.exists(data) && fs.exists(oldP)) {
+      require(fs.rename(oldP, data),
+        s"recovery rename $oldP -> $data failed")
+    }
 
     def listShardFiles(): Map[Int, Seq[(String, Long)]] =
       fs.listStatus(data).toSeq
@@ -65,7 +74,14 @@ object Compact {
       .toDF("shard", "__n_out")
 
     val df = spark.read.parquet(data.toString)
-    val nParts = plan.map(_._4).sum.toInt.max(1)
+    val totalBuckets = plan.map(_._4).sum
+    // loud, not wrapped: a silent Int overflow would either funnel the
+    // corpus into one partition (negative wrap masked by max(1)) or ask
+    // for billions of partitions
+    require(totalBuckets <= Int.MaxValue.toLong,
+      s"compaction plan wants $totalBuckets output buckets (> Int.Max) — " +
+        s"raise targetBytes ($targetBytes) for this corpus size")
+    val nParts = totalBuckets.toInt.max(1)
     val tmp = new Path(s"$dir/data_compacting")
     fs.delete(tmp, true)
     df.join(broadcast(planDf), Seq("shard"))

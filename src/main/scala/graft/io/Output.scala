@@ -144,7 +144,17 @@ object Publish {
     * shards); the manifest merge joins two shards-sized frames. This
     * is the batch-accretion pattern whose small-file debt
     * [[graft.io.Compact.compactShards]] later repays. Returns the
-    * merged manifest. */
+    * merged manifest.
+    *
+    * Crash contract: the data append and the manifest swap are two
+    * steps, not one transaction. The manifest is swapped in via
+    * write-to-tmp + rename (readers never see a half-written
+    * manifest), but a crash BETWEEN the data append and the swap
+    * leaves appended rows a stale manifest doesn't cover —
+    * [[verifyShards]] then reports the touched shards `corrupt`
+    * (loudly detectable, never silent), and the recovery is a fresh
+    * [[writeShards]] republish, NOT a retry of the same delta (a
+    * retry would double-append). */
   def appendShards(df: DataFrame, idCol: String, textCol: String,
       dir: String): DataFrame = {
     val spark = df.sparkSession
@@ -176,7 +186,19 @@ object Publish {
         pmod(coalesce(col("__s"), lit(0L)) + coalesce(col("checksum"),
           lit(0L)), lit(1000000000000000000L)).as("checksum"))
       .localCheckpoint(true)
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    // swap, don't overwrite-in-place: mode("overwrite") deletes before
+    // writing, so a crash mid-write leaves NO manifest and breaks the
+    // next append at its read; tmp + delete + rename shrinks the
+    // no-manifest window from a full parquet write to two FS metadata
+    // ops, and a half-written manifest is never visible at all
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/manifest_tmp")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    fs.delete(tmp, true)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
     merged
   }
 

@@ -398,8 +398,14 @@ object Similarity {
         .select(col("n_vectors"), col("n_cells"),
           lit(dim.toLong).as("dim"), lit(nlist.toLong).as("nlist"))
         .write.mode("overwrite").parquet(s"$dir/stats")
-      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), true)
-        .close()
+      // marker content = a fresh UUID: version token for the probe-side
+      // centroid cache (mtime granularity can't distinguish two rebuilds
+      // within one second)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), true)
+      try out.write(java.util.UUID.randomUUID().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     } finally codes.unpersist(false)
   }
 
@@ -424,31 +430,47 @@ object Similarity {
     spark.read.parquet(s"$dir/stats")
       .select("n_vectors", "n_cells", "dim", "nlist")
 
-  /** Stored routing table, cached per (dir, marker mtime): a probe
-    * service loads the centroids ONCE per index version and routes
+  /** Stored routing table, cached ONE ENTRY PER DIR keyed by the
+    * completion marker's CONTENT (a UUID the build writes): a probe
+    * service loads the centroids once per index version and routes
     * every batch against the in-memory copy — re-reading nlist·dim
-    * doubles per batch is a Spark job of pure latency. The completion
-    * marker's mtime keys the cache, so a rebuild (which rewrites the
-    * marker LAST) invalidates it; an incomplete index (no marker)
-    * never caches. */
+    * doubles per batch is a Spark job of pure latency. Content, not
+    * mtime: filesystem mtime granularity is 1 s on many FSs, so two
+    * rebuilds within a second would serve STALE centroids against
+    * fresh codes; the per-dir replace (not per-version accumulate)
+    * also bounds the cache at one live centroid array per index. An
+    * incomplete index (no marker) never caches. */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
-      Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Array[Array[Double]])]()
+
+  private def readMarkerToken(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val buf = new Array[Byte](64)
+        val n = math.max(0, in.read(buf))
+        Some(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
 
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Double]] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK")
-    val key = if (fs.exists(marker))
-      Some((dir, fs.getFileStatus(marker).getModificationTime)) else None
-    key.flatMap(k => Option(centroidCache.get(k))).getOrElse {
-      val rows = spark.read.parquet(s"$dir/centroids")
-        .orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
-      key.foreach(k => centroidCache.put(k, rows))
-      rows
-    }
+    val token = readMarkerToken(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"))
+    token.flatMap(t => Option(centroidCache.get(dir)).filter(_._1 == t)
+        .map(_._2))
+      .getOrElse {
+        val rows = spark.read.parquet(s"$dir/centroids")
+          .orderBy("cell").collect()
+          .map(_.getSeq[Double](1).toArray)
+        token.foreach(t => centroidCache.put(dir, (t, rows)))
+        rows
+      }
   }
 
   /** IVF-SQ8 top-k against a [[buildAnnIndex]] directory: results are

@@ -64,19 +64,25 @@ object StreamRun {
     val src = options.foldLeft(spark.readStream.schema(schema)) {
       case (r, (k, v)) => r.option(k, v)
     }.parquet(srcPath)
-    val q = build(src).writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
-    // snapshot out of the sink's in-memory table so it can be dropped
-    // (bench passes re-run the stream; stale sink tables would leak)
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    deleteRecursively(new java.io.File(ckpt))
-    out
+    try {
+      val q = build(src).writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+      // snapshot out of the sink's in-memory table so it can be dropped
+      // (bench passes re-run the stream; stale sink tables would leak)
+      val out = spark.table(name).localCheckpoint(true)
+      out
+    } finally {
+      // on failure too: a gate loop retrying a failing stream must not
+      // accrete one sink table + checkpoint dir per attempt
+      try spark.catalog.dropTempView(name): Unit
+      catch { case _: Exception => () }
+      deleteRecursively(new java.io.File(ckpt))
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -88,6 +88,20 @@ class CompactSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data_precompact")))
   }
 
+  test("compactShards self-heals the swap crash window (data gone, " +
+      "data_precompact present) and still preserves content") {
+    val dir = Files.createTempDirectory("compact-heal").toString
+    Publish.writeShards(docs, "doc_id", "text", dir, shards = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a death between rename(data, old) and rename(tmp, data)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/data"),
+      new org.apache.hadoop.fs.Path(s"$dir/data_precompact")))
+    Compact.compactShards(spark, dir, targetBytes = 64L << 20)
+    assert(Publish.verifyShards(spark, dir, "doc_id", "text").isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data_precompact")))
+  }
+
   test("compactShards splits an oversized shard into multiple files") {
     val dir = Files.createTempDirectory("compact-split").toString
     Publish.writeShards(docs, "doc_id", "text", dir, shards = 2)

@@ -474,7 +474,8 @@ class PlanShapeSpec extends SparkSpec {
       Seq(math.sin(i * 0.53).toFloat, math.cos(i * 0.29).toFloat,
         math.sin(i * 0.19).toFloat, math.cos(i * 0.41).toFloat)))
       .toDF("vec_id", "embedding")
-    Thread.sleep(1100) // marker mtime resolution is 1 s on some FS
+    // no sleep needed: the cache keys on the marker's UUID content, so
+    // even a same-second rebuild invalidates (mtime granularity is 1 s)
     Similarity.buildAnnIndex(e2, "vec_id", "embedding", dir, 4)
     val probe2 = Similarity.annTopKIndexed(spark, dir,
       e2.filter(col("vec_id") < 3), "vec_id", "embedding", k = 3,
