@@ -24,6 +24,23 @@ import org.apache.spark.sql.SparkSession
   * (back-to-back runs sat inside one burst and defeated min-of-2 in
   * round 4). The JSON carries every pass's raw numbers as evidence
   * alongside the per-query min.
+  *
+  * Self-adjudication (r11 verdict item): cross-round comparisons keep
+  * having to separate "the code regressed" from "the driver regenerated
+  * the testdata" from "the VM throttled". Two artifact features close
+  * that from the JSON alone:
+  *  - `"data"`: per-table bytes, rows and an order-invariant content
+  *    checksum (sum of crc32 over the JSON-serialized row) of every
+  *    parquet table in the SF dir — two BENCH files with different
+  *    checksums are measuring different corpora and their per-query
+  *    deltas are level shifts, not regressions. The fingerprint scan
+  *    doubles as the warmup.
+  *  - `"isolated"`: the throttle-sensitive pure-CPU codec/signature
+  *    family re-timed AFTER the suite, interleaved min-of-N per query
+  *    — the adjudication re-run the builder previously did ad hoc,
+  *    recorded in the artifact. A suite number far above its isolated
+  *    floor is a burst, not a regression. Override the family with
+  *    SPARK_GRAFT_BENCH_ISOLATED (comma-separated; empty disables).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,9 +68,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup: small scan+agg exercises codegen, parquet footer reads, JIT
-    SparkEntry.queries.get("q_agg_stats")
-      .foreach(f => f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // data fingerprint = warmup: one scan per table exercises codegen,
+    // parquet footer reads and JIT, and pins WHAT was measured
+    import org.apache.spark.sql.functions.{col, crc32, struct, sum, to_json}
+    val dataJson = {
+      val d = new java.io.File(sfDir)
+      val tables = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      tables.map { f =>
+        val t = spark.read.parquet(f.getPath)
+        val r = t.agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          sum(crc32(to_json(struct(t.columns.map(col): _*)))).as("c"))
+          .head()
+        val name = f.getName.stripSuffix(".parquet")
+        // a table may be a single file or a parquet DIRECTORY (the
+        // sf1 clone layout) — bytes = total data-file footprint
+        val bytes: Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).getOrElse(Array.empty)
+            .filter(_.isFile).map(_.length()).sum
+        s""""$name":{"bytes":$bytes,"rows":${r.getLong(0)},"checksum":${r.getLong(1)}}"""
+      }.mkString("{", ",", "}")
+    }
 
     // optional subset for local iteration: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -74,11 +111,25 @@ object Bench {
     val passesJson = passes.map(p => names.map(n => s""""$n":${p(n)}""")
       .mkString("{", ",", "}")).mkString("[", ",", "]")
     val total = ok.map(_._2).sum
+    // isolated adjudication floors for the throttle-sensitive pure-CPU
+    // family: re-timed after the suite, interleaved min-of-N
+    val isolatedFamily = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q_video_features", "q_multimodal_features",
+        "q_media_dirty", "q_audio_features", "q_frame_sample"))
+      .filter(n => SparkEntry.queries.contains(n) &&
+        only.forall(_.contains(n)))
+    val isolatedPasses =
+      (1 to runs).map(_ => isolatedFamily.map(n => n -> once(n)).toMap)
+    val isoJson = isolatedFamily.map { n =>
+      val ts = isolatedPasses.map(_(n))
+      s""""$n":${if (ts.exists(_ < 0)) -1.0 else ts.min}"""
+    }.mkString("{", ",", "}")
     // "queries" (the per-query mins — the meaningful numbers) is the
     // LAST key: the driver keeps a bounded TAIL of this line, and with
     // the raw-pass evidence first, truncation eats the evidence rather
     // than the result (round 5 lost the mins to the old ordering)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","interleaved":true,"sf":"$sfDir","passes":$passesJson,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","interleaved":true,"sf":"$sfDir","data":$dataJson,"passes":$passesJson,"isolated":$isoJson,"queries":$qs}""")
     spark.stop()
   }
 }

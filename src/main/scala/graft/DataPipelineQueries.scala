@@ -29,7 +29,16 @@ object DataPipelineQueries {
     * result produces the identical rows in the identical order with
     * the upstream executed exactly once. Queries that end in
     * `orderBy(...).limit(k)` keep the plain form — Spark plans those
-    * as TakeOrderedAndProject, which never range-samples. */
+    * as TakeOrderedAndProject, which never range-samples.
+    *
+    * CONTRACT: orderedSmall is for results BOUNDED regardless of
+    * corpus size — top-k, per-group/per-stratum reports, fixed
+    * quotas, sketch summaries (≤ ~5k rows). Anything that scales
+    * with documents, pairs, samples-at-a-rate, dedup survivors or
+    * packed sequences takes orderedCorpus: at 100× the corpus a
+    * SinglePartition sort of such a result is the last-stage
+    * bottleneck on an otherwise scale-safe plan. PlanLint's
+    * `single-partition-corpus-sort` rule enforces this split. */
   private implicit class OrderedSmall(df: DataFrame) {
     def orderedSmall(cols: Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols: _*)
@@ -67,6 +76,16 @@ object DataPipelineQueries {
   //    q_token_budget 0.41× at the 5.8 MB sf1 file). The floor sits
   //    between the measured footprints: documents/embeddings are
   //    0.6/0.8 MB at sf0.1 and 5.8/3.4 MB at sf1.
+  /** Collision-free per-dataset scratch key for /tmp index/publish
+    * artifacts: full md5 hex of the dataset path. `abs(dir.hashCode)`
+    * (the previous key) could collide across distinct dirs — two
+    * concurrent gates would then delete each other's working set —
+    * and `math.abs(Int.MinValue)` is itself negative. */
+  private def scratchKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   private val lightFloor = 2L << 20
   private def docs(s: SparkSession, dir: String) =
     Tables.fanOut(Tables.load(s, dir, "documents"), "doc_id")
@@ -197,7 +216,7 @@ object DataPipelineQueries {
     // ── exact dedup (content-hash, ES sha1-doc-id analog)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(docsLight(s, dir), "text", "doc_id")
-        .select("doc_id", "n_chars").orderedSmall("doc_id")),
+        .select("doc_id", "n_chars").orderedCorpus("doc_id")),
 
     // ── MinHash signatures (8 × 60-bit, word 3-gram shingles)
     "q_minhash" -> ((s, dir) =>
@@ -235,11 +254,11 @@ object DataPipelineQueries {
     "q_dedup_lsh" -> ((s, dir) =>
       Dedup.lshDedup(docs(s, dir), "doc_id", "text",
           numHashes = H, bands = 4, tau = 0.5)
-        .select("doc_id", "n_chars").orderedSmall("doc_id")),
+        .select("doc_id", "n_chars").orderedCorpus("doc_id")),
 
     // ── SimHash 60-bit signatures
     "q_simhash" -> ((s, dir) =>
-      Dedup.simHash(docs(s, dir), "doc_id", "text").orderedSmall("doc_id")),
+      Dedup.simHash(docs(s, dir), "doc_id", "text").orderedCorpus("doc_id")),
 
     // ── SimHash near-dup: probe docs × corpus, 20 smallest Hamming
     "q_simhash_pairs" -> ((s, dir) => {
@@ -321,7 +340,7 @@ object DataPipelineQueries {
       Similarity.cosineDedup(embs(s, dir), "vec_id", "embedding",
           tau = 0.45, bands = 4, planesPerBand = 8, dim = 64,
           maxBucket = 1000)
-        .select("vec_id").orderedSmall("vec_id")),
+        .select("vec_id").orderedCorpus("vec_id")),
 
     // ── IVF-bucketed ANN (inverted lists over sampled centroids)
     "q_ann_ivf" -> ((s, dir) => {
@@ -409,7 +428,7 @@ object DataPipelineQueries {
     // ── deterministic hash sampling (partitioning-stable 10%)
     "q_hash_sample" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), "doc_id", 0.1)
-        .select("doc_id", "n_chars").orderedSmall("doc_id")),
+        .select("doc_id", "n_chars").orderedCorpus("doc_id")),
 
     // ── language ID heuristic
     "q_lang_id" -> ((s, dir) =>
@@ -432,7 +451,7 @@ object DataPipelineQueries {
         size(split(col("text"), " ")).as("n_words"),
         translate(col("lang"), "aeiou", "AEIOU").as("lang_t"),
         concat_ws("|", col("source"), col("lang")).as("src_lang"))
-      .orderedSmall("doc_id")),
+      .orderedCorpus("doc_id")),
 
     // ── learned-BPE tokenization: train 64 merges on the corpus's own
     //    word-frequency table, segment every doc with them. Oracle:
@@ -445,7 +464,7 @@ object DataPipelineQueries {
       graft.operators.BpeTrainer.tokenize(d, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_bpe_tokens"),
           element_at(col("bpe_tokens"), 1).as("first_tok"))
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── the learned merge TABLE itself (rank-ordered vocabulary
@@ -467,7 +486,7 @@ object DataPipelineQueries {
       docs(s, dir)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── BPE-ish token-budget estimator (GPT-2 pre-tokenizer split in
     //    the Java∩RE2 regex subset) beside the whitespace-word count
@@ -476,7 +495,7 @@ object DataPipelineQueries {
         .select(col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── tokenizer fertility per language: chars/piece + pieces/word
     "q_fertility" -> ((s, dir) =>
@@ -493,18 +512,18 @@ object DataPipelineQueries {
       TextAnalysis.crossDocCoverage(docs(s, dir), "doc_id", "text")
         .withColumn("dup_coverage",
           round(col("dup_coverage") + lit(1e-9), 6))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── exact-substring-dedup analog (Lee et al. 2021): merged spans of
     //    corpus-duplicated word 3-grams, and the destructive strip
     "q_dup_spans" -> ((s, dir) =>
       TextAnalysis.duplicateSpans(docs(s, dir), "doc_id", "text", n = 3)
-        .orderedSmall("doc_id", "span_start")),
+        .orderedCorpus("doc_id", "span_start")),
 
     "q_strip_spans" -> ((s, dir) =>
       TextAnalysis.stripDuplicateSpans(docs(s, dir), "doc_id", "text", n = 3)
         .select(col("doc_id"), col("clean_text"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── quality scoring
     // ── domain-level quality gate: drop SOURCES whose mean quality is
@@ -513,7 +532,7 @@ object DataPipelineQueries {
     "q_domain_filter" -> ((s, dir) =>
       TextAnalysis.domainQualityFilter(
           docs(s, dir), "doc_id", "source", "text", minMean = 0.79)
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── calibration table of the quality score vs the length label:
     //    per-bin exact integer counts + quantized-sum mean
@@ -562,7 +581,7 @@ object DataPipelineQueries {
         // the epsilon (mirrored in the oracle) moves ties off the boundary
         .select(col("doc_id"),
           round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4).as("quality"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── trained quality classifier (graft.ml.TextClassifier): 12
     //    full-batch GD steps of the Elliott-sigmoid linear model over 5
@@ -588,7 +607,7 @@ object DataPipelineQueries {
             + lit(1e-9), 6) + lit(0.0)).as("score"),
           when(col("lang") === "en", 1).otherwise(0).as("y"))
         .withColumn("pred", when(col("score") > 0.5, 1).otherwise(0))
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── Gopher rule battery (Rae et al. 2021 §A1.1): auditable per-rule
@@ -599,7 +618,7 @@ object DataPipelineQueries {
         "r_bullet", "r_ellipsis", "r_alpha", "r_stopwords")
       val cols = col("doc_id") +: names.map(n => r.getField(n).as(n)) :+
         names.map(r.getField).reduce(_ && _).as("keep")
-      docs(s, dir).select(cols: _*).orderedSmall("doc_id")
+      docs(s, dir).select(cols: _*).orderedCorpus("doc_id")
     }),
 
     // ── canonical-document selection: near-dup clusters keep their
@@ -615,7 +634,7 @@ object DataPipelineQueries {
         .select(col("cluster_id"), col("doc_id").as("keep_id"),
           col("cluster_size").cast("long").as("cluster_size"),
           round(col("__q") + lit(1e-9), 4).as("quality"))
-        .orderedSmall("cluster_id")
+        .orderedCorpus("cluster_id")
     }),
 
     // ── JSONL shard round-trip: to_json(struct) → from_json, the exact
@@ -627,7 +646,7 @@ object DataPipelineQueries {
       rt.select(col("doc_id"), col("doc_id_rt"), col("lang_rt"),
           length(col("text_rt")).cast("long").as("n_chars_rt"),
           (col("text_rt") === col("text")).as("ok"))
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── top-k per group: the 3 highest-quality docs per source — a
@@ -650,14 +669,14 @@ object DataPipelineQueries {
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── multimodal: blob + typed metadata projection
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.attachBlob(docs(s, dir), "doc_id", "text")
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.kind").as("kind"))
-        .orderedSmall("media_id")),
+        .orderedCorpus("media_id")),
 
     // ── multimodal: stubbed decode → feature vectors, unrolled to one
     //    rounded double column per element (arrays aren't hashable by the
@@ -671,7 +690,7 @@ object DataPipelineQueries {
         Multimodal.attachBlob(docs(s, dir), "doc_id", "text"))
       val fs = (0 until 8).map(j =>
         round(coalesce(element_at(col("features"), j + 1), lit(0.0)), 6).as(s"f$j"))
-      decoded.select((col("media_id") +: fs): _*).orderedSmall("media_id")
+      decoded.select((col("media_id") +: fs): _*).orderedCorpus("media_id")
     }),
 
     // ── multimodal audio: REAL JDK codec roundtrip — text bytes become
@@ -699,7 +718,7 @@ object DataPipelineQueries {
         element_at(col("features"), 5).as("mean_amp"),
         element_at(col("features"), 6).as("rms_amp"),
         element_at(col("features"), 7).as("peak_amp"))
-        .orderedSmall("media_id")
+        .orderedCorpus("media_id")
     }),
 
     // ── multimodal video: REAL codec roundtrip — text bytes render as
@@ -717,7 +736,7 @@ object DataPipelineQueries {
           element_at(col("features"), 1).cast("int").as("width"),
           element_at(col("features"), 2).cast("int").as("height"),
           element_at(col("features"), 3).as("mean_r"))
-        .orderedSmall("media_id", "frame_no")
+        .orderedCorpus("media_id", "frame_no")
     }),
 
     // ── multimodal video-shape: evenly-spaced byte-window frame cuts
@@ -729,7 +748,7 @@ object DataPipelineQueries {
           n = 4, frameBytes = 16)
         .select(col("media_id"), col("frame_no"),
           hex(col("frame")).as("frame_hex"))
-        .orderedSmall("media_id", "frame_no")),
+        .orderedCorpus("media_id", "frame_no")),
 
     // ── near-dup clustering: connected components over verified LSH
     //    pairs — exact transitive cluster ids (vs lshDedup's one-pass
@@ -737,7 +756,7 @@ object DataPipelineQueries {
     "q_dedup_cluster" -> ((s, dir) =>
       Dedup.nearDupClusters(docs(s, dir), "doc_id", "text",
           numHashes = H, bands = 4, tau = 0.5)
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── same clusters via star contraction (O(log n) rounds — the
     //    unbounded-diameter path); labels must equal q_dedup_cluster's
@@ -746,7 +765,7 @@ object DataPipelineQueries {
       val pairs = Dedup.lshVerifiedPairs(d, "doc_id", "text",
         numHashes = H, bands = 4, tau = 0.5).dropDuplicates("id_a", "id_b")
       Dedup.connectedComponentsStar(d.select(col("doc_id")), pairs, "doc_id")
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── semi-supervised label propagation: ratings seeded on 1-in-25
@@ -761,7 +780,7 @@ object DataPipelineQueries {
         .select(col("doc_id"), pmod(col("doc_id"), lit(3)).as("rating"))
       Dedup.labelPropagation(d.select(col("doc_id")), pairs, "doc_id",
           seeds, "rating", iters = 5)
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── snapshot diff between two corpus versions (the ingest delta:
@@ -773,7 +792,7 @@ object DataPipelineQueries {
         .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 2,
           concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
       CorpusStats.corpusDiff(before, after, "doc_id", "text")
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── PageRank centrality over the verified near-dup graph: the
@@ -788,7 +807,7 @@ object DataPipelineQueries {
           iters = 10, damping = 0.85)
         .select(col("doc_id"),
           round(col("pagerank") + lit(1e-12), 9).as("pagerank"))
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── curriculum deciles over the quality score: exact-percentile
@@ -798,7 +817,7 @@ object DataPipelineQueries {
       Sampling.curriculumBins(docs(s, dir), q, bins = 10,
           edgeDecimals = 4)
         .select(col("doc_id"), q.as("quality"), col("bin"))
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── leakage-safe split: train/val draw keyed by the near-dup
@@ -809,7 +828,7 @@ object DataPipelineQueries {
         numHashes = H, bands = 4, tau = 0.5)
       Sampling.leakSafeSplit(d, "doc_id", clusters, "cluster_id",
           valFraction = 0.2)
-        .select("doc_id", "cluster_id", "split").orderedSmall("doc_id")
+        .select("doc_id", "cluster_id", "split").orderedCorpus("doc_id")
     }),
 
     // ── repetition / boilerplate signals (Gopher-style quality rules)
@@ -821,7 +840,7 @@ object DataPipelineQueries {
           .as("top_bigram_frac"),
         round(TextAnalysis.dupSentFrac(col("text")) + lit(1e-9), 4)
           .as("dup_sent_frac"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── stratified sampling: 25 docs per source, smallest id-hash quota
     "q_stratified_sample" -> ((s, dir) =>
@@ -832,13 +851,13 @@ object DataPipelineQueries {
     //    (deterministic hash-rank draw, append-stable)
     "q_balance_classes" -> ((s, dir) =>
       Sampling.balanceClasses(docsLight(s, dir), "lang", "doc_id")
-        .select("lang", "doc_id").orderedSmall("lang", "doc_id")),
+        .select("lang", "doc_id").orderedCorpus("lang", "doc_id")),
 
     // ── TF-IDF keyword extraction: top-3 terms per doc
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .withColumn("tfidf", round(col("tfidf") + lit(1e-9), 4))
-        .orderedSmall("doc_id", "rank")),
+        .orderedCorpus("doc_id", "rank")),
 
     // ── BM25 ranked retrieval: 3 probe queries, top-10 docs each
     //    (k1=1.5, b=0.75 — see Retrieval.bm25TopK's determinism notes)
@@ -857,7 +876,7 @@ object DataPipelineQueries {
     //    which is what makes the build-once amortization claim a
     //    measured number instead of a stated one
     "q_bm25_index_build" -> ((s, dir) => {
-      val idx = s"/tmp/graft_bm25_idx_${math.abs(dir.hashCode)}"
+      val idx = s"/tmp/graft_bm25_idx_${scratchKey(dir)}"
       Retrieval.buildIndex(docs(s, dir), "doc_id", "text", idx)
       Retrieval.indexStats(s, idx)
     }),
@@ -867,7 +886,7 @@ object DataPipelineQueries {
     //    probe per query batch) — same oracle as q_bm25: the index must
     //    be a pure cost move, bit-identical scores
     "q_bm25_indexed" -> ((s, dir) => {
-      val idx = s"/tmp/graft_bm25_idx_${math.abs(dir.hashCode)}"
+      val idx = s"/tmp/graft_bm25_idx_${scratchKey(dir)}"
       Retrieval.ensureIndex(docs(s, dir), "doc_id", "text", idx)
       Retrieval.bm25TopKIndexed(s, idx, "doc_id",
           Seq(1 -> "hash join merge", 2 -> "window batch stream",
@@ -882,7 +901,7 @@ object DataPipelineQueries {
     //    incrementally-updated index must score the FULL corpus
     //    bit-identically to a from-scratch build
     "q_bm25_index_incr" -> ((s, dir) => {
-      val idx = s"/tmp/graft_bm25_incr_${math.abs(dir.hashCode)}"
+      val idx = s"/tmp/graft_bm25_incr_${scratchKey(dir)}"
       // fresh every run: an append-based artifact must never double-add
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
@@ -929,7 +948,7 @@ object DataPipelineQueries {
     "q_boilerplate" -> ((s, dir) =>
       Dedup.removeBoilerplate(docs(s, dir), "doc_id", "text",
           minDocs = 390, sepRegex = " ", joinSep = " ")
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── sequence-packing manifest: global token offsets + sequence
     //    span per doc (two-level prefix sum, 512-token sequences)
@@ -940,27 +959,27 @@ object DataPipelineQueries {
         .withColumn("row_md5", md5(concat_ws("|",
           col("doc_id"), col("n_tokens"), col("start_token"),
           col("seq_first"), col("seq_last"))))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── packed-sequence slices: which token range of which doc fills
     //    each training sequence
     "q_pack_slices" -> ((s, dir) => {
       val m = Packing.packManifest(docsLight(s, dir), "doc_id", "text", 512)
-      Packing.packSlices(m, "doc_id", 512).orderedSmall("seq_id", "doc_id")
+      Packing.packSlices(m, "doc_id", 512).orderedCorpus("seq_id", "doc_id")
     }),
 
     // ── grouped packing: per-source shards pack independently
     "q_pack_grouped" -> ((s, dir) =>
       Packing.packManifest(docsLight(s, dir), "doc_id", "text", seqLen = 512,
           groupCol = Some("source"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── C4 global line dedup, token unit: each token keeps exactly one
     //    occurrence corpus-wide (earliest (doc_id, pos))
     "q_line_dedup" -> ((s, dir) =>
       Dedup.dedupLines(docs(s, dir), "doc_id", "text",
           sepRegex = " ", joinSep = " ")
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── unigram-LM quality score (perplexity-filter shape): corpus
     //    scored against its own unigram model, bits per token
@@ -970,7 +989,7 @@ object DataPipelineQueries {
           TextAnalysis.unigramLm(d, "text"))
         .withColumn("bits_per_token",
           round(col("bits_per_token") + lit(1e-9), 4))
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── add-k bigram-LM coherence score (the conditional upgrade of
@@ -982,14 +1001,14 @@ object DataPipelineQueries {
           TextAnalysis.bigramLm(d, "text"))
         .withColumn("bits_per_token",
           round(col("bits_per_token") + lit(1e-9), 4))
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── overlapping token chunks (chunk-then-embed prep)
     "q_chunks" -> ((s, dir) =>
       Packing.chunkDocs(docs(s, dir), "doc_id", "text",
           chunkLen = 64, stride = 48)
-        .orderedSmall("doc_id", "chunk_id")),
+        .orderedCorpus("doc_id", "chunk_id")),
 
     // ── token-budget mixture sampling: per-source budgets 300+100k
     //    (low sources trim hard, high sources stay whole at sf0.01)
@@ -1007,7 +1026,7 @@ object DataPipelineQueries {
       Sampling.epochMix(docs(s, dir), "source", "doc_id",
           TextAnalysis.tokenCount(col("text")), budgets)
         .select(col("doc_id"), col("source"), col("epoch"))
-        .orderedSmall("doc_id", "epoch")
+        .orderedCorpus("doc_id", "epoch")
     }),
 
     // ── temperature mixture (α = 0.5, the XLM-R/mT5 rebalance): LANG
@@ -1024,7 +1043,7 @@ object DataPipelineQueries {
     "q_shuffle_shards" -> ((s, dir) =>
       Sampling.shuffleShards(docs(s, dir), "doc_id", shards = 8)
         .select("doc_id", "shard", "pos")
-        .orderedSmall("shard", "pos")),
+        .orderedCorpus("shard", "pos")),
 
     // ── DSIR importance resampling: 100 non-English docs whose hashed-
     //    bigram distribution best matches the English slice, drawn
@@ -1042,7 +1061,7 @@ object DataPipelineQueries {
       Packing.packSequences(docs(s, dir), "doc_id", "text", seqLen = 512)
         .select(col("seq_id"), col("n_tokens"),
           md5(col("seq_text")).as("seq_md5"))
-        .orderedSmall("seq_id")),
+        .orderedCorpus("seq_id")),
 
     // ── PII redaction: the corpus has no PII, so append deterministic
     //    synthetic spans (email, IPv4, account number) per doc and
@@ -1057,7 +1076,7 @@ object DataPipelineQueries {
           lit("\t "), col("text"),
           lit(" Cafe\u0301 \u00A0 a\u0007b\u000Bz\u007F end  ")))
           .as("norm_text"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── HTML extraction: docs are plain text, so (the q_redact trick)
     //    wrap each in a deterministic HTML skeleton exercising every
@@ -1077,7 +1096,7 @@ object DataPipelineQueries {
           lit(" --><div class=\"foot\">tail &amp;amp; &lt;raw&gt;" +
             "&nbsp;&quot;q&quot; &#39;s&#39;</div>\n</body></html>")))
           .as("extracted_text"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     "q_redact" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1088,7 +1107,7 @@ object DataPipelineQueries {
           pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7 acct 90"),
           lpad(col("doc_id").cast("string"), 8, "0"))).as("redacted"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── mean-pool embeddings per label (class centroids / the pool
     //    step of chunk→embed→pool). The centroid is pinned as md5 over
@@ -1122,7 +1141,7 @@ object DataPipelineQueries {
           round(col("__q.scale") + lit(1e-9), 6).as("scale"),
           md5(array_join(transform(col("__q.q"), _.cast("string")), ","))
             .as("q_md5"))
-        .orderedSmall("vec_id")),
+        .orderedCorpus("vec_id")),
 
     // ── ANN over int8-quantized vectors (what a 4×-smaller embedding
     //    store serves): same probe set as q_embed_topk
@@ -1141,7 +1160,7 @@ object DataPipelineQueries {
     //    bm25_index pattern), so every bench pass finds a fresh index
     //    below and measures PROBE-ONLY cost there
     "q_ann_index_build" -> ((s, dir) => {
-      val idx = s"/tmp/graft_ann_idx_${math.abs(dir.hashCode)}"
+      val idx = s"/tmp/graft_ann_idx_${scratchKey(dir)}"
       Similarity.buildAnnIndex(embs(s, dir), "vec_id", "embedding",
         idx, nlist = 16)
       Similarity.annIndexStats(s, idx)
@@ -1154,7 +1173,7 @@ object DataPipelineQueries {
     //    the raw embeddings, so the stored index must be a pure cost
     //    move — probed cells push into the codes scan as In(cell, …)
     "q_ann_indexed" -> ((s, dir) => {
-      val idx = s"/tmp/graft_ann_idx_${math.abs(dir.hashCode)}"
+      val idx = s"/tmp/graft_ann_idx_${scratchKey(dir)}"
       val e = embs(s, dir)
       Similarity.ensureAnnIndex(e, "vec_id", "embedding", idx, nlist = 16)
       Similarity.annTopKIndexed(s, idx, e.filter(col("vec_id") < 20),
@@ -1213,7 +1232,7 @@ object DataPipelineQueries {
           d.filter(pmod(col("doc_id"), lit(5)) === 0),
           d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
           "doc_id", "text", numHashes = H, bands = 4, tau = 0.5)
-        .select("doc_id", "n_chars").orderedSmall("doc_id")
+        .select("doc_id", "n_chars").orderedCorpus("doc_id")
     }),
 
     // ── incremental EXACT dedup via the Bloom-prefiltered anti-join
@@ -1224,7 +1243,7 @@ object DataPipelineQueries {
           d.filter(pmod(col("doc_id"), lit(5)) === 0),
           d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
           "text", expectedItems = 100000L)
-        .select("doc_id", "n_chars").orderedSmall("doc_id")
+        .select("doc_id", "n_chars").orderedCorpus("doc_id")
     }),
 
     // ── exact Jaccard threshold self-join (PPJoin prefix filtering —
@@ -1233,7 +1252,7 @@ object DataPipelineQueries {
       Dedup.jaccardJoin(docs(s, dir), "doc_id", "text", tau = 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
-        .orderedSmall("id_a", "id_b")),
+        .orderedCorpus("id_a", "id_b")),
 
     // ── directional containment join (|A∩B|/|A| ≥ τ, ORDERED pairs):
     //    the quote/partial-scrape detector symmetric jaccard misses
@@ -1241,7 +1260,7 @@ object DataPipelineQueries {
       Dedup.containmentJoin(docs(s, dir), "doc_id", "text", tau = 0.8)
         .select(col("id_a"), col("id_b"),
           round(col("containment"), 6).as("containment"))
-        .orderedSmall("id_a", "id_b")),
+        .orderedCorpus("id_a", "id_b")),
 
     // ── keep-maximal filter on top of the containment join: subset
     //    docs collapse into their containers (equal-size ties keep the
@@ -1249,7 +1268,7 @@ object DataPipelineQueries {
     "q_drop_contained" -> ((s, dir) =>
       Dedup.dropContained(docs(s, dir), "doc_id", "text", tau = 0.8)
         .select(col("doc_id"), col("n_chars"))
-        .orderedSmall("doc_id")),
+        .orderedCorpus("doc_id")),
 
     // ── bounded edit-distance join on 24-char document keys: Ed-Join
     //    prefix filtering (rarest q-gram candidates + length filter),
@@ -1262,7 +1281,7 @@ object DataPipelineQueries {
           // q=4: the word-salad corpus has a tiny trigram vocabulary, so
           // longer grams buy bucket diversity (output is q-invariant)
           "doc_id", "key24", maxDist = 3, q = 4)
-        .orderedSmall("id_a", "id_b")),
+        .orderedCorpus("id_a", "id_b")),
 
     // ── per-shard publishing manifest: counts + order-independent
     //    decimal-summed content checksum over the shuffleShards scheme
@@ -1280,7 +1299,7 @@ object DataPipelineQueries {
     //    spec-pinned in CompactSpec; parquet physical sizes aren't
     //    oracle-able)
     "q_compact" -> ((s, dir) => {
-      val root = s"/tmp/graft_compact_${math.abs(dir.hashCode)}"
+      val root = s"/tmp/graft_compact_${scratchKey(dir)}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(root), s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -1307,7 +1326,7 @@ object DataPipelineQueries {
     //    against the oracle's replay of the same chain)
     "q_pipeline_stages" -> ((s, dir) => {
       import graft.operators.{PipelineRunner, PipelineStage}
-      val root = s"/tmp/graft_pipe_${math.abs(dir.hashCode)}"
+      val root = s"/tmp/graft_pipe_${scratchKey(dir)}"
       // fresh every run: the row measures the full staged build
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(root), s.sparkContext.hadoopConfiguration)
@@ -1334,7 +1353,7 @@ object DataPipelineQueries {
         .select(col("a.doc_id").as("doc_id"),
           round(graft.functions.JaroWinkler(col("a.k"), col("b.k")), 6)
             .as("jw"))
-        .orderedSmall("doc_id")
+        .orderedCorpus("doc_id")
     }),
 
     // ── two-table edit join: a 5% "crawl" of 24-char keys fuzzy-matched
@@ -1346,7 +1365,7 @@ object DataPipelineQueries {
           keys.filter(pmod(col("doc_id"), lit(20)) === 0),
           keys.filter(pmod(col("doc_id"), lit(20)) =!= 0),
           "doc_id", "key24", maxDist = 3, q = 4)
-        .orderedSmall("probe_id", "corpus_id")
+        .orderedCorpus("probe_id", "corpus_id")
     }),
 
     // ── exact top-k most-similar pairs via the τ-descending PPJoin
@@ -1490,7 +1509,7 @@ object DataPipelineQueries {
           element_at(col("features"), 3).cast("long").as("n_units"),
           lit(0L).as("width"),
           element_at(col("features"), 6).as("stat"))
-      aviOut.unionByName(badOut).unionByName(cutOut).orderedSmall("media_id")
+      aviOut.unionByName(badOut).unionByName(cutOut).orderedCorpus("media_id")
     }),
   )
 

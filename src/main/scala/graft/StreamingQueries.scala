@@ -39,6 +39,14 @@ object StreamingQueries {
 
   private val TsShift = 1000000L
 
+  // q_stream_eval's train/test split over the events table — the same
+  // literals as TemporalQueries' fleet scan (2024-01-01, day 21 split,
+  // 30-day horizon) so the proven oracle replay carries over
+  private val EvalHour = 3600L
+  private val EvalFrom = 1704067200L
+  private val EvalSplit = EvalFrom + 20L * 86400L
+  private val EvalTo = EvalFrom + 30L * 86400L
+
   private def docsPath(dir: String) = s"$dir/documents.parquet"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,6 +116,82 @@ object StreamingQueries {
         .select(col("event_type"),
           col("window_start").cast("long").as("bucket"), col("n"),
           (round(col("psi") + lit(1e-9), 6) + lit(0.0)).as("psi"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ── the scheduled-inference journey on the streaming path
+    //    (reference semantics: loudml/server.py:1559-1580 — train on
+    //    history, score each closed live bucket, hysteresis-scan per
+    //    series): the TEST range streams through a Complete-mode keyed
+    //    windowed aggregation (decimal sum + count, so the final
+    //    bucket table equals the batch aggregate under ANY micro-batch
+    //    split), then the snapshot is spine-completed, scored against
+    //    the batch-trained per-(type, hour-slot) seasonal profile and
+    //    scanned by the SAME fleet hysteresis machine as q_fleet_scan
+    //    — streamed bucketization ≡ batch bucketization ≡ DuckDB,
+    //    end to end. The cross-micro-batch state-resume variant of the
+    //    same scan is spec-gated (StreamingEval/FleetScan parity).
+    "q_stream_eval" -> ((s, dir) => {
+      import graft.operators.{Feature, TimesQuery}
+      val keys = Seq("event_type")
+      val ev = graft.sources.Tables.load(s, dir, "events")
+      // per-(type, daily-hour-slot) profile from the training range —
+      // exactly q_fleet_scan's (TimesQuery spine keeps all 24 slots)
+      val train = TimesQuery.run(s, ev, "ts", EvalHour, EvalFrom,
+        EvalSplit, Seq(Feature("observed", "avg", "value")),
+        seriesKeys = keys)
+      val slotC = (pmod(col("bucket"), lit(86400L)) / lit(EvalHour))
+        .cast("long")
+      val profile = train
+        .groupBy(col("event_type"), slotC.as("slot"))
+        .agg(avg(col("observed")).as("mu"),
+          coalesce(when(stddev_pop(col("observed")) === 0.0, 1.0)
+            .otherwise(stddev_pop(col("observed"))), lit(1.0)).as("sigma"))
+      // live bucket table: stream the raw events file, keep the test
+      // range, aggregate per (type, hour) — Complete mode, exact
+      // decimal sum (order-invariant, so batch-split-invariant)
+      val streamed = StreamRun.toTable(s, s"$dir/events.parquet", src => {
+          val ts = src.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              expr("timestamp_micros(ts div 1000)")
+            case _ => col("ts").cast("timestamp")
+          }
+          src.withColumn("__t", ts)
+            .filter(col("__t") >= timestamp_seconds(lit(EvalSplit)) &&
+              col("__t") < timestamp_seconds(lit(EvalTo)))
+            .groupBy(col("event_type"),
+              window(col("__t"), s"$EvalHour seconds"))
+            .agg(sum(col("value")
+                .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+                .as("__s"),
+              count(col("value")).as("__n"))
+        }, OutputMode.Complete())
+        .select(col("event_type"),
+          col("window.start").cast("long").as("bucket"),
+          (col("__s").cast("double") / col("__n")).as("v"))
+      // spine-complete the snapshot (streaming append emits only
+      // non-empty windows; the scan needs every bucket, empty ⇒ score
+      // 0 — the gap-materialization semantics of the batch path)
+      val spine = streamed.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(EvalSplit),
+          lit(EvalTo - EvalHour), lit(EvalHour))).as("bucket"))
+      val scored = spine
+        .join(streamed, Seq("event_type", "bucket"), "left")
+        .withColumn("slot", slotC)
+        .join(broadcast(profile), Seq("event_type", "slot"))
+        .withColumn("score", coalesce(graft.functions.Stats.anomalyScore(
+          col("v"), col("mu"), col("mu") + lit(3.0) * col("sigma"),
+          "low_high"), lit(0.0)))
+        .select(col("event_type"), col("bucket"), col("score"))
+      val (scanned, _) = graft.ml.FleetScan.scanWithState(
+        scored, graft.ml.FleetScan.emptyState(s, keys), keys,
+        maxThreshold = 90.0, minThreshold = 60.0,
+        gracePeriodSec = 21600L)
+      scanned
+        .select(col("event_type"), col("bucket"),
+          round(col("score"), 4).as("score"),
+          col("is_anomaly"), col("anomaly"),
+          round(col("episode_max"), 4).as("episode_max"))
         .orderBy("event_type", "bucket")
     }),
   )
@@ -181,5 +265,108 @@ object StreamingQueries {
         |    ln((CAST(cc + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE)) / e)
         |  AS DECIMAL(30,12))) AS DOUBLE) + 1e-9, 6) + 0.0 AS psi
         |FROM grid GROUP BY 1, 2, n ORDER BY 1, 2""".stripMargin,
+
+    // the q_fleet_scan recursive-CTE state machine, replayed over the
+    // STREAMED bucketization: profile keys span the full table
+    // (TimesQuery's spine semantics), the test spine spans the types
+    // observed in the test range (= the streamed snapshot's types);
+    // avg is the same decimal-sum-over-count both sides
+    "q_stream_eval" -> {
+      val det = "(sm.last_end IS NULL OR o.bucket - sm.last_end >= 21600)" +
+        " AND o.score >= 90.0"
+      s"""WITH RECURSIVE keys AS (SELECT DISTINCT event_type FROM events),
+         |train_agg AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)/$EvalHour) AS BIGINT)*$EvalHour AS bucket,
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events WHERE epoch(ts) >= $EvalFrom AND epoch(ts) < $EvalSplit
+         |  GROUP BY 1, 2
+         |), train_spine AS (
+         |  SELECT k.event_type,
+         |         unnest(generate_series($EvalFrom, ${EvalSplit - EvalHour},
+         |           $EvalHour)) AS bucket
+         |  FROM keys k
+         |), train_series AS (
+         |  SELECT s.event_type, s.bucket, a.v
+         |  FROM train_spine s LEFT JOIN train_agg a USING (event_type, bucket)
+         |), profile AS (
+         |  SELECT event_type, CAST((bucket % 86400) / $EvalHour AS BIGINT) AS slot,
+         |         avg(v) AS mu,
+         |         CASE WHEN stddev_pop(v) = 0 OR stddev_pop(v) IS NULL THEN 1.0
+         |              ELSE stddev_pop(v) END AS sigma
+         |  FROM train_series GROUP BY 1, 2
+         |), test_keys AS (
+         |  SELECT DISTINCT event_type FROM events
+         |  WHERE epoch(ts) >= $EvalSplit AND epoch(ts) < $EvalTo
+         |), test_agg AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)/$EvalHour) AS BIGINT)*$EvalHour AS bucket,
+         |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS v
+         |  FROM events WHERE epoch(ts) >= $EvalSplit AND epoch(ts) < $EvalTo
+         |  GROUP BY 1, 2
+         |), test_spine AS (
+         |  SELECT k.event_type,
+         |         unnest(generate_series($EvalSplit, ${EvalTo - EvalHour},
+         |           $EvalHour)) AS bucket
+         |  FROM test_keys k
+         |), test_series AS (
+         |  SELECT s.event_type, s.bucket, a.v
+         |  FROM test_spine s LEFT JOIN test_agg a USING (event_type, bucket)
+         |), banded AS (
+         |  SELECT t.event_type, t.bucket, t.v AS observed, p.mu AS predicted,
+         |         p.mu + 3*p.sigma AS upper
+         |  FROM test_series t
+         |  JOIN profile p ON p.event_type = t.event_type
+         |    AND p.slot = CAST((t.bucket % 86400) / $EvalHour AS BIGINT)
+         |), xed AS (
+         |  SELECT *,
+         |    abs((observed - predicted) / greatest((upper - predicted)/3.0, 1e-9)) / sqrt(2) AS x
+         |  FROM banded
+         |), ted AS (
+         |  SELECT *, 1/(1 + 0.3275911*x) AS tp FROM xed
+         |), raw_scored AS (
+         |  SELECT event_type, bucket,
+         |    100 * least(greatest(
+         |      2*(0.5*(1 + (1 - ((((1.061405429*tp - 1.453152027)*tp + 1.421413741)*tp
+         |                          - 0.284496736)*tp + 0.254829592)*tp * exp(-x*x)))) - 1,
+         |      0), 1) AS score
+         |  FROM ted
+         |), ordered AS (
+         |  SELECT event_type,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn,
+         |         bucket, coalesce(score, 0.0) AS score
+         |  FROM raw_scored
+         |), sm AS (
+         |  SELECT event_type, rn, bucket, score,
+         |         score >= 90.0 AS detected,
+         |         score >= 90.0 AS open_after,
+         |         CAST(NULL AS BIGINT) AS last_end,
+         |         CASE WHEN score >= 90.0 THEN score ELSE 0.0 END AS epi_max,
+         |         CASE WHEN score >= 90.0 THEN 'start' END AS anomaly
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.rn, o.bucket, o.score,
+         |         $det AS detected,
+         |         CASE WHEN NOT sm.open_after THEN $det
+         |              ELSE NOT (NOT ($det) AND o.score < 60.0) END AS open_after,
+         |         CASE WHEN sm.open_after AND NOT ($det) AND o.score < 60.0
+         |              THEN o.bucket ELSE sm.last_end END AS last_end,
+         |         CASE WHEN NOT sm.open_after AND ($det) THEN o.score
+         |              WHEN sm.open_after AND ($det)
+         |              THEN greatest(sm.epi_max, o.score)
+         |              ELSE sm.epi_max END AS epi_max,
+         |         CASE WHEN NOT sm.open_after AND ($det) THEN 'start'
+         |              WHEN sm.open_after AND NOT ($det) AND o.score < 60.0
+         |              THEN 'end'
+         |              WHEN sm.open_after THEN 'ongoing' END AS anomaly
+         |  FROM sm JOIN ordered o
+         |    ON o.event_type = sm.event_type AND o.rn = sm.rn + 1
+         |)
+         |SELECT event_type, bucket, round(score, 4) AS score,
+         |       detected AS is_anomaly, anomaly,
+         |       round(CASE WHEN anomaly IS NOT NULL THEN epi_max END, 4)
+         |         AS episode_max
+         |FROM sm ORDER BY event_type, bucket""".stripMargin
+    },
   )
 }

@@ -930,17 +930,19 @@ object TemporalQueries {
     // ── semantic dedup: k-means-cell candidate sets (centroids pinned to
     //    the 16 lowest-id vectors so the oracle can replicate assignment)
     "q_semantic_dedup" -> ((s, dir) => {
-      // fanOut + single-partition final sort: the assignment kernel is
-      // a narrow per-row pipeline over a single-row-group file, and a
-      // global orderBy would re-run the anti-join side for sampling
-      // (the DataPipelineQueries loaders apply the same pair)
+      // fanOut + materialize-then-range-sort: the survivors are one
+      // row per kept vector (corpus-scaling), so a SinglePartition
+      // funnel would sort them in one task at scale; localCheckpoint
+      // runs the kernel + anti-join exactly once (no orderBy
+      // range-sampling re-execution) and the distributed sort orders
+      // the cheap materialized rows (the orderedCorpus pattern)
       val e = Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id")
       val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
         .select(Similarity.asDouble(col("embedding"))).collect()
         .map(_.getSeq[Double](0).toArray)
       Similarity.semanticDedup(e, "vec_id", "embedding", cents, tau = 0.4)
         .select("vec_id", "label")
-        .repartition(1).sortWithinPartitions("vec_id")
+        .localCheckpoint(true).orderBy("vec_id")
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -160,20 +160,39 @@ object Publish {
     val spark = df.sparkSession
     val layout = spark.read.parquet(s"$dir/layout").head()
     val (shards, salt) = (layout.getInt(0), layout.getString(1))
+    // materialize the DELTA once: the data write and the delta
+    // manifest below must describe the SAME rows — a nondeterministic
+    // input re-executed per action would publish data whose manifest
+    // doesn't cover it (detected only later as `corrupt`)
+    val input = df.localCheckpoint(true)
     // materialize the stored manifest BEFORE overwriting its path
     val stored = spark.read.parquet(s"$dir/manifest").localCheckpoint(true)
     val offsets = stored.select(col("shard"), col("n_docs").as("__off"))
-    graft.operators.Sampling.shuffleShards(df, idCol, shards, salt)
+    val delta = graft.operators.CorpusStats
+      .manifest(input, idCol, textCol, shards, salt)
+      .localCheckpoint(true)
+    // loud, not wrapped (the Compact convention): pos is int32-pinned
+    // below, so a shard crossing 2^31 rows would silently wrap into
+    // duplicate pos keys the manifest (which doesn't cover pos) can't
+    // see. Fail BEFORE the data write, naming the shards.
+    val over = delta.join(offsets, Seq("shard"), "left")
+      .filter(coalesce(col("__off"), lit(0L)) + col("n_docs")
+        > lit(Int.MaxValue.toLong))
+      .select("shard").collect().map(_.getLong(0))
+    require(over.isEmpty,
+      s"appendShards: shards ${over.mkString(",")} would exceed " +
+        s"Int.MaxValue rows and wrap the int32 pos — raise the shard " +
+        s"modulus (republish) before appending further")
+    graft.operators.Sampling.shuffleShards(input, idCol, shards, salt)
       .join(broadcast(offsets), Seq("shard"), "left")
       // keep pos int like the base writer — a mixed int32/int64 column
       // across parquet files fails the vectorized reader; int caps a
       // SHARD at 2^31 rows, which the shard modulus exists to prevent
+      // (and the guard above turns the cap into a loud failure)
       .withColumn("pos",
         (col("pos") + coalesce(col("__off"), lit(0L))).cast("int"))
       .drop("__off")
       .write.mode("append").partitionBy("shard").parquet(s"$dir/data")
-    val delta = graft.operators.CorpusStats
-      .manifest(df, idCol, textCol, shards, salt)
     val merged = stored
       .select(col("shard"), col("n_docs").as("__d"), col("n_chars").as("__c"),
         col("checksum").as("__s"))

@@ -33,6 +33,19 @@ final case class PipelineStage(name: String, run: DataFrame => DataFrame)
   * from a stale upstream, and resuming "around" a hole would silently
   * publish mixed corpus versions.
   *
+  * The INPUT is fingerprinted too (`input_manifest/`, the same
+  * [[CorpusStats.manifest]] rows, `_OK`-marked): a green prefix is
+  * only green FOR THE INPUT IT WAS COMPUTED FROM, so a rerun whose
+  * input manifest differs from the stored one invalidates every
+  * marker and rebuilds from stage 0 — without this, resume would
+  * silently reuse stage outputs computed from a different corpus.
+  * Crash ordering is deletions-first: stale markers are removed
+  * BEFORE the new input manifest is written, so dying between the
+  * two leaves no marker (full rerun), never a fresh manifest over
+  * stale stages. The fingerprint pass is one extra distributed scan
+  * of the input per invocation — the price of a resume that cannot
+  * lie.
+  *
   * Scale shape: the runner adds one parquet write + one
   * manifest aggregate per stage — both distributed, both O(stage
   * output); nothing collects. The write is the point: it is the
@@ -60,15 +73,41 @@ object PipelineRunner {
       idCol: String, textCol: String, shards: Int = 8): DataFrame = {
     require(stages.nonEmpty, "at least one stage")
     val spark = input.sparkSession
+    // fingerprint the input: stored manifest rows must match what the
+    // caller is passing NOW, or every green marker describes output of
+    // a different corpus and the whole prefix is stale
+    val imDir = s"$dir/input_manifest"
+    val imOk = new org.apache.hadoop.fs.Path(s"$imDir/_OK")
+    val inputManifest = CorpusStats.manifest(input, idCol, textCol, shards)
+      .select("shard", "n_docs", "n_chars", "checksum")
+    val inputRows = inputManifest.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val inputMatches = fs(spark, imDir).exists(imOk) &&
+      (try {
+        spark.read.parquet(imDir).collect()
+          .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+            r.getAs[Long]("n_chars"), r.getAs[Long]("checksum")))
+          .toSet == inputRows
+      } catch { case _: Exception => false })
     // longest completed prefix; every marker past the first gap is
-    // stale by definition — drop it so those stages rerun
-    val firstGap = stages.indices
-      .find(i => !ok(spark, stageDir(dir, i, stages(i))))
-      .getOrElse(stages.length)
+    // stale by definition — and with a changed input, ALL of them are
+    val firstGap =
+      if (!inputMatches) 0
+      else stages.indices
+        .find(i => !ok(spark, stageDir(dir, i, stages(i))))
+        .getOrElse(stages.length)
     stages.indices.drop(firstGap).foreach { i =>
       val sd = stageDir(dir, i, stages(i))
       fs(spark, sd).delete(
         new org.apache.hadoop.fs.Path(s"$sd/_STAGE_OK"), false)
+    }
+    if (!inputMatches) {
+      // markers are gone (above) — now it is safe to record the new
+      // input; a crash between delete and write just means full rerun
+      fs(spark, imDir).delete(imOk, false)
+      inputManifest.write.mode("overwrite").parquet(imDir)
+      fs(spark, imDir).create(imOk, true).close()
     }
     var current =
       if (firstGap == 0) input
@@ -99,5 +138,15 @@ object PipelineRunner {
       .filter(i => ok(spark, stageDir(dir, i, stages(i))))
       .map(i => spark.read.parquet(
         s"${stageDir(dir, i, stages(i))}/manifest"))
-      .reduce(_.unionByName(_))
+      .reduceOption(_.unionByName(_))
+      .getOrElse {
+        // zero completed stages: an EMPTY audit trail, not a throw
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("stage", StringType),
+            StructField("shard", LongType), StructField("n_docs", LongType),
+            StructField("n_chars", LongType),
+            StructField("checksum", LongType))))
+      }
 }

@@ -450,9 +450,15 @@ object Similarity {
     else {
       val in = fs.open(marker)
       try {
-        val buf = new Array[Byte](64)
-        val n = math.max(0, in.read(buf))
-        Some(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8))
+        // loop to EOF: HDFS-style streams may short-read, and a
+        // truncated token cached under the dir key would systematically
+        // miss (every probe re-reading centroids from parquet)
+        val buf = new Array[Byte](128)
+        var off = 0
+        var n = 0
+        while (off < buf.length && { n = in.read(buf, off, buf.length - off)
+            n >= 0 }) off += n
+        Some(new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     }
 
@@ -517,8 +523,13 @@ object Similarity {
       val id = r.get(0)
       val v = r.getSeq[Double](1).toArray
       val n = math.sqrt(dotS(v, v))
+      // `+ 0.0` collapses -0.0 to 0.0: Catalyst's double ordering
+      // (SQLOrderingUtil) treats them equal and falls to the cell-asc
+      // tie-break, while java.lang.Double.compare orders -0.0 < 0.0 —
+      // without the normalization an underflowed sim could pick
+      // different probe cells on the driver vs distributed path
       val picked = cents.indices
-        .map(c => (dotS(v, cents(c)) / (n * cnorms(c)), c.toLong))
+        .map(c => (dotS(v, cents(c)) / (n * cnorms(c)) + 0.0, c.toLong))
         .sortWith { case ((s1, c1), (s2, c2)) =>
           val cmp = java.lang.Double.compare(s2, s1)
           if (cmp != 0) cmp < 0 else c1 < c2
@@ -589,7 +600,10 @@ object Similarity {
     val scored = spark.read.parquet(s"$dir/codes")
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(queryProbes), "cell")
-      .filter(col("query_id") =!= col("match_id"))
+      // null-safe self-exclusion (the Retrieval.bm25 convention): a
+      // plain =!= is null when either id is null and would silently
+      // drop every candidate row for that query
+      .filter(!(col("query_id") <=> col("match_id")))
       .withColumn("qcos",
         intDotCol(col("qq"), col("cq")).cast("double")
           / (col("__qn") * col("cn")))

@@ -23,6 +23,20 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    serialization point that caps throughput at one core (legitimate
   *    under a final limit/collect of a small frame — the question to
   *    ask is whether the frame is small).
+  *  - `single-partition-corpus-sort` — a SinglePartition exchange
+  *    whose input is ESTIMATED corpus-sized: walking down from the
+  *    exchange hits file scans totalling ≥ `corpusBytes` without
+  *    passing a cardinality-bounding node (limit, take-ordered,
+  *    aggregate, literal scan). This is the r11 `orderedSmall`-
+  *    on-a-corpus-dump class: a per-row pipeline whose whole result
+  *    funnels through ONE task — fine at test SF, the last-stage
+  *    bottleneck at 100×. Fix: materialize once and range-sort
+  *    (`orderedCorpus`), or bound the result. Heuristic misses, by
+  *    design: grouped aggregates are treated as bounded (a
+  *    `groupBy(doc_id)` is corpus-cardinality but indistinguishable
+  *    from a 20-row report without real cardinality stats), and
+  *    checkpointed/cached inputs are not estimable (silent, not
+  *    noisy).
   *  - `unpushed-scan-filter` — a parquet scan carrying data filters
   *    none of which reached PushedFilters: row groups can't prune, the
   *    scan reads everything and filters after decode.
@@ -51,9 +65,17 @@ object PlanLint {
 
   case class Finding(rule: String, node: String)
 
-  def lint(df: DataFrame): Seq[Finding] = {
+  /** Default `corpusBytes` for the single-partition-corpus-sort rule:
+    * one comfortable scan partition. Anything bigger funnelling into
+    * one task is worth a look; anything smaller sorts in-memory on one
+    * core without being the job's bottleneck. */
+  val DefaultCorpusBytes: Long = 64L << 20
+
+  def lint(df: DataFrame): Seq[Finding] = lint(df, DefaultCorpusBytes)
+
+  def lint(df: DataFrame, corpusBytes: Long): Seq[Finding] = {
     val plan = df.queryExecution.executedPlan
-    collectAll(unwrap(plan)).distinct
+    collectAll(unwrap(plan), corpusBytes).distinct
   }
 
   /** AQE wraps the real plan; lint what will actually execute. */
@@ -120,7 +142,36 @@ object PlanLint {
     }
   }
 
-  private def collectAll(root: SparkPlan): Seq[Finding] = {
+  /** Bytes of file-scan input reaching `p` from below WITHOUT passing
+    * a cardinality-bounding node — the "is the frame small?" question
+    * answered from the plan, upper-bound flavored (filters and joins
+    * don't discount; a branch is what its biggest scan is). Bounding
+    * nodes → 0: limits/take-ordered (bounded by k), aggregates (the
+    * documented grouped-key heuristic), literal scans, broadcast
+    * (driver-collected by contract). Checkpoint/cache scans are not
+    * estimable from here → 0 (silent, not noisy — Spark's stats
+    * default them to Long.MaxValue, which would flag every
+    * materialize-then-present shape). */
+  private def unboundedScanBytes(p: SparkPlan): BigInt = {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RDDScanExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    p match {
+      case _: GlobalLimitExec | _: LocalLimitExec | _: CollectLimitExec |
+          _: TakeOrderedAndProjectExec | _: BaseAggregateExec |
+          _: LocalTableScanExec | _: RDDScanExec |
+          _: InMemoryTableScanExec | _: BroadcastExchangeExec => 0
+      case s: FileSourceScanExec => BigInt(s.relation.location.sizeInBytes)
+      case q: QueryStageExec => unboundedScanBytes(q.plan)
+      case other =>
+        other.children.map(unboundedScanBytes)
+          .foldLeft(BigInt(0))(_ max _)
+    }
+  }
+
+  private def collectAll(root: SparkPlan, corpusBytes: Long): Seq[Finding] = {
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     val out = Seq.newBuilder[Finding]
     root.foreach {
@@ -147,6 +198,8 @@ object PlanLint {
       case e: ShuffleExchangeExec
           if e.outputPartitioning.numPartitions == 1 =>
         out += Finding("single-partition-exchange", short(e))
+        if (unboundedScanBytes(e.child) >= corpusBytes)
+          out += Finding("single-partition-corpus-sort", short(e))
       case s: FileSourceScanExec
           if s.dataFilters.exists(f =>
               !f.isInstanceOf[

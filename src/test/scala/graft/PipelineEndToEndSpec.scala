@@ -230,4 +230,45 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       === expect)
   }
+
+  test("PipelineRunner: a CHANGED input invalidates the whole green " +
+      "prefix (no silent reuse of stale stage outputs); the same input " +
+      "still resumes; zero completed stages -> empty manifests") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pipe_fprint").toString
+    val calls = Array.fill(2)(
+      new java.util.concurrent.atomic.AtomicInteger)
+    def stages = Seq(
+      PipelineStage("gate", df => { calls(0).incrementAndGet()
+        df.filter(col("n_chars") >= 100) }),
+      PipelineStage("dedup", df => { calls(1).incrementAndGet()
+        Dedup.exact(df, "text", "doc_id") }))
+    // zero completed stages: an empty audit trail, not a throw
+    val none = PipelineRunner.manifests(spark, dir, stages)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq ===
+      Seq("stage", "shard", "n_docs", "n_chars", "checksum"))
+    PipelineRunner.run(docs, stages, dir, "doc_id", "text")
+    assert(calls.map(_.get).toSeq == Seq(1, 1))
+    // same input, fully green: nothing recomputes
+    PipelineRunner.run(docs, stages, dir, "doc_id", "text")
+    assert(calls.map(_.get).toSeq == Seq(1, 1))
+    // DIFFERENT input (one doc dropped): every stage must rerun — the
+    // green markers describe the old corpus. Before the fingerprint,
+    // this silently served stage outputs computed from `docs`.
+    val changed = docs.filter(col("doc_id") =!= 0L)
+    val out = PipelineRunner.run(changed, stages, dir, "doc_id", "text")
+    assert(calls.map(_.get).toSeq == Seq(2, 2))
+    val expect = Dedup.exact(changed.filter(col("n_chars") >= 100),
+        "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === expect)
+    assert(!expect.contains(0L))
+    // and the changed input is now the recorded one: rerun = no-op
+    PipelineRunner.run(changed, stages, dir, "doc_id", "text")
+    assert(calls.map(_.get).toSeq == Seq(2, 2))
+  }
 }

@@ -421,6 +421,80 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("PlanLint: single-partition-corpus-sort fires on a corpus-sized " +
+      "SinglePartition funnel and stays silent behind bounding nodes") {
+    import graft.plans.PlanLint
+    // threshold 1 byte: any real file scan counts as "corpus" so the
+    // rule's STRUCTURE is testable at test SF
+    val rules = (df: org.apache.spark.sql.DataFrame) =>
+      PlanLint.lint(df, corpusBytes = 1L).map(_.rule).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lint_sp").toString
+    spark.range(1000).selectExpr("id", "id % 7 AS k")
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    // the orderedSmall-on-a-corpus-dump shape: per-row pipeline into
+    // one task
+    val funnel = scan.withColumn("v", col("id") * 2)
+      .repartition(1).sortWithinPartitions("id")
+    assert(rules(funnel).contains("single-partition-corpus-sort"),
+      rules(funnel))
+    // an aggregate bounds cardinality (documented heuristic) — silent
+    val agged = scan.groupBy("k").count()
+      .repartition(1).sortWithinPartitions("k")
+    assert(!rules(agged).contains("single-partition-corpus-sort"),
+      rules(agged))
+    // a limit bounds it — silent
+    val limited = scan.limit(5).repartition(1).sortWithinPartitions("id")
+    assert(!rules(limited).contains("single-partition-corpus-sort"),
+      rules(limited))
+    // the orderedCorpus fix (materialize + range sort) has no
+    // SinglePartition exchange at all — silent on both rules
+    val fixed = scan.withColumn("v", col("id") * 2)
+      .localCheckpoint(true).orderBy("id")
+    assert(rules(fixed)
+      .intersect(Set("single-partition-exchange",
+        "single-partition-corpus-sort")).isEmpty, rules(fixed))
+    // default threshold: a KB-sized test file is NOT corpus-sized
+    assert(!PlanLint.lint(funnel).map(_.rule)
+      .contains("single-partition-corpus-sort"))
+  }
+
+  test("orderedCorpus sweep dogfood: every corpus-scaling query output " +
+      "leaves the engine through a distributed sort, never one task") {
+    import graft.plans.PlanLint
+    val sf = "/root/testdata/sf0.001"
+    // the r11 sweep list: results that scale with documents, pairs,
+    // rate-samples, dedup survivors or packed sequences (≥10k rows at
+    // sf1, or corpus-scaling by construction). orderedSmall anywhere
+    // in these plans is a regression.
+    val swept = Seq(
+      "q_simhash", "q_string_fns", "q_bpe_learned", "q_token_count",
+      "q_token_bpe", "q_dup_coverage", "q_dup_spans", "q_strip_spans",
+      "q_domain_filter", "q_quality", "q_quality_lr_score",
+      "q_gopher_rules", "q_jsonl_roundtrip", "q_fingerprint",
+      "q_multimodal_meta", "q_multimodal_features", "q_audio_features",
+      "q_video_features", "q_frame_sample", "q_dedup_cluster",
+      "q_dedup_cluster_star", "q_label_prop", "q_corpus_diff",
+      "q_pagerank", "q_curriculum", "q_split_leak_safe", "q_repetition",
+      "q_balance_classes", "q_tfidf", "q_boilerplate", "q_pack",
+      "q_pack_slices", "q_pack_grouped", "q_line_dedup", "q_lm_score",
+      "q_bigram_lm", "q_chunks", "q_epoch_mix", "q_shuffle_shards",
+      "q_normalize", "q_html_extract", "q_redact", "q_quantize",
+      "q_jaccard_join", "q_containment_join", "q_edit_join",
+      "q_jaro_winkler", "q_media_dirty", "q_minhash", "q_lang_id",
+      "q_novelty", "q_dedup_exact", "q_dedup_lsh", "q_dedup_embed",
+      "q_hash_sample", "q_dedup_keep_best", "q_pack_text",
+      "q_dedup_incremental", "q_dedup_exact_incr", "q_drop_contained",
+      "q_edit_join_incr", "q_semantic_dedup")
+    swept.foreach { n =>
+      val sp = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
+        .filter(f => f.rule == "single-partition-exchange" ||
+          f.rule == "single-partition-corpus-sort")
+      assert(sp.isEmpty, s"$n: $sp")
+    }
+  }
+
   test("bm25TopKIndexed probe: the query-term IN filter reaches the " +
       "postings scan (PushedFilters), so term-sorted row groups prune") {
     import graft.operators.Retrieval
