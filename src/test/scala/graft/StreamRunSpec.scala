@@ -92,4 +92,37 @@ class StreamRunSpec extends SparkSpec {
     assert(one.except(four).isEmpty && four.except(one).isEmpty)
     assert(one.except(batch).isEmpty && batch.except(one).isEmpty)
   }
+
+  test("stream eval bucketization (Complete, decimal sum): 4-batch " +
+      "split == 1-batch == batch agg") {
+    // q_stream_eval's invariance lever: its scan is deterministic batch
+    // post-processing, so the row is split-invariant iff the streamed
+    // Complete-mode (type, hour) decimal-sum bucket table is
+    val evDir = Files.createTempDirectory("streamrun-evb").toString
+    graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_type", "ts", "value")
+      .repartition(4)
+      .write.mode("overwrite").parquet(evDir)
+    def build(src: org.apache.spark.sql.DataFrame) =
+      // cast to TZ-aware timestamp like the driver row (NTZ windows
+      // resist the epoch cast; session TZ is UTC so the cast is exact)
+      src.groupBy(col("event_type"),
+          window(col("ts").cast("timestamp"), "3600 seconds"))
+        .agg(sum(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+            .as("__s"),
+          count(col("value")).as("__n"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_type"),
+        col("window.start").cast("long").as("bucket"),
+        (col("__s").cast("double") / col("__n")).as("v"))
+    val one = shape(StreamRun.toTable(spark, evDir, build,
+      OutputMode.Complete()))
+    val four = shape(StreamRun.toTable(spark, evDir, build,
+      OutputMode.Complete(), Map("maxFilesPerTrigger" -> "1")))
+    val batch = shape(build(spark.read.parquet(evDir)))
+    assert(one.count() > 0)
+    assert(one.except(four).isEmpty && four.except(one).isEmpty)
+    assert(one.except(batch).isEmpty && batch.except(one).isEmpty)
+  }
 }
