@@ -68,19 +68,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional subset for local iteration: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // data fingerprint = warmup: one scan per table exercises codegen,
-    // parquet footer reads and JIT, and pins WHAT was measured
+    // parquet footer reads and JIT, and pins WHAT was measured. Raw
+    // reads must absorb the TIMESTAMP(NANOS) events layout the same
+    // way Tables.load does (the dual-layout contract), and a single
+    // unreadable/empty table records as an error entry — the
+    // fingerprint exists to adjudicate regen incidents, so it must
+    // survive them. Skipped under SPARK_GRAFT_BENCH_ONLY: the
+    // single-query iteration loop shouldn't pay a full-corpus
+    // serialize+crc pass per run.
     import org.apache.spark.sql.functions.{col, crc32, struct, sum, to_json}
-    val dataJson = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () }
+    val dataJson = if (only.isDefined) "{}" else {
       val d = new java.io.File(sfDir)
       val tables = Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
       tables.map { f =>
-        val t = spark.read.parquet(f.getPath)
-        val r = t.agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"),
-          sum(crc32(to_json(struct(t.columns.map(col): _*)))).as("c"))
-          .head()
         val name = f.getName.stripSuffix(".parquet")
         // a table may be a single file or a parquet DIRECTORY (the
         // sf1 clone layout) — bytes = total data-file footprint
@@ -88,13 +96,28 @@ object Bench {
           if (f.isFile) f.length()
           else Option(f.listFiles()).getOrElse(Array.empty)
             .filter(_.isFile).map(_.length()).sum
-        s""""$name":{"bytes":$bytes,"rows":${r.getLong(0)},"checksum":${r.getLong(1)}}"""
+        try {
+          val t = spark.read.parquet(f.getPath)
+          val r = t.agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"),
+            sum(crc32(to_json(struct(t.columns.map(col): _*)))).as("c"))
+            .head()
+          val sum_ = if (r.isNullAt(1)) 0L else r.getLong(1)
+          s""""$name":{"bytes":$bytes,"rows":${r.getLong(0)},"checksum":$sum_}"""
+        } catch {
+          case e: Exception =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+            s""""$name":{"bytes":$bytes,"error":"$msg"}"""
+        }
       }.mkString("{", ",", "}")
     }
 
-    // optional subset for local iteration: comma-separated query names
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // subset runs skip the fingerprint — keep the classic cheap warmup
+    // so JIT/classloading doesn't land on the first measured pass
+    if (only.isDefined)
+      SparkEntry.queries.get("q_agg_stats").foreach(f =>
+        f(spark, sfDir).write.format("noop").mode("overwrite").save())
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // interleaved passes: run the WHOLE suite once per pass, min per

@@ -78,18 +78,21 @@ object PipelineRunner {
     // a different corpus and the whole prefix is stale
     val imDir = s"$dir/input_manifest"
     val imOk = new org.apache.hadoop.fs.Path(s"$imDir/_OK")
-    val inputManifest = CorpusStats.manifest(input, idCol, textCol, shards)
-      .select("shard", "n_docs", "n_chars", "checksum")
-    val inputRows = inputManifest.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
+    // null-tolerant extraction on BOTH sides (an all-null textCol
+    // shard sums n_chars/checksum to NULL; getAs unboxes that to 0 —
+    // consistent, so equality still discriminates)
+    def rows4(rs: Array[org.apache.spark.sql.Row])
+        : Set[(Long, Long, Long, Long)] =
+      rs.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("checksum"))).toSet
+    val inputRows = rows4(
+      CorpusStats.manifest(input, idCol, textCol, shards)
+        .select("shard", "n_docs", "n_chars", "checksum").collect())
     val inputMatches = fs(spark, imDir).exists(imOk) &&
-      (try {
-        spark.read.parquet(imDir).collect()
-          .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
-            r.getAs[Long]("n_chars"), r.getAs[Long]("checksum")))
-          .toSet == inputRows
-      } catch { case _: Exception => false })
+      (try rows4(spark.read.parquet(imDir)
+          .select("shard", "n_docs", "n_chars", "checksum").collect())
+          == inputRows
+      catch { case _: Exception => false })
     // longest completed prefix; every marker past the first gap is
     // stale by definition — and with a changed input, ALL of them are
     val firstGap =
@@ -104,9 +107,17 @@ object PipelineRunner {
     }
     if (!inputMatches) {
       // markers are gone (above) — now it is safe to record the new
-      // input; a crash between delete and write just means full rerun
+      // input; a crash between delete and write just means full rerun.
+      // Written from the ALREADY-COLLECTED rows, not a re-execution of
+      // the manifest plan: the recorded fingerprint is exactly the one
+      // that was compared (a nondeterministic input can't slip a
+      // different manifest into storage), and the input is scanned
+      // once, as priced above.
       fs(spark, imDir).delete(imOk, false)
-      inputManifest.write.mode("overwrite").parquet(imDir)
+      import spark.implicits._
+      inputRows.toSeq.sortBy(_._1)
+        .toDF("shard", "n_docs", "n_chars", "checksum")
+        .coalesce(1).write.mode("overwrite").parquet(imDir)
       fs(spark, imDir).create(imOk, true).close()
     }
     var current =

@@ -165,6 +165,10 @@ object PlanLint {
           _: InMemoryTableScanExec | _: BroadcastExchangeExec => 0
       case s: FileSourceScanExec => BigInt(s.relation.location.sizeInBytes)
       case q: QueryStageExec => unboundedScanBytes(q.plan)
+      // exchange reuse replaces the second occurrence with a childless
+      // wrapper — resolve through it or a reused corpus scan evades
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        unboundedScanBytes(r.child)
       case other =>
         other.children.map(unboundedScanBytes)
           .foldLeft(BigInt(0))(_ max _)
