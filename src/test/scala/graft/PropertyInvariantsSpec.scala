@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{CorpusStats, Packing, Sampling}
+
+/** Property-based checks (ScalaCheck generators, fixed seeds — the
+  * suite stays deterministic) for the ALGEBRAIC contracts the engine's
+  * incremental/distributed paths lean on. Each property packs its
+  * generated cases into a handful of small Spark jobs; the point is
+  * randomized STRUCTURE (duplicate texts, empty strings, unicode,
+  * skewed splits, degenerate weights), not volume — the SF gates cover
+  * volume.
+  *
+  *  - manifest additivity: manifest(A ⊎ B) equals the additive merge
+  *    of manifest(A) and manifest(B) per shard (counts, chars, and the
+  *    mod-1e18 checksum) — THE invariant that makes
+  *    Publish.appendShards' merge-without-recompute exact.
+  *  - orderedCorpus ≡ orderedSmall: materialize-then-range-sort emits
+  *    the identical row sequence as the SinglePartition local sort for
+  *    a unique key — the r12 sweep's refactor contract.
+  *  - hashSplit partitions: disjoint, exhaustive, and stable under
+  *    physical reshuffling for arbitrary weight vectors.
+  *  - packSequences reconstruction: concatenating seq_text in seq_id
+  *    order reproduces the corpus token stream in id order; every
+  *    sequence but the last is exactly seqLen tokens; totals conserve.
+  *  - anomaly-scan episodes: for arbitrary score sequences the
+  *    hysteresis output is well-formed (starts only when closed,
+  *    ongoing/end only when open, end strictly below the min
+  *    threshold, is_anomaly ⇔ detection at grace 0).
+  */
+class PropertyInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val word: Gen[String] = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "péché", "навык", "数据", "x1",
+    "LONGTOKEN9", "q")
+  private val text: Gen[String] = Gen.frequency(
+    1 -> Gen.const(""),
+    9 -> Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+  private def docsGen(n: Int): Gen[List[(Long, String)]] =
+    Gen.listOfN(n, text).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    })
+
+  test("property: manifest additivity — manifest(A ⊎ B) == additive " +
+      "merge of manifest(A), manifest(B), incl. the mod-1e18 checksum") {
+    val M = 1000000000000000000L
+    (1 to 6).foreach { k =>
+      val docs = sample(docsGen(40 + k * 17), seed = 1000 + k)
+      val mask = sample(Gen.listOfN(docs.size, Gen.oneOf(true, false)),
+        seed = 2000 + k)
+      val shards = 1 + k % 5
+      val df = docs.toDF("doc_id", "text")
+      val a = docs.zip(mask).collect { case (d, true) => d }
+      val b = docs.zip(mask).collect { case (d, false) => d }
+      def rows(d: List[(Long, String)]): Map[Long, (Long, Long, Long)] =
+        if (d.isEmpty) Map.empty
+        else CorpusStats.manifest(d.toDF("doc_id", "text"),
+            "doc_id", "text", shards).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+            r.getLong(3))).toMap
+      val full = rows(docs)
+      val (ma, mb) = (rows(a), rows(b))
+      val merged = (ma.keySet ++ mb.keySet).map { s =>
+        val (d1, c1, s1) = ma.getOrElse(s, (0L, 0L, 0L))
+        val (d2, c2, s2) = mb.getOrElse(s, (0L, 0L, 0L))
+        s -> (d1 + d2, c1 + c2, Math.floorMod(s1 + s2, M))
+      }.toMap
+      assert(merged === full, s"case $k (shards=$shards)")
+    }
+  }
+
+  test("property: orderedCorpus (materialize + range sort) emits the " +
+      "identical row sequence as the SinglePartition local sort") {
+    (1 to 4).foreach { k =>
+      val docs = sample(docsGen(60 + k * 31), seed = 3000 + k)
+      val df = docs.toDF("doc_id", "text").repartition(5)
+      val small = df.repartition(1).sortWithinPartitions("doc_id")
+        .collect().toSeq
+      val corpus = df.localCheckpoint(true).orderBy("doc_id")
+        .collect().toSeq
+      assert(small === corpus, s"case $k")
+    }
+  }
+
+  test("property: hashSplit is a disjoint, exhaustive, physically " +
+      "stable partition for arbitrary weight vectors") {
+    (1 to 4).foreach { k =>
+      val ids = sample(Gen.listOfN(120, Gen.chooseNum(0L, 100000L)),
+        seed = 4000 + k).distinct
+      val raw = sample(Gen.listOfN(2 + k % 3,
+        Gen.chooseNum(0.05, 1.0)), seed = 5000 + k)
+      val weights = raw.zipWithIndex.map { case (w, i) =>
+        s"s$i" -> w / raw.sum }
+      // renormalize the tail so the weights sum to exactly 1.0
+      val splits = weights.init :+
+        (weights.last._1 -> (1.0 - weights.init.map(_._2).sum))
+      val df = ids.toDF("doc_id")
+      def assignment(d: org.apache.spark.sql.DataFrame) =
+        Sampling.hashSplit(d, "doc_id", splits, salt = s"p$k")
+          .select("doc_id", "split").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val m = assignment(df)
+      assert(m.keySet === ids.toSet)        // exhaustive, disjoint
+      assert(m.values.toSet.subsetOf(splits.map(_._1).toSet))
+      assert(assignment(df.repartition(7)) === m)  // physically stable
+    }
+  }
+
+  test("property: packSequences reconstructs the corpus token stream " +
+      "in order; all but the last sequence are exactly seqLen tokens") {
+    (1 to 3).foreach { k =>
+      val docs = sample(docsGen(25 + k * 13), seed = 6000 + k)
+      val seqLen = Seq(8L, 16L, 32L)(k - 1)
+      val out = Packing.packSequences(docs.toDF("doc_id", "text"),
+          "doc_id", "text", seqLen)
+        .orderBy("seq_id").collect()
+      val expected = docs.sortBy(_._1).flatMap(
+        _._2.split("[^A-Za-z0-9]+").filter(_.nonEmpty))
+      val got = out.flatMap(_.getAs[String]("seq_text")
+        .split(" ").filter(_.nonEmpty))
+      assert(got.toSeq === expected.toSeq, s"case $k")
+      val lens = out.map(_.getAs[Long]("n_tokens")).toSeq
+      assert(lens.sum === expected.size.toLong)
+      assert(lens.dropRight(1).forall(_ === seqLen), s"case $k: $lens")
+    }
+  }
+
+  test("property: anomaly-scan episodes are well-formed for arbitrary " +
+      "score sequences (grace 0)") {
+    val (maxT, minT) = (80.0, 40.0)
+    (1 to 5).foreach { k =>
+      val scores = sample(Gen.listOfN(60,
+        Gen.chooseNum(0.0, 100.0)), seed = 7000 + k)
+      val df = scores.zipWithIndex
+        .map { case (s, i) => (i.toLong * 60, s) }.toDF("bucket", "score")
+      val rows = graft.ml.AnomalyScan.scan(df, maxThreshold = maxT,
+          minThreshold = minT)
+        .orderBy("bucket")
+        .select("bucket", "score", "is_anomaly", "anomaly").collect()
+      var open = false
+      rows.foreach { r =>
+        val s = r.getDouble(1)
+        val a = Option(r.getString(3))
+        a match {
+          case Some("start") =>
+            assert(!open && s >= maxT, s"case $k bucket ${r.getLong(0)}")
+            open = true
+          case Some("ongoing") =>
+            assert(open, s"case $k bucket ${r.getLong(0)}")
+          case Some("end") =>
+            assert(open && s < minT, s"case $k bucket ${r.getLong(0)}")
+            open = false
+          case Some(other) => fail(s"unexpected label $other")
+          case None =>
+            assert(!open, s"case $k bucket ${r.getLong(0)}")
+        }
+        // grace 0: detection is exactly the threshold test
+        assert(r.getBoolean(2) === (s >= maxT),
+          s"case $k bucket ${r.getLong(0)}")
+      }
+    }
+  }
+}
