@@ -168,4 +168,108 @@ class PropertyInvariantsSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: exact dedup keeps exactly the min-tieBreak row per " +
+      "distinct text and is idempotent") {
+    import graft.operators.Dedup
+    (1 to 4).foreach { k =>
+      // force collisions: few distinct texts over many ids
+      val texts = sample(Gen.listOfN(80, Gen.oneOf(
+        "", "a b", "a b", "x", "数据 poids", "x y z")), seed = 8000 + k)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text").repartition(4)
+      val out = Dedup.exact(df, "text", "doc_id")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val expected = docs.groupBy(_._2).map { case (t, g) =>
+        (g.map(_._1).min, t) }.toSet
+      assert(out.toSet === expected, s"case $k")
+      val again = Dedup.exact(out.toSeq.toDF("doc_id", "text"),
+        "text", "doc_id").collect()
+      assert(again.length === out.length, s"case $k idempotence")
+    }
+  }
+
+  test("property: Bloom-prefiltered incremental exact dedup equals the " +
+      "plain anti-join on the content key") {
+    import graft.operators.Dedup
+    (1 to 3).foreach { k =>
+      val pool = sample(Gen.listOfN(60, text), seed = 9000 + k)
+      val corpus = pool.take(40).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      // incoming overlaps the corpus on ~half its contents
+      val incoming = (pool.drop(30).take(30) ++ pool.take(10)).zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }
+      val (cDf, iDf) = (corpus.toDF("doc_id", "text"),
+        incoming.toDF("doc_id", "text"))
+      val got = Dedup.exactDedupAgainst(iDf, cDf, "text",
+          expectedItems = 10000L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val corpusKeys = corpus.map(_._2).toSet
+      val expected = incoming.collect {
+        case (id, t) if !corpusKeys.contains(t) => id }.toSet
+      assert(got === expected, s"case $k")
+    }
+  }
+
+  test("property: NormalizeText is idempotent on arbitrary dirty input") {
+    val dirty: Gen[String] = Gen.listOfN(20, Gen.oneOf(
+      "a", " ", "\t", " ", "é", "", "", "",
+      "Z", "数", "  ", "\r\n")).map(_.mkString)
+    val cases = (1 to 12).map(k => sample(dirty, seed = 10000 + k))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "raw")
+    val out = df.select(col("id"),
+        graft.functions.NormalizeText(col("raw")).as("once"))
+      .withColumn("twice", graft.functions.NormalizeText(col("once")))
+      .collect()
+    out.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"id ${r.getLong(0)}: ${r.getString(1)} vs ${r.getString(2)}"))
+  }
+
+  test("property: chunkDocs covers every token, bounds every chunk, " +
+      "and each chunk is the exact token slice at its start") {
+    import graft.operators.Packing
+    (1 to 3).foreach { k =>
+      val docs = sample(docsGen(30), seed = 11000 + k)
+      val (chunkLen, stride) = Seq((6, 3), (8, 8), (5, 2))(k - 1)
+      val out = Packing.chunkDocs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunkLen, stride)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("start_token"), r.getAs[String]("chunk")))
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("[^A-Za-z0-9]+").filter(_.nonEmpty).toSeq }.toMap
+      docs.foreach { case (id, _) =>
+        val n = toks(id).size
+        val chunks = out.filter(_._1 == id)
+        if (n == 0) assert(chunks.isEmpty, s"case $k doc $id")
+        else {
+          val covered = chunks.flatMap { case (_, s, c) =>
+            s.toInt until (s.toInt + c.split(" ").count(_.nonEmpty)) }.toSet
+          assert(covered === (0 until n).toSet, s"case $k doc $id coverage")
+          chunks.foreach { case (_, s, c) =>
+            val ct = c.split(" ").filter(_.nonEmpty).toSeq
+            assert(ct.size <= chunkLen, s"case $k doc $id len")
+            assert(ct === toks(id).slice(s.toInt, s.toInt + ct.size),
+              s"case $k doc $id slice at $s")
+          }
+        }
+      }
+    }
+  }
+
+  test("property: z-value is monotonic per dimension with the other " +
+      "held fixed (the interleaving order contract)") {
+    val xs = sample(Gen.listOfN(40, Gen.chooseNum(0L, 1000000L)),
+      seed = 12000).distinct.sorted
+    val fixed = 73741L
+    val rows = xs.map(x => (x, fixed)).toDF("x", "y")
+      .select(col("x"), graft.io.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .orderBy("x").collect().map(_.getLong(1))
+    assert(rows.toSeq === rows.sorted.toSeq, "monotonic in x")
+    val rows2 = xs.map(y => (fixed, y)).toDF("x", "y")
+      .select(col("y"), graft.io.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .orderBy("y").collect().map(_.getLong(1))
+    assert(rows2.toSeq === rows2.sorted.toSeq, "monotonic in y")
+  }
 }
