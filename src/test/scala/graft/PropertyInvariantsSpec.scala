@@ -258,6 +258,99 @@ class PropertyInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("property: as-of join matches the driver-replayed latest-at-or-" +
+      "before (and earliest-at-or-after) right row per key, with and " +
+      "without tolerance") {
+    import graft.operators.Temporal
+    (1 to 3).foreach { k =>
+      val nKeys = 3
+      // unique right timestamps per key — no tie ambiguity to model
+      val rights = sample(Gen.listOfN(40,
+        Gen.zip(Gen.chooseNum(0, nKeys - 1), Gen.chooseNum(0L, 5000L))),
+        seed = 13000 + k).distinct
+        .zipWithIndex.map { case ((g, t), i) => (s"k$g", t, i.toLong) }
+      val lefts = sample(Gen.listOfN(50,
+        Gen.zip(Gen.chooseNum(0, nKeys - 1), Gen.chooseNum(0L, 5000L))),
+        seed = 14000 + k)
+        .zipWithIndex.map { case ((g, t), i) => (s"k$g", t, 9000L + i) }
+      val lDf = lefts.toDF("g", "lts", "lid")
+      val rDf = rights.toDF("g", "rts", "rid")
+      def replay(fwd: Boolean, tol: Option[Long]) = lefts.map {
+        case (g, t, lid) =>
+          val cands = rights.filter(_._1 == g).filter { case (_, rt, _) =>
+            (if (fwd) rt >= t else rt <= t) &&
+              tol.forall(d => math.abs(rt - t) <= d) }
+          val pick =
+            if (cands.isEmpty) None
+            else Some(if (fwd) cands.minBy(_._2) else cands.maxBy(_._2))
+          (lid, pick.map(_._3))
+      }.toMap
+      Seq((false, None), (true, None), (false, Some(300L)),
+          (true, Some(300L))).foreach { case (fwd, tol) =>
+        val got = Temporal.asofJoin(lDf, rDf, Seq("g"), "lts", "rts",
+            payload = Seq("rid"), forward = fwd, tolerance = tol)
+          .select("lid", "r_rid").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        assert(got === replay(fwd, tol), s"case $k fwd=$fwd tol=$tol")
+      }
+    }
+  }
+
+  test("property: sessionize assigns exactly the driver-replayed " +
+      "gap-split session ids per key") {
+    import graft.operators.Temporal
+    (1 to 3).foreach { k =>
+      val gap = Seq(50L, 10L, 500L)(k - 1)
+      val events = sample(Gen.listOfN(80,
+        Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 2000L))),
+        seed = 15000 + k).distinct
+        .zipWithIndex.map { case ((g, t), i) => (s"k$g", t, i.toLong) }
+      val got = Temporal.sessionize(events.toDF("g", "ts", "eid"),
+          Seq("g"), "ts", gap, tieCols = Seq("eid"))
+        .select("eid", "session_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = events.groupBy(_._1).flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        var sess = -1L
+        var prev = Long.MinValue
+        sorted.map { case (_, t, eid) =>
+          if (prev == Long.MinValue || t - prev > gap) sess += 1
+          prev = t
+          eid -> sess
+        }
+      }.toMap
+      assert(got === expected, s"case $k gap=$gap")
+    }
+  }
+
+  test("property: TimesQuery materializes exactly the aligned bucket " +
+      "spine and exact per-bucket counts for arbitrary sparse points") {
+    import graft.operators.{Feature, TimesQuery}
+    (1 to 3).foreach { k =>
+      val interval = Seq(60L, 300L, 3600L)(k - 1)
+      val from = 1704067200L
+      val to = from + interval * 40
+      // sparse, clustered, with points outside the range (must clip)
+      val ts = sample(Gen.listOfN(120,
+        Gen.chooseNum(from - interval * 3, to + interval * 3)),
+        seed = 16000 + k)
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t, 1.0) }
+        .toDF("id", "epoch", "value")
+        .withColumn("ts", timestamp_seconds(col("epoch")))
+      val out = TimesQuery.run(spark, df, "ts", interval, from, to,
+          Seq(Feature("cnt", "count", "value")))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) 0L else r.getDouble(1).toLong)).toMap
+      val spine = (from until to by interval).toSeq
+      assert(out.keySet === spine.toSet, s"case $k spine")
+      val expected = spine.map(b => b ->
+        ts.count(t => t >= b && t < b + interval &&
+          t >= from && t < to).toLong).toMap
+      assert(out === expected, s"case $k counts")
+    }
+  }
+
   test("property: z-value is monotonic per dimension with the other " +
       "held fixed (the interleaving order contract)") {
     val xs = sample(Gen.listOfN(40, Gen.chooseNum(0L, 1000000L)),
