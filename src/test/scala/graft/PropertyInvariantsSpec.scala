@@ -351,6 +351,124 @@ class PropertyInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("property: HLL sketch merge is lossless in the coupon regime — " +
+      "estimate(merge(A,B)) == estimate(sketch(A ∪ B)) exactly") {
+    import graft.operators.CorpusStats
+    (1 to 3).foreach { k =>
+      val ids = sample(Gen.listOfN(150, Gen.chooseNum(0L, 200L)),
+        seed = 17000 + k)
+      val mask = sample(Gen.listOfN(ids.size, Gen.oneOf(true, false)),
+        seed = 17500 + k)
+      val rows = ids.zip(mask).map { case (v, m) =>
+        (if (m) "a" else "b", v) }
+      def sk(d: Seq[(String, Long)]) =
+        CorpusStats.distinctSketch(
+          d.toDF("part", "v").withColumn("g", lit("all")),
+          Seq("g"), col("v"))
+      val merged = CorpusStats.mergeSketches(
+          sk(rows.filter(_._1 == "a")), sk(rows.filter(_._1 == "b")),
+          Seq("g"))
+        .select(CorpusStats.estimateDistinct(col("sketch")))
+        .head().getLong(0)
+      val direct = sk(rows)
+        .select(CorpusStats.estimateDistinct(col("sketch")))
+        .head().getLong(0)
+      assert(merged === direct, s"case $k")
+      assert(direct === ids.distinct.size.toLong, s"case $k exactness")
+    }
+  }
+
+  test("property: theta-sketch set algebra is exact under the entry " +
+      "budget — |A ∩ B| and |A \\ B| equal the true set sizes") {
+    import graft.operators.CorpusStats
+    (1 to 3).foreach { k =>
+      val a = sample(Gen.listOfN(120, Gen.chooseNum(0L, 400L)),
+        seed = 18000 + k).distinct
+      val b = sample(Gen.listOfN(120, Gen.chooseNum(200L, 600L)),
+        seed = 18500 + k).distinct
+      def sk(v: Seq[Long], tag: String) =
+        CorpusStats.thetaSketch(
+          v.map((tag, _)).toDF("g", "v"), Seq("g"), col("v"))
+          .select(col("tsketch").as(s"sk_$tag"))
+      val row = sk(a, "a").crossJoin(sk(b, "b"))
+        .select(
+          CorpusStats.thetaIntersectEstimate(col("sk_a"), col("sk_b"))
+            .cast("long"),
+          CorpusStats.thetaDifferenceEstimate(col("sk_a"), col("sk_b"))
+            .cast("long"))
+        .head()
+      assert(row.getLong(0) === a.toSet.intersect(b.toSet).size.toLong,
+        s"case $k intersect")
+      assert(row.getLong(1) === a.toSet.diff(b.toSet).size.toLong,
+        s"case $k difference")
+    }
+  }
+
+  test("property: psiBetween(X, X) is exactly zero for arbitrary " +
+      "value distributions") {
+    import graft.operators.Drift
+    (1 to 3).foreach { k =>
+      val vs = sample(Gen.listOfN(200, Gen.chooseNum(-50.0, 50.0)),
+        seed = 19000 + k)
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val psi = Drift.psiBetween(df, df, "v").head().getAs[Double]("psi")
+      assert(psi === 0.0, s"case $k: $psi")
+    }
+  }
+
+  test("property: LSH-verified pairs are a SUBSET of the exact " +
+      "threshold join at the same tau, with identical jaccard values " +
+      "(precision 1 by verification)") {
+    import graft.operators.Dedup
+    (1 to 2).foreach { k =>
+      // force near-dups: clone texts with small perturbations
+      val bases = sample(Gen.listOfN(12,
+        Gen.chooseNum(5, 14).flatMap(n =>
+          Gen.listOfN(n, word).map(_.mkString(" ")))), seed = 20000 + k)
+      val docs = bases.zipWithIndex.flatMap { case (t, i) =>
+        Seq((i * 10L, t), (i * 10L + 1, t + " tail" + (i % 3)),
+          (i * 10L + 2, "head " + t))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val exact = Dedup.jaccardJoin(df, "doc_id", "text", tau = 0.4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.lshVerifiedPairs(df, "doc_id", "text",
+          numHashes = 8, bands = 4, tau = 0.4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh.nonEmpty, s"case $k: generator produced no near-dups")
+      assert(lsh.subsetOf(exact),
+        s"case $k: ${lsh.diff(exact)} not in exact join")
+    }
+  }
+
+  test("property: int8 quantization reconstructs every element within " +
+      "scale/2") {
+    import graft.operators.Similarity
+    (1 to 3).foreach { k =>
+      val vecs = sample(Gen.listOfN(20, Gen.listOfN(16,
+        Gen.chooseNum(-10.0, 10.0))), seed = 21000 + k)
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "vec")
+        .select(col("id"), col("vec"),
+          Similarity.quantize(col("vec")).as("qz"))
+        .select(col("id"), col("vec"), col("qz.scale").as("scale"),
+          col("qz.q").as("q"))
+        .collect()
+      rows.foreach { r =>
+        val v = r.getSeq[Double](1)
+        val s = r.getDouble(2)
+        val q = r.getSeq[Int](3)
+        v.zip(q).foreach { case (x, qi) =>
+          assert(math.abs(x - qi * s) <= s / 2 + 1e-12,
+            s"case $k id ${r.getLong(0)}")
+        }
+      }
+    }
+  }
+
   test("property: z-value is monotonic per dimension with the other " +
       "held fixed (the interleaving order contract)") {
     val xs = sample(Gen.listOfN(40, Gen.chooseNum(0L, 1000000L)),
