@@ -1450,6 +1450,19 @@ object DataPipelineQueries {
     //                  must route it to 'binary', never 'audio'
     //      wav_cut   — WAV payload cut in half; the container parse
     //                  still runs and stats cover the surviving half
+    // ── perceptual media hash (dHash): the LAION/DataComp-style
+    //    near-dup image key. Text blobs are not decodable images, so
+    //    this rides the deterministic BYTE-domain fallback (same
+    //    contract as q_multimodal_features' byte-stat fallback) — the
+    //    pixel-domain path over real decoded images and the Hamming
+    //    band dedup (mediaNearDups: 8×8-bit bands, exact recall ≤ 7)
+    //    are spec-gated (MediaHashSpec)
+    "q_media_phash" -> ((s, dir) =>
+      Multimodal.mediaHash(
+          Multimodal.attachBlob(docs(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("phash_bits"))
+        .orderedCorpus("media_id")),
+
     "q_media_dirty" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       val d = docs(s, dir)
@@ -4174,6 +4187,47 @@ object DataPipelineQueries {
     // so all three mux slices are nonempty and the cut lands inside
     // frame 1); mean_r = (sum/width)/255 in the engine's division
     // order. bad_magic: routing only — no features asserted. wav_cut:
+    // byte-domain dHash replay: block(i) = i*72//n over the UTF-8
+    // bytes (recovered via hex two-char slices), exact integer sums →
+    // double means, bit k = m[(k//8)*9 + k%8 + 1] > m[... + 0]
+    // (missing blocks mean 0.0), emitted MSB-first as a 64-char bit
+    // string; empty docs hash to all-zero
+    "q_media_phash" ->
+      """WITH hexed AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed
+        |), bytes AS (
+        |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
+        |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
+        |           AS byte
+        |  FROM idx
+        |), blocks AS (
+        |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS m
+        |  FROM bytes GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT h.doc_id, g.k,
+        |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
+        |  FROM hexed h
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
+        |  LEFT JOIN blocks b1 ON b1.doc_id = h.doc_id
+        |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
+        |  LEFT JOIN blocks b2 ON b2.doc_id = h.doc_id
+        |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
+        |  WHERE h.n > 0
+        |), bits AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+        |           ORDER BY k DESC) AS pb
+        |  FROM grid GROUP BY 1
+        |)
+        |SELECT h.doc_id AS media_id,
+        |       coalesce(b.pb, repeat('0', 64)) AS phash_bits
+        |FROM hexed h LEFT JOIN bits b USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+
     // the surviving samples are the first L//2 payload bytes; rms as in
     // q_audio_features (exact multiples of 2^-7 ⇒ identical doubles).
     "q_media_dirty" ->

@@ -151,6 +151,143 @@ object Multimodal {
       w.toDouble / h)
   }
 
+  /** Shared dHash comparison kernel: 72 block means laid out 8 rows ×
+    * 9 columns; bit (r,c) = m[r][c+1] > m[r][c] — the classic
+    * difference hash (64 bits from 8×9 samples; see e.g. the public
+    * dHash description, Krawetz "Kind of Like That"). */
+  private[graft] def dHashBlocks(means: Array[Double]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (means(r * 9 + c + 1) > means(r * 9 + c))
+          h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Byte-domain dHash (the decode-fallback analog of
+    * [[byteStatFeatures]]): the blob's byte stream is block-averaged
+    * into the 8×9 grid (block(i) = i·72/n — integer math, empty blocks
+    * mean 0) and difference-hashed. Deterministic pure-integer sums →
+    * DuckDB-oracle-equal, so undecodable blobs hash stably instead of
+    * failing a dirty corpus. */
+  private[graft] def byteDHash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](72)
+    val counts = new Array[Long](72)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * 72 / n).toInt
+      sums(b) += bytes(i) & 0xff
+      counts(b) += 1
+      i += 1
+    }
+    dHashBlocks(Array.tabulate(72)(j =>
+      if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j)))
+  }
+
+  /** Pixel-domain dHash: Rec.601 luma (the [[pixelFeatures]]
+    * constants), block-averaged onto the 9×8 grid (pixel (x,y) lands
+    * in column x·9/w, row y·8/h — integer math, no resampling
+    * filter, so the hash is bit-deterministic across JVMs for
+    * lossless formats), then difference-hashed. Robust to re-encode,
+    * mild noise and rescale — the LAION/DataComp-style near-dup
+    * image key. */
+  private[graft] def pixelDHash(
+      img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](72)
+    val counts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val r8 = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val c9 = (x.toLong * 9 / w).toInt
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sums(r8 * 9 + c9) += 0.299 * r + 0.587 * g + 0.114 * b
+        counts(r8 * 9 + c9) += 1
+        x += 1
+      }
+      y += 1
+    }
+    dHashBlocks(Array.tabulate(72)(j =>
+      if (counts(j) == 0) 0.0 else sums(j) / counts(j)))
+  }
+
+  /** Perceptual hash column for a media frame: decodable images hash
+    * in PIXEL space ([[pixelDHash]] — stable under re-encode/rescale),
+    * everything else falls back to the BYTE-domain hash. Adds
+    * `phash` (the 64-bit hash) and `phash_bits` (its 64-char
+    * MSB-first bit string — the engine-neutral presentation the
+    * driver oracle compares). Narrow `mapPartitions`, blobs never
+    * shuffle — the zero-shuffle signature shape of the text
+    * MinHash/SimHash kernels. */
+  def mediaHash(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("phash", LongType, nullable = true),
+      StructField("phash_bits", StringType, nullable = true)))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          val img = tryReadImage(bytes)
+          val h = if (img == null) byteDHash(bytes) else pixelDHash(img)
+          val bits = (63 to 0 by -1)
+            .map(k => if ((h >>> k & 1L) == 1L) '1' else '0').mkString
+          Row.fromSeq(r.toSeq ++ Seq(h, bits))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Near-duplicate media pairs by perceptual hash: 8 bands of 8 bits
+    * — two hashes within Hamming distance ≤ 7 MUST agree on at least
+    * one whole band (pigeonhole), so recall is EXACT for
+    * `maxHamming ≤ 7` and candidates come from band equi-joins, never
+    * the corpus². Verification is one codegen'd
+    * `bit_count(a XOR b)` per candidate. Returns
+    * `(id_a, id_b, hamming)`, `id_a < id_b`.
+    *
+    * Scale shape: the hash rides the scan (no shuffle); candidates
+    * shuffle on (band, 8-bit key) — bounded buckets for natural image
+    * corpora; an adversarial single-key pile-up is the same hot-bucket
+    * class the LSH tier documents (cap upstream if needed). */
+  def mediaNearDups(df: DataFrame, idCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "8x8-bit banding guarantees recall only for maxHamming <= 7")
+    val hashed = mediaHash(df)
+      .select(col(idCol).as("__id"), col("phash"))
+      .filter(col("phash").isNotNull)
+    val bands = hashed.select(col("__id"), col("phash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("key",
+        expr("(phash >> (band * 8)) & 255"))
+    val a = bands.select(col("band"), col("key"),
+      col("__id").as("id_a"), col("phash").as("__ha"))
+    val b = bands.select(col("band"), col("key"),
+      col("__id").as("id_b"), col("phash").as("__hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** REAL audio encode via the JDK's own `javax.sound.sampled` writer:
     * wraps the blob's bytes as the PCM payload of a genuine WAV
     * container (8-bit unsigned mono by default — every byte is one

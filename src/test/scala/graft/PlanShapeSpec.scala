@@ -486,7 +486,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_novelty", "q_dedup_exact", "q_dedup_lsh", "q_dedup_embed",
       "q_hash_sample", "q_dedup_keep_best", "q_pack_text",
       "q_dedup_incremental", "q_dedup_exact_incr", "q_drop_contained",
-      "q_edit_join_incr", "q_semantic_dedup")
+      "q_edit_join_incr", "q_semantic_dedup", "q_media_phash")
     swept.foreach { n =>
       val sp = PlanLint.lint(SparkEntry.queries(n)(spark, sf))
         .filter(f => f.rule == "single-partition-exchange" ||
