@@ -106,8 +106,12 @@ object Bench {
           s""""$name":{"bytes":$bytes,"rows":${r.getLong(0)},"checksum":$sum_}"""
         } catch {
           case e: Exception =>
+            // strip the FULL control range (plus quote/backslash), not
+            // just the common whitespace escapes — a corrupt-footer
+            // message can carry raw bytes that would break the JSON
+            // artifact this fingerprint exists to produce
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(120)
             s""""$name":{"bytes":$bytes,"error":"$msg"}"""
         }
       }.mkString("{", ",", "}")

@@ -49,8 +49,14 @@ object DataPipelineQueries {
       * sort the whole result in one task, so materialize once
       * (localCheckpoint — the kernel upstream executes exactly once,
       * same as orderedSmall) and let a distributed range sort order
-      * the cheap materialized rows. Identical rows in identical order
-      * for a unique sort key. */
+      * the cheap materialized rows.
+      *
+      * CONTRACT: the sort-key tuple `(c, cs*)` MUST be unique per row.
+      * A range sort only fixes order BETWEEN partitions; equal keys
+      * land in one partition in partition-layout-dependent relative
+      * order, so a non-unique key yields run-to-run row-order drift the
+      * hash gate would mis-read as nondeterminism. Every current call
+      * site sorts on a primary id (or an id pair); keep it that way. */
     def orderedCorpus(c: String, cs: String*): DataFrame =
       df.localCheckpoint(true).orderBy(c, cs: _*)
   }
@@ -1462,6 +1468,27 @@ object DataPipelineQueries {
           Multimodal.attachBlob(docs(s, dir), "doc_id", "text"))
         .select(col("media_id"), col("phash_bits"))
         .orderedCorpus("media_id")),
+
+    // ── perceptual near-dup PAIR tier over the same byte-domain
+    //    hashes: adaptive 4×16-bit Hamming bands (radius 3 — the
+    //    default mode), band equi-join, bit_count(xor) verify. The
+    //    corpus is documents ∪ an id-shifted EXACT copy of every 5th
+    //    doc, so hamming-0 pairs exist at every SF and the natural
+    //    near-dups (radius ≤ 3 from sf0.1 up) exercise the nonzero
+    //    verify. The oracle replays band keys as 16-char slices of the
+    //    bit string and the verify as bit_count(xor(bits)).
+    "q_media_neardups" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+            col("text")))
+      Multimodal.mediaNearDups(
+          Multimodal.attachBlob(corpus, "doc_id", "text"), "media_id",
+          maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderedCorpus("id_a", "id_b")
+    }),
 
     "q_media_dirty" -> ((s, dir) => {
       import org.apache.spark.sql.Row
@@ -4224,9 +4251,67 @@ object DataPipelineQueries {
         |  FROM grid GROUP BY 1
         |)
         |SELECT h.doc_id AS media_id,
-        |       coalesce(b.pb, repeat('0', 64)) AS phash_bits
+        |       CASE WHEN h.hx IS NULL THEN NULL
+        |            ELSE coalesce(b.pb, repeat('0', 64)) END AS phash_bits
         |FROM hexed h LEFT JOIN bits b USING (doc_id)
         |ORDER BY media_id""".stripMargin,
+
+    // Same byteDHash replay over documents ∪ the id-shifted exact
+    // copies, then the Hamming-band pair tier: band b's engine key
+    // (phash >> 16b) & 0xFFFF is exactly the 16-char bit-string slice
+    // starting at position 49−16b (MSB-first), so band equality joins
+    // on substr; the verify is bit_count(xor) over the full 64 bits.
+    "q_media_neardups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), hexed AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM corpus WHERE text IS NOT NULL
+        |), idx AS (
+        |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed
+        |), bytes AS (
+        |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
+        |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
+        |           AS byte
+        |  FROM idx
+        |), blocks AS (
+        |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS m
+        |  FROM bytes GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT h.doc_id, g.k,
+        |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
+        |  FROM hexed h
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
+        |  LEFT JOIN blocks b1 ON b1.doc_id = h.doc_id
+        |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
+        |  LEFT JOIN blocks b2 ON b2.doc_id = h.doc_id
+        |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
+        |  WHERE h.n > 0
+        |), bits AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+        |           ORDER BY k DESC) AS pb
+        |  FROM grid GROUP BY 1
+        |), hashes AS (
+        |  SELECT h.doc_id, coalesce(b.pb, repeat('0', 64)) AS pb
+        |  FROM hexed h LEFT JOIN bits b USING (doc_id)
+        |), bands AS (
+        |  SELECT doc_id, pb, g.band,
+        |         substr(pb, CAST(49 - 16*band AS INT), 16) AS key
+        |  FROM hashes
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         bit_count(xor(a.pb::BIT, b.pb::BIT)) AS hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the surviving samples are the first L//2 payload bytes; rms as in
     // q_audio_features (exact multiples of 2^-7 ⇒ identical doubles).

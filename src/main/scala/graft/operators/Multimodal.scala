@@ -253,32 +253,101 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
-  /** Near-duplicate media pairs by perceptual hash: 8 bands of 8 bits
-    * — two hashes within Hamming distance ≤ 7 MUST agree on at least
-    * one whole band (pigeonhole), so recall is EXACT for
-    * `maxHamming ≤ 7` and candidates come from band equi-joins, never
-    * the corpus². Verification is one codegen'd
-    * `bit_count(a XOR b)` per candidate. Returns
-    * `(id_a, id_b, hamming)`, `id_a < id_b`.
+  /** Near-duplicate media pairs by perceptual hash, ADAPTIVELY banded
+    * (multi-index-hashing style): the 64-bit hash is split into the
+    * FEWEST bands that still give exact recall — `b` bands guarantee
+    * (pigeonhole) that two hashes within Hamming distance ≤ b−1 agree
+    * on at least one whole band, so `maxHamming ≤ 3` runs 4×16-bit
+    * bands (65,536 buckets/band), ≤ 1 runs 2×32, 0 runs 1×64 (exact
+    * equality), and only the opt-in `maxHamming ∈ [4,7]` mode pays the
+    * 8×8-bit split. Candidates come from band equi-joins;
+    * verification is one codegen'd `bit_count(a XOR b)` per
+    * candidate. Returns `(id_a, id_b, hamming)`, `id_a < id_b`.
     *
-    * Scale shape: the hash rides the scan (no shuffle); candidates
-    * shuffle on (band, 8-bit key) — bounded buckets for natural image
-    * corpora; an adversarial single-key pile-up is the same hot-bucket
-    * class the LSH tier documents (cap upstream if needed). */
+    * Why band width matters (the [[graft.operators.Similarity]]
+    * `cosineDedup` rule): a band self-join on uniformly-distributed
+    * hashes — which is what a dHash over a DIVERSE natural-image
+    * corpus approximates — has expected candidate count
+    * b·N²/2^width/2, quadratic in corpus size at any fixed width. 8-bit
+    * keys (256 buckets/band) hit N²/64 on uniform hashes; 16-bit keys
+    * defer the quadratic term 256×. Because the term never vanishes,
+    * the same two guards as `cosineDedup`/`ngramJaccardPairs` apply:
+    *
+    *  - `maxBucket`: per-(band, key) counts are aggregated map-side,
+    *    the tiny over-cap set is broadcast-anti-joined out BEFORE the
+    *    self-join — one hot bucket (a solid-color/boilerplate pile-up)
+    *    can never emit a quadratic pair list. Capped buckets lose
+    *    recall only for hashes whose EVERY band is over-cap.
+    *  - `maxCandidatePairs`: before building the pair plan, one cheap
+    *    eager job (the band-key histogram, computed once and reused
+    *    for the over-cap set — no re-scan) sums the post-cap
+    *    Σ C(bucket, 2) and fails fast with a remedy pointer instead of
+    *    grinding out a join quadratically past its design point. Pass
+    *    `maxCandidatePairs <= 0` to skip the eager job (callers that
+    *    have already sized the corpus).
+    *
+    * Scale shape: the hash kernel (codec decode + dHash) runs ONCE —
+    * the (id, hash) projection is localCheckpointed before the band
+    * fan-out, so neither the guard job nor the two join sides re-run
+    * the decode; candidates shuffle on (band, key). */
   def mediaNearDups(df: DataFrame, idCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000,
+      maxCandidatePairs: Long = 100000000L): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
-      "8x8-bit banding guarantees recall only for maxHamming <= 7")
+      "banding guarantees exact recall only for maxHamming <= 7 " +
+        "(8 bands of 8 bits); use a coarser tier for larger radii")
+    val nBands =
+      if (maxHamming == 0) 1
+      else if (maxHamming <= 1) 2
+      else if (maxHamming <= 3) 4
+      else 8
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val hashed = mediaHash(df)
       .select(col(idCol).as("__id"), col("phash"))
       .filter(col("phash").isNotNull)
+      .localCheckpoint(true)
     val bands = hashed.select(col("__id"), col("phash"),
-        explode(sequence(lit(0), lit(7))).as("band"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("key",
-        expr("(phash >> (band * 8)) & 255"))
-    val a = bands.select(col("band"), col("key"),
+        expr(s"(phash >> (band * $width)) & $mask"))
+    val guarded =
+      if (maxBucket == Int.MaxValue && maxCandidatePairs <= 0L) bands
+      else {
+        // ONE histogram pass serves both guards: map-side partial
+        // counts collapse each task's band keys to one long per
+        // (band, key), and the checkpoint pins the counts so the
+        // over-cap set below is no extra scan
+        val counts = bands.groupBy("band", "key")
+          .agg(count(lit(1)).as("__cnt"))
+          .localCheckpoint(true)
+        if (maxCandidatePairs > 0L) {
+          // sum n·(n−1) as LONG (SQL `/` would widen to double) and
+          // halve on the driver — n·(n−1) is always even
+          val est = counts
+            .agg(sum(when(col("__cnt") <= maxBucket,
+                col("__cnt") * (col("__cnt") - 1))
+              .otherwise(lit(0L))).as("est"))
+            .head().getLong(0) / 2
+          if (est > maxCandidatePairs) throw new IllegalStateException(
+            s"mediaNearDups: estimated post-cap candidate volume $est " +
+              s"exceeds maxCandidatePairs=$maxCandidatePairs at " +
+              s"$nBands x $width-bit bands. Remedies: lower maxHamming " +
+              "(wider bands => 2^width more buckets), lower maxBucket " +
+              "(drops hot buckets before the join), or raise " +
+              "maxCandidatePairs if the volume is priced in.")
+        }
+        if (maxBucket == Int.MaxValue) bands
+        else {
+          val overCap = counts.filter(col("__cnt") > maxBucket)
+            .select("band", "key")
+          bands.join(broadcast(overCap), Seq("band", "key"), "left_anti")
+        }
+      }
+    val a = guarded.select(col("band"), col("key"),
       col("__id").as("id_a"), col("phash").as("__ha"))
-    val b = bands.select(col("band"), col("key"),
+    val b = guarded.select(col("band"), col("key"),
       col("__id").as("id_b"), col("phash").as("__hb"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))

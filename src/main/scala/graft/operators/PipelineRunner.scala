@@ -73,6 +73,11 @@ object PipelineRunner {
       idCol: String, textCol: String, shards: Int = 8): DataFrame = {
     require(stages.nonEmpty, "at least one stage")
     val spark = input.sparkSession
+    // pin the input ONCE (the appendShards convention): the fingerprint
+    // below and the frame stage 0 consumes must be the SAME rows, or a
+    // nondeterministic input could record green markers whose stored
+    // fingerprint describes rows stage 0 never saw
+    val pinned = input.localCheckpoint(true)
     // fingerprint the input: stored manifest rows must match what the
     // caller is passing NOW, or every green marker describes output of
     // a different corpus and the whole prefix is stale
@@ -86,7 +91,7 @@ object PipelineRunner {
       rs.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("n_chars"), r.getAs[Long]("checksum"))).toSet
     val inputRows = rows4(
-      CorpusStats.manifest(input, idCol, textCol, shards)
+      CorpusStats.manifest(pinned, idCol, textCol, shards)
         .select("shard", "n_docs", "n_chars", "checksum").collect())
     val inputMatches = fs(spark, imDir).exists(imOk) &&
       (try rows4(spark.read.parquet(imDir)
@@ -121,7 +126,7 @@ object PipelineRunner {
       fs(spark, imDir).create(imOk, true).close()
     }
     var current =
-      if (firstGap == 0) input
+      if (firstGap == 0) pinned
       else spark.read.parquet(
         s"${stageDir(dir, firstGap - 1, stages(firstGap - 1))}/data")
     for (i <- firstGap until stages.length) {

@@ -119,4 +119,60 @@ class MediaHashSpec extends SparkSpec {
       a <- hashes.keys; b <- hashes.keys if a < b
       if hashes(a) == hashes(b) } yield (a, b)).toSet)
   }
+
+  test("mediaNearDups adaptive banding: radius 3 runs 4x16-bit bands " +
+      "with EXACT recall (ground truth from the hashes), and disabling " +
+      "both guards reproduces the same pairs") {
+    val rows = (0L until 12L).map { i =>
+      val txt =
+        if (i < 4) "shared payload for the dup cluster"
+        else s"unique payload number $i with its own distinct byte mix"
+      i -> txt.getBytes("UTF-8")
+    }
+    val df = media(rows)
+    val hashes = Multimodal.mediaHash(df)
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "dup cluster must produce ground truth")
+    val got = Multimodal.mediaNearDups(df, "media_id", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    val unguarded = Multimodal.mediaNearDups(df, "media_id",
+        maxHamming = 3, maxBucket = Int.MaxValue, maxCandidatePairs = 0L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded === expected, "guards must be no-ops on a tiny corpus")
+  }
+
+  test("mediaNearDups candidate-volume guard fails fast with a remedy " +
+      "pointer when the post-cap estimate exceeds the budget") {
+    val df = media((0L until 40L).map(i =>
+      i -> "every row is the identical blob".getBytes("UTF-8")))
+    val e = intercept[IllegalStateException] {
+      Multimodal.mediaNearDups(df, "media_id", maxHamming = 3,
+        maxCandidatePairs = 10L).count()
+    }
+    assert(e.getMessage.contains("maxCandidatePairs"))
+    assert(e.getMessage.contains("Remedies"))
+  }
+
+  test("mediaNearDups maxBucket cap: a hot bucket (dup pile-up) is " +
+      "anti-joined out before the self-join; small clusters survive") {
+    val hot = (0L until 30L).map(i =>
+      i -> "the pile-up blob shared by thirty rows".getBytes("UTF-8"))
+    val pair = Seq(
+      100L -> "a small two-row cluster payload".getBytes("UTF-8"),
+      101L -> "a small two-row cluster payload".getBytes("UTF-8"))
+    val got = Multimodal.mediaNearDups(media(hot ++ pair), "media_id",
+        maxHamming = 3, maxBucket = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 101L)),
+      "over-cap buckets dropped, under-cap pair kept")
+  }
 }

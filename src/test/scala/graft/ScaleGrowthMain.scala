@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Scale-growth audit (not a unit test — run with `Test/runMain`):
   * synthesizes 1× / K× corpora from sf0.1 by unioning id-shifted copies
@@ -123,6 +123,10 @@ object ScaleGrowthMain {
             length(col("text")).cast("double"), 100)),
         "top_ngrams" -> time("top_ngrams",
           TextAnalysis.topNgrams(d, "text", 2, 40)),
+        "media_neardups" -> time("media_neardups",
+          Multimodal.mediaNearDups(
+            Multimodal.attachBlob(d, "doc_id", "text"), "media_id",
+            maxHamming = 3, maxBucket = 2000)),
       )
     }
 
