@@ -1490,6 +1490,23 @@ object DataPipelineQueries {
         .orderedCorpus("id_a", "id_b")
     }),
 
+    // ── the PIXEL-domain dHash path over REAL encoded images: each
+    //    doc renders a deterministic block-constant grayscale PNG
+    //    (ImageIO's own writer), mediaHash decodes it (ImageIO reader
+    //    → Rec.601 luma → block means) and the hash must equal the
+    //    pure-integer comparison pattern the oracle computes
+    //    arithmetically — a codec-free differential check of the full
+    //    encode → decode → luma → dHash journey (a byte-domain
+    //    fallback on the PNG bytes CANNOT match it, so this row proves
+    //    the pixel path is taken)
+    "q_media_pixel" -> ((s, dir) =>
+      Multimodal.mediaHash(
+          Multimodal.buildBlockPng(
+            docs(s, dir).select(col("doc_id").cast("long").as("doc_id")),
+            "doc_id"))
+        .select(col("media_id"), col("phash_bits"))
+        .orderedCorpus("media_id")),
+
     "q_media_dirty" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       val d = docs(s, dir)
@@ -4312,6 +4329,28 @@ object DataPipelineQueries {
         |)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Pixel-path replay WITHOUT a codec: buildBlockPng renders block
+    // (bx, by) of doc id at constant gray v = (id·37 + by·17 + bx·23)
+    // mod 199 + 1, PNG is lossless and the 18×16 grid maps exactly
+    // onto the 9×8 dHash blocks, so the decoded block mean is the
+    // Rec.601 luma of v (monotone in v, adjacent blocks differ by
+    // ≥ 1 gray level) and bit k of the hash is exactly the integer
+    // comparison v(bx=k%8+1) > v(bx=k%8) in row by=k//8.
+    "q_media_pixel" ->
+      """WITH grid AS (
+        |  SELECT doc_id, g.k,
+        |         ((doc_id*37 + (g.k//8)*17 + (g.k%8 + 1)*23) % 199 + 1)
+        |       > ((doc_id*37 + (g.k//8)*17 + (g.k%8)*23) % 199 + 1)
+        |           AS bit
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
+        |)
+        |SELECT doc_id AS media_id,
+        |       string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+        |         ORDER BY k DESC) AS phash_bits
+        |FROM grid GROUP BY 1
+        |ORDER BY media_id""".stripMargin,
 
     // the surviving samples are the first L//2 payload bytes; rms as in
     // q_audio_features (exact multiples of 2^-7 ⇒ identical doubles).

@@ -49,6 +49,14 @@ object StreamingQueries {
 
   private def docsPath(dir: String) = s"$dir/documents.parquet"
 
+  // collision-safe scratch key (the DataPipelineQueries convention):
+  // md5 of the sf dir, so concurrent gates over different corpora
+  // never share state roots
+  private def scratchKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── streaming ingest dedup: dropDuplicatesWithinWatermark over the
     //    md5 fingerprint, horizon >> data span (state bounded by the
@@ -129,8 +137,8 @@ object StreamingQueries {
     //    the batch-trained per-(type, hour-slot) seasonal profile and
     //    scanned by the SAME fleet hysteresis machine as q_fleet_scan
     //    — streamed bucketization ≡ batch bucketization ≡ DuckDB,
-    //    end to end. The cross-micro-batch state-resume variant of the
-    //    same scan is spec-gated (StreamingEval/FleetScan parity).
+    //    end to end. The cross-RUN state-resume variant of the same
+    //    scan is driver-gated too (q_stream_resume below).
     "q_stream_eval" -> ((s, dir) => {
       import graft.operators.{Feature, TimesQuery}
       val keys = Seq("event_type")
@@ -188,6 +196,102 @@ object StreamingQueries {
         maxThreshold = 90.0, minThreshold = 60.0,
         gracePeriodSec = 21600L)
       scanned
+        .select(col("event_type"), col("bucket"),
+          round(col("score"), 4).as("score"),
+          col("is_anomaly"), col("anomaly"),
+          round(col("episode_max"), 4).as("episode_max"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // ── the reference's actual restart semantics (loudml/server.py:
+    //    1559-1580 — the scheduler fires `_start` every interval and
+    //    each run resumes hysteresis from PERSISTED state): the test
+    //    range is split in two, each half runs as its OWN streaming
+    //    job (separate StreamRun checkpoint + snapshot), run 1's fleet
+    //    state is saved to parquet (FleetScan.saveState's versioned
+    //    ACTIVE-pointer protocol) and run 2 LOADS it back before
+    //    scanning — so an anomaly episode spanning the restart must
+    //    fire exactly one `start`. The union of both runs' outputs is
+    //    differentially checked against the ONE-run recursive-CTE
+    //    oracle: state persistence cannot drop, duplicate or re-anchor
+    //    an episode without going red.
+    "q_stream_resume" -> ((s, dir) => {
+      import graft.operators.{Feature, TimesQuery}
+      val keys = Seq("event_type")
+      val ev = graft.sources.Tables.load(s, dir, "events")
+      val train = TimesQuery.run(s, ev, "ts", EvalHour, EvalFrom,
+        EvalSplit, Seq(Feature("observed", "avg", "value")),
+        seriesKeys = keys)
+      val slotC = (pmod(col("bucket"), lit(86400L)) / lit(EvalHour))
+        .cast("long")
+      val profile = train
+        .groupBy(col("event_type"), slotC.as("slot"))
+        .agg(avg(col("observed")).as("mu"),
+          coalesce(when(stddev_pop(col("observed")) === 0.0, 1.0)
+            .otherwise(stddev_pop(col("observed"))), lit(1.0)).as("sigma"))
+      // one scheduled run: stream the half range, snapshot, spine,
+      // score — q_stream_eval's scoring, bounded to [from, to).
+      // extraKeys carries the fleet roster from persisted state so a
+      // series silent in this half still gets its score-0 spine rows
+      // (the oracle spines every test-range type across both halves).
+      def scoredHalf(from: Long, to: Long,
+          extraKeys: Option[DataFrame]): DataFrame = {
+        val streamed = StreamRun.toTable(s, s"$dir/events.parquet", src => {
+            val ts = src.schema("ts").dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                expr("timestamp_micros(ts div 1000)")
+              case _ => col("ts").cast("timestamp")
+            }
+            src.withColumn("__t", ts)
+              .filter(col("__t") >= timestamp_seconds(lit(from)) &&
+                col("__t") < timestamp_seconds(lit(to)))
+              .groupBy(col("event_type"),
+                window(col("__t"), s"$EvalHour seconds"))
+              .agg(sum(col("value")
+                  .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+                  .as("__s"),
+                count(col("value")).as("__n"))
+          }, OutputMode.Complete())
+          .select(col("event_type"),
+            col("window.start").cast("long").as("bucket"),
+            (col("__s").cast("double") / col("__n")).as("v"))
+        val types = extraKeys match {
+          case Some(k) => streamed.select("event_type")
+            .unionByName(k.select("event_type")).distinct()
+          case None => streamed.select("event_type").distinct()
+        }
+        val spine = types.select(col("event_type"),
+          explode(sequence(lit(from), lit(to - EvalHour), lit(EvalHour)))
+            .as("bucket"))
+        spine.join(streamed, Seq("event_type", "bucket"), "left")
+          .withColumn("slot", slotC)
+          .join(broadcast(profile), Seq("event_type", "slot"))
+          .withColumn("score", coalesce(graft.functions.Stats.anomalyScore(
+            col("v"), col("mu"), col("mu") + lit(3.0) * col("sigma"),
+            "low_high"), lit(0.0)))
+          .select(col("event_type"), col("bucket"), col("score"))
+      }
+      val mid = EvalSplit + 5L * 86400L
+      val stRoot = s"/tmp/graft_fleetstate_${scratchKey(dir)}"
+      // run 1: empty state, first half; persist the resulting state
+      val (scan1, st1) = graft.ml.FleetScan.scanWithState(
+        scoredHalf(EvalSplit, mid, None),
+        graft.ml.FleetScan.emptyState(s, keys), keys,
+        maxThreshold = 90.0, minThreshold = 60.0,
+        gracePeriodSec = 21600L)
+      // pin run 1's output: saveState executes the scan once to build
+      // the state, and the final union would otherwise execute it
+      // again (identical rows — the scan is deterministic over the
+      // checkpointed snapshot — but double the work)
+      val scan1Pinned = scan1.localCheckpoint(true)
+      graft.ml.FleetScan.saveState(st1, stRoot, "resume"): Unit
+      // run 2: a separate streaming job resuming from the LOADED state
+      val loaded = graft.ml.FleetScan.loadState(s, stRoot, "resume", keys)
+      val (scan2, _) = graft.ml.FleetScan.scanWithState(
+        scoredHalf(mid, EvalTo, Some(loaded)), loaded, keys,
+        maxThreshold = 90.0, minThreshold = 60.0,
+        gracePeriodSec = 21600L)
+      scan1Pinned.unionByName(scan2)
         .select(col("event_type"), col("bucket"),
           round(col("score"), 4).as("score"),
           col("is_anomaly"), col("anomaly"),
@@ -271,7 +375,14 @@ object StreamingQueries {
     // (TimesQuery's spine semantics), the test spine spans the types
     // observed in the test range (= the streamed snapshot's types);
     // avg is the same decimal-sum-over-count both sides
-    "q_stream_eval" -> {
+    "q_stream_eval" -> streamEvalOracle,
+
+    // the resume row's contract is precisely "two persisted-state runs
+    // ≡ one run" — so the oracle IS the one-run replay, verbatim
+    "q_stream_resume" -> streamEvalOracle,
+  )
+
+  private lazy val streamEvalOracle: String = {
       val det = "(sm.last_end IS NULL OR o.bucket - sm.last_end >= 21600)" +
         " AND o.score >= 90.0"
       s"""WITH RECURSIVE keys AS (SELECT DISTINCT event_type FROM events),
@@ -367,6 +478,5 @@ object StreamingQueries {
          |       round(CASE WHEN anomaly IS NOT NULL THEN epi_max END, 4)
          |         AS episode_max
          |FROM sm ORDER BY event_type, bucket""".stripMargin
-    },
-  )
+  }
 }

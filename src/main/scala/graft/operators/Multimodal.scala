@@ -357,6 +357,46 @@ object Multimodal {
       .distinct()
   }
 
+  /** REAL image encode via ImageIO's own PNG writer (the image analog
+    * of [[buildWav]]): renders an 18×16 grayscale frame per row whose
+    * pixels are CONSTANT within each 2×2 block of the dHash grid —
+    * block (bx, by) has value v = (id·37 + by·17 + bx·23) mod 199 + 1
+    * (horizontally adjacent blocks differ by 23 mod 199, never 0, so
+    * no comparison in [[pixelDHash]] can tie) — then PNG-encodes it.
+    * Because PNG is lossless and the grid mapping (x·9/18 = x/2,
+    * y·8/16 = y/2) is exact, the decoded hash is EXACTLY the integer
+    * comparison v(bx+1) > v(bx): an arithmetic oracle can replay the
+    * full encode → ImageIO decode → Rec.601 luma → block-mean → dHash
+    * journey without touching a codec. Output: (media_id, data).
+    * Narrow `mapPartitions`; blobs never shuffle. */
+  def buildBlockPng(df: DataFrame, idCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = true)))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val img = new java.awt.image.BufferedImage(
+          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 18) {
+            val v =
+              (((id * 37 + (y / 2) * 17 + (x / 2) * 23) % 199) + 1).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** REAL audio encode via the JDK's own `javax.sound.sampled` writer:
     * wraps the blob's bytes as the PCM payload of a genuine WAV
     * container (8-bit unsigned mono by default — every byte is one

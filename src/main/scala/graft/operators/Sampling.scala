@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Hard cap on per-stratum aggregates collected to the driver. The
+    * samplers below collect ONE row per stratum/class by design — a
+    * metadata-sized result for any legitimate strata column (language,
+    * source, license: thousands of values, not millions). A caller
+    * passing a row-unique key (doc_id) would silently turn that into a
+    * corpus-sized driver collect; fail loudly at the cap instead. */
+  private val MaxStrata = 100000
+
+  private def collectStrata(aggregated: DataFrame,
+      what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = aggregated.limit(MaxStrata + 1).collect()
+    require(rows.length <= MaxStrata,
+      s"$what: more than $MaxStrata distinct strata/classes — this " +
+        "sampler collects one aggregate row per stratum to the driver " +
+        "and requires a low-cardinality (metadata-sized) strata/class " +
+        "column, not a row-unique key like a document id")
+    rows
+  }
+
   /** Uniform-[0,1) value derived from the first 32 bits of
     * md5(salt || id) — the engine-independent analog of `rand(seed)`
     * keyed by row identity rather than partition position. */
@@ -83,8 +102,8 @@ object Sampling {
     * no-op that silently truncates — refuse instead). */
   def balanceClasses(df: DataFrame, classCol: String, idCol: String,
       salt: String = ""): DataFrame = {
-    val counts = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
-      .collect()
+    val counts = collectStrata(
+      df.groupBy(classCol).agg(count(lit(1)).as("__n")), "balanceClasses")
     require(counts.length >= 2,
       s"balanceClasses needs >= 2 classes (got ${counts.length})")
     val kMin = counts.map(_.getLong(1)).min
@@ -109,8 +128,9 @@ object Sampling {
       sizeExpr: Column, budgets: Map[String, Long],
       salt: String = ""): DataFrame = {
     require(budgets.nonEmpty, "at least one stratum budget")
-    val totals = df.groupBy(col(strataCol).cast("string").as("__s"))
-      .agg(sum(sizeExpr.cast("long")).as("__tot")).collect()
+    val totals = collectStrata(
+        df.groupBy(col(strataCol).cast("string").as("__s"))
+          .agg(sum(sizeExpr.cast("long")).as("__tot")), "tokenBudgetSample")
       .map(r => r.getString(0) -> r.getLong(1))
     val rates = totals.map { case (s, tot) =>
       (s, math.min(1.0, budgets.getOrElse(s, 0L).toDouble / math.max(tot, 1L)))
@@ -284,8 +304,9 @@ object Sampling {
       sizeExpr: Column, budgets: Map[String, Long],
       salt: String = ""): DataFrame = {
     require(budgets.nonEmpty, "at least one stratum budget")
-    val totals = df.groupBy(col(strataCol).cast("string").as("__s"))
-      .agg(sum(sizeExpr.cast("long")).as("__tot")).collect()
+    val totals = collectStrata(
+        df.groupBy(col(strataCol).cast("string").as("__s"))
+          .agg(sum(sizeExpr.cast("long")).as("__tot")), "epochMix")
       .map(r => r.getString(0) -> r.getLong(1))
     val rates = totals.map { case (s, tot) =>
       (s, budgets.getOrElse(s, 0L).toDouble / math.max(tot, 1L))
@@ -332,8 +353,9 @@ object Sampling {
   def temperatureMix(df: DataFrame, strataCol: String, idCol: String,
       sizeExpr: Column, budget: Long, salt: String = ""): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
-    val totals = df.groupBy(col(strataCol).cast("string").as("__s"))
-      .agg(sum(sizeExpr.cast("long")).as("__tot")).collect()
+    val totals = collectStrata(
+        df.groupBy(col(strataCol).cast("string").as("__s"))
+          .agg(sum(sizeExpr.cast("long")).as("__tot")), "temperatureMix")
       .map(r => r.getString(0) -> math.max(r.getLong(1), 1L))
     // Σ√n as exact decimal accumulation of 12-dp-quantized terms: the
     // one place a naive float sum would be iteration-order-dependent

@@ -304,4 +304,27 @@ class CurationWaveSpec extends SparkSpec {
     assert(out(2L) === ((3L, 2L, Some(2.0 / 3.0))))
     assert(out(3L) === ((0L, 0L, None)))
   }
+
+  test("samplers refuse a row-unique strata column: the per-stratum " +
+      "driver collect is capped and fails loudly past 100k strata") {
+    import graft.operators.Sampling
+    // one stratum per row — the misuse the guard exists for
+    val df = spark.range(100001L)
+      .select(col("id"), col("id").cast("string").as("cls"),
+        lit(10L).as("n_tok"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.balanceClasses(df, "cls", "id")
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(df, "cls", "id", col("n_tok"),
+        Map("0" -> 5L))
+    }
+    assert(e2.getMessage.contains("tokenBudgetSample"))
+    // and a legitimate metadata-sized strata column still works
+    val ok = Sampling.tokenBudgetSample(
+      df.withColumn("cls", (col("id") % 3).cast("string")),
+      "cls", "id", col("n_tok"), Map("0" -> 1000L, "1" -> 1000L, "2" -> 1000L))
+    assert(ok.count() > 0)
+  }
 }
