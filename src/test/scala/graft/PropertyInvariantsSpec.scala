@@ -469,6 +469,36 @@ class PropertyInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("property: mediaNearDups banded pairs EQUAL the brute-force " +
+      "Hamming join at every radius tier (adaptive band exactness)") {
+    import graft.operators.Multimodal
+    // random blobs with forced dup clusters (clones + tiny byte edits)
+    (1 to 2).foreach { k =>
+      val bases = sample(Gen.listOfN(10, Gen.chooseNum(8, 60).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte))
+          .map(_.toArray))), seed = 31000 + k)
+      val blobs = bases.zipWithIndex.flatMap { case (b, i) =>
+        val tweaked = b.clone(); tweaked(0) = (tweaked(0) ^ 1).toByte
+        Seq((i * 10L, b), (i * 10L + 1, b.clone()), (i * 10L + 2, tweaked))
+      }
+      val df = blobs.toDF("media_id", "data")
+      val hashes = Multimodal.mediaHash(df)
+        .select("media_id", "phash").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq(0, 1, 3, 7).foreach { r =>
+        val brute = (for {
+          a <- hashes.keys; b <- hashes.keys if a < b
+          if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= r
+        } yield (a, b)).toSet
+        val banded = Multimodal.mediaNearDups(df, "media_id",
+            maxHamming = r)
+          .select("id_a", "id_b").collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        assert(banded === brute, s"case $k radius $r")
+      }
+    }
+  }
+
   test("property: z-value is monotonic per dimension with the other " +
       "held fixed (the interleaving order contract)") {
     val xs = sample(Gen.listOfN(40, Gen.chooseNum(0L, 1000000L)),
