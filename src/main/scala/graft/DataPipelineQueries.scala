@@ -82,15 +82,9 @@ object DataPipelineQueries {
   //    q_token_budget 0.41× at the 5.8 MB sf1 file). The floor sits
   //    between the measured footprints: documents/embeddings are
   //    0.6/0.8 MB at sf0.1 and 5.8/3.4 MB at sf1.
-  /** Collision-free per-dataset scratch key for /tmp index/publish
-    * artifacts: full md5 hex of the dataset path. `abs(dir.hashCode)`
-    * (the previous key) could collide across distinct dirs — two
-    * concurrent gates would then delete each other's working set —
-    * and `math.abs(Int.MinValue)` is itself negative. */
-  private def scratchKey(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+  /** Per-dataset scratch key for /tmp index/publish artifacts — see
+    * [[graft.io.Scratch]] for the collision reasoning. */
+  private def scratchKey(dir: String): String = graft.io.Scratch.key(dir)
 
   private val lightFloor = 2L << 20
   private def docs(s: SparkSession, dir: String) =
@@ -1459,10 +1453,11 @@ object DataPipelineQueries {
     // ── perceptual media hash (dHash): the LAION/DataComp-style
     //    near-dup image key. Text blobs are not decodable images, so
     //    this rides the deterministic BYTE-domain fallback (same
-    //    contract as q_multimodal_features' byte-stat fallback) — the
-    //    pixel-domain path over real decoded images and the Hamming
-    //    band dedup (mediaNearDups: 8×8-bit bands, exact recall ≤ 7)
-    //    are spec-gated (MediaHashSpec)
+    //    contract as q_multimodal_features' byte-stat fallback); the
+    //    pixel-domain path is gated by q_media_pixel and the adaptive
+    //    Hamming-band pair tier (4×16-bit bands at the default
+    //    radius 3; 8×8 is the guarded radius-7 opt-in) by
+    //    q_media_neardups below
     "q_media_phash" -> ((s, dir) =>
       Multimodal.mediaHash(
           Multimodal.attachBlob(docs(s, dir), "doc_id", "text"))

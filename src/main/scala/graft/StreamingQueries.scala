@@ -49,14 +49,6 @@ object StreamingQueries {
 
   private def docsPath(dir: String) = s"$dir/documents.parquet"
 
-  // collision-safe scratch key (the DataPipelineQueries convention):
-  // md5 of the sf dir, so concurrent gates over different corpora
-  // never share state roots
-  private def scratchKey(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── streaming ingest dedup: dropDuplicatesWithinWatermark over the
     //    md5 fingerprint, horizon >> data span (state bounded by the
@@ -140,67 +132,14 @@ object StreamingQueries {
     //    end to end. The cross-RUN state-resume variant of the same
     //    scan is driver-gated too (q_stream_resume below).
     "q_stream_eval" -> ((s, dir) => {
-      import graft.operators.{Feature, TimesQuery}
       val keys = Seq("event_type")
-      val ev = graft.sources.Tables.load(s, dir, "events")
-      // per-(type, daily-hour-slot) profile from the training range —
-      // exactly q_fleet_scan's (TimesQuery spine keeps all 24 slots)
-      val train = TimesQuery.run(s, ev, "ts", EvalHour, EvalFrom,
-        EvalSplit, Seq(Feature("observed", "avg", "value")),
-        seriesKeys = keys)
-      val slotC = (pmod(col("bucket"), lit(86400L)) / lit(EvalHour))
-        .cast("long")
-      val profile = train
-        .groupBy(col("event_type"), slotC.as("slot"))
-        .agg(avg(col("observed")).as("mu"),
-          coalesce(when(stddev_pop(col("observed")) === 0.0, 1.0)
-            .otherwise(stddev_pop(col("observed"))), lit(1.0)).as("sigma"))
-      // live bucket table: stream the raw events file, keep the test
-      // range, aggregate per (type, hour) — Complete mode, exact
-      // decimal sum (order-invariant, so batch-split-invariant)
-      val streamed = StreamRun.toTable(s, s"$dir/events.parquet", src => {
-          val ts = src.schema("ts").dataType match {
-            case org.apache.spark.sql.types.LongType =>
-              expr("timestamp_micros(ts div 1000)")
-            case _ => col("ts").cast("timestamp")
-          }
-          src.withColumn("__t", ts)
-            .filter(col("__t") >= timestamp_seconds(lit(EvalSplit)) &&
-              col("__t") < timestamp_seconds(lit(EvalTo)))
-            .groupBy(col("event_type"),
-              window(col("__t"), s"$EvalHour seconds"))
-            .agg(sum(col("value")
-                .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-                .as("__s"),
-              count(col("value")).as("__n"))
-        }, OutputMode.Complete())
-        .select(col("event_type"),
-          col("window.start").cast("long").as("bucket"),
-          (col("__s").cast("double") / col("__n")).as("v"))
-      // spine-complete the snapshot (streaming append emits only
-      // non-empty windows; the scan needs every bucket, empty ⇒ score
-      // 0 — the gap-materialization semantics of the batch path)
-      val spine = streamed.select("event_type").distinct()
-        .select(col("event_type"), explode(sequence(lit(EvalSplit),
-          lit(EvalTo - EvalHour), lit(EvalHour))).as("bucket"))
-      val scored = spine
-        .join(streamed, Seq("event_type", "bucket"), "left")
-        .withColumn("slot", slotC)
-        .join(broadcast(profile), Seq("event_type", "slot"))
-        .withColumn("score", coalesce(graft.functions.Stats.anomalyScore(
-          col("v"), col("mu"), col("mu") + lit(3.0) * col("sigma"),
-          "low_high"), lit(0.0)))
-        .select(col("event_type"), col("bucket"), col("score"))
+      val scored = scoredRange(s, dir, evalProfile(s, dir),
+        EvalSplit, EvalTo, roster = None)
       val (scanned, _) = graft.ml.FleetScan.scanWithState(
         scored, graft.ml.FleetScan.emptyState(s, keys), keys,
         maxThreshold = 90.0, minThreshold = 60.0,
         gracePeriodSec = 21600L)
-      scanned
-        .select(col("event_type"), col("bucket"),
-          round(col("score"), 4).as("score"),
-          col("is_anomaly"), col("anomaly"),
-          round(col("episode_max"), 4).as("episode_max"))
-        .orderBy("event_type", "bucket")
+      evalPresent(scanned).orderBy("event_type", "bucket")
     }),
 
     // ── the reference's actual restart semantics (loudml/server.py:
@@ -214,68 +153,26 @@ object StreamingQueries {
     //    fire exactly one `start`. The union of both runs' outputs is
     //    differentially checked against the ONE-run recursive-CTE
     //    oracle: state persistence cannot drop, duplicate or re-anchor
-    //    an episode without going red.
+    //    an episode without going red. The fleet roster (which series
+    //    to monitor) is CONFIGURED, not discovered per run — the
+    //    reference declares its models up front — so both runs spine
+    //    the same type set and run 1 emits score-0 rows even for a
+    //    series that first reports after the restart, exactly like the
+    //    one-run oracle.
     "q_stream_resume" -> ((s, dir) => {
-      import graft.operators.{Feature, TimesQuery}
       val keys = Seq("event_type")
-      val ev = graft.sources.Tables.load(s, dir, "events")
-      val train = TimesQuery.run(s, ev, "ts", EvalHour, EvalFrom,
-        EvalSplit, Seq(Feature("observed", "avg", "value")),
-        seriesKeys = keys)
-      val slotC = (pmod(col("bucket"), lit(86400L)) / lit(EvalHour))
-        .cast("long")
-      val profile = train
-        .groupBy(col("event_type"), slotC.as("slot"))
-        .agg(avg(col("observed")).as("mu"),
-          coalesce(when(stddev_pop(col("observed")) === 0.0, 1.0)
-            .otherwise(stddev_pop(col("observed"))), lit(1.0)).as("sigma"))
-      // one scheduled run: stream the half range, snapshot, spine,
-      // score — q_stream_eval's scoring, bounded to [from, to).
-      // extraKeys carries the fleet roster from persisted state so a
-      // series silent in this half still gets its score-0 spine rows
-      // (the oracle spines every test-range type across both halves).
-      def scoredHalf(from: Long, to: Long,
-          extraKeys: Option[DataFrame]): DataFrame = {
-        val streamed = StreamRun.toTable(s, s"$dir/events.parquet", src => {
-            val ts = src.schema("ts").dataType match {
-              case org.apache.spark.sql.types.LongType =>
-                expr("timestamp_micros(ts div 1000)")
-              case _ => col("ts").cast("timestamp")
-            }
-            src.withColumn("__t", ts)
-              .filter(col("__t") >= timestamp_seconds(lit(from)) &&
-                col("__t") < timestamp_seconds(lit(to)))
-              .groupBy(col("event_type"),
-                window(col("__t"), s"$EvalHour seconds"))
-              .agg(sum(col("value")
-                  .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-                  .as("__s"),
-                count(col("value")).as("__n"))
-          }, OutputMode.Complete())
-          .select(col("event_type"),
-            col("window.start").cast("long").as("bucket"),
-            (col("__s").cast("double") / col("__n")).as("v"))
-        val types = extraKeys match {
-          case Some(k) => streamed.select("event_type")
-            .unionByName(k.select("event_type")).distinct()
-          case None => streamed.select("event_type").distinct()
-        }
-        val spine = types.select(col("event_type"),
-          explode(sequence(lit(from), lit(to - EvalHour), lit(EvalHour)))
-            .as("bucket"))
-        spine.join(streamed, Seq("event_type", "bucket"), "left")
-          .withColumn("slot", slotC)
-          .join(broadcast(profile), Seq("event_type", "slot"))
-          .withColumn("score", coalesce(graft.functions.Stats.anomalyScore(
-            col("v"), col("mu"), col("mu") + lit(3.0) * col("sigma"),
-            "low_high"), lit(0.0)))
-          .select(col("event_type"), col("bucket"), col("score"))
-      }
+      val profile = evalProfile(s, dir)
+      // the configured roster: every type active in the monitored
+      // range (tiny — localCheckpoint so both runs reuse one scan)
+      val roster = graft.sources.Tables.load(s, dir, "events")
+        .filter(col("ts") >= timestamp_seconds(lit(EvalSplit)) &&
+          col("ts") < timestamp_seconds(lit(EvalTo)))
+        .select("event_type").distinct().localCheckpoint(true)
       val mid = EvalSplit + 5L * 86400L
-      val stRoot = s"/tmp/graft_fleetstate_${scratchKey(dir)}"
+      val stRoot = s"/tmp/graft_fleetstate_${graft.io.Scratch.key(dir)}"
       // run 1: empty state, first half; persist the resulting state
       val (scan1, st1) = graft.ml.FleetScan.scanWithState(
-        scoredHalf(EvalSplit, mid, None),
+        scoredRange(s, dir, profile, EvalSplit, mid, Some(roster)),
         graft.ml.FleetScan.emptyState(s, keys), keys,
         maxThreshold = 90.0, minThreshold = 60.0,
         gracePeriodSec = 21600L)
@@ -288,17 +185,90 @@ object StreamingQueries {
       // run 2: a separate streaming job resuming from the LOADED state
       val loaded = graft.ml.FleetScan.loadState(s, stRoot, "resume", keys)
       val (scan2, _) = graft.ml.FleetScan.scanWithState(
-        scoredHalf(mid, EvalTo, Some(loaded)), loaded, keys,
-        maxThreshold = 90.0, minThreshold = 60.0,
+        scoredRange(s, dir, profile, mid, EvalTo, Some(roster)), loaded,
+        keys, maxThreshold = 90.0, minThreshold = 60.0,
         gracePeriodSec = 21600L)
-      scan1Pinned.unionByName(scan2)
-        .select(col("event_type"), col("bucket"),
-          round(col("score"), 4).as("score"),
-          col("is_anomaly"), col("anomaly"),
-          round(col("episode_max"), 4).as("episode_max"))
+      evalPresent(scan1Pinned.unionByName(scan2))
         .orderBy("event_type", "bucket")
     }),
   )
+
+  // ── shared scoring pipeline for the scheduled-eval rows ───────────
+
+  private def evalSlot =
+    (pmod(col("bucket"), lit(86400L)) / lit(EvalHour)).cast("long")
+
+  /** Batch-trained per-(type, daily-hour-slot) seasonal profile over
+    * the training range — exactly q_fleet_scan's (the TimesQuery spine
+    * keeps all 24 slots). */
+  private def evalProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Feature, TimesQuery}
+    val ev = graft.sources.Tables.load(s, dir, "events")
+    TimesQuery.run(s, ev, "ts", EvalHour, EvalFrom, EvalSplit,
+        Seq(Feature("observed", "avg", "value")),
+        seriesKeys = Seq("event_type"))
+      .groupBy(col("event_type"), evalSlot.as("slot"))
+      .agg(avg(col("observed")).as("mu"),
+        coalesce(when(stddev_pop(col("observed")) === 0.0, 1.0)
+          .otherwise(stddev_pop(col("observed"))), lit(1.0)).as("sigma"))
+  }
+
+  /** One scheduled eval run: stream the raw events file, keep
+    * [from, to), aggregate per (type, hour) in Complete mode (exact
+    * decimal sum — order-invariant, so batch-split-invariant),
+    * snapshot, spine-complete (streaming emits only non-empty windows;
+    * the scan needs every bucket, empty ⇒ score 0 — the
+    * gap-materialization semantics of the batch path) and score
+    * against `profile`. `roster` None ⇒ the types observed in THIS
+    * run's snapshot (the whole-range q_stream_eval shape); Some ⇒ the
+    * externally configured fleet set (the resume row's fixed monitor
+    * roster, identical across runs). */
+  private def scoredRange(s: SparkSession, dir: String,
+      profile: DataFrame, from: Long, to: Long,
+      roster: Option[DataFrame]): DataFrame = {
+    val streamed = StreamRun.toTable(s, s"$dir/events.parquet", src => {
+        // the raw stream bypasses Tables.load's dual-layout absorber:
+        // normalize with Tables.load's OWN conversions — exact integer
+        // `ts div 1000` (double division of epoch nanos loses ~256 ns
+        // past 2^53 and ROUNDS, so a boundary row could land in the
+        // next window on the stream side only)
+        val ts = src.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            expr("timestamp_micros(ts div 1000)")
+          case _ => col("ts").cast("timestamp")
+        }
+        src.withColumn("__t", ts)
+          .filter(col("__t") >= timestamp_seconds(lit(from)) &&
+            col("__t") < timestamp_seconds(lit(to)))
+          .groupBy(col("event_type"),
+            window(col("__t"), s"$EvalHour seconds"))
+          .agg(sum(col("value")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+              .as("__s"),
+            count(col("value")).as("__n"))
+      }, OutputMode.Complete())
+      .select(col("event_type"),
+        col("window.start").cast("long").as("bucket"),
+        (col("__s").cast("double") / col("__n")).as("v"))
+    val types = roster.getOrElse(streamed.select("event_type").distinct())
+    val spine = types.select(col("event_type"),
+      explode(sequence(lit(from), lit(to - EvalHour), lit(EvalHour)))
+        .as("bucket"))
+    spine.join(streamed, Seq("event_type", "bucket"), "left")
+      .withColumn("slot", evalSlot)
+      .join(broadcast(profile), Seq("event_type", "slot"))
+      .withColumn("score", coalesce(graft.functions.Stats.anomalyScore(
+        col("v"), col("mu"), col("mu") + lit(3.0) * col("sigma"),
+        "low_high"), lit(0.0)))
+      .select(col("event_type"), col("bucket"), col("score"))
+  }
+
+  /** The gate presentation both eval rows share. */
+  private def evalPresent(scanned: DataFrame): DataFrame =
+    scanned.select(col("event_type"), col("bucket"),
+      round(col("score"), 4).as("score"),
+      col("is_anomaly"), col("anomaly"),
+      round(col("episode_max"), 4).as("episode_max"))
 
   def oracleSql: Map[String, String] = Map(
     // one row per distinct text: fp is the dedup key, n_chars is

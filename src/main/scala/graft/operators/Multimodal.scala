@@ -324,11 +324,13 @@ object Multimodal {
           .localCheckpoint(true)
         if (maxCandidatePairs > 0L) {
           // sum n·(n−1) as LONG (SQL `/` would widen to double) and
-          // halve on the driver — n·(n−1) is always even
+          // halve on the driver — n·(n−1) is always even; coalesce
+          // because sum over ZERO buckets (empty/all-null-hash input)
+          // is NULL, not 0 (the ngramJaccardPairs convention)
           val est = counts
-            .agg(sum(when(col("__cnt") <= maxBucket,
+            .agg(coalesce(sum(when(col("__cnt") <= maxBucket,
                 col("__cnt") * (col("__cnt") - 1))
-              .otherwise(lit(0L))).as("est"))
+              .otherwise(lit(0L))), lit(0L)).as("est"))
             .head().getLong(0) / 2
           if (est > maxCandidatePairs) throw new IllegalStateException(
             s"mediaNearDups: estimated post-cap candidate volume $est " +

@@ -76,8 +76,11 @@ object PipelineRunner {
     // pin the input ONCE (the appendShards convention): the fingerprint
     // below and the frame stage 0 consumes must be the SAME rows, or a
     // nondeterministic input could record green markers whose stored
-    // fingerprint describes rows stage 0 never saw
-    val pinned = input.localCheckpoint(true)
+    // fingerprint describes rows stage 0 never saw. LAZY checkpoint:
+    // the manifest collect below materializes it as a side effect, so
+    // the corpus is scanned exactly once even on a green-prefix resume
+    // (an eager checkpoint would add a full extra pass)
+    val pinned = input.localCheckpoint(false)
     // fingerprint the input: stored manifest rows must match what the
     // caller is passing NOW, or every green marker describes output of
     // a different corpus and the whole prefix is stale

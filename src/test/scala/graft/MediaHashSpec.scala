@@ -175,4 +175,12 @@ class MediaHashSpec extends SparkSpec {
     assert(got === Set((100L, 101L)),
       "over-cap buckets dropped, under-cap pair kept")
   }
+
+  test("mediaNearDups on an empty / all-null-blob corpus returns an " +
+      "empty pair set (the guard's sum-over-zero-rows is coalesced)") {
+    val allNull = media(Seq(0L -> null, 1L -> null))
+    assert(Multimodal.mediaNearDups(allNull, "media_id").count() === 0L)
+    assert(Multimodal.mediaNearDups(media(Seq.empty), "media_id")
+      .count() === 0L)
+  }
 }
