@@ -48,7 +48,7 @@ object LintSweepMain {
     "q_calibration", "q_corpus_diff", "q_novelty", "q_contamination",
     "q_ann_quant", "q_annotations", "q_embed_neardup", "q_feature_scores",
     "q_fleet_scan", "q_minhash_pairs", "q_simhash_pairs", "q_stream_eval",
-    "q_times_keyed")
+    "q_stream_resume", "q_times_keyed")
   // predicates over COMPUTED norms/cells/buckets — no stored column
   // to push, the scan-adjacent filter is the correct shape
   private val scanFilterOk = Set("q_embed_outliers", "q_diversity_sample",
