@@ -1502,6 +1502,24 @@ object DataPipelineQueries {
         .select(col("media_id"), col("phash_bits"))
         .orderedCorpus("media_id")),
 
+    // ── the AUDIO decode path proven differentially (the audio analog
+    //    of q_media_pixel): each doc's text bytes become the PCM
+    //    payload of a REAL WAV container (AudioSystem.write — buildWav),
+    //    audioHash decodes it back (AudioSystem.getAudioInputStream)
+    //    and hashes the SAMPLE stream. 8-bit unsigned PCM passes the
+    //    payload through byte-for-byte, so the hash must equal
+    //    byteDHash(text bytes) — the same replay as q_media_phash's
+    //    oracle. A decode failure (fallback over the RIFF-headered
+    //    container bytes) CANNOT match: the row proves the codec path
+    //    is taken, and that the hash is container-invariant.
+    "q_audio_hash" -> ((s, dir) =>
+      Multimodal.audioHash(
+          Multimodal.buildWav(
+            Multimodal.attachBlob(docs(s, dir), "doc_id", "text",
+              kind = "audio")))
+        .select(col("media_id"), col("phash_bits"))
+        .orderedCorpus("media_id")),
+
     "q_media_dirty" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       val d = docs(s, dir)
@@ -1711,6 +1729,49 @@ object DataPipelineQueries {
   private lazy val dedupClusterSql: String =
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
+
+  // byteDHash replay over the documents table (block(i) = i*72//n over
+  // the UTF-8 bytes, exact integer sums → double means, bit k =
+  // m[(k//8)*9 + k%8 + 1] > m[... + 0], MSB-first 64-char bit string;
+  // empty docs hash all-zero, NULL text stays NULL). Shared by
+  // q_media_phash (byte-domain fallback on text blobs) and
+  // q_audio_hash (the WAV payload decodes back to exactly these bytes).
+  private val byteDHashBitsOracle: String =
+    """WITH hexed AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS n
+      |  FROM documents
+      |), idx AS (
+      |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed
+      |), bytes AS (
+      |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
+      |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
+      |           AS byte
+      |  FROM idx
+      |), blocks AS (
+      |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS m
+      |  FROM bytes GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT h.doc_id, g.k,
+      |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
+      |  FROM hexed h
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
+      |  LEFT JOIN blocks b1 ON b1.doc_id = h.doc_id
+      |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
+      |  LEFT JOIN blocks b2 ON b2.doc_id = h.doc_id
+      |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
+      |  WHERE h.n > 0
+      |), bits AS (
+      |  SELECT doc_id,
+      |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+      |           ORDER BY k DESC) AS pb
+      |  FROM grid GROUP BY 1
+      |)
+      |SELECT h.doc_id AS media_id,
+      |       CASE WHEN h.hx IS NULL THEN NULL
+      |            ELSE coalesce(b.pb, repeat('0', 64)) END AS phash_bits
+      |FROM hexed h LEFT JOIN bits b USING (doc_id)
+      |ORDER BY media_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -4231,42 +4292,13 @@ object DataPipelineQueries {
     // double means, bit k = m[(k//8)*9 + k%8 + 1] > m[... + 0]
     // (missing blocks mean 0.0), emitted MSB-first as a 64-char bit
     // string; empty docs hash to all-zero
-    "q_media_phash" ->
-      """WITH hexed AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS n
-        |  FROM documents
-        |), idx AS (
-        |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed
-        |), bytes AS (
-        |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
-        |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
-        |           AS byte
-        |  FROM idx
-        |), blocks AS (
-        |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS m
-        |  FROM bytes GROUP BY 1, 2
-        |), grid AS (
-        |  SELECT h.doc_id, g.k,
-        |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
-        |  FROM hexed h
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
-        |  LEFT JOIN blocks b1 ON b1.doc_id = h.doc_id
-        |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
-        |  LEFT JOIN blocks b2 ON b2.doc_id = h.doc_id
-        |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
-        |  WHERE h.n > 0
-        |), bits AS (
-        |  SELECT doc_id,
-        |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
-        |           ORDER BY k DESC) AS pb
-        |  FROM grid GROUP BY 1
-        |)
-        |SELECT h.doc_id AS media_id,
-        |       CASE WHEN h.hx IS NULL THEN NULL
-        |            ELSE coalesce(b.pb, repeat('0', 64)) END AS phash_bits
-        |FROM hexed h LEFT JOIN bits b USING (doc_id)
-        |ORDER BY media_id""".stripMargin,
+    "q_media_phash" -> byteDHashBitsOracle,
+
+    // audioHash over buildWav(text): 8-bit unsigned PCM passes the
+    // payload through byte-for-byte, so the sample-stream hash IS
+    // byteDHash(text bytes) — the identical replay gates the audio
+    // decode path (a fallback over container bytes cannot match)
+    "q_audio_hash" -> byteDHashBitsOracle,
 
     // Same byteDHash replay over documents ∪ the id-shifted exact
     // copies, then the Hamming-band pair tier: band b's engine key

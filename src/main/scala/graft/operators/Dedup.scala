@@ -153,6 +153,99 @@ object Dedup {
     df.filter(col(textCol).isNotNull)
       .select(col(idCol), graft.functions.SimHash64(col(textCol)).as("simhash"))
 
+  /** Near-duplicate pairs for ANY 64-bit Hamming-space signature column
+    * (perceptual image dHash, audio sample-stream hash, SimHash),
+    * ADAPTIVELY banded multi-index-hashing style: the hash is split
+    * into the FEWEST bands that keep exact pigeonhole recall for the
+    * requested radius — `b` bands guarantee two hashes within Hamming
+    * distance ≤ b−1 agree on at least one whole band, so `maxHamming
+    * ≤ 3` runs 4×16-bit bands (65,536 buckets/band), ≤ 1 runs 2×32,
+    * 0 runs 1×64 (exact equality) and only the opt-in radius-[4,7]
+    * mode pays the 8×8-bit split. Candidates come from band
+    * equi-joins; verification is one codegen'd `bit_count(a XOR b)`
+    * per candidate. Returns `(id_a, id_b, hamming)`, `id_a < id_b`.
+    *
+    * A band self-join on uniformly-distributed hashes has expected
+    * candidate count b·N²/2^width/2 — quadratic in corpus size at any
+    * fixed width — so the same two guards as [[ngramJaccardPairs]] and
+    * `Similarity.cosineDedup` apply: `maxBucket` anti-joins hot
+    * buckets out before the self-join (per-(band, key) counts
+    * aggregated map-side, over-cap set broadcast), and
+    * `maxCandidatePairs` fails fast with a remedy pointer when the
+    * post-cap Σ C(bucket, 2) estimate exceeds the budget (ONE
+    * checkpointed histogram pass serves both guards; pass ≤ 0 to skip
+    * the eager job).
+    *
+    * `hashed` must be two columns (idCol, hashCol) with non-null
+    * hashes; callers with an expensive upstream kernel should
+    * materialize it first (the media tier localCheckpoints its decode
+    * so the guard job and the two join sides never re-run it). */
+  def hammingNearDups(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000,
+      maxCandidatePairs: Long = 100000000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "banding guarantees exact recall only for maxHamming <= 7 " +
+        "(8 bands of 8 bits); use a coarser tier for larger radii")
+    val nBands =
+      if (maxHamming == 0) 1
+      else if (maxHamming <= 1) 2
+      else if (maxHamming <= 3) 4
+      else 8
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val base = hashed.select(col(idCol).as("__id"),
+      col(hashCol).as("__h"))
+    val bands = base.select(col("__id"), col("__h"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("key",
+        expr(s"(__h >> (band * $width)) & $mask"))
+    val guarded =
+      if (maxBucket == Int.MaxValue && maxCandidatePairs <= 0L) bands
+      else {
+        // ONE histogram pass serves both guards: map-side partial
+        // counts collapse each task's band keys to one long per
+        // (band, key); the checkpoint pins the counts so the over-cap
+        // set below is no extra scan
+        val counts = bands.groupBy("band", "key")
+          .agg(count(lit(1)).as("__cnt"))
+          .localCheckpoint(true)
+        if (maxCandidatePairs > 0L) {
+          // sum n·(n−1) as LONG (SQL `/` would widen to double) and
+          // halve on the driver — n·(n−1) is always even; coalesce
+          // because sum over ZERO buckets (empty input) is NULL
+          val est = counts
+            .agg(coalesce(sum(when(col("__cnt") <= maxBucket,
+                col("__cnt") * (col("__cnt") - 1))
+              .otherwise(lit(0L))), lit(0L)).as("est"))
+            .head().getLong(0) / 2
+          if (est > maxCandidatePairs) throw new IllegalStateException(
+            s"hammingNearDups: estimated post-cap candidate volume $est " +
+              s"exceeds maxCandidatePairs=$maxCandidatePairs at " +
+              s"$nBands x $width-bit bands. Remedies: lower maxHamming " +
+              "(wider bands => 2^width more buckets), lower maxBucket " +
+              "(drops hot buckets before the join), or raise " +
+              "maxCandidatePairs if the volume is priced in.")
+        }
+        if (maxBucket == Int.MaxValue) bands
+        else {
+          val overCap = counts.filter(col("__cnt") > maxBucket)
+            .select("band", "key")
+          bands.join(broadcast(overCap), Seq("band", "key"), "left_anti")
+        }
+      }
+    val a = guarded.select(col("band"), col("key"),
+      col("__id").as("id_a"), col("__h").as("__ha"))
+    val b = guarded.select(col("band"), col("key"),
+      col("__id").as("id_b"), col("__h").as("__hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard for candidate pairs that share ≥1 shingle.
     * Blocking join on the shingle (set semantics), then
     * J = |A∩B| / (|A|+|B|−|A∩B|). `maxPerShingle` caps fan-out on

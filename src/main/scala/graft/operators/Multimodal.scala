@@ -253,111 +253,41 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
-  /** Near-duplicate media pairs by perceptual hash, ADAPTIVELY banded
-    * (multi-index-hashing style): the 64-bit hash is split into the
-    * FEWEST bands that still give exact recall — `b` bands guarantee
-    * (pigeonhole) that two hashes within Hamming distance ≤ b−1 agree
-    * on at least one whole band, so `maxHamming ≤ 3` runs 4×16-bit
-    * bands (65,536 buckets/band), ≤ 1 runs 2×32, 0 runs 1×64 (exact
-    * equality), and only the opt-in `maxHamming ∈ [4,7]` mode pays the
-    * 8×8-bit split. Candidates come from band equi-joins;
-    * verification is one codegen'd `bit_count(a XOR b)` per
-    * candidate. Returns `(id_a, id_b, hamming)`, `id_a < id_b`.
-    *
-    * Why band width matters (the [[graft.operators.Similarity]]
-    * `cosineDedup` rule): a band self-join on uniformly-distributed
-    * hashes — which is what a dHash over a DIVERSE natural-image
-    * corpus approximates — has expected candidate count
-    * b·N²/2^width/2, quadratic in corpus size at any fixed width. 8-bit
-    * keys (256 buckets/band) hit N²/64 on uniform hashes; 16-bit keys
-    * defer the quadratic term 256×. Because the term never vanishes,
-    * the same two guards as `cosineDedup`/`ngramJaccardPairs` apply:
-    *
-    *  - `maxBucket`: per-(band, key) counts are aggregated map-side,
-    *    the tiny over-cap set is broadcast-anti-joined out BEFORE the
-    *    self-join — one hot bucket (a solid-color/boilerplate pile-up)
-    *    can never emit a quadratic pair list. Capped buckets lose
-    *    recall only for hashes whose EVERY band is over-cap.
-    *  - `maxCandidatePairs`: before building the pair plan, one cheap
-    *    eager job (the band-key histogram, computed once and reused
-    *    for the over-cap set — no re-scan) sums the post-cap
-    *    Σ C(bucket, 2) and fails fast with a remedy pointer instead of
-    *    grinding out a join quadratically past its design point. Pass
-    *    `maxCandidatePairs <= 0` to skip the eager job (callers that
-    *    have already sized the corpus).
-    *
-    * Scale shape: the hash kernel (codec decode + dHash) runs ONCE —
-    * the (id, hash) projection is localCheckpointed before the band
-    * fan-out, so neither the guard job nor the two join sides re-run
-    * the decode; candidates shuffle on (band, key). */
+  /** Near-duplicate media pairs by perceptual hash — the adaptive
+    * Hamming band join of [[graft.operators.Dedup.hammingNearDups]]
+    * (exact pigeonhole recall for `maxHamming ≤ 7`, `maxBucket` +
+    * `maxCandidatePairs` anti-quadratic guards; full reasoning there)
+    * over [[mediaHash]]. A dHash over a DIVERSE natural-image corpus
+    * approximates uniform hashes — exactly the regime the kernel's
+    * guards are sized for. The decode kernel runs ONCE: the (id, hash)
+    * projection is localCheckpointed before the band fan-out, so
+    * neither the guard job nor the two join sides re-run the codecs.
+    * Returns `(id_a, id_b, hamming)`, `id_a < id_b`. */
   def mediaNearDups(df: DataFrame, idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 100000,
-      maxCandidatePairs: Long = 100000000L): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      "banding guarantees exact recall only for maxHamming <= 7 " +
-        "(8 bands of 8 bits); use a coarser tier for larger radii")
-    val nBands =
-      if (maxHamming == 0) 1
-      else if (maxHamming <= 1) 2
-      else if (maxHamming <= 3) 4
-      else 8
-    val width = 64 / nBands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    val hashed = mediaHash(df)
-      .select(col(idCol).as("__id"), col("phash"))
-      .filter(col("phash").isNotNull)
-      .localCheckpoint(true)
-    val bands = hashed.select(col("__id"), col("phash"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("key",
-        expr(s"(phash >> (band * $width)) & $mask"))
-    val guarded =
-      if (maxBucket == Int.MaxValue && maxCandidatePairs <= 0L) bands
-      else {
-        // ONE histogram pass serves both guards: map-side partial
-        // counts collapse each task's band keys to one long per
-        // (band, key), and the checkpoint pins the counts so the
-        // over-cap set below is no extra scan
-        val counts = bands.groupBy("band", "key")
-          .agg(count(lit(1)).as("__cnt"))
-          .localCheckpoint(true)
-        if (maxCandidatePairs > 0L) {
-          // sum n·(n−1) as LONG (SQL `/` would widen to double) and
-          // halve on the driver — n·(n−1) is always even; coalesce
-          // because sum over ZERO buckets (empty/all-null-hash input)
-          // is NULL, not 0 (the ngramJaccardPairs convention)
-          val est = counts
-            .agg(coalesce(sum(when(col("__cnt") <= maxBucket,
-                col("__cnt") * (col("__cnt") - 1))
-              .otherwise(lit(0L))), lit(0L)).as("est"))
-            .head().getLong(0) / 2
-          if (est > maxCandidatePairs) throw new IllegalStateException(
-            s"mediaNearDups: estimated post-cap candidate volume $est " +
-              s"exceeds maxCandidatePairs=$maxCandidatePairs at " +
-              s"$nBands x $width-bit bands. Remedies: lower maxHamming " +
-              "(wider bands => 2^width more buckets), lower maxBucket " +
-              "(drops hot buckets before the join), or raise " +
-              "maxCandidatePairs if the volume is priced in.")
-        }
-        if (maxBucket == Int.MaxValue) bands
-        else {
-          val overCap = counts.filter(col("__cnt") > maxBucket)
-            .select("band", "key")
-          bands.join(broadcast(overCap), Seq("band", "key"), "left_anti")
-        }
-      }
-    val a = guarded.select(col("band"), col("key"),
-      col("__id").as("id_a"), col("phash").as("__ha"))
-    val b = guarded.select(col("band"), col("key"),
-      col("__id").as("id_b"), col("phash").as("__hb"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+      maxCandidatePairs: Long = 100000000L): DataFrame =
+    Dedup.hammingNearDups(
+      mediaHash(df)
+        .select(col(idCol).as("__mid"), col("phash"))
+        .filter(col("phash").isNotNull)
+        .localCheckpoint(true),
+      "__mid", "phash", maxHamming, maxBucket, maxCandidatePairs)
+
+  /** [[mediaNearDups]] for AUDIO blobs: pairs within `maxHamming` of
+    * the container-invariant [[audioHash]]. Same adaptive banding and
+    * guards ([[graft.operators.Dedup.hammingNearDups]]); the decode
+    * kernel runs once (checkpointed (id, hash) projection). */
+  def audioNearDups(df: DataFrame, idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000,
+      maxCandidatePairs: Long = 100000000L): DataFrame =
+    Dedup.hammingNearDups(
+      audioHash(df)
+        .select(col(idCol).as("__mid"), col("phash"))
+        .filter(col("phash").isNotNull)
+        .localCheckpoint(true),
+      "__mid", "phash", maxHamming, maxBucket, maxCandidatePairs)
 
   /** REAL image encode via ImageIO's own PNG writer (the image analog
     * of [[buildWav]]): renders an 18×16 grayscale frame per row whose
@@ -446,46 +376,90 @@ object Multimodal {
       else audioFeatures(bytes).getOrElse(byteStatFeatures(bytes))
     }
 
+  /** Perceptual hash column for an AUDIO corpus — the audio analog of
+    * [[mediaHash]]: decodable containers (WAV/AIFF/AU; ULAW/ALAW
+    * companded→linear first) hash in SAMPLE space — [[byteDHash]] over
+    * the decoded linear PCM byte stream — so the hash is
+    * CONTAINER-INVARIANT: the same samples re-wrapped in another
+    * container, or re-labeled at another sample rate, hash identically
+    * (the robustness the image tier gets from pixel space).
+    * Undecodable blobs fall back to the byte-domain hash over the raw
+    * bytes, so a dirty corpus hashes stably instead of failing. Adds
+    * `phash` / `phash_bits` like [[mediaHash]]. Narrow
+    * `mapPartitions`; blobs never shuffle. */
+  def audioHash(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("phash", LongType, nullable = true),
+      StructField("phash_bits", StringType, nullable = true)))
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](dataIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          val h = audioPcm(bytes) match {
+            case Some((_, pcm)) => byteDHash(pcm)
+            case None => byteDHash(bytes)
+          }
+          val bits = (63 to 0 by -1)
+            .map(k => if ((h >>> k & 1L) == 1L) '1' else '0').mkString
+          Row.fromSeq(r.toSeq ++ Seq(h, bits))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Container parse + decode to a linear PCM byte stream, the
+    * plumbing shared by [[audioFeatures]] and [[audioHash]]: None when
+    * the bytes aren't a parseable audio container (or not 8/16-bit
+    * linear after conversion). ULAW/ALAW are companded — reading them
+    * as linear samples would emit confidently-wrong values — so they
+    * route through the JDK's own codec to linear 16-bit PCM first (the
+    * converter is stream-wrapping, no full-file buffer). */
+  private[operators] def audioPcm(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (ais == null) None
+    else {
+      val srcEnc = ais.getFormat.getEncoding
+      val lin =
+        if (srcEnc == AudioFormat.Encoding.ULAW ||
+            srcEnc == AudioFormat.Encoding.ALAW) {
+          val sf = ais.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            sf.getSampleRate, 16, sf.getChannels,
+            sf.getChannels * 2, sf.getSampleRate, false)
+          try AudioSystem.getAudioInputStream(target, ais)
+          catch { case _: Exception => null }
+        } else ais
+      if (lin == null) None
+      else {
+        val fmt = lin.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        val linear = enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED
+        if (!linear || (bits != 8 && bits != 16)) None
+        else Some((fmt, lin.readAllBytes()))
+      }
+    }
+  }
+
   /** Audio feature kernel shared by [[decodeAudio]] and [[decodeMedia]]:
     * None when the bytes aren't a parseable audio container. 8/16-bit
     * linear PCM is read directly; ULAW/ALAW are companded→linear via the
     * JDK's own codec, so their features are true sample statistics. */
   private[operators] def audioFeatures(
-      bytes: Array[Byte]): Option[Array[Double]] = {
-        val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
-        if (ais == null) None
-        else {
-          import javax.sound.sampled.{AudioFormat, AudioSystem}
-          val srcEnc = ais.getFormat.getEncoding
-          // ULAW/ALAW bytes are companded — reading them as linear
-          // samples would emit confidently-wrong features. Route them
-          // through the JDK's own codec to linear 16-bit PCM first;
-          // the converter is stream-wrapping (no full-file buffer).
-          val lin =
-            if (srcEnc == AudioFormat.Encoding.ULAW ||
-                srcEnc == AudioFormat.Encoding.ALAW) {
-              val sf = ais.getFormat
-              val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-                sf.getSampleRate, 16, sf.getChannels,
-                sf.getChannels * 2, sf.getSampleRate, false)
-              try AudioSystem.getAudioInputStream(target, ais)
-              catch { case _: Exception => null }
-            } else ais
-          if (lin == null) None
-          else {
-          val fmt = lin.getFormat
+      bytes: Array[Byte]): Option[Array[Double]] =
+    audioPcm(bytes).map { case (fmt, raw) =>
           val bits = fmt.getSampleSizeInBits
-          val enc = fmt.getEncoding
-          val signed = enc ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-          val linear = signed || enc ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-          if (!linear || (bits != 8 && bits != 16)) None
-          else {
-            val raw = lin.readAllBytes()
+          val signed = (fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          locally {
             val bytesPer = bits / 8
             val n = raw.length / bytesPer
             var sum = 0.0; var sumSq = 0.0; var peak = 0.0
@@ -513,7 +487,7 @@ object Multimodal {
               i += 1
             }
             val nd = n.toDouble
-            Some(Array(
+            Array(
               fmt.getSampleRate.toDouble,
               fmt.getChannels.toDouble,
               n.toDouble / fmt.getChannels,
@@ -521,11 +495,9 @@ object Multimodal {
               if (n == 0) 0.0 else sum / nd,
               if (n == 0) 0.0 else math.sqrt(sumSq / nd),
               peak,
-              if (n < 2) 0.0 else crossings.toDouble / (n - 1)))
+              if (n < 2) 0.0 else crossings.toDouble / (n - 1))
           }
-          }
-        }
-  }
+    }
 
   /** Shared output schema of the frame samplers: one row per sampled
     * frame with its sample ordinal, the frame index actually decoded,

@@ -176,6 +176,41 @@ class MediaHashSpec extends SparkSpec {
       "over-cap buckets dropped, under-cap pair kept")
   }
 
+  test("audioHash is container-invariant: the same PCM payload wrapped " +
+      "at different sample rates hashes identically (= byteDHash of the " +
+      "samples), and NOT like the container bytes") {
+    val payload = "pcm payload bytes for the audio hash é中".getBytes("UTF-8")
+    val wav8k = Multimodal.buildWav(media(Seq(0L -> payload)), 8000f)
+    val wav44k = Multimodal.buildWav(media(Seq(1L -> payload)), 44100f)
+    val out = Multimodal.audioHash(wav8k.unionByName(wav44k))
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === out(1L), "container label must not affect the hash")
+    assert(out(0L) === Multimodal.byteDHash(payload),
+      "sample-space hash = byteDHash of the decoded PCM stream")
+    val container = wav8k.select("data").head().getAs[Array[Byte]](0)
+    assert(Multimodal.byteDHash(container) !== out(0L),
+      "a decode failure (hashing the RIFF container) could not pass")
+    // undecodable blob → byte-domain fallback over the raw bytes
+    val raw = Multimodal.audioHash(media(Seq(2L -> payload)))
+      .select("phash").head().getLong(0)
+    assert(raw === Multimodal.byteDHash(payload))
+  }
+
+  test("audioNearDups: re-encoded audio (same samples, different " +
+      "container) dedups at hamming 0; distinct payloads don't pair") {
+    val p = "identical audio samples across two containers".getBytes("UTF-8")
+    val q = "a completely different pcm payload with other bytes in it"
+      .getBytes("UTF-8")
+    val corpus = Multimodal.buildWav(media(Seq(10L -> p)), 8000f)
+      .unionByName(Multimodal.buildWav(media(Seq(11L -> p)), 44100f))
+      .unionByName(Multimodal.buildWav(media(Seq(12L -> q)), 8000f))
+    val got = Multimodal.audioNearDups(corpus, "media_id", maxHamming = 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 11L)))
+  }
+
   test("mediaNearDups on an empty / all-null-blob corpus returns an " +
       "empty pair set (the guard's sum-over-zero-rows is coalesced)") {
     val allNull = media(Seq(0L -> null, 1L -> null))
