@@ -515,14 +515,23 @@ object Temporal {
     * counts differs from other engines in the last ulp — callers
     * comparing cross-engine round the output, house rule).
     *
-    * The KEYLESS form is fail-fast guarded: it must build a genuine
-    * cartesian (there is no join key), so past `maxKeylessPoints`
-    * bucketized points it refuses with a pair-budget error instead of
-    * silently launching an unbounded n²/2 plan — bucketize coarser, key
-    * the series, or use [[trendOls]] (one agg, any scale). The keyed
-    * form is unguarded by contract: per-series bucket counts bound it. */
+    * Both forms are fail-fast guarded (the house pair-budget
+    * convention — see [[Dedup.hammingNearDups]]). The KEYLESS form
+    * must build a genuine cartesian (there is no join key), so past
+    * `maxKeylessPoints` bucketized points it refuses with a
+    * pair-budget error instead of silently launching an unbounded
+    * n²/2 plan. The KEYED form is bounded per series by its bucket
+    * count, but per-key n grows linearly with the queried time range —
+    * at 100× the range, pairs grow 10,000× — so one map-side-partial
+    * `groupBy(keys).count()` pre-pass (a tiny agg: one long per key)
+    * checks the HOTTEST key's `n·(n−1)/2` against `maxPairsPerKey`
+    * before the quadratic join launches. Remedies on either trip:
+    * bucketize coarser, or use [[trendOls]] (one aggregation at any
+    * scale); keyed callers who have priced in the volume can raise the
+    * budget, or pass `maxPairsPerKey = 0` to disable the pre-pass. */
   def theilSen(series: DataFrame, keys: Seq[String], bucketCol: String,
-      valueCol: String, maxKeylessPoints: Int = 10000): DataFrame = {
+      valueCol: String, maxKeylessPoints: Int = 10000,
+      maxPairsPerKey: Long = 2000000L): DataFrame = {
     val a = series.select(
       keys.map(col) :+ col(bucketCol).as("__ta") :+
         col(valueCol).as("__va"): _*)
@@ -536,6 +545,21 @@ object Temporal {
           s"pairs (> budget for maxKeylessPoints=$maxKeylessPoints): " +
           "bucketize coarser, pass series keys, or use trendOls (one " +
           "aggregation at any scale)")
+    } else if (maxPairsPerKey > 0L) {
+      // one histogram pass before the keyed self-join: map-side
+      // partials collapse each task to one long per key, then the
+      // hottest key's pair count gates the plan. n·(n−1) summed as
+      // LONG and halved on the driver (always even); coalesce because
+      // max over an EMPTY series is NULL.
+      val worst = series.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(coalesce(max(col("__n") * (col("__n") - 1)), lit(0L)))
+        .head().getLong(0) / 2
+      if (worst > maxPairsPerKey) throw new IllegalStateException(
+        s"keyed theilSen: hottest key would enumerate $worst slope " +
+          s"pairs (> maxPairsPerKey=$maxPairsPerKey). Remedies: " +
+          "bucketize coarser, use trendOls (one aggregation at any " +
+          "scale), or raise maxPairsPerKey if the volume is priced in.")
     }
     val joined =
       if (keys.isEmpty) a.crossJoin(b).filter(col("__tb") > col("__ta"))

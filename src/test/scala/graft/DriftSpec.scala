@@ -87,7 +87,7 @@ class DriftSpec extends SparkSpec {
   }
 
   test("theilSen: the keyless form fail-fasts past the point budget " +
-      "with a message pointing at trendOls; keyed is unguarded") {
+      "with a message pointing at trendOls; keyed is hot-key guarded") {
     import graft.operators.Temporal
     val long = (0L until 50L).map(t => (t, t * 2.0)).toDF("t", "v")
     val e = intercept[IllegalArgumentException] {
@@ -98,11 +98,33 @@ class DriftSpec extends SparkSpec {
     val ok = Temporal.theilSen(long, Nil, "t", "v", maxKeylessPoints = 50)
       .collect().head
     assert(ok.getDouble(1) === 2.0)
-    // the keyed form never counts — per-series bucket bounds are the
-    // stated contract
+    // the keyed form ignores the keyless point budget…
     val keyed = (0L until 50L).map(t => ("k", t, t * 2.0)).toDF("g", "t", "v")
     assert(Temporal.theilSen(keyed, Seq("g"), "t", "v",
       maxKeylessPoints = 1).collect().head.getDouble(2) === 2.0)
+    // …but carries its own per-key pair budget: the hottest key's
+    // n·(n−1)/2 gates the plan BEFORE the quadratic join launches
+    val ke = intercept[IllegalStateException] {
+      Temporal.theilSen(keyed, Seq("g"), "t", "v",
+        maxPairsPerKey = 50L * 49 / 2 - 1)
+    }
+    assert(ke.getMessage.contains("trendOls") &&
+      ke.getMessage.contains("maxPairsPerKey"))
+    // exactly at the budget it runs (inclusive bound), slope exact;
+    // a cold second key must not change the hottest-key verdict
+    val two = keyed.unionByName(
+      Seq(("cold", 0L, 1.0), ("cold", 1L, 9.0)).toDF("g", "t", "v"))
+    val atCap = Temporal.theilSen(two, Seq("g"), "t", "v",
+        maxPairsPerKey = 50L * 49 / 2).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(atCap("k") === 2.0 && atCap("cold") === 8.0)
+    // maxPairsPerKey = 0 disables the pre-pass (priced-in opt-out)
+    assert(Temporal.theilSen(keyed, Seq("g"), "t", "v",
+      maxPairsPerKey = 0L).collect().head.getDouble(2) === 2.0)
+    // empty keyed input: the guard's max-over-zero-keys must coalesce,
+    // not NPE
+    assert(Temporal.theilSen(keyed.filter(lit(false)), Seq("g"), "t", "v")
+      .collect().isEmpty)
   }
 
   test("jsDivergence: 0 for identical halves, near ln 2 for disjoint " +
