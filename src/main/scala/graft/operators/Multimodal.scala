@@ -192,6 +192,29 @@ object Multimodal {
       if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j)))
   }
 
+  /** [[byteDHash]] over an INT value stream (the audio sample-space
+    * hash: values are canonical unsigned-16-bit samples). Same block
+    * layout, exact Long sums. Because block means scale exactly under
+    * a positive constant factor (×256 is a float-exact power of two),
+    * `intDHash(bytes.map(b => (b & 0xff) << 8)) == byteDHash(bytes)` —
+    * the 8-bit-PCM hash is unchanged by sample-space canonicalization
+    * and the byte-stream oracle replay stays valid. */
+  private[graft] def intDHash(vals: Array[Int]): Long = {
+    val n = vals.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](72)
+    val counts = new Array[Long](72)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * 72 / n).toInt
+      sums(b) += vals(i)
+      counts(b) += 1
+      i += 1
+    }
+    dHashBlocks(Array.tabulate(72)(j =>
+      if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j)))
+  }
+
   /** Pixel-domain dHash: Rec.601 luma (the [[pixelFeatures]]
     * constants), block-averaged onto the 9×8 grid (pixel (x,y) lands
     * in column x·9/w, row y·8/h — integer math, no resampling
@@ -225,33 +248,56 @@ object Multimodal {
       if (counts(j) == 0) 0.0 else sums(j) / counts(j)))
   }
 
-  /** Perceptual hash column for a media frame: decodable images hash
-    * in PIXEL space ([[pixelDHash]] — stable under re-encode/rescale),
-    * everything else falls back to the BYTE-domain hash. Adds
-    * `phash` (the 64-bit hash) and `phash_bits` (its 64-char
-    * MSB-first bit string — the engine-neutral presentation the
-    * driver oracle compares). Narrow `mapPartitions`, blobs never
-    * shuffle — the zero-shuffle signature shape of the text
-    * MinHash/SimHash kernels. */
-  def mediaHash(df: DataFrame): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("phash", LongType, nullable = true),
-      StructField("phash_bits", StringType, nullable = true)))
+  /** Shared perceptual-hash stage: one narrow `mapPartitions` adding
+    * `phash` (64-bit) and — only when `withBits` — `phash_bits` (the
+    * 64-char MSB-first bit string, the engine-neutral presentation
+    * the driver oracle compares). The pair tiers call this with
+    * `withBits = false`: the bit string is a per-row Range→map→
+    * mkString allocation built INSIDE the kernel where Catalyst
+    * column pruning cannot reach, so a consumer that immediately
+    * prunes to `phash` must not pay for it. */
+  private def hashStage(df: DataFrame, hashOf: Array[Byte] => Long,
+      withBits: Boolean): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++
+      (StructField("phash", LongType, nullable = true) +:
+        (if (withBits)
+          Seq(StructField("phash_bits", StringType, nullable = true))
+        else Nil)))
     val dataIdx = df.schema.fieldIndex("data")
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
-        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
+        if (bytes == null)
+          Row.fromSeq(r.toSeq ++ (if (withBits) Seq(null, null) else Seq(null)))
         else {
-          val img = tryReadImage(bytes)
-          val h = if (img == null) byteDHash(bytes) else pixelDHash(img)
-          val bits = (63 to 0 by -1)
-            .map(k => if ((h >>> k & 1L) == 1L) '1' else '0').mkString
-          Row.fromSeq(r.toSeq ++ Seq(h, bits))
+          val h = hashOf(bytes)
+          if (withBits) {
+            val bits = (63 to 0 by -1)
+              .map(k => if ((h >>> k & 1L) == 1L) '1' else '0').mkString
+            Row.fromSeq(r.toSeq ++ Seq(h, bits))
+          } else Row.fromSeq(r.toSeq :+ h)
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** Per-blob image hash kernel: decodable images hash in PIXEL space
+    * ([[pixelDHash]]), everything else falls back to [[byteDHash]]. */
+  private[operators] def imageHashOf(bytes: Array[Byte]): Long = {
+    val img = tryReadImage(bytes)
+    if (img == null) byteDHash(bytes) else pixelDHash(img)
+  }
+
+  /** Perceptual hash column for a media frame: decodable images hash
+    * in PIXEL space ([[pixelDHash]] — stable under re-encode/rescale),
+    * everything else falls back to the BYTE-domain hash. Adds
+    * `phash` (the 64-bit hash) and `phash_bits` (its 64-char
+    * MSB-first bit string); pass `withBits = false` to skip the bit
+    * string (the near-dup tiers do — they consume only `phash`).
+    * Narrow `mapPartitions`, blobs never shuffle — the zero-shuffle
+    * signature shape of the text MinHash/SimHash kernels. */
+  def mediaHash(df: DataFrame, withBits: Boolean = true): DataFrame =
+    hashStage(df, imageHashOf, withBits)
 
   /** Near-duplicate media pairs by perceptual hash — the adaptive
     * Hamming band join of [[graft.operators.Dedup.hammingNearDups]]
@@ -261,29 +307,42 @@ object Multimodal {
     * approximates uniform hashes — exactly the regime the kernel's
     * guards are sized for. The decode kernel runs ONCE: the (id, hash)
     * projection is localCheckpointed before the band fan-out, so
-    * neither the guard job nor the two join sides re-run the codecs.
-    * Returns `(id_a, id_b, hamming)`, `id_a < id_b`. */
+    * neither the guard job nor the two join sides re-run the codecs —
+    * and it is the hash-only kernel (`withBits = false`): the bit
+    * string is presentation, the pair tier never pays for it.
+    * Returns `(id_a, id_b, hamming)`, `id_a < id_b`.
+    *
+    * DEFAULTS ARE DELIBERATELY CONSERVATIVE (since r13): `maxHamming`
+    * is 3 (4×16-bit bands — the near-dup radius; radius-7 callers
+    * opt in explicitly and get 8×8-bit bands with 256× the bucket
+    * collision rate), and the `maxBucket`/`maxCandidatePairs` guards
+    * FAIL FAST with a remedy message instead of silently launching a
+    * quadratic plan — a caller upgrading from a pre-r13 build may see
+    * fewer pairs (tighter radius) or an `IllegalStateException`
+    * (guard trip) where the old code always returned. */
   def mediaNearDups(df: DataFrame, idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 100000,
       maxCandidatePairs: Long = 100000000L): DataFrame =
     Dedup.hammingNearDups(
-      mediaHash(df)
+      mediaHash(df, withBits = false)
         .select(col(idCol).as("__mid"), col("phash"))
         .filter(col("phash").isNotNull)
         .localCheckpoint(true),
       "__mid", "phash", maxHamming, maxBucket, maxCandidatePairs)
 
   /** [[mediaNearDups]] for AUDIO blobs: pairs within `maxHamming` of
-    * the container-invariant [[audioHash]]. Same adaptive banding and
-    * guards ([[graft.operators.Dedup.hammingNearDups]]); the decode
-    * kernel runs once (checkpointed (id, hash) projection). */
+    * the container-invariant [[audioHash]]. Same adaptive banding,
+    * guards and conservative defaults
+    * ([[graft.operators.Dedup.hammingNearDups]], [[mediaNearDups]]);
+    * the decode kernel runs once (checkpointed hash-only (id, hash)
+    * projection — no `phash_bits` allocation on this path). */
   def audioNearDups(df: DataFrame, idCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 100000,
       maxCandidatePairs: Long = 100000000L): DataFrame =
     Dedup.hammingNearDups(
-      audioHash(df)
+      audioHash(df, withBits = false)
         .select(col(idCol).as("__mid"), col("phash"))
         .filter(col("phash").isNotNull)
         .localCheckpoint(true),
@@ -315,8 +374,11 @@ object Multimodal {
         while (y < 16) {
           var x = 0
           while (x < 18) {
-            val v =
-              (((id * 37 + (y / 2) * 17 + (x / 2) * 23) % 199) + 1).toInt
+            // floorMod, not %: a negative id must still land in
+            // [1, 199] — truncating % would smear sign bits across
+            // the RGB channels and break the arithmetic oracle
+            val v = (math.floorMod(
+              id * 37 + (y / 2) * 17 + (x / 2) * 23, 199) + 1).toInt
             img.setRGB(x, y, (v << 16) | (v << 8) | v)
             x += 1
           }
@@ -336,11 +398,28 @@ object Multimodal {
     * not hand-rolled header bytes, so [[decodeAudio]] exercises a true
     * encoder↔decoder roundtrip. Narrow `mapPartitions`; blobs never
     * shuffle. */
-  def buildWav(df: DataFrame, sampleRate: Float = 8000f): DataFrame = {
+  def buildWav(df: DataFrame, sampleRate: Float = 8000f): DataFrame =
+    buildWavAs(df,
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, sampleRate)
+
+  /** [[buildWav]] with a G.711 μ-law payload: each blob byte is one
+    * ULAW code (format tag 7 in the WAV header — the JDK's own
+    * `WaveFileWriter` muxes non-PCM encodings natively). The decode
+    * side must EXPAND the codes through [[ulawToLinear]] — reading
+    * them as linear samples would be confidently wrong — which is
+    * exactly what the q_audio_hash_ulaw driver row proves. */
+  def buildWavUlaw(df: DataFrame, sampleRate: Float = 8000f): DataFrame =
+    buildWavAs(df,
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, sampleRate)
+
+  private def buildWavAs(df: DataFrame,
+      encoding: javax.sound.sampled.AudioFormat.Encoding,
+      sampleRate: Float): DataFrame = {
     val dataIdx = df.schema.fieldIndex("data")
+    val encName = encoding.toString
     df.mapPartitions { it =>
       val fmt = new javax.sound.sampled.AudioFormat(
-        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        new javax.sound.sampled.AudioFormat.Encoding(encName),
         sampleRate, 8, 1, 1, sampleRate, false)
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](dataIdx)
@@ -376,48 +455,81 @@ object Multimodal {
       else audioFeatures(bytes).getOrElse(byteStatFeatures(bytes))
     }
 
+  /** Per-blob audio hash kernel: decodable containers hash in SAMPLE
+    * space ([[intDHash]] over canonical samples), everything else
+    * falls back to [[byteDHash]] over the raw bytes. */
+  private[graft] def audioHashOf(bytes: Array[Byte]): Long =
+    audioSamples(bytes) match {
+      case Some((_, samples)) => intDHash(samples)
+      case None => byteDHash(bytes)
+    }
+
   /** Perceptual hash column for an AUDIO corpus — the audio analog of
-    * [[mediaHash]]: decodable containers (WAV/AIFF/AU; ULAW/ALAW
-    * companded→linear first) hash in SAMPLE space — [[byteDHash]] over
-    * the decoded linear PCM byte stream — so the hash is
-    * CONTAINER-INVARIANT: the same samples re-wrapped in another
-    * container, or re-labeled at another sample rate, hash identically
-    * (the robustness the image tier gets from pixel space).
-    * Undecodable blobs fall back to the byte-domain hash over the raw
-    * bytes, so a dirty corpus hashes stably instead of failing. Adds
-    * `phash` / `phash_bits` like [[mediaHash]]. Narrow
+    * [[mediaHash]]: decodable containers hash in SAMPLE space —
+    * [[intDHash]] over the CANONICAL sample stream of
+    * [[audioSamples]] — so the hash is ENCODING-invariant, not just
+    * container-invariant: the same samples re-wrapped in another
+    * container (WAV↔AIFF↔AU), stored at the other endianness or
+    * signedness, re-labeled at another sample rate, or widened from
+    * 8-bit to the exact 16-bit embedding `(b−128)·256`, all hash
+    * identically (the robustness the image tier gets from pixel
+    * space). Lossy re-encodes (e.g. through G.711 companding) are
+    * NOT bit-invariant — they perturb sample values — which is
+    * precisely what the Hamming pair tier ([[audioNearDups]])
+    * absorbs. Undecodable blobs fall back to the byte-domain hash
+    * over the raw bytes, so a dirty corpus hashes stably instead of
+    * failing. Adds `phash` / `phash_bits` like [[mediaHash]];
+    * `withBits = false` skips the bit-string allocation. Narrow
     * `mapPartitions`; blobs never shuffle. */
-  def audioHash(df: DataFrame): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ Seq(
-      StructField("phash", LongType, nullable = true),
-      StructField("phash_bits", StringType, nullable = true)))
-    val dataIdx = df.schema.fieldIndex("data")
-    df.mapPartitions { it =>
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]](dataIdx)
-        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null))
-        else {
-          val h = audioPcm(bytes) match {
-            case Some((_, pcm)) => byteDHash(pcm)
-            case None => byteDHash(bytes)
-          }
-          val bits = (63 to 0 by -1)
-            .map(k => if ((h >>> k & 1L) == 1L) '1' else '0').mkString
-          Row.fromSeq(r.toSeq ++ Seq(h, bits))
-        }
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+  def audioHash(df: DataFrame, withBits: Boolean = true): DataFrame =
+    hashStage(df, audioHashOf, withBits)
+
+  /** G.711 μ-law byte → linear 16-bit sample, the standard CCITT
+    * expansion (a fixed 256-entry table; pinned ≡ the JDK codec's own
+    * conversion by unit test, but computed HERE so the decode is a
+    * documented closed-form arithmetic the DuckDB oracle can replay
+    * as a literal array — no dependence on JDK internals). */
+  private[graft] val ulawToLinear: Array[Int] = Array.tabulate(256) { i =>
+    val u = ~i & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
   }
 
-  /** Container parse + decode to a linear PCM byte stream, the
-    * plumbing shared by [[audioFeatures]] and [[audioHash]]: None when
-    * the bytes aren't a parseable audio container (or not 8/16-bit
-    * linear after conversion). ULAW/ALAW are companded — reading them
-    * as linear samples would emit confidently-wrong values — so they
-    * route through the JDK's own codec to linear 16-bit PCM first (the
-    * converter is stream-wrapping, no full-file buffer). */
-  private[operators] def audioPcm(bytes: Array[Byte])
-      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] = {
+  /** G.711 A-law byte → linear 16-bit sample (same posture as
+    * [[ulawToLinear]]: the fixed standard table, oracle-replayable). */
+  private[graft] val alawToLinear: Array[Int] = Array.tabulate(256) { i =>
+    val a = i ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val base = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => base + 8
+      case 1 => base + 0x108
+      case _ => (base + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Container parse + decode to the CANONICAL sample stream shared by
+    * [[audioFeatures]] and [[audioHash]]: unsigned-16-bit sample
+    * values (0..65535 = signed sample + 32768), channel-interleaved,
+    * in frame order — one representation for every supported source
+    * encoding, converted DETERMINISTICALLY sample-by-sample:
+    *
+    *   - 8-bit unsigned PCM:  `b · 256`         (= (b−128)·256 + 32768)
+    *   - 8-bit signed PCM:    `b · 256 + 32768`
+    *   - 16-bit PCM:          byte pair read at the container's own
+    *                          endianness; unsigned passes through,
+    *                          signed shifts by +32768
+    *   - G.711 ULAW / ALAW:   the fixed expansion tables
+    *                          [[ulawToLinear]] / [[alawToLinear]]
+    *
+    * None when the bytes aren't a parseable audio container or the
+    * encoding is outside that set (e.g. 24-bit or float PCM). Every
+    * branch is exact integer arithmetic — no codec-internal float
+    * resampling — so features and hashes built on it are
+    * engine-reproducible and the driver oracle can replay them. */
+  private[graft] def audioSamples(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Int])] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais =
       try AudioSystem.getAudioInputStream(
@@ -425,78 +537,73 @@ object Multimodal {
       catch { case _: Exception => null }
     if (ais == null) None
     else {
-      val srcEnc = ais.getFormat.getEncoding
-      val lin =
-        if (srcEnc == AudioFormat.Encoding.ULAW ||
-            srcEnc == AudioFormat.Encoding.ALAW) {
-          val sf = ais.getFormat
-          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-            sf.getSampleRate, 16, sf.getChannels,
-            sf.getChannels * 2, sf.getSampleRate, false)
-          try AudioSystem.getAudioInputStream(target, ais)
-          catch { case _: Exception => null }
-        } else ais
-      if (lin == null) None
-      else {
-        val fmt = lin.getFormat
-        val bits = fmt.getSampleSizeInBits
-        val enc = fmt.getEncoding
-        val linear = enc == AudioFormat.Encoding.PCM_SIGNED ||
-          enc == AudioFormat.Encoding.PCM_UNSIGNED
-        if (!linear || (bits != 8 && bits != 16)) None
-        else Some((fmt, lin.readAllBytes()))
-      }
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val raw =
+        try ais.readAllBytes()
+        catch { case _: Exception => return None }
+      val out: Array[Int] =
+        if (enc == AudioFormat.Encoding.ULAW && bits == 8)
+          Array.tabulate(raw.length)(i =>
+            ulawToLinear(raw(i) & 0xff) + 32768)
+        else if (enc == AudioFormat.Encoding.ALAW && bits == 8)
+          Array.tabulate(raw.length)(i =>
+            alawToLinear(raw(i) & 0xff) + 32768)
+        else if (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+          Array.tabulate(raw.length)(i => (raw(i) & 0xff) << 8)
+        else if (enc == AudioFormat.Encoding.PCM_SIGNED && bits == 8)
+          Array.tabulate(raw.length)(i => (raw(i).toInt << 8) + 32768)
+        else if ((enc == AudioFormat.Encoding.PCM_SIGNED ||
+            enc == AudioFormat.Encoding.PCM_UNSIGNED) && bits == 16) {
+          val n = raw.length / 2
+          val big = fmt.isBigEndian
+          val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+          Array.tabulate(n) { i =>
+            val off = i * 2
+            val (lo, hi) =
+              if (big) (raw(off + 1), raw(off)) else (raw(off), raw(off + 1))
+            val u = ((hi & 0xff) << 8) | (lo & 0xff)
+            if (signed) ((u.toShort).toInt + 32768) else u
+          }
+        } else return None
+      Some((fmt, out))
     }
   }
 
   /** Audio feature kernel shared by [[decodeAudio]] and [[decodeMedia]]:
-    * None when the bytes aren't a parseable audio container. 8/16-bit
-    * linear PCM is read directly; ULAW/ALAW are companded→linear via the
-    * JDK's own codec, so their features are true sample statistics. */
+    * None when the bytes aren't a parseable audio container. Runs over
+    * the canonical sample stream of [[audioSamples]] — amplitude
+    * `v = (u16 − 32768) / 32768`, identical values to reading each
+    * source encoding natively, and companded ULAW/ALAW are true
+    * expanded sample statistics. */
   private[operators] def audioFeatures(
       bytes: Array[Byte]): Option[Array[Double]] =
-    audioPcm(bytes).map { case (fmt, raw) =>
-          val bits = fmt.getSampleSizeInBits
-          val signed = (fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-          locally {
-            val bytesPer = bits / 8
-            val n = raw.length / bytesPer
-            var sum = 0.0; var sumSq = 0.0; var peak = 0.0
-            var crossings = 0L; var prevNeg = false
-            var i = 0
-            while (i < n) {
-              val v =
-                if (bits == 8) {
-                  val b = raw(i)
-                  (if (signed) b.toDouble else (b & 0xff) - 128.0) / 128.0
-                } else {
-                  val off = i * 2
-                  val (lo, hi) =
-                    if (fmt.isBigEndian) (raw(off + 1), raw(off))
-                    else (raw(off), raw(off + 1))
-                  val s = ((hi.toInt << 8) | (lo & 0xff)).toShort
-                  (if (signed) s.toDouble else ((s & 0xffff) - 32768).toDouble) / 32768.0
-                }
-              sum += v; sumSq += v * v
-              val a = math.abs(v)
-              if (a > peak) peak = a
-              val neg = v < 0
-              if (i > 0 && neg != prevNeg) crossings += 1
-              prevNeg = neg
-              i += 1
-            }
-            val nd = n.toDouble
-            Array(
-              fmt.getSampleRate.toDouble,
-              fmt.getChannels.toDouble,
-              n.toDouble / fmt.getChannels,
-              n.toDouble / fmt.getChannels / fmt.getSampleRate,
-              if (n == 0) 0.0 else sum / nd,
-              if (n == 0) 0.0 else math.sqrt(sumSq / nd),
-              peak,
-              if (n < 2) 0.0 else crossings.toDouble / (n - 1))
-          }
+    audioSamples(bytes).map { case (fmt, samples) =>
+      val n = samples.length
+      var sum = 0.0; var sumSq = 0.0; var peak = 0.0
+      var crossings = 0L; var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val v = (samples(i) - 32768).toDouble / 32768.0
+        sum += v; sumSq += v * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        val neg = v < 0
+        if (i > 0 && neg != prevNeg) crossings += 1
+        prevNeg = neg
+        i += 1
+      }
+      val nd = n.toDouble
+      Array(
+        fmt.getSampleRate.toDouble,
+        fmt.getChannels.toDouble,
+        n.toDouble / fmt.getChannels,
+        n.toDouble / fmt.getChannels / fmt.getSampleRate,
+        if (n == 0) 0.0 else sum / nd,
+        if (n == 0) 0.0 else math.sqrt(sumSq / nd),
+        peak,
+        if (n < 2) 0.0 else crossings.toDouble / (n - 1))
     }
 
   /** Shared output schema of the frame samplers: one row per sampled
@@ -773,18 +880,12 @@ object Multimodal {
         val out =
           if (bytes == null) null
           else {
-            def le32(v: Int) = Array((v & 0xff).toByte,
-              ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-              ((v >> 24) & 0xff).toByte)
-            val ascii = java.nio.charset.StandardCharsets.US_ASCII
-            val movi = new java.io.ByteArrayOutputStream()
-            movi.write("movi".getBytes(ascii))
             val L = bytes.length
-            var f = 0
-            while (f < frames) {
+            val frameBufs = (0 until frames).flatMap { f =>
               val lo = (L.toLong * f / frames).toInt
               val hi = (L.toLong * (f + 1) / frames).toInt
-              if (hi > lo) {
+              if (hi <= lo) None
+              else {
                 val w = hi - lo
                 val img = new java.awt.image.BufferedImage(
                   w, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -796,24 +897,120 @@ object Multimodal {
                 }
                 val bmp = new java.io.ByteArrayOutputStream()
                 javax.imageio.ImageIO.write(img, "bmp", bmp)
-                val fb = bmp.toByteArray
-                movi.write("00db".getBytes(ascii))
-                movi.write(le32(fb.length)); movi.write(fb)
-                if ((fb.length & 1) == 1) movi.write(0)
+                Some(bmp.toByteArray)
               }
-              f += 1
             }
-            val mb = movi.toByteArray
-            val body = new java.io.ByteArrayOutputStream()
-            body.write("AVI ".getBytes(ascii))
-            body.write("LIST".getBytes(ascii))
-            body.write(le32(mb.length)); body.write(mb)
-            val bb = body.toByteArray
-            "RIFF".getBytes(ascii) ++ le32(bb.length) ++ bb
+            muxAvi00db(frameBufs)
           }
         Row.fromSeq(r.toSeq.updated(dataIdx, out))
       }
     }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
+  /** Mux self-contained frame payloads into a RIFF/AVI container with
+    * `00db` (uncompressed-fourcc) chunks — the minimal movi-only form
+    * both test encoders emit and [[demuxAviSpans]] walks back. */
+  private def muxAvi00db(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes(ascii))
+    frames.foreach { fb =>
+      movi.write("00db".getBytes(ascii))
+      movi.write(le32(fb.length)); movi.write(fb)
+      if ((fb.length & 1) == 1) movi.write(0)
+    }
+    val mb = movi.toByteArray
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("AVI ".getBytes(ascii))
+    body.write("LIST".getBytes(ascii))
+    body.write(le32(mb.length)); body.write(mb)
+    val bb = body.toByteArray
+    "RIFF".getBytes(ascii) ++ le32(bb.length) ++ bb
+  }
+
+  /** First 48 bits of MD5 over an ASCII key — the block-value mixer
+    * [[buildAviBlocks]] and its oracle share. MD5, not a modular
+    * formula: every linear-congruential scheme tried collapses the
+    * per-content hash space (the grid is additive in (content, k), so
+    * the whole signature ends up a function of one small residue and
+    * a 600k-id corpus piles thousands of ids onto each hash — a
+    * quadratic pair blowup the guards would trip on). A cryptographic
+    * mix gives pairwise-independent 64-bit signatures (zero accidental
+    * radius-3 pairs, measured on 1.8k ids), and DuckDB replays it
+    * exactly: `CAST('0x' || substr(md5(key), 1, 12) AS BIGINT)`. */
+  private[graft] def md5Hex12(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** The block gray level of [[buildAviBlocks]] (and of its Scala/SQL
+    * replays): block k = by·9+bx of frame f for a given content id,
+    * `v = floorMod(md5_48("v|content|k") + 53·f·[by=7]
+    *      + jit·[by=0 ∧ bx=floorMod(content,9)], 199) + 1`.
+    * Frames are IDENTICAL except row 7 (so majority pooling over the
+    * sampled frames has a stable body plus a genuinely-voted row) and
+    * `jit` perturbs the single block (0, content mod 9) — moving at
+    * most the two hash bits that compare against it, so near-dup
+    * corpora with known small Hamming distances are built
+    * arithmetically. */
+  private[graft] def blockVideoLevel(content: Long, f: Int, by: Int,
+      bx: Int, jitter: Long): Int = {
+    val k = by * 9 + bx
+    val jit =
+      if (by == 0 && bx == math.floorMod(content, 9L).toInt) jitter else 0L
+    val ft = if (by == 7) 53L * f else 0L
+    (math.floorMod(md5Hex12(s"v|$content|$k") + ft + jit, 199L) + 1L).toInt
+  }
+
+  /** Test-pattern AVI encoder for the oracle-gated VIDEO roundtrip —
+    * the video sibling of [[buildBlockPng]]: renders `frames` 18×16
+    * grayscale BMP frames whose 2×2 pixel blocks are constant at
+    * [[blockVideoLevel]]. BMP is lossless and the 18×16 grid maps
+    * exactly onto the 9×8 dHash blocks, so the decoded per-frame hash
+    * is a pure integer comparison pattern: the full encode → mux →
+    * demux → decode → luma → block-mean → dHash → majority-pool
+    * journey replays codec-free in the DuckDB oracle (a byte-domain
+    * fallback cannot match it). Output `(media_id, data)`. Narrow
+    * `mapPartitions`; blobs never shuffle. */
+  def buildAviBlocks(df: DataFrame, idCol: String, contentCol: String,
+      jitterCol: String, frames: Int = 3): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val jitterIdx = df.schema.fieldIndex(jitterCol)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("data", BinaryType, nullable = true)))
+    df.mapPartitions { it =>
+      it.map { r =>
+        val content = r.getAs[Number](contentIdx).longValue
+        val jitter = r.getAs[Number](jitterIdx).longValue
+        val frameBufs = (0 until frames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 18) {
+              val v = blockVideoLevel(content, f, y / 2, x / 2, jitter)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bmp = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bmp)
+          bmp.toByteArray
+        }
+        Row(r.getLong(idIdx), muxAvi00db(frameBufs))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** REAL video demux + frame decode for AVI/MJPEG — the one video
@@ -848,6 +1045,73 @@ object Multimodal {
       }
     }(org.apache.spark.sql.Encoders.row(frameSchema))
   }
+
+  /** Per-blob VIDEO hash kernel: demux the container, decode `n`
+    * evenly-spaced frames ([[pickIndices]] — only sampled frames are
+    * decoded), [[pixelDHash]] each, and MAJORITY-POOL the per-frame
+    * hashes bitwise into one 64-bit signature: bit j is set iff at
+    * least half the decoded frames set it (ties round UP — with k
+    * even and a j split k/2:k/2 the bit is 1, documented so the
+    * oracle replays it). Pooling, not min-selection: a re-encode
+    * perturbs each frame hash by a few bits, and a per-bit vote
+    * across frames stays within a small Hamming radius of the
+    * original, whereas picking any single frame's hash can jump
+    * arbitrarily when the selection flips. Non-AVI blobs and
+    * containers whose every sampled frame fails to decode fall back
+    * to [[byteDHash]] (the dirty-corpus posture shared by the image
+    * and audio tiers). */
+  private[graft] def videoHashOf(n: Int)(bytes: Array[Byte]): Long = {
+    val spans = demuxAviSpans(bytes)
+    if (spans.isEmpty) return byteDHash(bytes)
+    val dib = aviVideoFormat(bytes)
+    val hashes = pickIndices(n, spans.length).flatMap { fi =>
+      val (o, l) = spans(fi)
+      val img = decodeAviFrame(bytes, o, l, dib)
+      if (img == null) None else Some(pixelDHash(img))
+    }
+    if (hashes.isEmpty) byteDHash(bytes)
+    else {
+      val k = hashes.length
+      var h = 0L
+      var j = 0
+      while (j < 64) {
+        var c = 0
+        hashes.foreach(fh => if ((fh >>> j & 1L) == 1L) c += 1)
+        if (2 * c >= k) h |= 1L << j
+        j += 1
+      }
+      h
+    }
+  }
+
+  /** Perceptual hash column for a VIDEO corpus — the video analog of
+    * [[mediaHash]]/[[audioHash]]: [[videoHashOf]] majority-pools the
+    * [[pixelDHash]] of `n` sampled frames, so the signature is stable
+    * under per-frame re-encode noise and container rewraps that keep
+    * the frame content. Adds `phash` / `phash_bits`; `withBits =
+    * false` skips the bit-string allocation (the pair tier does).
+    * Narrow `mapPartitions`; blobs never shuffle, only sampled frames
+    * decode. */
+  def videoHash(df: DataFrame, n: Int = 3,
+      withBits: Boolean = true): DataFrame =
+    hashStage(df, videoHashOf(n), withBits)
+
+  /** [[mediaNearDups]] for VIDEO blobs: pairs within `maxHamming` of
+    * the majority-pooled [[videoHash]]. Same adaptive banding, guards
+    * and conservative defaults
+    * ([[graft.operators.Dedup.hammingNearDups]], [[mediaNearDups]]);
+    * the demux+decode kernel runs once (checkpointed hash-only
+    * (id, hash) projection). */
+  def videoNearDups(df: DataFrame, idCol: String, n: Int = 3,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100000,
+      maxCandidatePairs: Long = 100000000L): DataFrame =
+    Dedup.hammingNearDups(
+      videoHash(df, n, withBits = false)
+        .select(col(idCol).as("__mid"), col("phash"))
+        .filter(col("phash").isNotNull)
+        .localCheckpoint(true),
+      "__mid", "phash", maxHamming, maxBucket, maxCandidatePairs)
 
   /** Decode-budget gate — the 100 TB cost knob for the media family.
     * Codec CPU is this pipeline's honest dominant cost (q_video_features

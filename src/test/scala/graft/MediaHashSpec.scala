@@ -218,4 +218,175 @@ class MediaHashSpec extends SparkSpec {
     assert(Multimodal.mediaNearDups(media(Seq.empty), "media_id")
       .count() === 0L)
   }
+
+  // ── audio canonicalization ──────────────────────────────────────────
+
+  /** Wrap a raw payload in a real container via AudioSystem.write. */
+  private def container(payload: Array[Byte],
+      fmt: javax.sound.sampled.AudioFormat,
+      typ: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(payload), fmt,
+      payload.length.toLong / fmt.getFrameSize)
+    val baos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, typ, baos)
+    baos.toByteArray
+  }
+
+  test("G.711 expansion tables match the JDK's own ULAW/ALAW codec " +
+      "for every code (the closed form the oracle replays is the " +
+      "codec's truth)") {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, AudioInputStream}
+    for ((enc, table) <- Seq(
+        AudioFormat.Encoding.ULAW -> Multimodal.ulawToLinear,
+        AudioFormat.Encoding.ALAW -> Multimodal.alawToLinear)) {
+      val codes = Array.tabulate[Byte](256)(i => i.toByte)
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(codes),
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), 256L)
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val lin = AudioSystem.getAudioInputStream(target, src).readAllBytes()
+      assert(lin.length === 512)
+      val jdk = Array.tabulate(256) { i =>
+        ((lin(2 * i + 1).toInt << 8) | (lin(2 * i) & 0xff)).toShort.toInt
+      }
+      assert(jdk.toSeq === table.toSeq, s"$enc table diverges from the JDK")
+    }
+  }
+
+  test("audioHash is ENCODING-invariant: 8-bit unsigned WAV, 16-bit LE " +
+      "WAV and 16-bit BE AIFF of the same samples hash identically " +
+      "(and still = byteDHash of the 8-bit payload)") {
+    import javax.sound.sampled.{AudioFormat, AudioFileFormat}
+    val payload = "the canonical sample stream é中".getBytes("UTF-8")
+    // the exact 16-bit embedding of 8-bit unsigned b: s = (b-128)*256
+    def s16(b: Byte): Int = ((b & 0xff) - 128) << 8
+    val le = payload.flatMap(b =>
+      Array((s16(b) & 0xff).toByte, ((s16(b) >> 8) & 0xff).toByte))
+    val be = payload.flatMap(b =>
+      Array(((s16(b) >> 8) & 0xff).toByte, (s16(b) & 0xff).toByte))
+    val rows = media(Seq(
+      0L -> container(payload, new AudioFormat(
+        AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false),
+        AudioFileFormat.Type.WAVE),
+      1L -> container(le, new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false),
+        AudioFileFormat.Type.WAVE),
+      2L -> container(be, new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, true),
+        AudioFileFormat.Type.AIFF)))
+    val out = Multimodal.audioHash(rows)
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === Multimodal.byteDHash(payload),
+      "8-bit hash unchanged by sample-space canonicalization")
+    assert(out(1L) === out(0L), "16-bit LE WAV rewrap")
+    assert(out(2L) === out(0L), "16-bit BE AIFF rewrap")
+  }
+
+  test("buildWavUlaw → audioHash expands the G.711 codes (hash = " +
+      "intDHash of the expanded samples, NOT the byte-passthrough)") {
+    // a payload built to BREAK mean-order preservation under the
+    // (nonlinear) expansion: even blocks {0x00, 0xFF} have byte mean
+    // 127.5 but expanded u16 mean (644 + 32768)/2 = 16706; odd blocks
+    // {0x60, 0x60} have byte mean 96 but u16 mean 32396 — every
+    // adjacent block comparison FLIPS, so a linear read of the codes
+    // deterministically cannot hash like the expansion
+    val codes = Array.tabulate[Byte](144) { i =>
+      if ((i / 2) % 2 == 0) { if (i % 2 == 0) 0x00 else 0xFF.toByte }
+      else 0x60.toByte
+    }
+    val wav = Multimodal.buildWavUlaw(media(Seq(0L -> codes)))
+    val got = Multimodal.audioHash(wav).select("phash").head().getLong(0)
+    val want = Multimodal.intDHash(
+      codes.map(b => Multimodal.ulawToLinear(b & 0xff) + 32768))
+    assert(got === want)
+    assert(got !== Multimodal.byteDHash(codes),
+      "reading the codes as linear samples could not pass")
+  }
+
+  // ── video tier ──────────────────────────────────────────────────────
+
+  /** Scala replay of the buildAviBlocks arithmetic (the oracle's
+    * closed form): per-frame dHash over blockVideoLevel + majority
+    * pool, written independently of videoHashOf's loop shape. */
+  private def pooledHash(content: Long, frames: Int, jitter: Long): Long = {
+    def frameHash(f: Int): Long = {
+      var h = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (Multimodal.blockVideoLevel(content, f, r, c + 1, jitter) >
+            Multimodal.blockVideoLevel(content, f, r, c, jitter))
+          h |= 1L << (r * 8 + c)
+      h
+    }
+    val fh = (0 until frames).map(frameHash)
+    var h = 0L
+    for (j <- 0 until 64) {
+      val c = fh.count(x => (x >>> j & 1L) == 1L)
+      if (2 * c >= frames) h |= 1L << j
+    }
+    h
+  }
+
+  test("videoHash over buildAviBlocks ≡ the arithmetic replay " +
+      "(encode → mux → demux → BMP decode → luma → dHash → majority " +
+      "pool, all real); a byte-domain fallback could not match") {
+    val rows = Seq((5L, 5L, 0L), (6L, 6L, 0L), (7L, -7L, 0L))
+      .toDF("media_id", "content", "jitter")
+    val avi = Multimodal.buildAviBlocks(rows, "media_id", "content",
+      "jitter", frames = 3)
+    val got = Multimodal.videoHash(avi, n = 3)
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) === pooledHash(5L, 3, 0L))
+    assert(got(6L) === pooledHash(6L, 3, 0L))
+    assert(got(7L) === pooledHash(-7L, 3, 0L),
+      "negative content ids floorMod cleanly")
+    val blob = avi.filter(col("media_id") === 5L)
+      .select("data").head().getAs[Array[Byte]](0)
+    assert(Multimodal.byteDHash(blob) !== got(5L),
+      "hashing the container bytes could not pass")
+  }
+
+  test("videoHash: jitter perturbs at most 2 bits per signature, and " +
+      "videoNearDups pairs the jittered clone with its original") {
+    val rows = Seq((0L, 42L, 0L), (1L, 42L, 101L), (2L, 99L, 0L))
+      .toDF("media_id", "content", "jitter")
+    val avi = Multimodal.buildAviBlocks(rows, "media_id", "content",
+      "jitter", frames = 3)
+    val hs = Multimodal.videoHash(avi, n = 3)
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d01 = java.lang.Long.bitCount(hs(0L) ^ hs(1L))
+    assert(d01 <= 2, s"one-block jitter moved $d01 bits")
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(2L)) > 3,
+      "distinct content is not a near-dup")
+    val pairs = Multimodal.videoNearDups(avi, "media_id", n = 3,
+        maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("videoHash: non-AVI blobs fall back to byteDHash; an AVI whose " +
+      "frames all fail to decode falls back too") {
+    val junk = "not a riff container at all".getBytes("UTF-8")
+    val got = Multimodal.videoHash(media(Seq(0L -> junk)))
+      .select("phash").head().getLong(0)
+    assert(got === Multimodal.byteDHash(junk))
+  }
+
+  test("buildBlockPng: a NEGATIVE id still renders in-range gray " +
+      "levels (floorMod) and round-trips to the arithmetic hash") {
+    val df = Seq(-5L).toDF("doc_id")
+    val got = Multimodal.mediaHash(Multimodal.buildBlockPng(df, "doc_id"))
+      .select("phash").head().getLong(0)
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      def v(bx: Int) = math.floorMod(-5L * 37 + r * 17 + bx * 23, 199) + 1
+      if (v(c + 1) > v(c)) want |= 1L << (r * 8 + c)
+    }
+    assert(got === want)
+  }
 }
