@@ -1520,6 +1520,48 @@ object DataPipelineQueries {
         .select(col("media_id"), col("phash_bits"))
         .orderedCorpus("media_id")),
 
+    // ── the COMPANDED audio decode path proven differentially: each
+    //    doc's text bytes become G.711 μ-law CODES in a real ULAW WAV
+    //    (format tag 7, AudioSystem.write), and audioHash must hash
+    //    the EXPANDED linear samples — the oracle replays the fixed
+    //    256-entry G.711 table (embedded from the same Scala array the
+    //    engine uses, itself unit-pinned against the JDK codec). The
+    //    expansion is nonlinear, so a byte-passthrough read of the
+    //    codes cannot match: this row gates the companded→linear
+    //    conversion itself, not just the container parse.
+    "q_audio_hash_ulaw" -> ((s, dir) =>
+      Multimodal.audioHash(
+          Multimodal.buildWavUlaw(
+            Multimodal.attachBlob(docs(s, dir), "doc_id", "text",
+              kind = "audio")))
+        .select(col("media_id"), col("phash_bits"))
+        .orderedCorpus("media_id")),
+
+    // ── VIDEO near-dup pair tier over REAL encoded containers (the
+    //    q_media_pixel pattern lifted to the full video journey):
+    //    every doc renders a 3-frame AVI of MD5-mixed block-constant
+    //    BMP frames (buildAviBlocks), every 5th doc re-renders as an
+    //    id-shifted clone whose single jitter block perturbs the
+    //    majority-pooled videoHash by 0–2 bits, and videoNearDups
+    //    (demux → BMP decode → per-frame pixel dHash → majority pool
+    //    → adaptive Hamming bands) must return exactly the pairs the
+    //    codec-free arithmetic oracle computes. A byte-domain
+    //    fallback on the container bytes cannot match.
+    "q_video_neardups" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val base = d.select(col("doc_id").as("media_id"),
+        col("doc_id").as("content"), lit(0L).as("jitter"))
+      val clones = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("media_id"),
+          col("doc_id").as("content"), lit(101L).as("jitter"))
+      Multimodal.videoNearDups(
+          Multimodal.buildAviBlocks(base.unionByName(clones), "media_id",
+            "content", "jitter", frames = 3),
+          "media_id", n = 3, maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderedCorpus("id_a", "id_b")
+    }),
+
     "q_media_dirty" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       val d = docs(s, dir)
@@ -4294,11 +4336,121 @@ object DataPipelineQueries {
     // string; empty docs hash to all-zero
     "q_media_phash" -> byteDHashBitsOracle,
 
-    // audioHash over buildWav(text): 8-bit unsigned PCM passes the
-    // payload through byte-for-byte, so the sample-stream hash IS
+    // audioHash over buildWav(text): 8-bit unsigned PCM canonicalizes
+    // to samples b·256 — an exact ×256 of the byte stream, so block
+    // means scale float-exactly and the sample-stream hash IS STILL
     // byteDHash(text bytes) — the identical replay gates the audio
     // decode path (a fallback over container bytes cannot match)
     "q_audio_hash" -> byteDHashBitsOracle,
+
+    // audioHash over buildWavUlaw(text): each text byte is a G.711
+    // μ-law CODE; the engine must expand code→linear (+32768 to the
+    // canonical unsigned grid) before block-averaging. The fixed
+    // 256-entry table is embedded below from the very Scala array the
+    // engine decodes with (which is itself unit-pinned against the
+    // JDK codec), so engine and oracle share one closed form. The
+    // expansion is NONLINEAR (log-companded), so block-mean order is
+    // not preserved from the raw codes — a byte-passthrough cannot
+    // match this oracle.
+    "q_audio_hash_ulaw" -> {
+      val table = graft.operators.Multimodal.ulawToLinear.zipWithIndex
+        .map { case (v, code) => s"($code,$v)" }.mkString(",")
+      s"""WITH ulaw(code, lin) AS (
+         |  SELECT * FROM (VALUES $table) t(code, lin)
+         |), hexed AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents
+         |), idx AS (
+         |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed
+         |), vals AS (
+         |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
+         |         u.lin + 32768 AS val
+         |  FROM idx
+         |  JOIN ulaw u ON u.code =
+         |    CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
+         |), blocks AS (
+         |  SELECT doc_id, b, CAST(sum(val) AS DOUBLE) / count(*) AS m
+         |  FROM vals GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT h.doc_id, g.k,
+         |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
+         |  FROM hexed h
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
+         |  LEFT JOIN blocks b1 ON b1.doc_id = h.doc_id
+         |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
+         |  LEFT JOIN blocks b2 ON b2.doc_id = h.doc_id
+         |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
+         |  WHERE h.n > 0
+         |), bits AS (
+         |  SELECT doc_id,
+         |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+         |           ORDER BY k DESC) AS pb
+         |  FROM grid GROUP BY 1
+         |)
+         |SELECT h.doc_id AS media_id,
+         |       CASE WHEN h.hx IS NULL THEN NULL
+         |            ELSE coalesce(b.pb, repeat('0', 64)) END AS phash_bits
+         |FROM hexed h LEFT JOIN bits b USING (doc_id)
+         |ORDER BY media_id""".stripMargin
+    },
+
+    // videoHash over buildAviBlocks: the full codec journey (BMP
+    // encode → AVI mux → demux → BMP decode → Rec.601 luma → 2×2
+    // block means → per-frame dHash → bitwise majority pool over the
+    // 3 frames → 4×16-bit Hamming bands) replayed codec-free — block
+    // (by, bx) = k//9, k%9 of frame f is constant gray
+    // md5_48("v|content|k") (+53f on row 7, +jitter on the clone's
+    // single block (0, content%9)) mod 199 + 1, luma is monotone in
+    // the gray level, and ties lose the strict '>' in both engines.
+    "q_video_neardups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS media_id, doc_id AS content, 0 AS jitter
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS media_id, doc_id AS content,
+        |         101 AS jitter
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), blocks AS (
+        |  SELECT media_id, f.f, g.k,
+        |         (CAST('0x' || substr(md5('v|' ||
+        |              CAST(content AS VARCHAR) || '|' ||
+        |              CAST(g.k AS VARCHAR)), 1, 12) AS BIGINT)
+        |          + CASE WHEN g.k // 9 = 7 THEN 53 * f.f ELSE 0 END
+        |          + CASE WHEN g.k // 9 = 0 AND g.k % 9 = content % 9
+        |                 THEN jitter ELSE 0 END) % 199 + 1 AS v
+        |  FROM corpus
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS f) f
+        |  CROSS JOIN (SELECT unnest(range(0, 72)) AS k) g
+        |), framebits AS (
+        |  SELECT a.media_id, a.f,
+        |         (a.k // 9) * 8 + (a.k % 9) AS bitpos,
+        |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM blocks a JOIN blocks b
+        |    ON b.media_id = a.media_id AND b.f = a.f AND b.k = a.k + 1
+        |  WHERE a.k % 9 < 8
+        |), pooled AS (
+        |  SELECT media_id, bitpos,
+        |         CASE WHEN sum(bit) >= 2 THEN '1' ELSE '0' END AS bit
+        |  FROM framebits GROUP BY 1, 2
+        |), hashes AS (
+        |  SELECT media_id,
+        |         string_agg(bit, '' ORDER BY bitpos DESC) AS pb
+        |  FROM pooled GROUP BY 1
+        |), bands AS (
+        |  SELECT media_id, pb, g.band,
+        |         substr(pb, CAST(49 - 16*band AS INT), 16) AS key
+        |  FROM hashes
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+        |), pairs AS (
+        |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |         bit_count(xor(a.pb::BIT, b.pb::BIT)) AS hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key
+        |   AND a.media_id < b.media_id
+        |)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Same byteDHash replay over documents ∪ the id-shifted exact
     // copies, then the Hamming-band pair tier: band b's engine key
