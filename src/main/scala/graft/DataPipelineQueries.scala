@@ -1182,6 +1182,34 @@ object DataPipelineQueries {
         .orderedSmall("query_id", "rank")
     }),
 
+    // ── incremental ANN index maintenance (the q_bm25_index_incr
+    //    contract in vector space): base IVF-SQ8 index over the
+    //    standing 80% corpus, today's 20% embedding batch merged via
+    //    updateAnnIndex (delta-sized assignment + quantization,
+    //    routing PINNED to the stored centroids, cell ledger merged as
+    //    exact longs), then probed — the incrementally-updated index
+    //    must serve the FULL corpus bit-identically to what the oracle
+    //    replays from the raw embeddings with the same base-corpus
+    //    centroids (the 16 lowest-id base vectors)
+    "q_ann_index_incr" -> ((s, dir) => {
+      val idx = s"/tmp/graft_ann_incr_${scratchKey(dir)}"
+      // fresh every run: an append-based artifact must never double-add
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val e = embs(s, dir)
+      Similarity.buildAnnIndex(
+        e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        "vec_id", "embedding", idx, nlist = 16)
+      Similarity.updateAnnIndex(
+        e.filter(pmod(col("vec_id"), lit(5)) === 0),
+        "vec_id", "embedding", idx)
+      Similarity.annTopKIndexed(s, idx, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
+        .orderedSmall("query_id", "rank")
+    }),
+
     // ── linear-probe sufficient statistics (the quality-classifier
     //    training pass): upper-triangle XᵀX + per-class XᵀY of the
     //    bias-augmented embeddings, exact decimal sums — ONE corpus
@@ -3721,6 +3749,56 @@ object DataPipelineQueries {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), cents AS (
         |  SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 16
+        |), sims AS (
+        |  SELECT e.vec_id, c.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_dot_product(e.v, c.centv) /
+        |             (sqrt(list_dot_product(e.v, e.v)) *
+        |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
+        |           c.cell ASC) AS rn
+        |  FROM e CROSS JOIN cents c
+        |), qz AS (
+        |  SELECT vec_id, list_transform(v, x -> round(x /
+        |           (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END))) AS q
+        |  FROM (SELECT vec_id, v,
+        |          list_aggregate(list_transform(v, x -> abs(x)), 'max')
+        |            AS m FROM e)
+        |), nz AS (
+        |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS n FROM qz
+        |), corpus_cells AS (
+        |  SELECT vec_id AS match_id, cell FROM sims WHERE rn = 1
+        |), query_probes AS (
+        |  SELECT vec_id AS query_id, cell
+        |  FROM sims WHERE vec_id < 20 AND rn <= 4
+        |), scored AS (
+        |  SELECT qp.query_id, cc.match_id,
+        |         list_dot_product(a.q, b.q) / (a.n * b.n) AS qcos_raw
+        |  FROM query_probes qp JOIN corpus_cells cc USING (cell)
+        |  JOIN nz a ON a.vec_id = qp.query_id
+        |  JOIN nz b ON b.vec_id = cc.match_id
+        |  WHERE qp.query_id != cc.match_id
+        |), ranked AS (
+        |  SELECT query_id, match_id, qcos_raw,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY qcos_raw DESC, match_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, match_id, round(qcos_raw + 1e-9, 4) AS qcos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // incrementally-updated index ≡ the same replay with the BASE
+    // corpus's centroids (vec_id < 16 excluding the delta's multiples
+    // of 5, re-numbered densely by id — buildAnnIndex's zipWithIndex
+    // convention): routing is pinned at build time, the delta only
+    // appends codes, so the full corpus scores exactly as q_ann_indexed
+    // does under these centroids
+    "q_ann_index_incr" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         v AS centv
+        |  FROM e WHERE vec_id < 16 AND vec_id % 5 != 0
         |), sims AS (
         |  SELECT e.vec_id, c.cell,
         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY

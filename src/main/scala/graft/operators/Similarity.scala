@@ -353,7 +353,12 @@ object Similarity {
     *    filter prunes row groups via min/max stats — the probe reads
     *    O(probed cells), not O(corpus), the [[Retrieval.bm25TopKIndexed]]
     *    term-sorted-postings move in vector space;
-    *  - `stats` — 1-row audit (n_vectors, n_cells, dim, nlist);
+    *  - `cellstats` — (cell, n) per-cell counts (≤ nlist rows): the
+    *    ADDITIVE audit ledger that lets [[updateAnnIndex]] merge a
+    *    delta's counts exactly without rescanning the standing codes
+    *    (the `io.Output` incremental-manifest pattern);
+    *  - `stats` — 1-row audit (n_vectors, n_cells, dim, nlist),
+    *    derived from cellstats;
     *  - `_INDEX_OK` — completion marker, written LAST.
     *
     * Default centroids are the `nlist` lowest-id corpus vectors (the
@@ -393,19 +398,94 @@ object Similarity {
     try {
       codes.repartitionByRange(col("cell")).sortWithinPartitions("cell")
         .write.mode("overwrite").parquet(s"$dir/codes")
-      codes.agg(count(lit(1)).as("n_vectors"),
-          countDistinct(col("cell")).as("n_cells"))
-        .select(col("n_vectors"), col("n_cells"),
-          lit(dim.toLong).as("dim"), lit(nlist.toLong).as("nlist"))
-        .write.mode("overwrite").parquet(s"$dir/stats")
-      // marker content = a fresh UUID: version token for the probe-side
-      // centroid cache (mtime granularity can't distinguish two rebuilds
-      // within one second)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), true)
-      try out.write(java.util.UUID.randomUUID().toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      val cellstats = codes.groupBy("cell").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      cellstats.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/cellstats")
+      writeAnnStats(cellstats, dir, dim.toLong, nlist.toLong)
+      writeAnnMarker(fs, dir)
+    } finally codes.unpersist(false)
+  }
+
+  /** Derive + write the 1-row `stats` audit from the per-cell ledger
+    * (n_vectors = Σn exact longs, n_cells = ledger rows). */
+  private def writeAnnStats(cellstats: DataFrame, dir: String,
+      dim: Long, nlist: Long): Unit =
+    cellstats
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_vectors"),
+        count(lit(1)).as("n_cells"))
+      .select(col("n_vectors"), col("n_cells"),
+        lit(dim).as("dim"), lit(nlist).as("nlist"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Completion marker, written LAST. Content = a fresh UUID: version
+    * token for the probe-side centroid cache (mtime granularity can't
+    * distinguish two rebuilds within one second). */
+  private def writeAnnMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), true)
+    try out.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Incrementally merge `newVecs` into a completed [[buildAnnIndex]]
+    * directory — the daily-embedding-batch move, mirroring
+    * [[Retrieval.updateIndex]]: assignment and SQ8 quantization run
+    * over the DELTA only (cost ∝ delta size), never the standing
+    * corpus. Routing is PINNED: new vectors assign to the INDEX'S
+    * stored centroids (that is the IVF update contract — cells never
+    * move between retrains; when drift makes the routing stale, that
+    * is a full rebuild, not an update). The resulting index probes
+    * BIT-EQUAL to a from-scratch build over old∪new with the same
+    * centroids:
+    *  - codes: the delta's codes APPEND as new cell-sorted parquet
+    *    files (row-group pruning holds per file; per-row quantization
+    *    has no corpus dependence, and ranking ties break on match_id,
+    *    so file interleaving is invisible);
+    *  - cellstats: old ledger ⊕ delta counts, an exact long merge of
+    *    ≤ nlist rows;
+    *  - stats: recomputed from the merged ledger.
+    *
+    * Contract: `newVecs` ids must be DISJOINT from the indexed ids
+    * (dedupe the delta first); re-adding an indexed id would serve the
+    * vector twice. The completion marker drops before the first
+    * mutation and is rewritten last, so a crash mid-update leaves a
+    * visibly incomplete index, never a silently stale one. */
+  def updateAnnIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK")),
+      s"updateAnnIndex needs a completed index at $dir (run buildAnnIndex)")
+    val cents = loadCentroids(spark, dir)
+    val centLit = centroidLit(cents)
+    val codes = newVecs
+      .select(col(idCol).as("match_id"), asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__n", norm(col("__cv")))
+      .withColumn("cell", bestCell(centLit, col("__cv"), col("__n")))
+      .select(col("match_id"), col("cell"),
+        quantize(col("__cv")).getField("q").as("cq"))
+      .withColumn("cn", sqrt(intDotCol(col("cq"), col("cq")).cast("double")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the merged ledger MATERIALIZES (localCheckpoint) before the
+      // artifact it reads is overwritten
+      val cellstats = spark.read.parquet(s"$dir/cellstats")
+        .unionByName(codes.groupBy("cell").agg(count(lit(1)).as("n")))
+        .groupBy("cell").agg(sum(col("n")).as("n"))
+        .localCheckpoint(true)
+      val carried = spark.read.parquet(s"$dir/stats")
+        .select("dim", "nlist").head()
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), false)
+      codes.repartitionByRange(col("cell")).sortWithinPartitions("cell")
+        .write.mode("append").parquet(s"$dir/codes")
+      cellstats.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/cellstats")
+      writeAnnStats(cellstats, dir, carried.getLong(0), carried.getLong(1))
+      writeAnnMarker(fs, dir)
     } finally codes.unpersist(false)
   }
 

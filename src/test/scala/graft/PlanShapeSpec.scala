@@ -560,6 +560,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(probe2 === direct2)
   }
 
+  test("updateAnnIndex: build(half) + update(rest) probes BIT-EQUAL to " +
+      "a full build with the same pinned centroids; the cell ledger " +
+      "merges exactly; update without a completed index refuses") {
+    import graft.operators.Similarity
+    val dirIncr = java.nio.file.Files
+      .createTempDirectory("graft_ann_incr").toString
+    val dirFull = java.nio.file.Files
+      .createTempDirectory("graft_ann_full").toString
+    val e = (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Some((0 until 4).map(c => Array(
+      math.cos(c * 1.3), math.sin(c * 1.3),
+      math.cos(c * 0.7), math.sin(c * 0.7))).toArray)
+    val base = e.filter(col("vec_id") % 3 =!= 0)
+    val delta = e.filter(col("vec_id") % 3 === 0)
+    Similarity.buildAnnIndex(base, "vec_id", "embedding", dirIncr, 4,
+      centroids = cents)
+    Similarity.updateAnnIndex(delta, "vec_id", "embedding", dirIncr)
+    Similarity.buildAnnIndex(e, "vec_id", "embedding", dirFull, 4,
+      centroids = cents)
+    val q = e.filter(col("vec_id") < 3)
+    val incr = Similarity.annTopKIndexed(spark, dirIncr, q,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val full = Similarity.annTopKIndexed(spark, dirFull, q,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(incr === full)
+    // merged audit = full-build audit (exact long ledger merge)
+    val si = Similarity.annIndexStats(spark, dirIncr).head()
+    val sf = Similarity.annIndexStats(spark, dirFull).head()
+    assert(si.toSeq === sf.toSeq)
+    assert(si.getLong(0) === 60L)
+    // refuses a dir with no completed build (no marker)
+    val eEmpty = java.nio.file.Files
+      .createTempDirectory("graft_ann_none").toString
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.updateAnnIndex(delta, "vec_id", "embedding", eEmpty)
+    }
+    assert(ex.getMessage.contains("buildAnnIndex"))
+  }
+
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +
       "sort, no join") {
     val p = plan(Sampling.shuffleShards(
