@@ -768,6 +768,27 @@ object DataPipelineQueries {
         .orderedCorpus("doc_id")
     }),
 
+    // ── CROSS-TIER dedup report (the curation end-game): exact
+    //    content-hash edges, MinHash/LSH verified pairs and perceptual
+    //    media-hash pairs union into ONE edge set; a single
+    //    connected-components pass assigns one cluster per doc ACROSS
+    //    modalities — plus the '+'-joined set of tiers touching each
+    //    doc — so the keep-one decision is made once, not once per
+    //    tier (two tiers can each link disjoint halves of one family;
+    //    only the union sees the whole family)
+    "q_dedup_multitier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.exactDupEdges(d, "doc_id", "text")
+      val lsh = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+        numHashes = H, bands = 4, tau = 0.5).dropDuplicates("id_a", "id_b")
+      val media = Multimodal.mediaNearDups(
+        Multimodal.attachBlob(d, "doc_id", "text"), "media_id",
+        maxHamming = 3)
+      Dedup.multiTierClusters(d.select(col("doc_id")), "doc_id",
+          Seq("exact" -> exact, "lsh" -> lsh, "media" -> media))
+        .orderedCorpus("doc_id")
+    }),
+
     // ── semi-supervised label propagation: ratings seeded on 1-in-25
     //    docs spread through the verified near-dup graph (5 rounds,
     //    majority vote, ties to the smallest label, seeds clamped)
@@ -1760,7 +1781,11 @@ object DataPipelineQueries {
     * `clusters(doc_id, cluster_id)`) — shared by q_dedup_cluster,
     * q_dedup_cluster_star, and q_dedup_keep_best. Callers prepend
     * `WITH RECURSIVE` and append their SELECT. */
-  private lazy val clusterCtes: String = {
+  /** The LSH half of [[clusterCtes]] — shingles → signatures → band
+    * keys → candidates → `verified(id_a, id_b)` — reusable by oracles
+    * that feed the verified pairs into a DIFFERENT edge set
+    * (q_dedup_multitier unions them with other tiers). */
+  private lazy val verifiedCtes: String = {
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, $b AS band, md5(CAST(sig_${2 * b} AS VARCHAR) || '_' || " +
         s"CAST(sig_${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs"
@@ -1782,7 +1807,11 @@ object DataPipelineQueries {
        |  JOIN sigs sa ON sa.doc_id = c.id_a
        |  JOIN sigs sb ON sb.doc_id = c.id_b
        |  WHERE CAST($eq AS DOUBLE) / ${H}.0 >= 0.5
-       |), edges AS (
+       |)""".stripMargin
+  }
+
+  private lazy val clusterCtes: String =
+    s"""$verifiedCtes, edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM verified
        |  UNION
        |  SELECT id_b AS src, id_a AS dst FROM verified
@@ -1794,7 +1823,6 @@ object DataPipelineQueries {
        |), clusters AS (
        |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
        |)""".stripMargin
-  }
 
   private lazy val dedupClusterSql: String =
     s"""WITH RECURSIVE $clusterCtes
@@ -2890,6 +2918,92 @@ object DataPipelineQueries {
     // contraction variant must produce the SAME labels — same oracle.
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_cluster_star" -> dedupClusterSql,
+
+    // three tiers replayed independently — exact md5 groups in star
+    // form, the shared LSH verified CTE, the byteDHash Hamming-band
+    // pairs — unioned into one edge set and pushed through the same
+    // recursive-CTE components as q_dedup_cluster; per-doc tier sets
+    // aggregate over the union's endpoints
+    "q_dedup_multitier" ->
+      s"""WITH RECURSIVE $verifiedCtes,
+         |mhexed AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents WHERE text IS NOT NULL
+         |), midx AS (
+         |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM mhexed
+         |), mbytes AS (
+         |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
+         |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
+         |           AS byte
+         |  FROM midx
+         |), mblocks AS (
+         |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS m
+         |  FROM mbytes GROUP BY 1, 2
+         |), mgrid AS (
+         |  SELECT h.doc_id, g.k,
+         |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
+         |  FROM mhexed h
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
+         |  LEFT JOIN mblocks b1 ON b1.doc_id = h.doc_id
+         |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
+         |  LEFT JOIN mblocks b2 ON b2.doc_id = h.doc_id
+         |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
+         |  WHERE h.n > 0
+         |), mbits AS (
+         |  SELECT doc_id,
+         |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+         |           ORDER BY k DESC) AS pb
+         |  FROM mgrid GROUP BY 1
+         |), mhashes AS (
+         |  SELECT h.doc_id, coalesce(b.pb, repeat('0', 64)) AS pb
+         |  FROM mhexed h LEFT JOIN mbits b USING (doc_id)
+         |), mbands AS (
+         |  SELECT doc_id, pb, g.band,
+         |         substr(pb, CAST(49 - 16*band AS INT), 16) AS key
+         |  FROM mhashes
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+         |), mpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM mbands a JOIN mbands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.pb::BIT, b.pb::BIT)) <= 3
+         |), exkey AS (
+         |  SELECT md5(text) AS h, doc_id FROM documents
+         |  WHERE text IS NOT NULL
+         |), exrep AS (
+         |  SELECT h, min(doc_id) AS rep, count(*) AS n
+         |  FROM exkey GROUP BY h
+         |), expairs AS (
+         |  SELECT e.rep AS id_a, g.doc_id AS id_b
+         |  FROM exkey g JOIN exrep e USING (h)
+         |  WHERE e.n >= 2 AND g.doc_id != e.rep
+         |), tpairs AS (
+         |  SELECT id_a, id_b, 'exact' AS tier FROM expairs
+         |  UNION ALL SELECT id_a, id_b, 'lsh' AS tier FROM verified
+         |  UNION ALL SELECT id_a, id_b, 'media' AS tier FROM mpairs
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM tpairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM tpairs
+         |), reach AS (
+         |  SELECT doc_id AS id, doc_id AS lab FROM documents
+         |  UNION
+         |  SELECT e.dst AS id, r.lab
+         |  FROM reach r JOIN edges e ON e.src = r.id
+         |), clusters AS (
+         |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+         |), touch AS (
+         |  SELECT doc_id, string_agg(tier, '+' ORDER BY tier) AS tiers
+         |  FROM (SELECT DISTINCT doc_id, tier FROM (
+         |          SELECT id_a AS doc_id, tier FROM tpairs
+         |          UNION ALL
+         |          SELECT id_b AS doc_id, tier FROM tpairs))
+         |  GROUP BY doc_id
+         |)
+         |SELECT c.doc_id, c.cluster_id, coalesce(t.tiers, '') AS tiers
+         |FROM clusters c LEFT JOIN touch t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // md5 content keys per side, full-outer on the id (USING coalesces)
     "q_corpus_diff" ->

@@ -1612,6 +1612,65 @@ object Dedup {
     connectedComponents(df.select(col(idCol)), pairs, idCol, maxIter)
   }
 
+  /** Exact-dup edge set in STAR form: per group of identical `textCol`
+    * (size ≥ 2), one edge (group-min id → member id) per non-min
+    * member — linear in the corpus, never quadratic in a clone
+    * clique, and component-equivalent to the clique for any
+    * connected-components consumer ([[multiTierClusters]]'s exact
+    * tier). Null texts are skipped (no content to equal). Two keyed
+    * aggregations/joins on the content hash; no windows. */
+  def exactDupEdges(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val keyed = df.filter(col(textCol).isNotNull)
+      .select(contentKey(col(textCol)).as("__ck"), col(idCol))
+    val groups = keyed.groupBy("__ck")
+      .agg(min(col(idCol)).as("id_a"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+    keyed.join(groups, "__ck")
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
+  }
+
+  /** Cross-tier near-dup report — the curation end-game: pair tiers
+    * from DIFFERENT detectors (exact content hash, MinHash/LSH,
+    * perceptual media hash, audio hash, semantic cosine, …) union into
+    * ONE edge set and a single connected-components pass assigns one
+    * cluster per doc ACROSS modalities, so the keep-one decision is
+    * made once, not once per tier — two tiers can each link disjoint
+    * halves of one dup family, and only the union sees the whole
+    * family. Each tier is `(name, pairs)` with `(id_a, id_b)` columns
+    * (extra columns dropped; cross-tier multiplicity fine — edges
+    * dedupe inside the CC kernel). Returns `(idCol, cluster_id,
+    * tiers)` for every node, where `tiers` is the '+'-joined sorted
+    * set of tier names with an edge touching the doc (singletons carry
+    * '').
+    *
+    * Scale shape: the tier union is pair-sized and localCheckpointed
+    * ONCE (both the CC pass and the touch aggregation read it — the
+    * tiers' kernels, e.g. a full LSH pipeline, must not run twice);
+    * CC is [[connectedComponents]]' min-label propagation (near-dup
+    * graphs have bounded diameter — pre-contract chained graphs with
+    * [[connectedComponentsStar]] if needed); the touch aggregation is
+    * one explode + id-keyed collect_set of tier names (≤ #tiers
+    * strings per doc). */
+  def multiTierClusters(nodes: DataFrame, idCol: String,
+      tiers: Seq[(String, DataFrame)], maxIter: Int = 50): DataFrame = {
+    require(tiers.nonEmpty, "at least one pair tier")
+    val edges = tiers.map { case (name, df) =>
+      df.select(col("id_a"), col("id_b"), lit(name).as("tier"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val cc = connectedComponents(nodes,
+      edges.select("id_a", "id_b"), idCol, maxIter)
+    val touched = edges
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol),
+        col("tier"))
+      .groupBy(idCol)
+      .agg(array_join(array_sort(collect_set(col("tier"))), "+")
+        .as("tiers"))
+    cc.join(touched, Seq(idCol), "left")
+      .withColumn("tiers", coalesce(col("tiers"), lit("")))
+  }
+
   /** PageRank over an undirected pair graph (e.g. the near-dup /
     * similarity graph): the centrality signal that ranks a cluster's
     * CANONICAL document by how connected it is, and more generally the
