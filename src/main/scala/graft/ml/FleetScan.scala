@@ -159,16 +159,39 @@ object FleetScan {
     * then point `ACTIVE` at it (the [[graft.io.ModelStore]] protocol) —
     * the previous version stays readable until the pointer flips. */
   def saveState(state: DataFrame, root: String, name: String): Int = {
-    val dir = java.nio.file.Paths.get(root, name)
-    java.nio.file.Files.createDirectories(dir)
-    val listing = java.nio.file.Files.list(dir)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(root, name)
+    Files.createDirectories(dir)
+    val listing = Files.list(dir)
     val prior =
       try listing.toArray.map(_.toString).flatMap(p => scala.util.Try(
         p.split('/').last.stripPrefix("v").toInt).toOption)
       finally listing.close()
     val v = if (prior.isEmpty) 1 else prior.max + 1
     state.write.mode("overwrite").parquet(s"$root/$name/v$v")
-    java.nio.file.Files.writeString(dir.resolve("ACTIVE"), v.toString)
+    // ACTIVE flips atomically (temp file + ATOMIC_MOVE in the same
+    // dir): a concurrent loadState reads either the old version or
+    // the new one, never a half-written pointer
+    val tmp = dir.resolve(s".ACTIVE.tmp.$v")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, dir.resolve("ACTIVE"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // prune superseded versions AFTER the flip: the per-run append
+    // must not accrete v1..vN forever under a long-lived root (the
+    // resume gate re-saves on every run over one corpus dir). A
+    // reader that loaded the OLD pointer just before the flip and is
+    // still mid-read races the prune — single-writer-at-a-time per
+    // (root, name) is the protocol contract; concurrent writers
+    // should key the root by run.
+    prior.foreach { old =>
+      val op = dir.resolve(s"v$old")
+      if (Files.exists(op)) {
+        val walk = Files.walk(op)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p): Unit)
+        finally walk.close()
+      }
+    }
     v
   }
 

@@ -417,6 +417,92 @@ class PropertyInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("property: the pair-budget guard convention holds for EVERY " +
+      "pair-producing operator — an adversarial all-identical corpus " +
+      "trips the budget with a remedy message, runs under it, and " +
+      "cap-style guards bound output instead of going quadratic") {
+    import graft.operators.{Dedup, Multimodal, Similarity, Temporal}
+    val n = 40L
+    val allPairs = n * (n - 1) / 2 // 780
+    val clones = (0L until n)
+      .map(i => (i, "the identical adversarial payload every row shares"))
+      .toDF("doc_id", "text")
+
+    // FAIL-FAST tier: (operator, tripping thunk, expected fragments,
+    // passing thunk → pair count). Every thunk runs on the same
+    // all-identical corpus; the trip must throw BEFORE the pair join
+    // executes, with a message carrying the budget knob and a remedy.
+    val hashes = clones.select(col("doc_id"), lit(42L).as("phash"))
+    def trip[E <: Exception](frag: String*)(f: => Any)(
+        implicit ct: scala.reflect.ClassTag[E]): Unit = {
+      val e = intercept[E](f)
+      frag.foreach(s => assert(e.getMessage.contains(s), e.getMessage))
+    }
+    trip[IllegalStateException]("maxCandidatePairs", "Remedies") {
+      Dedup.hammingNearDups(hashes, "doc_id", "phash",
+        maxCandidatePairs = 10L).count()
+    }
+    assert(Dedup.hammingNearDups(hashes, "doc_id", "phash")
+      .count() === allPairs)
+    trip[IllegalStateException]("maxCandidatePairs") {
+      Dedup.ngramJaccardPairs(clones, "doc_id", "text",
+        maxCandidatePairs = 10L).count()
+    }
+    assert(Dedup.ngramJaccardPairs(clones, "doc_id", "text")
+      .count() === allPairs)
+    trip[IllegalArgumentException]("maxDupGroup", "Dedup.exact") {
+      Dedup.jaccardJoin(clones, "doc_id", "text", tau = 0.5,
+        maxDupGroup = 10).count()
+    }
+    assert(Dedup.jaccardJoin(clones, "doc_id", "text", tau = 0.5)
+      .count() === allPairs)
+    trip[IllegalArgumentException]("maxDupGroup") {
+      Dedup.containmentJoin(clones, "doc_id", "text", tau = 0.5,
+        maxDupGroup = 10).count()
+    }
+    trip[IllegalArgumentException]("maxDupGroup") {
+      Dedup.editDistanceJoin(clones, "doc_id", "text", maxDist = 1,
+        maxDupGroup = 10).count()
+    }
+    // the multimodal tiers delegate to the shared Hamming kernel — the
+    // budget must reach it through the blob path too (identical text
+    // blobs all byteDHash to one hash)
+    val blobs = Multimodal.attachBlob(clones, "doc_id", "text")
+    trip[IllegalStateException]("maxCandidatePairs") {
+      Multimodal.videoNearDups(blobs, "media_id",
+        maxCandidatePairs = 10L).count()
+    }
+    trip[IllegalStateException]("maxCandidatePairs") {
+      Multimodal.audioNearDups(blobs, "media_id",
+        maxCandidatePairs = 10L).count()
+    }
+    // the temporal quadratic: one hot key with n buckets
+    val series = (0L until n).map(t => ("k", t, t * 1.0)).toDF("g", "t", "v")
+    trip[IllegalStateException]("maxPairsPerKey", "trendOls") {
+      Temporal.theilSen(series, Seq("g"), "t", "v",
+        maxPairsPerKey = allPairs - 1)
+    }
+    assert(Temporal.theilSen(series, Seq("g"), "t", "v",
+      maxPairsPerKey = allPairs).count() === 1L)
+
+    // CAP tier (documented drop-don't-fail contract): over-cap buckets
+    // anti-join out BEFORE the self-join, so the adversarial corpus
+    // yields BOUNDED output (zero pairs / zero removals), never a
+    // quadratic plan
+    assert(Dedup.lshVerifiedPairs(clones, "doc_id", "text",
+      maxBucket = 10).count() === 0L)
+    assert(Dedup.lshVerifiedPairs(clones, "doc_id", "text")
+      .count() === allPairs)
+    val vecs = (0L until n).map(i => (i, Seq(1.0f, 0.5f, 0.25f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.cosineDedup(vecs, "vec_id", "embedding", tau = 0.9,
+      bands = 4, planesPerBand = 4, dim = 4, maxBucket = 10)
+      .count() === n, "capped: every bucket over cap, nothing removed")
+    assert(Similarity.cosineDedup(vecs, "vec_id", "embedding", tau = 0.9,
+      bands = 4, planesPerBand = 4, dim = 4)
+      .count() === 1L, "uncapped: the clique collapses to one survivor")
+  }
+
   test("property: LSH-verified pairs are a SUBSET of the exact " +
       "threshold join at the same tau, with identical jaccard values " +
       "(precision 1 by verification)") {
