@@ -143,7 +143,8 @@ object Bench {
     val isolatedFamily = sys.env.get("SPARK_GRAFT_BENCH_ISOLATED")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("q_video_features", "q_multimodal_features",
-        "q_media_dirty", "q_audio_features", "q_frame_sample"))
+        "q_media_dirty", "q_audio_features", "q_frame_sample",
+        "q_audio_hash", "q_audio_hash_ulaw", "q_video_neardups"))
       .filter(n => SparkEntry.queries.contains(n) &&
         only.forall(_.contains(n)))
     val isolatedPasses =

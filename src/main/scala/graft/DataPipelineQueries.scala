@@ -1211,7 +1211,9 @@ object DataPipelineQueries {
     //    exact longs), then probed — the incrementally-updated index
     //    must serve the FULL corpus bit-identically to what the oracle
     //    replays from the raw embeddings with the same base-corpus
-    //    centroids (the 16 lowest-id base vectors)
+    //    centroids (base vectors with vec_id < 16 — 12 of them here,
+    //    ids 1..14 minus the delta's multiples of 5, numbered densely
+    //    by ascending id: buildAnnIndex's id < nlist convention)
     "q_ann_index_incr" -> ((s, dir) => {
       val idx = s"/tmp/graft_ann_incr_${scratchKey(dir)}"
       // fresh every run: an append-based artifact must never double-add
@@ -1828,48 +1830,84 @@ object DataPipelineQueries {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin
 
-  // byteDHash replay over the documents table (block(i) = i*72//n over
-  // the UTF-8 bytes, exact integer sums → double means, bit k =
-  // m[(k//8)*9 + k%8 + 1] > m[... + 0], MSB-first 64-char bit string;
-  // empty docs hash all-zero, NULL text stays NULL). Shared by
+  /** The byte→value dHash replay chain every phash oracle shares
+    * (block(i) = i*72//n over the UTF-8 bytes, exact integer sums →
+    * double means, bit k = m[(k//8)*9 + k%8 + 1] > m[... + 0],
+    * MSB-first 64-char bit string; empty docs hash all-'0', NULL text
+    * stays NULL — exactly `Multimodal.byteDHash`/`intDHash` over the
+    * value stream). Emits CTEs `<p>hexed → <p>bytes → <p>blocks →
+    * <p>grid → <p>bits → <p>hashes`, where `<p>hashes` = (doc_id, pb).
+    * `corpusSql` must yield (doc_id, text); `valExpr` maps the raw
+    * byte (column `byte`) into the value stream, with `joinExtra` for
+    * a lookup join (the G.711 table). ONE definition — four oracles
+    * ride it, so a grid-layout change cannot drift between them. */
+  private def dHashCtes(p: String, corpusSql: String,
+      valExpr: String = "byte", joinExtra: String = ""): String =
+    s"""${p}hexed AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM ($corpusSql)
+       |), ${p}bytes AS (
+       |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
+       |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
+       |           AS byte
+       |  FROM (SELECT doc_id, n, hx, unnest(range(0, n)) AS i
+       |        FROM ${p}hexed)
+       |), ${p}blocks AS (
+       |  SELECT doc_id, b, CAST(sum(val) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT doc_id, b, $valExpr AS val
+       |        FROM ${p}bytes $joinExtra)
+       |  GROUP BY 1, 2
+       |), ${p}grid AS (
+       |  SELECT h.doc_id, g.k,
+       |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
+       |  FROM ${p}hexed h
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
+       |  LEFT JOIN ${p}blocks b1 ON b1.doc_id = h.doc_id
+       |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
+       |  LEFT JOIN ${p}blocks b2 ON b2.doc_id = h.doc_id
+       |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
+       |  WHERE h.n > 0
+       |), ${p}bits AS (
+       |  SELECT doc_id,
+       |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+       |           ORDER BY k DESC) AS pb
+       |  FROM ${p}grid GROUP BY 1
+       |), ${p}hashes AS (
+       |  SELECT h.doc_id,
+       |         CASE WHEN h.hx IS NULL THEN NULL
+       |              ELSE coalesce(b.pb, repeat('0', 64)) END AS pb
+       |  FROM ${p}hexed h LEFT JOIN ${p}bits b USING (doc_id)
+       |)""".stripMargin
+
+  /** The adaptive 4×16-bit Hamming band join over `<p>hashes` — band
+    * b's engine key `(phash >> 16b) & 0xFFFF` is exactly the 16-char
+    * bit-string slice starting at 49−16b (MSB-first), so band
+    * equality joins on substr; the verify is bit_count(xor) over the
+    * full 64 bits. Emits `<p>bands` and `<p>pairs(id_a, id_b,
+    * hamming)`; callers filter to their radius. */
+  private def hammingPairCtes(p: String): String =
+    s"""${p}bands AS (
+       |  SELECT doc_id, pb, g.band,
+       |         substr(pb, CAST(49 - 16*band AS INT), 16) AS key
+       |  FROM ${p}hashes
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+       |  WHERE pb IS NOT NULL
+       |), ${p}pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         bit_count(xor(a.pb::BIT, b.pb::BIT)) AS hamming
+       |  FROM ${p}bands a JOIN ${p}bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  // byteDHash replay over the documents table — shared by
   // q_media_phash (byte-domain fallback on text blobs) and
-  // q_audio_hash (the WAV payload decodes back to exactly these bytes).
-  private val byteDHashBitsOracle: String =
-    """WITH hexed AS (
-      |  SELECT doc_id, hex(encode(text)) AS hx,
-      |         octet_length(encode(text)) AS n
-      |  FROM documents
-      |), idx AS (
-      |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed
-      |), bytes AS (
-      |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
-      |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
-      |           AS byte
-      |  FROM idx
-      |), blocks AS (
-      |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS m
-      |  FROM bytes GROUP BY 1, 2
-      |), grid AS (
-      |  SELECT h.doc_id, g.k,
-      |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
-      |  FROM hexed h
-      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
-      |  LEFT JOIN blocks b1 ON b1.doc_id = h.doc_id
-      |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
-      |  LEFT JOIN blocks b2 ON b2.doc_id = h.doc_id
-      |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
-      |  WHERE h.n > 0
-      |), bits AS (
-      |  SELECT doc_id,
-      |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
-      |           ORDER BY k DESC) AS pb
-      |  FROM grid GROUP BY 1
-      |)
-      |SELECT h.doc_id AS media_id,
-      |       CASE WHEN h.hx IS NULL THEN NULL
-      |            ELSE coalesce(b.pb, repeat('0', 64)) END AS phash_bits
-      |FROM hexed h LEFT JOIN bits b USING (doc_id)
-      |ORDER BY media_id""".stripMargin
+  // q_audio_hash (the WAV payload canonicalizes to exactly ×256 of
+  // these bytes, which preserves every block-mean comparison).
+  private lazy val byteDHashBitsOracle: String =
+    s"""WITH ${dHashCtes("", "SELECT doc_id, text FROM documents")}
+       |SELECT doc_id AS media_id, pb AS phash_bits FROM hashes
+       |ORDER BY media_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2926,49 +2964,9 @@ object DataPipelineQueries {
     // aggregate over the union's endpoints
     "q_dedup_multitier" ->
       s"""WITH RECURSIVE $verifiedCtes,
-         |mhexed AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx,
-         |         octet_length(encode(text)) AS n
-         |  FROM documents WHERE text IS NOT NULL
-         |), midx AS (
-         |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM mhexed
-         |), mbytes AS (
-         |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
-         |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
-         |           AS byte
-         |  FROM midx
-         |), mblocks AS (
-         |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS m
-         |  FROM mbytes GROUP BY 1, 2
-         |), mgrid AS (
-         |  SELECT h.doc_id, g.k,
-         |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
-         |  FROM mhexed h
-         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
-         |  LEFT JOIN mblocks b1 ON b1.doc_id = h.doc_id
-         |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
-         |  LEFT JOIN mblocks b2 ON b2.doc_id = h.doc_id
-         |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
-         |  WHERE h.n > 0
-         |), mbits AS (
-         |  SELECT doc_id,
-         |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
-         |           ORDER BY k DESC) AS pb
-         |  FROM mgrid GROUP BY 1
-         |), mhashes AS (
-         |  SELECT h.doc_id, coalesce(b.pb, repeat('0', 64)) AS pb
-         |  FROM mhexed h LEFT JOIN mbits b USING (doc_id)
-         |), mbands AS (
-         |  SELECT doc_id, pb, g.band,
-         |         substr(pb, CAST(49 - 16*band AS INT), 16) AS key
-         |  FROM mhashes
-         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
-         |), mpairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM mbands a JOIN mbands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.pb::BIT, b.pb::BIT)) <= 3
-         |), exkey AS (
+         |${dHashCtes("m", "SELECT doc_id, text FROM documents")},
+         |${hammingPairCtes("m")},
+         |exkey AS (
          |  SELECT md5(text) AS h, doc_id FROM documents
          |  WHERE text IS NOT NULL
          |), exrep AS (
@@ -2982,6 +2980,7 @@ object DataPipelineQueries {
          |  SELECT id_a, id_b, 'exact' AS tier FROM expairs
          |  UNION ALL SELECT id_a, id_b, 'lsh' AS tier FROM verified
          |  UNION ALL SELECT id_a, id_b, 'media' AS tier FROM mpairs
+         |            WHERE hamming <= 3
          |), edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM tpairs
          |  UNION
@@ -4549,41 +4548,10 @@ object DataPipelineQueries {
         .map { case (v, code) => s"($code,$v)" }.mkString(",")
       s"""WITH ulaw(code, lin) AS (
          |  SELECT * FROM (VALUES $table) t(code, lin)
-         |), hexed AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx,
-         |         octet_length(encode(text)) AS n
-         |  FROM documents
-         |), idx AS (
-         |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed
-         |), vals AS (
-         |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
-         |         u.lin + 32768 AS val
-         |  FROM idx
-         |  JOIN ulaw u ON u.code =
-         |    CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
-         |), blocks AS (
-         |  SELECT doc_id, b, CAST(sum(val) AS DOUBLE) / count(*) AS m
-         |  FROM vals GROUP BY 1, 2
-         |), grid AS (
-         |  SELECT h.doc_id, g.k,
-         |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
-         |  FROM hexed h
-         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
-         |  LEFT JOIN blocks b1 ON b1.doc_id = h.doc_id
-         |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
-         |  LEFT JOIN blocks b2 ON b2.doc_id = h.doc_id
-         |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
-         |  WHERE h.n > 0
-         |), bits AS (
-         |  SELECT doc_id,
-         |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
-         |           ORDER BY k DESC) AS pb
-         |  FROM grid GROUP BY 1
-         |)
-         |SELECT h.doc_id AS media_id,
-         |       CASE WHEN h.hx IS NULL THEN NULL
-         |            ELSE coalesce(b.pb, repeat('0', 64)) END AS phash_bits
-         |FROM hexed h LEFT JOIN bits b USING (doc_id)
+         |), ${dHashCtes("", "SELECT doc_id, text FROM documents",
+               valExpr = "u.lin + 32768",
+               joinExtra = "JOIN ulaw u ON u.code = byte")}
+         |SELECT doc_id AS media_id, pb AS phash_bits FROM hashes
          |ORDER BY media_id""".stripMargin
     },
 
@@ -4650,56 +4618,14 @@ object DataPipelineQueries {
     // starting at position 49−16b (MSB-first), so band equality joins
     // on substr; the verify is bit_count(xor) over the full 64 bits.
     "q_media_neardups" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000 AS doc_id, text
-        |  FROM documents WHERE doc_id % 5 = 0
-        |), hexed AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS n
-        |  FROM corpus WHERE text IS NOT NULL
-        |), idx AS (
-        |  SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM hexed
-        |), bytes AS (
-        |  SELECT doc_id, CAST(i * 72 // n AS INT) AS b,
-        |         CAST('0x' || substr(hx, CAST(2*i+1 AS INT), 2) AS INT)
-        |           AS byte
-        |  FROM idx
-        |), blocks AS (
-        |  SELECT doc_id, b, CAST(sum(byte) AS DOUBLE) / count(*) AS m
-        |  FROM bytes GROUP BY 1, 2
-        |), grid AS (
-        |  SELECT h.doc_id, g.k,
-        |         coalesce(b2.m, 0.0) > coalesce(b1.m, 0.0) AS bit
-        |  FROM hexed h
-        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) g
-        |  LEFT JOIN blocks b1 ON b1.doc_id = h.doc_id
-        |    AND b1.b = (g.k // 8) * 9 + (g.k % 8)
-        |  LEFT JOIN blocks b2 ON b2.doc_id = h.doc_id
-        |    AND b2.b = (g.k // 8) * 9 + (g.k % 8) + 1
-        |  WHERE h.n > 0
-        |), bits AS (
-        |  SELECT doc_id,
-        |         string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
-        |           ORDER BY k DESC) AS pb
-        |  FROM grid GROUP BY 1
-        |), hashes AS (
-        |  SELECT h.doc_id, coalesce(b.pb, repeat('0', 64)) AS pb
-        |  FROM hexed h LEFT JOIN bits b USING (doc_id)
-        |), bands AS (
-        |  SELECT doc_id, pb, g.band,
-        |         substr(pb, CAST(49 - 16*band AS INT), 16) AS key
-        |  FROM hashes
-        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
-        |), pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         bit_count(xor(a.pb::BIT, b.pb::BIT)) AS hamming
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${dHashCtes("",
+            """SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000000 AS doc_id, text
+              |  FROM documents WHERE doc_id % 5 = 0""".stripMargin)},
+         |${hammingPairCtes("")}
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Pixel-path replay WITHOUT a codec: buildBlockPng renders block
     // (bx, by) of doc id at constant gray v = (id·37 + by·17 + bx·23)

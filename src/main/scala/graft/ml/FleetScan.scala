@@ -195,12 +195,19 @@ object FleetScan {
     v
   }
 
-  /** Load the ACTIVE state version, or an empty table if none saved. */
+  /** Load the ACTIVE state version, or an empty table if none saved.
+    * The load is EAGER (localCheckpoint): [[saveState]] prunes
+    * superseded version dirs after its flip, so a lazy plan over the
+    * loaded files could lose its backing store to the NEXT save (a
+    * cache-partition recompute would then FileNotFound on the pruned
+    * dir). State tables are index-sized — a few columns per series
+    * key — so pinning them is one tiny job per load. */
   def loadState(spark: SparkSession, root: String, name: String,
       seriesKeys: Seq[String]): DataFrame = {
     val active = java.nio.file.Paths.get(root, name, "ACTIVE")
     if (!java.nio.file.Files.exists(active)) emptyState(spark, seriesKeys)
     else spark.read.parquet(
-      s"$root/$name/v${java.nio.file.Files.readString(active).trim}")
+        s"$root/$name/v${java.nio.file.Files.readString(active).trim}")
+      .localCheckpoint(true)
   }
 }

@@ -361,9 +361,13 @@ object Similarity {
     *    derived from cellstats;
     *  - `_INDEX_OK` — completion marker, written LAST.
     *
-    * Default centroids are the `nlist` lowest-id corpus vectors (the
-    * [[ivfTopK]] convention, oracle-replayable); pass
-    * [[kmeansCentroids]] output for trained routing. */
+    * Default centroids are the corpus vectors with `id < nlist` —
+    * NOT "the nlist lowest ids": the filter is a literal `id < nlist`
+    * (the [[ivfTopK]] convention, oracle-replayable), so a corpus
+    * missing some of those ids gets fewer than nlist cells, numbered
+    * densely by ascending id, and a corpus whose ids don't start near
+    * 0 must pass explicit centroids. Pass [[kmeansCentroids]] output
+    * for trained routing. */
   def buildAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, nlist: Int,
       centroids: Option[Array[Array[Double]]] = None): Unit = {
@@ -479,6 +483,16 @@ object Similarity {
         .localCheckpoint(true)
       val carried = spark.read.parquet(s"$dir/stats")
         .select("dim", "nlist").head()
+      // dimension gate BEFORE any mutation: a delta from a different
+      // embedding model would quantize and append without error, then
+      // corrupt every later probe — fail fast while the index is intact
+      val deltaDim = codes.select(size(col("cq"))).limit(1).collect()
+      require(deltaDim.isEmpty ||
+        deltaDim(0).getInt(0).toLong == carried.getLong(0),
+        s"updateAnnIndex: delta dimension ${deltaDim.headOption
+          .map(_.getInt(0)).getOrElse(0)} != index dim " +
+          s"${carried.getLong(0)} at $dir — wrong embedding model? " +
+          "Rebuild the index for a new vector space.")
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), false)
       codes.repartitionByRange(col("cell")).sortWithinPartitions("cell")
         .write.mode("append").parquet(s"$dir/codes")

@@ -548,10 +548,18 @@ object Temporal {
     } else if (maxPairsPerKey > 0L) {
       // one histogram pass before the keyed self-join: map-side
       // partials collapse each task to one long per key, then the
-      // hottest key's pair count gates the plan. n·(n−1) summed as
-      // LONG and halved on the driver (always even); coalesce because
-      // max over an EMPTY series is NULL.
-      val worst = series.groupBy(keys.map(col): _*)
+      // hottest key's pair count gates the plan. Null-key rows are
+      // excluded — the equi-join drops them, so they can never pair
+      // (a dirty corpus with a big NULL key group must not false-trip
+      // the guard). The count is a deliberate UPPER bound: rows
+      // sharing one bucket value produce no strict __tb > __ta pair
+      // but still count (same conservatism as hammingNearDups'
+      // pre-hamming-filter estimate). n·(n−1) summed as LONG and
+      // halved on the driver (always even); coalesce because max over
+      // an EMPTY series is NULL.
+      val worst = series
+        .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n"))
         .agg(coalesce(max(col("__n") * (col("__n") - 1)), lit(0L)))
         .head().getLong(0) / 2
