@@ -695,6 +695,24 @@ object TemporalQueries {
         .orderBy("event_type")
     }),
 
+    // ── bounded-lag Theil–Sen (the long-series path the exact form's
+    //    pair budget points at): slopes only between points at rank
+    //    distance ≤ 16 in bucket order — one window pass, O(n·L), no
+    //    self-join — median replayed by a rank-join oracle
+    "q_theilsen_approx" -> ((s, dir) => {
+      val series = ev(s, dir)
+        .withColumn("bucket",
+          (expr("ts_nanos div 1000000000 div 3600") * 3600).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(exactAvg(col("value")).as("v"))
+      Temporal.theilSenApprox(series, Seq("event_type"), "bucket", "v",
+          maxLag = 16)
+        .select(col("event_type"), col("n_pairs"),
+          round(col("slope") * lit(3600.0) + lit(1e-9), 6)
+            .as("slope_per_hour"))
+        .orderBy("event_type")
+    }),
+
     // ── join-key skew diagnostic: top-20 heaviest user_ids with share
     //    and a salt-factor hint
     "q_skew_report" -> ((s, dir) =>
@@ -1656,6 +1674,37 @@ object TemporalQueries {
         |         (b.v - a.v) / CAST(b.bucket - a.bucket AS DOUBLE) AS s
         |  FROM ser a JOIN ser b
         |    ON a.event_type = b.event_type AND b.bucket > a.bucket
+        |)
+        |SELECT event_type, count(*) AS n_pairs,
+        |       round(median(s) * 3600.0 + 1e-9, 6) + 0.0 AS slope_per_hour
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rank-windowed pair set: b.rn - a.rn in [1, 16] in bucket order
+    // (strict bucket inequality matches the engine's tb > ta filter)
+    "q_theilsen_approx" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT)
+        |           AS bucket,
+        |         value
+        |  FROM events
+        |), ser AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+        |           / count(value) AS v
+        |  FROM e GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT event_type, bucket, v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY bucket) AS rn
+        |  FROM ser
+        |), pairs AS (
+        |  SELECT a.event_type,
+        |         (b.v - a.v) / CAST(b.bucket - a.bucket AS DOUBLE) AS s
+        |  FROM rk a JOIN rk b
+        |    ON a.event_type = b.event_type
+        |   AND b.rn > a.rn AND b.rn <= a.rn + 16
+        |   AND b.bucket > a.bucket
         |)
         |SELECT event_type, count(*) AS n_pairs,
         |       round(median(s) * 3600.0 + 1e-9, 6) + 0.0 AS slope_per_hour

@@ -566,8 +566,9 @@ object Temporal {
       if (worst > maxPairsPerKey) throw new IllegalStateException(
         s"keyed theilSen: hottest key would enumerate $worst slope " +
           s"pairs (> maxPairsPerKey=$maxPairsPerKey). Remedies: " +
-          "bucketize coarser, use trendOls (one aggregation at any " +
-          "scale), or raise maxPairsPerKey if the volume is priced in.")
+          "bucketize coarser, use theilSenApprox (bounded-lag median, " +
+          "O(n·L) at any scale), use trendOls (one aggregation, not " +
+          "robust), or raise maxPairsPerKey if the volume is priced in.")
     }
     val joined =
       if (keys.isEmpty) a.crossJoin(b).filter(col("__tb") > col("__ta"))
@@ -581,6 +582,46 @@ object Temporal {
           (col("__vb") - col("__va")) /
             (col("__tb") - col("__ta")).cast("double"),
           lit(0.5)).as("slope"))
+  }
+
+  /** Bounded-lag Theil–Sen — the O(n·L) path for series past
+    * [[theilSen]]'s pair budget: slopes are taken only between points
+    * at RANK distance 1..`maxLag` within each key's bucket order
+    * (ranks, not bucket deltas, so data gaps don't widen the window),
+    * and the estimate is their median. ONE window pass builds the L
+    * lead columns — one keyed sort, no self-join, nothing quadratic —
+    * so cost is n·L at any corpus scale and no fail-fast budget is
+    * needed. Robustness trade: each point touches ≤ 2L slopes, so a
+    * single outlier taints ≤ 2L of the ~nL pairs — the breakdown
+    * point is ~L outliers rather than exact Theil–Sen's ~29% of n
+    * (the standard windowed-estimator trade). EXACT equivalence: a
+    * series of n ≤ maxLag+1 points has every pair inside the lag
+    * window, so the result IS [[theilSen]]'s (spec-pinned, same
+    * n_pairs and slope). Duplicate-bucket rows pair in neither form
+    * (strict `tb > ta`). Returns `(keys…, n_pairs, slope)`. */
+  def theilSenApprox(series: DataFrame, keys: Seq[String],
+      bucketCol: String, valueCol: String, maxLag: Int = 16): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val lagStructs = (1 to maxLag).map { l =>
+      struct(lead(col(bucketCol), l).over(w).as("tb"),
+        lead(col(valueCol), l).over(w).as("vb"))
+    }
+    val withArr = series.select(
+      keys.map(col) :+ col(bucketCol).as("__ta") :+
+        col(valueCol).as("__va") :+ array(lagStructs: _*).as("__ls"): _*)
+    val slopes = withArr
+      .select(keys.map(col) :+ col("__ta") :+ col("__va") :+
+        explode(col("__ls")).as("__p"): _*)
+      .filter(col("__p.tb").isNotNull && col("__p.tb") > col("__ta"))
+    val grouped =
+      if (keys.isEmpty) slopes.groupBy()
+      else slopes.groupBy(keys.map(col): _*)
+    grouped.agg(count(lit(1)).as("n_pairs"),
+      percentile(
+        (col("__p.vb") - col("__va")) /
+          (col("__p.tb") - col("__ta")).cast("double"),
+        lit(0.5)).as("slope"))
   }
 
   /** OLS trend per key: slope, intercept and R² of `vCol` on `xCol` —

@@ -127,6 +127,41 @@ class DriftSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("theilSenApprox: EXACTLY theilSen when n <= maxLag+1; still " +
+      "robust to an outlier on a long series; gaps don't widen the " +
+      "rank window") {
+    import graft.operators.Temporal
+    // n = 10 <= 16+1: every pair is inside the lag window → identical
+    // n_pairs AND slope (seeded pseudo-random series, two keys)
+    val rnd = new scala.util.Random(7)
+    val small = (for (k <- Seq("a", "b"); t <- 0L until 10L)
+      yield (k, t * 7, rnd.nextDouble() * 10)).toDF("g", "t", "v")
+    val exact = Temporal.theilSen(small, Seq("g"), "t", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val approx = Temporal.theilSenApprox(small, Seq("g"), "t", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(approx === exact)
+    // long series, slope 2, one wild spike: the bounded-lag median
+    // cannot be moved (the spike taints <= 2L of ~nL slopes)
+    val long = (0L until 500L)
+      .map(t => ("k", t, if (t == 250L) 1e6 else t * 2.0))
+      .toDF("g", "t", "v")
+    val r = Temporal.theilSenApprox(long, Seq("g"), "t", "v").collect().head
+    assert(r.getDouble(2) === 2.0)
+    // and it needs no pair budget: the same series trips exact theilSen
+    intercept[IllegalStateException] {
+      Temporal.theilSen(long, Seq("g"), "t", "v", maxPairsPerKey = 1000L)
+    }
+    // a data gap does not widen the window (ranks, not bucket deltas):
+    // points at buckets 0..4 and 1000..1004 still pair across the gap
+    // at rank distance <= 16 — 45 pairs for 10 points
+    val gap = ((0L until 5L) ++ (1000L until 1005L))
+      .map(t => ("k", t, t * 1.5)).toDF("g", "t", "v")
+    val g = Temporal.theilSenApprox(gap, Seq("g"), "t", "v").collect().head
+    assert(g.getLong(1) === 45L && g.getDouble(2) === 1.5)
+  }
+
   test("jsDivergence: 0 for identical halves, near ln 2 for disjoint " +
       "supports, always within the bound") {
     val same = Seq.tabulate(40)(i => (if (i % 2 == 0) "a" else "b", i % 5))
