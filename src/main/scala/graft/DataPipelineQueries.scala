@@ -2961,7 +2961,11 @@ object DataPipelineQueries {
     // form, the shared LSH verified CTE, the byteDHash Hamming-band
     // pairs — unioned into one edge set and pushed through the same
     // recursive-CTE components as q_dedup_cluster; per-doc tier sets
-    // aggregate over the union's endpoints
+    // aggregate over the union's endpoints. tpairs/edges are
+    // MATERIALIZED: DuckDB re-evaluates plain CTEs referenced from a
+    // recursive step EVERY round, and re-running the per-byte media
+    // chain per round OOMs the sf1 gate (measured: OOM -> 46 s)
+    // while the components themselves are tiny (max size 19)
     "q_dedup_multitier" ->
       s"""WITH RECURSIVE $verifiedCtes,
          |${dHashCtes("m", "SELECT doc_id, text FROM documents")},
@@ -2976,12 +2980,12 @@ object DataPipelineQueries {
          |  SELECT e.rep AS id_a, g.doc_id AS id_b
          |  FROM exkey g JOIN exrep e USING (h)
          |  WHERE e.n >= 2 AND g.doc_id != e.rep
-         |), tpairs AS (
+         |), tpairs AS MATERIALIZED (
          |  SELECT id_a, id_b, 'exact' AS tier FROM expairs
          |  UNION ALL SELECT id_a, id_b, 'lsh' AS tier FROM verified
          |  UNION ALL SELECT id_a, id_b, 'media' AS tier FROM mpairs
          |            WHERE hamming <= 3
-         |), edges AS (
+         |), edges AS MATERIALIZED (
          |  SELECT id_a AS src, id_b AS dst FROM tpairs
          |  UNION
          |  SELECT id_b AS src, id_a AS dst FROM tpairs

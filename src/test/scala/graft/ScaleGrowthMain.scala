@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, Temporal, TextAnalysis}
 
 /** Scale-growth audit (not a unit test — run with `Test/runMain`):
   * synthesizes 1× / K× corpora from sf0.1 by unioning id-shifted copies
@@ -127,6 +127,30 @@ object ScaleGrowthMain {
           Multimodal.mediaNearDups(
             Multimodal.attachBlob(d, "doc_id", "text"), "media_id",
             maxHamming = 3, maxBucket = 2000)),
+        "video_neardups" -> time("video_neardups",
+          Multimodal.videoNearDups(
+            Multimodal.buildAviBlocks(
+              d.select(col("doc_id").as("media_id"),
+                col("doc_id").as("content"), lit(0L).as("jitter")),
+              "media_id", "content", "jitter"),
+            "media_id", maxHamming = 3, maxBucket = 2000)),
+        "audio_neardups" -> time("audio_neardups",
+          Multimodal.audioNearDups(
+            Multimodal.buildWav(
+              Multimodal.attachBlob(d, "doc_id", "text", kind = "audio")),
+            "media_id", maxHamming = 3, maxBucket = 2000)),
+        "theilsen_approx" -> time("theilsen_approx",
+          Temporal.theilSenApprox(
+            d.select(pmod(col("doc_id"), lit(7)).as("g"),
+              col("doc_id").as("t"),
+              length(col("text")).cast("double").as("v")),
+            Seq("g"), "t", "v")),
+        "multitier" -> time("multitier",
+          Dedup.multiTierClusters(d.select(col("doc_id")), "doc_id", Seq(
+            "exact" -> Dedup.exactDupEdges(d, "doc_id", "text"),
+            "media" -> Multimodal.mediaNearDups(
+              Multimodal.attachBlob(d, "doc_id", "text"), "media_id",
+              maxHamming = 3, maxBucket = 2000)))),
       )
     }
 
