@@ -144,7 +144,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("q_video_features", "q_multimodal_features",
         "q_media_dirty", "q_audio_features", "q_frame_sample",
-        "q_audio_hash", "q_audio_hash_ulaw", "q_video_neardups"))
+        "q_audio_hash", "q_audio_hash_ulaw", "q_video_neardups",
+        "q_video_dirty"))
       .filter(n => SparkEntry.queries.contains(n) &&
         only.forall(_.contains(n)))
     val isolatedPasses =

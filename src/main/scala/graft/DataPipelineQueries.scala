@@ -784,8 +784,19 @@ object DataPipelineQueries {
       val media = Multimodal.mediaNearDups(
         Multimodal.attachBlob(d, "doc_id", "text"), "media_id",
         maxHamming = 3)
+      // audio tier over the EVEN half only: a genuinely distinct tier
+      // (its evidence is the decoded SAMPLE stream of a real WAV, not
+      // the text bytes, and it sees only a sub-corpus — docs with an
+      // odd-id near-dup get media-only edges, so the tiers column
+      // separates the detectors instead of mirroring one of them)
+      val audio = Multimodal.audioNearDups(
+        Multimodal.buildWav(
+          Multimodal.attachBlob(d.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "doc_id", "text", kind = "audio")),
+        "media_id", maxHamming = 3)
       Dedup.multiTierClusters(d.select(col("doc_id")), "doc_id",
-          Seq("exact" -> exact, "lsh" -> lsh, "media" -> media))
+          Seq("exact" -> exact, "lsh" -> lsh, "media" -> media,
+            "audio" -> audio))
         .orderedCorpus("doc_id")
     }),
 
@@ -1233,6 +1244,38 @@ object DataPipelineQueries {
         .orderedSmall("query_id", "rank")
     }),
 
+    // ── index MAINTENANCE journey: build at 4/5 corpus, fragment the
+    //    codes dir with TWO append updates (together ≡ q_ann_index_incr's
+    //    delta), then compactAnnIndex rewrites the codes into the
+    //    fresh-build layout — and the probe must STILL be bit-equal to
+    //    the from-scratch replay (content untouched, ranking ties break
+    //    on match_id, so the rewrite is invisible; the oracle IS
+    //    q_ann_index_incr's). The require proves compaction actually
+    //    ran (a no-op would mean the fragmentation threshold never
+    //    tripped and the row gated nothing).
+    "q_ann_compact" -> ((s, dir) => {
+      val idx = s"/tmp/graft_ann_cpt_${scratchKey(dir)}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+      val e = embs(s, dir)
+      Similarity.buildAnnIndex(
+        e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        "vec_id", "embedding", idx, nlist = 16)
+      Similarity.updateAnnIndex(
+        e.filter(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", idx)
+      Similarity.updateAnnIndex(
+        e.filter(pmod(col("vec_id"), lit(10)) === 5),
+        "vec_id", "embedding", idx)
+      require(Similarity.compactAnnIndex(s, idx, maxFiles = 2),
+        s"expected compaction to run on the fragmented index at $idx")
+      Similarity.annTopKIndexed(s, idx, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
+        .orderedSmall("query_id", "rank")
+    }),
+
     // ── linear-probe sufficient statistics (the quality-classifier
     //    training pass): upper-triangle XᵀX + per-class XᵀY of the
     //    bias-augmented embeddings, exact decimal sums — ONE corpus
@@ -1613,6 +1656,54 @@ object DataPipelineQueries {
         .orderedCorpus("id_a", "id_b")
     }),
 
+    // ── DIRTY-video salvage contract, oracle-gated per class (the
+    //    q_media_dirty posture on the videoHash path): class 0 cuts
+    //    the AVI mid-frame-2 payload (demux clamps — frames 0,1
+    //    survive), class 1 corrupts frame 1's BMP magic (that frame
+    //    alone fails decode — frames 0,2 survive), class 2 is a bare
+    //    text blob (no container — byteDHash fallback). The majority
+    //    pool over k=2 surviving frames rounds ties UP (bit = OR), so
+    //    each class's hash replays arithmetically from blockVideoLevel
+    //    over exactly the surviving frame set — a kernel that decoded
+    //    the wrong frames, or fell back to the byte domain on a
+    //    salvageable container, cannot match.
+    "q_video_dirty" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 3 < 2)
+        .select(col("doc_id").as("media_id"),
+          col("doc_id").as("content"), lit(0L).as("jitter"))
+      val avi = Multimodal.buildAviBlocks(base, "media_id", "content",
+        "jitter", frames = 3)
+      val aIdx = avi.schema.fieldIndex("data")
+      val iIdx = avi.schema.fieldIndex("media_id")
+      val dirty = avi.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(iIdx)
+          val b = r.getAs[Array[Byte]](aIdx)
+          val spans = Multimodal.demuxAviSpans(b)
+          val out = if (id % 3 == 0) {
+            val (o, l) = spans(2)
+            java.util.Arrays.copyOfRange(b, 0, o + l / 2)
+          } else {
+            val c = b.clone(); c(spans(1)._1) = 0; c
+          }
+          Row.fromSeq(r.toSeq.updated(aIdx, out))
+        }
+      }(org.apache.spark.sql.Encoders.row(avi.schema))
+      val aviOut = Multimodal.videoHash(dirty, n = 3)
+        .select(col("media_id"),
+          when(col("media_id") % 3 === 0, lit("cut"))
+            .otherwise(lit("bad_frame")).as("dirt"),
+          col("phash_bits"))
+      val textOut = Multimodal.videoHash(
+          Multimodal.attachBlob(d.filter(col("doc_id") % 3 === 2),
+            "doc_id", "text", kind = "video"), n = 3)
+        .select(col("media_id"), lit("no_container").as("dirt"),
+          col("phash_bits"))
+      aviOut.unionByName(textOut).orderedCorpus("media_id")
+    }),
+
     "q_media_dirty" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       val d = docs(s, dir)
@@ -1904,6 +1995,57 @@ object DataPipelineQueries {
   // q_media_phash (byte-domain fallback on text blobs) and
   // q_audio_hash (the WAV payload canonicalizes to exactly ×256 of
   // these bytes, which preserves every block-mean comparison).
+  // incrementally-updated index ≡ the same replay with the BASE
+  // corpus's centroids (vec_id < 16 excluding the delta's multiples
+  // of 5, re-numbered densely by id — buildAnnIndex's zipWithIndex
+  // convention): routing is pinned at build time, the delta only
+  // appends codes, so the full corpus scores exactly as q_ann_indexed
+  // does under these centroids. Shared by q_ann_index_incr and
+  // q_ann_compact (compaction is content-invariant by contract).
+  private lazy val annIncrProbeOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), cents AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |         v AS centv
+      |  FROM e WHERE vec_id < 16 AND vec_id % 5 != 0
+      |), sims AS (
+      |  SELECT e.vec_id, c.cell,
+      |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |           list_dot_product(e.v, c.centv) /
+      |             (sqrt(list_dot_product(e.v, e.v)) *
+      |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
+      |           c.cell ASC) AS rn
+      |  FROM e CROSS JOIN cents c
+      |), qz AS (
+      |  SELECT vec_id, list_transform(v, x -> round(x /
+      |           (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END))) AS q
+      |  FROM (SELECT vec_id, v,
+      |          list_aggregate(list_transform(v, x -> abs(x)), 'max')
+      |            AS m FROM e)
+      |), nz AS (
+      |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS n FROM qz
+      |), corpus_cells AS (
+      |  SELECT vec_id AS match_id, cell FROM sims WHERE rn = 1
+      |), query_probes AS (
+      |  SELECT vec_id AS query_id, cell
+      |  FROM sims WHERE vec_id < 20 AND rn <= 4
+      |), scored AS (
+      |  SELECT qp.query_id, cc.match_id,
+      |         list_dot_product(a.q, b.q) / (a.n * b.n) AS qcos_raw
+      |  FROM query_probes qp JOIN corpus_cells cc USING (cell)
+      |  JOIN nz a ON a.vec_id = qp.query_id
+      |  JOIN nz b ON b.vec_id = cc.match_id
+      |  WHERE qp.query_id != cc.match_id
+      |), ranked AS (
+      |  SELECT query_id, match_id, qcos_raw,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY qcos_raw DESC, match_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, rank, match_id, round(qcos_raw + 1e-9, 4) AS qcos
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private lazy val byteDHashBitsOracle: String =
     s"""WITH ${dHashCtes("", "SELECT doc_id, text FROM documents")}
        |SELECT doc_id AS media_id, pb AS phash_bits FROM hashes
@@ -2985,6 +3127,9 @@ object DataPipelineQueries {
          |  UNION ALL SELECT id_a, id_b, 'lsh' AS tier FROM verified
          |  UNION ALL SELECT id_a, id_b, 'media' AS tier FROM mpairs
          |            WHERE hamming <= 3
+         |  UNION ALL SELECT id_a, id_b, 'audio' AS tier FROM mpairs
+         |            WHERE hamming <= 3
+         |              AND id_a % 2 = 0 AND id_b % 2 = 0
          |), edges AS MATERIALIZED (
          |  SELECT id_a AS src, id_b AS dst FROM tpairs
          |  UNION
@@ -3903,55 +4048,13 @@ object DataPipelineQueries {
         |SELECT query_id, rank, match_id, round(qcos_raw + 1e-9, 4) AS qcos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // incrementally-updated index ≡ the same replay with the BASE
-    // corpus's centroids (vec_id < 16 excluding the delta's multiples
-    // of 5, re-numbered densely by id — buildAnnIndex's zipWithIndex
-    // convention): routing is pinned at build time, the delta only
-    // appends codes, so the full corpus scores exactly as q_ann_indexed
-    // does under these centroids
-    "q_ann_index_incr" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-        |         v AS centv
-        |  FROM e WHERE vec_id < 16 AND vec_id % 5 != 0
-        |), sims AS (
-        |  SELECT e.vec_id, c.cell,
-        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |           list_dot_product(e.v, c.centv) /
-        |             (sqrt(list_dot_product(e.v, e.v)) *
-        |              sqrt(list_dot_product(c.centv, c.centv))) DESC,
-        |           c.cell ASC) AS rn
-        |  FROM e CROSS JOIN cents c
-        |), qz AS (
-        |  SELECT vec_id, list_transform(v, x -> round(x /
-        |           (CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END))) AS q
-        |  FROM (SELECT vec_id, v,
-        |          list_aggregate(list_transform(v, x -> abs(x)), 'max')
-        |            AS m FROM e)
-        |), nz AS (
-        |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS n FROM qz
-        |), corpus_cells AS (
-        |  SELECT vec_id AS match_id, cell FROM sims WHERE rn = 1
-        |), query_probes AS (
-        |  SELECT vec_id AS query_id, cell
-        |  FROM sims WHERE vec_id < 20 AND rn <= 4
-        |), scored AS (
-        |  SELECT qp.query_id, cc.match_id,
-        |         list_dot_product(a.q, b.q) / (a.n * b.n) AS qcos_raw
-        |  FROM query_probes qp JOIN corpus_cells cc USING (cell)
-        |  JOIN nz a ON a.vec_id = qp.query_id
-        |  JOIN nz b ON b.vec_id = cc.match_id
-        |  WHERE qp.query_id != cc.match_id
-        |), ranked AS (
-        |  SELECT query_id, match_id, qcos_raw,
-        |         row_number() OVER (PARTITION BY query_id
-        |           ORDER BY qcos_raw DESC, match_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, rank, match_id, round(qcos_raw + 1e-9, 4) AS qcos
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_index_incr" -> annIncrProbeOracle,
+
+    // compaction is content-invariant by contract, so the compacted
+    // index probes against the IDENTICAL replay (build 4/5 + delta ≡
+    // the same final index; the rewrite only re-files the codes)
+    "q_ann_compact" -> annIncrProbeOracle,
+
 
     // probe sufficient stats: same bias-augmented vectors, same exact
     // decimal sums (per-row double products are IEEE-identical in both
@@ -4615,6 +4718,53 @@ object DataPipelineQueries {
         |)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Per-class salvage replay: the surviving frame SET is part of the
+    // oracle (cut → {0,1}, bad_frame → {0,2}), pooled with the k=2
+    // tie-up rule (bit = OR ⇔ sum ≥ 1); class 2 is the shared
+    // byteDHash replay. A kernel that decoded the dead frame, dropped
+    // a live one, or byte-hashed a salvageable container cannot match.
+    "q_video_dirty" ->
+      s"""WITH avicorpus AS (
+         |  SELECT doc_id AS media_id, doc_id AS content,
+         |         CASE WHEN doc_id % 3 = 0 THEN 'cut'
+         |              ELSE 'bad_frame' END AS dirt
+         |  FROM documents WHERE doc_id % 3 < 2
+         |), blocks AS (
+         |  SELECT media_id, dirt, f.f, g.k,
+         |         (CAST('0x' || substr(md5('v|' ||
+         |              CAST(content AS VARCHAR) || '|' ||
+         |              CAST(g.k AS VARCHAR)), 1, 12) AS BIGINT)
+         |          + CASE WHEN g.k // 9 = 7 THEN 53 * f.f ELSE 0 END)
+         |           % 199 + 1 AS v
+         |  FROM avicorpus
+         |  CROSS JOIN (SELECT unnest(range(0, 3)) AS f) f
+         |  CROSS JOIN (SELECT unnest(range(0, 72)) AS k) g
+         |  WHERE (dirt = 'cut' AND f.f < 2)
+         |     OR (dirt = 'bad_frame' AND f.f != 1)
+         |), framebits AS (
+         |  SELECT a.media_id, a.dirt, a.f,
+         |         (a.k // 9) * 8 + (a.k % 9) AS bitpos,
+         |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+         |  FROM blocks a JOIN blocks b
+         |    ON b.media_id = a.media_id AND b.f = a.f AND b.k = a.k + 1
+         |  WHERE a.k % 9 < 8
+         |), pooled AS (
+         |  SELECT media_id, dirt, bitpos,
+         |         CASE WHEN sum(bit) >= 1 THEN '1' ELSE '0' END AS bit
+         |  FROM framebits GROUP BY 1, 2, 3
+         |), avihashes AS (
+         |  SELECT media_id, dirt,
+         |         string_agg(bit, '' ORDER BY bitpos DESC) AS phash_bits
+         |  FROM pooled GROUP BY 1, 2
+         |),
+         |${dHashCtes("t",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2")}
+         |SELECT media_id, dirt, phash_bits FROM avihashes
+         |UNION ALL
+         |SELECT doc_id AS media_id, 'no_container' AS dirt,
+         |       pb AS phash_bits FROM thashes
+         |ORDER BY media_id""".stripMargin,
 
     // Same byteDHash replay over documents ∪ the id-shifted exact
     // copies, then the Hamming-band pair tier: band b's engine key

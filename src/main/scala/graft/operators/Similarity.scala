@@ -503,6 +503,69 @@ object Similarity {
     } finally codes.unpersist(false)
   }
 
+  /** Rewrite a fragmented `codes` directory back to the fresh-build
+    * layout — the table-maintenance pass that closes the
+    * [[updateAnnIndex]] loop (the [[graft.io.Compact.compactShards]]
+    * move in vector space): every update APPENDS one cell-sorted file
+    * set, so after many small deltas the probe's row-group pruning
+    * still holds per FILE but the scan pays per-file open/footer and
+    * per-split scheduler costs ∝ number of updates, not ∝ data — at
+    * 1000 executors the file listing alone becomes a driver
+    * bottleneck. No-op (returns false) while the codes dir holds ≤
+    * `maxFiles` data files; otherwise ONE pass reads the codes and
+    * rewrites them as `ceil(bytes / targetBytes)` cell-range
+    * partitions, each sorted by cell (min/max stats prune row groups
+    * inside a file exactly as across files).
+    *
+    * Content is untouched, and ranking ties break on `match_id`, so a
+    * probe against the compacted index is BIT-EQUAL to one against
+    * the fragmented index (and to a from-scratch build) — the
+    * [[annTopKIndexed]] driver gate runs the same oracle over it.
+    * `centroids`/`cellstats`/`stats` carry unchanged. Crash posture:
+    * the completion marker drops before the swap and is rewritten
+    * last (a crash leaves a visibly incomplete index); the two-rename
+    * swap keeps the old layout readable until one rename flips it,
+    * and a death between the renames self-heals on the next call
+    * (rolled back from `codes_precompact`). */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxFiles: Int = 16,
+      targetBytes: Long = 128L << 20): Boolean = {
+    require(maxFiles >= 1 && targetBytes >= 1L,
+      "maxFiles and targetBytes must be >= 1")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val codesP = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val oldP = new org.apache.hadoop.fs.Path(s"$dir/codes_precompact")
+    // recovery for a death between rename(codes, old) and
+    // rename(tmp, codes): the data survives solely at codes_precompact
+    if (!fs.exists(codesP) && fs.exists(oldP))
+      require(fs.rename(oldP, codesP),
+        s"recovery rename $oldP -> $codesP failed")
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK")),
+      s"compactAnnIndex needs a completed index at $dir (run buildAnnIndex)")
+    val files = fs.listStatus(codesP).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    if (files.size <= maxFiles) return false
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    require(nOut <= Int.MaxValue.toLong,
+      s"compaction plan wants $nOut output files (> Int.Max) — raise " +
+        s"targetBytes ($targetBytes) for this index size")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/codes_compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(codesP.toString)
+      .repartitionByRange(nOut.toInt, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), false)
+    fs.delete(oldP, true)
+    require(fs.rename(codesP, oldP), s"rename $codesP -> $oldP failed")
+    require(fs.rename(tmp, codesP), s"rename $tmp -> $codesP failed")
+    fs.delete(oldP, true)
+    writeAnnMarker(fs, dir)
+    true
+  }
+
   /** [[buildAnnIndex]] unless `dir` already holds a completed index
     * (`_INDEX_OK`) — returns true when a build ran. */
   def ensureAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,

@@ -73,7 +73,7 @@ object LintSweepMain {
   // reports (pipeline_stages 24, contamination 20, embed_outliers
   // ≤3/cell). The orderedSmall contract list, recorded.
   private val spBoundedOk = Set("q_ann_indexed", "q_ann_index_incr",
-    "q_ann_ivf",
+    "q_ann_compact", "q_ann_ivf",
     "q_ann_quant", "q_contamination", "q_embed_outliers", "q_embed_topk",
     "q_hard_negatives", "q_mix_temperature", "q_mmr_rerank",
     "q_pipeline_stages", "q_stratified_sample", "q_token_budget",

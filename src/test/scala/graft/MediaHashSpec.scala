@@ -311,7 +311,8 @@ class MediaHashSpec extends SparkSpec {
   /** Scala replay of the buildAviBlocks arithmetic (the oracle's
     * closed form): per-frame dHash over blockVideoLevel + majority
     * pool, written independently of videoHashOf's loop shape. */
-  private def pooledHash(content: Long, frames: Int, jitter: Long): Long = {
+  private def pooledHashOver(content: Long, fset: Seq[Int],
+      jitter: Long): Long = {
     def frameHash(f: Int): Long = {
       var h = 0L
       for (r <- 0 until 8; c <- 0 until 8)
@@ -320,14 +321,17 @@ class MediaHashSpec extends SparkSpec {
           h |= 1L << (r * 8 + c)
       h
     }
-    val fh = (0 until frames).map(frameHash)
+    val fh = fset.map(frameHash)
     var h = 0L
     for (j <- 0 until 64) {
       val c = fh.count(x => (x >>> j & 1L) == 1L)
-      if (2 * c >= frames) h |= 1L << j
+      if (2 * c >= fh.length) h |= 1L << j
     }
     h
   }
+
+  private def pooledHash(content: Long, frames: Int, jitter: Long): Long =
+    pooledHashOver(content, 0 until frames, jitter)
 
   test("videoHash over buildAviBlocks ≡ the arithmetic replay " +
       "(encode → mux → demux → BMP decode → luma → dHash → majority " +
@@ -367,6 +371,30 @@ class MediaHashSpec extends SparkSpec {
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((0L, 1L)))
+  }
+
+  test("videoHash salvage: a mid-frame-2 truncation pools frames {0,1}; " +
+      "a corrupted frame-1 BMP magic pools frames {0,2} — both hash in " +
+      "PIXEL space, never the byte fallback (the q_video_dirty contract)") {
+    val rows = Seq((0L, 11L, 0L), (1L, 12L, 0L))
+      .toDF("media_id", "content", "jitter")
+    val blobs = Multimodal.buildAviBlocks(rows, "media_id", "content",
+        "jitter", frames = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val b0 = blobs(0L)
+    val s0 = Multimodal.demuxAviSpans(b0)
+    val cut = java.util.Arrays.copyOfRange(b0, 0, s0(2)._1 + s0(2)._2 / 2)
+    val b1 = blobs(1L).clone()
+    b1(Multimodal.demuxAviSpans(b1)(1)._1) = 0 // kill frame 1's 'B' magic
+    val got = Multimodal.videoHash(media(Seq(0L -> cut, 1L -> b1)))
+      .select("media_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === pooledHashOver(11L, Seq(0, 1), 0L))
+    assert(got(1L) === pooledHashOver(12L, Seq(0, 2), 0L))
+    assert(got(0L) !== Multimodal.byteDHash(cut),
+      "byte-hashing the salvageable truncated container could not pass")
+    assert(got(1L) !== Multimodal.byteDHash(b1),
+      "byte-hashing the salvageable bad-frame container could not pass")
   }
 
   test("videoHash: non-AVI blobs fall back to byteDHash; an AVI whose " +

@@ -604,6 +604,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(ex.getMessage.contains("buildAnnIndex"))
   }
 
+  test("compactAnnIndex: a fragmented codes dir rewrites to the " +
+      "byte-budget file count, probes bit-equal pre/post, audits " +
+      "untouched; below threshold it no-ops; no completed index refuses") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ann_cpt").toString
+    val e = (0 until 60).map(i => (i.toLong,
+      Seq(math.cos(i * 0.37).toFloat, math.sin(i * 0.37).toFloat,
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Some((0 until 4).map(c => Array(
+      math.cos(c * 1.3), math.sin(c * 1.3),
+      math.cos(c * 0.7), math.sin(c * 0.7))).toArray)
+    Similarity.buildAnnIndex(e.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", dir, 4, centroids = cents)
+    Similarity.updateAnnIndex(e.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", dir)
+    Similarity.updateAnnIndex(e.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def codeFiles(): Int = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/codes")).toSeq
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val q = e.filter(col("vec_id") < 3)
+    val pre = Similarity.annTopKIndexed(spark, dir, q,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val statsPre = Similarity.annIndexStats(spark, dir).head().toSeq
+    val nBefore = codeFiles()
+    assert(nBefore > 2, s"expected a fragmented codes dir, got $nBefore")
+    assert(Similarity.compactAnnIndex(spark, dir, maxFiles = 2))
+    val nAfter = codeFiles()
+    assert(nAfter === 1, s"tiny index should compact to one file: $nAfter")
+    val post = Similarity.annTopKIndexed(spark, dir, q,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(post === pre)
+    assert(Similarity.annIndexStats(spark, dir).head().toSeq === statsPre)
+    // converged: the rewritten layout is below the threshold
+    assert(!Similarity.compactAnnIndex(spark, dir, maxFiles = 2))
+    // and the cell-pruned probe scan still prunes (sorted-by-cell file)
+    val probe = Similarity.annTopKIndexed(spark, dir, q,
+      "vec_id", "embedding", k = 4, nprobe = 2)
+    assert(plan(probe).contains("PushedFilters: [In(cell"), plan(probe))
+    // refuses a dir without a completed build
+    val none = java.nio.file.Files
+      .createTempDirectory("graft_ann_cpt_none").toString
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.compactAnnIndex(spark, none)
+    }
+    assert(ex.getMessage.contains("buildAnnIndex"))
+  }
+
   test("shuffleShards: exactly ONE exchange (the shard key), no global " +
       "sort, no join") {
     val p = plan(Sampling.shuffleShards(
