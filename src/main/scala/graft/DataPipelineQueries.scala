@@ -98,6 +98,40 @@ object DataPipelineQueries {
     Tables.fanOut(Tables.load(s, dir, "embeddings"), "vec_id",
       minBytes = lightFloor)
 
+  /** Shared scaffold of the ANN index-maintenance rows
+    * (q_ann_index_incr / q_ann_compact): fresh scratch dir (an
+    * append-based artifact must never double-add), base build over the
+    * 4/5 corpus (vec_id % 5 != 0, nlist 16 — the id < nlist centroid
+    * convention the shared oracle replays), one `updateAnnIndex` per
+    * `(mod, residue)` delta, optionally a FORCED `compactAnnIndex`
+    * (the require proves compaction actually ran — a no-op would mean
+    * the row gated nothing), then the standard probe. Both rows share
+    * `annIncrProbeOracle`: the deltas must union to the multiples of
+    * 5, so the final index content is identical either way. */
+  private def annMaintProbe(s: SparkSession, dir: String, tag: String,
+      deltas: Seq[(Long, Long)], compact: Boolean): DataFrame = {
+    val idx = s"/tmp/graft_ann_${tag}_${scratchKey(dir)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    val e = embs(s, dir)
+    Similarity.buildAnnIndex(
+      e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      "vec_id", "embedding", idx, nlist = 16)
+    deltas.foreach { case (mod, res) =>
+      Similarity.updateAnnIndex(
+        e.filter(pmod(col("vec_id"), lit(mod)) === res),
+        "vec_id", "embedding", idx)
+    }
+    if (compact)
+      require(Similarity.compactAnnIndex(s, idx, maxFiles = 2),
+        s"expected compaction to run on the fragmented index at $idx")
+    Similarity.annTopKIndexed(s, idx, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
+      .orderedSmall("query_id", "rank")
+  }
+
   private val H = 8 // minhash signature length
 
   private val Bm25Oracle =
@@ -1225,24 +1259,9 @@ object DataPipelineQueries {
     //    centroids (base vectors with vec_id < 16 — 12 of them here,
     //    ids 1..14 minus the delta's multiples of 5, numbered densely
     //    by ascending id: buildAnnIndex's id < nlist convention)
-    "q_ann_index_incr" -> ((s, dir) => {
-      val idx = s"/tmp/graft_ann_incr_${scratchKey(dir)}"
-      // fresh every run: an append-based artifact must never double-add
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-      val e = embs(s, dir)
-      Similarity.buildAnnIndex(
-        e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
-        "vec_id", "embedding", idx, nlist = 16)
-      Similarity.updateAnnIndex(
-        e.filter(pmod(col("vec_id"), lit(5)) === 0),
-        "vec_id", "embedding", idx)
-      Similarity.annTopKIndexed(s, idx, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5, nprobe = 4)
-        .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
-        .orderedSmall("query_id", "rank")
-    }),
+    "q_ann_index_incr" -> ((s, dir) =>
+      annMaintProbe(s, dir, "incr", deltas = Seq(5L -> 0L),
+        compact = false)),
 
     // ── index MAINTENANCE journey: build at 4/5 corpus, fragment the
     //    codes dir with TWO append updates (together ≡ q_ann_index_incr's
@@ -1250,31 +1269,10 @@ object DataPipelineQueries {
     //    fresh-build layout — and the probe must STILL be bit-equal to
     //    the from-scratch replay (content untouched, ranking ties break
     //    on match_id, so the rewrite is invisible; the oracle IS
-    //    q_ann_index_incr's). The require proves compaction actually
-    //    ran (a no-op would mean the fragmentation threshold never
-    //    tripped and the row gated nothing).
-    "q_ann_compact" -> ((s, dir) => {
-      val idx = s"/tmp/graft_ann_cpt_${scratchKey(dir)}"
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(idx), s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(idx), true)
-      val e = embs(s, dir)
-      Similarity.buildAnnIndex(
-        e.filter(pmod(col("vec_id"), lit(5)) =!= 0),
-        "vec_id", "embedding", idx, nlist = 16)
-      Similarity.updateAnnIndex(
-        e.filter(pmod(col("vec_id"), lit(10)) === 0),
-        "vec_id", "embedding", idx)
-      Similarity.updateAnnIndex(
-        e.filter(pmod(col("vec_id"), lit(10)) === 5),
-        "vec_id", "embedding", idx)
-      require(Similarity.compactAnnIndex(s, idx, maxFiles = 2),
-        s"expected compaction to run on the fragmented index at $idx")
-      Similarity.annTopKIndexed(s, idx, e.filter(col("vec_id") < 20),
-          "vec_id", "embedding", k = 5, nprobe = 4)
-        .withColumn("qcos", round(col("qcos") + lit(1e-9), 4))
-        .orderedSmall("query_id", "rank")
-    }),
+    //    q_ann_index_incr's).
+    "q_ann_compact" -> ((s, dir) =>
+      annMaintProbe(s, dir, "cpt", deltas = Seq(10L -> 0L, 10L -> 5L),
+        compact = true)),
 
     // ── linear-probe sufficient statistics (the quality-classifier
     //    training pass): upper-triangle XᵀX + per-class XᵀY of the

@@ -521,12 +521,16 @@ object Similarity {
     * probe against the compacted index is BIT-EQUAL to one against
     * the fragmented index (and to a from-scratch build) — the
     * [[annTopKIndexed]] driver gate runs the same oracle over it.
-    * `centroids`/`cellstats`/`stats` carry unchanged. Crash posture:
-    * the completion marker drops before the swap and is rewritten
-    * last (a crash leaves a visibly incomplete index); the two-rename
-    * swap keeps the old layout readable until one rename flips it,
-    * and a death between the renames self-heals on the next call
-    * (rolled back from `codes_precompact`). */
+    * `centroids`/`cellstats`/`stats` carry unchanged — and so does
+    * `_INDEX_OK`: the marker validates content (and keys the centroid
+    * cache), and compaction changes neither, so unlike build/update it
+    * is NOT dropped — every crash window leaves a complete index. The
+    * two-rename swap keeps the old layout readable until one rename
+    * flips it (the [[graft.io.Compact.compactShards]] posture); a
+    * death between the renames self-heals on the next call (rolled
+    * back from `codes_precompact`, marker still valid). Single-writer
+    * maintenance: don't run concurrently with update/rebuild on the
+    * same dir. */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, maxFiles: Int = 16,
       targetBytes: Long = 128L << 20): Boolean = {
@@ -557,12 +561,10 @@ object Similarity {
       .repartitionByRange(nOut.toInt, col("cell"))
       .sortWithinPartitions("cell")
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), false)
     fs.delete(oldP, true)
     require(fs.rename(codesP, oldP), s"rename $codesP -> $oldP failed")
     require(fs.rename(tmp, codesP), s"rename $tmp -> $codesP failed")
     fs.delete(oldP, true)
-    writeAnnMarker(fs, dir)
     true
   }
 

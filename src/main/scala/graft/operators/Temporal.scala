@@ -597,12 +597,22 @@ object Temporal {
     * (the standard windowed-estimator trade). EXACT equivalence: a
     * series of n ≤ maxLag+1 points has every pair inside the lag
     * window, so the result IS [[theilSen]]'s (spec-pinned, same
-    * n_pairs and slope). Duplicate-bucket rows pair in neither form
-    * (strict `tb > ta`). Returns `(keys…, n_pairs, slope)`. */
-  def theilSenApprox(series: DataFrame, keys: Seq[String],
+    * n_pairs and slope). SAME-bucket pairs are dropped in both forms
+    * (strict `tb > ta`) — duplicate-bucket rows still pair with OTHER
+    * buckets, and the rank order breaks bucket ties by value so the
+    * boundary pair selection is deterministic (exact-duplicate rows
+    * are interchangeable — any order yields the same slope multiset).
+    * Null-key and null-bucket rows are excluded up front, matching
+    * what [[theilSen]]'s equi-join/strict comparison drop — the two
+    * forms see the same points. Returns `(keys…, n_pairs, slope)`. */
+  def theilSenApprox(series0: DataFrame, keys: Seq[String],
       bucketCol: String, valueCol: String, maxLag: Int = 16): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(bucketCol))
+    val series = series0.filter(
+      (keys.map(col(_).isNotNull) :+ col(bucketCol).isNotNull)
+        .reduce(_ && _))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(bucketCol), col(valueCol))
     val lagStructs = (1 to maxLag).map { l =>
       struct(lead(col(bucketCol), l).over(w).as("tb"),
         lead(col(valueCol), l).over(w).as("vb"))
