@@ -128,7 +128,8 @@ object Dedup {
     * have no shingles and are dropped (groupBy-form parity). */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleN: Int = 3): DataFrame = {
+      numHashes: Int, shingleN: Int = 3,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val sigs = graft.functions.MinHashSigs(col(textCol), shingleN, numHashes)
     // Generate barrier (explode of a 1-element array): the null filter
     // and the h element_at extracts must reference the kernel's OUTPUT
@@ -136,10 +137,12 @@ object Dedup {
     // evaluates the kernel once in the Filter and once in the Project
     // (codegen CSE does not span operators), doubling the md5 work of
     // the whole signature family (measured ~2× per row at sf1)
-    df.select(col(idCol), explode(array(sigs)).as("__sigs"))
+    df.select(col(idCol) +: explode(array(sigs)).as("__sigs") +:
+        extraCols.map(col): _*)
       .filter(col("__sigs").isNotNull)
-      .select(col(idCol) +: (0 until numHashes).map(i =>
-        element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
+      .select(col(idCol) +: ((0 until numHashes).map(i =>
+        element_at(col("__sigs"), i + 1).as(s"sig_$i")) ++
+        extraCols.map(col)): _*)
   }
 
   /** SimHash (60-bit) per doc over whitespace tokens (with multiplicity):
@@ -559,46 +562,36 @@ object Dedup {
     // first(text) grouped on md5(text) is deterministic BY VALUE —
     // every row in the group carries the identical string
     val reps = hashed.groupBy("__h")
-      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol),
+        count(lit(1)).as("__m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // group sizes ride the band-join payload (+1 long per row), so rep
+    // pairs come out with __ma/__mb attached at zero extra joins and
+    // [[expandRepPairs]] can route singleton-only pairs straight through
     val repPairs = rawVerifiedPairs(reps, idCol, textCol, numHashes,
-      bands, shingleN, tau, maxBucket)
-    val members = hashed.select(col("__h"), col(idCol))
-    val repToH = reps.select(col(idCol).as("__rid"), col("__h"))
-    val crossPairs = repPairs
-      .join(repToH.select(col("__rid").as("id_a"), col("__h").as("__ha")),
-        "id_a")
-      .join(repToH.select(col("__rid").as("id_b"), col("__h").as("__hb")),
-        "id_b")
-      .join(members.select(col("__h").as("__ha"), col(idCol).as("__ma")),
-        "__ha")
-      .join(members.select(col("__h").as("__hb"), col(idCol).as("__mb")),
-        "__hb")
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"))
-    // within-group pairs: only texts that SIGN at all (sub-n-token docs
-    // have no signature and never pair in the uncollapsed plan)
-    val signed = reps
-      .filter(size(array_distinct(wordShingles(col(textCol), shingleN)))
-        > 0)
-      .select("__h")
-    val withins = members.join(signed, "__h")
-    val withinPairs = withins.as("a").join(withins.as("b"),
-        col("a.__h") === col("b.__h") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-    crossPairs.unionByName(withinPairs).localCheckpoint(true)
+      bands, shingleN, tau, maxBucket, carry = Seq("__m"))
+    expandRepPairs(repPairs, hashed, reps, idCol, payload = Nil,
+        directional = false)
+      .unionByName(withinGroupPairs(hashed, reps, idCol, textCol,
+        shingleN, payload = None, directional = false))
+      .localCheckpoint(true)
     } finally {
       reps.unpersist(false); hashed.unpersist(false)
     }
   }
 
+  /** `carry`: extra per-doc columns threaded through the band join and
+    * emitted as `<name minus leading "__">a/b`-style `__{c}a`…: each
+    * carried column `__m` appears on the output as `__ma` / `__mb` —
+    * +8 bytes of join payload instead of two corpus-scale attach joins
+    * downstream (the collapse path's group sizes). */
   private def rawVerifiedPairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleN: Int,
-      tau: Double, maxBucket: Int): DataFrame = {
-    val allKeyed = bandKeyedSigs(df, idCol, textCol, numHashes, bands, shingleN)
+      tau: Double, maxBucket: Int, carry: Seq[String] = Nil): DataFrame = {
+    val allKeyed = bandKeyedSigs(df, idCol, textCol, numHashes, bands,
+      shingleN, carry)
     val keyed =
       if (maxBucket == Int.MaxValue) allKeyed
       else allKeyed.join(
@@ -610,7 +603,9 @@ object Dedup {
           col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(sigAgreement(numHashes) >= tau)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+        carry.flatMap(c => Seq(col(s"a.$c").as(s"${c}a"),
+          col(s"b.$c").as(s"${c}b"))): _*)
   }
 
   /** Band keys WITH the signature struct riding along: the verify stage
@@ -621,8 +616,10 @@ object Dedup {
     * self-join ([[lshVerifiedPairs]]) and cross-corpus
     * ([[lshDedupAgainst]]) candidate stages. */
   private def bandKeyedSigs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN)
+      numHashes: Int, bands: Int, shingleN: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleN,
+      carry)
     val rowsPer = numHashes / bands
     require(rowsPer * bands == numHashes, "bands must divide numHashes")
     val bandCols = (0 until bands).map { b =>
@@ -630,9 +627,10 @@ object Dedup {
       struct(lit(b).as("band"), md5(concat_ws("_", slice: _*)).as("key"))
     }
     sigs.withColumn("bk", explode(array(bandCols: _*)))
-      .select(col(idCol), col("bk.band").as("band"),
-        col("bk.key").as("band_key"),
-        struct((0 until numHashes).map(i => col(s"sig_$i")): _*).as("sig"))
+      .select(col(idCol) +: col("bk.band").as("band") +:
+        col("bk.key").as("band_key") +:
+        struct((0 until numHashes).map(i => col(s"sig_$i")): _*).as("sig") +:
+        carry.map(col): _*)
   }
 
   /** Fraction of agreeing signature rows between join sides `a`/`b`. */
@@ -804,38 +802,26 @@ object Dedup {
         s"a text has $maxM exact copies (> maxDupGroup=$maxDupGroup): " +
           "the within-group pair output alone is quadratic — run " +
           "Dedup.exact first, or raise maxDupGroup deliberately")
+    // group sizes attach to the PAIR-sized rep pairs (two pair×rep
+    // joins), then [[expandRepPairs]] routes singleton-only pairs
+    // straight through and expands only dup-touching ones — the old
+    // shape ran every pair through 4 corpus-scale member joins
+    val repM = reps.select(col("__jid").as("__rid"), col("__m"))
     val repPairs = ppjoinFromRanked(ranked, tau)
-    val members = hashed.select(col("__h"), col("__jid"))
-    val repToH = reps.select(col("__jid").as("__rid"), col("__h"))
-    // cross-group expansion: rep pair → both groups' member lists via
-    // hash-keyed joins; least/greatest restores the id_a < id_b contract
-    // (group ids interleave)
-    val crossPairs = repPairs
-      .join(repToH.select(col("__rid").as("id_a"), col("__h").as("__ha")),
-        "id_a")
-      .join(repToH.select(col("__rid").as("id_b"), col("__h").as("__hb")),
-        "id_b")
-      .join(members.select(col("__h").as("__ha"), col("__jid").as("__ma")),
-        "__ha")
-      .join(members.select(col("__h").as("__hb"), col("__jid").as("__mb")),
-        "__hb")
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+      .join(repM.withColumnRenamed("__rid", "id_a")
+        .withColumnRenamed("__m", "__ma"), "id_a")
+      .join(repM.withColumnRenamed("__rid", "id_b")
+        .withColumnRenamed("__m", "__mb"), "id_b")
     // within-group pairs: jaccard 1.0 by identity — but ONLY for texts
     // that shingle at all (sub-n-token docs have empty sets and never
     // pair in the uncollapsed plan or the oracle)
-    val shingled = reps
-      .filter(size(array_distinct(wordShingles(col("__jtext"), shingleN)))
-        > 0)
-      .select("__h")
-    val withins = members.join(shingled, "__h")
-    val withinPairs = withins.as("a").join(withins.as("b"),
-        col("a.__h") === col("b.__h") && col("a.__jid") < col("b.__jid"))
-      .select(col("a.__jid").as("id_a"), col("b.__jid").as("id_b"),
-        lit(1.0).as("jaccard"))
     // eager: the whole pipeline runs NOW, while the caches above are
     // alive; the returned frame reads its own pair-sized blocks
-    crossPairs.unionByName(withinPairs).localCheckpoint(true)
+    expandRepPairs(repPairs, hashed, reps, "__jid",
+        payload = Seq("jaccard"), directional = false)
+      .unionByName(withinGroupPairs(hashed, reps, "__jid", "__jtext",
+        shingleN, payload = Some(("jaccard", 1.0)), directional = false))
+      .localCheckpoint(true)
     } finally {
       ranked.unpersist(false); reps.unpersist(false)
       hashed.unpersist(false)
@@ -894,34 +880,25 @@ object Dedup {
           s"a text has $maxM exact copies (> maxDupGroup=$maxDupGroup): " +
             "the within-group ORDERED pair output alone is quadratic — " +
             "run Dedup.exact first, or raise maxDupGroup deliberately")
-      val repPairs = containmentFromRanked(ranked, tau)
-      val members = hashed.select(col("__h"), col("__jid"))
-      val repToH = reps.select(col("__jid").as("__rid"), col("__h"))
       // directional expansion: (every member of A's group) contained in
-      // (every member of B's group); groups are disjoint so ids differ
-      val crossPairs = repPairs
-        .join(repToH.select(col("__rid").as("id_a"), col("__h").as("__ha")),
-          "id_a")
-        .join(repToH.select(col("__rid").as("id_b"), col("__h").as("__hb")),
-          "id_b")
-        .join(members.select(col("__h").as("__ha"), col("__jid").as("__ma")),
-          "__ha")
-        .join(members.select(col("__h").as("__hb"), col("__jid").as("__mb")),
-          "__hb")
-        .select(col("__ma").as("id_a"), col("__mb").as("id_b"),
-          col("containment"))
+      // (every member of B's group); groups are disjoint so ids differ.
+      // Group sizes attach to the pair-sized rep pairs, then
+      // [[expandRepPairs]] expands only dup-touching pairs (the old
+      // shape ran every pair through 4 corpus-scale member joins)
+      val repM = reps.select(col("__jid").as("__rid"), col("__m"))
+      val repPairs = containmentFromRanked(ranked, tau)
+        .join(repM.withColumnRenamed("__rid", "id_a")
+          .withColumnRenamed("__m", "__ma"), "id_a")
+        .join(repM.withColumnRenamed("__rid", "id_b")
+          .withColumnRenamed("__m", "__mb"), "id_b")
       // within-group: identical nonempty sets contain each other both
       // ways — m(m−1) ordered pairs at containment 1.0
-      val shingled = reps
-        .filter(size(array_distinct(wordShingles(col("__jtext"), shingleN)))
-          > 0)
-        .select("__h")
-      val withins = members.join(shingled, "__h")
-      val withinPairs = withins.as("a").join(withins.as("b"),
-          col("a.__h") === col("b.__h") && col("a.__jid") =!= col("b.__jid"))
-        .select(col("a.__jid").as("id_a"), col("b.__jid").as("id_b"),
-          lit(1.0).as("containment"))
-      crossPairs.unionByName(withinPairs).localCheckpoint(true)
+      expandRepPairs(repPairs, hashed, reps, "__jid",
+          payload = Seq("containment"), directional = true)
+        .unionByName(withinGroupPairs(hashed, reps, "__jid", "__jtext",
+          shingleN, payload = Some(("containment", 1.0)),
+          directional = true))
+        .localCheckpoint(true)
     } finally {
       ranked.unpersist(false); reps.unpersist(false)
       hashed.unpersist(false)
@@ -1246,6 +1223,96 @@ object Dedup {
     (pairs, keyedP, keyedC)
   }
 
+  /** Expand representative-level pairs back to member-level pairs —
+    * the shared tail of the exact-dup pre-collapse ([[jaccardJoin]] /
+    * [[containmentJoin]] / [[lshVerifiedPairs]]). `repPairs` must carry
+    * the group sizes as `__ma` / `__mb` (the callers thread them
+    * through for free: the LSH path carries `__m` through the band
+    * join payload, the PPJoin paths through the verify-side `sets`
+    * aggregation).
+    *
+    * Data-adaptive (r14 optimization, guide §2.3 "shuffle fewer
+    * bytes"): a pair between two SINGLETON groups (the overwhelming
+    * case on any non-clone corpus) is already member-level — it passes
+    * through with ZERO joins. Only pairs touching a dup group (`__m >
+    * 1`) pay expansion, and they join against `dupMembers` — the
+    * members of dup groups ONLY (dup-mass-sized, not corpus-sized; the
+    * old shape joined every pair through two corpus-sized member
+    * projections plus two rep→hash hops: 4 corpus-scale joins per
+    * call, all pure overhead when dup groups are rare). Within-group
+    * pairs are likewise built from dup groups only — singleton groups
+    * never self-pair. The expansion output is exactly the old one:
+    * every (member_a, member_b) combination per rep pair, with the
+    * payload column riding along.
+    *
+    * `directional=false` restores the `id_a < id_b` contract with
+    * least/greatest (group ids interleave); `true` keeps the ordered
+    * (contained → container) orientation. */
+  private def expandRepPairs(repPairs0: DataFrame, hashed: DataFrame,
+      reps: DataFrame, idCol: String, payload: Seq[String],
+      directional: Boolean): DataFrame = {
+    // the direct/dup split below reads the pair frame TWICE — checkpoint
+    // the pair-sized result so the candidate+verify pipeline behind it
+    // runs once, not once per branch (measured 1.7× on the LSH path)
+    val repPairs = repPairs0.localCheckpoint(true)
+    val outCols = (Seq("id_a", "id_b") ++ payload).map(col)
+    val direct = repPairs
+      .filter(col("__ma") === 1 && col("__mb") === 1)
+      .select(outCols: _*)
+    val dupPairs = repPairs.filter(col("__ma") > 1 || col("__mb") > 1)
+    // members of dup groups only: (rep id, member id) — dup-mass-sized
+    val dupMembers = hashed.join(
+        reps.filter(col("__m") > 1)
+          .select(col("__h"), col(idCol).as("__rid")), "__h")
+      .select(col("__rid"), col(idCol).as("__mid"))
+    // LEFT joins: a singleton side has no dupMembers row and keeps its
+    // rep id (which IS its only member) via coalesce
+    val joined = dupPairs
+      .join(dupMembers.select(col("__rid").as("id_a"),
+        col("__mid").as("__xa")), Seq("id_a"), "left")
+      .join(dupMembers.select(col("__rid").as("id_b"),
+        col("__mid").as("__xb")), Seq("id_b"), "left")
+    val ma = coalesce(col("__xa"), col("id_a"))
+    val mb = coalesce(col("__xb"), col("id_b"))
+    val expanded =
+      if (directional)
+        joined.select((Seq(ma.as("id_a"), mb.as("id_b")) ++
+          payload.map(col)): _*)
+      else
+        joined.select((Seq(least(ma, mb).as("id_a"),
+          greatest(ma, mb).as("id_b")) ++ payload.map(col)): _*)
+    direct.unionByName(expanded)
+  }
+
+  /** Within-group pairs of the exact-dup pre-collapse: every member
+    * combination of each DUP group whose text shingles at all
+    * (sub-n-token docs have empty sets and never pair in the
+    * uncollapsed plan or the oracle). Ordered both ways when
+    * `directional` (identical nonempty sets contain each other).
+    * Built from dup groups only — the self-join input is
+    * dup-mass-sized, never corpus-sized. */
+  private def withinGroupPairs(hashed: DataFrame, reps: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      payload: Option[(String, Double)], directional: Boolean)
+      : DataFrame = {
+    val dupSigned = reps.filter(col("__m") > 1)
+      .filter(size(array_distinct(wordShingles(col(textCol), shingleN)))
+        > 0)
+      .select("__h")
+    val members = hashed.select(col("__h"), col(idCol)).join(dupSigned, "__h")
+    val cond =
+      if (directional) col(s"a.$idCol") =!= col(s"b.$idCol")
+      else col(s"a.$idCol") < col(s"b.$idCol")
+    val base = members.as("a").join(members.as("b"),
+      col("a.__h") === col("b.__h") && cond)
+    val idCols = Seq(col(s"a.$idCol").as("id_a"),
+      col(s"b.$idCol").as("id_b"))
+    payload match {
+      case Some((name, v)) => base.select(idCols :+ lit(v).as(name): _*)
+      case None => base.select(idCols: _*)
+    }
+  }
+
   /** Largest exact-duplicate group size from a persisted reps agg —
     * `max` over zero rows is SQL NULL, so an empty (or all-null-text)
     * input reads as 0 and the collapse guard passes through to the
@@ -1397,7 +1464,17 @@ object Dedup {
     // candidate pipeline) must run ONCE, not once per round
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    val init = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    // iterate over EDGE-INCIDENT nodes only (r14 optimization, guide
+    // §2.3): labels propagate along edges, so a node with no edge keeps
+    // its own id forever and contributes nothing to any neighbor —
+    // excluding singletons shrinks every per-round frame from
+    // corpus-sized to edge-node-sized (dedup graphs are overwhelmingly
+    // singletons at any scale); singletons rejoin via the final left
+    // join, labeling themselves. The semi-join keeps the old contract
+    // that an edge endpoint NOT in `nodes` never participates.
+    val init = nodes.select(col(idCol).as("id"))
+      .join(sym.select(col("src").as("id")), Seq("id"), "left_semi")
+      .withColumn("label", col("id"))
       .persist()
     var labels: DataFrame = init
     var iter = 0
@@ -1430,10 +1507,14 @@ object Dedup {
       sym.unpersist(false)
       init.unpersist(false)
     }
-    // the final label table is a localCheckpoint: two longs per node
-    // (index-sized, not corpus-sized), materialized once, released by
-    // the ContextCleaner when the caller drops the frame.
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // the final label table is a localCheckpoint over EDGE-INCIDENT
+    // nodes (two longs per edge node — index-sized); singletons label
+    // themselves through the coalesce, so the output still covers
+    // every node exactly as before.
+    nodes.select(col(idCol).as("id"))
+      .join(labels.select(col("id"), col("label")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Connected components by alternating large-star / small-star
@@ -1491,14 +1572,27 @@ object Dedup {
     var done = e.limit(1).count() == 0L
     while (!done && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // fixpoint when the (canonicalized) edge sets agree; exceptAll on
-      // the index-sized star frames, not the corpus
-      val prevCanon = e.select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b")).distinct()
-      val nextCanon = next.select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b")).distinct()
-      done = prevCanon.exceptAll(nextCanon).limit(1).count() == 0L &&
-        nextCanon.exceptAll(prevCanon).limit(1).count() == 0L
+      // Fixpoint test (r14 optimization): the alternation's fixpoints
+      // are exactly the STAR FORESTS — every child points at one root
+      // and no root is itself a child. smallStar output is distinct
+      // with a > b throughout, so `next` is a star forest iff
+      //  (1) every a carries exactly one b (count == distinct a's), and
+      //  (2) no b appears as an a (parent/child sets disjoint).
+      // Sufficiency: on a disjoint union of stars both largeStar and
+      // smallStar are identities (each leaf's neighbor min is its root,
+      // each root's is itself), so the next round reproduces `next`
+      // verbatim — the state the old double-exceptAll probe detected
+      // one (identical) round later. Necessity: a b that is also an a
+      // is a 2-chain, which smallStar rewrites; two b's for one a are
+      // rewired to the smaller — either way not a fixpoint. Two tiny
+      // aggregations on the checkpointed frame replace two
+      // exceptAll JOINS per round (4 distincts + 2 jobs, measured the
+      // dominant per-round cost at index scale).
+      val st = next.agg(count(lit(1)).as("n"),
+        count_distinct(col("a")).as("na")).head()
+      done = st.getLong(0) == st.getLong(1) &&
+        next.join(next.select(col("a").as("b")), Seq("b"), "left_semi")
+          .limit(1).count() == 0L
       e = next
       iter += 1
     }
@@ -1721,7 +1815,12 @@ object Dedup {
       .distinct().localCheckpoint(true)
     val seed = seeds.select(col(idCol).as("id"),
       col(labelCol).cast("long").as("__seed"))
+    // iterate over EDGE-INCIDENT nodes only (r14 optimization): a node
+    // with no edge never receives a neighbor majority, so its label is
+    // its (clamped) seed or null — restored by the final left join.
+    // Per-round frames shrink from corpus-sized to edge-node-sized.
     var labels = nodes.select(col(idCol).as("id"))
+      .join(sym.select(col("src").as("id")), Seq("id"), "left_semi")
       .join(seed, Seq("id"), "left")
       .select(col("id"), col("__seed"), col("__seed").as("__lab"))
       .localCheckpoint(true)
@@ -1744,7 +1843,13 @@ object Dedup {
         .localCheckpoint(true)
       it += 1
     }
-    labels.select(col("id").as(idCol), col("__lab").as("label"))
+    // edge-incident nodes from the loop; off-graph nodes keep their
+    // clamped seed (or null) — exactly the old full-frame fixpoint
+    nodes.select(col(idCol).as("id"))
+      .join(seed, Seq("id"), "left")
+      .join(labels.select(col("id"), col("__lab")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("__lab"), col("__seed")).as("label"))
   }
 
   def pageRank(nodes: DataFrame, pairs: DataFrame, idCol: String,
@@ -1761,41 +1866,57 @@ object Dedup {
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val edges = sym.join(deg, "src")
       .select(col("src"), col("dst"), col("deg")).localCheckpoint(true)
-    val degIds = deg.select(col("src").as("id")).localCheckpoint(true)
-    // the dangling flag (no out-edges) is attached ONCE and rides the
-    // rank frame, so each iteration's dangling mass is an aggregation
-    // over the already-checkpointed ranks folded into the update plan
-    // as a 1-row broadcast — ONE action per iteration, not an extra
-    // driver-side head() per round (2× the job count at fixed
-    // per-round overhead)
-    val base = nodes.select(col(idCol).as("id"))
-      .join(degIds.withColumn("__nd", lit(true)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("__nd"), lit(false)).as("__nd"))
+    // Edge-incident nodes all have out-edges (sym is symmetric), so the
+    // DANGLING set is exactly the isolated nodes — and every isolated
+    // node follows one shared, bit-identical rank trajectory
+    //   r_iso' = (1−d)/N + d·(0 + dang/N),   dang = Σ_iso dec₁₅(r_iso)
+    // (same update expression, same inputs). r14 optimization: evolve
+    // that single trajectory as a DRIVER scalar replicating the old
+    // distributed decimal(30,15) sum exactly — the sum of k identical
+    // decimals is k × the HALF_UP-rounded decimal (exact decimal
+    // multiply; Spark's double→decimal cast goes through
+    // Double.toString, mirrored here), cast back to double the same
+    // way — and iterate only over the edge-incident rank frame.
+    // Per-iteration work drops from corpus-sized scans + a corpus-wide
+    // dangling aggregation to edge-node-sized joins with the mass as a
+    // plan literal; isolated nodes rejoin via the final coalesce at
+    // their shared final rank. The semi-join keeps the old contract
+    // that a pair endpoint not in `nodes` never receives a rank (and
+    // so never contributes).
+    val active = nodes.select(col(idCol).as("id"))
+      .join(deg.select(col("src").as("id")), Seq("id"), "left_semi")
       .localCheckpoint(true)
-    var ranks = base.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
+    val k = n.toLong - active.count()
+    def dangOf(rIso: Double): Double =
+      if (k == 0L) 0.0
+      else new java.math.BigDecimal(java.lang.Double.toString(rIso))
+        .setScale(15, java.math.RoundingMode.HALF_UP)
+        .multiply(java.math.BigDecimal.valueOf(k)).doubleValue()
+    var ranks = active.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
+    var rIso = 1.0 / n
     var it = 0
     while (it < iters) {
+      val dang = dangOf(rIso)
       val contrib = edges
         .join(ranks.select(col("id").as("src"), col("r")), "src")
         .select(col("dst"),
           (col("r") / col("deg")).cast("decimal(30,15)").as("c"))
         .groupBy("dst").agg(sum(col("c")).cast("double").as("cs"))
-      // same decimal(30,15) sum over the same dangling-row set as the
-      // old anti-join + head(), so the mass — and every downstream
-      // rank — is bit-identical
-      val dang = ranks.agg(coalesce(
-        sum(when(!col("__nd"), col("r")).cast("decimal(30,15)"))
-          .cast("double"), lit(0.0)).as("__dang"))
-      ranks = base
+      ranks = active
         .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("id"), col("__nd"),
+        .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("cs"), lit(0.0)) + col("__dang") / lit(n)))
+            (coalesce(col("cs"), lit(0.0)) + lit(dang) / lit(n)))
             .as("r"))
         .localCheckpoint(true)
+      // the isolated trajectory steps through the IDENTICAL double
+      // arithmetic the old in-plan expression applied to cs-null rows
+      rIso = (1 - damping) / n + damping * (0.0 + dang / n)
       it += 1
     }
-    ranks.select(col("id").as(idCol), col("r").as("pagerank"))
+    nodes.select(col(idCol).as("id"))
+      .join(ranks, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("r"), lit(rIso)).as("pagerank"))
   }
 }
