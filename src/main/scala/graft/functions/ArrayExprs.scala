@@ -33,10 +33,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      // array<long> variant (r14): the PPJoin family hashes shingles to
+      // 60-bit longs before any exchange — the merge runs on primitive
+      // compares instead of UTF8String ones
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_sorted_intersect requires array<string> inputs, got " +
-          s"${left.dataType.sql}, ${right.dataType.sql}")
+        s"graft_sorted_intersect requires array<string> or array<bigint> " +
+          s"inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
     }
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_sorted_intersect"
@@ -49,11 +57,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0L
-    while (i < n && j < m) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < n && j < m) {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n && j < m) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -66,12 +84,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val c = ctx.freshName("c")
       val cmp = ctx.freshName("cmp")
+      val step =
+        if (isLong)
+          s"""final long xv = $a.getLong($i);
+             |final long yv = $b.getLong($j);
+             |final int $cmp = xv == yv ? 0 : (xv < yv ? -1 : 1);""".stripMargin
+        else
+          s"final int $cmp = $a.getUTF8String($i)" +
+            s".compareTo($b.getUTF8String($j));"
       s"""
          |final int $n = $a.numElements();
          |final int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $n && $j < $m) {
-         |  final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  $step
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}

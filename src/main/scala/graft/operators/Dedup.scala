@@ -979,11 +979,30 @@ object Dedup {
     * sz as a window sharing the rank window's id exchange+sort. */
   private[graft] def ppjoinRanked(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
+    // r14 optimizations (guide §2.3):
+    //  - shingles are hashed to 60-bit longs BEFORE any exchange — the
+    //    freq aggregation, the rank window, the candidate join and the
+    //    verify-side sorted sets all move/compare 8-byte longs instead
+    //    of n-word strings (same md5 trust model as [[contentKey]] /
+    //    [[hash60]]: a collision merges two shingles, the assumption
+    //    every signature tier here already makes). The canonical prefix
+    //    order becomes (df, hash) instead of (df, string) — a different
+    //    but equally valid global total order, so the candidate SET can
+    //    shift while the exactly-verified OUTPUT cannot;
+    //  - `sz` (distinct-shingle count) rides from the pre-explode array
+    //    instead of a count-over-window pass — one window execution
+    //    over the (id, shingle) frame instead of two. The 1-element
+    //    explode is the [[minHashSignatures]] generate barrier: the
+    //    shingling kernel runs once, size/explode read its attribute.
+    val sh = df
+      .select(col(idCol).as("id"),
+        explode(array(array_distinct(wordShingles(col(textCol), shingleN))))
+          .as("__arr"))
+      .select(col("id"), size(col("__arr")).as("sz"),
+        explode(col("__arr")).as("__s"))
+      .select(col("id"), col("sz"), hash60(col("__s")).as("sh"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(freq, "sh")
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
   }

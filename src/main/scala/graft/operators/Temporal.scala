@@ -734,6 +734,10 @@ object Temporal {
     var survivors = series.select(
       kc :+ col(bucketCol) :+ v.cast("double").as(valueCol): _*)
       .localCheckpoint(true)
+    // r14: the survivor count carries ACROSS passes (last pass's
+    // `after` is this pass's `before`), so each pass runs one count
+    // job instead of two — the convergence probe is unchanged
+    var before = survivors.count()
     var it = 0
     var changed = true
     while (it < maxIter && changed) {
@@ -750,9 +754,9 @@ object Temporal {
         .filter(abs(v - col("__mu")) <= lit(k) * col("__sigma"))
         .select(kc :+ col(bucketCol) :+ v: _*)
         .localCheckpoint(true)
-      val before = survivors.count()
       val after = next.count()
       changed = after != before
+      before = after
       survivors = next
       it += 1
     }
