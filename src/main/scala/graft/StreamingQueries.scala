@@ -161,7 +161,10 @@ object StreamingQueries {
     //    one-run oracle.
     "q_stream_resume" -> ((s, dir) => {
       val keys = Seq("event_type")
-      val profile = evalProfile(s, dir)
+      // both runs broadcast the (type × 24-slot)-sized profile — pin it
+      // so the TimesQuery training pipeline behind it runs once, not
+      // once per run (r14: one full spine+agg pass saved)
+      val profile = evalProfile(s, dir).localCheckpoint(true)
       // the configured roster: every type active in the monitored
       // range (tiny — localCheckpoint so both runs reuse one scan)
       val roster = graft.sources.Tables.load(s, dir, "events")

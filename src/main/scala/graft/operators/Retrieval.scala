@@ -61,16 +61,26 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // r14 (guide §2.3 "aggregate before you shuffle" / shuffle keys,
+    // not payloads): only the QUERY terms' postings matter downstream
+    // (`score` joins postings ⋈ query terms), so the term filter moves
+    // BELOW the (doc, term) aggregation — the exchange carries the
+    // matched occurrences only, instead of every token occurrence of
+    // the corpus (the single largest shuffle of this operator; the old
+    // shape existed to let dfreq/stats reuse the full-token exchange,
+    // which this replaces with one extra column-pruned scan). Corpus
+    // stats need no explode at all: per-doc token counts fold map-side
+    // to one row. df values, tf values, N and avgdl are bit-identical
+    // to the old plan (the filter commutes with the per-(doc, term)
+    // count; stats never depended on terms) — q_bm25's oracle, shared
+    // with the indexed path, pins that.
+    val terms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
     val toks = docs.select(col(idCol),
       split(col(textCol), " ").as("__toks"))
-    // doc length = raw token count. Empty-string tokens are KEPT
-    // through the aggregation (split("") = [""], so even an empty doc
-    // lands one postings row and survives to the stats branch) and
-    // filtered only where terms matter — that's what lets dfreq and
-    // stats derive from THIS exchange instead of rescanning the corpus.
     val postings = toks
       .select(col(idCol), size(col("__toks")).as("dl"),
         explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
@@ -79,12 +89,15 @@ object Retrieval {
       .filter(length(col("term")) > 0)
       .groupBy("term").agg(count(lit(1)).as("df"))
 
-    // N and avgdl from the per-doc lengths already in the postings
-    // exchange (dl is functionally determined by the doc id). avgdl =
-    // exact integer sum / N — a double mean of doubles would be
-    // partial-aggregation-order dependent in the last ulp.
-    val stats = postings
-      .select(col(idCol), col("dl")).distinct()
+    // N and avgdl over every tokenizable doc (split("") = [""], so an
+    // empty doc still counts with dl = 1, exactly like the old
+    // postings-derived branch; null texts never tokenized there and
+    // are filtered here). avgdl = exact integer sum / N — a double
+    // mean of doubles would be partial-aggregation-order dependent in
+    // the last ulp.
+    val stats = toks
+      .filter(col("__toks").isNotNull)
+      .select(size(col("__toks")).as("dl"))
       .agg(count(lit(1)).as("__N"), sum(col("dl").cast("long")).as("__sumdl"))
       .select(col("__N"),
         (col("__sumdl").cast("double") / col("__N").cast("double"))
