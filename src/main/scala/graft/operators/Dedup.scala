@@ -980,12 +980,15 @@ object Dedup {
   private[graft] def ppjoinRanked(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
     // r14 optimizations (guide §2.3):
-    //  - shingles are hashed to 60-bit longs BEFORE any exchange — the
+    //  - shingles are hashed to 64-bit longs BEFORE any exchange — the
     //    freq aggregation, the rank window, the candidate join and the
     //    verify-side sorted sets all move/compare 8-byte longs instead
-    //    of n-word strings (same md5 trust model as [[contentKey]] /
+    //    of n-word strings (same trust model as [[contentKey]] /
     //    [[hash60]]: a collision merges two shingles, the assumption
-    //    every signature tier here already makes). The canonical prefix
+    //    every signature tier here already makes; xxhash64 because the
+    //    hash never reaches an output or the oracle — no cross-engine
+    //    replay needed — and it codegens far cheaper than md5). The
+    //    canonical prefix
     //    order becomes (df, hash) instead of (df, string) — a different
     //    but equally valid global total order, so the candidate SET can
     //    shift while the exactly-verified OUTPUT cannot;
@@ -1000,7 +1003,7 @@ object Dedup {
           .as("__arr"))
       .select(col("id"), size(col("__arr")).as("sz"),
         explode(col("__arr")).as("__s"))
-      .select(col("id"), col("sz"), hash60(col("__s")).as("sh"))
+      .select(col("id"), col("sz"), xxhash64(col("__s")).as("sh"))
     val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(freq, "sh")
       .withColumn("rank", row_number().over(

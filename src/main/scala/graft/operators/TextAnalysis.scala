@@ -283,8 +283,15 @@ object TextAnalysis {
     * [[lmBitsPerToken]]. */
   def crossDocCoverage(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    // r14: the gram is a pure group/join KEY (never output, never in
+    // the oracle) — hash it to a long before the exchanges so both
+    // aggs and the join move 8 bytes instead of an n-word string
+    // (xxhash64; collision merges two grams — the signature-tier
+    // trust model)
     val perDoc = df
-      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .select(col(idCol),
+        explode(Dedup.wordShingles(col(textCol), n)).as("__gs"))
+      .select(col(idCol), xxhash64(col("__gs")).as("g"))
       .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).as("m"))
     // docs-per-gram: perDoc already has one row per (doc, gram)
@@ -325,8 +332,11 @@ object TextAnalysis {
     * one gram dominates a partition. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
+    // gram hashed to a long for the count agg + join back (key-only —
+    // spans are reported as positions; xxhash64 trust model as above)
     val pos = df.select(col(idCol),
-      posexplode(Dedup.wordShingles(col(textCol), n)).as(Seq("pos", "g")))
+        posexplode(Dedup.wordShingles(col(textCol), n)).as(Seq("pos", "__gs")))
+      .select(col(idCol), col("pos"), xxhash64(col("__gs")).as("g"))
     val dupGrams = pos.groupBy("g").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
     val w = Window.partitionBy(idCol).orderBy("pos")
@@ -685,8 +695,13 @@ object TextAnalysis {
         transform(sequence(lit(1), size(tk) - (n - 1)), i =>
           concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*)))
         .otherwise(array())), 1)
+    // gram hashed to a long for the distinct + join (key-only; the
+    // when() guard keeps explode_outer's null marker — xxhash64 itself
+    // never returns null)
     val exploded = df.select(col(idCol), col(textCol), refPred.as("__isref"))
-      .withColumn("__g", explode_outer(grams))
+      .withColumn("__g0", explode_outer(grams))
+      .select(col(idCol), col("__isref"),
+        when(col("__g0").isNotNull, xxhash64(col("__g0"))).as("__g"))
     val ref = exploded.filter(col("__isref"))
       .select(col("__g")).where(col("__g").isNotNull).distinct()
       .withColumn("__seen", lit(1))
