@@ -948,29 +948,44 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
+    // r14: persisted — the banded frame feeds the cap aggregation and
+    // BOTH self-join sides, and without the cache boundary each
+    // consumer re-derives the whole projection (float→double transform,
+    // norm, 32 plane dots per row), with constraint inference
+    // additionally cloning the norm expression into isnotnull filters
+    // below the projection (measured: the duplicated kernels, not the
+    // verify, dominated q_dedup_embed's CPU). Columnar cache → pruned
+    // reads per consumer; the removed-id set is eagerly checkpointed
+    // while the cache is alive and released in finally (the jaccardJoin
+    // cache protocol).
     val keyed = e
       .withColumn("__bb", explode(array(bandCols: _*)))
       .select(col(idCol), col("__v"), col("__n"),
         col("__bb.band").as("__band"), col("__bb.bucket").as("__bucket"))
-    val safe =
-      if (maxBucket == Int.MaxValue) keyed
-      else {
-        val overCap = keyed.groupBy("__band", "__bucket")
-          .agg(count(lit(1)).as("__cnt"))
-          .filter(col("__cnt") > maxBucket)
-          .select("__band", "__bucket")
-        keyed.join(broadcast(overCap), Seq("__band", "__bucket"), "left_anti")
-      }
-    val removed = safe.as("a")
-      .join(safe.as("b"),
-        col("a.__band") === col("b.__band") &&
-          col("a.__bucket") === col("b.__bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(pairCosine(col("a.__v"), col("b.__v"),
-        col("a.__n"), col("b.__n")) >= tau)
-      .select(col(s"b.$idCol").as(idCol))
-      .distinct()
-    corpus.join(removed, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val safe =
+        if (maxBucket == Int.MaxValue) keyed
+        else {
+          val overCap = keyed.groupBy("__band", "__bucket")
+            .agg(count(lit(1)).as("__cnt"))
+            .filter(col("__cnt") > maxBucket)
+            .select("__band", "__bucket")
+          keyed.join(broadcast(overCap), Seq("__band", "__bucket"),
+            "left_anti")
+        }
+      val removed = safe.as("a")
+        .join(safe.as("b"),
+          col("a.__band") === col("b.__band") &&
+            col("a.__bucket") === col("b.__bucket") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .filter(pairCosine(col("a.__v"), col("b.__v"),
+          col("a.__n"), col("b.__n")) >= tau)
+        .select(col(s"b.$idCol").as(idCol))
+        .distinct()
+        .localCheckpoint(true)
+      corpus.join(removed, Seq(idCol), "left_anti")
+    } finally keyed.unpersist(false)
   }
 
   /** SemDeDup-shaped semantic dedup: cluster the corpus (argmax-cosine
@@ -995,27 +1010,36 @@ object Similarity {
       centroids: Array[Array[Double]], tau: Double,
       maxCell: Int = Int.MaxValue): DataFrame = {
     val centLit = centroidLit(centroids)
+    // persisted for the same reason as [[cosineDedup]]'s banded frame
+    // (r14): the cap aggregation and both self-join sides otherwise
+    // re-derive the float→double transform, the norm and the k-centroid
+    // argmax per consumer, with constraint inference cloning the norm
+    // into scan-adjacent isnotnull filters
     val keyed = corpus.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
       .withColumn("__cell", bestCell(centLit, col("__v"), col("__n")))
-    val safe =
-      if (maxCell == Int.MaxValue) keyed
-      else {
-        val overCap = keyed.groupBy("__cell")
-          .agg(count(lit(1)).as("__cnt"))
-          .filter(col("__cnt") > maxCell)
-          .select("__cell")
-        keyed.join(broadcast(overCap), Seq("__cell"), "left_anti")
-      }
-    val removed = safe.as("a")
-      .join(safe.as("b"),
-        col("a.__cell") === col("b.__cell") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(pairCosine(col("a.__v"), col("b.__v"),
-        col("a.__n"), col("b.__n")) >= tau)
-      .select(col(s"b.$idCol").as(idCol))
-      .distinct()
-    corpus.join(removed, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val safe =
+        if (maxCell == Int.MaxValue) keyed
+        else {
+          val overCap = keyed.groupBy("__cell")
+            .agg(count(lit(1)).as("__cnt"))
+            .filter(col("__cnt") > maxCell)
+            .select("__cell")
+          keyed.join(broadcast(overCap), Seq("__cell"), "left_anti")
+        }
+      val removed = safe.as("a")
+        .join(safe.as("b"),
+          col("a.__cell") === col("b.__cell") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .filter(pairCosine(col("a.__v"), col("b.__v"),
+          col("a.__n"), col("b.__n")) >= tau)
+        .select(col(s"b.$idCol").as(idCol))
+        .distinct()
+        .localCheckpoint(true)
+      corpus.join(removed, Seq(idCol), "left_anti")
+    } finally keyed.unpersist(false)
   }
 
   /** Diversity-preserving subsample — per-cluster quota sampling over
