@@ -806,12 +806,8 @@ object Dedup {
     // joins), then [[expandRepPairs]] routes singleton-only pairs
     // straight through and expands only dup-touching ones — the old
     // shape ran every pair through 4 corpus-scale member joins
-    val repM = reps.select(col("__jid").as("__rid"), col("__m"))
-    val repPairs = ppjoinFromRanked(ranked, tau)
-      .join(repM.withColumnRenamed("__rid", "id_a")
-        .withColumnRenamed("__m", "__ma"), "id_a")
-      .join(repM.withColumnRenamed("__rid", "id_b")
-        .withColumnRenamed("__m", "__mb"), "id_b")
+    val repPairs = attachGroupSizes(ppjoinFromRanked(ranked, tau),
+      reps, "__jid")
     // within-group pairs: jaccard 1.0 by identity — but ONLY for texts
     // that shingle at all (sub-n-token docs have empty sets and never
     // pair in the uncollapsed plan or the oracle)
@@ -885,12 +881,8 @@ object Dedup {
       // Group sizes attach to the pair-sized rep pairs, then
       // [[expandRepPairs]] expands only dup-touching pairs (the old
       // shape ran every pair through 4 corpus-scale member joins)
-      val repM = reps.select(col("__jid").as("__rid"), col("__m"))
-      val repPairs = containmentFromRanked(ranked, tau)
-        .join(repM.withColumnRenamed("__rid", "id_a")
-          .withColumnRenamed("__m", "__ma"), "id_a")
-        .join(repM.withColumnRenamed("__rid", "id_b")
-          .withColumnRenamed("__m", "__mb"), "id_b")
+      val repPairs = attachGroupSizes(containmentFromRanked(ranked, tau),
+        reps, "__jid")
       // within-group: identical nonempty sets contain each other both
       // ways — m(m−1) ordered pairs at containment 1.0
       expandRepPairs(repPairs, hashed, reps, "__jid",
@@ -1270,6 +1262,20 @@ object Dedup {
     * `directional=false` restores the `id_a < id_b` contract with
     * least/greatest (group ids interleave); `true` keeps the ordered
     * (contained → container) orientation. */
+  /** Attach the exact-dup group sizes to PAIR-sized rep pairs as
+    * `__ma`/`__mb` (the [[expandRepPairs]] precondition) — the
+    * PPJoin-family callers' shared attach; the LSH path instead carries
+    * `__m` through its band-join payload for free. */
+  private def attachGroupSizes(repPairs: DataFrame, reps: DataFrame,
+      idCol: String): DataFrame = {
+    val repM = reps.select(col(idCol).as("__rid"), col("__m"))
+    repPairs
+      .join(repM.withColumnRenamed("__rid", "id_a")
+        .withColumnRenamed("__m", "__ma"), "id_a")
+      .join(repM.withColumnRenamed("__rid", "id_b")
+        .withColumnRenamed("__m", "__mb"), "id_b")
+  }
+
   private def expandRepPairs(repPairs0: DataFrame, hashed: DataFrame,
       reps: DataFrame, idCol: String, payload: Seq[String],
       directional: Boolean): DataFrame = {

@@ -92,12 +92,15 @@ object Retrieval {
     // N and avgdl over every tokenizable doc (split("") = [""], so an
     // empty doc still counts with dl = 1, exactly like the old
     // postings-derived branch; null texts never tokenized there and
-    // are filtered here). avgdl = exact integer sum / N — a double
-    // mean of doubles would be partial-aggregation-order dependent in
-    // the last ulp.
+    // are filtered here). The (id, dl) distinct keeps the OLD branch's
+    // exact semantics — and buildIndex's — for corpora with duplicate
+    // id rows, so bm25TopKIndexed's bit-equality contract holds on any
+    // input, not just duplicate-free ones. avgdl = exact integer
+    // sum / N — a double mean of doubles would be partial-aggregation-
+    // order dependent in the last ulp.
     val stats = toks
       .filter(col("__toks").isNotNull)
-      .select(size(col("__toks")).as("dl"))
+      .select(col(idCol), size(col("__toks")).as("dl")).distinct()
       .agg(count(lit(1)).as("__N"), sum(col("dl").cast("long")).as("__sumdl"))
       .select(col("__N"),
         (col("__sumdl").cast("double") / col("__N").cast("double"))
@@ -252,9 +255,10 @@ object Retrieval {
     * TERM-SORTED exactly so parquet row-group min/max stats prune
     * everything outside the probed terms — the probe reads
     * O(matched postings), not O(corpus), which is the whole point of a
-    * persisted index at 100 TB. (Inside [[bm25TopK]] the same filter
-    * would break the single-exchange reuse that feeds dfreq/stats, so
-    * it lives only on the indexed path.) */
+    * persisted index at 100 TB. (Since r14 the ad-hoc [[bm25TopK]]
+    * applies the same term filter below its postings aggregation; the
+    * index's remaining advantage is skipping the tokenize+aggregate
+    * passes entirely.) */
   def bm25TopKIndexed(spark: SparkSession, dir: String, idCol: String,
       queries: Seq[(Int, String)], k: Int,
       k1: Double = 1.5, b: Double = 0.75): DataFrame = {
