@@ -811,27 +811,38 @@ object DataPipelineQueries {
     //    tier (two tiers can each link disjoint halves of one family;
     //    only the union sees the whole family)
     "q_dedup_multitier" -> ((s, dir) => {
+      // r15 (guide §5/§6, VERDICT r14 item 3): the four tier kernels
+      // each re-scanned documents.parquet (plus its fanOut exchange) —
+      // one columnar persist now feeds exact + LSH + media + audio.
+      // The tiers materialize eagerly inside multiTierClusters' edge
+      // checkpoint (and the tiers' own internal checkpoints), so the
+      // cache is live exactly while the heavy kernels run; the finally
+      // releases it, and the returned plan's remaining reference (the
+      // id-only nodes scan) recomputes from parquet, column-pruned.
       val d = docs(s, dir)
-      val exact = Dedup.exactDupEdges(d, "doc_id", "text")
-      val lsh = Dedup.lshVerifiedPairs(d, "doc_id", "text",
-        numHashes = H, bands = 4, tau = 0.5).dropDuplicates("id_a", "id_b")
-      val media = Multimodal.mediaNearDups(
-        Multimodal.attachBlob(d, "doc_id", "text"), "media_id",
-        maxHamming = 3)
-      // audio tier over the EVEN half only: a genuinely distinct tier
-      // (its evidence is the decoded SAMPLE stream of a real WAV, not
-      // the text bytes, and it sees only a sub-corpus — docs with an
-      // odd-id near-dup get media-only edges, so the tiers column
-      // separates the detectors instead of mirroring one of them)
-      val audio = Multimodal.audioNearDups(
-        Multimodal.buildWav(
-          Multimodal.attachBlob(d.filter(pmod(col("doc_id"), lit(2)) === 0),
-            "doc_id", "text", kind = "audio")),
-        "media_id", maxHamming = 3)
-      Dedup.multiTierClusters(d.select(col("doc_id")), "doc_id",
-          Seq("exact" -> exact, "lsh" -> lsh, "media" -> media,
-            "audio" -> audio))
-        .orderedCorpus("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val exact = Dedup.exactDupEdges(d, "doc_id", "text")
+        val lsh = Dedup.lshVerifiedPairs(d, "doc_id", "text",
+          numHashes = H, bands = 4, tau = 0.5).dropDuplicates("id_a", "id_b")
+        val media = Multimodal.mediaNearDups(
+          Multimodal.attachBlob(d, "doc_id", "text"), "media_id",
+          maxHamming = 3)
+        // audio tier over the EVEN half only: a genuinely distinct tier
+        // (its evidence is the decoded SAMPLE stream of a real WAV, not
+        // the text bytes, and it sees only a sub-corpus — docs with an
+        // odd-id near-dup get media-only edges, so the tiers column
+        // separates the detectors instead of mirroring one of them)
+        val audio = Multimodal.audioNearDups(
+          Multimodal.buildWav(
+            Multimodal.attachBlob(d.filter(pmod(col("doc_id"), lit(2)) === 0),
+              "doc_id", "text", kind = "audio")),
+          "media_id", maxHamming = 3)
+        Dedup.multiTierClusters(d.select(col("doc_id")), "doc_id",
+            Seq("exact" -> exact, "lsh" -> lsh, "media" -> media,
+              "audio" -> audio))
+          .orderedCorpus("doc_id")
+      } finally d.unpersist(false)
     }),
 
     // ── semi-supervised label propagation: ratings seeded on 1-in-25

@@ -84,11 +84,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val m = ctx.freshName("m")
       val c = ctx.freshName("c")
       val cmp = ctx.freshName("cmp")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       val step =
         if (isLong)
-          s"""final long xv = $a.getLong($i);
-             |final long yv = $b.getLong($j);
-             |final int $cmp = xv == yv ? 0 : (xv < yv ? -1 : 1);""".stripMargin
+          s"""final long $xv = $a.getLong($i);
+             |final long $yv = $b.getLong($j);
+             |final int $cmp = $xv == $yv ? 0 : ($xv < $yv ? -1 : 1);""".stripMargin
         else
           s"final int $cmp = $a.getUTF8String($i)" +
             s".compareTo($b.getUTF8String($j));"

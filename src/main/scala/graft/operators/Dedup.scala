@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   *  - SimHash = 60 conditional-sum aggregates in one pass, near-dup =
   *    Hamming distance on 60-bit longs (bit_count(xor)) — cheap block join.
   *
-  * All hashes derive from md5 (not Spark's murmur/xxhash) so results are
-  * engine-independent and oracle-checkable in DuckDB.
+  * Hashes that REACH AN OUTPUT or the oracle derive from md5 (not
+  * Spark's murmur/xxhash) so results are engine-independent and
+  * oracle-checkable in DuckDB. Purely INTERNAL keys — group/join keys
+  * that never leave the operator, like the r14 ppjoin shingle hashes and
+  * the n-gram span/coverage/novelty keys — may use xxhash64 (cheaper
+  * codegen, no cross-engine replay needed); see README's guarantees
+  * section for the shared ~2⁻⁶⁴-collision trust model.
   */
 object Dedup {
 
@@ -983,7 +988,9 @@ object Dedup {
     //    canonical prefix
     //    order becomes (df, hash) instead of (df, string) — a different
     //    but equally valid global total order, so the candidate SET can
-    //    shift while the exactly-verified OUTPUT cannot;
+    //    shift while the verified OUTPUT stays exact modulo 64-bit hash
+    //    collisions (the verify intersect compares hashed sets — the
+    //    same trust-model caveat as above, not a new one);
     //  - `sz` (distinct-shingle count) rides from the pre-explode array
     //    instead of a count-over-window pass — one window execution
     //    over the (id, shingle) frame instead of two. The 1-element
@@ -1226,14 +1233,19 @@ object Dedup {
       col("g"),
       explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
         .as("pp"))
+    // distinct BEFORE the verify kernel — same argument as the
+    // self-join path (editPairsUncollapsed): one banded-levenshtein
+    // evaluation per distinct candidate pair instead of one per
+    // matching (gram, position) occurrence.
     val pairs = probes.as("a").join(keyedC.as("b"),
         col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
-      .filter(col("dist") >= 0)
       .select(col("a.id").as("probe_id"), col("b.id").as("corpus_id"),
-        col("dist"))
+        col("a.s").as("__sa"), col("b.s").as("__sb"))
       .distinct()
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("probe_id"), col("corpus_id"), col("dist"))
     (pairs, keyedP, keyedC)
   }
 
@@ -1403,14 +1415,25 @@ object Dedup {
     val probes = keyed.select(col("id"), col("len"), col("s"), col("g"),
       explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
         .as("pp"))
+    // r15 (guide §1.2 per-task work, VERDICT r14 item 8): a candidate
+    // pair surfaces ONCE PER MATCHING (gram, position) — up to
+    // prefixLen times — and the old shape ran the threshold-levenshtein
+    // verify on every occurrence, deduplicating afterwards. The
+    // distinct now runs BEFORE the kernel on (ids, strings): the
+    // strings ride one hash exchange (short keys — bytes comparable to
+    // the old (id_a, id_b, dist) distinct), and the banded O(maxDist·n)
+    // kernel runs once per DISTINCT pair. `id → s` is functional, so
+    // distinct-before equals distinct-after row for row.
     val pairs = probes.as("a").join(keyed.as("b"),
         col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
           col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
-      .filter(col("dist") >= 0)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("__sa"), col("b.s").as("__sb"))
       .distinct()
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
     (pairs, keyed)
   }
 
@@ -1519,12 +1542,19 @@ object Dedup {
       // LINEAGE grows 3^rounds, and a high-diameter graph (anything
       // needing 12+ rounds) stalls in the optimizer before it runs.
       // Checkpointing swaps the lineage for the materialized blocks.
+      // r15 (guide §5, fewer actions): the checkpoint is LAZY and the
+      // convergence probe is a full-frame aggregate, so ONE job per
+      // round both materializes every partition of the round's label
+      // frame (the aggregate reads them all — no limit short-circuit)
+      // and returns the changed-row count; the old eager-checkpoint +
+      // limit(1)-probe pair cost two scheduled jobs per round.
       val next = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      done = next.filter(col("label") =!= col("old")).limit(1).count() == 0L
+        .localCheckpoint(false)
+      done = next.agg(count(when(col("label") =!= col("old"), lit(1)))
+        .as("chg")).head().getLong(0) == 0L
       labels = next
       iter += 1
       }
@@ -1599,7 +1629,13 @@ object Dedup {
     var iter = 0
     var done = e.limit(1).count() == 0L
     while (!done && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // r15: lazy checkpoint — the fixpoint aggregate just below reads
+      // every partition (no limit), so it materializes the round's edge
+      // frame AND answers condition (1) in one job; the old eager
+      // checkpoint spent a separate scheduled job per round on the same
+      // scan. Condition (2)'s semi-join probe still short-circuits away
+      // on every round where (1) already fails.
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       // Fixpoint test (r14 optimization): the alternation's fixpoints
       // are exactly the STAR FORESTS — every child points at one root
       // and no root is itself a child. smallStar output is distinct
@@ -1836,8 +1872,10 @@ object Dedup {
     * join back — localCheckpoint per round (the iterative-lineage
     * rule). Unreached nodes keep null. */
   def labelPropagation(nodes: DataFrame, pairs: DataFrame, idCol: String,
-      seeds: DataFrame, labelCol: String, iters: Int = 5): DataFrame = {
+      seeds: DataFrame, labelCol: String, iters: Int = 5,
+      ckptEvery: Int = 2): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(ckptEvery >= 1, "ckptEvery must be >= 1")
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
@@ -1868,8 +1906,17 @@ object Dedup {
       labels = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), col("__seed"),
           coalesce(col("__seed"), col("__maj"), col("__lab")).as("__lab"))
-        .localCheckpoint(true)
       it += 1
+      // r15 (guide §5): one round references the previous label frame
+      // TWICE (inside `nbr` and in the outer join), so un-checkpointed
+      // lineage fans out 2×/round — checkpoint every `ckptEvery` (=2)
+      // rounds: the duplicated intermediate subtree's exchanges are
+      // deduplicated by ReuseExchange inside the one plan, and the
+      // in-loop job count drops from `iters` to ⌊iters/k⌋ (the tail
+      // rounds execute inside the caller's final action). All-integer
+      // state — no float-order hazard in the longer chains.
+      if (it % ckptEvery == 0 && it < iters)
+        labels = labels.localCheckpoint(true)
     }
     // edge-incident nodes from the loop; off-graph nodes keep their
     // clamped seed (or null) — exactly the old full-frame fixpoint
@@ -1881,8 +1928,10 @@ object Dedup {
   }
 
   def pageRank(nodes: DataFrame, pairs: DataFrame, idCol: String,
-      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      iters: Int = 10, damping: Double = 0.85,
+      ckptEvery: Int = 5): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    require(ckptEvery >= 1, "ckptEvery must be >= 1")
     val n = nodes.count().toDouble
     require(n > 0, "empty node set")
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1923,6 +1972,18 @@ object Dedup {
     var ranks = active.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
     var rIso = 1.0 / n
     var it = 0
+    // r15 (guide §5, VERDICT r14 item 4): each round references the
+    // previous rank frame exactly ONCE (the contrib join), so lineage
+    // between checkpoints grows LINEARLY with zero recompute — unlike
+    // [[connectedComponents]]' 3×/round fanout, rounds here can chain
+    // lazily and checkpoint every `ckptEvery` rounds. The per-round
+    // eager localCheckpoint was one scheduled job per round (10 jobs,
+    // each a serialization barrier at ANY scale); now ⌈iters/k⌉−1 jobs
+    // run in-loop and the tail rounds execute inside the caller's one
+    // final action. The dangling-mass scalar (`rIso`/`dang`) is driver
+    // arithmetic independent of materialization, so per-round values —
+    // and every emitted rank — are bit-identical to the per-round-
+    // checkpoint plan (the 9-decimal q_pagerank oracle pins this).
     while (it < iters) {
       val dang = dangOf(rIso)
       val contrib = edges
@@ -1936,11 +1997,12 @@ object Dedup {
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("cs"), lit(0.0)) + lit(dang) / lit(n)))
             .as("r"))
-        .localCheckpoint(true)
       // the isolated trajectory steps through the IDENTICAL double
       // arithmetic the old in-plan expression applied to cs-null rows
       rIso = (1 - damping) / n + damping * (0.0 + dang / n)
       it += 1
+      if (it % ckptEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     nodes.select(col(idCol).as("id"))
       .join(ranks, Seq("id"), "left")

@@ -136,22 +136,28 @@ object Retrieval {
         docs.sparkSession.sparkContext.hadoopConfiguration)
       // a stale marker must not survive a partial rebuild
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), false)
-      postings.sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(s"$dir/postings")
-      postings.filter(length(col("term")) > 0)
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$dir/dfreq")
-      postings.select(col(idCol), col("dl")).distinct()
-        .agg(count(lit(1)).as("__N"),
-          sum(col("dl").cast("long")).as("__sumdl"))
-        // __sumdl rides along as the exact long so an incremental
-        // [[updateIndex]] can recompute __avgdl = (sumdl+Δ)/(N+Δ) from
-        // exact integers — recovering sumdl from the stored double
-        // avgdl would not be bit-equal to a full rebuild
-        .select(col("__N"), col("__sumdl"),
-          (col("__sumdl").cast("double") / col("__N").cast("double"))
-            .as("__avgdl"))
-        .write.mode("overwrite").parquet(s"$dir/stats")
+      // r15 (guide §2.6): the three artifacts all derive from the one
+      // persisted postings frame and never read each other — overlapped
+      // driver threads make the journey cost max(writes), not
+      // sum(writes). Crash contract unchanged: marker deleted above,
+      // rewritten only after ALL three writes succeed (see [[Actions]]).
+      Actions.inParallel(
+        () => postings.sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$dir/postings"),
+        () => postings.filter(length(col("term")) > 0)
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$dir/dfreq"),
+        () => postings.select(col(idCol), col("dl")).distinct()
+          .agg(count(lit(1)).as("__N"),
+            sum(col("dl").cast("long")).as("__sumdl"))
+          // __sumdl rides along as the exact long so an incremental
+          // [[updateIndex]] can recompute __avgdl = (sumdl+Δ)/(N+Δ) from
+          // exact integers — recovering sumdl from the stored double
+          // avgdl would not be bit-equal to a full rebuild
+          .select(col("__N"), col("__sumdl"),
+            (col("__sumdl").cast("double") / col("__N").cast("double"))
+              .as("__avgdl"))
+          .write.mode("overwrite").parquet(s"$dir/stats"))
       // completion marker, written LAST: lets callers amortize ("build
       // once per corpus version") without re-listing the artifacts
       fs.create(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), true)
@@ -210,28 +216,39 @@ object Retrieval {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // merged dfreq/stats MATERIALIZE (localCheckpoint) before their
-      // artifacts are overwritten — they read the files being replaced
-      val dfreq = spark.read.parquet(s"$dir/dfreq")
-        .unionByName(delta.filter(length(col("term")) > 0)
-          .groupBy("term").agg(count(lit(1)).as("df")))
-        .groupBy("term").agg(sum(col("df")).as("df"))
-        .localCheckpoint(true)
-      val stats = spark.read.parquet(s"$dir/stats")
-        .crossJoin(broadcast(
-          delta.select(col(idCol), col("dl")).distinct()
-            .agg(count(lit(1)).as("__dN"),
-              sum(col("dl").cast("long")).as("__dSum"))))
-        .select((col("__N") + col("__dN")).as("__N"),
-          (col("__sumdl") + col("__dSum")).as("__sumdl"))
-        .select(col("__N"), col("__sumdl"),
-          (col("__sumdl").cast("double") / col("__N").cast("double"))
-            .as("__avgdl"))
-        .localCheckpoint(true)
+      // artifacts are overwritten — they read the files being replaced.
+      // r15 (guide §2.6): the two merge materializations are
+      // independent of each other (dfreq reads dfreq-parquet ⊕ delta,
+      // stats reads stats-parquet ⊕ delta) and run overlapped; the
+      // materialize-BEFORE-overwrite barrier stays because both
+      // checkpoints complete before any write below starts.
+      var dfreq: DataFrame = null
+      var stats: DataFrame = null
+      Actions.inParallel(
+        () => dfreq = spark.read.parquet(s"$dir/dfreq")
+          .unionByName(delta.filter(length(col("term")) > 0)
+            .groupBy("term").agg(count(lit(1)).as("df")))
+          .groupBy("term").agg(sum(col("df")).as("df"))
+          .localCheckpoint(true),
+        () => stats = spark.read.parquet(s"$dir/stats")
+          .crossJoin(broadcast(
+            delta.select(col(idCol), col("dl")).distinct()
+              .agg(count(lit(1)).as("__dN"),
+                sum(col("dl").cast("long")).as("__dSum"))))
+          .select((col("__N") + col("__dN")).as("__N"),
+            (col("__sumdl") + col("__dSum")).as("__sumdl"))
+          .select(col("__N"), col("__sumdl"),
+            (col("__sumdl").cast("double") / col("__N").cast("double"))
+              .as("__avgdl"))
+          .localCheckpoint(true))
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), false)
-      delta.sortWithinPartitions("term")
-        .write.mode("append").parquet(s"$dir/postings")
-      dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
-      stats.write.mode("overwrite").parquet(s"$dir/stats")
+      // three independent writes (append + two overwrites of already-
+      // materialized frames) — overlapped; marker only after all three
+      Actions.inParallel(
+        () => delta.sortWithinPartitions("term")
+          .write.mode("append").parquet(s"$dir/postings"),
+        () => dfreq.write.mode("overwrite").parquet(s"$dir/dfreq"),
+        () => stats.write.mode("overwrite").parquet(s"$dir/stats"))
       fs.create(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), true)
         .close()
     } finally delta.unpersist(false)

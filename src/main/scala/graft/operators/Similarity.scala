@@ -400,13 +400,23 @@ object Similarity {
       .withColumn("cn", sqrt(intDotCol(col("cq"), col("cq")).cast("double")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      codes.repartitionByRange(col("cell")).sortWithinPartitions("cell")
-        .write.mode("overwrite").parquet(s"$dir/codes")
-      val cellstats = codes.groupBy("cell").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      cellstats.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/cellstats")
-      writeAnnStats(cellstats, dir, dim.toLong, nlist.toLong)
+      // r15 (guide §2.6): codes write and the cellstats ledger both
+      // derive from the one persisted codes frame (CacheManager
+      // computes each partition once under concurrent first use) —
+      // overlapped. The two ledger-derived artifacts then overlap too.
+      // Crash contract unchanged: marker deleted above, rewritten only
+      // after every artifact write succeeds.
+      var cellstats: org.apache.spark.sql.DataFrame = null
+      Actions.inParallel(
+        () => codes.repartitionByRange(col("cell"))
+          .sortWithinPartitions("cell")
+          .write.mode("overwrite").parquet(s"$dir/codes"),
+        () => cellstats = codes.groupBy("cell")
+          .agg(count(lit(1)).as("n")).localCheckpoint(true))
+      Actions.inParallel(
+        () => cellstats.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/cellstats"),
+        () => writeAnnStats(cellstats, dir, dim.toLong, nlist.toLong))
       writeAnnMarker(fs, dir)
     } finally codes.unpersist(false)
   }
@@ -476,17 +486,24 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the merged ledger MATERIALIZES (localCheckpoint) before the
-      // artifact it reads is overwritten
-      val cellstats = spark.read.parquet(s"$dir/cellstats")
-        .unionByName(codes.groupBy("cell").agg(count(lit(1)).as("n")))
-        .groupBy("cell").agg(sum(col("n")).as("n"))
-        .localCheckpoint(true)
-      val carried = spark.read.parquet(s"$dir/stats")
-        .select("dim", "nlist").head()
-      // dimension gate BEFORE any mutation: a delta from a different
-      // embedding model would quantize and append without error, then
-      // corrupt every later probe — fail fast while the index is intact
-      val deltaDim = codes.select(size(col("cq"))).limit(1).collect()
+      // artifact it reads is overwritten. r15 (guide §2.6): the ledger
+      // merge, the carried-stats read and the delta-dimension gate are
+      // mutually independent pre-mutation jobs — overlapped; the gate
+      // still fires BEFORE any mutation because everything below waits.
+      var cellstats: org.apache.spark.sql.DataFrame = null
+      var carried: org.apache.spark.sql.Row = null
+      var deltaDim: Array[org.apache.spark.sql.Row] = null
+      Actions.inParallel(
+        () => cellstats = spark.read.parquet(s"$dir/cellstats")
+          .unionByName(codes.groupBy("cell").agg(count(lit(1)).as("n")))
+          .groupBy("cell").agg(sum(col("n")).as("n"))
+          .localCheckpoint(true),
+        () => carried = spark.read.parquet(s"$dir/stats")
+          .select("dim", "nlist").head(),
+        // dimension gate BEFORE any mutation: a delta from a different
+        // embedding model would quantize and append without error, then
+        // corrupt every later probe — fail fast while the index is intact
+        () => deltaDim = codes.select(size(col("cq"))).limit(1).collect())
       require(deltaDim.isEmpty ||
         deltaDim(0).getInt(0).toLong == carried.getLong(0),
         s"updateAnnIndex: delta dimension ${deltaDim.headOption
@@ -494,11 +511,16 @@ object Similarity {
           s"${carried.getLong(0)} at $dir — wrong embedding model? " +
           "Rebuild the index for a new vector space.")
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_INDEX_OK"), false)
-      codes.repartitionByRange(col("cell")).sortWithinPartitions("cell")
-        .write.mode("append").parquet(s"$dir/codes")
-      cellstats.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/cellstats")
-      writeAnnStats(cellstats, dir, carried.getLong(0), carried.getLong(1))
+      // three independent mutations (append + two overwrites of
+      // already-materialized frames) — overlapped; marker after all
+      Actions.inParallel(
+        () => codes.repartitionByRange(col("cell"))
+          .sortWithinPartitions("cell")
+          .write.mode("append").parquet(s"$dir/codes"),
+        () => cellstats.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/cellstats"),
+        () => writeAnnStats(cellstats, dir, carried.getLong(0),
+          carried.getLong(1)))
       writeAnnMarker(fs, dir)
     } finally codes.unpersist(false)
   }

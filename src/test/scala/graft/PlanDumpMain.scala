@@ -13,12 +13,14 @@ import org.apache.spark.sql.SparkSession
   * PlanAuditMain (a noop write would leave the frame unexecuted /
   * isFinalPlan=false).
   *
-  * Usage: Test/runMain graft.PlanDumpMain <outDir> <tag> [names]
+  * Usage: Test/runMain graft.PlanDumpMain <outDir> <tag> [names] [dataDir]
   */
 object PlanDumpMain {
   def main(args: Array[String]): Unit = {
     val outDir = Paths.get(args(0))
     val tag = args(1)
+    val dataDir =
+      if (args.length > 3) args(3) else "/root/testdata/sf0.001"
     Files.createDirectories(outDir)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -33,7 +35,7 @@ object PlanDumpMain {
     var failed = 0
     names.foreach { name =>
       try {
-        val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        val df = SparkEntry.queries(name)(spark, dataDir)
         df.collect()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
