@@ -121,19 +121,20 @@ object Publish {
     // reassignment
     val spark = df.sparkSession
     import spark.implicits._
-    // r15 (guide §2.6): the three artifacts are mutually independent
-    // (data and manifest each scan `df`; layout is driver literals) —
-    // overlapped driver threads. A base publish has no marker protocol:
-    // any partial writeShards was already a republish-from-scratch
-    // state, and inter-artifact order was never load-bearing
-    // (verifyShards diffs data against manifest either way).
+    // r15 (guide §2.6): the data and manifest writes each scan `df` and
+    // never read each other — overlapped driver threads. The LAYOUT
+    // write stays LAST and sequential: it is writeShards' de facto
+    // completion marker — appendShards' first read is
+    // `parquet($dir/layout)`, so a base publish that died mid-write
+    // must fail that read loudly rather than accept a silent append
+    // onto partial data (review finding, r15).
     graft.operators.Actions.inParallel(
       () => graft.operators.Sampling.shuffleShards(df, idCol, shards, salt)
         .write.mode("overwrite").partitionBy("shard").parquet(s"$dir/data"),
       () => m.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/manifest"),
-      () => Seq((shards, salt)).toDF("shards", "salt")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/layout"))
+        .parquet(s"$dir/manifest"))
+    Seq((shards, salt)).toDF("shards", "salt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/layout")
     m
   }
 

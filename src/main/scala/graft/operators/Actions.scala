@@ -25,8 +25,12 @@ package graft.operators
   * duplicating work.
   *
   * Failure semantics: waits for every task to settle, then rethrows
-  * the FIRST failure (a concurrent sibling may have completed its
-  * write — harmless, the marker is never written on any failure). */
+  * the FIRST failure with later failures attached as suppressed (a
+  * concurrent sibling may have completed its write — harmless, the
+  * marker is never written on any failure). An interrupt of the
+  * calling thread cancels the remaining tasks and rethrows immediately
+  * with the interrupt status restored — cancellation must not block
+  * behind every in-flight write. */
 private[graft] object Actions {
   def inParallel(tasks: (() => Unit)*): Unit = {
     if (tasks.size <= 1) { tasks.foreach(_()); return }
@@ -41,10 +45,17 @@ private[graft] object Actions {
       futs.foreach { f =>
         try f.get()
         catch {
+          case e: InterruptedException =>
+            futs.foreach(_.cancel(true))
+            Thread.currentThread().interrupt()
+            throw e
           case e: java.util.concurrent.ExecutionException =>
-            if (firstFailure == null) firstFailure = e.getCause
+            val cause = if (e.getCause != null) e.getCause else e
+            if (firstFailure == null) firstFailure = cause
+            else firstFailure.addSuppressed(cause)
           case e: Throwable =>
             if (firstFailure == null) firstFailure = e
+            else firstFailure.addSuppressed(e)
         }
       }
       if (firstFailure != null) throw firstFailure

@@ -1842,9 +1842,12 @@ object Dedup {
     * (index-sized: id + double) against the static symmetrized edge
     * frame (persisted once), one target-keyed aggregation, one left
     * join back to nodes — all AQE-managed equi-joins, no windows. The
-    * dangling sum is a one-row aggregate per round. Each round's rank
-    * frame is eagerly `localCheckpoint`ed (the [[connectedComponents]]
-    * lineage lesson); blocks are index-sized and released by the
+    * dangling sum is a driver scalar per round. Rounds chain LAZILY
+    * and the rank frame checkpoints every `ckptEvery` rounds (r15):
+    * each round references the previous frame exactly once, so
+    * lineage between checkpoints is linear with zero recompute —
+    * one scheduled barrier per k rounds instead of one per round.
+    * Checkpoint blocks are index-sized and released by the
     * ContextCleaner. */
   /** Semi-supervised label propagation over an undirected pair graph:
     * spread a sparse set of seed labels (e.g. human quality/toxicity
@@ -1862,13 +1865,23 @@ object Dedup {
     * one edge-keyed join of the index-sized label frame against the
     * once-checkpointed symmetrized edges, one (node, label) count
     * aggregation, one argmax via max(struct) (no window), one left
-    * join back — localCheckpoint per round (the iterative-lineage
-    * rule). Unreached nodes keep null. */
+    * join back — checkpointed every `ckptEvery` rounds (r15; default
+    * 2). A round references the previous label frame TWICE, so the
+    * un-checkpointed logical plan doubles per round — `ckptEvery` is
+    * capped to keep 2^k plan copies out of the optimizer (the
+    * iterative-lineage rule); physical exchanges inside the window
+    * dedupe via ReuseExchange. Unreached nodes keep null. */
   def labelPropagation(nodes: DataFrame, pairs: DataFrame, idCol: String,
       seeds: DataFrame, labelCol: String, iters: Int = 5,
       ckptEvery: Int = 2): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    require(ckptEvery >= 1, "ckptEvery must be >= 1")
+    // ≤ 6: the logical plan between checkpoints holds 2^ckptEvery
+    // copies of the round subtree (each round references the previous
+    // frame twice); past ~2⁶ copies the driver stalls in
+    // analysis/optimization before a single task runs
+    require(ckptEvery >= 1 && ckptEvery <= 6,
+      "ckptEvery must be in [1, 6] — plan size doubles per " +
+        "un-checkpointed round")
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
