@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r15: emit the forked run's stdout RAW instead of through sbt's
+// logger — the logger prefixes every line with "[info] ", which breaks
+// strict line-wise JSON parsing of Bench's contract line in bounded
+// stdout-tail captures.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
