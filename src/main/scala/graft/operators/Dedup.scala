@@ -918,7 +918,15 @@ object Dedup {
       : DataFrame = {
     val pairs = containmentJoin(df, idCol, textCol, tau, shingleN,
       maxDupGroup)
+    // r15 (guide §1.2): sizes are only ever consulted for PAIR
+    // ENDPOINTS, but the old frame ran the shingling kernel over the
+    // whole corpus again — semi-join df down to the (pair-sized,
+    // already-checkpointed) endpoint id set BEFORE the kernel, so the
+    // second shingling pass is pair-bounded at any scale
+    val endpointIds = pairs.select(col("id_a").as("__id"))
+      .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
     val sizes = df
+      .join(endpointIds, col(idCol) === col("__id"), "left_semi")
       .select(col(idCol).as("__id"),
         size(array_distinct(wordShingles(col(textCol), shingleN)))
           .as("__sz"))
